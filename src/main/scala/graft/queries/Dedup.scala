@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.functions.VectorFunctions.simhash64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Near-duplicate detection for training-data pipelines: exact n-gram
+  * Jaccard (inverted-index join — the oracle-checkable ground truth),
+  * MinHash+LSH (the 100 TB path: signature shuffle is O(docs × k), band
+  * join touches only colliding buckets), and SimHash (one 64-bit
+  * fingerprint per doc via a native Catalyst expression, banded hamming
+  * join).
+  *
+  * Word-trigram shingles: unigrams don't discriminate on small
+  * vocabularies (measured: 71k false pairs at τ=0.6 unigram vs 25 true
+  * near-dup pairs at τ=0.5 trigram on the test corpus).
+  */
+object Dedup extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** doc_id + distinct word-trigram shingles (docs with >= 3 tokens). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))
+        )).as("shingles"))
+  }
+
+  // MinHash parameters: 32 permutations = 8 bands x 4 rows; universal
+  // hashing h_i(x) = (a_i*x + b_i) mod p over xxhash64 shingle hashes.
+  private val MinhashK = 32
+  private val Bands = 8
+  private val RowsPerBand = MinhashK / Bands
+  // 31-bit inputs x 31-bit multipliers keep a*x+b < 2^63: no long overflow
+  // under ANSI arithmetic (Spark 4 default).
+  private val Prime = (1L << 61) - 1
+  private val rng = new scala.util.Random(42)
+  private val hashA: Array[Long] = Array.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong | 1L)
+  private val hashB: Array[Long] = Array.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact trigram jaccard via inverted-index join (oracle-checked)
+    "d01_jaccard_pairs" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val toks = sh.select(col("doc_id"), explode(col("shingles")).as("tok"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val inter = toks.as("a")
+        .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- MinHash + LSH banding (scale path; verified via signature est.)
+    "d02_minhash_lsh" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val hashed = sh.select(col("doc_id"),
+        explode(col("shingles")).as("sh"))
+        .select(col("doc_id"), shiftrightunsigned(xxhash64(col("sh")), 33).as("h"))
+      val minCols = (0 until MinhashK).map { i =>
+        min((col("h") * hashA(i) + hashB(i)) % Prime).as(s"m$i")
+      }
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until Bands).map(b =>
+          hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)).as(Seq("band", "bkey")))
+      val cands = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      cands
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b), x => x))
+            .cast(DoubleType) / MinhashK).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- SimHash fingerprints + banded hamming join (scale path)
+    "d03_simhash_pairs" -> ((s, dir) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), simhash64(toks).as("fp"))
+      // 4 bands of 16 bits: near-identical fingerprints collide in >=1 band
+      val bands = fp.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
+        .filter(col("hamming") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // DuckDB computes the same trigram-shingle jaccard; integer
+    // intersection/union + one double division = engine-exact.
+    "d01_jaccard_pairs" -> """
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(tl)-1),
+          i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) sl
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') tl FROM documents)
+        WHERE len(tl) >= 3),
+      toks AS (SELECT doc_id, unnest(sl) tok FROM sh),
+      sizes AS (SELECT doc_id, len(sl) n FROM sh),
+      inter AS (
+        SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM (
+        SELECT doc_a, doc_b,
+          CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
+      WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
+  )
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import Parity._
+
+/** Event-stream analytics over the `events` table: tumbling windows,
+  * sessionization (gap-based), incremental `LAST`-style watermark reads
+  * (reference: SURVEY §2.11 — `WHERE ts > LAST`,
+  * mindsdb/interfaces/query_context/context_controller.py:293-344), and
+  * funnel-ish per-user aggregation. The same logic runs as Structured
+  * Streaming (graft.streaming); these batch forms are the oracle-checkable
+  * semantics.
+  */
+object Events extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "e01_tumbling_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    "e02_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30 min): lag + cumulative new-session
+      // flags. One shuffle on user_id; window state is O(1) per row —
+      // holds at 100 TB (and has a streaming twin via session_window).
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapped.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+          dsum(col("value")).as("sess_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "e03_last_watermark" -> ((s, dir) => {
+      // `LAST`-keyword semantics: read only rows past the stored watermark.
+      // Watermark here = max ts of the first half of the data (simulating
+      // a prior run); production path keeps it in a state store
+      // (graft.incremental.Watermarks).
+      val ev = t(s, dir, "events")
+      val wm = ev.agg(
+        to_timestamp(lit("2024-01-16 00:00:00")).as("wm"))
+      ev.crossJoin(broadcast(wm))
+        .filter(col("ts") > col("wm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_new"), min(col("ts")).as("first_new"),
+          max(col("ts")).as("last_new"))
+        .orderBy(col("event_type"))
+    }),
+
+    "e04_user_funnel" -> ((s, dir) => {
+      // per-user event-type pivot: conditional counts + conversion flag
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", 1).otherwise(0)).cast(LongType).as("n_view"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).cast(LongType).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast(LongType).as("n_purchase"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).cast(IntegerType).as("converted"))
+        .orderBy(col("user_id"))
+    }),
+
+    "e05_hourly_active" -> ((s, dir) => {
+      // distinct active users per hour + top event type, exercising
+      // count-distinct + window-over-aggregate composition
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("hr")).orderBy(col("n").desc, col("event_type"))
+      hourly.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("hr"), col("event_type").as("top_type"), col("n").as("top_n"))
+        .orderBy(col("hr"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "e01_tumbling_daily" -> s"""
+      SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
+        ${oSum("value")} AS total_value, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "e02_sessionize" -> s"""
+      WITH gapped AS (
+        SELECT user_id, event_id, ts, value,
+          LAG(ts) OVER w AS prev_ts,
+          CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, event_id, ts, value,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM gapped)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        CAST(MIN(ts) AS TIMESTAMP) AS sess_start, CAST(MAX(ts) AS TIMESTAMP) AS sess_end, ${oSum("value")} AS sess_value
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "e03_last_watermark" -> """
+      SELECT event_type, COUNT(*) AS n_new, CAST(MIN(ts) AS TIMESTAMP) AS first_new, CAST(MAX(ts) AS TIMESTAMP) AS last_new
+      FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY event_type ORDER BY event_type""",
+
+    "e04_user_funnel" -> """
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS converted
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "e05_hourly_active" -> """
+      WITH hourly AS (
+        SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      ranked AS (
+        SELECT hr, event_type, n,
+          ROW_NUMBER() OVER (PARTITION BY hr ORDER BY n DESC, event_type) AS rnk
+        FROM hourly)
+      SELECT hr, event_type AS top_type, n AS top_n FROM ranked
+      WHERE rnk = 1 ORDER BY hr"""
+  )
+}

@@ -1,0 +1,648 @@
+package graft.queries
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+import Parity._
+
+/** Relational operator inventory (SURVEY.md §2.1, §2.3–§2.8): projection,
+  * filter, joins (inner/outer/semi/anti/cross), aggregation (group/rollup/
+  * cube/grouping sets/having/distinct/conditional), window functions, set
+  * ops (incl. EXCEPT, which the reference mis-executes as UNION — see
+  * SURVEY §2.1 UnionStep; implemented correctly here), sorts/limits/offset,
+  * CTEs, scalar/date/JSON functions, subqueries (scalar/semi/anti).
+  *
+  * Each query is declarative DataFrame code — Catalyst handles pushdown,
+  * pruning, join strategy (small dims broadcast automatically under AQE),
+  * and partial aggregation. At 100 TB the same plans hold: scans prune to
+  * referenced columns, filters reach parquet, aggregates combine map-side.
+  */
+object Relational extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation ----------------------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_topn" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    "q03_join_agg_topn" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    "q04_multijoin_region" -> ((s, dir) => {
+      // 5-table star join: region/nation broadcast-join against the fact
+      // chain customer→orders→lineitem; only the ASIA branch is scanned.
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      broadcast(r).join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q05_broadcast_dim" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- outer / semi / anti joins -------------------------------------
+    "q06_left_join_zero" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q07_full_outer" -> ((s, dir) => {
+      val cs = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ss = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cs.join(ss, Seq("nk"), "full_outer")
+        .select(col("nk").cast(IntegerType).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nk"))
+    }),
+
+    "q08_semi_join" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      t(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q09_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- set operations -------------------------------------------------
+    "q10_union_all" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("k"), lit("big_order").as("src"))
+      val b = t(s, dir, "lineitem").filter(col("l_quantity") >= 50)
+        .select(col("l_orderkey").as("k"), lit("max_qty").as("src"))
+      a.unionByName(b).orderBy(col("src"), col("k"))
+    }),
+
+    "q11_union_distinct" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val b = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k"))
+      a.union(b).distinct().orderBy(col("k"))
+    }),
+
+    "q12_intersect" -> ((s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+      f.intersect(o).orderBy(col("k"))
+    }),
+
+    "q13_except" -> ((s, dir) => {
+      // The reference silently executes EXCEPT as UNION
+      // (union_step.py:36-40); correct set difference here.
+      val all = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val wo = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      all.except(wo).orderBy(col("k"))
+    }),
+
+    // ---- window functions ----------------------------------------------
+    "q14_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"), col("rnk"), col("drnk"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q15_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("running_total"), col("prev_price"), col("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    "q16_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = w.rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("mov_sum",
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(frame).cast(DoubleType))
+        .withColumn("mov_n", count(lit(1)).over(frame))
+        .withColumn("first_price", first(col("o_totalprice")).over(frame))
+        .withColumn("ntile4", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("mov_sum"), col("mov_n"),
+          col("first_price"), col("ntile4"), col("pct_rank"), col("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- grouped-aggregation variants ----------------------------------
+    "q17_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy(col("spend").desc, col("o_custkey"))
+    }),
+
+    "q18_rollup" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val c = t(s, dir, "customer")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          grouping(col("r_name")).cast(IntegerType).as("g_region"),
+          grouping(col("n_name")).cast(IntegerType).as("g_nation"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "q19_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q20_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+    }),
+
+    "q21_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q22_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast(LongType).as("n_finished"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast(LongType).as("n_open"),
+          dsum(when(col("o_totalprice") > 200000, col("o_totalprice")).otherwise(lit(0.0))).as("big_spend"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- subqueries / CTE ----------------------------------------------
+    "q23_scalar_subquery" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val avgPrice = p.agg(davg(col("p_retailprice")).as("ap"))
+      p.crossJoin(broadcast(avgPrice))
+        .filter(col("p_retailprice") > col("ap"))
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q24_cte_two_level" -> ((s, dir) => {
+      // avg order value per segment; exact decimal arithmetic end-to-end
+      // so the two aggregation levels hash-match the oracle.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("cust_total"))
+      c.join(perCust, c("c_custkey") === perCust("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg((sum(col("cust_total")).cast(DoubleType) / count(lit(1))).as("avg_cust_spend"),
+          count(lit(1)).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q25_correlated_exists" -> ((s, dir) => {
+      val maxed = t(s, dir, "lineitem").filter(col("l_quantity") === 50)
+        .select(col("l_orderkey")).distinct()
+      t(s, dir, "orders")
+        .join(maxed, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- scalar functions ----------------------------------------------
+    "q26_case_strings" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lower(col("c_mktsegment")).as("lseg"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high").as("tier"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q27_datetime" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    "q28_date_trunc" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy(col("hr"), col("event_type"))
+    }),
+
+    "q29_json_extract" -> ((s, dir) => {
+      // JSON props: stringly-nested in the reference (SURVEY §1.2 — nested
+      // values serialized to JSON text); first-class extraction here.
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k_val")).as("n_with_k"),
+          sum(col("k_val")).cast(LongType).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q30_math" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          round(col("p_retailprice").cast(DecimalType(18, 4)), 2).cast(DoubleType).as("rounded"),
+          floor(col("p_retailprice")).cast(LongType).as("fl"),
+          ceil(col("p_retailprice")).cast(LongType).as("ce"),
+          abs(col("p_size") - 25).as("sz_dist"),
+          pmod(col("p_partkey"), lit(7)).as("k_mod7"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- sorts / limits / distinct / cross -----------------------------
+    "q31_limit_offset" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 50
+      """)
+    }),
+
+    "q32_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    "q33_cross_join" -> ((s, dir) => {
+      val r = t(s, dir, "region").select(col("r_name"))
+      val f = t(s, dir, "lineitem").select(col("l_returnflag")).distinct()
+      r.crossJoin(f).orderBy(col("r_name"), col("l_returnflag"))
+    }),
+
+    "q34_in_list" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") && col("c_acctbal").between(0, 5000))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q35_like_null" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_type").like("%AN%") || col("p_name").like("part_1%"))
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          coalesce(col("p_brand"), lit("none")).as("brand"),
+          col("p_brand").isNull.cast(IntegerType).as("brand_missing"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q36_theta_join" -> ((s, dir) => {
+      // non-equi (range) join: suppliers paired with richer suppliers
+      val a = t(s, dir, "supplier").select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
+      val b = t(s, dir, "supplier").select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
+      a.join(b, col("a_bal") < col("b_bal") && col("a_key") =!= col("b_key"))
+        .select(col("a_key"), col("b_key"))
+        .orderBy(col("a_key"), col("b_key"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${oSum("l_quantity")} AS sum_qty,
+        ${oSum("l_extendedprice")} AS sum_base_price,
+        ${oSum2("l_extendedprice", "(1.0 - l_discount)")} AS sum_disc_price,
+        ${oAvg("l_quantity")} AS avg_qty,
+        ${oAvg("l_extendedprice")} AS avg_price,
+        ${oAvg("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_topn" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM lineitem
+      WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+
+    "q03_join_agg_topn" -> s"""
+      SELECT o_orderkey, o_orderdate,
+        ${oSum2("l_extendedprice", "(1.0 - l_discount)")} AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey LIMIT 20""",
+
+    "q04_multijoin_region" -> s"""
+      SELECT n_name,
+        ${oSum2("l_extendedprice", "(1.0 - l_discount)")} AS revenue,
+        COUNT(*) AS n_items
+      FROM region JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q05_broadcast_dim" -> s"""
+      SELECT n_name, COUNT(*) AS n_customers, ${oSum("c_acctbal")} AS total_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+
+    "q06_left_join_zero" -> """
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q07_full_outer" -> """
+      SELECT CAST(COALESCE(c.nk, s.nk) AS INTEGER) AS nk,
+        COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk ORDER BY nk""",
+
+    "q08_semi_join" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      ORDER BY o_orderkey""",
+
+    "q09_anti_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q10_union_all" -> """
+      SELECT * FROM (
+        SELECT o_orderkey AS k, 'big_order' AS src FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT l_orderkey AS k, 'max_qty' AS src FROM lineitem WHERE l_quantity >= 50
+      ) ORDER BY src, k""",
+
+    "q11_union_distinct" -> """
+      SELECT * FROM (
+        SELECT o_custkey AS k FROM orders
+        UNION
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+      ) ORDER BY k""",
+
+    "q12_intersect" -> """
+      SELECT * FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      ) ORDER BY k""",
+
+    "q13_except" -> """
+      SELECT * FROM (
+        SELECT c_custkey AS k FROM customer
+        EXCEPT
+        SELECT o_custkey AS k FROM orders
+      ) ORDER BY k""",
+
+    "q14_window_topk" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q15_window_running" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q16_window_frames" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER f AS DOUBLE) AS mov_sum,
+        COUNT(*) OVER f AS mov_n,
+        FIRST_VALUE(o_totalprice) OVER f AS first_price,
+        NTILE(4) OVER w AS ntile4,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume
+      FROM orders
+      WINDOW
+        f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q17_having" -> s"""
+      SELECT o_custkey, COUNT(*) AS n_orders, ${oSum("o_totalprice")} AS spend
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+      ORDER BY spend DESC, o_custkey""",
+
+    "q18_rollup" -> """
+      SELECT r_name, n_name, COUNT(*) AS n_cust,
+        CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q19_cube" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${oSum("l_quantity")} AS qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q20_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q21_count_distinct" -> """
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q22_conditional_agg" -> s"""
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        ${oSum("(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END)")} AS big_spend
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q23_scalar_subquery" -> s"""
+      SELECT p_partkey, p_name, p_retailprice FROM part
+      WHERE p_retailprice > (SELECT ${oAvg("p_retailprice")} FROM part)
+      ORDER BY p_partkey""",
+
+    "q24_cte_two_level" -> """
+      WITH per_cust AS (
+        SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS cust_total
+        FROM orders GROUP BY o_custkey)
+      SELECT c_mktsegment,
+        CAST(SUM(cust_total) AS DOUBLE) / COUNT(*) AS avg_cust_spend,
+        COUNT(*) AS n_cust
+      FROM customer JOIN per_cust ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q25_correlated_exists" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity = 50)
+      ORDER BY o_orderkey""",
+
+    "q26_case_strings" -> """
+      SELECT c_custkey, UPPER(c_name) AS uname, LOWER(c_mktsegment) AS lseg,
+        SUBSTRING(c_name, 1, 8) AS prefix, CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+        c_mktsegment || '|' || c_name AS tagged,
+        CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low'
+          ELSE 'high' END AS tier
+      FROM customer ORDER BY c_custkey""",
+
+    "q27_datetime" -> s"""
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr, CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+        COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders GROUP BY 1, 2 ORDER BY yr, mo""",
+
+    "q28_date_trunc" -> s"""
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hr, event_type, COUNT(*) AS n, ${oSum("value")} AS v
+      FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+
+    "q29_json_extract" -> """
+      SELECT event_type, COUNT(k_val) AS n_with_k, CAST(SUM(k_val) AS BIGINT) AS sum_k
+      FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k_val FROM events)
+      GROUP BY event_type ORDER BY event_type""",
+
+    "q30_math" -> """
+      SELECT p_partkey,
+        CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS rounded,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+        CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+        CAST(ABS(p_size - 25) AS INTEGER) AS sz_dist,
+        CAST(p_partkey % 7 AS BIGINT) AS k_mod7
+      FROM part ORDER BY p_partkey""",
+
+    "q31_limit_offset" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 50""",
+
+    "q32_distinct" -> """
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""",
+
+    "q33_cross_join" -> """
+      SELECT r_name, l_returnflag FROM region
+      CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
+      ORDER BY r_name, l_returnflag""",
+
+    "q34_in_list" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal BETWEEN 0 AND 5000
+      ORDER BY c_custkey""",
+
+    "q35_like_null" -> """
+      SELECT p_partkey, p_name, p_type, COALESCE(p_brand, 'none') AS brand,
+        CAST(p_brand IS NULL AS INTEGER) AS brand_missing
+      FROM part WHERE p_type LIKE '%AN%' OR p_name LIKE 'part_1%'
+      ORDER BY p_partkey""",
+
+    "q36_theta_join" -> """
+      SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key
+      FROM supplier a JOIN supplier b
+        ON a.s_acctbal < b.s_acctbal AND a.s_suppkey <> b.s_suppkey
+      ORDER BY a_key, b_key"""
+  )
+}

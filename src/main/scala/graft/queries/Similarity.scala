@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY §2.2 vector
+  * stores; reference distance ops `<->`,`<#>`,`<=>` at
+  * mindsdb/integrations/libs/vectordatabase_handler.py:51-54).
+  *
+  * Brute-force cosine top-k is the correctness baseline (query-vs-all is
+  * a broadcast + narrow map even at 100 TB: one pass over N vectors).
+  * The scale path for all-pairs work is random-hyperplane LSH bucketing
+  * (s04): signature computation is a narrow transform; the join touches
+  * only bucket-colliding pairs instead of N².
+  *
+  * Cosine runs through a native Catalyst expression (CosineSimilarity)
+  * whose sequential fold matches the oracle's list_sum formula
+  * bit-for-bit; outputs are rounded to 4 decimals and re-sorted on the
+  * rounded value so the final ordering is engine-stable.
+  */
+object Similarity extends QueryPack {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "s01_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), cosineSim(col("v"), col("qv")).as("c"))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), round(col("c"), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }),
+
+    "s02_knn_batch" -> ((s, dir) => {
+      // knn-join: 10 query vectors against all, top-5 each.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cosineSim(col("v"), col("qv")).as("c"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rnk"), round(col("c"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    "s03_cosine_near_pairs" -> ((s, dir) => {
+      // embedding-cosine near-dup: blocked on label (the natural join key
+      // here; at scale the blocking key comes from LSH, see s04).
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("ai"), col("label"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("bi"), col("label"), col("v").as("vb"))
+      a.join(b, Seq("label"))
+        .filter(col("ai") < col("bi"))
+        .select(col("label"), col("ai"), col("bi"), cosineSim(col("va"), col("vb")).as("c"))
+        .filter(col("c") >= 0.35)
+        .select(col("label"), col("ai"), col("bi"), round(col("c"), 4).as("cos_sim"))
+        .orderBy(col("ai"), col("bi"))
+    }),
+
+    "s04_ann_lsh" -> ((s, dir) =>
+      annTopK(s, emb(s, dir), col("vec_id") < 20, k = 3)
+        .orderBy(col("q_id"), col("rnk")))
+  )
+
+  /** Approximate top-k via random-hyperplane LSH: 16 signed projections →
+    * 4 bands of 4 bits; vectors sharing any band are candidates
+    * (multi-probe style OR). 4-bit bands trade selectivity for recall —
+    * right for corpora without true near-duplicates; at 100 TB with real
+    * near-dups, wider bands (8-16 bits) restore selectivity. Deterministic
+    * planes from a fixed-seed RNG.
+    *
+    * @param e DataFrame(vec_id: long, label, v: array<double>)
+    * @param isQuery predicate over e's columns selecting query vectors
+    */
+  def annTopK(s: SparkSession, e: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val planesDf = broadcast(s.createDataFrame(
+      hyperplanes.zipWithIndex.map { case (p, i) => (i, 1L << i, p) }
+    ).toDF("plane_id", "pw", "pvec"))
+    val sigs = e.crossJoin(planesDf)
+      .select(col("vec_id"), col("v"), col("plane_id"),
+        when(graft.functions.VectorFunctions.dotProduct(col("v"), col("pvec")) > 0,
+          col("pw")).otherwise(0L).as("bit"),
+        isQuery.as("is_q"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).cast("long").as("sig"), first(col("v")).as("v"),
+        first(col("is_q")).as("is_q"))
+    val banded = sigs.select(col("vec_id"), col("v"), col("is_q"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)).as(Seq("band", "bkey")))
+    val q = banded.filter(col("is_q"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("bkey"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    q.join(banded, Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("v"), col("qv")).as("c"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), round(col("c"), 4).as("cos_sim"))
+  }
+
+  /** 16 fixed pseudo-random hyperplanes over 64 dims (seeded, reproducible). */
+  lazy val hyperplanes: Seq[Seq[Double]] = {
+    val r = new scala.util.Random(7)
+    Seq.fill(16)(Seq.fill(64)(r.nextGaussian()))
+  }
+
+  private val cosExpr =
+    """list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+       (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))) *
+        sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]))))"""
+
+  def oracles: Map[String, String] = Map(
+    "s01_knn_brute" -> s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      scored AS (
+        SELECT a.vec_id, a.label, $cosExpr AS c
+        FROM e a CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) b
+        WHERE a.vec_id <> 0),
+      top AS (SELECT vec_id, label, ROUND(c, 4) AS cos_sim FROM scored
+              ORDER BY c DESC, vec_id LIMIT 10)
+      SELECT * FROM top ORDER BY cos_sim DESC, vec_id""",
+
+    "s02_knn_batch" -> s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      scored AS (
+        SELECT b.vec_id AS q_id, a.vec_id, $cosExpr AS c
+        FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),
+      ranked AS (SELECT q_id, vec_id, c,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk FROM scored)
+      SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, ROUND(c, 4) AS cos_sim
+      FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    "s03_cosine_near_pairs" -> s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      SELECT label, ai, bi, ROUND(c, 4) AS cos_sim FROM (
+        SELECT CAST(a.label AS INTEGER) AS label, a.vec_id AS ai, b.vec_id AS bi, $cosExpr AS c
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE c >= 0.35 ORDER BY ai, bi"""
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Text-analysis operators for training-data pipelines (builder-prompt
+  * north star; reference analog: KB preprocessing at
+  * mindsdb/interfaces/knowledge_base/preprocessing/document_preprocessor.py):
+  * token counting (whitespace + BPE-ish regex), quality scoring
+  * (length/punctuation/stopword ratios), language distribution, exact
+  * fingerprinting (md5).
+  *
+  * All single-pass narrow transforms + one aggregation — at 100 TB these
+  * are embarrassingly parallel scans; no shuffle except final group/sort.
+  */
+object TextOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  private val stopwords = Seq("the", "a", "of", "and", "or", "is", "in", "to")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "t01_lang_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "t02_token_count" -> ((s, dir) => {
+      // whitespace tokens + BPE-ish subword tokens (letter runs / digit
+      // runs / single punctuation) — the two standard cheap token counters.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .as("bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t03_quality_score" -> ((s, dir) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val stopArr = array(stopwords.map(lit): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          toks.as("toks"),
+          length(col("text")).as("n_chars"),
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).as("n_punct"),
+          length(regexp_replace(col("text"), "\\s", "")).as("n_nonspace"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          (col("n_punct").cast(DoubleType) / col("n_chars")).as("punct_ratio"),
+          (size(filter(col("toks"), x => array_contains(stopArr, x))).cast(DoubleType) /
+            size(col("toks"))).as("stopword_ratio"),
+          (col("n_nonspace").cast(DoubleType) /
+            size(col("toks"))).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t04_fingerprint_md5" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          md5(concat_ws(" ", col("lang"), col("source"), col("text"))).as("keyed_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t05_exact_dedup" -> ((s, dir) => {
+      // exact dedup: hash-groupBy on content fingerprint, keep min doc_id.
+      // At scale: one shuffle on the 128-bit hash, no text comparison.
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t01_lang_stats" -> """
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "t02_token_count" -> """
+      SELECT doc_id,
+        CAST(LEN(regexp_extract_all(text, '\S+')) AS INTEGER) AS ws_tokens,
+        CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        CAST(LENGTH(text) AS INTEGER) AS n_chars
+      FROM documents ORDER BY doc_id""",
+
+    "t03_quality_score" -> """
+      WITH base AS (
+        SELECT doc_id, lang, regexp_extract_all(LOWER(text), '\S+') AS toks,
+          CAST(LENGTH(text) AS INTEGER) AS n_chars,
+          LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+          LENGTH(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+        FROM documents)
+      SELECT doc_id, lang, n_chars,
+        CAST(LEN(toks) AS INTEGER) AS n_tokens,
+        CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        CAST(LEN(list_filter(toks, x -> list_contains(['the','a','of','and','or','is','in','to'], x))) AS DOUBLE)
+          / LEN(toks) AS stopword_ratio,
+        CAST(n_nonspace AS DOUBLE) / LEN(toks) AS avg_token_len
+      FROM base ORDER BY doc_id""",
+
+    "t04_fingerprint_md5" -> """
+      SELECT doc_id, MD5(text) AS fp,
+        MD5(lang || ' ' || source || ' ' || text) AS keyed_fp
+      FROM documents ORDER BY doc_id""",
+
+    "t05_exact_dedup" -> """
+      SELECT MD5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_doc_id"""
+  )
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark 4's private[sql] Column <-> catalyst Expression
+  * conversions, so graft can define native Catalyst expressions and expose
+  * them as Columns (the classic pre-4.x `new Column(expr)` path).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -3,6 +3,7 @@ package graft.queries
 import graft.engine.Tables
 import graft.functions.VectorFunctions.simhash64
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -49,21 +50,48 @@ object Dedup extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- exact trigram jaccard via inverted-index join (oracle-checked)
+    // ---- exact trigram jaccard, AllPairs-style prefix filtering --------
+    // Naive inverted-index join is quadratic in shingle document
+    // frequency; with τ = 0.5, only each doc's (n - ceil(τn) + 1)
+    // globally-rarest shingles need indexing (prefix filter: any pair
+    // with jac >= τ must share one of them), plus the length filter
+    // τ·na <= nb. Candidates then verify by exact intersection. Cuts the
+    // candidate join from all-shared-token pairs to rare-token pairs —
+    // the published AllPairs/PPJoin bound — and is the plan that holds
+    // at 100 TB (df-sorted prefix index is one extra shuffle).
     "d01_jaccard_pairs" -> ((s, dir) => {
+      val Tau = 0.5
+      // One pass computes + caches the exploded (doc, shingle-hash) set:
+      // every later stage (df counts, prefix index, verify join) reuses it
+      // instead of re-running the regexp+trigram pipeline; 64-bit hashed
+      // shingles make the joins long-keyed instead of string-keyed.
       val sh = shingled(s, dir)
-      val toks = sh.select(col("doc_id"), explode(col("shingles")).as("tok"))
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val inter = toks.as("a")
-        .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val toks = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("tok"))
+        .cache()
+      val sizes = toks.groupBy(col("doc_id").as("sid")).agg(count(lit(1)).as("n"))
+      val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+      val prefix = toks.join(dfTok, "tok")
+        .withColumn("rk", row_number().over(wDoc))
+        .join(sizes, col("doc_id") === col("sid"))
+        .filter(col("rk") <= col("n") - ceil(col("n") * Tau) + 1)
+        .select(col("doc_id"), col("tok"), col("n"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * Tau <= col("a.n") && col("a.n") * Tau <= col("b.n"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .dropDuplicates("doc_a", "doc_b")
+      val inter = cands
+        .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(toks.as("tb"), col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
         .agg(count(lit(1)).as("i"))
       inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
-          (col("i").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
-        .filter(col("jac") >= 0.5)
+          (col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))).as("jac"))
+        .filter(col("jac") >= Tau)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),

@@ -1,23 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.engine.Session
+import org.apache.spark.sql.DataFrame
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Protocol per BASELINE.md §2: one warm-up pass (excluded), then 3 timed
+  * runs per query, median reported. Queries are forced with a noop-format
+  * write — every operator executes and every output row is produced, but
+  * Catalyst cannot prune projections or eliminate sorts the way a bare
+  * `.count()` allows. Failures rethrow: a broken query must fail the
+  * bench, not register as fast.
+  */
 object Bench {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def timeOne(df: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    force(df)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = Session.build("graft-bench")
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm-up: JVM/codegen/parquet-footer caches; excluded from numbers
+    queries.foreach { case (_, fn) => force(fn(spark, sfDir)) }
+    val results = queries.map { case (name, fn) =>
+      val ts = Seq.fill(3)(timeOne(fn(spark, sfDir))).sorted
+      name -> ts(1) // median of 3
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,303 @@
+package graft.kb
+
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Knowledge-base engine: chunked ingest, deterministic stub embeddings,
+  * semantic search with metadata filters, boolean set algebra, hybrid
+  * keyword blend, and retrieval evaluation — the Spark-native rebuild of
+  * the reference's KB stack
+  * (mindsdb/interfaces/knowledge_base/controller.py:168-760,
+  * executor.py:28-395, preprocessing/document_preprocessor.py:265).
+  *
+  * Everything is a narrow DataFrame transform until the final top-k sort:
+  * chunking is one `explode` over a per-doc `sequence` (no shuffle),
+  * embeddings are per-row expressions (codegen'd md5), search is a
+  * broadcast of one query vector over a pruned scan. At 100 TB the only
+  * wide stages are the boolean-algebra joins on `chunk_id` — key-only
+  * semi/anti joins.
+  *
+  * The embedder is a deterministic md5 hash-projection so the DuckDB
+  * oracle can reproduce every float bit-for-bit (`conv(substr(md5 …))` ≡
+  * `('0x' || substr(md5 …))::BIGINT`). Swapping in a real model is a
+  * one-line change: replace [[Kb.embed]] with a batched `mapPartitions`
+  * encoder — everything downstream operates on `array<double>` columns.
+  */
+object Kb {
+
+  /** Chunking parameters (reference: TextChunkingPreprocessor config,
+    * document_preprocessor.py:265-347). Fixed-size character windows
+    * with overlap; step = size - overlap. */
+  val ChunkSize = 120
+  val Overlap = 24
+  val Step: Int = ChunkSize - Overlap
+  /** Stub-embedding dimensionality. */
+  val Dim = 8
+
+  /** Search limits (controller.py:354-368): default 10, hard cap 100. */
+  val DefaultLimit = 10
+  val MaxLimit = 100
+
+  /** Negative-content handling (executor.py:34-35): `content != q`
+    * excludes the top [[NegativeSetSize]] ids with relevance >=
+    * [[NegativeSetThreshold]] for q. */
+  val NegativeSetSize = 100
+  val NegativeSetThreshold = 0.5
+
+  // ---------------------------------------------------------------- ingest
+
+  /** Split documents into overlapping character chunks.
+    *
+    * Input must carry `doc_id` and a text column; all other columns pass
+    * through as chunk metadata (reference carries base_metadata per chunk,
+    * controller.py:680-705). Chunk ids follow the reference format
+    * `<doc_id>:<content_column>:<N>of<T>:<start>to<end>`
+    * (document_preprocessor.py:73-94).
+    */
+  def chunk(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val len = length(col(contentCol)).cast(LongType)
+    docs
+      .withColumn("len", len)
+      .withColumn("n_chunks",
+        when(col("len") <= ChunkSize, lit(1L))
+          .otherwise(ceil((col("len") - ChunkSize).cast("double") / Step).cast(LongType) + 1L))
+      .withColumn("chunk_ix", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_c", col("chunk_ix") * Step)
+      .withColumn("end_c", least(col("start_c") + ChunkSize, col("len")))
+      .withColumn("content", col(contentCol).substr(col("start_c") + 1, lit(ChunkSize)))
+      .withColumn("chunk_id", concat(
+        col("doc_id"), lit(s":$contentCol:"), col("chunk_ix") + 1, lit("of"),
+        col("n_chunks"), lit(":"), col("start_c"), lit("to"), col("end_c")))
+      .drop(contentCol)
+  }
+
+  /** Deterministic stub embedding of a string column: component j =
+    * first-32-bits-of-md5(s + ":" + j) scaled to [-1, 1). Exactly
+    * reproducible in the oracle; stands in for the KB's embedding model
+    * (controller.py:331-338 `_content_to_embeddings`). */
+  def embed(c: Column, dim: Int = Dim): Column =
+    array((0 until dim).map { j =>
+      conv(substring(md5(concat(c, lit(s":$j"))), 1, 8), 16, 10)
+        .cast(LongType) / lit(2147483648.0) - lit(1.0)
+    }: _*)
+
+  /** Oracle-side (DuckDB) spelling of [[embed]]. */
+  def oEmbed(x: String, dim: Int = Dim): String =
+    s"list_transform(generate_series(0, ${dim - 1}), j -> ('0x' || substr(md5($x || ':' || j), 1, 8))::BIGINT / 2147483648.0 - 1.0)"
+
+  /** chunk + embed: the full ingest pipeline (minus the real model). */
+  def ingest(docs: DataFrame, contentCol: String = "text"): DataFrame =
+    chunk(docs, contentCol).withColumn("emb", embed(col("content")))
+
+  /** `kb_skip_existing` semantics (controller.py:728-740): drop incoming
+    * chunks whose chunk_id is already present. Key-only left_anti — the
+    * scale-correct shape (no payload shuffle of the existing side). */
+  def skipExisting(incoming: DataFrame, existing: DataFrame): DataFrame =
+    incoming.join(existing.select("chunk_id"), Seq("chunk_id"), "left_anti")
+
+  /** Upsert diff (vectordatabase_handler.py:295-443): classify incoming
+    * chunks vs the stored table by chunk_id + content hash. Returns the
+    * incoming rows tagged `_op` in {insert, update, unchanged}. */
+  def upsertDiff(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val ex = existing.select(col("chunk_id"), md5(col("content")).as("_ex_hash"))
+    incoming
+      .withColumn("_in_hash", md5(col("content")))
+      .join(ex, Seq("chunk_id"), "left_outer")
+      .withColumn("_op",
+        when(col("_ex_hash").isNull, lit("insert"))
+          .when(col("_ex_hash") =!= col("_in_hash"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .drop("_ex_hash", "_in_hash")
+  }
+
+  // ---------------------------------------------------------------- search
+
+  /** relevance = 1 / (1 + distance), distance = cosine distance
+    * (controller.py:489-494). Rounded to 4 decimals so ordering and
+    * thresholding are engine-stable (see graft.queries.Parity). */
+  def relevanceOf(dist: Column): Column = round(lit(1.0) / (lit(1.0) + dist), 4)
+
+  /** Vector search: score every chunk passing `metaFilter` against the
+    * query text, attach distance + relevance, keep top `limit`.
+    *
+    * One pruned scan + one narrow projection + one top-k sort; the query
+    * vector is a constant-folded literal (no broadcast join needed for a
+    * single query). Limit defaults/caps per controller.py:354-368.
+    */
+  def vectorSearch(
+      chunks: DataFrame,
+      queryText: String,
+      metaFilter: Column = lit(true),
+      limit: Int = DefaultLimit,
+      minRelevance: Option[Double] = None): DataFrame = {
+    val k = math.min(if (limit <= 0) DefaultLimit else limit, MaxLimit)
+    val scored = chunks
+      .filter(metaFilter)
+      .withColumn("distance", round(lit(1.0) - cosineSim(col("emb"), embed(lit(queryText))), 4))
+      .withColumn("relevance", relevanceOf(col("distance")))
+    val thresholded = minRelevance match {
+      case Some(t) => scored.filter(col("relevance") > t)
+      case None => scored
+    }
+    thresholded
+      .orderBy(col("relevance").desc, col("chunk_id"))
+      .limit(k)
+  }
+
+  /** Boolean search algebra (executor.py:28-395). The reference compiles
+    * WHERE into set operations over per-condition searches:
+    *   AND → intersect on chunk_id; positive contents string-AND-joined
+    *         into ONE search (executor.py:349-355); negative contents
+    *         become an id-exclusion set (top-100 @ relevance>=0.5);
+    *   OR  → union with dedup on chunk_id.
+    */
+  sealed trait Cond
+  /** positive semantic condition: content = / LIKE q */
+  final case class ContentIs(q: String) extends Cond
+  /** negative semantic condition: content != / NOT LIKE q */
+  final case class ContentNot(q: String) extends Cond
+  /** plain metadata predicate over chunk columns */
+  final case class Meta(filter: Column) extends Cond
+  final case class And(items: Seq[Cond]) extends Cond
+  final case class Or(items: Seq[Cond]) extends Cond
+
+  /** Execute a condition tree; returns scored chunks (with distance /
+    * relevance from the content search that admitted each row). */
+  def search(chunks: DataFrame, cond: Cond, limit: Int = DefaultLimit): DataFrame =
+    cond match {
+      case ContentIs(q) => vectorSearch(chunks, q, limit = limit)
+      case ContentNot(q) =>
+        // standalone negation = everything except the q-similar set;
+        // as in the reference this only occurs inside AND blocks with
+        // other conditions, but keep it total:
+        chunks.join(negativeSet(chunks, q, lit(true)), Seq("chunk_id"), "left_anti")
+      case Meta(f) => chunks.filter(f)
+      case Or(items) =>
+        // union dedup on chunk_id (executor.py:93-101); first writer wins.
+        // Arms may differ in schema (a meta-only arm carries no
+        // distance/relevance) — align with allowMissingColumns.
+        val w = Window.partitionBy(col("chunk_id")).orderBy(col("_arm"))
+        items.zipWithIndex
+          .map { case (c, i) => search(chunks, c, limit).withColumn("_arm", lit(i)) }
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "_arm")
+      case And(items) =>
+        val metas = items.collect { case Meta(f) => f }
+        val metaFilter = metas.foldLeft(lit(true))(_ && _)
+        val positives = items.collect { case ContentIs(q) => q }
+        val negatives = items.collect { case ContentNot(q) => q }
+        val blocks = items.collect { case b @ (Or(_) | And(_)) => b }
+        // negative contents → excluded-id set (executor.py:255-296)
+        val excluded = negatives.map(q => negativeSet(chunks, q, metaFilter))
+          .reduceOption(_ unionByName _)
+        def minusExcluded(df: DataFrame) =
+          excluded.fold(df)(ex => df.join(ex, Seq("chunk_id"), "left_anti"))
+        // positive contents string-AND-joined into one search
+        val contentResult =
+          if (positives.nonEmpty)
+            Some(vectorSearch(minusExcluded(chunks), positives.mkString(" AND "), metaFilter, limit))
+          else None
+        val base: Option[DataFrame] = contentResult match {
+          case some @ Some(_) => some
+          case None if metas.nonEmpty || negatives.nonEmpty =>
+            Some(minusExcluded(chunks.filter(metaFilter)))
+          case None => None
+        }
+        val all = base.toSeq ++ blocks.map(b => search(chunks, b, limit))
+        // intersect on chunk_id (executor.py:103-114): keep first result's
+        // rows, semi-join against the rest — key-only exchanges.
+        all.reduce((a, b) => a.join(b.select("chunk_id"), Seq("chunk_id"), "left_semi"))
+    }
+
+  /** Top-[[NegativeSetSize]] chunk ids with relevance >= 0.5 for q —
+    * the exclusion set for a negative content condition. */
+  private def negativeSet(chunks: DataFrame, q: String, metaFilter: Column): DataFrame =
+    vectorSearch(chunks, q, metaFilter, NegativeSetSize)
+      .filter(col("relevance") >= NegativeSetThreshold)
+      .select("chunk_id")
+
+  // ---------------------------------------------------------------- hybrid
+
+  /** Hybrid search (controller.py:372-424): blend the vector arm with a
+    * keyword arm. Keyword distance = 1 - |query∩content tokens|/|query
+    * tokens| (a deterministic overlap score standing in for BM25 — the
+    * reference delegates keyword scoring to the vector store's
+    * KeywordSearchBase). Vector distances scale by (1-alpha), keyword by
+    * alpha; union, keep min blended distance per chunk (vector arm wins
+    * ties, matching the reference's stable concat-then-dedup), top-k by
+    * blended relevance.
+    */
+  def hybridSearch(
+      chunks: DataFrame,
+      queryText: String,
+      alpha: Double = 0.5,
+      metaFilter: Column = lit(true),
+      limit: Int = DefaultLimit): DataFrame = {
+    val toks: Column => Column = c => array_distinct(regexp_extract_all(lower(c), lit("\\S+"), lit(0)))
+    val qn = queryText.trim.toLowerCase.split("\\s+").distinct.length
+    val base = chunks.filter(metaFilter)
+    val vec = base
+      .withColumn("arm_distance",
+        round((lit(1.0) - cosineSim(col("emb"), embed(lit(queryText)))) * (1.0 - alpha), 4))
+      .withColumn("_arm", lit(0))
+    val kw = base
+      .withColumn("arm_distance",
+        round((lit(1.0) - size(array_intersect(toks(col("content")), toks(lit(queryText))))
+          .cast("double") / qn) * alpha, 4))
+      .withColumn("_arm", lit(1))
+    val w = Window.partitionBy(col("chunk_id")).orderBy(col("arm_distance"), col("_arm"))
+    vec.unionByName(kw)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .withColumn("distance", col("arm_distance"))
+      .withColumn("relevance", relevanceOf(col("distance")))
+      .drop("_rn", "_arm", "arm_distance")
+      .orderBy(col("relevance").desc, col("chunk_id"))
+      .limit(math.min(limit, MaxLimit))
+  }
+
+  // -------------------------------------------------------------- evaluate
+
+  /** Retrieval evaluation (EVALUATE KNOWLEDGE_BASE,
+    * knowledge_base/evaluate.py:82-520): for each (query_id, queryText,
+    * goldDocId) run top-k search and compute hit@1, hit@k and NDCG@k with
+    * binary chunk relevance (chunk relevant ⇔ its doc_id == goldDocId).
+    * IDCG uses min(#relevant chunks in corpus, k) ideal positions
+    * (dcg at evaluate.py:417).
+    *
+    * Executes as ONE plan: queries broadcast against the chunk table,
+    * ranked per query by a window — no per-query loop.
+    */
+  def evaluate(chunks: DataFrame, queries: DataFrame, k: Int = DefaultLimit): DataFrame = {
+    val q = broadcast(queries
+      .withColumn("qv", embed(col("query_text")))
+      .select(col("query_id"), col("qv"), col("gold_doc_id")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("relevance").desc, col("chunk_id"))
+    val ranked = chunks.crossJoin(q)
+      .withColumn("relevance", relevanceOf(round(lit(1.0) - cosineSim(col("emb"), col("qv")), 4)))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= k)
+      .withColumn("rel", when(col("doc_id") === col("gold_doc_id"), 1).otherwise(0))
+    val perQuery = ranked.groupBy(col("query_id"))
+      .agg(
+        max(when(col("pos") === 1, col("rel")).otherwise(0)).as("hit1"),
+        max(col("rel")).as(s"hit$k"),
+        sum(col("rel").cast("double") / log2(col("pos") + 1)).as("dcg"))
+    val corpusRel = chunks.join(
+        broadcast(queries.select(col("query_id"), col("gold_doc_id"))),
+        col("doc_id") === col("gold_doc_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    perQuery.join(corpusRel, Seq("query_id"), "left_outer")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("idcg", expr(
+        s"aggregate(sequence(1, int(least(n_rel, $k))), cast(0.0 as double), (acc, i) -> acc + 1.0 / log2(i + 1))"))
+      .withColumn(s"ndcg$k",
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 4)).otherwise(lit(0.0)))
+      .select(col("query_id"), col("n_rel"), col("hit1"), col(s"hit$k"), col(s"ndcg$k"))
+      .orderBy(col("query_id"))
+  }
+}

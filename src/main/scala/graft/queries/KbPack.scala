@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.kb.Kb
+import graft.kb.Kb._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Knowledge-base operator pack (SURVEY §2.10): chunked ingest, semantic
+  * search with metadata filters + relevance thresholds, boolean set
+  * algebra, skip-existing ingest, hybrid keyword blend, and EVALUATE
+  * metrics — each with a DuckDB oracle reproducing the deterministic
+  * md5 stub embedder bit-for-bit.
+  *
+  * Reference: mindsdb/interfaces/knowledge_base/controller.py:168-760,
+  * executor.py:28-395, evaluate.py:82-520.
+  */
+object KbPack extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  private def kb(s: SparkSession, dir: String): DataFrame =
+    Kb.ingest(docs(s, dir))
+
+  // query strings drawn from the corpus vocabulary (keyword arm needs overlap)
+  private val QueryA = "table scan filter join"
+  private val QueryB = "window agg spark batch"
+  private val QueryNeg = "slow value row"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "k01_kb_chunk_ingest" -> ((s, dir) => {
+      Kb.chunk(docs(s, dir))
+        .select(col("chunk_id"), col("doc_id"), col("chunk_ix"), col("n_chunks"),
+          col("start_c"), col("end_c"), col("content"), col("lang"), col("source"))
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
+    "k02_kb_semantic_search" -> ((s, dir) => {
+      vectorSearch(kb(s, dir), QueryA, limit = 10)
+        .select(col("chunk_id"), col("doc_id"), col("relevance"))
+        .orderBy(col("relevance").desc, col("chunk_id"))
+    }),
+
+    "k03_kb_meta_threshold" -> ((s, dir) => {
+      vectorSearch(kb(s, dir), QueryA,
+        metaFilter = col("lang") === "en" && col("source").isin("src1", "src7", "src12"),
+        limit = 100, minRelevance = Some(0.62))
+        .select(col("chunk_id"), col("doc_id"), col("source"), col("relevance"))
+        .orderBy(col("relevance").desc, col("chunk_id"))
+    }),
+
+    "k04_kb_bool_algebra" -> ((s, dir) => {
+      // (content=A AND content!=Neg AND lang='en') OR (content=B AND source='src7')
+      val cond = Or(Seq(
+        And(Seq(ContentIs(QueryA), ContentNot(QueryNeg), Meta(col("lang") === "en"))),
+        And(Seq(ContentIs(QueryB), Meta(col("source") === "src7")))))
+      Kb.search(kb(s, dir), cond, limit = 10)
+        .select(col("chunk_id"), col("doc_id"), col("relevance"))
+        .orderBy(col("chunk_id"))
+    }),
+
+    "k05_kb_hybrid" -> ((s, dir) => {
+      hybridSearch(kb(s, dir), QueryA, alpha = 0.5, limit = 10)
+        .select(col("chunk_id"), col("doc_id"), col("distance"), col("relevance"))
+        .orderBy(col("relevance").desc, col("chunk_id"))
+    }),
+
+    "k06_kb_skip_existing" -> ((s, dir) => {
+      val all = kb(s, dir)
+      val existing = Kb.ingest(docs(s, dir).filter(col("doc_id") < 250))
+      skipExisting(all, existing)
+        .select(col("chunk_id"), col("doc_id"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "k07_kb_evaluate" -> ((s, dir) => {
+      val queries = docs(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"),
+          col("text").substr(lit(1), lit(ChunkSize)).as("query_text"),
+          col("doc_id").as("gold_doc_id"))
+      Kb.evaluate(kb(s, dir), queries, k = 10)
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** DuckDB spelling of the chunk + embed pipeline (shared CTE prefix). */
+  private val oPrefix = s"""
+    WITH docsrc AS (SELECT doc_id, text, lang, source, length(text) AS len FROM documents),
+    nch AS (SELECT *, CASE WHEN len <= $ChunkSize THEN CAST(1 AS BIGINT)
+      ELSE CAST(CEIL((len - $ChunkSize.0)/$Step.0) AS BIGINT) + 1 END AS n_chunks FROM docsrc),
+    chunks AS (
+      SELECT doc_id, lang, source, n_chunks, i AS chunk_ix, i*$Step AS start_c,
+        LEAST(i*$Step+$ChunkSize, len) AS end_c,
+        substr(text, CAST(i*$Step+1 AS INT), $ChunkSize) AS content,
+        doc_id || ':text:' || (i+1) || 'of' || n_chunks || ':' || (i*$Step) || 'to' ||
+          LEAST(i*$Step+$ChunkSize, len) AS chunk_id
+      FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)),
+    emb AS (SELECT *, ${oEmbed("content")} AS v FROM chunks)"""
+
+  /** cosine(v, q) with the same sequential-fold shape as CosineSimilarity */
+  private def oCos(q: String) =
+    s"""list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i]*$q[i])) /
+       (sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> v[i]*v[i]))) *
+        sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $q[i]*$q[i]))))"""
+
+  private def oRel(q: String) = s"ROUND(1.0/(1.0+ROUND(1.0-(${oCos(q)}),4)),4)"
+
+  /** SQL string literal quoting for oracle text. */
+  private def sq(s: String) = "'" + s.replace("'", "''") + "'"
+
+  def oracles: Map[String, String] = Map(
+
+    "k01_kb_chunk_ingest" -> s"""$oPrefix
+      SELECT chunk_id, doc_id, chunk_ix, n_chunks, start_c, end_c, content, lang, source
+      FROM chunks ORDER BY doc_id, chunk_ix""",
+
+    "k02_kb_semantic_search" -> s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      scored AS (SELECT chunk_id, doc_id, ${oRel("q")} AS relevance FROM emb, qv)
+      SELECT * FROM (SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 10)
+      ORDER BY relevance DESC, chunk_id""",
+
+    "k03_kb_meta_threshold" -> s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      scored AS (SELECT chunk_id, doc_id, source, ${oRel("q")} AS relevance FROM emb, qv
+        WHERE lang = 'en' AND source IN ('src1', 'src7', 'src12'))
+      SELECT * FROM (SELECT * FROM scored WHERE relevance > 0.62
+        ORDER BY relevance DESC, chunk_id LIMIT 100)
+      ORDER BY relevance DESC, chunk_id""",
+
+    "k04_kb_bool_algebra" -> s"""$oPrefix,
+      qa AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      qb AS (SELECT ${oEmbed(sq(QueryB))} AS q),
+      qn AS (SELECT ${oEmbed(sq(QueryNeg))} AS q),
+      excl AS (SELECT chunk_id FROM (
+          SELECT chunk_id, ${oRel("q")} AS relevance FROM emb, qn WHERE lang = 'en'
+          ORDER BY relevance DESC, chunk_id LIMIT $NegativeSetSize)
+        WHERE relevance >= $NegativeSetThreshold),
+      arm1 AS (SELECT * FROM (
+        SELECT chunk_id, doc_id, ${oRel("q")} AS relevance FROM emb, qa
+        WHERE lang = 'en' AND chunk_id NOT IN (SELECT chunk_id FROM excl)
+        ORDER BY relevance DESC, chunk_id LIMIT 10)),
+      arm2 AS (SELECT * FROM (
+        SELECT chunk_id, doc_id, ${oRel("q")} AS relevance FROM emb, qb
+        WHERE source = 'src7'
+        ORDER BY relevance DESC, chunk_id LIMIT 10))
+      SELECT * FROM (
+        SELECT * FROM arm1
+        UNION ALL
+        SELECT * FROM arm2 WHERE chunk_id NOT IN (SELECT chunk_id FROM arm1))
+      ORDER BY chunk_id""",
+
+    "k05_kb_hybrid" -> {
+      val qn = QueryA.trim.toLowerCase.split("\\s+").distinct.length
+      s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      qt AS (SELECT list_distinct(regexp_extract_all(lower(${sq(QueryA)}), '\\S+')) AS qtoks),
+      vec AS (SELECT chunk_id, doc_id,
+          ROUND((1.0-(${oCos("q")}))*0.5, 4) AS arm_distance, 0 AS arm FROM emb, qv),
+      kw AS (SELECT chunk_id, doc_id,
+          ROUND((1.0 - len(list_intersect(list_distinct(regexp_extract_all(lower(content), '\\S+')), qtoks))/$qn.0)*0.5, 4) AS arm_distance,
+          1 AS arm FROM chunks, qt),
+      merged AS (SELECT chunk_id, doc_id, arm_distance,
+          ROW_NUMBER() OVER (PARTITION BY chunk_id ORDER BY arm_distance, arm) AS rn
+        FROM (SELECT * FROM vec UNION ALL SELECT * FROM kw)),
+      blended AS (SELECT chunk_id, doc_id, arm_distance AS distance,
+          ROUND(1.0/(1.0+arm_distance), 4) AS relevance FROM merged WHERE rn = 1)
+      SELECT * FROM (SELECT * FROM blended ORDER BY relevance DESC, chunk_id LIMIT 10)
+      ORDER BY relevance DESC, chunk_id"""
+    },
+
+    "k06_kb_skip_existing" -> s"""$oPrefix
+      SELECT chunk_id, doc_id FROM chunks
+      WHERE chunk_id NOT IN (SELECT chunk_id FROM chunks WHERE doc_id < 250)
+      ORDER BY doc_id, chunk_id""",
+
+    "k07_kb_evaluate" -> s"""$oPrefix,
+      queries AS (SELECT doc_id AS query_id, substr(text, 1, $ChunkSize) AS query_text,
+          doc_id AS gold_doc_id FROM documents WHERE doc_id < 10),
+      qe AS (SELECT query_id, gold_doc_id, ${oEmbed("query_text")} AS q FROM queries),
+      ranked AS (SELECT query_id, gold_doc_id, chunk_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ${oRel("q")} DESC, chunk_id) AS pos
+        FROM emb, qe),
+      top AS (SELECT query_id,
+          CASE WHEN doc_id = gold_doc_id THEN 1 ELSE 0 END AS rel, pos
+        FROM ranked WHERE pos <= 10),
+      perq AS (SELECT query_id,
+          MAX(CASE WHEN pos = 1 THEN rel ELSE 0 END) AS hit1,
+          MAX(rel) AS hit10,
+          SUM(rel / log2(pos + 1.0)) AS dcg
+        FROM top GROUP BY query_id),
+      nrel AS (SELECT query_id, COUNT(*) AS n_rel
+        FROM chunks JOIN queries ON chunks.doc_id = queries.gold_doc_id
+        GROUP BY query_id)
+      SELECT p.query_id, COALESCE(n.n_rel, 0) AS n_rel,
+        CAST(p.hit1 AS INTEGER) AS hit1, CAST(p.hit10 AS INTEGER) AS hit10,
+        CASE WHEN n.n_rel > 0 THEN ROUND(p.dcg / list_sum(list_transform(
+            generate_series(1, CAST(LEAST(n.n_rel, 10) AS INT)), i -> 1.0/log2(i + 1.0))), 4)
+          ELSE 0.0 END AS ndcg10
+      FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id
+      ORDER BY p.query_id"""
+  )
+}

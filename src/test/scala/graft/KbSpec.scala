@@ -1,0 +1,86 @@
+package graft
+
+import graft.engine.Tables
+import graft.kb.Kb
+import graft.kb.Kb._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Knowledge-base semantics not visible to the DuckDB oracle gate:
+  * upsert diff classification, skip-existing idempotence, boolean-algebra
+  * laws over the chunk_id sets, evaluate self-retrieval.
+  */
+class KbSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("kb-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val docs: DataFrame = Tables.table(spark, dir, "documents")
+  lazy val chunks: DataFrame = Kb.ingest(docs).cache()
+
+  test("chunking covers every document end-to-end with correct overlap") {
+    val bad = Kb.chunk(docs)
+      .groupBy(col("doc_id"), col("len"))
+      .agg(max(col("end_c")).as("max_end"), count(lit(1)).as("n"),
+        max(col("n_chunks")).as("n_chunks"))
+      .filter(col("max_end") =!= col("len") || col("n") =!= col("n_chunks"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("skipExisting is an anti-join: existing ∩ result = ∅, existing ∪ result = all") {
+    val existing = Kb.ingest(docs.filter(col("doc_id") % 2 === 0))
+    val res = skipExisting(chunks, existing)
+    assert(res.join(existing, Seq("chunk_id"), "left_semi").count() === 0)
+    assert(res.count() + existing.count() === chunks.count())
+  }
+
+  test("upsertDiff classifies insert/update/unchanged") {
+    val stored = chunks.filter(col("doc_id") < 30)
+      .withColumn("content",
+        when(col("doc_id") < 15, concat(col("content"), lit(" EDITED"))).otherwise(col("content")))
+    val diff = upsertDiff(chunks.filter(col("doc_id") < 60), stored)
+    val byOp = diff.groupBy(col("_op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocLt15 = chunks.filter(col("doc_id") < 15).count()
+    val nDoc15to30 = chunks.filter(col("doc_id") >= 15 && col("doc_id") < 30).count()
+    val nDoc30to60 = chunks.filter(col("doc_id") >= 30 && col("doc_id") < 60).count()
+    assert(byOp("update") === nDocLt15)      // stored content diverged
+    assert(byOp("unchanged") === nDoc15to30) // identical
+    assert(byOp("insert") === nDoc30to60)    // not stored
+  }
+
+  test("OR is a union (dedup on chunk_id); AND with meta is a filtered search") {
+    val a = Kb.search(chunks, ContentIs("table scan"), 20)
+    val b = Kb.search(chunks, Meta(col("lang") === "en"))
+    val or = Kb.search(chunks, Or(Seq(ContentIs("table scan"), Meta(col("lang") === "en"))), 20)
+    val unionIds = a.select("chunk_id").union(b.select("chunk_id")).distinct().count()
+    assert(or.count() === unionIds)
+    assert(or.select("chunk_id").distinct().count() === or.count(), "OR must dedup")
+
+    val and = Kb.search(chunks, And(Seq(ContentIs("table scan"), Meta(col("lang") === "en"))), 20)
+    val direct = vectorSearch(chunks, "table scan", col("lang") === "en", 20)
+    assert(and.select("chunk_id").collect().map(_.getString(0)).sorted
+      === direct.select("chunk_id").collect().map(_.getString(0)).sorted)
+  }
+
+  test("negative content excludes its own top matches") {
+    val q = "table scan filter join"
+    val top = vectorSearch(chunks, q, limit = 5).select("chunk_id")
+    val res = Kb.search(chunks, And(Seq(ContentIs(q), ContentNot(q))), 10)
+    // excluding the query's own high-relevance set removes its top hits
+    assert(res.join(top, Seq("chunk_id"), "left_semi").count() === 0)
+  }
+
+  test("evaluate: exact-chunk queries retrieve their own doc at rank 1") {
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        col("text").substr(lit(1), lit(ChunkSize)).as("query_text"),
+        col("doc_id").as("gold_doc_id"))
+    val ev = Kb.evaluate(chunks, queries, k = 10)
+    // query text == first chunk content → cosine 1 with its own chunk → hit@1
+    assert(ev.filter(col("hit1") === 1).count() === 5)
+    assert(ev.filter(col("ndcg10") > 0).count() === 5)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-as-table: the reference's ApplyPredictorStep re-expressed
+  * Spark-first (apply_predictor_step.py:112-200; planner join semantics
+  * plan_join.py:367-368).
+  *
+  * The reference materializes the input, appends `__mindsdb_row_id`,
+  * sends the frame to an out-of-process model runtime, and joins the
+  * predictions back on the row id. Here the same contract is:
+  * `monotonically_increasing_id` → batched `mapPartitions` inference →
+  * row-id equi-join. The row id is generated per-partition (no global
+  * counter, no driver round-trip) and the join is co-partitioned with
+  * the input, so the whole apply is shuffle-free until the user's own
+  * downstream operators.
+  */
+trait Model {
+  def name: String
+  /** Model output schema, minus the row id (GetPredictorColumns,
+    * steps.py:183 — empty frame with this schema). */
+  def outputSchema: StructType
+  /** Feature columns the model consumes, in order. */
+  def featureCols: Seq[String]
+  /** Batched inference over feature rows: one Seq[Double] per input row,
+    * one output Row per input row (order-preserving within the batch). */
+  def predictBatch(batch: Seq[Array[Double]]): Seq[Row]
+}
+
+/** Deterministic linear scorer — the test-harness stand-in for a real
+  * model runtime (the reference's dummy ML engine predicts a constant;
+  * tests/unit/dummy_ml_handler). Score is a plain left-to-right affine
+  * fold so the DuckDB oracle reproduces it bit-for-bit. */
+final case class LinearModel(
+    name: String,
+    featureCols: Seq[String],
+    weights: Seq[Double],
+    bias: Double,
+    scoreCol: String = "score") extends Model {
+  require(weights.length == featureCols.length)
+  def outputSchema: StructType = StructType(Seq(StructField(scoreCol, DoubleType)))
+  def predictBatch(batch: Seq[Array[Double]]): Seq[Row] = batch.map { fs =>
+    var acc = bias
+    var i = 0
+    while (i < weights.length) { acc += weights(i) * fs(i); i += 1 }
+    Row(acc)
+  }
+}
+
+object Predict {
+
+  val RowIdCol = "__graft_row_id"
+  /** Inference batch size (reference batches model input frames;
+    * partition_size USING param, plan_join.py:820-852). */
+  val BatchSize = 1024
+
+  /** Apply a model to a frame with row-id join semantics.
+    *
+    * Returns the input columns plus the model's output columns. The
+    * prediction side carries ONLY (row_id, outputs) — joining keys and
+    * payload stay on the input side, so nothing wide is duplicated
+    * through the join.
+    */
+  def applyModel(data: DataFrame, model: Model, cache: Option[PredictionCache] = None): DataFrame = {
+    val spark = data.sparkSession
+    val withId = data.withColumn(RowIdCol, monotonically_increasing_id())
+    cache.flatMap(_.get(model, data)) match {
+      case Some(hit) =>
+        // cache stores predictions keyed by input checksum; row ids are
+        // regenerated identically (same frame → same partition layout)
+        withId.join(hit, Seq(RowIdCol)).drop(RowIdCol)
+      case None =>
+        val featIdx = model.featureCols.zipWithIndex.map(_._2 + 1) // after row id
+        val inputs = withId.select(
+          (col(RowIdCol) +: model.featureCols.map(c => col(c).cast(DoubleType))): _*)
+        val outSchema = StructType(StructField(RowIdCol, LongType) +: model.outputSchema.fields)
+        val enc = RowEncoder.encoderFor(outSchema)
+        val preds = inputs.mapPartitions { it =>
+          it.grouped(BatchSize).flatMap { chunk =>
+            val feats = chunk.map(r => featIdx.map(i => r.getDouble(i)).toArray)
+            val ids = chunk.map(_.getLong(0))
+            model.predictBatch(feats).zip(ids).map { case (out, id) =>
+              Row.fromSeq(id +: out.toSeq)
+            }
+          }
+        }(enc)
+        cache.foreach(_.put(model, data, preds))
+        withId.join(preds, Seq(RowIdCol)).drop(RowIdCol)
+    }
+  }
+
+  /** ApplyPredictorRowStep (steps.py:172): predict for literal WHERE
+    * values — a one-row frame through the same apply path. */
+  def applyRow(spark: SparkSession, model: Model, values: Map[String, Double]): DataFrame = {
+    val row = spark.range(1).select(
+      model.featureCols.map(c => lit(values(c)).as(c)): _*)
+    applyModel(row, model)
+  }
+
+  /** GetPredictorColumns (steps.py:183): empty frame with the model's
+    * output schema. */
+  def predictorColumns(spark: SparkSession, model: Model): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], model.outputSchema)
+
+  /** GetTableColumns (steps.py:192): empty frame with a table's schema. */
+  def tableColumns(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.sparkSession.sparkContext.emptyRDD[Row], df.schema)
+}

@@ -1,0 +1,65 @@
+package graft.ml
+
+import graft.queries.Parity.davg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series predictor planning (SURVEY §2.9; reference
+  * plan_join_ts.py:36-380, apply_predictor_step.py:214-381).
+  *
+  * The reference fetches per-group lookback context with one
+  * `ORDER BY time DESC LIMIT window` query PER GROUP (a MapReduceStep
+  * loop, plan_join_ts.py:348-380). Here the same context is ONE windowed
+  * plan — `row_number() over (partition by group order by ts desc) <=
+  * window` — a single shuffle on the group key regardless of group
+  * count, which is the shape that survives 100 TB (the reference's
+  * per-group loop is O(groups) round trips).
+  *
+  * Forecasting uses a deterministic mean-of-context model (the harness
+  * stand-in for the model runtime, same role as LinearModel); horizon
+  * rows are generated with `explode(sequence(...))` — no driver loop.
+  */
+object TimeSeries {
+
+  /** Per-group lookback context: the last `window` rows by `ts` (ties
+    * broken by `tieBreak` desc, mirroring the reference's stable fetch
+    * order plan_join_ts.py:229-241). */
+  def lookbackContext(data: DataFrame, groupCol: Column, ts: Column,
+      tieBreak: Column, window: Int): DataFrame =
+    data.withColumn("__rn",
+        row_number().over(Window.partitionBy(groupCol).orderBy(ts.desc, tieBreak.desc)))
+      .filter(col("__rn") <= window)
+      .drop("__rn")
+
+  /** Forecast `horizon` steps per group: value = exact-decimal mean of
+    * the context window, timestamps advance `stepDays` per step from the
+    * group's last seen date. Output: group, h (1-based step), forecast_date,
+    * forecast, n_ctx. */
+  def forecast(data: DataFrame, groupCol: Column, ts: Column, value: Column,
+      tieBreak: Column, window: Int, horizon: Int, stepDays: Int): DataFrame = {
+    val ctx = lookbackContext(data, groupCol, ts, tieBreak, window)
+    ctx.groupBy(groupCol.as("group_key"))
+      .agg(davg(value).as("base"), max(ts).as("last_ts"), count(lit(1)).as("n_ctx"))
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      // TIMESTAMP (not DATE) output: DATE surfaces as python date objects
+      // on one engine and datetime64 on the other in the oracle compare
+      .withColumn("forecast_date",
+        date_add(to_date(col("last_ts")), col("h") * stepDays).cast("timestamp"))
+      .withColumn("forecast", round(col("base"), 4))
+      .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
+  }
+
+  /** `> LATEST` semantics (apply_predictor_step.py:145-151 forecast
+    * offset 1): one forecast row per group strictly beyond the group's
+    * max seen timestamp. */
+  def latest(data: DataFrame, groupCol: Column, ts: Column, value: Column,
+      tieBreak: Column, window: Int, stepExpr: String): DataFrame = {
+    val ctx = lookbackContext(data, groupCol, ts, tieBreak, window)
+    ctx.groupBy(groupCol.as("group_key"))
+      .agg(davg(value).as("base"), max(ts).as("last_ts"), count(lit(1)).as("n_ctx"))
+      .withColumn("next_ts", col("last_ts") + expr(stepExpr))
+      .withColumn("forecast", round(col("base"), 4))
+      .select(col("group_key"), col("next_ts"), col("forecast"), col("n_ctx"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.ml.{LinearModel, Predict, TimeSeries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Parity._
+
+/** Model-as-table + time-series prediction pack (SURVEY §2.1
+  * ApplyPredictor steps + GetPredictorColumns, §2.9 TS planning;
+  * reference apply_predictor_step.py, plan_join_ts.py, map_reduce_step.py).
+  *
+  * The "model runtime" is a deterministic linear scorer driven through
+  * the real apply path — row-id generation, batched mapPartitions
+  * inference, row-id join-back — so the DuckDB oracle can recompute
+  * every prediction exactly.
+  */
+object ModelPack extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** churn-ish scorer over lineitem features */
+  private val scorer = LinearModel(
+    name = "lineitem_scorer",
+    featureCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+    weights = Seq(0.01, 0.0001, -2.0),
+    bias = 0.5)
+
+  // Round at 6 decimals, not 4: the features are 2-decimal money values
+  // and the weights 2-to-4-decimal constants, so true scores sit exactly
+  // on the 6-decimal grid — rounding there is drift-proof, while a
+  // 4-decimal cut lands on exact .5 boundaries where Spark (shortest-
+  // repr HALF_UP) and DuckDB (binary) disagree.
+  private val oScore =
+    "ROUND(0.5 + 0.01*l_quantity + 0.0001*l_extendedprice + (-2.0)*l_discount, 6)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // data JOIN model with __row_id semantics (apply_predictor_step.py:112-200)
+    "m01_model_join" -> ((s, dir) => {
+      val data = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      Predict.applyModel(data, scorer)
+        .withColumn("score", round(col("score"), 6))
+        .withColumn("label", when(col("score") > 3.0, "high").otherwise("low"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("score"), col("label"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ApplyPredictorRowStep: literal WHERE values → one-row predict
+    "m02_model_row" -> ((s, dir) => {
+      Predict.applyRow(s, scorer,
+        Map("l_quantity" -> 30.0, "l_extendedprice" -> 45000.5, "l_discount" -> 0.05))
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // TS context + horizon forecast (plan_join_ts.py:244-334 collapsed
+    // to one windowed plan)
+    "m03_ts_forecast" -> ((s, dir) => {
+      TimeSeries.forecast(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderkey"),
+        window = 4, horizon = 2, stepDays = 30)
+        .withColumnRenamed("group_key", "o_custkey")
+        .orderBy(col("o_custkey"), col("h"))
+    }),
+
+    // `> LATEST`: one step beyond each group's max seen timestamp
+    "m04_ts_latest" -> ((s, dir) => {
+      TimeSeries.latest(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"), col("event_id"),
+        window = 10, stepExpr = "INTERVAL 1 HOUR")
+        .withColumnRenamed("group_key", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    // MapReduceStep analog (map_reduce_step.py:22-145): per-group
+    // parameterized subplan — "top-2 customers per region" — as ONE
+    // windowed plan, no per-group loop
+    "m05_mapreduce_groups" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("c_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      spend.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("r_name"))
+            .orderBy(col("spend").desc, col("c_custkey"))))
+        .filter(col("rnk") <= 2)
+        .select(col("r_name"), col("rnk"), col("c_custkey"), round(col("spend"), 4).as("spend"))
+        .orderBy(col("r_name"), col("rnk"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "m01_model_join" -> s"""
+      SELECT l_orderkey, l_linenumber, score,
+        CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
+      FROM (SELECT l_orderkey, l_linenumber, $oScore AS score
+            FROM lineitem WHERE l_quantity >= 45)
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "m02_model_row" -> """
+      SELECT CAST(30.0 AS DOUBLE) AS l_quantity,
+        CAST(45000.5 AS DOUBLE) AS l_extendedprice,
+        CAST(0.05 AS DOUBLE) AS l_discount,
+        ROUND(0.5 + 0.01*30.0 + 0.0001*45000.5 + (-2.0)*0.05, 6) AS score""",
+
+    "m03_ts_forecast" -> s"""
+      WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      per AS (
+        SELECT o_custkey, ${oAvg("o_totalprice")} AS base,
+          MAX(o_orderdate) AS last_ts, COUNT(*) AS n_ctx
+        FROM ranked WHERE rn <= 4 GROUP BY o_custkey)
+      SELECT o_custkey, CAST(h AS INTEGER) AS h,
+        CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
+        ROUND(base, 4) AS forecast, n_ctx
+      FROM per, UNNEST(generate_series(1, 2)) AS t(h)
+      ORDER BY o_custkey, h""",
+
+    "m04_ts_latest" -> s"""
+      WITH ranked AS (
+        SELECT user_id, ts, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id,
+        CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS next_ts,
+        ROUND(${oAvg("value")}, 4) AS forecast, COUNT(*) AS n_ctx
+      FROM ranked WHERE rn <= 10 GROUP BY user_id
+      ORDER BY user_id""",
+
+    "m05_mapreduce_groups" -> s"""
+      WITH spend AS (
+        SELECT r_name, c_custkey, ${oSum("o_totalprice")} AS spend
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, c_custkey),
+      ranked AS (
+        SELECT r_name, c_custkey, spend,
+          ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY spend DESC, c_custkey) AS rnk
+        FROM spend)
+      SELECT r_name, CAST(rnk AS INTEGER) AS rnk, c_custkey, ROUND(spend, 4) AS spend
+      FROM ranked WHERE rnk <= 2 ORDER BY r_name, rnk"""
+  )
+}

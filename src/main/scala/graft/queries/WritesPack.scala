@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.catalog.{Catalog, Warehouse}
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Parity._
+
+/** DML writes + views + information_schema pack (SURVEY §2.1 SaveToTable/
+  * InsertToTable/UpdateToTable/DeleteStep/DataStep, §2.13 DDL surface;
+  * reference insert_step.py, update_step.py, delete_step.py,
+  * command_executor.py:1350-1425/:1577-1953, system_tables.py:48-543).
+  *
+  * Each query materializes into a FRESH temp warehouse, runs the real
+  * write path (parquet write → read-back), and returns an
+  * oracle-checkable aggregate of the final table state — so the oracle
+  * verifies the write semantics, not just the plan.
+  */
+object WritesPack extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CTAS → read back (SaveToTable round trip)
+    "w01_ctas_roundtrip" -> ((s, dir) => {
+      val wh = Warehouse.temp(s)
+      wh.createTableAs("big_orders",
+        t(s, dir, "orders").filter(col("o_totalprice") > 200000), overwrite = true)
+      wh.table("big_orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // UPDATE + DELETE as copy-on-write rewrites, then aggregate final state
+    "w02_update_delete" -> ((s, dir) => {
+      val wh = Warehouse.temp(s)
+      wh.createTableAs("ord", t(s, dir, "orders"), overwrite = true)
+      wh.update("ord",
+        Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
+        col("o_orderstatus") === "O")
+      wh.delete("ord", col("o_orderpriority") === "5-LOW")
+      wh.table("ord")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // INSERT from select + INSERT literal VALUES (DataStep), then verify
+    "w03_insert_append" -> ((s, dir) => {
+      val wh = Warehouse.temp(s)
+      val orders = t(s, dir, "orders")
+      wh.createTableAs("ord", orders.filter(year(col("o_orderdate")) < 2000), overwrite = true)
+      wh.insertInto("ord", orders.filter(year(col("o_orderdate")) >= 2000))
+      // DataStep: literal VALUES → frame (sql_steps.py:34-41)
+      val literals = s.createDataFrame(
+        s.sparkContext.parallelize(Seq(
+          Row(9000001L, 1L, "X", 111.5, java.sql.Timestamp.valueOf("2002-01-01 00:00:00"), "1-URGENT"),
+          Row(9000002L, 2L, "X", 222.5, java.sql.Timestamp.valueOf("2002-06-01 00:00:00"), "2-HIGH")), 1),
+        StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+          StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType))))
+      wh.insertInto("ord", literals)
+      wh.table("ord")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("yr"))
+    }),
+
+    // CREATE VIEW → query through it (filters push through the boundary)
+    "v01_view_expand" -> ((s, dir) => {
+      val cat = new Catalog(s, dir)
+      cat.createView("customer_orders",
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")))
+      cat.resolve("customer_orders")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // information_schema.columns over every base table
+    "i01_info_columns" -> ((s, dir) => {
+      new Catalog(s, dir).infoColumns()
+        .select(col("table_name"), col("column_name"), col("ordinal_position"))
+        .orderBy(col("table_name"), col("ordinal_position"))
+    }),
+
+    // SHOW TABLES (static catalog surface)
+    "c01_show_tables" -> ((s, dir) => {
+      new Catalog(s, dir).infoTables()
+        .orderBy(col("table_name"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "w01_ctas_roundtrip" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders WHERE o_totalprice > 200000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "w02_update_delete" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        ${oSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END")} AS total
+      FROM orders WHERE o_orderpriority <> '5-LOW'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "w03_insert_append" -> s"""
+      WITH full_t AS (
+        SELECT o_orderdate, o_totalprice FROM orders
+        UNION ALL
+        SELECT TIMESTAMP '2002-01-01 00:00:00', 111.5
+        UNION ALL
+        SELECT TIMESTAMP '2002-06-01 00:00:00', 222.5)
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
+        ${oSum("o_totalprice")} AS total
+      FROM full_t GROUP BY yr ORDER BY yr""",
+
+    "v01_view_expand" -> s"""
+      SELECT c_nationkey, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "i01_info_columns" -> """
+      SELECT table_name, column_name, CAST(ordinal_position AS INTEGER) AS ordinal_position
+      FROM information_schema.columns
+      WHERE table_name IN ('region','nation','customer','supplier','part',
+        'orders','lineitem','events','documents','embeddings')
+      ORDER BY table_name, ordinal_position""",
+
+    "c01_show_tables" -> """
+      SELECT * FROM (VALUES
+        ('customer','BASE TABLE'),('documents','BASE TABLE'),('embeddings','BASE TABLE'),
+        ('events','BASE TABLE'),('lineitem','BASE TABLE'),('nation','BASE TABLE'),
+        ('orders','BASE TABLE'),('part','BASE TABLE'),('region','BASE TABLE'),
+        ('supplier','BASE TABLE')) AS t(table_name, table_type)
+      ORDER BY table_name"""
+  )
+}

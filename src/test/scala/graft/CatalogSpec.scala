@@ -1,0 +1,73 @@
+package graft
+
+import graft.catalog.{Catalog, Warehouse}
+import graft.engine.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Warehouse CRUD + catalog resolution semantics beyond the oracle gate. */
+class CatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("catalog-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  test("warehouse CRUD: create, insert, update, delete, drop") {
+    val wh = Warehouse.temp(spark)
+    val region = Tables.table(spark, dir, "region")
+    wh.createTableAs("r", region)
+    assert(wh.table("r").count() === region.count())
+    assert(wh.listTables() === Seq("r"))
+
+    wh.insertInto("r", region.limit(2))
+    assert(wh.table("r").count() === region.count() + 2)
+
+    wh.update("r", Map("r_name" -> lit("XX")), col("r_regionkey") === 0)
+    assert(wh.table("r").filter(col("r_name") === "XX").count() ===
+      wh.table("r").filter(col("r_regionkey") === 0).count())
+
+    val before = wh.table("r").count()
+    val toDelete = wh.table("r").filter(col("r_regionkey") === 1).count()
+    wh.delete("r", col("r_regionkey") === 1)
+    assert(wh.table("r").count() === before - toDelete)
+
+    wh.dropTable("r")
+    assert(!wh.exists("r"))
+  }
+
+  test("createTableAs without overwrite refuses to clobber") {
+    val wh = Warehouse.temp(spark)
+    val region = Tables.table(spark, dir, "region")
+    wh.createTableAs("r", region)
+    intercept[Exception] { wh.createTableAs("r", region) }
+    wh.createTableAs("r", region.limit(1), overwrite = true)
+    assert(wh.table("r").count() === 1)
+  }
+
+  test("views shadow base tables and expand lazily") {
+    val cat = new Catalog(spark, dir)
+    cat.createView("region", Tables.table(spark, dir, "region").filter(col("r_regionkey") < 2))
+    assert(cat.resolve("region").count() === 2)
+    cat.dropView("region")
+    assert(cat.resolve("region").count() === 5)
+  }
+
+  test("describe returns name/ordinal/type per column") {
+    val cat = new Catalog(spark, dir)
+    val d = cat.describe("region").collect()
+    assert(d.map(r => (r.getString(1), r.getInt(2))).toSeq
+      === Seq(("r_regionkey", 1), ("r_name", 2)))
+    assert(d.forall(_.getString(3).nonEmpty))
+  }
+
+  test("information_schema covers warehouse tables and views") {
+    val wh = Warehouse.temp(spark)
+    wh.createTableAs("extra", Tables.table(spark, dir, "region"))
+    val cat = new Catalog(spark, dir)
+    cat.createView("v1", Tables.table(spark, dir, "nation"))
+    val t = cat.infoTables(Some(wh)).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(t("extra") === "BASE TABLE")
+    assert(t("v1") === "VIEW")
+    assert(t("lineitem") === "BASE TABLE")
+  }
+}

@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(Relational, TextOps, Dedup, Similarity, Events, KbPack, ModelPack, WritesPack)
+    Seq(Relational, TextOps, Dedup, Similarity, Events, KbPack, ModelPack, WritesPack,
+      FederationPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

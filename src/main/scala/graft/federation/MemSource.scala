@@ -1,0 +1,194 @@
+package graft.federation
+
+import java.util
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** In-memory DSv2 catalog with real pushdown — the Spark-native mirror of
+  * the reference's `dummy_data_handler` (tests exercise federated
+  * planning against an embedded DuckDB;
+  * integrations/handlers/dummy_data_handler/dummy_data_handler.py:13-110)
+  * and of the APITable pushdown contract (`list(conditions, limit, sort,
+  * targets)` receives pushed FilterConditions,
+  * integrations/libs/api_handler.py:285-343).
+  *
+  * Register with `spark.conf.set("spark.sql.catalog.mem",
+  * classOf[MemCatalog].getName)` and address tables as
+  * `mem.<name>` — multi-catalog name resolution, cross-source joins, and
+  * DSv2 pushdown (filters, column pruning, limit) all flow through the
+  * standard Catalyst paths. Pushed filters are recorded per table in
+  * [[MemTables.pushed]] so plan-shape tests can assert that predicates
+  * actually reached the source (the reference's planner golden tests do
+  * the same on FetchDataframeStep queries).
+  */
+object MemTables {
+  /** table name → (schema, rows) */
+  val registry: TrieMap[String, (StructType, Seq[Row])] = TrieMap.empty
+  /** table name → filters pushed at the last scan planning */
+  val pushed: TrieMap[String, Seq[Filter]] = TrieMap.empty
+
+  def register(name: String, schema: StructType, rows: Seq[Row]): Unit =
+    registry(name) = (schema, rows)
+}
+
+class MemCatalog extends TableCatalog {
+  private var catalogName = "mem"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    MemTables.registry.keys.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadTable(ident: Identifier): Table =
+    MemTables.registry.get(ident.name()) match {
+      case Some((schema, rows)) => new MemTable(ident.name(), schema, rows)
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq(catalogName, ident.name()))
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    MemTables.register(ident.name(), schema, Seq.empty)
+    new MemTable(ident.name(), schema, Seq.empty)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    loadTable(ident)
+
+  override def dropTable(ident: Identifier): Boolean =
+    MemTables.registry.remove(ident.name()).isDefined
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    MemTables.registry.remove(oldIdent.name()).foreach { case (s, r) =>
+      MemTables.register(newIdent.name(), s, r)
+    }
+}
+
+class MemTable(tableName: String, tableSchema: StructType, rows: Seq[Row])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(tableName, tableSchema, rows)
+}
+
+/** ScanBuilder with the three classic pushdowns. Filters the source can
+  * evaluate are accepted (removed from the Spark plan); the rest are
+  * returned for Spark to re-apply — exactly the reference's split
+  * between handler-pushed FilterConditions and the local SubSelectStep
+  * re-filter (query_planner.py:456-481). */
+class MemScanBuilder(tableName: String, fullSchema: StructType, rows: Seq[Row])
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var requiredSchema = fullSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(MemFilterEval.supported(fullSchema, _))
+    accepted = ok
+    MemTables.pushed(tableName) = ok.toSeq
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = StructType(fullSchema.fields.filter(f =>
+      required.fieldNames.contains(f.name)))
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def build(): Scan = {
+    // source-side evaluation: filter → prune → limit happen HERE, before
+    // rows ever enter Spark
+    val filtered = rows.filter(r => accepted.forall(MemFilterEval.eval(fullSchema, r, _)))
+    val limited = limit.fold(filtered)(filtered.take)
+    val idx = requiredSchema.fieldNames.map(fullSchema.fieldIndex)
+    val projected = limited.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
+    new MemScan(requiredSchema, projected)
+  }
+}
+
+class MemScan(schema: StructType, rows: Seq[Row]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    // split into 2 partitions to keep the multi-partition path honest
+    val data = rows.map(_.toSeq.toArray)
+    val (a, b) = data.splitAt((data.length + 1) / 2)
+    Array(MemPartition(a.toArray), MemPartition(b.toArray))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemReaderFactory(schema)
+}
+
+case class MemPartition(data: Array[Array[Any]]) extends InputPartition
+
+class MemReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    val it = partition.asInstanceOf[MemPartition].data.iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          current = conv(Row.fromSeq(it.next().toIndexedSeq)).asInstanceOf[InternalRow]
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Row-level evaluation of V1 filters the mem source accepts. */
+object MemFilterEval {
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _) => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case In(a, _) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case Or(l, r) => supported(schema, l) && supported(schema, r)
+    case Not(c) => supported(schema, c)
+    case _ => false
+  }
+
+  @annotation.nowarn("msg=exhaustive")
+  def eval(schema: StructType, row: Row, f: Filter): Boolean = {
+    def v(attr: String): Any = row.get(schema.fieldIndex(attr))
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b.asInstanceOf[Any])
+    f match {
+      case EqualTo(a, value) => v(a) == value
+      case GreaterThan(a, value) => v(a) != null && cmp(v(a), value) > 0
+      case GreaterThanOrEqual(a, value) => v(a) != null && cmp(v(a), value) >= 0
+      case LessThan(a, value) => v(a) != null && cmp(v(a), value) < 0
+      case LessThanOrEqual(a, value) => v(a) != null && cmp(v(a), value) <= 0
+      case In(a, values) => values.contains(v(a))
+      case IsNull(a) => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case And(l, r) => eval(schema, row, l) && eval(schema, row, r)
+      case Or(l, r) => eval(schema, row, l) || eval(schema, row, r)
+      case Not(c) => !eval(schema, row, c)
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.federation.{FileSource, MemCatalog, MemTables, PartitionedFetch}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Parity._
+
+/** Federation pack (SURVEY §2.1 FetchDataframe / FetchDataframePartition,
+  * §2.2 remote + API + file sources): multi-catalog resolution with a
+  * DSv2 in-memory source, cross-source joins, keyset-paginated resumable
+  * fetch, and file-format round trips.
+  */
+object FederationPack extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** the "remote" dimension living in the mem catalog */
+  private val weightSchema = StructType(Seq(
+    StructField("o_orderpriority", StringType, nullable = false),
+    StructField("weight", DoubleType, nullable = false)))
+  private val weightRows = Seq(
+    Row("1-URGENT", 1.5), Row("2-HIGH", 1.2), Row("3-MEDIUM", 1.0),
+    Row("4-NOT SPECIFIED", 0.8), Row("5-LOW", 0.5))
+
+  private def memCatalog(s: SparkSession): Unit = {
+    MemTables.register("priority_weight", weightSchema, weightRows)
+    if (!s.conf.getOption("spark.sql.catalog.mem").contains(classOf[MemCatalog].getName))
+      s.conf.set("spark.sql.catalog.mem", classOf[MemCatalog].getName)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // cross-source join: parquet fact × mem-catalog dim, resolved through
+    // the multi-catalog namespace (query_planner.py:787-807 planning
+    // across integrations; plan_join.py:61-94)
+    "f01_cross_source_join" -> ((s, dir) => {
+      memCatalog(s)
+      val weights = s.table("mem.priority_weight")
+      t(s, dir, "orders")
+        .join(broadcast(weights), Seq("o_orderpriority"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum2(col("weight"), col("o_totalprice")).as("weighted"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // resumable keyset-paginated fetch: union of batches == full table
+    "f02_partitioned_fetch" -> ((s, dir) => {
+      val fetched = PartitionedFetch.keysetFetch(
+        () => t(s, dir, "orders"), "o_orderkey", batchSize = 8000)
+      fetched.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // file sources: csv + json round trips through format sniffing
+    "f03_file_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
+      val slim = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      slim.write.mode("overwrite").option("header", "true").csv(s"$tmp/orders.csv")
+      slim.write.mode("overwrite").json(s"$tmp/orders.json")
+      def agg(fmt: String): DataFrame =
+        FileSource.read(s, s"$tmp/orders.$fmt")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(fmt).as("format"), col("n"), col("total"))
+      agg("csv").unionByName(agg("json")).orderBy(col("format"))
+    })
+  )
+
+  private val oWeights =
+    "(VALUES ('1-URGENT', 1.5), ('2-HIGH', 1.2), ('3-MEDIUM', 1.0), " +
+      "('4-NOT SPECIFIED', 0.8), ('5-LOW', 0.5)) AS w(o_orderpriority, weight)"
+
+  def oracles: Map[String, String] = Map(
+
+    "f01_cross_source_join" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum2("weight", "o_totalprice")} AS weighted
+      FROM orders JOIN $oWeights USING (o_orderpriority)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "f02_partitioned_fetch" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "f03_file_roundtrip" -> s"""
+      WITH base AS (
+        SELECT COUNT(*) AS n, ${oSum("o_totalprice")} AS total FROM orders)
+      SELECT 'csv' AS format, n, total FROM base
+      UNION ALL
+      SELECT 'json' AS format, n, total FROM base
+      ORDER BY format"""
+  )
+}

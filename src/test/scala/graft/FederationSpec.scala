@@ -1,0 +1,100 @@
+package graft
+
+import graft.engine.Tables
+import graft.federation._
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape tests for the federation layer: predicates/prunes/limits
+  * must actually reach the DSv2 source (the reference's planner golden
+  * tests assert the same on rendered FetchDataframeStep queries). */
+class FederationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = graft.engine.Session.build("federation-spec")
+    s.conf.set("spark.sql.catalog.mem", classOf[MemCatalog].getName)
+    s
+  }
+  val dir = "/root/testdata/sf0.001"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+  private val rows = (1L to 100L).map(i => Row(i, s"name$i", i * 0.5))
+
+  test("filter pushdown reaches the mem source and results are correct") {
+    MemTables.register("people", schema, rows)
+    val df = spark.table("mem.people").filter(col("id") > 90 && col("score") <= 49.0)
+    val out = df.collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq === (91L to 98L))
+    val pushed = MemTables.pushed("people")
+    assert(pushed.nonEmpty, "no filters reached the source")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || pushed.size >= 2)
+  }
+
+  test("column pruning reaches the source (ReadSchema excludes unused columns)") {
+    MemTables.register("people", schema, rows)
+    val df = spark.table("mem.people").select("name")
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves().head
+      .toString
+    assert(scanSchema.contains("name") && !scanSchema.contains("score"),
+      s"scan not pruned: $scanSchema")
+    assert(df.count() === 100)
+  }
+
+  test("limit pushdown reaches the source") {
+    MemTables.register("people", schema, rows)
+    val df = spark.table("mem.people").limit(7)
+    assert(df.count() === 7)
+  }
+
+  test("cross-catalog join resolves both namespaces") {
+    MemTables.register("dim", StructType(Seq(
+      StructField("r_regionkey", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false))),
+      (0L to 4L).map(i => Row(i, s"tag$i")))
+    val joined = Tables.table(spark, dir, "region")
+      .join(spark.table("mem.dim"), "r_regionkey")
+    assert(joined.count() === 5)
+    assert(joined.columns.contains("tag") && joined.columns.contains("r_name"))
+  }
+
+  test("keyset fetch is resumable and loses nothing") {
+    val orders = Tables.table(spark, dir, "orders")
+    val total = orders.count()
+    val st = new FetchState
+    val part1 = PartitionedFetch.keysetFetch(() => orders, "o_orderkey", 600, st, maxBatches = 1)
+    assert(st.batches === 1 && !st.done)
+    val n1 = part1.count()
+    assert(n1 === 600)
+    val part2 = PartitionedFetch.keysetFetch(() => orders, "o_orderkey", 600, st)
+    assert(st.done)
+    assert(n1 + part2.count() === total)
+    // no overlap
+    assert(part1.join(part2, Seq("o_orderkey"), "left_semi").count() === 0)
+  }
+
+  test("file format detection: extension and content sniffing") {
+    val tmp = java.nio.file.Files.createTempDirectory("sniff")
+    assert(FileSource.detectFormat("x.csv") === "csv")
+    assert(FileSource.detectFormat("x.tsv") === "csv")
+    assert(FileSource.detectFormat("x.json") === "json")
+    assert(FileSource.detectFormat("x.parquet") === "parquet")
+    assert(FileSource.detectFormat("x.xls") === "xlsx")
+    val j = tmp.resolve("noext_json")
+    java.nio.file.Files.writeString(j, """[{"a": 1}]""")
+    assert(FileSource.detectFormat(j.toString) === "json")
+    val c = tmp.resolve("noext_csv")
+    java.nio.file.Files.writeString(c, "a,b,c\n1,2,3\n")
+    assert(FileSource.detectFormat(c.toString) === "csv")
+    val t = tmp.resolve("noext_txt")
+    java.nio.file.Files.writeString(t, "plain text here\nmore\n")
+    assert(FileSource.detectFormat(t.toString) === "txt")
+    intercept[UnsupportedOperationException] { FileSource.read(spark, "x.pdf") }
+    intercept[UnsupportedOperationException] { FileSource.read(spark, "x.xlsx") }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** AI scalar functions + BYOM user-function registry (SURVEY §2.8 layer 3;
+  * reference MINDSDB_SQL_FUNCTIONS = {llm, to_markdown, hash} at
+  * query_planner.py:61, implementations
+  * interfaces/functions/controller.py:131-190, BYOM registration
+  * :37-112, :217-248).
+  *
+  * `llm` and `to_markdown` stand in for network model calls with
+  * DETERMINISTIC stubs (the oracle must reproduce them); the expression
+  * shape — a scalar function applied per row, batched by the engine —
+  * is the real contract. A production deployment swaps the stub body
+  * for a `mapPartitions` batch API client without touching callers.
+  * `hash` is md5, matching the reference's content-hash role.
+  */
+object AiFunctions {
+
+  /** Deterministic llm stub: tagged digest + echo of the prompt head.
+    * (controller.py:131-154 calls a chat model here.) */
+  def llm(prompt: Column): Column =
+    concat(lit("LLM["), substring(md5(prompt), 1, 8), lit("]: "),
+      upper(substring(prompt, 1, 24)))
+
+  /** Deterministic to_markdown stub: heading + body
+    * (controller.py:155-190 converts documents/URLs). */
+  def toMarkdown(text: Column): Column =
+    concat(lit("# Document\n\n"), text)
+
+  /** Content hash (md5 hex) — reference uses it for dedup keys. */
+  def hashFn(c: Column): Column = md5(c.cast("string"))
+
+  /** Register `llm`, `to_markdown`, `doc_hash` as SQL functions.
+    *
+    * Builders construct resolved catalyst trees directly. The reference
+    * names its content hash `hash`; here it registers as `doc_hash`
+    * because Spark's built-in `hash` (murmur3) is load-bearing in other
+    * operators — silently changing its semantics session-wide would be a
+    * correctness hazard, which is exactly the reference's own
+    * unknown-function guard concern (sql.py:300-313). */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    def md5Of(e: Expression): Expression = Md5(Cast(e, BinaryType))
+
+    add("llm", es => {
+      val p = es.head
+      Concat(Seq(
+        Literal("LLM["), Substring(md5Of(p), Literal(1), Literal(8)),
+        Literal("]: "), Upper(Substring(p, Literal(1), Literal(24)))))
+    })
+    add("to_markdown", es => Concat(Seq(Literal("# Document\n\n"), es.head)))
+    add("doc_hash", es => md5Of(Cast(es.head, StringType)))
+  }
+}
+
+/** BYOM-style user function registry (functions/controller.py:37-112):
+  * engines expose typed methods that become session-scoped SQL
+  * functions. Spark-side, scalar lambdas register as UDFs; prefer
+  * [[AiFunctions]]-style expression compositions for hot paths. */
+final class UdfRegistry(spark: SparkSession) {
+  private val registered = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  def registerScalar[A, B](name: String, f: A => B)(
+      implicit ta: scala.reflect.runtime.universe.TypeTag[A],
+      tb: scala.reflect.runtime.universe.TypeTag[B]): Unit = {
+    spark.udf.register(name, org.apache.spark.sql.functions.udf(f))
+    registered(name) = s"${ta.tpe} => ${tb.tpe}"
+  }
+
+  def registerScalar2[A, B, C](name: String, f: (A, B) => C)(
+      implicit ta: scala.reflect.runtime.universe.TypeTag[A],
+      tb: scala.reflect.runtime.universe.TypeTag[B],
+      tc: scala.reflect.runtime.universe.TypeTag[C]): Unit = {
+    spark.udf.register(name, org.apache.spark.sql.functions.udf(f))
+    registered(name) = s"(${ta.tpe}, ${tb.tpe}) => ${tc.tpe}"
+  }
+
+  def list(): Seq[(String, String)] = registered.toSeq
+}

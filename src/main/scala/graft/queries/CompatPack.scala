@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.functions.{AiFunctions, MySqlCompat}
+import graft.ml.Agents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MySQL-compat shims, AI scalar functions, and agents-as-table
+  * (SURVEY §2.8; reference mysql_to_duckdb_functions.py:681-712,
+  * functions/controller.py:131-190, agents_controller.py:70).
+  */
+object CompatPack extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MySQL spellings through spark.sql after shim registration
+    "q37_mysql_compat" -> ((s, dir) => {
+      MySqlCompat.register(s)
+      t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+        .createOrReplaceTempView("orders_q37")
+      s.sql("""
+        SELECT o_orderkey,
+          mysql_date_format(o_orderdate, '%Y-%m (%W)') AS ym,
+          dayname(o_orderdate) AS dname,
+          dayofyear(o_orderdate) AS doy,
+          dayofweek(o_orderdate) AS dow,
+          substring_index(o_orderpriority, '-', 1) AS prio_num,
+          locate('URGENT', o_orderpriority) AS loc_urgent,
+          datediff(TIMESTAMP '2002-01-01 00:00:00', o_orderdate) AS days_to_2002,
+          sha2(o_orderpriority, 256) AS prio_sha,
+          char(65 + o_custkey % 26) AS cust_char,
+          to_days(o_orderdate) AS td
+        FROM orders_q37 ORDER BY o_orderkey""")
+    }),
+
+    // llm / to_markdown / hash scalar functions
+    "q38_ai_functions" -> ((s, dir) => {
+      AiFunctions.register(s)
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .createOrReplaceTempView("docs_q38")
+      s.sql("""
+        SELECT doc_id,
+          doc_hash(text) AS h,
+          llm(concat('sum: ', substring(text, 1, 30))) AS llm_out,
+          to_markdown(substring(text, 1, 40)) AS md
+        FROM docs_q38 ORDER BY doc_id""")
+    }),
+
+    // agent completes each question row into an `answer` column
+    "a01_agent_table" -> ((s, dir) => {
+      val questions = t(s, dir, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id"),
+          concat(lit("what is "), substring(col("text"), 1, 20)).as("question"))
+      Agents.answer(questions, "question")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val oLlm = (p: String) =>
+    s"'LLM[' || substr(md5($p), 1, 8) || ']: ' || upper(substr($p, 1, 24))"
+
+  def oracles: Map[String, String] = Map(
+
+    "q37_mysql_compat" -> """
+      SELECT o_orderkey,
+        strftime(o_orderdate, '%Y-%m (') || dayname(o_orderdate) || ')' AS ym,
+        dayname(o_orderdate) AS dname,
+        CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        split_part(o_orderpriority, '-', 1) AS prio_num,
+        CAST(strpos(o_orderpriority, 'URGENT') AS INTEGER) AS loc_urgent,
+        CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER) AS days_to_2002,
+        sha256(o_orderpriority) AS prio_sha,
+        chr(CAST(65 + o_custkey % 26 AS INTEGER)) AS cust_char,
+        CAST(date_diff('day', DATE '0001-01-01', CAST(o_orderdate AS DATE)) + 366 AS INTEGER) AS td
+      FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+
+    "q38_ai_functions" -> s"""
+      SELECT doc_id,
+        md5(text) AS h,
+        ${oLlm("'sum: ' || substr(text, 1, 30)")} AS llm_out,
+        '# Document' || chr(10) || chr(10) || substr(text, 1, 40) AS md
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "a01_agent_table" -> s"""
+      SELECT doc_id, 'what is ' || substr(text, 1, 20) AS question,
+        ${oLlm("'what is ' || substr(text, 1, 20)")} AS answer
+      FROM documents WHERE doc_id < 5 ORDER BY doc_id"""
+  )
+}

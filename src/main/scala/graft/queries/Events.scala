@@ -8,12 +8,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import Parity._
 
 /** Event-stream analytics over the `events` table: tumbling windows,
-  * sessionization (gap-based), incremental `LAST`-style watermark reads
-  * (reference: SURVEY §2.11 — `WHERE ts > LAST`,
+  * sessionization (gap-based), incremental `LAST` reads backed by the
+  * persistent graft.incremental.Watermarks store (reference: SURVEY
+  * §2.11 — `WHERE ts > LAST`,
   * mindsdb/interfaces/query_context/context_controller.py:293-344), and
-  * funnel-ish per-user aggregation. The same logic runs as Structured
-  * Streaming (graft.streaming); these batch forms are the oracle-checkable
-  * semantics.
+  * funnel-ish per-user aggregation. e01/e02 have Structured Streaming
+  * twins in graft.streaming.StreamingOps (equivalence asserted by
+  * StreamingSpec); these batch forms are the oracle-checkable semantics.
   */
 object Events extends QueryPack {
 
@@ -50,16 +51,21 @@ object Events extends QueryPack {
     }),
 
     "e03_last_watermark" -> ((s, dir) => {
-      // `LAST`-keyword semantics: read only rows past the stored watermark.
-      // Watermark here = max ts of the first half of the data (simulating
-      // a prior run); production path keeps it in a state store
-      // (graft.incremental.Watermarks).
+      // Real `LAST` mechanics against a fresh graft.incremental.Watermarks
+      // store: run 1 sees only the data before the split date — first
+      // sight initializes the watermark to that increment's max ts
+      // (reference init semantics, context_controller.py:311-330); run 2
+      // sees the full table and reads strictly past the stored value,
+      // then the result callback advances it. Deterministic because the
+      // split is fixed; WatermarkSpec drives the multi-run advance.
+      val store = new graft.incremental.Watermarks(
+        java.nio.file.Files.createTempDirectory("graft_wm").toString)
       val ev = t(s, dir, "events")
-      val wm = ev.agg(
-        to_timestamp(lit("2024-01-16 00:00:00")).as("wm"))
-      ev.crossJoin(broadcast(wm))
-        .filter(col("ts") > col("wm"))
-        .groupBy(col("event_type"))
+      store.applyLast(
+        ev.filter(col("ts") < to_timestamp(lit("2024-01-16 00:00:00"))), "ts", "e03")
+      val run2 = store.applyLast(ev, "ts", "e03")
+      store.advance(run2, "ts", "e03")
+      run2.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_new"), min(col("ts")).as("first_new"),
           max(col("ts")).as("last_new"))
         .orderBy(col("event_type"))
@@ -115,7 +121,8 @@ object Events extends QueryPack {
 
     "e03_last_watermark" -> """
       SELECT event_type, COUNT(*) AS n_new, CAST(MIN(ts) AS TIMESTAMP) AS first_new, CAST(MAX(ts) AS TIMESTAMP) AS last_new
-      FROM events WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+      FROM events
+      WHERE ts > (SELECT MAX(ts) FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
       GROUP BY event_type ORDER BY event_type""",
 
     "e04_user_funnel" -> """

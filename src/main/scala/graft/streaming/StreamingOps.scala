@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming twins of the batch event operators (SURVEY
+  * §2.11 — the reference has no streaming engine; this is the
+  * beyond-reference capability the north star asks for). Each twin
+  * shares semantics with its batch counterpart in
+  * graft.queries.Events, verified by StreamingSpec.
+  *
+  * All twins read the events table as a file stream and drain with
+  * `Trigger.AvailableNow` into a memory sink — swap source/sink/trigger
+  * for a production deployment; the transform is identical.
+  */
+object StreamingOps {
+
+  /** `sourceDir` must be a DIRECTORY of parquet files (file-stream
+    * contract) carrying the raw events schema (ts as nanos-long). */
+  private def stream(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** e01 twin: tumbling daily counts per event type, 1-day watermark for
+    * late data. */
+  def tumblingDaily(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame =
+    stream(spark, sourceDir, schema)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"))
+
+  /** e02 twin: gap-based sessionization via session_window (30 min). */
+  def sessionize(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame =
+    stream(spark, sourceDir, schema)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+
+  /** Run a streaming frame to completion into an in-memory table and
+    * return the materialized result. */
+  def drainToMemory(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

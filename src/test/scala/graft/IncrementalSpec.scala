@@ -1,0 +1,107 @@
+package graft
+
+import java.time.Instant
+import graft.engine.Tables
+import graft.incremental.{Jobs, Triggers, Watermarks}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental machinery: LAST watermark advance across runs, job
+  * scheduling, trigger delivery. */
+class IncrementalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("incremental-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  test("LAST watermark: init empty, advance across successive runs, survive reload") {
+    val stateDir = java.nio.file.Files.createTempDirectory("wm").toString
+    val store = new Watermarks(stateDir)
+    val ev = Tables.table(spark, dir, "events")
+    val day1 = ev.filter(col("ts") < to_timestamp(lit("2024-01-11 00:00:00")))
+    val day2 = ev.filter(col("ts") < to_timestamp(lit("2024-01-21 00:00:00")))
+
+    // run 1: first sight → watermark = max(day1), empty increment
+    assert(store.applyLast(day1, "ts", "q").count() === 0)
+    val wm1 = store.get("q").get
+
+    // run 2: sees day2 → increment = rows in (max(day1), max(day2)]
+    val inc2 = store.applyLast(day2, "ts", "q")
+    val expected2 = day2.filter(unix_micros(col("ts")) > wm1).count()
+    assert(inc2.count() === expected2 && expected2 > 0)
+    store.advance(inc2, "ts", "q")
+    val wm2 = store.get("q").get
+    assert(wm2 > wm1)
+
+    // state survives process restart (fresh store over the same dir)
+    val reloaded = new Watermarks(stateDir)
+    assert(reloaded.get("q").contains(wm2))
+
+    // run 3: everything new past wm2
+    val inc3 = reloaded.applyLast(ev, "ts", "q")
+    assert(inc3.count() === ev.filter(unix_micros(col("ts")) > wm2).count())
+    // no overlap with run 2's rows
+    assert(inc3.filter(unix_micros(col("ts")) <= wm2).count() === 0)
+  }
+
+  test("job schedule parsing and calendar months") {
+    assert(Jobs.nextDate("every 2 hours", Instant.parse("2026-01-01T00:00:00Z"))
+      === Instant.parse("2026-01-01T02:00:00Z"))
+    assert(Jobs.nextDate("every day", Instant.parse("2026-01-01T00:00:00Z"))
+      === Instant.parse("2026-01-02T00:00:00Z"))
+    assert(Jobs.nextDate("every 1 month", Instant.parse("2026-01-31T00:00:00Z"))
+      === Instant.parse("2026-02-28T00:00:00Z")) // calendar clamp
+    intercept[IllegalArgumentException] { Jobs.parseSchedule("every 5 fortnights") }
+    intercept[IllegalArgumentException] { Jobs.parseSchedule("at noon") }
+  }
+
+  test("jobs run when due, honor IF gates, and advance next_run") {
+    val jobs = new Jobs
+    var ran = 0
+    var gate = false
+    jobs.create(Jobs.Job("inc", "every 1 hour", () => ran += 1))
+    jobs.create(Jobs.Job("gated", "every 1 hour", () => ran += 100, ifCondition = () => gate))
+
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    jobs.tick(t0)
+    assert(ran === 1) // gated skipped
+    jobs.tick(t0.plusSeconds(60)) // not due yet
+    assert(ran === 1)
+    gate = true
+    jobs.tick(t0.plusSeconds(3601))
+    assert(ran === 102)
+    assert(jobs.history.count(_.ok) === 4)
+    assert(jobs.history.count(_.error.contains("skipped-if")) === 1)
+  }
+
+  test("job that throws records a failed run and keeps scheduling") {
+    val jobs = new Jobs
+    jobs.create(Jobs.Job("bad", "every 1 min", () => throw new RuntimeException("boom")))
+    val t0 = Instant.now()
+    jobs.tick(t0)
+    assert(jobs.history.last.ok === false && jobs.history.last.error.contains("boom"))
+    assert(jobs.list().head.nextRun.isAfter(t0))
+  }
+
+  test("trigger fires per delta batch and is exactly-once across restarts") {
+    val tableDir = java.nio.file.Files.createTempDirectory("trig_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("trig_ckpt").toString
+    val ev = Tables.table(spark, dir, "events").limit(100).cache()
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    val slim = ev.select(col("event_id"))
+    slim.limit(40).write.mode("append").parquet(tableDir)
+
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    Triggers.drain(Triggers.onTableChanges(spark, tableDir, schema, ckpt,
+      (delta, _) => seen.addAndGet(delta.count())))
+    assert(seen.get() === 40)
+
+    // new rows land; restart with the same checkpoint → only the delta fires
+    slim.limit(100).write.mode("append").parquet(tableDir)
+    Triggers.drain(Triggers.onTableChanges(spark, tableDir, schema, ckpt,
+      (delta, _) => seen.addAndGet(delta.count())))
+    assert(seen.get() === 140)
+  }
+}

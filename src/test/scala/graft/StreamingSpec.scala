@@ -1,0 +1,56 @@
+package graft
+
+import graft.engine.Tables
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch/stream equivalence: the streaming twins must agree with the
+  * oracle-checked batch operators on the same data. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("streaming-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val rawSchema =
+    spark.read.parquet(s"$dir/events.parquet").schema
+
+  /** file-stream sources need a directory — stage the single parquet
+    * file into one */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events_part0.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling daily == batch e01 counts") {
+    val streamed = StreamingOps.drainToMemory(
+      StreamingOps.tumblingDaily(spark, streamDir, rawSchema), "s_e01")
+      .select(col("day"), col("event_type"), col("n"))
+    val batch = Tables.table(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("streaming session_window session count == batch gap sessionization") {
+    val streamed = StreamingOps.drainToMemory(
+      StreamingOps.sessionize(spark, streamDir, rawSchema), "s_e02")
+    val batchSessions = graft.queries.Events
+      .queries("e02_sessionize")(spark, dir)
+    // same number of sessions and same total events per user
+    val a = streamed.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sess"), sum("n_events").as("n_ev"))
+    val b = batchSessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sess"), sum("n_events").as("n_ev"))
+    assert(a.join(b, Seq("user_id"))
+      .filter(a("n_sess") =!= b("n_sess") || a("n_ev") =!= b("n_ev"))
+      .count() === 0)
+    assert(a.count() === b.count())
+  }
+}

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: images/audio/video ride as opaque `binary`
+  * columns with typed metadata extracted by expressions, and heavy
+  * decode work runs as batched `mapPartitions` (the Scala analog of
+  * `mapInPandas`). The reference has no multimodal pipeline — this is
+  * the training-data-scale capability the north star adds; the file
+  * plumbing mirrors its file-reader dispatch
+  * (integrations/utilities/files/file_reader.py:85-223).
+  *
+  * Real codec libraries are not present in this environment, so the
+  * DECODE step is a deterministic stub over the real byte plumbing:
+  * schema, batching, and partitioning are production-shaped; the pixel
+  * math is a placeholder a codec drop-in replaces.
+  *
+  * Header parsing is pure built-in expressions (substring/hex/conv on
+  * binary) — codegen'd, no UDF, no custom Expression needed.
+  */
+object Multimodal {
+
+  val PngMagic = "89504E470D0A1A0A"
+  val JpegMagic = "FFD8FFE000104A46"
+
+  /** Deterministic 16-byte fake image: 8-byte magic + 4-byte big-endian
+    * width + 4-byte big-endian height, derived from a numeric id. Even
+    * ids are png, odd jpeg; dims in [16, 80). */
+  def synthImage(id: Column): Column = {
+    val magic = when(id % 2 === 0, unhex(lit(PngMagic))).otherwise(unhex(lit(JpegMagic)))
+    val width = lit(16) + id % 64
+    val height = lit(16) + (id * 7) % 64
+    def be4(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+    concat(magic, be4(width), be4(height))
+  }
+
+  /** Magic-byte sniff (the binary analog of FormatDetector). */
+  def imageFormat(img: Column): Column =
+    when(hex(substring(img, 1, 8)) === PngMagic, "png")
+      .when(hex(substring(img, 1, 4)) === "FFD8FFE0", "jpeg")
+      .otherwise("unknown")
+
+  /** Big-endian u32 at byte offset 9 / 13 — header dims. */
+  def imageWidth(img: Column): Column =
+    conv(hex(substring(img, 9, 4)), 16, 10).cast(IntegerType)
+  def imageHeight(img: Column): Column =
+    conv(hex(substring(img, 13, 4)), 16, 10).cast(IntegerType)
+
+  /** Frame-sample offsets for a binary payload: every `frameSize`-th
+    * byte offset (audio/video sampling plumbing; pure expression). */
+  def frameOffsets(payload: Column, frameSize: Int): Column =
+    sequence(lit(0), greatest(length(payload) - 1, lit(0)), lit(frameSize))
+
+  /** Batched decode stub: per image, "decode" = mean byte value of the
+    * payload (a codec would emit real features here). Runs as
+    * mapPartitions over batches — the production shape for model-based
+    * image featurization. Input frame needs (idCol: long, imgCol:
+    * binary); output adds `mean_byte: double`. */
+  def decodeFeatures(df: DataFrame, idCol: String, imgCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("mean_byte", DoubleType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val in = df.select(col(idCol).cast(LongType), col(imgCol))
+    val decoded = in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          var s = 0L
+          var i = 0
+          while (i < bytes.length) { s += bytes(i) & 0xFF; i += 1 }
+          Row(r.getLong(0), if (bytes.isEmpty) 0.0 else s.toDouble / bytes.length)
+        }
+      }
+    }(enc)
+    df.join(decoded, Seq(idCol))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.engine.Tables
+import graft.multimodal.Multimodal._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column pack: binary payloads with header metadata
+  * extraction and batched decode. The binary column is synthesized
+  * deterministically from doc_id so the oracle can verify that parsing
+  * the bytes exactly inverts the synthesis — the parse path reads real
+  * bytes; the oracle recomputes the expected values arithmetically.
+  */
+object MultimodalPack extends QueryPack {
+
+  private def imgs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"), synthImage(col("doc_id")).as("img"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // header metadata extracted FROM THE BYTES (format sniff + BE dims)
+    "x01_image_meta" -> ((s, dir) => {
+      imgs(s, dir)
+        .select(col("doc_id"),
+          imageFormat(col("img")).as("format"),
+          imageWidth(col("img")).as("width"),
+          imageHeight(col("img")).as("height"),
+          length(col("img")).as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // batched mapPartitions decode + per-format aggregate
+    "x02_image_features" -> ((s, dir) => {
+      decodeFeatures(imgs(s, dir), "doc_id", "img")
+        .groupBy(imageFormat(col("img")).as("format"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          Parity.davg(col("mean_byte")).as("avg_mean_byte"))
+        .select(col("format"), col("n"), round(col("avg_mean_byte"), 4).as("avg_mean_byte"))
+        .orderBy(col("format"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // synth inversion: png for even ids (sum of magic bytes 425), jpeg
+    // for odd (1110); dims from the id arithmetic; 16 header bytes
+    "x01_image_meta" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        CAST(16 + doc_id % 64 AS INTEGER) AS width,
+        CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
+        CAST(16 AS INTEGER) AS n_bytes
+      FROM documents ORDER BY doc_id""",
+
+    "x02_image_features" -> s"""
+      WITH feats AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+          (CASE WHEN doc_id % 2 = 0 THEN 425 ELSE 1110 END
+            + (16 + doc_id % 64) + (16 + (doc_id * 7) % 64)) / 16.0 AS mean_byte
+        FROM documents)
+      SELECT format, COUNT(*) AS n,
+        ROUND(${Parity.oAvg("mean_byte")}, 4) AS avg_mean_byte
+      FROM feats GROUP BY format ORDER BY format"""
+  )
+}

@@ -1,0 +1,26 @@
+package graft
+
+import graft.engine.Session
+
+/** Plan-audit utility: print the executed plan of one or more named
+  * queries (default sf0.001). Usage:
+  *   sbt "runMain graft.Explain s04_ann_lsh [q01_pricing_summary ...]"
+  * Prints exchange counts and the formatted plan — the review loop for
+  * "is this the plan you'd want at 100 TB".
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = Session.build("graft-explain")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(plan).length
+      val nCodegen = "WholeStageCodegen".r.findAllIn(plan).length
+      println(s"==== $name  exchanges=$nEx codegen_stages=$nCodegen ====")
+      df.explain("formatted")
+    }
+    spark.stop()
+  }
+}

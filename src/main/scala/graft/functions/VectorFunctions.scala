@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -12,14 +13,15 @@ import org.apache.spark.sql.types._
   * mapping; reference distance ops at
   * mindsdb/integrations/libs/vectordatabase_handler.py:51-54).
   *
-  * Implemented as Catalyst expressions rather than Scala UDFs: no
-  * serialization boundary, primitive-array access, one tight loop per row.
-  * Evaluation order inside the loop is the plain sequential fold, which
-  * keeps results bit-identical to a single-threaded oracle computing the
-  * same formula.
+  * Implemented as Catalyst expressions with `doGenCode`: they stay
+  * inside whole-stage codegen (no interpreted-eval break in the
+  * similarity hot loops), pay no serialization boundary, and read
+  * primitive arrays directly. Evaluation order inside each loop is the
+  * plain sequential fold, which keeps results bit-identical to a
+  * single-threaded oracle computing the same formula.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
@@ -32,13 +34,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      s"""
+        double[] $x = $a.toDoubleArray();
+        double[] $y = $b.toDoubleArray();
+        int $n = Math.min($x.length, $y.length);
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $x[$i] * $y[$i]; $nx += $x[$i] * $x[$i]; $ny += $y[$i] * $y[$i];
+        }
+        ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+      """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** Dot product over double arrays — same sequential-fold contract. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toDoubleArray()
@@ -48,16 +66,32 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { dot += x(i) * y(i); i += 1 }
     dot
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        double[] $x = $a.toDoubleArray();
+        double[] $y = $b.toDoubleArray();
+        int $n = Math.min($x.length, $y.length);
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) { $dot += $x[$i] * $y[$i]; }
+        ${ev.value} = $dot;
+      """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** 64-bit SimHash over an array of string tokens: per-token xxhash64, ±1
   * vote per bit, sign → fingerprint bit. One pass, O(64) state — suitable
-  * for a 100 TB scan (narrow transform, no shuffle).
-  */
+  * for a 100 TB scan (narrow transform, no shuffle). Interpreted eval
+  * only: the xxhash + vote loop is string-dominated, not a codegen
+  * bottleneck. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(tokens: Any): Any = {
     val arr = tokens.asInstanceOf[ArrayData]
@@ -81,11 +115,66 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Random-hyperplane LSH signature: bit i of the result = sign of
+  * dot(v, plane_i). ONE narrow pass per row — this replaces the
+  * crossJoin(planes) + groupBy(full-vector reshuffle) shape that a
+  * relational formulation forces (the round-1 s04 weakness): at 100 TB
+  * the signature computation is now part of the scan stage.
+  *
+  * Planes ship flattened as a codegen reference object; the loop is
+  * fully unrolled-friendly generated Java.
+  */
+case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+  private val nPlanes = planes.length
+  private val dim = if (planes.isEmpty) 0 else planes.head.length
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+
+  override def dataType: DataType = LongType
+  override def nullSafeEval(vec: Any): Any = {
+    val v = vec.asInstanceOf[ArrayData].toDoubleArray()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      val base = p * dim
+      var i = 0
+      val n = math.min(dim, v.length)
+      while (i < n) { dot += v(i) * flat(base + i); i += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v"); val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val n = ctx.freshName("n")
+      s"""
+        double[] $v = $a.toDoubleArray();
+        long $sig = 0L;
+        int $n = Math.min($dim, $v.length);
+        for (int $p = 0; $p < $nPlanes; $p++) {
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) { $dot += $v[$i] * $planesRef[$p * $dim + $i]; }
+          if ($dot > 0) $sig |= (1L << $p);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = GraftColumnBridge.column(DotProduct(ex(a), ex(b)))
   def simhash64(c: Column): Column = GraftColumnBridge.column(SimHash64(ex(c)))
+  def hyperplaneSig(c: Column, planes: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(HyperplaneSig(ex(c), planes))
 
   /** SQL registration: cosine_sim / dot_product / simhash64 usable in spark.sql. */
   def register(spark: SparkSession): Unit = {

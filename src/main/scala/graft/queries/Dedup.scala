@@ -127,25 +127,30 @@ object Dedup extends QueryPack {
     }),
 
     // ---- SimHash fingerprints + banded hamming join (scale path)
-    "d03_simhash_pairs" -> ((s, dir) => {
-      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val fp = t(s, dir, "documents")
-        .select(col("doc_id"), simhash64(toks).as("fp"))
-      // 4 bands of 16 bits: near-identical fingerprints collide in >=1 band
-      val bands = fp.select(col("doc_id"), col("fp"),
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
-        .dropDuplicates("doc_a", "doc_b")
-        .filter(col("hamming") <= 8)
-        .orderBy(col("doc_a"), col("doc_b"))
-    })
+    "d03_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(t(s, dir, "documents"), maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b")))
   )
+
+  /** SimHash near-dup pairs over (doc_id, text): one 64-bit fingerprint
+    * per doc (narrow scan), 4 bands of 16 bits — near-identical
+    * fingerprints collide in >= 1 band — then exact hamming verify on
+    * candidates. Recall on planted near-dups asserted in DedupSpec. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+    val fp = docs.select(col("doc_id"), simhash64(toks).as("fp"))
+    val bands = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
 
   def oracles: Map[String, String] = Map(
     // DuckDB computes the same trigram-shingle jaccard; integer

@@ -81,21 +81,17 @@ object Similarity extends QueryPack {
     * near-dups, wider bands (8-16 bits) restore selectivity. Deterministic
     * planes from a fixed-seed RNG.
     *
+    * The 16-bit signature is ONE narrow HyperplaneSig expression inside
+    * the scan stage — no plane crossJoin, no full-vector reshuffle (the
+    * round-1 shuffle-amplified shape). The only wide exchange left is
+    * the band-bucket candidate join itself.
+    *
     * @param e DataFrame(vec_id: long, label, v: array<double>)
     * @param isQuery predicate over e's columns selecting query vectors
     */
   def annTopK(s: SparkSession, e: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val planesDf = broadcast(s.createDataFrame(
-      hyperplanes.zipWithIndex.map { case (p, i) => (i, 1L << i, p) }
-    ).toDF("plane_id", "pw", "pvec"))
-    val sigs = e.crossJoin(planesDf)
-      .select(col("vec_id"), col("v"), col("plane_id"),
-        when(graft.functions.VectorFunctions.dotProduct(col("v"), col("pvec")) > 0,
-          col("pw")).otherwise(0L).as("bit"),
-        isQuery.as("is_q"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).cast("long").as("sig"), first(col("v")).as("v"),
-        first(col("is_q")).as("is_q"))
+    val sigs = e.select(col("vec_id"), col("v"), isQuery.as("is_q"),
+      graft.functions.VectorFunctions.hyperplaneSig(col("v"), hyperplanes).as("sig"))
     val banded = sigs.select(col("vec_id"), col("v"), col("is_q"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)).as(Seq("band", "bkey")))

@@ -1,0 +1,46 @@
+package graft
+
+import graft.engine.Tables
+import graft.queries.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-near-duplicate recall for the SimHash pipeline (the one
+  * dedup operator without a DuckDB oracle or recall assert in round 1). */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("dedup-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  test("simhash recovers planted one-token mutations with high recall") {
+    import spark.implicits._
+    // one flipped token on a SHORT doc moves a large vote fraction, so
+    // the hamming-8 guarantee is only meaningful for ≥~40-token docs —
+    // plant on those (the same regime the 100 TB dedup targets)
+    val originals = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") < 100 && col("n_chars") >= 250)
+      .select(col("doc_id"), col("text"))
+    val ids = originals.select("doc_id").as[Long].collect()
+    // plant: copy each doc as id+100000 with ONE trailing token changed
+    val mutated = originals
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 6)"), lit(" zzzzz")).as("text"))
+    val corpus = originals.unionByName(mutated)
+
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 8)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    val found = ids.count(i => pairs.contains((i, i + 100000)))
+    assert(found >= math.ceil(ids.length * 0.9).toInt,
+      s"planted-pair recall $found/${ids.length} below 0.9")
+  }
+
+  test("identical documents collide at hamming 0") {
+    val originals = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    val copies = originals.select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val pairs = Dedup.simhashPairs(originals.unionByName(copies), maxHamming = 0)
+    assert(pairs.filter(col("doc_b") === col("doc_a") + 500000).count() === 50)
+  }
+}

@@ -168,6 +168,46 @@ case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature over an array of shingle strings: per shingle,
+  * h = xxhash64(shingle, seed 42) >>> 33 (31-bit), then for each of k
+  * universal-hash permutations (a_i * h + b_i) mod p keep the minimum.
+  * ONE narrow pass per document — replaces the explode + k-way min-agg
+  * shuffle of the relational formulation: at 100 TB the signature rides
+  * the scan stage and only (doc_id, sig) ever shuffles.
+  *
+  * Bit-identical to the SQL pipeline it replaced:
+  * `min((shiftrightunsigned(xxhash64(sh), 33) * a + b) % p)` — same
+  * xxhash seed, same 31-bit truncation, same modular arithmetic.
+  */
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  private val k = a.length
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < arr.numElements()) {
+      if (!arr.isNullAt(t)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L) >>> 33
+        var i = 0
+        while (i < k) {
+          val v = (h * aArr(i) + bArr(i)) % prime
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
@@ -175,6 +215,8 @@ object VectorFunctions {
   def simhash64(c: Column): Column = GraftColumnBridge.column(SimHash64(ex(c)))
   def hyperplaneSig(c: Column, planes: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(HyperplaneSig(ex(c), planes))
+  def minhashSig(c: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
+    GraftColumnBridge.column(MinHashSig(ex(c), a, b, prime))
 
   /** SQL registration: cosine_sim / dot_product / simhash64 usable in spark.sql. */
   def register(spark: SparkSession): Unit = {

@@ -98,16 +98,11 @@ object Dedup extends QueryPack {
 
     // ---- MinHash + LSH banding (scale path; verified via signature est.)
     "d02_minhash_lsh" -> ((s, dir) => {
-      val sh = shingled(s, dir)
-      val hashed = sh.select(col("doc_id"),
-        explode(col("shingles")).as("sh"))
-        .select(col("doc_id"), shiftrightunsigned(xxhash64(col("sh")), 33).as("h"))
-      val minCols = (0 until MinhashK).map { i =>
-        min((col("h") * hashA(i) + hashB(i)) % Prime).as(s"m$i")
-      }
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("doc_id"), array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+      // signature = ONE narrow MinHashSig pass inside the scan stage
+      // (replaces explode + 32-way min-agg shuffle; bit-identical values)
+      val sig = shingled(s, dir).select(col("doc_id"),
+        graft.functions.VectorFunctions.minhashSig(
+          col("shingles"), hashA.toSeq, hashB.toSeq, Prime).as("sig"))
       val bands = sig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until Bands).map(b =>
           hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)).as(Seq("band", "bkey")))

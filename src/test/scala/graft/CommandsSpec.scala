@@ -1,0 +1,68 @@
+package graft
+
+import graft.catalog.{Catalog, Warehouse}
+import graft.sqlx.Commands
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL statement routing: the engine-object surface as SQL strings. */
+class CommandsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("commands-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  private def fresh(): Commands =
+    new Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
+
+  test("CREATE VIEW / query through it / DROP VIEW") {
+    val c = fresh()
+    c.execute("CREATE VIEW big_orders AS SELECT * FROM orders WHERE o_totalprice > 100000")
+    val n = c.execute("SELECT count(*) AS n FROM big_orders").first().getLong(0)
+    val direct = c.execute(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > 100000").first().getLong(0)
+    assert(n === direct && n > 0)
+    c.execute("DROP VIEW big_orders")
+    assert(c.catalog.listViews().isEmpty)
+  }
+
+  test("views shadow base tables in SQL resolution") {
+    val c = fresh()
+    c.execute("CREATE VIEW region AS SELECT * FROM region WHERE r_regionkey < 2")
+    // note: view body captured the base table before shadowing
+    assert(c.execute("SELECT count(*) AS n FROM region").first().getLong(0) === 2)
+  }
+
+  test("CREATE MODEL registers a scorer; SHOW MODELS lists it") {
+    val c = fresh()
+    c.execute("""CREATE MODEL scorer PREDICT score USING
+      features='l_quantity,l_discount', weights='0.1,2.0', bias=1.0""")
+    assert(c.catalog.listModels() === Seq("scorer"))
+    assert(c.execute("SHOW MODELS").collect().map(_.getString(0)).toSeq === Seq("scorer"))
+    val m = c.catalog.model("scorer")
+    assert(m.featureCols === Seq("l_quantity", "l_discount"))
+  }
+
+  test("CREATE JOB parses schedule and runs on tick") {
+    val c = fresh()
+    c.execute("CREATE JOB countr AS (SELECT count(*) FROM region) EVERY 1 hour")
+    val ran = c.jobs.tick(java.time.Instant.now())
+    assert(ran.size === 1 && ran.head.ok)
+    c.execute("DROP JOB countr")
+    assert(c.jobs.list().isEmpty)
+    intercept[IllegalArgumentException] {
+      c.execute("CREATE JOB bad AS (SELECT 1) EVERY 3 eons")
+    }
+  }
+
+  test("CTAS into warehouse + SHOW TABLES + DESCRIBE + DROP TABLE") {
+    val c = fresh()
+    c.execute("CREATE TABLE top_r AS SELECT * FROM region WHERE r_regionkey < 3")
+    assert(c.execute("SELECT count(*) AS n FROM top_r").first().getLong(0) === 3)
+    val tables = c.execute("SHOW TABLES").collect().map(_.getString(0))
+    assert(tables.contains("top_r") && tables.contains("lineitem"))
+    assert(c.execute("DESCRIBE region").collect().map(_.getString(1)).toSeq
+      === Seq("r_regionkey", "r_name"))
+    c.execute("DROP TABLE top_r")
+    assert(!c.warehouse.exists("top_r"))
+  }
+}

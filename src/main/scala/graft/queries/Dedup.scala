@@ -83,11 +83,20 @@ object Dedup extends QueryPack {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .dropDuplicates("doc_a", "doc_b")
+      // verify via per-doc token ARRAYS: one groupBy packs each doc's
+      // distinct token hashes into a single row, then candidates join
+      // the compact array table twice and intersect in-row — cuts the
+      // exploded-token re-join (two wide shuffles of n-tokens-per-doc
+      // rows + a count groupBy) down to one pack shuffle + two
+      // one-row-per-doc joins
+      val tokArr = toks.groupBy(col("doc_id")).agg(collect_list(col("tok")).as("arr"))
       val inter = cands
-        .join(toks.as("ta"), col("doc_a") === col("ta.doc_id"))
-        .join(toks.as("tb"), col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("i"))
+        .join(tokArr.select(col("doc_id").as("_ida"), col("arr").as("arr_a")),
+          col("doc_a") === col("_ida"))
+        .join(tokArr.select(col("doc_id").as("_idb"), col("arr").as("arr_b")),
+          col("doc_b") === col("_idb"))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          size(array_intersect(col("arr_a"), col("arr_b"))).cast(LongType).as("i"))
       inter
         .select(col("doc_a"), col("doc_b"),
           (col("i").cast(DoubleType) / (col("na") + col("nb") - col("i"))).as("jac"))

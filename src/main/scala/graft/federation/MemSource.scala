@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** In-memory DSv2 catalog with real pushdown — the Spark-native mirror of
@@ -92,11 +92,15 @@ class MemScanBuilder(tableName: String, fullSchema: StructType, rows: Seq[Row])
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.{Expression => CExpr, FieldReference}
 
   private var requiredSchema = fullSchema
   private var accepted: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggregation: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(MemFilterEval.supported(fullSchema, _))
@@ -107,19 +111,116 @@ class MemScanBuilder(tableName: String, fullSchema: StructType, rows: Seq[Row])
   override def pushedFilters(): Array[Filter] = accepted
 
   override def pruneColumns(required: StructType): Unit =
-    requiredSchema = StructType(fullSchema.fields.filter(f =>
-      required.fieldNames.contains(f.name)))
+    requiredSchema =
+      if (aggregation.isDefined) required // post-aggregation output shape
+      else StructType(fullSchema.fields.filter(f => required.fieldNames.contains(f.name)))
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  // ---- whole-aggregate pushdown: the DSv2-native form of the
+  // reference's ship-the-whole-query-to-the-source planning
+  // (query_planner.py:787-807) — MIN/MAX/SUM/COUNT(*) with GROUP BY
+  // evaluate source-side; Spark sees finished groups.
+
+  private def refName(e: CExpr): Option[String] = e match {
+    case f: org.apache.spark.sql.connector.expressions.NamedReference
+        if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  private def aggSupported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.forall(refName(_).isDefined) &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => refName(m.column).isDefined
+        case m: Max => refName(m.column).isDefined
+        case s: Sum => !s.isDistinct && refName(s.column).isDefined
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = aggSupported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (aggSupported(agg)) {
+      aggregation = Some(agg)
+      // the scan's output IS the aggregated shape from here on:
+      // group-by columns first, then one column per aggregate — Spark
+      // matches positionally in that order (V2 pushdown layout)
+      val groupFields = agg.groupByExpressions.toSeq.map(e =>
+        fullSchema(refName(e).get))
+      val aggFields = agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"agg_$i", LongType)
+        case (m: Min, i) => StructField(s"agg_$i", fullSchema(refName(m.column).get).dataType)
+        case (m: Max, i) => StructField(s"agg_$i", fullSchema(refName(m.column).get).dataType)
+        case (s: Sum, i) =>
+          val t = fullSchema(refName(s.column).get).dataType match {
+            case LongType | IntegerType | ShortType | ByteType => LongType
+            case other => other
+          }
+          StructField(s"agg_$i", t)
+        case (other, _) => throw new UnsupportedOperationException(other.toString)
+      }
+      requiredSchema = StructType(groupFields ++ aggFields)
+      true
+    } else false
+
   override def build(): Scan = {
-    // source-side evaluation: filter → prune → limit happen HERE, before
-    // rows ever enter Spark
+    // source-side evaluation: filter → aggregate|project → limit happen
+    // HERE, before rows ever enter Spark
     val filtered = rows.filter(r => accepted.forall(MemFilterEval.eval(fullSchema, r, _)))
-    val limited = limit.fold(filtered)(filtered.take)
-    val idx = requiredSchema.fieldNames.map(fullSchema.fieldIndex)
-    val projected = limited.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
-    new MemScan(requiredSchema, projected)
+    val out = aggregation match {
+      case Some(agg) => MemAggEval.eval(fullSchema, filtered, agg)
+      case None =>
+        val idx = requiredSchema.fieldNames.map(fullSchema.fieldIndex)
+        filtered.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
+    }
+    val limited = limit.fold(out)(out.take)
+    new MemScan(requiredSchema, limited)
+  }
+}
+
+/** Driver-side (i.e. "source"-side) evaluation of pushed aggregates. */
+object MemAggEval {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.FieldReference
+
+  private def name(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference].fieldNames()(0)
+
+  def eval(schema: StructType, rows: Seq[Row], agg: Aggregation): Seq[Row] = {
+    val groupCols = agg.groupByExpressions.toSeq.map(name)
+    val groupIdx = groupCols.map(schema.fieldIndex)
+    def numeric(v: Any): Double = v match {
+      case null => 0.0
+      case n: java.lang.Number => n.doubleValue()
+    }
+    rows.groupBy(r => groupIdx.map(r.get)).toSeq.map { case (key, grp) =>
+      val aggVals = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => grp.size.toLong
+        case m: Min =>
+          val vals = grp.map(_.get(schema.fieldIndex(name(m.column)))).filter(_ != null)
+          if (vals.isEmpty) null
+          else vals.reduce((a, b) =>
+            if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b)
+        case m: Max =>
+          val vals = grp.map(_.get(schema.fieldIndex(name(m.column)))).filter(_ != null)
+          if (vals.isEmpty) null
+          else vals.reduce((a, b) =>
+            if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b)
+        case s: Sum =>
+          val i = schema.fieldIndex(name(s.column))
+          // `: Any` blocks Scala's numeric unification — without it the
+          // Long branch silently widens to Double to match the other arm
+          val v: Any = schema.fields(i).dataType match {
+            case LongType | IntegerType | ShortType | ByteType =>
+              grp.map(r => if (r.isNullAt(i)) 0L else numeric(r.get(i)).toLong).sum
+            case _ => grp.map(r => numeric(r.get(i))).sum
+          }
+          v
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+      Row.fromSeq(key ++ aggVals)
+    }
   }
 }
 

@@ -134,6 +134,12 @@ object MySqlCompat {
     add("subdate", es => DateSub(es.head, es(1)))
     add("addtime", es => SecondsToTimestamp(
       Add(UnixSeconds(Cast(es.head, TimestampType)), Cast(es(1), LongType))))
+    add("get_format", es => (es.head, es(1)) match {
+      case (Literal(k, _), Literal(std, _)) if k != null && std != null =>
+        Literal(getFormat(k.toString, std.toString))
+      case other => throw new IllegalArgumentException(
+        s"get_format needs literal arguments, got $other")
+    })
     add("instr_mysql", es => StringInstr(es.head, es(1)))
     add("regexp_substr_mysql", es => RegExpExtract(es.head, es(1), Literal(0)))
   }

@@ -51,6 +51,13 @@ class CompatSpec extends AnyFunSuite {
     assert(one("CAST(subdate(DATE '2008-01-01', 31) AS STRING)") === "2007-12-01")
   }
 
+  test("get_format returns MySQL standard format strings") {
+    assert(one("get_format('date', 'ISO')") === "%Y-%m-%d")
+    assert(one("get_format('datetime', 'usa')") === "%Y-%m-%d %H.%i.%s")
+    assert(one("mysql_date_format(DATE '2026-06-07', get_format('date', 'INTERNAL'))")
+      === "20260607")
+  }
+
   test("llm / to_markdown / doc_hash are deterministic and composable") {
     val a = one("llm('what is spark')")
     val b = one("llm('what is spark')")

@@ -52,6 +52,23 @@ class FederationSpec extends AnyFunSuite {
     assert(df.count() === 7)
   }
 
+  test("aggregate pushdown: MIN/MAX/SUM/COUNT group-by evaluates source-side") {
+    MemTables.register("metrics", StructType(Seq(
+      StructField("grp", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+      (1L to 90L).map(i => Row(s"g${i % 3}", i * 0.5, i)))
+    val df = spark.table("mem.metrics").groupBy("grp")
+      .agg(count(lit(1)).as("c"), max(col("score")).as("mx"), sum(col("n")).as("s"))
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(rows("g0") === ((30L, 45.0, (3L to 90L by 3).sum)))
+    assert(rows("g1") === ((30L, 44.0, (1L to 88L by 3).sum)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") || !plan.contains("HashAggregate"),
+      s"aggregate not pushed:\n$plan")
+  }
+
   test("cross-catalog join resolves both namespaces") {
     MemTables.register("dim", StructType(Seq(
       StructField("r_regionkey", LongType, nullable = false),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden plan-shape tests — the Catalyst analog of the reference's
+  * planner golden tests (tests/unit/planner/: expected step lists; here,
+  * expected physical-plan properties). These catch silent regressions
+  * the value oracle can't see: a filter that stops reaching the scan, a
+  * broadcast that degrades to shuffle, a projection that stops pruning.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("planshape-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+
+  test("q02 filter + projection reach the parquet scan") {
+    val plan = executedPlan("q02_filter_topn")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("GreaterThan") || plan.contains("IsNotNull"),
+      "expected predicate in PushedFilters")
+    // pruned read: the scan schema must not include every lineitem column
+    assert(!plan.contains("l_comment"), "projection not pruned")
+  }
+
+  test("q05 small dimension joins broadcast, not shuffle") {
+    val plan = executedPlan("q05_broadcast_dim")
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+  }
+
+  test("q01 aggregates split partial/final (map-side combine)") {
+    val plan = executedPlan("q01_pricing_summary")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("k02 semantic search is scan -> project -> top-k (no shuffle before TakeOrdered)") {
+    val plan = executedPlan("k02_kb_semantic_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not a TakeOrdered:\n$plan")
+  }
+
+  test("m01 model apply joins back without a wide shuffle of the payload") {
+    val plan = executedPlan("m01_model_join")
+    // row-id join over co-partitioned mapPartitions output: no
+    // BroadcastNestedLoop / Cartesian anywhere
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"degenerate join in model apply:\n$plan")
+  }
+
+  test("s04 signature stage has no exchange before banding") {
+    val df = SparkEntry.queries("s04_ann_lsh")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the old shape had Aggregate(vec_id) over a plane crossJoin before
+    // the band join — both must be gone
+    assert(!plan.toLowerCase.contains("aggregate [vec_id"),
+      s"full-vector reshuffle is back:\n$plan")
+  }
+
+  test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
+    val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
+      "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",
+      "k05_kb_hybrid", "k07_kb_evaluate")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .filter { name =>
+        val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString
+        plan.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
+  }
+}

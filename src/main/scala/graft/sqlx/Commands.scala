@@ -76,10 +76,23 @@ final class Commands(
     case other => run(other)
   }
 
+  /** Parameterized execution — the prepared-statement surface
+    * (reference PreparedStatementPlanner, planner/query_prepare.py):
+    * named `:param` markers bind server-side, no string splicing. */
+  def execute(sql: String, params: Map[String, Any]): DataFrame = {
+    registerRelations()
+    spark.sql(sql, params)
+  }
+
   /** Run a SELECT with catalog resolution: every known relation
     * (base table, warehouse table, view) is registered as a temp view
     * first, so views shadow tables exactly as in [[Catalog.resolve]]. */
   private def run(sql: String): DataFrame = {
+    registerRelations()
+    spark.sql(sql)
+  }
+
+  private def registerRelations(): Unit = {
     graft.engine.Tables.names.foreach { n =>
       catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
     }
@@ -89,7 +102,6 @@ final class Commands(
     catalog.listViews().foreach { n =>
       catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
     }
-    spark.sql(sql)
   }
 
   private def ok(msg: String): DataFrame =

@@ -54,6 +54,17 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("parameterized queries bind named params server-side") {
+    val c = fresh()
+    val n = c.execute(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > :minp AND o_orderstatus = :st",
+      Map("minp" -> 100000, "st" -> "O")).first().getLong(0)
+    val direct = c.execute(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > 100000 AND o_orderstatus = 'O'")
+      .first().getLong(0)
+    assert(n === direct && n > 0)
+  }
+
   test("CTAS into warehouse + SHOW TABLES + DESCRIBE + DROP TABLE") {
     val c = fresh()
     c.execute("CREATE TABLE top_r AS SELECT * FROM region WHERE r_regionkey < 3")

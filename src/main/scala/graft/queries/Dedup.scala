@@ -83,13 +83,13 @@ object Dedup extends QueryPack {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .dropDuplicates("doc_a", "doc_b")
-      // verify via per-doc token ARRAYS: one groupBy packs each doc's
-      // distinct token hashes into a single row, then candidates join
-      // the compact array table twice and intersect in-row — cuts the
-      // exploded-token re-join (two wide shuffles of n-tokens-per-doc
-      // rows + a count groupBy) down to one pack shuffle + two
-      // one-row-per-doc joins
-      val tokArr = toks.groupBy(col("doc_id")).agg(collect_list(col("tok")).as("arr"))
+      // verify via per-doc token ARRAYS derived NARROWLY from the
+      // shingle arrays (hash inside transform — no explode, no pack
+      // shuffle), then candidates join the compact one-row-per-doc table
+      // twice and intersect in-row — replaces the exploded-token re-join
+      // (two wide shuffles of n-tokens-per-doc rows + a count groupBy)
+      val tokArr = sh.select(col("doc_id"),
+        transform(col("shingles"), t => xxhash64(t)).as("arr"))
       val inter = cands
         .join(tokArr.select(col("doc_id").as("_ida"), col("arr").as("arr_a")),
           col("doc_a") === col("_ida"))

@@ -77,6 +77,46 @@ object TextOps extends QueryPack {
         .groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keep_doc_id"))
+    }),
+
+    "t06_lang_id" -> ((s, dir) => {
+      // n-gram language-ID: character-trigram profiles built from a
+      // labeled slice (top-20 trigrams per language — a SMALL aggregate),
+      // broadcast against a narrow scoring scan over the rest; prediction
+      // = argmax profile overlap. The scale shape: profile build touches
+      // the training slice once, scoring is an embarrassingly parallel
+      // map with a 5-row broadcast. Output = confusion matrix vs labels.
+      // (On this synthetic corpus text is language-independent, so the
+      // matrix shows near-uniform confusion — the operator contract is
+      // the deterministic scoring, verified by the oracle.)
+      val docs = t(s, dir, "documents")
+      // guard length<3: Spark's sequence(1, 0) DESCENDS instead of
+      // yielding empty (DuckDB range is end-exclusive-empty)
+      val tris = (c: org.apache.spark.sql.Column) =>
+        when(length(c) >= 3,
+          transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+          .otherwise(array())
+      val train = docs.filter(col("doc_id") < 250)
+        .select(col("lang"), explode(tris(lower(col("text")))).as("tri"))
+        .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))
+      val profiles = train
+        .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 20)
+        .groupBy(col("lang").as("plang"))
+        .agg(sort_array(collect_list(col("tri"))).as("profile"))
+      val scored = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(tris(lower(col("text")))).as("dtris"))
+        .crossJoin(broadcast(profiles))
+        .select(col("doc_id"), col("lang"), col("plang"),
+          size(array_intersect(col("dtris"), col("profile"))).as("score"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))
+      scored.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+        .groupBy(col("lang"), col("plang").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
     })
   )
 
@@ -115,6 +155,30 @@ object TextOps extends QueryPack {
 
     "t05_exact_dedup" -> """
       SELECT MD5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, COUNT(*) AS n_copies
-      FROM documents GROUP BY 1 ORDER BY keep_doc_id"""
+      FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
+
+    "t06_lang_id" -> """
+      WITH tri_train AS (
+        SELECT lang, unnest(list_transform(range(1, length(lower(text)) - 1),
+          i -> substr(lower(text), CAST(i AS INT), 3))) AS tri
+        FROM documents WHERE doc_id < 250),
+      counts AS (SELECT lang, tri, COUNT(*) AS n FROM tri_train GROUP BY lang, tri),
+      ranked AS (SELECT lang, tri,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rk
+        FROM counts),
+      profiles AS (SELECT lang AS plang, list_sort(list(tri)) AS profile
+        FROM ranked WHERE rk <= 20 GROUP BY lang),
+      scored AS (
+        SELECT d.doc_id, d.lang, p.plang,
+          len(list_intersect(
+            list_distinct(list_transform(range(1, length(lower(d.text)) - 1),
+              i -> substr(lower(d.text), CAST(i AS INT), 3))),
+            p.profile)) AS score
+        FROM documents d CROSS JOIN profiles p WHERE d.doc_id >= 250),
+      best AS (SELECT doc_id, lang, plang,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rk
+        FROM scored)
+      SELECT lang, plang AS pred_lang, COUNT(*) AS n
+      FROM best WHERE rk = 1 GROUP BY lang, plang ORDER BY lang, pred_lang"""
   )
 }

@@ -120,20 +120,48 @@ object Kb {
     * thresholding are engine-stable (see graft.queries.Parity). */
   def relevanceOf(dist: Column): Column = round(lit(1.0) / (lit(1.0) + dist), 4)
 
+  /** Reranker contract (controller.py:446-487): given the query text and
+    * an over-fetched result page, replace `relevance` with reranked
+    * scores; results under [[filteringThreshold]] drop. The reference
+    * calls an LLM listwise reranker here — any deterministic scorer with
+    * the same shape plugs in. */
+  trait Reranker extends Serializable {
+    def filteringThreshold: Double = 0.0
+    def rerank(queryText: String, results: DataFrame): DataFrame
+  }
+
+  /** Deterministic reranker stub: blend vector relevance with query-token
+    * overlap — stands in for the LLM scorer, oracle-reproducible. */
+  final class KeywordBoostReranker extends Reranker {
+    def rerank(queryText: String, results: DataFrame): DataFrame = {
+      val toks: Column => Column =
+        c => array_distinct(regexp_extract_all(lower(c), lit("\\S+"), lit(0)))
+      val qn = queryText.trim.toLowerCase.split("\\s+").distinct.length
+      results.withColumn("relevance",
+        round(col("relevance") * 0.5 +
+          size(array_intersect(toks(col("content")), toks(lit(queryText))))
+            .cast("double") / qn * 0.5, 4))
+    }
+  }
+
   /** Vector search: score every chunk passing `metaFilter` against the
     * query text, attach distance + relevance, keep top `limit`.
     *
     * One pruned scan + one narrow projection + one top-k sort; the query
     * vector is a constant-folded literal (no broadcast join needed for a
-    * single query). Limit defaults/caps per controller.py:354-368.
+    * single query). Limit defaults/caps per controller.py:354-368; with a
+    * reranker the fetch over-expands to min(limit×2, limit+30) before
+    * reranking, then cuts back to `limit` (controller.py:362-368).
     */
   def vectorSearch(
       chunks: DataFrame,
       queryText: String,
       metaFilter: Column = lit(true),
       limit: Int = DefaultLimit,
-      minRelevance: Option[Double] = None): DataFrame = {
+      minRelevance: Option[Double] = None,
+      reranker: Option[Reranker] = None): DataFrame = {
     val k = math.min(if (limit <= 0) DefaultLimit else limit, MaxLimit)
+    val fetchK = reranker.fold(k)(_ => math.min(k * 2, k + 30))
     val scored = chunks
       .filter(metaFilter)
       .withColumn("distance", round(lit(1.0) - cosineSim(col("emb"), embed(lit(queryText))), 4))
@@ -142,9 +170,17 @@ object Kb {
       case Some(t) => scored.filter(col("relevance") > t)
       case None => scored
     }
-    thresholded
+    val page = thresholded
       .orderBy(col("relevance").desc, col("chunk_id"))
-      .limit(k)
+      .limit(fetchK)
+    reranker match {
+      case None => page
+      case Some(rr) =>
+        rr.rerank(queryText, page)
+          .filter(col("relevance") >= rr.filteringThreshold)
+          .orderBy(col("relevance").desc, col("chunk_id"))
+          .limit(k)
+    }
   }
 
   /** Boolean search algebra (executor.py:28-395). The reference compiles

@@ -75,6 +75,15 @@ object KbPack extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    "k08_kb_rerank" -> ((s, dir) => {
+      // over-fetch ×2 → rerank (keyword-boost stub standing in for the
+      // LLM listwise reranker) → cut back to limit
+      vectorSearch(kb(s, dir), QueryA, limit = 10,
+        reranker = Some(new KeywordBoostReranker))
+        .select(col("chunk_id"), col("doc_id"), col("relevance"))
+        .orderBy(col("relevance").desc, col("chunk_id"))
+    }),
+
     "k07_kb_evaluate" -> ((s, dir) => {
       val queries = docs(s, dir).filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"),
@@ -176,6 +185,23 @@ object KbPack extends QueryPack {
       SELECT chunk_id, doc_id FROM chunks
       WHERE chunk_id NOT IN (SELECT chunk_id FROM chunks WHERE doc_id < 250)
       ORDER BY doc_id, chunk_id""",
+
+    "k08_kb_rerank" -> {
+      val qn = QueryA.trim.toLowerCase.split("\\s+").distinct.length
+      s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      qt AS (SELECT list_distinct(regexp_extract_all(lower(${sq(QueryA)}), '\\S+')) AS qtoks),
+      page AS (SELECT * FROM (
+        SELECT chunk_id, doc_id, content, ${oRel("q")} AS relevance FROM emb, qv
+        ORDER BY relevance DESC, chunk_id LIMIT 20)),
+      reranked AS (SELECT chunk_id, doc_id,
+          ROUND(relevance * 0.5 +
+            CAST(len(list_intersect(list_distinct(regexp_extract_all(lower(content), '\\S+')), qtoks)) AS DOUBLE) / $qn * 0.5, 4) AS relevance
+        FROM page, qt)
+      SELECT * FROM (SELECT * FROM reranked WHERE relevance >= 0.0
+        ORDER BY relevance DESC, chunk_id LIMIT 10)
+      ORDER BY relevance DESC, chunk_id"""
+    },
 
     "k07_kb_evaluate" -> s"""$oPrefix,
       queries AS (SELECT doc_id AS query_id, substr(text, 1, $ChunkSize) AS query_text,

@@ -71,8 +71,42 @@ object Similarity extends QueryPack {
 
     "s04_ann_lsh" -> ((s, dir) =>
       annTopK(s, emb(s, dir), col("vec_id") < 20, k = 3)
+        .orderBy(col("q_id"), col("rnk"))),
+
+    "s05_ann_ivf" -> ((s, dir) =>
+      ivfTopK(emb(s, dir), col("vec_id") < 10, k = 5, nCent = 8, nProbe = 2)
         .orderBy(col("q_id"), col("rnk")))
   )
+
+  /** IVF-style ANN: a fixed coarse codebook (here: the first `nCent`
+    * vectors stand in for trained centroids), every vector assigned to
+    * its nearest cell (one broadcast of nCent rows + a narrow argmax —
+    * the inverted lists partition the corpus), queries probe their
+    * `nProbe` nearest cells and brute-force only those lists. At 100 TB
+    * the candidate join touches ~nProbe/nCent of the corpus instead of
+    * all of it; the codebook scan is a narrow map either way.
+    */
+  def ivfTopK(e: DataFrame, isQuery: Column, k: Int, nCent: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(e.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+    val ranked = e.crossJoin(cents)
+      .select(col("vec_id"), col("v"), isQuery.as("is_q"), col("cent_id"),
+        round(cosineSim(col("v"), col("cv")), 4).as("cc"))
+      .withColumn("crk", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("is_q") && col("crk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cosineSim(col("v"), col("qv")), 4).as("c"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("c").as("cos_sim"))
+  }
 
   /** Approximate top-k via random-hyperplane LSH: 16 signed projections →
     * 4 bands of 4 bits; vectors sharing any band are candidates
@@ -144,6 +178,31 @@ object Similarity extends QueryPack {
       SELECT label, ai, bi, ROUND(c, 4) AS cos_sim FROM (
         SELECT CAST(a.label AS INTEGER) AS label, a.vec_id AS ai, b.vec_id AS bi, $cosExpr AS c
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-      WHERE c >= 0.35 ORDER BY ai, bi"""
+      WHERE c >= 0.35 ORDER BY ai, bi""",
+
+    "s05_ann_ivf" -> {
+      def cosOf(x: String, y: String) =
+        s"""list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])) /
+           (sqrt(list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$x[i]))) *
+            sqrt(list_sum(list_transform(range(1, len($y)+1), i -> $y[i]*$y[i]))))"""
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, e.v, e.vec_id < 10 AS is_q, c.cent_id,
+          ROUND(${cosOf("e.v", "c.cv")}, 4) AS cc
+        FROM e CROSS JOIN cents c),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS crk
+        FROM scored),
+      assigned AS (SELECT vec_id, v, cent_id AS cell FROM ranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS q_id, v AS qv, cent_id AS cell FROM ranked WHERE is_q AND crk <= 2),
+      cands AS (SELECT DISTINCT p.q_id, a.vec_id, ROUND(${cosOf("a.v", "p.qv")}, 4) AS c
+        FROM probes p JOIN assigned a USING (cell) WHERE a.vec_id <> p.q_id),
+      topk AS (SELECT q_id, vec_id, c,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk
+        FROM cands)
+      SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, c AS cos_sim
+      FROM topk WHERE rnk <= 5 ORDER BY q_id, rnk"""
+    }
   )
 }

@@ -92,6 +92,20 @@ object Kb {
   def ingest(docs: DataFrame, contentCol: String = "text"): DataFrame =
     chunk(docs, contentCol).withColumn("emb", embed(col("content")))
 
+  /** Partitioned ingest (query_planner.py:918-978): the reference
+    * auto-rewrites `INSERT INTO kb SELECT …` into a batched, resumable
+    * fetch plan. Composes keyset pagination (each batch a bounded
+    * pushed-down scan, resumable via FetchState) with the chunk+embed
+    * pipeline. */
+  def partitionedIngest(
+      src: () => DataFrame,
+      trackCol: String,
+      batchSize: Int,
+      state: graft.federation.FetchState = new graft.federation.FetchState,
+      contentCol: String = "text"): DataFrame =
+    ingest(graft.federation.PartitionedFetch.keysetFetch(src, trackCol, batchSize, state),
+      contentCol)
+
   /** `kb_skip_existing` semantics (controller.py:728-740): drop incoming
     * chunks whose chunk_id is already present. Key-only left_anti — the
     * scale-correct shape (no payload shuffle of the existing side). */

@@ -83,6 +83,17 @@ object Events extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    "e06_sliding_window" -> ((s, dir) => {
+      // sliding 3-day windows advancing 1 day (window() assigns each
+      // event to 3 overlapping windows — an in-plan explode, no self
+      // join); completes the tumbling/sliding/session trio
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "3 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("total_value"))
+        .orderBy(col("window_start"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -132,6 +143,12 @@ object Events extends QueryPack {
         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS converted
       FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "e06_sliding_window" -> s"""
+      SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) - INTERVAL (k) DAY AS window_start,
+        COUNT(*) AS n, ${oSum("value")} AS total_value
+      FROM events, UNNEST(generate_series(0, 2)) AS t(k)
+      GROUP BY 1 ORDER BY window_start""",
 
     "e05_hourly_active" -> """
       WITH hourly AS (

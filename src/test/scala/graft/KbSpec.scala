@@ -73,6 +73,34 @@ class KbSpec extends AnyFunSuite {
     assert(res.join(top, Seq("chunk_id"), "left_semi").count() === 0)
   }
 
+  test("partitioned ingest equals direct ingest and resumes mid-way") {
+    val st = new graft.federation.FetchState
+    val part1 = Kb.partitionedIngest(() => docs, "doc_id", 20, st, "text")
+    // interrupted? no — drain fully; compare chunk-id sets with direct
+    val direct = chunks
+    assert(part1.select("chunk_id").exceptAll(direct.select("chunk_id")).count() === 0)
+    assert(direct.select("chunk_id").exceptAll(part1.select("chunk_id")).count() === 0)
+
+    // resume path: one batch, then the rest
+    val st2 = new graft.federation.FetchState
+    val firstBatch = graft.federation.PartitionedFetch
+      .keysetFetch(() => docs, "doc_id", 20, st2, maxBatches = 1)
+    val rest = Kb.partitionedIngest(() => docs, "doc_id", 20, st2, "text")
+    assert(Kb.ingest(firstBatch).count() + rest.count() === direct.count())
+  }
+
+  test("reranker over-fetch admits keyword matches the vector page missed") {
+    val rr = new KeywordBoostReranker
+    val base = vectorSearch(chunks, "table scan filter join", limit = 10)
+    val reranked = vectorSearch(chunks, "table scan filter join", limit = 10,
+      reranker = Some(rr))
+    // deterministic both ways, same cardinality, order generally differs
+    assert(reranked.count() === 10 && base.count() === 10)
+    val a = base.select("chunk_id").collect().map(_.getString(0)).toSeq
+    val b = reranked.select("chunk_id").collect().map(_.getString(0)).toSeq
+    assert(a.toSet != b.toSet || a != b, "reranker had no observable effect")
+  }
+
   test("evaluate: exact-chunk queries retrieve their own doc at rank 1") {
     val queries = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"),

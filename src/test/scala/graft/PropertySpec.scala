@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.MySqlCompat
+import graft.kb.Kb
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based tests for function-shim and chunking edges (SURVEY §5
+  * test-strategy item 3 — the reference has no property testing; these
+  * cover input spaces the example-based specs can't enumerate). */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("property-spec")
+
+  /** run a ScalaCheck property with n cases, failing the suite on any
+    * counterexample (scalatestplus bridge is not in the offline cache) */
+  private def check(n: Int)(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("date_format translation never leaves a bare specifier and quotes every literal letter") {
+    val spec = Gen.oneOf("YymcdeHkhIisfMbWajpT%".toSeq)
+    val fmtGen = Gen.listOf(Gen.oneOf(
+      spec.map(c => s"%$c"),
+      Gen.oneOf("-", ":", "/", " ", ".", "T", "x").map(_.toString))).map(_.mkString)
+    check(60)(Prop.forAll(fmtGen) { fmt =>
+      val out = MySqlCompat.translateDateFormat(fmt)
+      // every letter in the output is either part of a known java.time
+      // pattern word or single-quoted
+      val unquoted = out.replaceAll("'[^']*'", "")
+      unquoted.forall(c => "yMdEHhmsSDa".contains(c) || !c.isLetter)
+    })
+  }
+
+  test("chunking covers any text exactly: reconstruction and bounds") {
+    import spark.implicits._
+    val texts = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.mkString(" "))
+    check(30)(Prop.forAll(texts) { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = Kb.chunk(df).orderBy("chunk_ix")
+        .select("chunk_ix", "start_c", "end_c", "content", "n_chunks", "len")
+        .collect()
+      val n = chunks.length
+      assert(n === chunks.head.getLong(4))
+      // every chunk <= ChunkSize; consecutive chunks overlap by Overlap
+      chunks.foreach { c =>
+        assert(c.getString(3).length <= Kb.ChunkSize)
+        assert(c.getLong(2) - c.getLong(1) === c.getString(3).length)
+      }
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) === a.getLong(1) + Kb.Step)
+        case _ =>
+      }
+      // full coverage: last chunk ends at len
+      assert(chunks.last.getLong(2) === text.length.toLong)
+      // reconstruction: first Step chars of each chunk + final chunk tail
+      val rebuilt = chunks.dropRight(1).map(_.getString(3).take(Kb.Step)).mkString +
+        chunks.last.getString(3)
+      rebuilt == text
+    })
+  }
+
+  test("salted join equals plain join for any salt factor") {
+    val big = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val small = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "orders")
+      .groupBy("o_orderpriority").count()
+    check(4)(Prop.forAll(Gen.choose(1, 8)) { saltFactor =>
+      val salted = graft.engine.Skew.saltedJoin(big, small, Seq("o_orderpriority"), saltFactor)
+      val plain = big.join(small, Seq("o_orderpriority"))
+      assert(salted.count() === plain.count())
+      salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0
+    })
+  }
+
+  test("watermark store is monotone under arbitrary advance sequences") {
+    import spark.implicits._
+    val store = new graft.incremental.Watermarks(
+      java.nio.file.Files.createTempDirectory("wm_prop").toString)
+    check(20)(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000000L))) { values =>
+      val id = "q" + values.hashCode()
+      values.foreach { v =>
+        val df = Seq(v).toDF("micros").select(timestamp_micros(col("micros")).as("ts"))
+        store.advance(df, "ts", id)
+      }
+      store.get(id).contains(values.max)
+    })
+  }
+}

@@ -14,9 +14,11 @@ object SparkEntry {
     Seq(Relational, TextOps, Dedup, Similarity, Events, KbPack, ModelPack, WritesPack,
       FederationPack, CompatPack, MultimodalPack)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Knowledge-base semantic search — the reference's flagship capability:
+    * chunked ingest + deterministic embeddings + relevance-ranked top-k. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q04_multijoin_region")(spark, "/root/testdata/sf0.001")
+    KbPack.queries("k02_kb_semantic_search")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -25,7 +25,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.build("graft-bench")
+    // optional comma-separated name-prefix filter for targeted timing
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.exists(n.startsWith)) }
     // warm-up: JVM/codegen/parquet-footer caches; excluded from numbers
     queries.foreach { case (_, fn) => force(fn(spark, sfDir)) }
     val results = queries.map { case (name, fn) =>

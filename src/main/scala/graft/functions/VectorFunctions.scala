@@ -208,6 +208,33 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Character n-grams of a string as an array — one tight loop per row,
+  * replacing a `transform(sequence(...), substr)` pipeline that re-reads
+  * the string once per position (t06's dominant cost). Char-based
+  * (UTF-16) slicing: identical to codepoint-based `substr` for BMP text,
+  * which is what the corpus and the DuckDB oracle use. */
+case class CharNGrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val m = str.length - n + 1
+    if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(str.substring(i, i + n))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
@@ -217,6 +244,8 @@ object VectorFunctions {
     GraftColumnBridge.column(HyperplaneSig(ex(c), planes))
   def minhashSig(c: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
     GraftColumnBridge.column(MinHashSig(ex(c), a, b, prime))
+  def charNGrams(c: Column, n: Int): Column =
+    GraftColumnBridge.column(CharNGrams(ex(c), n))
 
   /** SQL registration: cosine_sim / dot_product / simhash64 usable in spark.sql. */
   def register(spark: SparkSession): Unit = {

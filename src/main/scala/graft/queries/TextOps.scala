@@ -90,12 +90,11 @@ object TextOps extends QueryPack {
       // matrix shows near-uniform confusion — the operator contract is
       // the deterministic scoring, verified by the oracle.)
       val docs = t(s, dir, "documents")
-      // guard length<3: Spark's sequence(1, 0) DESCENDS instead of
-      // yielding empty (DuckDB range is end-exclusive-empty)
+      // native CharNGrams: one pass per row (the transform+substr
+      // formulation re-reads the string once per position); empty for
+      // length<3, matching DuckDB's end-exclusive range
       val tris = (c: org.apache.spark.sql.Column) =>
-        when(length(c) >= 3,
-          transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
-          .otherwise(array())
+        graft.functions.VectorFunctions.charNGrams(c, 3)
       val train = docs.filter(col("doc_id") < 250)
         .select(col("lang"), explode(tris(lower(col("text")))).as("tri"))
         .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))

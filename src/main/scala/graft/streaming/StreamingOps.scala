@@ -32,6 +32,14 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("day"), col("event_type"), col("n"))
 
+  /** e06 twin: 3-day sliding windows advancing 1 day. */
+  def slidingWindow(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame =
+    stream(spark, sourceDir, schema)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "3 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
   /** e02 twin: gap-based sessionization via session_window (30 min). */
   def sessionize(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame =
     stream(spark, sourceDir, schema)

@@ -38,6 +38,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming sliding window == batch e06 counts") {
+    val streamed = StreamingOps.drainToMemory(
+      StreamingOps.slidingWindow(spark, streamDir, rawSchema), "s_e06")
+    val batch = Tables.table(spark, dir, "events")
+      .groupBy(window(col("ts"), "3 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming session_window session count == batch gap sessionization") {
     val streamed = StreamingOps.drainToMemory(
       StreamingOps.sessionize(spark, streamDir, rawSchema), "s_e02")

@@ -15,9 +15,15 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
+      df.collect() // materialize so AQE finalizes (codegen markers appear)
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
       val nEx = "Exchange".r.findAllIn(plan).length
-      val nCodegen = "WholeStageCodegen".r.findAllIn(plan).length
+      // codegen stages appear as "*(n)" prefixes in the final plan
+      val nCodegen = """\*\((\d+)\)""".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(s"==== $name  exchanges=$nEx codegen_stages=$nCodegen ====")
       df.explain("formatted")
     }

@@ -90,10 +90,13 @@ object Similarity extends QueryPack {
     val cents = broadcast(e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+    // cached: both the inverted lists (crk=1) and the query probes
+    // (crk<=nProbe) read this ranking — one codebook pass, not two
     val ranked = e.crossJoin(cents)
       .select(col("vec_id"), col("v"), isQuery.as("is_q"), col("cent_id"),
         round(cosineSim(col("v"), col("cv")), 4).as("cc"))
       .withColumn("crk", row_number().over(wAssign))
+      .cache()
     val assigned = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
     val probes = ranked.filter(col("is_q") && col("crk") <= nProbe)

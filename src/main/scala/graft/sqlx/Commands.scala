@@ -33,6 +33,9 @@ final class Commands(
     """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s*\(\s*(.+?)\s*\)\s+EVERY\s+(.+?)\s*""".r
   private val DropJob = """(?is)\s*DROP\s+JOB\s+(\w+)\s*""".r
   private val ShowStmt = """(?is)\s*SHOW\s+(TABLES|VIEWS|MODELS|JOBS)\s*""".r
+  private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
+  private val SetStmt = """(?is)\s*SET\s+([\w.]+)\s*=\s*(.+?)\s*""".r
+  private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(\w+)\s*""".r
   private val Ctas = """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+)""".r
@@ -73,6 +76,23 @@ final class Commands(
       case "JOBS" => list("job_name", jobs.list().map(_.name))
     }
     case DescribeStmt(name) => catalog.describe(name)
+    case ExplainStmt(body) =>
+      // EXPLAIN (command_executor.py EXPLAIN dispatch): the optimized +
+      // physical plan as a one-row frame
+      val qe = run(body).queryExecution
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(qe.optimizedPlan.toString,
+          qe.executedPlan.toString)), 1),
+        StructType(Seq(StructField("optimized_plan", StringType),
+          StructField("physical_plan", StringType))))
+    case SetStmt(key, value) =>
+      // SET (no-op pass-through to session conf, like the reference's
+      // server-variable handling)
+      spark.conf.set(key, value.stripPrefix("'").stripSuffix("'"))
+      ok(s"set $key")
+    case UseStmt(db) =>
+      // USE: single-namespace engine — accepted for wire compatibility
+      ok(s"using $db")
     case other => run(other)
   }
 

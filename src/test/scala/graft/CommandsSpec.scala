@@ -54,6 +54,15 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("EXPLAIN / SET / USE dispatch") {
+    val c = fresh()
+    val ex = c.execute("EXPLAIN SELECT count(*) FROM region").first()
+    assert(ex.getString(0).contains("Aggregate") && ex.getString(1).nonEmpty)
+    c.execute("SET spark.sql.cbo.enabled = 'false'")
+    assert(spark.conf.get("spark.sql.cbo.enabled") === "false")
+    assert(c.execute("USE graft").first().getString(0) === "ok")
+  }
+
   test("parameterized queries bind named params server-side") {
     val c = fresh()
     val n = c.execute(

@@ -79,6 +79,36 @@ object TextOps extends QueryPack {
         .orderBy(col("keep_doc_id"))
     }),
 
+    "t07_winnowing" -> ((s, dir) => {
+      // MOSS-style winnowing fingerprint: 5-gram polynomial rolling hash
+      // (base 31, exact in 64-bit — no modulus needed at this k) → min
+      // hash per 4-window → distinct sorted set is the fingerprint. All
+      // narrow per-row array ops; the only shuffle is the final sort.
+      // Output keeps the set as an md5 signature (array columns don't
+      // hash-compare cleanly across engines).
+      val k = 5
+      val pows = Seq(923521L, 29791L, 961L, 31L, 1L) // 31^(k-1-j)
+      val grams = graft.functions.VectorFunctions.charNGrams(col("text"), k)
+      val gramHash = (g: org.apache.spark.sql.Column) =>
+        (0 until k).map(j => ascii(g.substr(lit(j + 1), lit(1))).cast(LongType) * pows(j))
+          .reduce(_ + _)
+      val hashes = transform(grams, gramHash(_))
+      val w = 4
+      val mins = when(size(col("hashes")) >= w,
+        array_sort(array_distinct(transform(
+          sequence(lit(0), size(col("hashes")) - w),
+          i => array_min(slice(col("hashes"), i + 1, lit(w)))))))
+        .otherwise(array_sort(array_distinct(col("hashes"))))
+      t(s, dir, "documents")
+        .withColumn("hashes", hashes)
+        .withColumn("fp", mins)
+        .select(col("doc_id"),
+          size(col("hashes")).as("n_grams"),
+          size(col("fp")).as("n_fp"),
+          md5(array_join(transform(col("fp"), _.cast("string")), ",")).as("fp_sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -155,6 +185,28 @@ object TextOps extends QueryPack {
     "t05_exact_dedup" -> """
       SELECT MD5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
+
+    "t07_winnowing" -> """
+      WITH grams AS (
+        SELECT doc_id,
+          list_transform(range(1, length(text) - 3),
+            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 923521
+               + ascii(substr(text, CAST(i+1 AS INT), 1)) * 29791
+               + ascii(substr(text, CAST(i+2 AS INT), 1)) * 961
+               + ascii(substr(text, CAST(i+3 AS INT), 1)) * 31
+               + ascii(substr(text, CAST(i+4 AS INT), 1))) AS hashes
+        FROM documents),
+      fps AS (
+        SELECT doc_id, len(hashes) AS n_grams,
+          CASE WHEN len(hashes) >= 4 THEN
+            list_sort(list_distinct(list_transform(range(0, len(hashes) - 3),
+              i -> list_min(hashes[CAST(i+1 AS INT):CAST(i+4 AS INT)]))))
+          ELSE list_sort(list_distinct(hashes)) END AS fp
+        FROM grams)
+      SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+        CAST(len(fp) AS INTEGER) AS n_fp,
+        md5(array_to_string(fp, ',')) AS fp_sig
+      FROM fps ORDER BY doc_id""",
 
     "t06_lang_id" -> """
       WITH tri_train AS (

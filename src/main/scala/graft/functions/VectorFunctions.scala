@@ -235,6 +235,42 @@ case class CharNGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Polynomial rolling hash of every k-gram: h_i = Σ_j c_{i+j}·B^(k-1-j),
+  * computed with the true O(n) recurrence h_{i+1} = (h_i − c_i·B^(k-1))·B
+  * + c_{i+k} — one pass per row, versus O(n·k) substring re-reads for
+  * the expression-composed formulation. Values are exact 64-bit (no
+  * modulus) for small k·log2(B·charmax); char codes are UTF-16 units ≡
+  * codepoints for BMP text, matching the oracle's ascii(). */
+case class RollingHashGrams(child: Expression, k: Int, base: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val m = s.length - k + 1
+    if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    else {
+      var topPow = 1L
+      var j = 1
+      while (j < k) { topPow *= base; j += 1 }
+      val out = new Array[Long](m)
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * base + s.charAt(i); i += 1 }
+      out(0) = h
+      i = 1
+      while (i < m) {
+        h = (h - s.charAt(i - 1) * topPow) * base + s.charAt(i + k - 1)
+        out(i) = h
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
@@ -246,6 +282,8 @@ object VectorFunctions {
     GraftColumnBridge.column(MinHashSig(ex(c), a, b, prime))
   def charNGrams(c: Column, n: Int): Column =
     GraftColumnBridge.column(CharNGrams(ex(c), n))
+  def rollingHashGrams(c: Column, k: Int, base: Long): Column =
+    GraftColumnBridge.column(RollingHashGrams(ex(c), k, base))
 
   /** SQL registration: cosine_sim / dot_product / simhash64 usable in spark.sql. */
   def register(spark: SparkSession): Unit = {

@@ -86,13 +86,9 @@ object TextOps extends QueryPack {
       // narrow per-row array ops; the only shuffle is the final sort.
       // Output keeps the set as an md5 signature (array columns don't
       // hash-compare cleanly across engines).
-      val k = 5
-      val pows = Seq(923521L, 29791L, 961L, 31L, 1L) // 31^(k-1-j)
-      val grams = graft.functions.VectorFunctions.charNGrams(col("text"), k)
-      val gramHash = (g: org.apache.spark.sql.Column) =>
-        (0 until k).map(j => ascii(g.substr(lit(j + 1), lit(1))).cast(LongType) * pows(j))
-          .reduce(_ + _)
-      val hashes = transform(grams, gramHash(_))
+      // one O(n) rolling pass per row (RollingHashGrams), bit-identical
+      // to the oracle's per-gram polynomial sum
+      val hashes = graft.functions.VectorFunctions.rollingHashGrams(col("text"), 5, 31L)
       val w = 4
       val mins = when(size(col("hashes")) >= w,
         array_sort(array_distinct(transform(

@@ -96,6 +96,38 @@ final class Commands(
     case other => run(other)
   }
 
+  /** Multi-statement script execution (jobs hold SQL scripts,
+    * jobs_controller.py; split on top-level semicolons, quote-aware).
+    * Returns the last statement's result. */
+  def executeScript(script: String): DataFrame = {
+    val stmts = splitStatements(script)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(execute).last
+  }
+
+  /** Split on semicolons outside single/double quotes. */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Option[Char] = None
+    script.foreach { c =>
+      quote match {
+        case Some(q) =>
+          cur.append(c)
+          if (c == q) quote = None
+        case None => c match {
+          case '\'' | '"' => quote = Some(c); cur.append(c)
+          case ';' =>
+            if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+            cur.clear()
+          case _ => cur.append(c)
+        }
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
   /** Parameterized execution — the prepared-statement surface
     * (reference PreparedStatementPlanner, planner/query_prepare.py):
     * named `:param` markers bind server-side, no string splicing. */

@@ -54,6 +54,18 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-statement scripts split quote-aware and run in order") {
+    val c = fresh()
+    val last = c.executeScript(
+      """CREATE TABLE t1 AS SELECT * FROM region WHERE r_name <> 'A;B';
+         CREATE VIEW v1 AS SELECT r_regionkey FROM t1;
+         SELECT count(*) AS n FROM v1""")
+    assert(last.first().getLong(0) === 5)
+    assert(c.warehouse.exists("t1") && c.catalog.listViews() === Seq("v1"))
+    // quoted semicolon must not split
+    assert(c.splitStatements("SELECT ';' AS x; SELECT 1").size === 2)
+  }
+
   test("EXPLAIN / SET / USE dispatch") {
     val c = fresh()
     val ex = c.execute("EXPLAIN SELECT count(*) FROM region").first()

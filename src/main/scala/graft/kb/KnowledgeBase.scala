@@ -310,6 +310,50 @@ object Kb {
       .limit(math.min(limit, MaxLimit))
   }
 
+  /** BM25 keyword scoring over the chunk corpus — the real form of the
+    * hybrid keyword arm (the reference delegates to the vector store's
+    * KeywordSearchBase, typically BM25;
+    * integrations/libs/keyword_search_base.py).
+    *
+    * Classic Okapi parameters (k1=1.2, b=0.75);
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)). Postings build is one
+    * explode + groupBy on (chunk, term); document frequencies are
+    * computed ONLY for the query's terms (a handful of rows, broadcast),
+    * so at 100 TB the score is a semi-join-pruned scan over the postings
+    * of the query terms — never the full index.
+    */
+  def bm25Score(
+      chunks: DataFrame,
+      queryText: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks: Column => Column = c => regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+    val qTerms = queryText.trim.toLowerCase.split("\\s+").distinct.toSeq
+    val base = chunks.select(col("chunk_id"), col("doc_id"), toks(col("content")).as("terms"))
+    val stats = base.agg(count(lit(1)), sum(size(col("terms")))).first()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val postings = base
+      .select(col("chunk_id"), col("doc_id"), size(col("terms")).as("dl"),
+        explode(col("terms")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("chunk_id"), col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTerm = broadcast(postings.groupBy(col("term"))
+      .agg(countDistinct(col("chunk_id")).cast("double").as("df")))
+    postings.join(dfTerm, "term")
+      .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      // sorted sequential fold, NOT sum(): a shuffled partial sum of
+      // doubles is order-nondeterministic across engines
+      .groupBy(col("chunk_id"), col("doc_id"))
+      .agg(sort_array(collect_list(col("contrib"))).as("cs"))
+      .select(col("chunk_id"), col("doc_id"),
+        round(expr("aggregate(cs, cast(0.0 as double), (acc, x) -> acc + x)"), 4).as("bm25"))
+  }
+
   // -------------------------------------------------------------- evaluate
 
   /** Retrieval evaluation (EVALUATE KNOWLEDGE_BASE,

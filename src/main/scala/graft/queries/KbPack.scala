@@ -84,6 +84,14 @@ object KbPack extends QueryPack {
         .orderBy(col("relevance").desc, col("chunk_id"))
     }),
 
+    "k09_kb_bm25" -> ((s, dir) => {
+      bm25Score(kb(s, dir), QueryA)
+        .orderBy(col("bm25").desc, col("chunk_id"))
+        .limit(10)
+        .select(col("chunk_id"), col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("chunk_id"))
+    }),
+
     "k07_kb_evaluate" -> ((s, dir) => {
       val queries = docs(s, dir).filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"),
@@ -201,6 +209,29 @@ object KbPack extends QueryPack {
       SELECT * FROM (SELECT * FROM reranked WHERE relevance >= 0.0
         ORDER BY relevance DESC, chunk_id LIMIT 10)
       ORDER BY relevance DESC, chunk_id"""
+    },
+
+    "k09_kb_bm25" -> {
+      val terms = QueryA.trim.toLowerCase.split("\\s+").distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""$oPrefix,
+      base AS (SELECT chunk_id, doc_id,
+          regexp_extract_all(lower(content), '\\S+') AS terms FROM chunks),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(len(terms)) AS DOUBLE) / COUNT(*) AS avgdl FROM base),
+      posts AS (SELECT chunk_id, doc_id, len(terms) AS dl, unnest(terms) AS term FROM base),
+      tf AS (SELECT chunk_id, doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM posts WHERE term IN ($terms) GROUP BY chunk_id, doc_id, dl, term),
+      dfx AS (SELECT term, CAST(COUNT(DISTINCT chunk_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+      contribs AS (SELECT chunk_id, doc_id,
+          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+            (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+        FROM tf JOIN dfx USING (term), stats),
+      scored AS (SELECT chunk_id, doc_id,
+          ROUND(list_sum(list_sort(list(contrib))), 4) AS bm25
+        FROM contribs GROUP BY chunk_id, doc_id)
+      SELECT * FROM (SELECT * FROM scored ORDER BY bm25 DESC, chunk_id LIMIT 10)
+      ORDER BY bm25 DESC, chunk_id"""
     },
 
     "k07_kb_evaluate" -> s"""$oPrefix,

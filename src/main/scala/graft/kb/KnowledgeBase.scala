@@ -354,6 +354,30 @@ object Kb {
         round(expr("aggregate(cs, cast(0.0 as double), (acc, x) -> acc + x)"), 4).as("bm25"))
   }
 
+  /** Hybrid search with the BM25 keyword arm: weighted blend of vector
+    * distance and BM25-derived keyword distance (1/(1+bm25); chunks
+    * containing no query term take the max keyword distance 1.0).
+    * `alpha` weighs the keyword arm, as in [[hybridSearch]]. */
+  def hybridSearchBm25(
+      chunks: DataFrame,
+      queryText: String,
+      alpha: Double = 0.5,
+      metaFilter: Column = lit(true),
+      limit: Int = DefaultLimit): DataFrame = {
+    val base = chunks.filter(metaFilter)
+    val kw = bm25Score(base, queryText)
+      .select(col("chunk_id"), round(lit(1.0) / (lit(1.0) + col("bm25")), 4).as("kw_dist"))
+    base
+      .join(kw, Seq("chunk_id"), "left_outer")
+      .withColumn("kw_dist", coalesce(col("kw_dist"), lit(1.0)))
+      .withColumn("vec_dist", round(lit(1.0) - cosineSim(col("emb"), embed(lit(queryText))), 4))
+      .withColumn("distance",
+        round(col("vec_dist") * (1.0 - alpha) + col("kw_dist") * alpha, 4))
+      .withColumn("relevance", relevanceOf(col("distance")))
+      .orderBy(col("relevance").desc, col("chunk_id"))
+      .limit(math.min(limit, MaxLimit))
+  }
+
   // -------------------------------------------------------------- evaluate
 
   /** Retrieval evaluation (EVALUATE KNOWLEDGE_BASE,

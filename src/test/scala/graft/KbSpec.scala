@@ -101,6 +101,29 @@ class KbSpec extends AnyFunSuite {
     assert(a.toSet != b.toSet || a != b, "reranker had no observable effect")
   }
 
+  test("BM25 hybrid arm: deterministic, bounded, and keyword-sensitive") {
+    val q = "table scan filter join"
+    val a = Kb.hybridSearchBm25(chunks, q, alpha = 0.5, limit = 10)
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    val b = Kb.hybridSearchBm25(chunks, q, alpha = 0.5, limit = 10)
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    assert(a === b && a.size === 10)
+    // alpha=0 degenerates to pure vector ranking
+    val vecOnly = Kb.hybridSearchBm25(chunks, q, alpha = 0.0, limit = 10)
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    val pureVec = vectorSearch(chunks, q, limit = 10)
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    assert(vecOnly === pureVec)
+    // keyword arm moves the ranking
+    assert(a !== pureVec)
+    // every top hit with alpha=1 contains at least one query token
+    val kwOnly = Kb.hybridSearchBm25(chunks, q, alpha = 1.0, limit = 5)
+    val toks = q.split(" ").toSet
+    kwOnly.select("content").collect().foreach { r =>
+      assert(toks.exists(r.getString(0).toLowerCase.contains))
+    }
+  }
+
   test("evaluate: exact-chunk queries retrieve their own doc at rank 1") {
     val queries = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"),

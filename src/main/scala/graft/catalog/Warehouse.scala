@@ -23,7 +23,9 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
 
   def listTables(): Seq[String] =
-    Files.list(Paths.get(dir)).toArray.map(_.toString.split('/').last).toSeq.sorted
+    Files.list(Paths.get(dir)).toArray.map(_.toString.split('/').last).toSeq
+      .filterNot(n => n.endsWith("__tmp") || n.endsWith("__old"))
+      .sorted
 
   def table(name: String): DataFrame = spark.read.parquet(path(name))
 
@@ -52,14 +54,21 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   def dropTable(name: String): Unit = rm(Paths.get(path(name)))
 
-  /** copy-on-write swap: write to a temp sibling, then atomically move
-    * into place (parquet can't overwrite its own input mid-scan). */
+  /** copy-on-write swap: write to a temp sibling, rename the live dir
+    * aside, move the new one in, delete the old copy LAST — a crash at
+    * any point leaves either the old or the new table intact (never
+    * neither, which a delete-then-move ordering risks). `__tmp`/`__old`
+    * leftovers from a crash are invisible to listTables() and reclaimed
+    * by the next rewrite. */
   private def rewrite(name: String, df: DataFrame): Unit = {
-    val tmp = path(name + "__tmp")
-    df.write.mode("overwrite").parquet(tmp)
+    val tmp = Paths.get(path(name + "__tmp"))
+    val old = Paths.get(path(name + "__old"))
+    rm(tmp); rm(old)
+    df.write.mode("overwrite").parquet(tmp.toString)
     val cur = Paths.get(path(name))
-    rm(cur)
-    Files.move(Paths.get(tmp), cur)
+    Files.move(cur, old)
+    Files.move(tmp, cur)
+    rm(old)
   }
 
   private def rm(p: java.nio.file.Path): Unit =

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types whose semantics survive small-side replication: inner and
+    * left-ish joins never emit unmatched SMALL-side rows, so the
+    * saltFactor copies are invisible. right/full outer would emit each
+    * unmatched small-side row once per salt value — rejected. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
@@ -22,6 +29,9 @@ object Skew {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType " +
+        "(right/full outer would replicate unmatched small-side rows per salt)")
     // deterministic per-row salt from the full row content (hashing the
     // key alone would co-locate the hot key again)
     val bigS = big.withColumn("__salt",

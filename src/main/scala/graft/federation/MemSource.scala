@@ -190,10 +190,7 @@ object MemAggEval {
   def eval(schema: StructType, rows: Seq[Row], agg: Aggregation): Seq[Row] = {
     val groupCols = agg.groupByExpressions.toSeq.map(name)
     val groupIdx = groupCols.map(schema.fieldIndex)
-    def numeric(v: Any): Double = v match {
-      case null => 0.0
-      case n: java.lang.Number => n.doubleValue()
-    }
+    def numeric(v: Any): Double = v.asInstanceOf[java.lang.Number].doubleValue()
     rows.groupBy(r => groupIdx.map(r.get)).toSeq.map { case (key, grp) =>
       val aggVals = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => grp.size.toLong
@@ -209,13 +206,18 @@ object MemAggEval {
             if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b)
         case s: Sum =>
           val i = schema.fieldIndex(name(s.column))
+          // SQL SUM skips NULLs and is NULL over an all-NULL (or empty)
+          // group — pushdown must be transparent vs Spark's own SUM.
+          val nonNull = grp.filterNot(_.isNullAt(i))
           // `: Any` blocks Scala's numeric unification — without it the
           // Long branch silently widens to Double to match the other arm
-          val v: Any = schema.fields(i).dataType match {
-            case LongType | IntegerType | ShortType | ByteType =>
-              grp.map(r => if (r.isNullAt(i)) 0L else numeric(r.get(i)).toLong).sum
-            case _ => grp.map(r => numeric(r.get(i))).sum
-          }
+          val v: Any =
+            if (nonNull.isEmpty) null
+            else schema.fields(i).dataType match {
+              case LongType | IntegerType | ShortType | ByteType =>
+                nonNull.map(r => numeric(r.get(i)).toLong).sum
+              case _ => nonNull.map(r => numeric(r.get(i))).sum
+            }
           v
         case other => throw new UnsupportedOperationException(other.toString)
       }
@@ -260,6 +262,7 @@ class MemReaderFactory(schema: StructType) extends PartitionReaderFactory {
 object MemFilterEval {
   def supported(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case EqualNullSafe(a, _) => schema.fieldNames.contains(a)
     case GreaterThan(a, _) => schema.fieldNames.contains(a)
     case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
     case LessThan(a, _) => schema.fieldNames.contains(a)
@@ -279,7 +282,11 @@ object MemFilterEval {
     def cmp(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b.asInstanceOf[Any])
     f match {
-      case EqualTo(a, value) => v(a) == value
+      // SQL equality is three-valued: a null operand compares UNKNOWN
+      // (row rejected), never null == null. EqualNullSafe is the <=>
+      // spelling that does match nulls.
+      case EqualTo(a, value) => value != null && v(a) != null && v(a) == value
+      case EqualNullSafe(a, value) => v(a) == value
       case GreaterThan(a, value) => v(a) != null && cmp(v(a), value) > 0
       case GreaterThanOrEqual(a, value) => v(a) != null && cmp(v(a), value) >= 0
       case LessThan(a, value) => v(a) != null && cmp(v(a), value) < 0

@@ -25,6 +25,15 @@ final class FetchState {
 
 object PartitionedFetch {
 
+  /** Batches per compacted segment: every this-many batches, the pending
+    * batches union into ONE eagerly `localCheckpoint`ed segment and their
+    * caches release. Each row is materialized exactly once (segments are
+    * disjoint — no prefix re-copying), the block manager holds
+    * ⌈batches/16⌉ segments instead of one cache per batch, and the
+    * returned plan is a ⌈batches/16⌉-way union of LogicalRDDs instead of
+    * an unbounded unionByName chain. */
+  val CheckpointEvery = 16
+
   /** Fetch `src` in keyset batches over a unique numeric `trackCol`.
     * Returns the union of all batches fetched from `state` onward;
     * `maxBatches` bounds one call (resume by calling again with the
@@ -36,7 +45,13 @@ object PartitionedFetch {
       state: FetchState = new FetchState,
       maxBatches: Int = Int.MaxValue): DataFrame = {
     require(batchSize > 0)
-    var acc: Option[DataFrame] = None
+    var segments = Vector.empty[DataFrame]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def compact(): Unit = if (pending.nonEmpty) {
+      segments :+= pending.reduce(_ unionByName _).localCheckpoint(true)
+      pending.foreach(_.unpersist())
+      pending.clear()
+    }
     var n = 0
     while (!state.done && n < maxBatches) {
       val pred: Column = state.lastKey.map(k => col(trackCol) > k).getOrElse(lit(true))
@@ -47,11 +62,13 @@ object PartitionedFetch {
       else {
         state.lastKey = Some(stats.getLong(1))
         state.batches += 1
-        acc = Some(acc.fold(batch)(_ unionByName batch))
+        pending += batch
         if (got < batchSize) state.done = true
         n += 1
+        if (pending.size >= CheckpointEvery) compact()
       }
     }
-    acc.getOrElse(src().limit(0))
+    compact()
+    segments.reduceOption(_ unionByName _).getOrElse(src().limit(0))
   }
 }

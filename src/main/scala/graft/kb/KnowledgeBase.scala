@@ -322,17 +322,38 @@ object Kb {
     * so at 100 TB the score is a semi-join-pruned scan over the postings
     * of the query terms — never the full index.
     */
+  /** Corpus stats (N, avgdl) for BM25 — compute ONCE at index-build time
+    * and pass into [[bm25Score]]: at 100 TB the stats are a full-corpus
+    * scan, which must not run per query. */
+  def corpusStats(chunks: DataFrame): (Long, Double) = {
+    val toks: Column => Column = c => regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+    val r = chunks.agg(count(lit(1)), sum(size(toks(col("content"))))).first()
+    val n = r.getLong(0)
+    (n, if (n == 0) 0.0 else r.getLong(1).toDouble / n)
+  }
+
   def bm25Score(
       chunks: DataFrame,
       queryText: String,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      stats: Option[(Long, Double)] = None): DataFrame = {
     val toks: Column => Column = c => regexp_extract_all(lower(c), lit("\\S+"), lit(0))
     val qTerms = queryText.trim.toLowerCase.split("\\s+").distinct.toSeq
     val base = chunks.select(col("chunk_id"), col("doc_id"), toks(col("content")).as("terms"))
-    val stats = base.agg(count(lit(1)), sum(size(col("terms")))).first()
-    val n = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / n
+    // precomputed (index-time) stats preferred; the inline fallback is a
+    // full-corpus action per call — fine for specs, wrong at scale
+    val (n, avgdl) = stats.getOrElse(corpusStats(chunks))
+    if (n == 0) {
+      // empty (or fully meta-filtered) corpus: no scores, not a crash
+      val spark = chunks.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("chunk_id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id", chunks.schema("doc_id").dataType),
+          org.apache.spark.sql.types.StructField("bm25", org.apache.spark.sql.types.DoubleType))))
+    }
     val postings = base
       .select(col("chunk_id"), col("doc_id"), size(col("terms")).as("dl"),
         explode(col("terms")).as("term"))
@@ -363,9 +384,10 @@ object Kb {
       queryText: String,
       alpha: Double = 0.5,
       metaFilter: Column = lit(true),
-      limit: Int = DefaultLimit): DataFrame = {
+      limit: Int = DefaultLimit,
+      stats: Option[(Long, Double)] = None): DataFrame = {
     val base = chunks.filter(metaFilter)
-    val kw = bm25Score(base, queryText)
+    val kw = bm25Score(base, queryText, stats = stats)
       .select(col("chunk_id"), round(lit(1.0) / (lit(1.0) + col("bm25")), 4).as("kw_dist"))
     base
       .join(kw, Seq("chunk_id"), "left_outer")

@@ -66,13 +66,22 @@ object Predict {
     */
   def applyModel(data: DataFrame, model: Model, cache: Option[PredictionCache] = None): DataFrame = {
     val spark = data.sparkSession
-    val withId = data.withColumn(RowIdCol, monotonically_increasing_id())
     cache.flatMap(_.get(model, data)) match {
       case Some(hit) =>
-        // cache stores predictions keyed by input checksum; row ids are
-        // regenerated identically (same frame → same partition layout)
-        withId.join(hit, Seq(RowIdCol)).drop(RowIdCol)
+        // content-keyed rejoin: a deterministic model's prediction is a
+        // function of the feature tuple alone, so cached rows (deduped
+        // per tuple at put time) join back on the feature VALUES — valid
+        // under any repartitioning of `data`, unlike a regenerated
+        // monotonically_increasing_id (whose assignment depends on the
+        // physical partition layout of the run that wrote the cache).
+        val cond = model.featureCols
+          .map(f => col(f).cast(DoubleType) === hit(s"__feat_$f"))
+          .reduce(_ && _)
+        model.featureCols.foldLeft(data.join(hit, cond)) {
+          (df, f) => df.drop(s"__feat_$f")
+        }
       case None =>
+        val withId = data.withColumn(RowIdCol, monotonically_increasing_id())
         val featIdx = model.featureCols.zipWithIndex.map(_._2 + 1) // after row id
         val inputs = withId.select(
           (col(RowIdCol) +: model.featureCols.map(c => col(c).cast(DoubleType))): _*)
@@ -87,7 +96,16 @@ object Predict {
             }
           }
         }(enc)
-        cache.foreach(_.put(model, data, preds))
+        cache.foreach { c =>
+          // persist (feature tuple → outputs), one row per distinct tuple
+          val keyed = inputs.join(preds, Seq(RowIdCol)).drop(RowIdCol)
+            .dropDuplicates(model.featureCols)
+          c.put(model, data, model.featureCols.foldLeft(keyed) {
+            (df, f) => df.withColumnRenamed(f, s"__feat_$f")
+          })
+        }
+        // within one run the regenerated-id join is exact: both sides
+        // derive from the same withId plan evaluated under one action
         withId.join(preds, Seq(RowIdCol)).drop(RowIdCol)
     }
   }

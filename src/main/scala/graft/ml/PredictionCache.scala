@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * by model name + input-frame checksum, persisted as parquet under a
   * warehouse directory.
   *
-  * The checksum is an order-insensitive fold (sum of per-row xxhash64
+  * The checksum is an order-insensitive fold (xor of per-row xxhash64
   * over all columns) so it is stable under partition reordering — the
   * reference's pandas checksum is order-sensitive but its inputs are
   * single-threaded; a distributed input has no canonical row order.
-  * Cached rows are keyed by [[Predict.RowIdCol]]; hits are only valid
-  * for the identical input frame (same content → same checksum → same
-  * regenerated row-id layout).
+  * Cached rows carry their FEATURE VALUES (`__feat_*` columns) and are
+  * rejoined on them — hits stay correct under any repartitioning or
+  * reordering of a content-equal input (see Predict.applyModel).
   */
 final class PredictionCache(dir: String) {
   Files.createDirectories(Paths.get(dir))

@@ -69,6 +69,22 @@ class FederationSpec extends AnyFunSuite {
       s"aggregate not pushed:\n$plan")
   }
 
+  test("pushed SUM keeps SQL NULL semantics: all-NULL group sums to NULL, not 0") {
+    MemTables.register("nullable", StructType(Seq(
+      StructField("grp", StringType, nullable = false),
+      StructField("v", LongType, nullable = true),
+      StructField("d", DoubleType, nullable = true))),
+      Seq(Row("a", 1L, 1.5), Row("a", null, null), Row("b", null, null), Row("b", null, null)))
+    val df = spark.table("mem.nullable").groupBy("grp")
+      .agg(sum(col("v")).as("sv"), sum(col("d")).as("sd"))
+    val byGrp = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byGrp("a").getLong(1) === 1L && byGrp("a").getDouble(2) === 1.5)
+    assert(byGrp("b").isNullAt(1), "SUM over all-NULL group must be NULL with pushdown")
+    assert(byGrp("b").isNullAt(2))
+    // filter semantics: col = NULL matches nothing (three-valued logic)
+    assert(spark.table("mem.nullable").filter(col("v") === lit(null).cast(LongType)).count() === 0)
+  }
+
   test("cross-catalog join resolves both namespaces") {
     MemTables.register("dim", StructType(Seq(
       StructField("r_regionkey", LongType, nullable = false),
@@ -93,6 +109,25 @@ class FederationSpec extends AnyFunSuite {
     assert(n1 + part2.count() === total)
     // no overlap
     assert(part1.join(part2, Seq("o_orderkey"), "left_semi").count() === 0)
+  }
+
+  test("keyset fetch over many batches keeps a flat plan and releases consumed caches") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val orders = Tables.table(spark, dir, "orders").limit(1200)
+    val st = new FetchState
+    // 1200 rows / 10 per batch = 120 driver round trips — the shape that
+    // previously pinned 120 caches and built a 120-way union plan
+    val out = PartitionedFetch.keysetFetch(() => orders, "o_orderkey", 10, st)
+    assert(out.count() === 1200)
+    assert(st.batches === 120)
+    // 120 batches compact into ceil(120/16) = 8 checkpointed segments;
+    // the 120 per-batch caches must all be released
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 10,
+      s"caches leaked: $persistedBefore -> $persistedAfter")
+    // lineage is checkpoint-truncated: the plan is an 8-way union of
+    // LogicalRDDs, not a 120-deep unionByName chain
+    assert(out.queryExecution.optimizedPlan.toString.linesIterator.size < 40)
   }
 
   test("file format detection: extension and content sniffing") {

@@ -124,6 +124,21 @@ class KbSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: precomputed stats give identical scores; empty corpus returns empty, not NPE") {
+    val q = "the data model"
+    val inline = Kb.bm25Score(chunks, q).orderBy("chunk_id").collect().toSeq
+    val stats = Kb.corpusStats(chunks)
+    assert(stats._1 > 0 && stats._2 > 0)
+    val precomputed = Kb.bm25Score(chunks, q, stats = Some(stats))
+      .orderBy("chunk_id").collect().toSeq
+    assert(precomputed === inline)
+    // a fully meta-filtered base must not NPE on the null corpus stats
+    val empty = Kb.bm25Score(chunks.filter(lit(false)), q)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("chunk_id", "doc_id", "bm25"))
+    assert(Kb.hybridSearchBm25(chunks, q, metaFilter = lit(false)).count() === 0)
+  }
+
   test("evaluate: exact-chunk queries retrieve their own doc at rank 1") {
     val queries = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"),

@@ -48,6 +48,23 @@ class MlSpec extends AnyFunSuite {
     assert(cache.misses === 2)
   }
 
+  test("prediction cache hit stays correct when the input is repartitioned between put and get") {
+    val tmp = java.nio.file.Files.createTempDirectory("predcache_rp").toString
+    val cache = new PredictionCache(tmp)
+    val data = Tables.table(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+    val direct = Predict.applyModel(data, model).orderBy("l_orderkey", "l_linenumber", "score")
+      .select("l_orderkey", "l_linenumber", "score").collect().toSeq
+    Predict.applyModel(data, model, Some(cache)).count() // put
+    // same content, different physical layout: row ids would regenerate
+    // in a different assignment — the content-keyed join must not care
+    val reshuffled = data.repartition(7, col("l_partkey")).sortWithinPartitions("l_discount")
+    val viaCache = Predict.applyModel(reshuffled, model, Some(cache))
+      .orderBy("l_orderkey", "l_linenumber", "score")
+      .select("l_orderkey", "l_linenumber", "score").collect().toSeq
+    assert(cache.hits === 1)
+    assert(viaCache === direct)
+  }
+
   test("GetPredictorColumns / GetTableColumns: empty frames with correct schema") {
     val pc = Predict.predictorColumns(spark, model)
     assert(pc.count() === 0 && pc.schema.fieldNames.toSeq === Seq("score"))

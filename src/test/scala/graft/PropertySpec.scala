@@ -75,6 +75,13 @@ class PropertySpec extends AnyFunSuite {
       assert(salted.count() === plain.count())
       salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0
     })
+    // outer joins would emit unmatched small-side rows once per salt — rejected
+    assertThrows[IllegalArgumentException] {
+      graft.engine.Skew.saltedJoin(big, small, Seq("o_orderpriority"), 4, "right_outer")
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.engine.Skew.saltedJoin(big, small, Seq("o_orderpriority"), 4, "full_outer")
+    }
   }
 
   test("watermark store is monotone under arbitrary advance sequences") {

@@ -84,12 +84,39 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** 64-bit SimHash over an array of string tokens: per-token xxhash64, ±1
+/** Cross-engine md5-derived token hashes: the first 4/8 digest bytes as
+  * an unsigned 32-bit / raw 64-bit value — bit-identical to DuckDB's
+  * `('0x' || substr(md5(s), 1, 8|16))::BIGINT|UBIGINT`, which is what
+  * lets MinHash/SimHash pipelines be oracle-checked end-to-end (same
+  * trick as the Kb stub embedder). xxhash64 stays the fast default for
+  * production paths; md5 costs ~10× per token but keeps the whole
+  * pipeline verifiable. */
+object Md5TokenHash {
+  private val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  def first32(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = digests.get(); d.reset()
+    val h = d.digest(s.getBytes)
+    ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) | ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+  }
+  def first64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = digests.get(); d.reset()
+    val h = d.digest(s.getBytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (h(i) & 0xFFL); i += 1 }
+    out
+  }
+}
+
+/** 64-bit SimHash over an array of string tokens: per-token hash, ±1
   * vote per bit, sign → fingerprint bit. One pass, O(64) state — suitable
   * for a 100 TB scan (narrow transform, no shuffle). Interpreted eval
-  * only: the xxhash + vote loop is string-dominated, not a codegen
-  * bottleneck. */
-case class SimHash64(child: Expression)
+  * only: the hash + vote loop is string-dominated, not a codegen
+  * bottleneck. `md5Hash = true` swaps xxhash64 for the oracle-matchable
+  * [[Md5TokenHash.first64]]. */
+case class SimHash64(child: Expression, md5Hash: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
@@ -99,7 +126,9 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h =
+          if (md5Hash) Md5TokenHash.first64(arr.getUTF8String(i))
+          else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -178,8 +207,12 @@ case class HyperplaneSig(child: Expression, planes: Seq[Seq[Double]])
   * Bit-identical to the SQL pipeline it replaced:
   * `min((shiftrightunsigned(xxhash64(sh), 33) * a + b) % p)` — same
   * xxhash seed, same 31-bit truncation, same modular arithmetic.
+  * `md5Hash = true` swaps the shingle hash for the 32-bit
+  * [[Md5TokenHash.first32]] (a·h+b still < 2^63: a < 2^31, h < 2^32),
+  * making the signature DuckDB-reproducible.
   */
-case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long)
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long,
+    md5Hash: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   private val k = a.length
@@ -193,7 +226,9 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long
     var t = 0
     while (t < arr.numElements()) {
       if (!arr.isNullAt(t)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L) >>> 33
+        val h =
+          if (md5Hash) Md5TokenHash.first32(arr.getUTF8String(t))
+          else XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L) >>> 33
         var i = 0
         while (i < k) {
           val v = (h * aArr(i) + bArr(i)) % prime
@@ -275,11 +310,13 @@ object VectorFunctions {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = GraftColumnBridge.column(DotProduct(ex(a), ex(b)))
-  def simhash64(c: Column): Column = GraftColumnBridge.column(SimHash64(ex(c)))
+  def simhash64(c: Column, md5Hash: Boolean = false): Column =
+    GraftColumnBridge.column(SimHash64(ex(c), md5Hash))
   def hyperplaneSig(c: Column, planes: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(HyperplaneSig(ex(c), planes))
-  def minhashSig(c: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
-    GraftColumnBridge.column(MinHashSig(ex(c), a, b, prime))
+  def minhashSig(c: Column, a: Seq[Long], b: Seq[Long], prime: Long,
+      md5Hash: Boolean = false): Column =
+    GraftColumnBridge.column(MinHashSig(ex(c), a, b, prime, md5Hash))
   def charNGrams(c: Column, n: Int): Column =
     GraftColumnBridge.column(CharNGrams(ex(c), n))
   def rollingHashGrams(c: Column, k: Int, base: Long): Column =

@@ -105,16 +105,20 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ---- MinHash + LSH banding (scale path; verified via signature est.)
+    // ---- MinHash + LSH banding (scale path; oracle-exact end-to-end)
     "d02_minhash_lsh" -> ((s, dir) => {
       // signature = ONE narrow MinHashSig pass inside the scan stage
-      // (replaces explode + 32-way min-agg shuffle; bit-identical values)
+      // (replaces explode + 32-way min-agg shuffle); md5 shingle hash so
+      // DuckDB reproduces every signature value bit-for-bit
       val sig = shingled(s, dir).select(col("doc_id"),
         graft.functions.VectorFunctions.minhashSig(
-          col("shingles"), hashA.toSeq, hashB.toSeq, Prime).as("sig"))
+          col("shingles"), hashA.toSeq, hashB.toSeq, Prime, md5Hash = true).as("sig"))
+      // band key = the raw RowsPerBand-value signature slice (array equi-
+      // join): exactly the collision classes the formula defines — no
+      // hash-collision noise, and the DuckDB oracle reproduces it 1:1
       val bands = sig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until Bands).map(b =>
-          hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))): _*)).as(Seq("band", "bkey")))
+          slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)).as(Seq("band", "bkey")))
       val cands = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -130,19 +134,24 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ---- SimHash fingerprints + banded hamming join (scale path)
+    // ---- SimHash fingerprints + banded hamming join (scale path;
+    // md5 token hash → oracle-exact)
     "d03_simhash_pairs" -> ((s, dir) =>
-      simhashPairs(t(s, dir, "documents"), maxHamming = 8)
+      simhashPairs(t(s, dir, "documents"), maxHamming = 8, md5Hash = true)
         .orderBy(col("doc_a"), col("doc_b")))
   )
 
   /** SimHash near-dup pairs over (doc_id, text): one 64-bit fingerprint
     * per doc (narrow scan), 4 bands of 16 bits — near-identical
     * fingerprints collide in >= 1 band — then exact hamming verify on
-    * candidates. Recall on planted near-dups asserted in DedupSpec. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    * candidates. Docs with zero tokens are excluded (no signal; also
+    * keeps the oracle's unnest-based formulation aligned). Recall on
+    * planted near-dups asserted in DedupSpec. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int, md5Hash: Boolean = false): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-    val fp = docs.select(col("doc_id"), simhash64(toks).as("fp"))
+    val fp = docs.select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), simhash64(col("tk"), md5Hash).as("fp"))
     val bands = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
@@ -157,6 +166,67 @@ object Dedup extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // The md5 shingle hash makes the whole MinHash pipeline DuckDB-
+    // reproducible: h = first-32-bits-of-md5, sig_i = min((a_i·h+b_i) mod p)
+    // with the Scala-side (a, b) constants inlined below; band keys are the
+    // raw 4-value signature slices (Spark buckets on hash(slice, band) —
+    // same collision classes); est_jaccard is an exact multiple of 1/32,
+    // so no rounding is needed on either side.
+    "d02_minhash_lsh" -> {
+      val perms = hashA.zip(hashB).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(tl)-1),
+          i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) sl
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') tl FROM documents)
+        WHERE len(tl) >= 3),
+      toks AS (SELECT doc_id, unnest(sl) tok FROM sh),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT hv FROM toks),
+      perm(i, a, b) AS (VALUES $perms),
+      sig AS (SELECT doc_id, i, min((hv * a + b) % ${Prime}) m
+              FROM h CROSS JOIN perm GROUP BY 1, 2),
+      sigl AS (SELECT doc_id, list(m ORDER BY i) sig FROM sig GROUP BY 1),
+      bands AS (SELECT doc_id, sig, b, sig[b*4+1 : b*4+4] bkey
+                FROM sigl CROSS JOIN range(0, ${Bands}) t(b)),
+      cands AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b, x.sig sa, y.sig sb
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+        len(list_filter(range(1, ${MinhashK + 1}), i -> sa[i] = sb[i])) / ${MinhashK}.0
+          AS est_jaccard
+      FROM cands
+      WHERE len(list_filter(range(1, ${MinhashK + 1}), i -> sa[i] = sb[i])) / ${MinhashK}.0 >= 0.5
+      ORDER BY doc_a, doc_b"""
+    },
+
+    // SimHash: h = first-64-bits-of-md5 (UBIGINT ≡ the signed-long bit
+    // pattern Spark holds), ±1 vote per bit, sign → fingerprint; 4 bands
+    // of 16 bits generate candidates; hamming verified by bit_count(xor).
+    "d03_simhash_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+        FROM documents),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT hv FROM toks),
+      votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        FROM hs CROSS JOIN range(0, 64) t(j) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f
+        FROM votes GROUP BY 1),
+      bands AS (SELECT doc_id, f, b, (f >> (b*16)) & 65535 bkey
+                FROM fp CROSS JOIN range(0, 4) t(b)),
+      cands AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
+          CAST(bit_count(xor(x.f, y.f)) AS INTEGER) hamming
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, hamming FROM cands
+      WHERE hamming <= 8 ORDER BY doc_a, doc_b""",
+
     // DuckDB computes the same trigram-shingle jaccard; integer
     // intersection/union + one double division = engine-exact.
     "d01_jaccard_pairs" -> """

@@ -183,6 +183,39 @@ object Similarity extends QueryPack {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE c >= 0.35 ORDER BY ai, bi""",
 
+    // The fixed-seed hyperplanes inline as literals; sign bits, 4-bit
+    // bands, and the candidate join replicate the Spark plan 1:1. Ranking
+    // uses the unrounded cosine (bit-identical fold), rounded on output.
+    "s04_ann_lsh" -> {
+      val planeRows = hyperplanes.zipWithIndex
+        .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }
+        .mkString(",\n        ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, vec_id < 20 AS is_q
+                 FROM embeddings),
+      planes(p, pv) AS (VALUES $planeRows),
+      bits AS (
+        SELECT vec_id, is_q, p,
+          CASE WHEN list_sum(list_transform(range(1, len(v)+1), i -> v[i] * pv[i])) > 0
+            THEN (1::BIGINT << p) ELSE 0::BIGINT END bt
+        FROM e CROSS JOIN planes),
+      sig AS (SELECT vec_id, is_q, sum(bt)::BIGINT s FROM bits GROUP BY 1, 2),
+      bands AS (SELECT vec_id, is_q, b, (s >> (b*4)) & 15 bkey
+                FROM sig CROSS JOIN range(0, 4) t(b)),
+      qb AS (SELECT vec_id q_id, b, bkey FROM bands WHERE is_q),
+      cands AS (
+        SELECT DISTINCT qb.q_id, x.vec_id
+        FROM qb JOIN bands x ON qb.b = x.b AND qb.bkey = x.bkey AND x.vec_id <> qb.q_id),
+      scored AS (
+        SELECT cd.q_id, cd.vec_id, $cosExpr AS c
+        FROM cands cd JOIN e a ON a.vec_id = cd.vec_id JOIN e b ON b.vec_id = cd.q_id),
+      ranked AS (SELECT q_id, vec_id, c,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, ROUND(c, 4) AS cos_sim
+      FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk"""
+    },
+
     "s05_ann_ivf" -> {
       def cosOf(x: String, y: String) =
         s"""list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])) /

@@ -1,13 +1,15 @@
 package graft.catalog
 
 import graft.engine.Tables
+import graft.ml.Fit
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** AI-object + relational catalog: named views, registered models,
-  * knowledge bases, jobs — the namespace the reference keeps per
-  * "project" (interfaces/database/projects.py) — plus the
-  * `information_schema` surface (datahub/datanodes/system_tables.py:48-543,
+/** AI-object + relational catalog: named views, versioned models,
+  * knowledge bases, agents, triggers, integrations ("databases"), jobs —
+  * the namespace the reference keeps per "project"
+  * (interfaces/database/projects.py) — plus the `information_schema` /
+  * meta-table surface (datahub/datanodes/system_tables.py:48-543,
   * mindsdb_tables.py:42-430).
   *
   * Views are stored as DataFrame-producing thunks and expanded at
@@ -15,11 +17,33 @@ import org.apache.spark.sql.types._
   * project_datanode.py:103-173): querying a view IS querying its
   * definition — Catalyst inlines it, so filters/prunes push through the
   * view boundary into the underlying scans.
+  *
+  * Models are VERSIONED (reference model-version semantics,
+  * command_executor.py:1042 RETRAIN / :1078 FINETUNE / :1963 DROP):
+  * every retrain/finetune appends a version and makes it active; older
+  * versions stay addressable (`USING version = n`).
   */
 final class Catalog(val spark: SparkSession, val sfDir: String) {
 
   private val views = scala.collection.mutable.LinkedHashMap[String, () => DataFrame]()
-  private val models = scala.collection.mutable.LinkedHashMap[String, graft.ml.Model]()
+
+  /** One registered model: its versions (1-based), per-version fit stats
+    * (for FINETUNE), the training thunk (for RETRAIN), and the active
+    * version index. */
+  final class ModelEntry(
+      var versions: Vector[(graft.ml.Model, Option[Fit.Stats])],
+      var trainer: Option[() => (graft.ml.Model, Option[Fit.Stats])],
+      var spec: Option[Fit.FitSpec],
+      var active: Int)
+
+  private val models = scala.collection.mutable.LinkedHashMap[String, ModelEntry]()
+
+  import Catalog.{AgentEntity, DbEntity, KbEntity, TriggerEntity}
+
+  private val kbs = scala.collection.mutable.LinkedHashMap[String, KbEntity]()
+  private val agents = scala.collection.mutable.LinkedHashMap[String, AgentEntity]()
+  private val databases = scala.collection.mutable.LinkedHashMap[String, DbEntity]()
+  private val triggers = scala.collection.mutable.LinkedHashMap[String, TriggerEntity]()
 
   // ------------------------------------------------------------ resolution
 
@@ -37,23 +61,122 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
 
   // --------------------------------------------------------------- models
 
-  def createModel(m: graft.ml.Model): Unit = models(m.name) = m
-  def model(name: String): graft.ml.Model = models(name)
+  def createModel(m: graft.ml.Model,
+      stats: Option[Fit.Stats] = None,
+      trainer: Option[() => (graft.ml.Model, Option[Fit.Stats])] = None,
+      spec: Option[Fit.FitSpec] = None): Unit =
+    models(m.name) = new ModelEntry(Vector((m, stats)), trainer, spec, active = 1)
+
+  def model(name: String): graft.ml.Model = {
+    val e = models(name); e.versions(e.active - 1)._1
+  }
+  def model(name: String, version: Int): graft.ml.Model =
+    models(name).versions(version - 1)._1
   def listModels(): Seq[String] = models.keys.toSeq
+  def dropModel(name: String): Unit = models.remove(name)
+  def modelVersions(name: String): Seq[Int] = models(name).versions.indices.map(_ + 1)
+  def activeVersion(name: String): Int = models(name).active
+  def setActiveVersion(name: String, v: Int): Unit = {
+    val e = models(name)
+    require(v >= 1 && v <= e.versions.length, s"no version $v of model $name")
+    e.active = v
+  }
+
+  /** RETRAIN (command_executor.py:1042): re-run the stored trainer on
+    * CURRENT data; the result becomes a new active version. */
+  def retrain(name: String): Int = {
+    val e = models(name)
+    val t = e.trainer.getOrElse(
+      throw new IllegalStateException(s"model $name has no stored training query"))
+    e.versions :+= t()
+    e.active = e.versions.length
+    e.active
+  }
+
+  /** FINETUNE (command_executor.py:1078): exact incremental OLS — add the
+    * new batch's sufficient statistics to the active version's and
+    * re-solve; new active version. */
+  def finetune(name: String, newData: DataFrame): Int = {
+    val e = models(name)
+    val spec = e.spec.getOrElse(
+      throw new IllegalStateException(s"model $name was not created from a fit"))
+    val prev = e.versions(e.active - 1)._2.getOrElse(
+      throw new IllegalStateException(s"active version of $name carries no fit stats"))
+    val (m, st) = Fit.finetune(name, prev, newData, spec)
+    e.versions :+= ((m, Some(st)))
+    e.active = e.versions.length
+    e.active
+  }
+
+  // ---------------------------------------------- KBs / agents / databases
+
+  def createKb(name: String, params: Map[String, String] = Map.empty,
+      ifNotExists: Boolean = false): KbEntity = {
+    if (kbs.contains(name) && !ifNotExists)
+      throw new IllegalStateException(s"knowledge base $name already exists")
+    kbs.getOrElseUpdate(name, KbEntity(name, params))
+  }
+  def dropKb(name: String, ifExists: Boolean = false): Unit =
+    if (kbs.remove(name).isEmpty && !ifExists)
+      throw new NoSuchElementException(s"knowledge base $name does not exist")
+  def kb(name: String): Option[KbEntity] = kbs.get(name)
+  def listKbs(): Seq[String] = kbs.keys.toSeq
+
+  def createAgent(name: String, model: String, params: Map[String, String] = Map.empty): Unit =
+    agents(name) = AgentEntity(name, model, params)
+  def updateAgent(name: String, params: Map[String, String]): Unit = {
+    val cur = agents(name)
+    agents(name) = cur.copy(
+      model = params.getOrElse("model", cur.model),
+      params = cur.params ++ (params - "model"))
+  }
+  def dropAgent(name: String): Unit =
+    if (agents.remove(name).isEmpty)
+      throw new NoSuchElementException(s"agent $name does not exist")
+  def agent(name: String): Option[AgentEntity] = agents.get(name)
+  def listAgents(): Seq[String] = agents.keys.toSeq
+
+  /** CREATE DATABASE = integration registration (command_executor.py:
+    * 1260-1307). engine 'mem' wires the DSv2 MemCatalog under the given
+    * name, so `SELECT … FROM <name>.<table>` resolves through Spark's
+    * multi-catalog namespace exactly like a remote source. */
+  def createDatabase(name: String, engine: String, params: Map[String, String] = Map.empty): Unit = {
+    engine match {
+      case "mem" =>
+        spark.conf.set(s"spark.sql.catalog.$name",
+          classOf[graft.federation.MemCatalog].getName)
+      case _ => () // metadata-only registration (no live connector in this env)
+    }
+    databases(name) = DbEntity(name, engine, params)
+  }
+  def dropDatabase(name: String): Unit =
+    if (databases.remove(name).isEmpty)
+      throw new NoSuchElementException(s"database $name does not exist")
+  def listDatabases(): Seq[String] = databases.keys.toSeq
+
+  def createTrigger(name: String, tableName: String, sql: String): Unit =
+    triggers(name) = TriggerEntity(name, tableName, sql)
+  def dropTrigger(name: String): Unit =
+    if (triggers.remove(name).isEmpty)
+      throw new NoSuchElementException(s"trigger $name does not exist")
+  def trigger(name: String): Option[TriggerEntity] = triggers.get(name)
+  def listTriggers(): Seq[String] = triggers.keys.toSeq
 
   // ----------------------------------------------------- information_schema
+
+  private def frame(schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
   /** information_schema.tables (system_tables.py:67). */
   def infoTables(wh: Option[Warehouse] = None): DataFrame = {
     val base = Tables.names.map(n => Row(n, "BASE TABLE"))
     val v = views.keys.map(n => Row(n.toString, "VIEW")).toSeq
-    val w = wh.map(_.listTables().map(n => Row(n, "BASE TABLE"))).getOrElse(Nil)
-    val schema = StructType(Seq(
+    val w = wh.map(_.listTables().filterNot(_.startsWith("__kb_"))
+      .map(n => Row(n, "BASE TABLE"))).getOrElse(Nil)
+    frame(StructType(Seq(
       StructField("table_name", StringType, nullable = false),
-      StructField("table_type", StringType, nullable = false)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(base ++ v ++ w, 1), schema)
-      .orderBy("table_name")
+      StructField("table_type", StringType, nullable = false))),
+      base ++ v ++ w).orderBy("table_name")
   }
 
   /** information_schema.columns (system_tables.py:280): name + 1-based
@@ -64,16 +187,114 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
         Row(t, f.name, i + 1, f.dataType.sql)
       }
     }
-    val schema = StructType(Seq(
+    frame(StructType(Seq(
       StructField("table_name", StringType, nullable = false),
       StructField("column_name", StringType, nullable = false),
       StructField("ordinal_position", IntegerType, nullable = false),
-      StructField("data_type", StringType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      StructField("data_type", StringType, nullable = false))), rows)
       .orderBy("table_name", "ordinal_position")
   }
+
+  /** information_schema.schemata (system_tables.py SCHEMATA): the fixed
+    * system schemas plus one row per registered integration. */
+  def infoSchemata(): DataFrame =
+    frame(StructType(Seq(
+      StructField("catalog_name", StringType, nullable = false),
+      StructField("schema_name", StringType, nullable = false))),
+      Seq(Row("def", "information_schema"), Row("def", "graft")) ++
+        databases.keys.map(n => Row("def", n.toString)).toSeq)
+      .orderBy("schema_name")
+
+  /** information_schema.statistics / key_column_usage: schema-correct
+    * empties — the reference returns empty frames for parquet-backed
+    * tables too (system_tables.py STATISTICS/KEY_COLUMN_USAGE). */
+  def infoStatistics(): DataFrame =
+    frame(StructType(Seq(
+      StructField("table_name", StringType), StructField("index_name", StringType),
+      StructField("column_name", StringType), StructField("seq_in_index", IntegerType))),
+      Nil)
+  def infoKeyColumnUsage(): DataFrame =
+    frame(StructType(Seq(
+      StructField("constraint_name", StringType), StructField("table_name", StringType),
+      StructField("column_name", StringType), StructField("ordinal_position", IntegerType))),
+      Nil)
+
+  // ----------------------------------------------------------- meta tables
+  // (the MindsDB-side tables: mindsdb_tables.py MODELS :42, DATABASES
+  // :141, JOBS :236, TRIGGERS :300, KNOWLEDGE_BASES :360, AGENTS :430)
+
+  def metaModels(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("active", BooleanType, nullable = false),
+      StructField("predict", StringType, nullable = false),
+      StructField("features", StringType, nullable = false),
+      StructField("status", StringType, nullable = false))),
+      models.toSeq.flatMap { case (n, e) =>
+        e.versions.zipWithIndex.map { case ((m, _), i) =>
+          Row(n, i + 1, i + 1 == e.active, m.outputSchema.fieldNames.mkString(","),
+            m.featureCols.mkString(","), "complete")
+        }
+      }).orderBy("name", "version")
+
+  def metaDatabases(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("engine", StringType, nullable = false),
+      StructField("type", StringType, nullable = false))),
+      Seq(Row("information_schema", "information_schema", "system"),
+        Row("graft", "graft", "project")) ++
+        databases.values.map(d => Row(d.name, d.engine, "data")).toSeq)
+      .orderBy("name")
+
+  def metaJobs(jobs: graft.incremental.Jobs): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("schedule", StringType, nullable = false),
+      StructField("active", BooleanType, nullable = false))),
+      jobs.list().map(j => Row(j.name, j.schedule, j.active)))
+      .orderBy("name")
+
+  def metaKnowledgeBases(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("storage", StringType, nullable = false),
+      StructField("params", StringType, nullable = false))),
+      kbs.values.map(k => Row(k.name, k.storage,
+        k.params.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(","))).toSeq)
+      .orderBy("name")
+
+  def metaAgents(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("model_name", StringType, nullable = false))),
+      agents.values.map(a => Row(a.name, a.model)).toSeq)
+      .orderBy("name")
+
+  def metaTriggers(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("table_name", StringType, nullable = false),
+      StructField("query", StringType, nullable = false))),
+      triggers.values.map(t => Row(t.name, t.tableName, t.sql)).toSeq)
+      .orderBy("name")
+
+  def metaViews(): DataFrame =
+    frame(StructType(Seq(StructField("name", StringType, nullable = false))),
+      views.keys.map(n => Row(n.toString)).toSeq).orderBy("name")
 
   /** SHOW TABLES / DESCRIBE surface (command_executor.py:1577-1953, :882). */
   def showTables(wh: Option[Warehouse] = None): DataFrame = infoTables(wh)
   def describe(name: String): DataFrame = infoColumns(Seq(name))
+}
+
+object Catalog {
+  final case class KbEntity(name: String, params: Map[String, String]) {
+    /** chunk-storage table name inside the session warehouse. */
+    def storage: String = s"__kb_$name"
+  }
+  final case class AgentEntity(name: String, model: String, params: Map[String, String])
+  final case class DbEntity(name: String, engine: String, params: Map[String, String])
+  final case class TriggerEntity(name: String, tableName: String, sql: String)
 }

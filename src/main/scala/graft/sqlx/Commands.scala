@@ -2,21 +2,27 @@ package graft.sqlx
 
 import graft.catalog.{Catalog, Warehouse}
 import graft.incremental.Jobs
-import graft.ml.LinearModel
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.kb.Kb
+import graft.ml.{Fit, LinearModel}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Statement router for the MindsDB-style DDL surface (SURVEY §2.13;
   * reference `ExecuteCommands.execute_command` dispatch,
-  * command_executor.py:245 — CREATE/DROP VIEW :1350-1425, CREATE MODEL
-  * :1532, CREATE JOB :750, CREATE KNOWLEDGE BASE :1427, SHOW :1577-1953,
+  * command_executor.py:245 — CREATE DATABASE :1260, CREATE/DROP VIEW
+  * :1350-1425, CREATE KNOWLEDGE BASE :1427, DROP KB :1472, AGENTS
+  * :1484-1514, TRIGGERS :666-741, CREATE MODEL :1532, RETRAIN :1042,
+  * FINETUNE :1078, DROP MODEL :1963, EVALUATE KB :975, SHOW :1577-1953,
   * DESCRIBE :882).
   *
   * Standard SQL routes untouched to `spark.sql` (Catalyst owns the
   * relational dialect — the reference delegates the same way to DuckDB);
-  * only the engine-object DDL needs this small dispatcher. Statements
-  * are recognized by anchored regexes, mirroring the reference's
-  * statement-class dispatch table.
+  * only the engine-object DDL needs this dispatcher. Statements are
+  * recognized by anchored regexes, mirroring the reference's
+  * statement-class dispatch table. Every engine behind a route already
+  * exists as a Scala API (Kb, Fit, Jobs, Triggers, Agents, MemCatalog) —
+  * this layer is the user-facing SQL spelling.
   */
 final class Commands(
     val spark: SparkSession,
@@ -27,18 +33,61 @@ final class Commands(
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
   private val DropView = """(?is)\s*DROP\s+VIEW\s+(\w+)\s*""".r
+  private val CreateModelFit =
+    """(?is)\s*CREATE\s+MODEL\s+(\w+)\s+FROM\s+\((.+)\)\s+PREDICT\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val CreateModel =
     """(?is)\s*CREATE\s+MODEL\s+(\w+)\s+PREDICT\s+(\w+)\s+USING\s+features\s*=\s*'([^']+)'\s*,\s*weights\s*=\s*'([^']+)'\s*,\s*bias\s*=\s*([-\d.]+)\s*""".r
+  private val RetrainStmt = """(?is)\s*RETRAIN\s+(?:MODEL\s+)?(\w+)\s*""".r
+  private val FinetuneStmt =
+    """(?is)\s*FINETUNE\s+(?:MODEL\s+)?(\w+)\s+FROM\s+\((.+)\)\s*""".r
+  private val DropModel = """(?is)\s*DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateJob =
     """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s*\(\s*(.+?)\s*\)\s+EVERY\s+(.+?)\s*""".r
   private val DropJob = """(?is)\s*DROP\s+JOB\s+(\w+)\s*""".r
-  private val ShowStmt = """(?is)\s*SHOW\s+(TABLES|VIEWS|MODELS|JOBS)\s*""".r
+  private val CreateKb =
+    """(?is)\s*CREATE\s+KNOWLEDGE\s+BASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:USING\s+(.+?))?\s*""".r
+  private val DropKb =
+    """(?is)\s*DROP\s+KNOWLEDGE\s+BASE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val EvaluateKb =
+    """(?is)\s*EVALUATE\s+KNOWLEDGE[_ ]BASE\s+(\w+)\s+USING\s+(.+?)\s*""".r
+  private val CreateAgent =
+    """(?is)\s*CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+USING\s+(.+?)\s*""".r
+  private val UpdateAgent = """(?is)\s*UPDATE\s+AGENT\s+(\w+)\s+USING\s+(.+?)\s*""".r
+  private val DropAgent = """(?is)\s*DROP\s+AGENT\s+(\w+)\s*""".r
+  private val CreateTrigger =
+    """(?is)\s*CREATE\s+TRIGGER\s+(\w+)\s+ON\s+([\w.]+)\s*\(\s*(.+)\s*\)\s*""".r
+  private val DropTrigger = """(?is)\s*DROP\s+TRIGGER\s+(\w+)\s*""".r
+  private val CreateDatabase =
+    """(?is)\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:WITH\s+)?ENGINE\s*=?\s*'([^']+)'\s*(?:,\s*PARAMETERS\s*=\s*(.+))?\s*""".r
+  private val DropDatabase = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
+  private val InsertStmt =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s*(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
+  private val ShowStmt =
+    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|KNOWLEDGE[_ ]BASES|AGENTS|TRIGGERS|VARIABLES|STATUS|ENGINES)\s*(?:LIKE\s+'([^']*)')?\s*""".r
+  private val ShowColumns =
+    """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
+  private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
   private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
-  private val SetStmt = """(?is)\s*SET\s+([\w.]+)\s*=\s*(.+?)\s*""".r
+  private val SetStmt = """(?is)\s*SET\s+(?:SESSION\s+)?@?@?([\w.]+)\s*=\s*(.+?)\s*""".r
   private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
+  private val DescribeModel = """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
-  private val DropTable = """(?is)\s*DROP\s+TABLE\s+(\w+)\s*""".r
+  private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val Ctas = """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+)""".r
+  private val KbSearch =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+content\s*=\s*'([^']*)'\s*(?:AND\s+relevance\s*>=\s*([\d.Ee+-]+)\s*)?(?:LIMIT\s+(\d+)\s*)?""".r
+
+  /** session variables surfaced by SHOW VARIABLES (the reference answers
+    * these from its mysql-proxy server-variable table). SET overlays. */
+  private val vars = scala.collection.mutable.LinkedHashMap[String, String](
+    "autocommit" -> "1",
+    "character_set_client" -> "utf8mb4",
+    "character_set_connection" -> "utf8mb4",
+    "character_set_results" -> "utf8mb4",
+    "max_allowed_packet" -> "16777216",
+    "sql_mode" -> "ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,NO_ZERO_IN_DATE,NO_ZERO_DATE,ERROR_FOR_DIVISION_BY_ZERO,NO_ENGINE_SUBSTITUTION",
+    "version" -> "8.0.17-graft",
+    "version_comment" -> "graft spark-native engine")
 
   /** Execute one statement; DDL returns a status frame, queries return
     * their result. */
@@ -53,28 +102,149 @@ final class Commands(
       ok(s"view $name created")
     case DropView(name) =>
       catalog.dropView(name); ok(s"view $name dropped")
+
+    case CreateModelFit(name, trainSql, target, using) =>
+      val p = parseUsing(using)
+      val features = p.getOrElse("features",
+        throw new IllegalArgumentException("CREATE MODEL ... FROM needs features='c1,c2'"))
+        .split(",").map(_.trim).toSeq
+      val spec = Fit.FitSpec(features, target, p.getOrElse("score_column", "score"))
+      val trainer = () => {
+        val (m, st) = Fit.fit(name, run(trainSql), spec)
+        (m: graft.ml.Model, Option(st))
+      }
+      val (m, st) = trainer()
+      catalog.createModel(m, st, Some(trainer), Some(spec))
+      ok(s"model $name trained (version 1)")
     case CreateModel(name, target, feats, weights, bias) =>
       catalog.createModel(LinearModel(name,
         feats.split(",").map(_.trim).toSeq,
         weights.split(",").map(_.trim.toDouble).toSeq,
         bias.toDouble, scoreCol = target))
       ok(s"model $name created")
+    case RetrainStmt(name) =>
+      val v = catalog.retrain(name)
+      ok(s"model $name retrained (version $v active)")
+    case FinetuneStmt(name, dataSql) =>
+      val v = catalog.finetune(name, run(dataSql))
+      ok(s"model $name finetuned (version $v active)")
+    case DropModel(name) =>
+      catalog.dropModel(name); ok(s"model $name dropped")
+
     case CreateJob(name, body, schedule) =>
       jobs.create(Jobs.Job(name, s"every $schedule", () => { run(body).count(); () }))
       ok(s"job $name created")
     case DropJob(name) =>
       jobs.drop(name); ok(s"job $name dropped")
+
+    case CreateKb(ifNot, name, using) =>
+      catalog.createKb(name, parseUsing(Option(using).getOrElse("")), ifNot != null)
+      ok(s"knowledge base $name created")
+    case DropKb(ifEx, name) =>
+      catalog.kb(name).foreach(k =>
+        if (warehouse.exists(k.storage)) warehouse.dropTable(k.storage))
+      catalog.dropKb(name, ifEx != null)
+      ok(s"knowledge base $name dropped")
+    case EvaluateKb(name, using) =>
+      val p = parseUsing(using)
+      val k = catalog.kb(name).getOrElse(
+        throw new NoSuchElementException(s"knowledge base $name does not exist"))
+      val test = run(s"SELECT * FROM ${p.getOrElse("test_table",
+        throw new IllegalArgumentException("EVALUATE KNOWLEDGE_BASE needs test_table=..."))}")
+      Kb.evaluate(warehouse.table(k.storage), test,
+        p.get("k").map(_.toInt).getOrElse(Kb.DefaultLimit))
+
+    case CreateAgent(name, using) =>
+      val p = parseUsing(using)
+      catalog.createAgent(name, p.getOrElse("model", "default"), p - "model")
+      ok(s"agent $name created")
+    case UpdateAgent(name, using) =>
+      catalog.updateAgent(name, parseUsing(using)); ok(s"agent $name updated")
+    case DropAgent(name) =>
+      catalog.dropAgent(name); ok(s"agent $name dropped")
+
+    case CreateTrigger(name, table, body) =>
+      catalog.createTrigger(name, table, body)
+      ok(s"trigger $name created")
+    case DropTrigger(name) =>
+      catalog.dropTrigger(name); ok(s"trigger $name dropped")
+
+    case CreateDatabase(name, engine, params) =>
+      catalog.createDatabase(name, engine.toLowerCase,
+        Option(params).map(parseUsing).getOrElse(Map.empty))
+      ok(s"database $name created (engine $engine)")
+    case DropDatabase(name) =>
+      catalog.dropDatabase(name); ok(s"database $name dropped")
+
     case Ctas(_, name, body) =>
       warehouse.createTableAs(name, run(body), overwrite = true)
       ok(s"table $name created")
     case DropTable(name) =>
       warehouse.dropTable(name); ok(s"table $name dropped")
-    case ShowStmt(what) => what.toUpperCase match {
-      case "TABLES" => catalog.showTables(Some(warehouse))
-      case "VIEWS" => list("view_name", catalog.listViews())
-      case "MODELS" => list("model_name", catalog.listModels())
-      case "JOBS" => list("job_name", jobs.list().map(_.name))
+
+    case InsertStmt(name, colList, body) => catalog.kb(name) match {
+      case Some(k) =>
+        // INSERT INTO <kb> SELECT ... = chunk + embed ingest
+        // (controller.py:680-740; partitioned auto-rewrite aside)
+        val src = run(stripParens(body))
+        val contentCol = k.params.getOrElse("content_columns", "text")
+        val chunks = Kb.ingest(src, contentCol)
+        val toWrite =
+          if (warehouse.exists(k.storage) &&
+              k.params.get("kb_skip_existing").exists(_.toBoolean))
+            Kb.skipExisting(chunks, warehouse.table(k.storage))
+          else chunks
+        if (warehouse.exists(k.storage)) warehouse.insertInto(k.storage, toWrite)
+        else warehouse.createTableAs(k.storage, toWrite)
+        ok(s"ingested into knowledge base $name")
+      case None =>
+        require(warehouse.exists(name), s"table $name does not exist")
+        val df =
+          if (colList != null)
+            run(s"SELECT * FROM (${stripParens(body)}) AS __ins($colList)")
+          else run(stripParens(body))
+        warehouse.insertInto(name, df)
+        ok(s"inserted into $name")
     }
+
+    case ShowStmt(what, like) =>
+      val likeFilter: DataFrame => DataFrame = df =>
+        Option(like).fold(df)(p => df.filter(
+          col(df.columns.head).rlike("^" + p.replace("%", ".*").replace("_", ".") + "$")))
+      likeFilter(what.toUpperCase.replace('_', ' ') match {
+        case "TABLES" => catalog.showTables(Some(warehouse))
+        case "VIEWS" => list("view_name", catalog.listViews())
+        case "MODELS" => catalog.metaModels()
+        case "JOBS" => list("job_name", jobs.list().map(_.name))
+        case "DATABASES" =>
+          list("database_name",
+            Seq("information_schema", "graft") ++ catalog.listDatabases())
+        case "KNOWLEDGE BASES" => list("kb_name", catalog.listKbs())
+        case "AGENTS" => list("agent_name", catalog.listAgents())
+        case "TRIGGERS" => list("trigger_name", catalog.listTriggers())
+        case "VARIABLES" => kv("variable_name", "value", vars.toSeq)
+        case "STATUS" => kv("variable_name", "value",
+          Seq("Uptime" -> "0", "Threads_connected" -> "1", "Queries" -> "0"))
+        case "ENGINES" => kv("engine", "support",
+          Seq("graft-spark" -> "DEFAULT"))
+      })
+    case ShowColumns(name) =>
+      val fields = catalog.resolve(name, Some(warehouse)).schema.fields
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(fields.toSeq.map(f =>
+          Row(f.name, f.dataType.sql, if (f.nullable) "YES" else "NO", "", null, "")), 1),
+        StructType(Seq(
+          StructField("field", StringType), StructField("type", StringType),
+          StructField("null", StringType), StructField("key", StringType),
+          StructField("default", StringType), StructField("extra", StringType))))
+    case ShowCreate(name) =>
+      val fields = catalog.resolve(name, Some(warehouse)).schema.fields
+      val ddl = fields.map(f => s"  `${f.name}` ${f.dataType.sql}").mkString(",\n")
+      kv("table", "create_table",
+        Seq(name -> s"CREATE TABLE `$name` (\n$ddl\n)"))
+
+    case DescribeModel(name) =>
+      catalog.metaModels().filter(col("name") === name)
     case DescribeStmt(name) => catalog.describe(name)
     case ExplainStmt(body) =>
       // EXPLAIN (command_executor.py EXPLAIN dispatch): the optimized +
@@ -86,14 +256,62 @@ final class Commands(
         StructType(Seq(StructField("optimized_plan", StringType),
           StructField("physical_plan", StringType))))
     case SetStmt(key, value) =>
-      // SET (no-op pass-through to session conf, like the reference's
-      // server-variable handling)
-      spark.conf.set(key, value.stripPrefix("'").stripSuffix("'"))
+      // SET (server-variable handling): recorded for SHOW VARIABLES and
+      // passed through to the session conf
+      val v = value.stripPrefix("'").stripSuffix("'")
+      vars(key) = v
+      spark.conf.set(key, v)
       ok(s"set $key")
     case UseStmt(db) =>
       // USE: single-namespace engine — accepted for wire compatibility
       ok(s"using $db")
+
+    case KbSearch(name, q, rel, lim) if catalog.kb(name).isDefined =>
+      // SELECT ... WHERE content = 'q' over a knowledge base: the
+      // reference's KB query surface (executor.py:28-140)
+      val k = catalog.kb(name).get
+      Kb.vectorSearch(warehouse.table(k.storage), q,
+        limit = Option(lim).map(_.toInt).getOrElse(Kb.DefaultLimit),
+        minRelevance = Option(rel).map(_.toDouble))
+        .select(col("chunk_id"), col("doc_id"), col("content"), col("relevance"))
+
     case other => run(other)
+  }
+
+  /** `key = value [, key = value …]` (USING / PARAMETERS clauses). Values
+    * may be 'quoted', numeric, or bare words; keys lowercase. */
+  def parseUsing(s: String): Map[String, String] =
+    splitTop(s, ',').flatMap { item =>
+      item.split("=", 2) match {
+        case Array(k, v) =>
+          Some(k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'"))
+        case _ => None
+      }
+    }.toMap
+
+  private def stripParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1) else t
+  }
+
+  /** Fire a trigger once, synchronously: drain pending file changes of
+    * the watched warehouse table through Structured Streaming
+    * (AvailableNow), exposing each micro-batch as TABLE_DELTA to the
+    * trigger's SQL (trigger_task.py:29-88). Exactly-once across restarts
+    * via the per-trigger checkpoint. */
+  def fireTrigger(name: String): Unit = {
+    val t = catalog.trigger(name).getOrElse(
+      throw new NoSuchElementException(s"trigger $name does not exist"))
+    val schema = warehouse.table(t.tableName).schema
+    val q = graft.incremental.Triggers.onTableChanges(spark,
+      s"${warehouse.dir}/${t.tableName}", schema,
+      s"${warehouse.dir}/.ckpt_trigger_$name",
+      (delta, _) => {
+        delta.createOrReplaceTempView("TABLE_DELTA")
+        executeScript(t.sql)
+        ()
+      })
+    graft.incremental.Triggers.drain(q)
   }
 
   /** Multi-statement script execution (jobs hold SQL scripts,
@@ -106,18 +324,21 @@ final class Commands(
   }
 
   /** Split on semicolons outside single/double quotes. */
-  def splitStatements(script: String): Seq[String] = {
+  def splitStatements(script: String): Seq[String] = splitTop(script, ';')
+
+  /** Split on `sep` outside single/double quotes; trims, drops empties. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Option[Char] = None
-    script.foreach { c =>
+    s.foreach { c =>
       quote match {
         case Some(q) =>
           cur.append(c)
           if (c == q) quote = None
         case None => c match {
           case '\'' | '"' => quote = Some(c); cur.append(c)
-          case ';' =>
+          case `sep` =>
             if (cur.toString.trim.nonEmpty) out += cur.toString.trim
             cur.clear()
           case _ => cur.append(c)
@@ -137,8 +358,9 @@ final class Commands(
   }
 
   /** Run a SELECT with catalog resolution: every known relation
-    * (base table, warehouse table, view) is registered as a temp view
-    * first, so views shadow tables exactly as in [[Catalog.resolve]]. */
+    * (base table, warehouse table, view, KB chunk store) is registered
+    * as a temp view first, so views shadow tables exactly as in
+    * [[Catalog.resolve]]. */
   private def run(sql: String): DataFrame = {
     registerRelations()
     spark.sql(sql)
@@ -148,11 +370,17 @@ final class Commands(
     graft.engine.Tables.names.foreach { n =>
       catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
     }
-    warehouse.listTables().foreach { n =>
+    warehouse.listTables().filterNot(_.startsWith("__kb_")).foreach { n =>
       catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
     }
     catalog.listViews().foreach { n =>
       catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
+    }
+    // a KB is queryable as a table of its chunks (project_datanode view)
+    catalog.listKbs().foreach { n =>
+      catalog.kb(n).filter(k => warehouse.exists(k.storage)).foreach { k =>
+        warehouse.table(k.storage).createOrReplaceTempView(n)
+      }
     }
   }
 
@@ -165,4 +393,9 @@ final class Commands(
     spark.createDataFrame(
       spark.sparkContext.parallelize(names.map(Row(_)), 1),
       StructType(Seq(StructField(colName, StringType))))
+
+  private def kv(k: String, v: String, pairs: Seq[(String, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map(p => Row(p._1, p._2)), 1),
+      StructType(Seq(StructField(k, StringType), StructField(v, StringType))))
 }

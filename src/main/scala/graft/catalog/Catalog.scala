@@ -141,8 +141,15 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
     * name, so `SELECT … FROM <name>.<table>` resolves through Spark's
     * multi-catalog namespace exactly like a remote source. */
   def createDatabase(name: String, engine: String, params: Map[String, String] = Map.empty): Unit = {
+    require(name != "spark_catalog" && name != "information_schema" && name != "graft",
+      s"$name is a reserved catalog name")
     engine match {
       case "mem" =>
+        // refuse to clobber a catalog conf we didn't register ourselves
+        require(databases.contains(name) ||
+          spark.conf.getOption(s"spark.sql.catalog.$name").forall(
+            _ == classOf[graft.federation.MemCatalog].getName),
+          s"catalog name $name is already bound to a different catalog")
         spark.conf.set(s"spark.sql.catalog.$name",
           classOf[graft.federation.MemCatalog].getName)
       case _ => () // metadata-only registration (no live connector in this env)
@@ -150,8 +157,14 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
     databases(name) = DbEntity(name, engine, params)
   }
   def dropDatabase(name: String): Unit =
-    if (databases.remove(name).isEmpty)
-      throw new NoSuchElementException(s"database $name does not exist")
+    databases.remove(name) match {
+      case Some(d) =>
+        // unbind the catalog conf so the dropped integration is no longer
+        // addressable via <name>.<table>
+        if (d.engine == "mem") spark.conf.unset(s"spark.sql.catalog.$name")
+      case None =>
+        throw new NoSuchElementException(s"database $name does not exist")
+    }
   def listDatabases(): Seq[String] = databases.keys.toSeq
 
   def createTrigger(name: String, tableName: String, sql: String): Unit =

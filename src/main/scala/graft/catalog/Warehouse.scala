@@ -24,10 +24,13 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   def listTables(): Seq[String] =
     Files.list(Paths.get(dir)).toArray.map(_.toString.split('/').last).toSeq
-      .filterNot(n => n.endsWith("__tmp") || n.endsWith("__old"))
+      .filterNot(n => n.endsWith("__tmp") || n.endsWith("__old") || n.startsWith("."))
       .sorted
 
-  def table(name: String): DataFrame = spark.read.parquet(path(name))
+  def table(name: String): DataFrame = {
+    recover(name)
+    spark.read.parquet(path(name))
+  }
 
   /** CREATE TABLE AS (SaveToTable, is_replace semantics). */
   def createTableAs(name: String, df: DataFrame, overwrite: Boolean = false): Unit =
@@ -61,6 +64,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * leftovers from a crash are invisible to listTables() and reclaimed
     * by the next rewrite. */
   private def rewrite(name: String, df: DataFrame): Unit = {
+    recover(name)
     val tmp = Paths.get(path(name + "__tmp"))
     val old = Paths.get(path(name + "__old"))
     rm(tmp); rm(old)
@@ -69,6 +73,22 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     Files.move(cur, old)
     Files.move(tmp, cur)
     rm(old)
+  }
+
+  /** Crash recovery: a crash between the two renames in [[rewrite]]
+    * leaves no live dir but a surviving `__old` (or a fully-written
+    * `__tmp`, identified by its _SUCCESS marker). Restore the survivor
+    * BEFORE any cleanup deletes it — without this, the next rewrite's
+    * leading `rm(tmp); rm(old)` would destroy both remaining copies. */
+  private def recover(name: String): Unit = {
+    val cur = Paths.get(path(name))
+    if (!Files.exists(cur)) {
+      val old = Paths.get(path(name + "__old"))
+      val tmp = Paths.get(path(name + "__tmp"))
+      if (Files.exists(old)) Files.move(old, cur)
+      else if (Files.exists(tmp) && Files.exists(tmp.resolve("_SUCCESS")))
+        Files.move(tmp, cur)
+    }
   }
 
   private def rm(p: java.nio.file.Path): Unit =

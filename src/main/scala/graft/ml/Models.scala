@@ -74,8 +74,11 @@ object Predict {
         // under any repartitioning of `data`, unlike a regenerated
         // monotonically_increasing_id (whose assignment depends on the
         // physical partition layout of the run that wrote the cache).
+        // null-safe equality: a NULL feature tuple must rejoin its cached
+        // prediction exactly like the miss path emitted it (plain === is
+        // three-valued and silently drops such rows on a hit)
         val cond = model.featureCols
-          .map(f => col(f).cast(DoubleType) === hit(s"__feat_$f"))
+          .map(f => col(f).cast(DoubleType) <=> hit(s"__feat_$f"))
           .reduce(_ && _)
         model.featureCols.foldLeft(data.join(hit, cond)) {
           (df, f) => df.drop(s"__feat_$f")
@@ -89,7 +92,10 @@ object Predict {
         val enc = RowEncoder.encoderFor(outSchema)
         val preds = inputs.mapPartitions { it =>
           it.grouped(BatchSize).flatMap { chunk =>
-            val feats = chunk.map(r => featIdx.map(i => r.getDouble(i)).toArray)
+            // a NULL feature reads as NaN (not a crash): the prediction
+            // propagates NaN, and the row survives the apply like any other
+            val feats = chunk.map(r =>
+              featIdx.map(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)).toArray)
             val ids = chunk.map(_.getLong(0))
             model.predictBatch(feats).zip(ids).map { case (out, id) =>
               Row.fromSeq(id +: out.toSeq)

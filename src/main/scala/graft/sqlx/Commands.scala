@@ -5,7 +5,7 @@ import graft.incremental.Jobs
 import graft.kb.Kb
 import graft.ml.{Fit, LinearModel}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Statement router for the MindsDB-style DDL surface (SURVEY §2.13;
@@ -73,6 +73,10 @@ final class Commands(
   private val DescribeModel = """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val UpdateStmt =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
+  private val DeleteStmt =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
   private val Ctas = """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+)""".r
   private val KbSearch =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+content\s*=\s*'([^']*)'\s*(?:AND\s+relevance\s*>=\s*([\d.Ee+-]+)\s*)?(?:LIMIT\s+(\d+)\s*)?""".r
@@ -93,12 +97,20 @@ final class Commands(
     * their result. */
   def execute(sql: String): DataFrame = sql match {
     case CreateView(name, body) =>
-      // resolve the body ONCE, against the namespace as it stands now —
-      // a self-referential `CREATE VIEW t AS ... FROM t` therefore reads
-      // the base table (and can't recurse). Execution stays lazy: only
-      // the plan is captured.
-      val df = run(body)
-      catalog.createView(name, df)
+      // validate the body now (spark.sql analyzes eagerly), but store the
+      // SQL TEXT and re-expand at every resolution: a view over a
+      // warehouse table must see the table as it stands at READ time —
+      // capturing the plan once would pin the old snapshot's file listing,
+      // which UPDATE/DELETE's copy-on-write swap deletes. Self-reference
+      // stays non-recursive: while expanding view v, only views created
+      // BEFORE v are registered, so `FROM v` inside v's body resolves to
+      // the base/warehouse table.
+      run(body)
+      catalog.createView(name, {
+        registerBase()
+        registerViews(before = Some(name))
+        spark.sql(body)
+      })
       ok(s"view $name created")
     case DropView(name) =>
       catalog.dropView(name); ok(s"view $name dropped")
@@ -181,6 +193,21 @@ final class Commands(
       ok(s"table $name created")
     case DropTable(name) =>
       warehouse.dropTable(name); ok(s"table $name dropped")
+    case UpdateStmt(name, assigns, where) if !name.equalsIgnoreCase("AGENT") =>
+      // UPDATE <warehouse table> SET a = e, … WHERE cond (update_step.py)
+      require(warehouse.exists(name), s"table $name does not exist")
+      val m = splitTop(assigns, ',').map { a =>
+        val kv = a.split("=", 2)
+        require(kv.length == 2, s"bad assignment: $a")
+        kv(0).trim -> expr(kv(1).trim)
+      }.toMap
+      warehouse.update(name, m, expr(where))
+      ok(s"updated $name")
+    case DeleteStmt(name, where) =>
+      // DELETE FROM <warehouse table> [WHERE cond] (delete_step.py)
+      require(warehouse.exists(name), s"table $name does not exist")
+      warehouse.delete(name, Option(where).map(expr).getOrElse(lit(true)))
+      ok(s"deleted from $name")
 
     case InsertStmt(name, colList, body) => catalog.kb(name) match {
       case Some(k) =>
@@ -210,7 +237,7 @@ final class Commands(
     case ShowStmt(what, like) =>
       val likeFilter: DataFrame => DataFrame = df =>
         Option(like).fold(df)(p => df.filter(
-          col(df.columns.head).rlike("^" + p.replace("%", ".*").replace("_", ".") + "$")))
+          col(df.columns.head).rlike(likeToRegex(p))))
       likeFilter(what.toUpperCase.replace('_', ' ') match {
         case "TABLES" => catalog.showTables(Some(warehouse))
         case "VIEWS" => list("view_name", catalog.listViews())
@@ -289,6 +316,18 @@ final class Commands(
       }
     }.toMap
 
+  /** LIKE pattern → anchored regex: % becomes ".*", _ becomes "." and
+    * every literal segment is regex-quoted (a pattern containing dots,
+    * parens, plus signs etc. must match literally, not as
+    * metacharacters). */
+  private[sqlx] def likeToRegex(p: String): String =
+    "^" + p.split("(?=[%_])|(?<=[%_])", -1).map {
+      case "%" => ".*"
+      case "_" => "."
+      case seg if seg.nonEmpty => java.util.regex.Pattern.quote(seg)
+      case _ => ""
+    }.mkString + "$"
+
   private def stripParens(s: String): String = {
     val t = s.trim
     if (t.startsWith("(") && t.endsWith(")")) t.drop(1).dropRight(1) else t
@@ -303,11 +342,18 @@ final class Commands(
     val t = catalog.trigger(name).getOrElse(
       throw new NoSuchElementException(s"trigger $name does not exist"))
     val schema = warehouse.table(t.tableName).schema
+    // checkpoints live under the dot-prefixed `.state` sibling (never
+    // listed as a table by Warehouse.listTables, so registerRelations
+    // can't trip over a non-parquet dir)
     val q = graft.incremental.Triggers.onTableChanges(spark,
       s"${warehouse.dir}/${t.tableName}", schema,
-      s"${warehouse.dir}/.ckpt_trigger_$name",
+      s"${warehouse.dir}/.state/ckpt_trigger_$name",
       (delta, _) => {
-        delta.createOrReplaceTempView("TABLE_DELTA")
+        // foreachBatch hands a frame bound to a CLONED session — register
+        // the delta in OUR session's temp catalog or executeScript (which
+        // runs on `spark`) can't see it
+        spark.createDataFrame(delta.rdd, delta.schema)
+          .createOrReplaceTempView("TABLE_DELTA")
         executeScript(t.sql)
         ()
       })
@@ -367,20 +413,37 @@ final class Commands(
   }
 
   private def registerRelations(): Unit = {
+    registerBase()
+    registerViews(before = None)
+  }
+
+  /** Register every non-view relation: base tables, warehouse tables, and
+    * KB chunk stores (a KB is queryable as a table of its chunks —
+    * project_datanode view). */
+  private def registerBase(): Unit = {
+    // resolve base/warehouse tables DIRECTLY (not via catalog.resolve,
+    // which checks views first — a view shadowing a base table would
+    // recurse through its own registration)
     graft.engine.Tables.names.foreach { n =>
-      catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
+      graft.engine.Tables.table(spark, catalog.sfDir, n).createOrReplaceTempView(n)
     }
     warehouse.listTables().filterNot(_.startsWith("__kb_")).foreach { n =>
-      catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
+      warehouse.table(n).createOrReplaceTempView(n)
     }
-    catalog.listViews().foreach { n =>
-      catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
-    }
-    // a KB is queryable as a table of its chunks (project_datanode view)
     catalog.listKbs().foreach { n =>
       catalog.kb(n).filter(k => warehouse.exists(k.storage)).foreach { k =>
         warehouse.table(k.storage).createOrReplaceTempView(n)
       }
+    }
+  }
+
+  /** Register views in creation order, stopping before `before` — the
+    * expansion set a view's own body may see (earlier views only, so
+    * expansion terminates and self-reference reads the base table). */
+  private def registerViews(before: Option[String]): Unit = {
+    val names = catalog.listViews()
+    before.fold(names)(b => names.takeWhile(_ != b)).foreach { n =>
+      catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
     }
   }
 

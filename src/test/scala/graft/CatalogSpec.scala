@@ -60,6 +60,35 @@ class CatalogSpec extends AnyFunSuite {
     assert(d.forall(_.getString(3).nonEmpty))
   }
 
+  test("rewrite crash recovery: surviving __old or complete __tmp is restored") {
+    import java.nio.file.{Files, Paths}
+    val wh = Warehouse.temp(spark)
+    val region = Tables.table(spark, dir, "region")
+    wh.createTableAs("t", region)
+    val n = wh.table("t").count()
+    val root = Paths.get(wh.dir)
+    // crash between the two renames: live dir moved aside, no new dir yet
+    Files.move(root.resolve("t"), root.resolve("t__old"))
+    assert(wh.table("t").count() === n)
+    // crash after the new table was fully written but before the swap:
+    // live dir gone, complete __tmp (has parquet's _SUCCESS marker) left
+    Files.move(root.resolve("t"), root.resolve("t__tmp"))
+    assert(wh.table("t").count() === n)
+    // and a subsequent rewrite on the recovered table still works
+    wh.delete("t", col("r_regionkey") === 0)
+    assert(wh.table("t").count() === n - 1)
+  }
+
+  test("dropDatabase unbinds the catalog conf; reserved names rejected") {
+    val cat = new Catalog(spark, dir)
+    cat.createDatabase("specmemdb", "mem")
+    assert(spark.conf.getOption("spark.sql.catalog.specmemdb").isDefined)
+    cat.dropDatabase("specmemdb")
+    assert(spark.conf.getOption("spark.sql.catalog.specmemdb").isEmpty)
+    intercept[IllegalArgumentException] { cat.createDatabase("spark_catalog", "mem") }
+    intercept[IllegalArgumentException] { cat.createDatabase("information_schema", "pg") }
+  }
+
   test("information_schema covers warehouse tables and views") {
     val wh = Warehouse.temp(spark)
     wh.createTableAs("extra", Tables.table(spark, dir, "region"))

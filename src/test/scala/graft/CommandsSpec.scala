@@ -86,6 +86,45 @@ class CommandsSpec extends AnyFunSuite {
     assert(n === direct && n > 0)
   }
 
+  test("SQL still runs after fireTrigger (checkpoint dir is not a table)") {
+    val c = fresh()
+    c.execute("CREATE TABLE evts AS SELECT * FROM region")
+    c.execute("CREATE TRIGGER trg ON evts (CREATE TABLE delta_copy AS SELECT * FROM TABLE_DELTA)")
+    c.fireTrigger("trg")
+    // the trigger's own SQL saw TABLE_DELTA and ran …
+    assert(c.warehouse.exists("delta_copy"))
+    assert(c.execute("SELECT count(*) AS n FROM delta_copy").first().getLong(0) === 5)
+    // … and the namespace stays fully queryable afterwards (the streaming
+    // checkpoint must not surface as a warehouse table)
+    assert(c.execute("SELECT count(*) AS n FROM region").first().getLong(0) === 5)
+    assert(!c.warehouse.listTables().exists(_.startsWith(".")))
+  }
+
+  test("SHOW ... LIKE treats regex metacharacters literally") {
+    val c = fresh()
+    c.execute("CREATE TABLE like_t1 AS SELECT * FROM region")
+    // '.' is a literal dot, not any-char — must NOT match like_t1
+    assert(c.execute("SHOW TABLES LIKE 'like.t1'").count() === 0)
+    assert(c.execute("SHOW TABLES LIKE 'like_t1'").count() === 1) // _ wildcard
+    assert(c.execute("SHOW TABLES LIKE 'like%'").collect().map(_.getString(0)).toSeq
+      === Seq("like_t1"))
+    // unbalanced metachars would throw PatternSyntaxException if unquoted
+    assert(c.execute("SHOW TABLES LIKE '(+'").count() === 0)
+  }
+
+  test("view over a warehouse table reflects UPDATE/DELETE (no stale snapshot)") {
+    val c = fresh()
+    c.execute("CREATE TABLE ords AS SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 200")
+    c.execute("CREATE VIEW pricey AS SELECT * FROM ords WHERE o_totalprice > 0")
+    assert(c.execute("SELECT count(*) AS n FROM pricey").first().getLong(0) > 0)
+    // copy-on-write rewrite replaces the table directory entirely — the
+    // view must re-resolve, not hold the old snapshot's file listing
+    c.execute("UPDATE ords SET o_totalprice = -1.0 WHERE o_orderkey < 1000000")
+    assert(c.execute("SELECT count(*) AS n FROM pricey").first().getLong(0) === 0)
+    c.execute("DELETE FROM ords WHERE o_totalprice < 0")
+    assert(c.execute("SELECT count(*) AS n FROM ords").first().getLong(0) === 0)
+  }
+
   test("CTAS into warehouse + SHOW TABLES + DESCRIBE + DROP TABLE") {
     val c = fresh()
     c.execute("CREATE TABLE top_r AS SELECT * FROM region WHERE r_regionkey < 3")

@@ -65,6 +65,22 @@ class MlSpec extends AnyFunSuite {
     assert(viaCache === direct)
   }
 
+  test("cache hit keeps rows with NULL features (null-safe rejoin)") {
+    val tmp = java.nio.file.Files.createTempDirectory("predcache_null").toString
+    val cache = new PredictionCache(tmp)
+    val data = Tables.table(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+      .withColumn("l_discount",
+        when(col("l_linenumber") === 1, lit(null)).otherwise(col("l_discount")))
+    val n = data.count()
+    assert(data.filter(col("l_discount").isNull).count() > 0)
+    val miss = Predict.applyModel(data, model, Some(cache)).count()
+    val hit = Predict.applyModel(data, model, Some(cache)).count()
+    assert(cache.hits === 1)
+    // identical row counts on miss and hit — NULL feature tuples must not
+    // be silently dropped by the cache rejoin (three-valued === would)
+    assert(miss === n && hit === n)
+  }
+
   test("GetPredictorColumns / GetTableColumns: empty frames with correct schema") {
     val pc = Predict.predictorColumns(spark, model)
     assert(pc.count() === 0 && pc.schema.fieldNames.toSeq === Seq("score"))

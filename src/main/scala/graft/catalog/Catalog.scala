@@ -194,9 +194,9 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
 
   /** information_schema.columns (system_tables.py:280): name + 1-based
     * ordinal + Spark SQL type per column of every resolvable table. */
-  def infoColumns(tables: Seq[String] = Tables.names): DataFrame = {
+  def infoColumns(tables: Seq[String] = Tables.names, wh: Option[Warehouse] = None): DataFrame = {
     val rows = tables.flatMap { t =>
-      resolve(t).schema.fields.zipWithIndex.map { case (f, i) =>
+      resolve(t, wh).schema.fields.zipWithIndex.map { case (f, i) =>
         Row(t, f.name, i + 1, f.dataType.sql)
       }
     }
@@ -299,7 +299,8 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
 
   /** SHOW TABLES / DESCRIBE surface (command_executor.py:1577-1953, :882). */
   def showTables(wh: Option[Warehouse] = None): DataFrame = infoTables(wh)
-  def describe(name: String): DataFrame = infoColumns(Seq(name))
+  def describe(name: String, wh: Option[Warehouse] = None): DataFrame =
+    infoColumns(Seq(name), wh)
 }
 
 object Catalog {

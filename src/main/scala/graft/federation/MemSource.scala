@@ -191,7 +191,12 @@ object MemAggEval {
     val groupCols = agg.groupByExpressions.toSeq.map(name)
     val groupIdx = groupCols.map(schema.fieldIndex)
     def numeric(v: Any): Double = v.asInstanceOf[java.lang.Number].doubleValue()
-    rows.groupBy(r => groupIdx.map(r.get)).toSeq.map { case (key, grp) =>
+    // a GLOBAL aggregate over zero rows still yields exactly one row
+    // (COUNT=0, MIN/MAX/SUM=NULL) — grouping by key would yield none
+    val groups: Seq[(Seq[Any], Seq[Row])] =
+      if (groupCols.isEmpty) Seq((Seq.empty[Any], rows))
+      else rows.groupBy(r => groupIdx.map(r.get)).toSeq
+    groups.map { case (key, grp) =>
       val aggVals = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => grp.size.toLong
         case m: Min =>

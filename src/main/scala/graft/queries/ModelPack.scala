@@ -73,6 +73,44 @@ object ModelPack extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // RETRAIN (command_executor.py:1042): CREATE MODEL ... FROM (query)
+    // fits by one-pass OLS sufficient stats; RETRAIN re-runs the stored
+    // training query and activates the new version. The oracle recomputes
+    // the same regression independently in DuckDB (regr_slope/intercept)
+    // and checks both the predictions and the version bookkeeping.
+    "m06_retrain_version" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL price_m06 FROM
+        (SELECT l_quantity, l_extendedprice FROM lineitem)
+        PREDICT l_extendedprice USING features='l_quantity', score_column='pred'""")
+      c.execute("RETRAIN price_m06")
+      val grid = s.range(1, 4).select((col("id") * 10).cast("double").as("l_quantity"))
+      Predict.applyModel(grid, c.catalog.model("price_m06"))
+        .withColumn("pred", round(col("pred"), 6))
+        .withColumn("active_version", lit(c.catalog.activeVersion("price_m06")))
+        .withColumn("n_versions", lit(c.catalog.modelVersions("price_m06").length))
+        .orderBy(col("l_quantity"))
+    }),
+
+    // FINETUNE (command_executor.py:1078): exact incremental OLS — train
+    // on the even half, finetune with the odd half; the result must match
+    // a single fit over the FULL table, which is what the oracle computes
+    "m07_finetune_exact" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL inc_m07 FROM
+        (SELECT l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 0)
+        PREDICT l_extendedprice USING features='l_quantity', score_column='pred'""")
+      c.execute("""FINETUNE inc_m07 FROM
+        (SELECT l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 1)""")
+      val grid = s.range(0, 4).select((col("id") * 10 + 5).cast("double").as("l_quantity"))
+      Predict.applyModel(grid, c.catalog.model("inc_m07"))
+        .withColumn("pred", round(col("pred"), 6))
+        .withColumn("active_version", lit(c.catalog.activeVersion("inc_m07")))
+        .orderBy(col("l_quantity"))
+    }),
+
     // MapReduceStep analog (map_reduce_step.py:22-145): per-group
     // parameterized subplan — "top-2 customers per region" — as ONE
     // windowed plan, no per-group loop
@@ -134,6 +172,28 @@ object ModelPack extends QueryPack {
         ROUND(${oAvg("value")}, 4) AS forecast, COUNT(*) AS n_ctx
       FROM ranked WHERE rn <= 10 GROUP BY user_id
       ORDER BY user_id""",
+
+    "m06_retrain_version" -> """
+      WITH fit AS (
+        SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS w,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS b
+        FROM lineitem)
+      SELECT CAST(q*10 AS DOUBLE) AS l_quantity,
+        ROUND(b + w * (q*10), 6) AS pred,
+        2 AS active_version, 2 AS n_versions
+      FROM fit, UNNEST(generate_series(1, 3)) AS t(q)
+      ORDER BY l_quantity""",
+
+    "m07_finetune_exact" -> """
+      WITH fit AS (
+        SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS w,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS b
+        FROM lineitem)
+      SELECT CAST(q*10 + 5 AS DOUBLE) AS l_quantity,
+        ROUND(b + w * (q*10 + 5), 6) AS pred,
+        2 AS active_version
+      FROM fit, UNNEST(generate_series(0, 3)) AS t(q)
+      ORDER BY l_quantity""",
 
     "m05_mapreduce_groups" -> s"""
       WITH spend AS (

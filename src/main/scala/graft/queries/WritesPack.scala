@@ -94,6 +94,54 @@ object WritesPack extends QueryPack {
     "c01_show_tables" -> ((s, dir) => {
       new Catalog(s, dir).infoTables()
         .orderBy(col("table_name"))
+    }),
+
+    // information_schema as a SQL namespace: `FROM information_schema.tables`
+    // resolves through the DSv2 catalog and sees warehouse tables + views
+    // created a statement earlier (system_tables.py:48-543)
+    "i02_info_schema_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE TABLE wt_i02 AS SELECT * FROM region")
+      c.execute("CREATE VIEW v_i02 AS SELECT r_name FROM region")
+      c.execute("""SELECT table_name, table_type FROM information_schema.tables
+        ORDER BY table_name""")
+    }),
+
+    // SHOW breadth: every object-DDL route round-trips and surfaces in its
+    // SHOW meta table (command_executor.py:1577-1953, mindsdb_tables.py)
+    "c03_show_objects" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE DATABASE extdb_c03 ENGINE 'pg'")
+      c.execute("""CREATE MODEL m_c03 PREDICT score USING
+        features='l_quantity', weights='0.5', bias=1.0""")
+      c.execute("CREATE KNOWLEDGE BASE kb_c03")
+      c.execute("CREATE AGENT ag_c03 USING model='m_c03'")
+      c.execute("CREATE TABLE wt_c03 AS SELECT * FROM region")
+      c.execute("CREATE TRIGGER tr_c03 ON wt_c03 (SELECT 1)")
+      c.execute("CREATE JOB j_c03 AS (SELECT 1) EVERY 1 day")
+      c.execute("CREATE VIEW v_c03 AS SELECT r_name FROM region")
+      val kinds = Seq(
+        "agents" -> "SHOW AGENTS", "databases" -> "SHOW DATABASES",
+        "engines" -> "SHOW ENGINES", "jobs" -> "SHOW JOBS",
+        "knowledge_bases" -> "SHOW KNOWLEDGE BASES", "models" -> "SHOW MODELS",
+        "triggers" -> "SHOW TRIGGERS", "views" -> "SHOW VIEWS")
+      val rows = kinds.flatMap { case (kind, sql) =>
+        c.execute(sql).collect().map(r => Row(kind, r.getString(0)))
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("kind", StringType, nullable = false),
+          StructField("name", StringType, nullable = false))))
+        .orderBy(col("kind"), col("name"))
+    }),
+
+    // information_schema.columns through SQL, covering a warehouse table
+    "c04_info_columns_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE TABLE wt_c04 AS SELECT * FROM region")
+      c.execute("""SELECT table_name, column_name, ordinal_position
+        FROM information_schema.columns
+        WHERE table_name IN ('region', 'nation', 'wt_c04')
+        ORDER BY table_name, ordinal_position""")
     })
   )
 
@@ -140,6 +188,36 @@ object WritesPack extends QueryPack {
         ('events','BASE TABLE'),('lineitem','BASE TABLE'),('nation','BASE TABLE'),
         ('orders','BASE TABLE'),('part','BASE TABLE'),('region','BASE TABLE'),
         ('supplier','BASE TABLE')) AS t(table_name, table_type)
-      ORDER BY table_name"""
+      ORDER BY table_name""",
+
+    "i02_info_schema_sql" -> """
+      SELECT * FROM (VALUES
+        ('customer','BASE TABLE'),('documents','BASE TABLE'),('embeddings','BASE TABLE'),
+        ('events','BASE TABLE'),('lineitem','BASE TABLE'),('nation','BASE TABLE'),
+        ('orders','BASE TABLE'),('part','BASE TABLE'),('region','BASE TABLE'),
+        ('supplier','BASE TABLE'),('v_i02','VIEW'),('wt_i02','BASE TABLE'))
+        AS t(table_name, table_type)
+      ORDER BY table_name""",
+
+    "c03_show_objects" -> """
+      SELECT * FROM (VALUES
+        ('agents','ag_c03'),
+        ('databases','extdb_c03'),('databases','graft'),('databases','information_schema'),
+        ('engines','graft-spark'),
+        ('jobs','j_c03'),
+        ('knowledge_bases','kb_c03'),
+        ('models','m_c03'),
+        ('triggers','tr_c03'),
+        ('views','v_c03')) AS t(kind, name)
+      ORDER BY kind, name""",
+
+    "c04_info_columns_sql" -> """
+      SELECT * FROM (VALUES
+        ('nation','n_nationkey',1),('nation','n_name',2),
+        ('nation','n_regionkey',3),
+        ('region','r_regionkey',1),('region','r_name',2),
+        ('wt_c04','r_regionkey',1),('wt_c04','r_name',2))
+        AS t(table_name, column_name, ordinal_position)
+      ORDER BY table_name, ordinal_position"""
   )
 }

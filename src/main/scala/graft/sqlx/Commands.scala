@@ -30,6 +30,10 @@ final class Commands(
     val warehouse: Warehouse,
     val jobs: Jobs = new Jobs) {
 
+  // `information_schema.<table>` resolves through a live DSv2 catalog
+  // bound to this session's catalog/warehouse state
+  graft.catalog.InfoSchema.bind(spark, catalog, warehouse)
+
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
   private val DropView = """(?is)\s*DROP\s+VIEW\s+(\w+)\s*""".r
@@ -238,17 +242,17 @@ final class Commands(
       val likeFilter: DataFrame => DataFrame = df =>
         Option(like).fold(df)(p => df.filter(
           col(df.columns.head).rlike(likeToRegex(p))))
+      // each SHOW returns its meta-table schema (mindsdb_tables.py:42-430),
+      // not an ad-hoc one-column list
       likeFilter(what.toUpperCase.replace('_', ' ') match {
         case "TABLES" => catalog.showTables(Some(warehouse))
-        case "VIEWS" => list("view_name", catalog.listViews())
+        case "VIEWS" => catalog.metaViews()
         case "MODELS" => catalog.metaModels()
-        case "JOBS" => list("job_name", jobs.list().map(_.name))
-        case "DATABASES" =>
-          list("database_name",
-            Seq("information_schema", "graft") ++ catalog.listDatabases())
-        case "KNOWLEDGE BASES" => list("kb_name", catalog.listKbs())
-        case "AGENTS" => list("agent_name", catalog.listAgents())
-        case "TRIGGERS" => list("trigger_name", catalog.listTriggers())
+        case "JOBS" => catalog.metaJobs(jobs)
+        case "DATABASES" => catalog.metaDatabases()
+        case "KNOWLEDGE BASES" => catalog.metaKnowledgeBases()
+        case "AGENTS" => catalog.metaAgents()
+        case "TRIGGERS" => catalog.metaTriggers()
         case "VARIABLES" => kv("variable_name", "value", vars.toSeq)
         case "STATUS" => kv("variable_name", "value",
           Seq("Uptime" -> "0", "Threads_connected" -> "1", "Queries" -> "0"))
@@ -272,7 +276,7 @@ final class Commands(
 
     case DescribeModel(name) =>
       catalog.metaModels().filter(col("name") === name)
-    case DescribeStmt(name) => catalog.describe(name)
+    case DescribeStmt(name) => catalog.describe(name, Some(warehouse))
     case ExplainStmt(body) =>
       // EXPLAIN (command_executor.py EXPLAIN dispatch): the optimized +
       // physical plan as a one-row frame
@@ -451,11 +455,6 @@ final class Commands(
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("ok", msg)), 1),
       StructType(Seq(StructField("status", StringType), StructField("message", StringType))))
-
-  private def list(colName: String, names: Seq[String]): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(names.map(Row(_)), 1),
-      StructType(Seq(StructField(colName, StringType))))
 
   private def kv(k: String, v: String, pairs: Seq[(String, String)]): DataFrame =
     spark.createDataFrame(

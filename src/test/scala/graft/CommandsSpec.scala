@@ -86,6 +86,105 @@ class CommandsSpec extends AnyFunSuite {
     assert(n === direct && n > 0)
   }
 
+  test("KB DDL round-trip: create, ingest via INSERT, query, drop") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE kbx USING content_columns='text'")
+    assert(c.catalog.listKbs() === Seq("kbx"))
+    c.execute("INSERT INTO kbx SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 20")
+    val hits = c.execute("SELECT * FROM kbx WHERE content = 'table scan filter' LIMIT 5")
+    assert(hits.columns.toSeq === Seq("chunk_id", "doc_id", "content", "relevance"))
+    assert(hits.count() === 5)
+    // the KB is also queryable as a plain chunk table
+    assert(c.execute("SELECT count(*) AS n FROM kbx").first().getLong(0) > 0)
+    c.execute("DROP KNOWLEDGE BASE kbx")
+    assert(c.catalog.listKbs().isEmpty && !c.warehouse.exists("__kb_kbx"))
+    intercept[NoSuchElementException] { c.execute("DROP KNOWLEDGE BASE kbx") }
+    c.execute("DROP KNOWLEDGE BASE IF EXISTS kbx") // tolerated
+  }
+
+  test("EVALUATE KNOWLEDGE_BASE routes to Kb.evaluate") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE kbe USING content_columns='text'")
+    c.execute("INSERT INTO kbe SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 30")
+    c.execute("""CREATE TABLE testset AS SELECT doc_id AS query_id,
+      substring(text, 1, 60) AS query_text, doc_id AS gold_doc_id
+      FROM documents WHERE doc_id < 5""")
+    val ev = c.execute("EVALUATE KNOWLEDGE_BASE kbe USING test_table=testset, k=5")
+    assert(ev.columns.toSeq === Seq("query_id", "n_rel", "hit1", "hit5", "ndcg5"))
+    assert(ev.count() === 5)
+  }
+
+  test("AGENT DDL round-trip; SHOW AGENTS uses the meta schema") {
+    val c = fresh()
+    c.execute("CREATE AGENT ag USING model='m1', temperature='0'")
+    assert(c.execute("SHOW AGENTS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("ag", "m1")))
+    c.execute("UPDATE AGENT ag USING model='m2'")
+    assert(c.catalog.agent("ag").get.model === "m2")
+    c.execute("DROP AGENT ag")
+    assert(c.catalog.listAgents().isEmpty)
+    intercept[NoSuchElementException] { c.execute("DROP AGENT ag") }
+  }
+
+  test("DATABASE DDL round-trip; SHOW DATABASES uses the meta schema") {
+    val c = fresh()
+    c.execute("CREATE DATABASE pgx WITH ENGINE 'pg', PARAMETERS = host='h', port='5432'")
+    val rows = c.execute("SHOW DATABASES").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.contains(("pgx", "pg", "data")))
+    assert(rows.contains(("graft", "graft", "project")))
+    assert(rows.contains(("information_schema", "information_schema", "system")))
+    c.execute("DROP DATABASE pgx")
+    assert(!c.execute("SHOW DATABASES").collect().map(_.getString(0)).contains("pgx"))
+  }
+
+  test("RETRAIN / FINETUNE bump and activate model versions") {
+    val c = fresh()
+    c.execute("""CREATE MODEL fitm FROM
+      (SELECT l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 0)
+      PREDICT l_extendedprice USING features='l_quantity', score_column='pred'""")
+    assert(c.catalog.activeVersion("fitm") === 1)
+    c.execute("RETRAIN fitm")
+    assert(c.catalog.activeVersion("fitm") === 2)
+    assert(c.catalog.modelVersions("fitm") === Seq(1, 2))
+    // static data → retrain reproduces the same coefficients
+    val v1 = c.catalog.model("fitm", 1).asInstanceOf[graft.ml.LinearModel]
+    val v2 = c.catalog.model("fitm", 2).asInstanceOf[graft.ml.LinearModel]
+    assert(v1.weights === v2.weights && v1.bias === v2.bias)
+    c.execute("""FINETUNE fitm FROM
+      (SELECT l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 1)""")
+    assert(c.catalog.activeVersion("fitm") === 3)
+    // exact incremental learning: finetune(half1, half2) == fit(full)
+    val full = graft.ml.Fit.fit("ref",
+      c.execute("SELECT l_quantity, l_extendedprice FROM lineitem"),
+      graft.ml.Fit.FitSpec(Seq("l_quantity"), "l_extendedprice", "pred"))._1
+    val v3 = c.catalog.model("fitm").asInstanceOf[graft.ml.LinearModel]
+    assert(v3.weights === full.weights && v3.bias === full.bias)
+    // older versions stay addressable and re-activatable
+    c.catalog.setActiveVersion("fitm", 1)
+    assert(c.catalog.model("fitm") === v1)
+    // SHOW MODELS lists every version with the active flag on 1
+    val vers = c.execute("SHOW MODELS").collect()
+      .map(r => (r.getInt(1), r.getBoolean(2))).toSeq
+    assert(vers === Seq((1, true), (2, false), (3, false)))
+  }
+
+  test("information_schema namespace resolves through SQL") {
+    val c = fresh()
+    c.execute("CREATE TABLE wtx AS SELECT * FROM region")
+    val tbl = c.execute(
+      "SELECT table_name FROM information_schema.tables WHERE table_type = 'BASE TABLE'")
+      .collect().map(_.getString(0))
+    assert(tbl.contains("wtx") && tbl.contains("lineitem"))
+    val cols = c.execute(
+      "SELECT column_name FROM information_schema.columns WHERE table_name = 'wtx' ORDER BY ordinal_position")
+      .collect().map(_.getString(0)).toSeq
+    assert(cols === Seq("r_regionkey", "r_name"))
+    assert(c.execute("SELECT * FROM information_schema.schemata").count() >= 2)
+    assert(c.execute("SELECT * FROM information_schema.statistics").count() === 0)
+    assert(c.execute("SELECT * FROM information_schema.key_column_usage").count() === 0)
+  }
+
   test("SQL still runs after fireTrigger (checkpoint dir is not a table)") {
     val c = fresh()
     c.execute("CREATE TABLE evts AS SELECT * FROM region")

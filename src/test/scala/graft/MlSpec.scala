@@ -88,6 +88,42 @@ class MlSpec extends AnyFunSuite {
     assert(tc.count() === 0 && tc.schema.fieldNames.toSeq === Seq("r_regionkey", "r_name"))
   }
 
+  test("Fit.fit recovers exact OLS coefficients (k=1 and k=2, hand-computed)") {
+    import graft.ml.Fit
+    val sp = spark
+    import sp.implicits._
+    // y = 2x + 1 exactly
+    val d1 = Seq((0.0, 1.0), (1.0, 3.0), (2.0, 5.0)).toDF("x", "y")
+    val (m1, st1) = Fit.fit("f1", d1, Fit.FitSpec(Seq("x"), "y"))
+    assert(m1.weights === Seq(2.0) && m1.bias === 1.0)
+    assert(st1.n === 3)
+    // y = 1 + 2a + 3b exactly
+    val pts = Seq((0.0, 0.0, 1.0), (1.0, 0.0, 3.0), (0.0, 1.0, 4.0),
+      (1.0, 1.0, 6.0), (2.0, 1.0, 8.0))
+    val (m2, _) = Fit.fit("f2", pts.toDF("a", "b", "y"), Fit.FitSpec(Seq("a", "b"), "y"))
+    assert(m2.weights === Seq(2.0, 3.0) && m2.bias === 1.0)
+    // collinear features → singular normal equations, explicit failure
+    val bad = Seq((1.0, 2.0, 1.0), (2.0, 4.0, 2.0), (3.0, 6.0, 3.0)).toDF("a", "b", "y")
+    intercept[IllegalArgumentException] {
+      Fit.fit("f3", bad, Fit.FitSpec(Seq("a", "b"), "y"))
+    }
+  }
+
+  test("Fit.finetune(old, new) equals fit(old union new) exactly") {
+    import graft.ml.Fit
+    val sp = spark
+    import sp.implicits._
+    val all = Seq((0.0, 0.0, 1.0), (1.0, 0.0, 3.0), (0.0, 1.0, 4.0),
+      (1.0, 1.0, 6.0), (2.0, 1.0, 8.5), (3.0, 2.0, 13.25))
+    val (first, rest) = all.splitAt(3)
+    val spec = Fit.FitSpec(Seq("a", "b"), "y")
+    val (_, st) = Fit.fit("base", first.toDF("a", "b", "y"), spec)
+    val (inc, incSt) = Fit.finetune("base", st, rest.toDF("a", "b", "y"), spec)
+    val (direct, directSt) = Fit.fit("direct", all.toDF("a", "b", "y"), spec)
+    assert(inc.weights === direct.weights && inc.bias === direct.bias)
+    assert(incSt.n === directSt.n)
+  }
+
   test("lookback context takes exactly min(window, group size) latest rows per group") {
     val ev = Tables.table(spark, dir, "events")
     val ctx = TimeSeries.lookbackContext(ev, col("user_id"), col("ts"), col("event_id"), 10)

@@ -16,6 +16,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Base-table plans memoized per (session, dir, table): the test data
+    * is immutable, and re-deriving the relation re-reads the parquet
+    * footer on the driver — measurable when a statement router registers
+    * all ten tables per statement. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   /** Read one table. Path layout fixed by TESTDATA.md.
     *
     * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
@@ -23,13 +30,14 @@ object Tables {
     * convert losslessly (values are µs-precision) to TimestampType.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      Session.ensureEventConfig(spark)
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    cache.getOrElseUpdate((spark, dir, name),
+      if (name == "events") {
+        Session.ensureEventConfig(spark)
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        spark.read.parquet(s"$dir/$name.parquet")
+      })
 
   /** Register all tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =

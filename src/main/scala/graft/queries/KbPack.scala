@@ -92,6 +92,45 @@ object KbPack extends QueryPack {
         .orderBy(col("bm25").desc, col("chunk_id"))
     }),
 
+    // k04's boolean algebra as pure SQL through the statement router:
+    // the WHERE tree compiles to the same condition objects (KbSql)
+    "k11_kb_bool_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE KNOWLEDGE BASE kbq USING content_columns='text'")
+      c.execute("INSERT INTO kbq SELECT doc_id, text, lang, source FROM documents")
+      c.execute(s"""SELECT * FROM kbq WHERE
+          (content = '$QueryA' AND content != '$QueryNeg' AND lang = 'en')
+          OR (content = '$QueryB' AND source = 'src7') LIMIT 10""")
+        .select(col("chunk_id"), col("doc_id"), col("relevance"))
+        .orderBy(col("chunk_id"))
+    }),
+
+    // k05's hybrid blend as pure SQL: mode switches ride in the WHERE
+    // clause as params (controller.py:286-342)
+    "k12_kb_hybrid_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE KNOWLEDGE BASE kbh USING content_columns='text'")
+      c.execute("INSERT INTO kbh SELECT doc_id, text, lang, source FROM documents")
+      c.execute(s"""SELECT * FROM kbh WHERE content = '$QueryA'
+          AND hybrid_search = true AND hybrid_search_alpha = 0.5 LIMIT 10""")
+        .select(col("chunk_id"), col("doc_id"), col("distance"), col("relevance"))
+        .orderBy(col("relevance").desc, col("chunk_id"))
+    }),
+
+    // full KB lifecycle through DDL: create with kb_skip_existing, ingest
+    // a subset, re-ingest everything (dupes skipped), inventory per doc
+    "c02_ddl_kb_roundtrip" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE KNOWLEDGE BASE kbr USING
+        content_columns='text', kb_skip_existing='true'""")
+      c.execute("INSERT INTO kbr SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 250")
+      c.execute("INSERT INTO kbr SELECT doc_id, text, lang, source FROM documents")
+      c.execute("SELECT doc_id, count(*) AS n_chunks FROM kbr GROUP BY doc_id ORDER BY doc_id")
+    }),
+
     "k07_kb_evaluate" -> ((s, dir) => {
       val queries = docs(s, dir).filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"),
@@ -233,6 +272,51 @@ object KbPack extends QueryPack {
       SELECT * FROM (SELECT * FROM scored ORDER BY bm25 DESC, chunk_id LIMIT 10)
       ORDER BY bm25 DESC, chunk_id"""
     },
+
+    "k11_kb_bool_sql" -> s"""$oPrefix,
+      qa AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      qb AS (SELECT ${oEmbed(sq(QueryB))} AS q),
+      qn AS (SELECT ${oEmbed(sq(QueryNeg))} AS q),
+      excl AS (SELECT chunk_id FROM (
+          SELECT chunk_id, ${oRel("q")} AS relevance FROM emb, qn WHERE lang = 'en'
+          ORDER BY relevance DESC, chunk_id LIMIT $NegativeSetSize)
+        WHERE relevance >= $NegativeSetThreshold),
+      arm1 AS (SELECT * FROM (
+        SELECT chunk_id, doc_id, ${oRel("q")} AS relevance FROM emb, qa
+        WHERE lang = 'en' AND chunk_id NOT IN (SELECT chunk_id FROM excl)
+        ORDER BY relevance DESC, chunk_id LIMIT 10)),
+      arm2 AS (SELECT * FROM (
+        SELECT chunk_id, doc_id, ${oRel("q")} AS relevance FROM emb, qb
+        WHERE source = 'src7'
+        ORDER BY relevance DESC, chunk_id LIMIT 10))
+      SELECT * FROM (
+        SELECT * FROM arm1
+        UNION ALL
+        SELECT * FROM arm2 WHERE chunk_id NOT IN (SELECT chunk_id FROM arm1))
+      ORDER BY chunk_id""",
+
+    "k12_kb_hybrid_sql" -> {
+      val qn = QueryA.trim.toLowerCase.split("\\s+").distinct.length
+      s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      qt AS (SELECT list_distinct(regexp_extract_all(lower(${sq(QueryA)}), '\\S+')) AS qtoks),
+      vec AS (SELECT chunk_id, doc_id,
+          ROUND((1.0-(${oCos("q")}))*0.5, 4) AS arm_distance, 0 AS arm FROM emb, qv),
+      kw AS (SELECT chunk_id, doc_id,
+          ROUND((1.0 - len(list_intersect(list_distinct(regexp_extract_all(lower(content), '\\S+')), qtoks))/$qn.0)*0.5, 4) AS arm_distance,
+          1 AS arm FROM chunks, qt),
+      merged AS (SELECT chunk_id, doc_id, arm_distance,
+          ROW_NUMBER() OVER (PARTITION BY chunk_id ORDER BY arm_distance, arm) AS rn
+        FROM (SELECT * FROM vec UNION ALL SELECT * FROM kw)),
+      blended AS (SELECT chunk_id, doc_id, arm_distance AS distance,
+          ROUND(1.0/(1.0+arm_distance), 4) AS relevance FROM merged WHERE rn = 1)
+      SELECT * FROM (SELECT * FROM blended ORDER BY relevance DESC, chunk_id LIMIT 10)
+      ORDER BY relevance DESC, chunk_id"""
+    },
+
+    "c02_ddl_kb_roundtrip" -> s"""$oPrefix
+      SELECT doc_id, count(*) AS n_chunks FROM chunks
+      GROUP BY doc_id ORDER BY doc_id""",
 
     "k07_kb_evaluate" -> s"""$oPrefix,
       queries AS (SELECT doc_id AS query_id, substr(text, 1, $ChunkSize) AS query_text,

@@ -73,6 +73,20 @@ object ModelPack extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // the m01 semantics as pure SQL through the statement router:
+    // JOINing a registered model applies it (plan_join.py:357-401)
+    "m08_model_join_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL li_scorer PREDICT score USING
+        features='l_quantity,l_extendedprice,l_discount',
+        weights='0.01,0.0001,-2.0', bias=0.5""")
+      c.execute("""SELECT l_orderkey, l_linenumber, ROUND(score, 6) AS score,
+          CASE WHEN ROUND(score, 6) > 3.0 THEN 'high' ELSE 'low' END AS label
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) JOIN li_scorer
+        ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // RETRAIN (command_executor.py:1042): CREATE MODEL ... FROM (query)
     // fits by one-pass OLS sufficient stats; RETRAIN re-runs the stored
     // training query and activates the new version. The oracle recomputes
@@ -172,6 +186,13 @@ object ModelPack extends QueryPack {
         ROUND(${oAvg("value")}, 4) AS forecast, COUNT(*) AS n_ctx
       FROM ranked WHERE rn <= 10 GROUP BY user_id
       ORDER BY user_id""",
+
+    "m08_model_join_sql" -> s"""
+      SELECT l_orderkey, l_linenumber, score,
+        CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
+      FROM (SELECT l_orderkey, l_linenumber, $oScore AS score
+            FROM lineitem WHERE l_quantity >= 45)
+      ORDER BY l_orderkey, l_linenumber""",
 
     "m06_retrain_version" -> """
       WITH fit AS (

@@ -82,8 +82,10 @@ final class Commands(
   private val DeleteStmt =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
   private val Ctas = """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+)""".r
-  private val KbSearch =
-    """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+content\s*=\s*'([^']*)'\s*(?:AND\s+relevance\s*>=\s*([\d.Ee+-]+)\s*)?(?:LIMIT\s+(\d+)\s*)?""".r
+  private val KbQuery =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
+  private val ModelJoin =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))\s+JOIN\s+(\w+)\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
 
   /** session variables surfaced by SHOW VARIABLES (the reference answers
     * these from its mysql-proxy server-variable table). SET overlays. */
@@ -297,14 +299,24 @@ final class Commands(
       // USE: single-namespace engine — accepted for wire compatibility
       ok(s"using $db")
 
-    case KbSearch(name, q, rel, lim) if catalog.kb(name).isDefined =>
-      // SELECT ... WHERE content = 'q' over a knowledge base: the
-      // reference's KB query surface (executor.py:28-140)
+    case KbQuery(name, where, lim) if catalog.kb(name).isDefined =>
+      // SELECT * FROM <kb> WHERE <condition tree> — full boolean algebra
+      // plus relevance/hybrid/rerank params (executor.py:28-395,
+      // controller.py:286-342), compiled by [[KbSql]]
       val k = catalog.kb(name).get
-      Kb.vectorSearch(warehouse.table(k.storage), q,
-        limit = Option(lim).map(_.toInt).getOrElse(Kb.DefaultLimit),
-        minRelevance = Option(rel).map(_.toDouble))
-        .select(col("chunk_id"), col("doc_id"), col("content"), col("relevance"))
+      KbSql.run(spark, warehouse.table(k.storage), where, Option(lim).map(_.toInt))
+
+    case ModelJoin(sel, tbl, sub, modelName, rest)
+        if catalog.listModels().contains(modelName) =>
+      // SELECT ... FROM <data> JOIN <model>: joining a model applies it
+      // (plan_join.py:357-401 — the reference swaps the join for an
+      // ApplyPredictor step over the data side; every data column plus
+      // the model outputs are in scope for the select list)
+      val data = run(if (tbl != null) s"SELECT * FROM $tbl" else sub)
+      val applied = graft.ml.Predict.applyModel(data, catalog.model(modelName))
+      val tv = s"__model_join_$modelName"
+      applied.createOrReplaceTempView(tv)
+      spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 
     case other => run(other)
   }

@@ -92,7 +92,7 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.catalog.listKbs() === Seq("kbx"))
     c.execute("INSERT INTO kbx SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 20")
     val hits = c.execute("SELECT * FROM kbx WHERE content = 'table scan filter' LIMIT 5")
-    assert(hits.columns.toSeq === Seq("chunk_id", "doc_id", "content", "relevance"))
+    assert(hits.columns.toSeq === Seq("chunk_id", "doc_id", "content", "distance", "relevance"))
     assert(hits.count() === 5)
     // the KB is also queryable as a plain chunk table
     assert(c.execute("SELECT count(*) AS n FROM kbx").first().getLong(0) > 0)

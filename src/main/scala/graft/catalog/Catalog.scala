@@ -121,6 +121,9 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       throw new NoSuchElementException(s"knowledge base $name does not exist")
   def kb(name: String): Option[KbEntity] = kbs.get(name)
   def listKbs(): Seq[String] = kbs.keys.toSeq
+  /** record index-time corpus stats on the KB entity (ingest path). */
+  def setKbStats(name: String, stats: (Long, Double)): Unit =
+    kbs.get(name).foreach(k => kbs(name) = k.copy(stats = Some(stats)))
 
   def createAgent(name: String, model: String, params: Map[String, String] = Map.empty): Unit =
     agents(name) = AgentEntity(name, model, params)
@@ -304,7 +307,10 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
 }
 
 object Catalog {
-  final case class KbEntity(name: String, params: Map[String, String]) {
+  final case class KbEntity(name: String, params: Map[String, String],
+      /** BM25 corpus stats (N, avgdl) computed at ingest time — the
+        * index-build-time aggregate that must never run per query. */
+      stats: Option[(Long, Double)] = None) {
     /** chunk-storage table name inside the session warehouse. */
     def storage: String = s"__kb_$name"
   }

@@ -27,6 +27,7 @@ object Session {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.federation.SingleSourceJoinPushdown.ensure(spark)
     spark
   }
 

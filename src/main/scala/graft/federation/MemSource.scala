@@ -33,6 +33,10 @@ object MemTables {
   val registry: TrieMap[String, (StructType, Seq[Row])] = TrieMap.empty
   /** table name → filters pushed at the last scan planning */
   val pushed: TrieMap[String, Seq[Filter]] = TrieMap.empty
+  /** (left, right) table pairs whose join was evaluated source-side
+    * ([[SingleSourceJoinPushdown]]) — plan-shape tests assert on this. */
+  val pushedJoins: scala.collection.mutable.ArrayBuffer[(String, String)] =
+    scala.collection.mutable.ArrayBuffer.empty
 
   def register(name: String, schema: StructType, rows: Seq[Row]): Unit =
     registry(name) = (schema, rows)
@@ -231,12 +235,14 @@ object MemAggEval {
   }
 }
 
-class MemScan(schema: StructType, rows: Seq[Row]) extends Scan with Batch {
+class MemScan(schema: StructType, val memRows: Seq[Row]) extends Scan with Batch {
+  /** post-pushdown rows — [[SingleSourceJoinPushdown]] reads these to
+    * evaluate a whole join source-side. */
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     // split into 2 partitions to keep the multi-partition path honest
-    val data = rows.map(_.toSeq.toArray)
+    val data = memRows.map(_.toSeq.toArray)
     val (a, b) = data.splitAt((data.length + 1) / 2)
     Array(MemPartition(a.toArray), MemPartition(b.toArray))
   }

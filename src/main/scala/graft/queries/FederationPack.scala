@@ -24,10 +24,20 @@ object FederationPack extends QueryPack {
     Row("1-URGENT", 1.5), Row("2-HIGH", 1.2), Row("3-MEDIUM", 1.0),
     Row("4-NOT SPECIFIED", 0.8), Row("5-LOW", 0.5))
 
+  /** second "remote" dimension, joinable to priority_weight */
+  private val labelSchema = StructType(Seq(
+    StructField("o_orderpriority", StringType, nullable = false),
+    StructField("label", StringType, nullable = false)))
+  private val labelRows = Seq(
+    Row("1-URGENT", "expedite"), Row("2-HIGH", "expedite"), Row("3-MEDIUM", "standard"),
+    Row("4-NOT SPECIFIED", "standard"), Row("5-LOW", "deferred"))
+
   private def memCatalog(s: SparkSession): Unit = {
     MemTables.register("priority_weight", weightSchema, weightRows)
+    MemTables.register("status_label", labelSchema, labelRows)
     if (!s.conf.getOption("spark.sql.catalog.mem").contains(classOf[MemCatalog].getName))
       s.conf.set("spark.sql.catalog.mem", classOf[MemCatalog].getName)
+    graft.federation.SingleSourceJoinPushdown.ensure(s)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -52,6 +62,21 @@ object FederationPack extends QueryPack {
       fetched.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // whole-join pushdown: both dims live in ONE mem catalog, so their
+    // join evaluates source-side (SingleSourceJoinPushdown) — the Spark
+    // plan joins orders against a LocalRelation, not against two remote
+    // scans (query_planner.py:787-807)
+    "f04_whole_join_pushdown" -> ((s, dir) => {
+      memCatalog(s)
+      val dims = s.table("mem.priority_weight")
+        .join(s.table("mem.status_label"), "o_orderpriority")
+      t(s, dir, "orders")
+        .join(broadcast(dims), Seq("o_orderpriority"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dsum2(col("weight"), col("o_totalprice")).as("weighted"))
+        .orderBy(col("label"))
     }),
 
     // file sources: csv + json round trips through format sniffing
@@ -83,6 +108,16 @@ object FederationPack extends QueryPack {
     "f02_partitioned_fetch" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "f04_whole_join_pushdown" -> s"""
+      WITH lab AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'), ('3-MEDIUM', 'standard'),
+        ('4-NOT SPECIFIED', 'standard'), ('5-LOW', 'deferred')) AS l(o_orderpriority, label))
+      SELECT label, COUNT(*) AS n, ${oSum2("weight", "o_totalprice")} AS weighted
+      FROM orders
+      JOIN $oWeights USING (o_orderpriority)
+      JOIN lab USING (o_orderpriority)
+      GROUP BY label ORDER BY label""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

@@ -85,7 +85,10 @@ object KbPack extends QueryPack {
     }),
 
     "k09_kb_bm25" -> ((s, dir) => {
-      bm25Score(kb(s, dir), QueryA)
+      // stats computed once at index-build time (here: once per query
+      // build), then passed in — the search plan contains no corpus agg
+      val chunks = kb(s, dir)
+      bm25Score(chunks, QueryA, stats = Some(corpusStats(chunks)))
         .orderBy(col("bm25").desc, col("chunk_id"))
         .limit(10)
         .select(col("chunk_id"), col("doc_id"), col("bm25"))

@@ -229,6 +229,9 @@ final class Commands(
           else chunks
         if (warehouse.exists(k.storage)) warehouse.insertInto(k.storage, toWrite)
         else warehouse.createTableAs(k.storage, toWrite)
+        // index-build-time corpus stats: one aggregation per ingest, so
+        // BM25 search never pays a full-corpus scan per query
+        catalog.setKbStats(name, Kb.corpusStats(warehouse.table(k.storage)))
         ok(s"ingested into knowledge base $name")
       case None =>
         require(warehouse.exists(name), s"table $name does not exist")

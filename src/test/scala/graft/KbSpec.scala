@@ -17,6 +17,38 @@ class KbSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   lazy val docs: DataFrame = Tables.table(spark, dir, "documents")
+
+  test("BM25 stats: computed at ingest, threaded into search, never recomputed") {
+    val c = new graft.sqlx.Commands(spark,
+      new graft.catalog.Catalog(spark, dir), graft.catalog.Warehouse.temp(spark))
+    c.execute("CREATE KNOWLEDGE BASE kbst USING content_columns='text'")
+    c.execute("INSERT INTO kbst SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 50")
+    val ent = c.catalog.kb("kbst").get
+    assert(ent.stats.isDefined)
+    val stored = c.warehouse.table(ent.storage)
+    assert(ent.stats.get === Kb.corpusStats(stored))
+    // the stats parameter is authoritative: fake stats shift the scores,
+    // proving bm25Score does NOT silently rerun the corpus aggregation
+    val real = Kb.bm25Score(stored, "table scan", stats = ent.stats)
+      .orderBy("chunk_id").collect().map(_.getDouble(2)).toSeq
+    val fake = Kb.bm25Score(stored, "table scan", stats = Some((7L, 3.0)))
+      .orderBy("chunk_id").collect().map(_.getDouble(2)).toSeq
+    assert(real.nonEmpty && real != fake)
+    // and the index-time stats reproduce the inline-fallback scores
+    val inline = Kb.bm25Score(stored, "table scan")
+      .orderBy("chunk_id").collect().map(_.getDouble(2)).toSeq
+    assert(real === inline)
+    // hybrid arm threads the same stats
+    val h1 = Kb.hybridSearchBm25(stored, "table scan", stats = ent.stats)
+      .select("chunk_id", "relevance").collect().toSeq
+    val h2 = Kb.hybridSearchBm25(stored, "table scan")
+      .select("chunk_id", "relevance").collect().toSeq
+    assert(h1 === h2)
+    // re-ingest refreshes the stats to the grown corpus
+    c.execute("INSERT INTO kbst SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 50 AND doc_id < 80")
+    val ent2 = c.catalog.kb("kbst").get
+    assert(ent2.stats.get._1 > ent.stats.get._1)
+  }
   lazy val chunks: DataFrame = Kb.ingest(docs).cache()
 
   test("chunking covers every document end-to-end with correct overlap") {

@@ -67,6 +67,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"full-vector reshuffle is back:\n$plan")
   }
 
+  test("f04 same-catalog dim join evaluates source-side, not in Spark") {
+    graft.federation.MemTables.pushedJoins.clear()
+    val df = SparkEntry.queries("f04_whole_join_pushdown")(spark, dir)
+    df.collect()
+    assert(graft.federation.MemTables.pushedJoins.exists {
+      case (l, r) => Set(l, r) == Set("priority_weight", "status_label")
+    }, "join was not pushed to the mem source")
+    val plan = df.queryExecution.optimizedPlan.toString
+    // exactly ONE join survives: orders against the already-joined
+    // source-side result (a LocalRelation); the dim-dim join is gone
+    assert(plan.sliding(5).count(_ == "Join ") === 1, s"dim join not pushed:\n$plan")
+    assert(plan.contains("LocalRelation"), s"no source-side result:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

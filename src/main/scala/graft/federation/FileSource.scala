@@ -1,7 +1,8 @@
 package graft.federation
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 /** File-source reader with format sniffing — the reference's
   * FormatDetector (integrations/utilities/files/file_reader.py:85-223):
@@ -9,10 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * :299-327, JSON :361, TXT :329, Parquet :368).
   *
   * CSV/JSON/TXT/Parquet map to Spark's native distributed readers.
-  * XLSX and PDF (:372, :342) need binary-format libraries that are not
-  * in this environment; their entry points exist with the same contract
-  * and fail with a clear message — the detection and dispatch plumbing
-  * is real.
+  * XLSX (:372) parses with the JDK alone: the file is a zip of XML parts
+  * (shared strings + worksheet); one workbook is inherently a
+  * driver-side parse — a 100 TB ingest is many files, parallelized by
+  * reading per-file on executors, not by splitting one workbook.
+  * PDF (:342) needs text-extraction native libs absent here; its entry
+  * point keeps the contract and fails with a clear message.
   */
 object FileSource {
 
@@ -53,11 +56,159 @@ object FileSource {
     case "json" => spark.read.json(path)
     case "txt" => spark.read.text(path)
     case "parquet" => spark.read.parquet(path)
-    case "xlsx" => throw new UnsupportedOperationException(
-      "xlsx reader requires a spreadsheet library not present in this environment " +
-        "(reference: file_reader.py:372 openpyxl path)")
+    case "xlsx" => readXlsx(spark, path)
     case "pdf" => throw new UnsupportedOperationException(
       "pdf text extraction requires a PDF library not present in this environment " +
         "(reference: file_reader.py:342 pdfplumber path)")
+  }
+
+  // ------------------------------------------------------------------ xlsx
+
+  /** Read the first worksheet of an .xlsx workbook (file_reader.py:372):
+    * row 1 is the header; columns whose every value parses numeric become
+    * DOUBLE, the rest stay STRING (the reference delegates the same
+    * inference to pandas.read_excel). Handles shared strings, inline
+    * strings, booleans and blank cells. */
+  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    val (header, cells) = parseXlsx(path)
+    require(header.nonEmpty, s"empty worksheet in $path")
+    val n = header.length
+    val padded = cells.map(r => r.padTo(n, None).take(n))
+    val numeric = (0 until n).map { i =>
+      val vs = padded.flatMap(_(i))
+      vs.nonEmpty && vs.forall(_.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?"""))
+    }
+    val schema = StructType(header.zipWithIndex.map { case (h, i) =>
+      StructField(h, if (numeric(i)) DoubleType else StringType)
+    })
+    val rows = padded.map(r => Row.fromSeq(r.zipWithIndex.map {
+      case (v, i) => if (numeric(i)) v.map(_.toDouble).orNull else v.orNull
+    }))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** zip + XML parse → (header, data rows as Option[String] cells). */
+  private def parseXlsx(path: String): (Seq[String], Seq[Seq[Option[String]]]) = {
+    import scala.jdk.CollectionConverters._
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      def bytes(name: String): Option[Array[Byte]] =
+        Option(zf.getEntry(name)).map(e => zf.getInputStream(e).readAllBytes())
+      val shared: IndexedSeq[String] =
+        bytes("xl/sharedStrings.xml").map { b =>
+          val els = dom(b).getElementsByTagName("si")
+          (0 until els.getLength).map(i => textOfTs(els.item(i)))
+        }.getOrElse(IndexedSeq.empty)
+      val sheet = zf.entries().asScala.map(_.getName)
+        .filter(e => e.startsWith("xl/worksheets/") && e.endsWith(".xml"))
+        .toSeq.sorted.headOption
+        .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
+      val rowEls = dom(bytes(sheet).get).getElementsByTagName("row")
+      val all = (0 until rowEls.getLength).map { i =>
+        val row = rowEls.item(i).asInstanceOf[org.w3c.dom.Element]
+        val cs = row.getElementsByTagName("c")
+        val byCol = (0 until cs.getLength).flatMap { j =>
+          val c = cs.item(j).asInstanceOf[org.w3c.dom.Element]
+          cellValue(c, shared).map(v => colIndex(c.getAttribute("r")) -> v)
+        }.toMap
+        if (byCol.isEmpty) Seq.empty[Option[String]]
+        else (0 to byCol.keys.max).map(byCol.get)
+      }
+      val header = all.headOption.getOrElse(Seq.empty).map(_.getOrElse(""))
+      (header, all.drop(1))
+    } finally zf.close()
+  }
+
+  private def dom(b: Array[Byte]): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    // untrusted input: no DTDs, no external entities
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(b))
+  }
+
+  /** concatenated text of all <t> descendants (rich-text runs split one
+    * logical string across multiple <r><t> nodes). */
+  private def textOfTs(n: org.w3c.dom.Node): String = {
+    val ts = n.asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
+    (0 until ts.getLength).map(i => ts.item(i).getTextContent).mkString
+  }
+
+  /** decoded cell value per the cell's type attribute: s = shared-string
+    * index, inlineStr = nested text, b = boolean, default = raw numeric/
+    * formula value. */
+  private def cellValue(c: org.w3c.dom.Element, shared: IndexedSeq[String]): Option[String] = {
+    def v: Option[String] = {
+      val vs = c.getElementsByTagName("v")
+      if (vs.getLength == 0) None else Some(vs.item(0).getTextContent)
+    }
+    c.getAttribute("t") match {
+      case "s" => v.map(i => shared(i.toInt))
+      case "inlineStr" => Some(textOfTs(c)).filter(_.nonEmpty)
+      case "b" => v.map(x => if (x == "1") "true" else "false")
+      case _ => v
+    }
+  }
+
+  /** A1-style reference → 0-based column index. */
+  private def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((a, ch) => a * 26 + (ch.toUpper - 'A' + 1)) - 1
+
+  /** Minimal .xlsx writer (round-trip support for the reader): numbers as
+    * numeric cells, everything else as inline strings. */
+  def writeXlsx(path: String, header: Seq[String], rows: Seq[Seq[Any]]): Unit = {
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def cell(ref: String, v: Any): String = v match {
+      case null => ""
+      case n: Number => s"""<c r="$ref"><v>$n</v></c>"""
+      case other => s"""<c r="$ref" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
+    }
+    val allRows = header +: rows
+    val sheetXml = {
+      val sb = new StringBuilder(
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      allRows.zipWithIndex.foreach { case (r, i) =>
+        sb.append(s"""<row r="${i + 1}">""")
+        r.zipWithIndex.foreach { case (v, j) => sb.append(cell(s"${colRef(j)}${i + 1}", v)) }
+        sb.append("</row>")
+      }
+      sb.append("</sheetData></worksheet>").toString
+    }
+    val parts = Seq(
+      "[Content_Types].xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+         """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+         """<Default Extension="xml" ContentType="application/xml"/>""" +
+         """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+         """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+         """</Types>"""),
+      "_rels/.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+         """</Relationships>"""),
+      "xl/workbook.xml" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+         """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+         """</Relationships>"""),
+      "xl/worksheets/sheet1.xml" -> sheetXml)
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(Paths.get(path)))
+    try parts.foreach { case (name, content) =>
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    } finally out.close()
   }
 }

@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions.cosineSim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
 
 /** Knowledge-base engine: chunked ingest, deterministic stub embeddings,
   * semantic search with metadata filters, boolean set algebra, hybrid
@@ -72,6 +72,44 @@ object Kb {
         col("doc_id"), lit(s":$contentCol:"), col("chunk_ix") + 1, lit("of"),
         col("n_chunks"), lit(":"), col("start_c"), lit("to"), col("end_c")))
       .drop(contentCol)
+  }
+
+  /** JSON chunking (preprocessing/json_chunker.py): one chunk per FIELD
+    * of a JSON-object document (json_chunker.py:142-188 `_process_json_
+    * dict`), with one-level flattening of nested objects into
+    * `parent.child: value` lines ('.' delimiter, `_flatten_dict` +
+    * `_dict_to_text`) and primitive fields as `key: value`. Chunk ids
+    * follow the shared `<doc_id>:<col>:<N>of<T>:<start>to<end>` format;
+    * `field_name` rides as chunk metadata for filtering. Documents that
+    * fail to parse yield one `<doc_id>_error` chunk instead of vanishing
+    * (json_chunker.py:40-45).
+    *
+    * Everything is a narrow per-row transform (from_json + posexplode) —
+    * no shuffle, scales with the scan.
+    */
+  def chunkJson(docs: DataFrame, jsonCol: String = "j"): DataFrame = {
+    val entries = MapType(StringType, StringType)
+    val nested = from_json(col("_raw"), entries)
+    val flatLines = array_join(
+      transform(map_entries(nested), e =>
+        concat(col("field_name"), lit("."), e.getField("key"), lit(": "), e.getField("value"))),
+      "\n")
+    docs
+      .withColumn("_m", from_json(col(jsonCol), entries))
+      .select(col("*"), posexplode_outer(col("_m")).as(Seq("_pos", "field_name", "_raw")))
+      .withColumn("n_chunks", coalesce(size(col("_m")), lit(1)).cast(LongType))
+      .withColumn("chunk_ix", coalesce(col("_pos") + 1, lit(1)).cast(LongType))
+      .withColumn("content",
+        when(col("field_name").isNull,
+          lit("Error processing document: Content is neither valid JSON nor a valid Python literal."))
+          .when(col("_raw").rlike("^\\s*\\{"), flatLines)
+          .otherwise(concat(col("field_name"), lit(": "), col("_raw"))))
+      .withColumn("chunk_id",
+        when(col("field_name").isNull, concat(col("doc_id"), lit("_error")))
+          .otherwise(concat(
+            col("doc_id"), lit(s":$jsonCol:"), col("chunk_ix"), lit("of"),
+            col("n_chunks"), lit(":0to"), length(col("content")))))
+      .drop("_m", "_pos", "_raw", jsonCol)
   }
 
   /** Deterministic stub embedding of a string column: component j =

@@ -79,6 +79,22 @@ object FederationPack extends QueryPack {
         .orderBy(col("label"))
     }),
 
+    // xlsx round trip: write a workbook from orders (driver-side — one
+    // workbook is one file), read back through format detection, aggregate
+    "f05_xlsx_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
+      val slim = t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+      FileSource.writeXlsx(s"$tmp/orders.xlsx",
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+        slim.collect().toSeq.map(_.toSeq))
+      FileSource.read(s, s"$tmp/orders.xlsx")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -118,6 +134,11 @@ object FederationPack extends QueryPack {
       JOIN $oWeights USING (o_orderpriority)
       JOIN lab USING (o_orderpriority)
       GROUP BY label ORDER BY label""",
+
+    "f05_xlsx_roundtrip" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders WHERE o_orderkey < 500
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

@@ -95,6 +95,20 @@ object KbPack extends QueryPack {
         .orderBy(col("bm25").desc, col("chunk_id"))
     }),
 
+    // JSON chunker (preprocessing/json_chunker.py): per-field chunks with
+    // one-level flattening. The JSON column is built from document
+    // columns, so the oracle can state the expected chunks independently
+    // without parsing JSON itself.
+    "k10_json_chunks" -> ((s, dir) => {
+      val jdocs = docs(s, dir).select(col("doc_id"), to_json(struct(
+        col("lang"), col("source"),
+        struct(col("doc_id").as("id"), length(col("text")).as("len")).as("meta"))).as("j"))
+      Kb.chunkJson(jdocs)
+        .select(col("chunk_id"), col("doc_id"), col("chunk_ix"), col("n_chunks"),
+          col("field_name"), col("content"))
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
     // k04's boolean algebra as pure SQL through the statement router:
     // the WHERE tree compiles to the same condition objects (KbSql)
     "k11_kb_bool_sql" -> ((s, dir) => {
@@ -275,6 +289,21 @@ object KbPack extends QueryPack {
       SELECT * FROM (SELECT * FROM scored ORDER BY bm25 DESC, chunk_id LIMIT 10)
       ORDER BY bm25 DESC, chunk_id"""
     },
+
+    "k10_json_chunks" -> """
+      WITH fields AS (
+        SELECT doc_id, 1 AS chunk_ix, 'lang' AS field_name,
+          'lang: ' || lang AS content FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'source', 'source: ' || source FROM documents
+        UNION ALL
+        SELECT doc_id, 3, 'meta',
+          'meta.id: ' || doc_id || chr(10) || 'meta.len: ' || length(text)
+        FROM documents)
+      SELECT doc_id || ':j:' || chunk_ix || 'of3:0to' || length(content) AS chunk_id,
+        doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix, CAST(3 AS BIGINT) AS n_chunks,
+        field_name, content
+      FROM fields ORDER BY doc_id, chunk_ix""",
 
     "k11_kb_bool_sql" -> s"""$oPrefix,
       qa AS (SELECT ${oEmbed(sq(QueryA))} AS q),

@@ -130,6 +130,39 @@ class FederationSpec extends AnyFunSuite {
     assert(out.queryExecution.optimizedPlan.toString.linesIterator.size < 40)
   }
 
+  test("xlsx reader: shared strings, inline strings, booleans, blanks, typing") {
+    import graft.federation.FileSource
+    val tmp = java.nio.file.Files.createTempDirectory("xlsx_spec").toString
+    // writer path (inline strings + numeric cells)
+    FileSource.writeXlsx(s"$tmp/t.xlsx", Seq("name", "qty", "note"),
+      Seq(Seq("alpha", 1.5, "x&<y>"), Seq("beta", 2L, null), Seq("gamma", 3, "plain")))
+    val df = FileSource.read(spark, s"$tmp/t.xlsx")
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq
+      === Seq(("name", "string"), ("qty", "double"), ("note", "string")))
+    val rows = df.orderBy("qty").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("alpha", "beta", "gamma"))
+    assert(rows.map(_.getDouble(1)).toSeq === Seq(1.5, 2.0, 3.0))
+    assert(rows(0).getString(2) === "x&<y>" && rows(1).isNullAt(2))
+    // hand-built workbook exercising the sharedStrings + boolean paths
+    val out = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$tmp/s.xlsx")))
+    def entry(n: String, c: String): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(n)); out.write(c.getBytes("UTF-8")); out.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<sst><si><t>col_a</t></si><si><t>col_b</t></si><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        <row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="b"><v>1</v></c></row>
+        </sheetData></worksheet>""")
+    out.close()
+    val sdf = FileSource.read(spark, s"$tmp/s.xlsx")
+    assert(sdf.columns.toSeq === Seq("col_a", "col_b"))
+    val r = sdf.collect().head
+    assert(r.getString(0) === "rich" && r.getString(1) === "true")
+  }
+
   test("file format detection: extension and content sniffing") {
     val tmp = java.nio.file.Files.createTempDirectory("sniff")
     assert(FileSource.detectFormat("x.csv") === "csv")
@@ -147,6 +180,8 @@ class FederationSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(t, "plain text here\nmore\n")
     assert(FileSource.detectFormat(t.toString) === "txt")
     intercept[UnsupportedOperationException] { FileSource.read(spark, "x.pdf") }
-    intercept[UnsupportedOperationException] { FileSource.read(spark, "x.xlsx") }
+    // xlsx now reads for real — a missing file is a file error, not an
+    // unsupported format
+    intercept[java.io.IOException] { FileSource.read(spark, "x.xlsx") }
   }
 }

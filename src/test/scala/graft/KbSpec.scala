@@ -18,6 +18,28 @@ class KbSpec extends AnyFunSuite {
 
   lazy val docs: DataFrame = Tables.table(spark, dir, "documents")
 
+  test("JSON chunker: per-field chunks, one-level flatten, error chunk on bad input") {
+    val sp = spark
+    import sp.implicits._
+    val jdocs = Seq(
+      (1L, """{"title": "alpha", "nested": {"a": "1", "b": "2"}}"""),
+      (2L, """{"only": "x"}"""),
+      (3L, """not json at all""")).toDF("doc_id", "j")
+    val out = Kb.chunkJson(jdocs).orderBy("doc_id", "chunk_ix").collect()
+    assert(out.length === 4)
+    val c1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(c1.map(_.getAs[String]("field_name")).toSeq === Seq("title", "nested"))
+    assert(c1(0).getAs[String]("content") === "title: alpha")
+    assert(c1(1).getAs[String]("content") === "nested.a: 1\nnested.b: 2")
+    assert(c1(0).getAs[String]("chunk_id") === "1:j:1of2:0to12")
+    val c3 = out.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(c3.length === 1 && c3(0).getAs[String]("chunk_id") === "3_error")
+    assert(c3(0).getAs[String]("content").startsWith("Error processing document"))
+    // chunks feed the standard embed/search pipeline unchanged
+    val emb = Kb.chunkJson(jdocs).withColumn("emb", Kb.embed(col("content")))
+    assert(Kb.vectorSearch(emb, "alpha", limit = 2).count() === 2)
+  }
+
   test("BM25 stats: computed at ingest, threaded into search, never recomputed") {
     val c = new graft.sqlx.Commands(spark,
       new graft.catalog.Catalog(spark, dir), graft.catalog.Warehouse.temp(spark))

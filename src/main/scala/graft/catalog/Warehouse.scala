@@ -36,10 +36,28 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def createTableAs(name: String, df: DataFrame, overwrite: Boolean = false): Unit =
     df.write.mode(if (overwrite) "overwrite" else "errorifexists").parquet(path(name))
 
-  /** INSERT INTO (InsertToTable): append by column name. */
+  /** CREATE TABLE with an explicit column list (steps.py:255,
+    * command_executor.py:1955): an empty table carrying the schema. */
+  def createTable(name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1).write.mode("errorifexists").parquet(path(name))
+
+  /** INSERT INTO (InsertToTable): append by column name when the incoming
+    * names are a permutation of the table's, positionally otherwise (the
+    * standard-SQL rule — a bare `INSERT ... VALUES` arrives as col1..colN).
+    * Values cast to the table's declared types either way (a literal
+    * VALUES row arrives as int/decimal — appending those verbatim would
+    * corrupt the parquet schema). */
   def insertInto(name: String, df: DataFrame): Unit = {
-    val cols = table(name).columns
-    df.select(cols.map(col): _*).write.mode("append").parquet(path(name))
+    val schema = table(name).schema
+    require(df.columns.length == schema.length,
+      s"INSERT arity mismatch: ${df.columns.length} values for ${schema.length} columns of $name")
+    val byName = df.columns.map(_.toLowerCase).sorted
+      .sameElements(schema.fieldNames.map(_.toLowerCase).sorted)
+    val cols =
+      if (byName) schema.fields.map(f => col(f.name).cast(f.dataType))
+      else df.columns.zip(schema.fields).map { case (c, f) => col(c).cast(f.dataType).as(f.name) }
+    df.select(cols.toSeq: _*).write.mode("append").parquet(path(name))
   }
 
   /** UPDATE name SET assignments WHERE cond (UpdateToTable). */

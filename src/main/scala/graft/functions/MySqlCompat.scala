@@ -130,8 +130,10 @@ object MySqlCompat {
     add("convert_tz", es =>
       FromUTCTimestamp(ToUTCTimestamp(es.head, es(1)), es(2)))
     add("mysql_format", es => FormatNumber(es.head, es(1)))
-    add("adddate", es => DateAdd(es.head, es(1)))
-    add("subdate", es => DateSub(es.head, es(1)))
+    // explicit date cast: ANSI mode refuses the lossy timestamp→date
+    // implicit coercion MySQL applies
+    add("adddate", es => DateAdd(Cast(es.head, DateType), es(1)))
+    add("subdate", es => DateSub(Cast(es.head, DateType), es(1)))
     add("addtime", es => SecondsToTimestamp(
       Add(UnixSeconds(Cast(es.head, TimestampType)), Cast(es(1), LongType))))
     add("get_format", es => (es.head, es(1)) match {

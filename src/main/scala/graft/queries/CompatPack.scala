@@ -36,6 +36,49 @@ object CompatPack extends QueryPack {
         FROM orders_q37 ORDER BY o_orderkey""")
     }),
 
+    // every name in the reference's MySQL-function rewrite map
+    // (mysql_to_duckdb_functions.py:681-712) in one query — shim or
+    // Spark built-in, each must produce the DuckDB-matched value.
+    // curdate/curtime are clock-dependent: asserted as stable derived
+    // booleans so the oracle can't race the wall clock.
+    "q39_mysql_full_shims" -> ((s, dir) => {
+      MySqlCompat.register(s)
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .createOrReplaceTempView("orders_q39")
+      s.sql("""
+        SELECT o_orderkey,
+          char(65 + o_custkey % 26)                                   AS f_char,
+          locate('URGENT', o_orderpriority)                           AS f_locate,
+          instr(o_orderpriority, '-')                                 AS f_instr,
+          decode(unhex('4A4B'), 'UTF-8')                              AS f_unhex,
+          mysql_format(o_totalprice, 2)                               AS f_format,
+          sha2(o_orderpriority, 256)                                  AS f_sha2,
+          length(o_orderpriority)                                     AS f_length,
+          regexp_substr_mysql(o_orderpriority, '[A-Z]+')              AS f_regexp_substr,
+          substring_index(o_orderpriority, '-', 1)                    AS f_substring_index,
+          length(curtime()) = 8                                       AS f_curtime_ok,
+          timestampdiff(DAY, o_orderdate, TIMESTAMP '2002-01-01')     AS f_timestampdiff,
+          extract(YEAR FROM o_orderdate)                              AS f_extract,
+          get_format('date', 'iso')                                   AS f_get_format,
+          mysql_date_format(o_orderdate, '%Y/%m/%d')                  AS f_date_format,
+          from_unixtime(1000000000)                                   AS f_from_unixtime,
+          CAST(from_days(730000) AS TIMESTAMP)                        AS f_from_days,
+          dayofyear(o_orderdate)                                      AS f_dayofyear,
+          dayofweek(o_orderdate)                                      AS f_dayofweek,
+          day(o_orderdate)                                            AS f_day,
+          dayofmonth(o_orderdate)                                     AS f_dayofmonth,
+          dayname(o_orderdate)                                        AS f_dayname,
+          year(curdate()) >= 2026                                     AS f_curdate_ok,
+          datediff(TIMESTAMP '2002-01-01', o_orderdate)               AS f_datediff,
+          CAST(adddate(o_orderdate, 5) AS TIMESTAMP)                  AS f_adddate,
+          CAST(date_sub(CAST(o_orderdate AS DATE), 3) AS TIMESTAMP)   AS f_date_sub,
+          CAST(date_add(CAST(o_orderdate AS DATE), 3) AS TIMESTAMP)   AS f_date_add,
+          addtime(o_orderdate, 90)                                    AS f_addtime,
+          convert_tz(o_orderdate, 'UTC', 'America/New_York')          AS f_convert_tz,
+          to_days(o_orderdate)                                        AS f_to_days
+        FROM orders_q39 ORDER BY o_orderkey""")
+    }),
+
     // llm / to_markdown / hash scalar functions
     "q38_ai_functions" -> ((s, dir) => {
       AiFunctions.register(s)
@@ -77,6 +120,40 @@ object CompatPack extends QueryPack {
         chr(CAST(65 + o_custkey % 26 AS INTEGER)) AS cust_char,
         CAST(date_diff('day', DATE '0001-01-01', CAST(o_orderdate AS DATE)) + 366 AS INTEGER) AS td
       FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+
+    "q39_mysql_full_shims" -> """
+      SELECT o_orderkey,
+        chr(CAST(65 + o_custkey % 26 AS INTEGER)) AS f_char,
+        CAST(strpos(o_orderpriority, 'URGENT') AS INTEGER) AS f_locate,
+        CAST(strpos(o_orderpriority, '-') AS INTEGER) AS f_instr,
+        decode(unhex('4A4B')) AS f_unhex,
+        format('{:,}', CAST(FLOOR(o_totalprice) AS BIGINT)) || '.' ||
+          lpad(CAST(CAST(ROUND((o_totalprice - FLOOR(o_totalprice)) * 100, 0) AS INTEGER) AS VARCHAR), 2, '0') AS f_format,
+        sha256(o_orderpriority) AS f_sha2,
+        CAST(length(o_orderpriority) AS INTEGER) AS f_length,
+        regexp_extract(o_orderpriority, '[A-Z]+') AS f_regexp_substr,
+        split_part(o_orderpriority, '-', 1) AS f_substring_index,
+        TRUE AS f_curtime_ok,
+        CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS f_timestampdiff,
+        CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS f_extract,
+        '%Y-%m-%d' AS f_get_format,
+        strftime(o_orderdate, '%Y/%m/%d') AS f_date_format,
+        strftime(timezone('UTC', to_timestamp(1000000000)), '%Y-%m-%d %H:%M:%S') AS f_from_unixtime,
+        CAST(DATE '0001-01-01' + CAST(730000 - 366 AS INTEGER) AS TIMESTAMP) AS f_from_days,
+        CAST(dayofyear(o_orderdate) AS INTEGER) AS f_dayofyear,
+        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS f_dayofweek,
+        CAST(day(o_orderdate) AS INTEGER) AS f_day,
+        CAST(day(o_orderdate) AS INTEGER) AS f_dayofmonth,
+        dayname(o_orderdate) AS f_dayname,
+        TRUE AS f_curdate_ok,
+        CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS f_datediff,
+        CAST(CAST(o_orderdate AS DATE) + 5 AS TIMESTAMP) AS f_adddate,
+        CAST(CAST(o_orderdate AS DATE) - 3 AS TIMESTAMP) AS f_date_sub,
+        CAST(CAST(o_orderdate AS DATE) + 3 AS TIMESTAMP) AS f_date_add,
+        timezone('UTC', to_timestamp(epoch(o_orderdate) + 90)) AS f_addtime,
+        timezone('America/New_York', timezone('UTC', o_orderdate)) AS f_convert_tz,
+        CAST(date_diff('day', DATE '0001-01-01', CAST(o_orderdate AS DATE)) + 366 AS INTEGER) AS f_to_days
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
 
     "q38_ai_functions" -> s"""
       SELECT doc_id,

@@ -70,6 +70,16 @@ object WritesPack extends QueryPack {
         .orderBy(col("yr"))
     }),
 
+    // CREATE TABLE with an explicit column list + literal VALUES inserts,
+    // incl. a reordered column list (steps.py:243-255)
+    "w04_create_table_cols" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE TABLE wt_w04 (k BIGINT, name STRING, price DOUBLE)")
+      c.execute("INSERT INTO wt_w04 VALUES (1, 'alpha', 10.5), (2, 'beta', 20.25)")
+      c.execute("INSERT INTO wt_w04 (name, k, price) VALUES ('gamma', 3, 30.125)")
+      c.execute("SELECT k, name, price FROM wt_w04 ORDER BY k")
+    }),
+
     // CREATE VIEW → query through it (filters push through the boundary)
     "v01_view_expand" -> ((s, dir) => {
       val cat = new Catalog(s, dir)
@@ -168,6 +178,14 @@ object WritesPack extends QueryPack {
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
         ${oSum("o_totalprice")} AS total
       FROM full_t GROUP BY yr ORDER BY yr""",
+
+    "w04_create_table_cols" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'alpha', CAST(10.5 AS DOUBLE)),
+        (CAST(2 AS BIGINT), 'beta', CAST(20.25 AS DOUBLE)),
+        (CAST(3 AS BIGINT), 'gamma', CAST(30.125 AS DOUBLE)))
+        AS t(k, name, price)
+      ORDER BY k""",
 
     "v01_view_expand" -> s"""
       SELECT c_nationkey, COUNT(*) AS n, ${oSum("o_totalprice")} AS total

@@ -82,6 +82,8 @@ final class Commands(
   private val DeleteStmt =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
   private val Ctas = """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+)""".r
+  private val CreateTableCols =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(\s*(.+)\s*\)\s*""".r
   private val KbQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val ModelJoin =
@@ -196,6 +198,11 @@ final class Commands(
 
     case Ctas(_, name, body) =>
       warehouse.createTableAs(name, run(body), overwrite = true)
+      ok(s"table $name created")
+    case CreateTableCols(name, colDefs) =>
+      // CREATE TABLE t (a BIGINT, b STRING, …) — empty table carrying the
+      // declared schema (steps.py:255, command_executor.py:1955)
+      warehouse.createTable(name, StructType.fromDDL(colDefs))
       ok(s"table $name created")
     case DropTable(name) =>
       warehouse.dropTable(name); ok(s"table $name dropped")

@@ -74,6 +74,45 @@ object Kb {
       .drop(contentCol)
   }
 
+  /** Contextual-chunk prompt template (document_preprocessor.py:122-129
+    * DEFAULT_CONTEXT_TEMPLATE), split at the two insertion points so the
+    * DuckDB oracle can reuse the exact same bytes. */
+  val CtxPromptPrefix = "<document>\n"
+  val CtxPromptMid = "\n</document>\nHere is the chunk we want to situate within the whole document\n<chunk>\n"
+  val CtxPromptSuffix = "\n</chunk>\nPlease give a short succinct context to situate this chunk " +
+    "within the overall document for the purposes of improving search retrieval of the chunk. " +
+    "Answer only with the succinct context and nothing else."
+
+  /** ContextualPreprocessor (document_preprocessor.py:118-250): split the
+    * document, then situate every chunk within its WHOLE document via an
+    * LLM prompt — context prepends to the chunk content (`summarize=true`
+    * replaces it). `<document>`/`<chunk>` tags inside either text are
+    * entity-escaped before templating, as in the reference
+    * (:149-160). The LLM is the session's deterministic stub; swapping a
+    * real model in is the same one-line change as for [[embed]].
+    *
+    * Plan shape: chunking explodes per document and the prompt is a
+    * per-row concat — the whole-document column rides along the explode
+    * (no join back), so the stage stays narrow at any scale.
+    */
+  def contextualChunk(docs: DataFrame, contentCol: String = "text",
+      summarize: Boolean = false): DataFrame = {
+    val esc: Column => Column = c =>
+      regexp_replace(c, "(?i)<(/?)(document|chunk)>", "&lt;$1$2&gt;")
+    val chunked = chunk(
+      docs.filter(trim(col(contentCol)) =!= "").withColumn("_doc", col(contentCol)),
+      contentCol)
+      .filter(trim(col("content")) =!= "")
+    val prompt = concat(
+      lit(CtxPromptPrefix), esc(col("_doc")), lit(CtxPromptMid),
+      esc(col("content")), lit(CtxPromptSuffix))
+    val context = graft.functions.AiFunctions.llm(prompt)
+    chunked
+      .withColumn("content",
+        if (summarize) context else concat(context, lit("\n\n"), col("content")))
+      .drop("_doc")
+  }
+
   /** JSON chunking (preprocessing/json_chunker.py): one chunk per FIELD
     * of a JSON-object document (json_chunker.py:142-188 `_process_json_
     * dict`), with one-level flattening of nested objects into

@@ -92,6 +92,14 @@ object CompatPack extends QueryPack {
         FROM docs_q38 ORDER BY doc_id""")
     }),
 
+    // agent-as-table through SQL: WHERE question = '...' completes it
+    "a02_agent_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE AGENT aga USING model='default'")
+      c.execute("SELECT question, answer FROM aga WHERE question = 'what is a shuffle'")
+    }),
+
     // agent completes each question row into an `answer` column
     "a01_agent_table" -> ((s, dir) => {
       val questions = t(s, dir, "documents").filter(col("doc_id") < 5)
@@ -161,6 +169,10 @@ object CompatPack extends QueryPack {
         ${oLlm("'sum: ' || substr(text, 1, 30)")} AS llm_out,
         '# Document' || chr(10) || chr(10) || substr(text, 1, 40) AS md
       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+
+    "a02_agent_sql" -> s"""
+      SELECT 'what is a shuffle' AS question,
+        ${oLlm("'what is a shuffle'")} AS answer""",
 
     "a01_agent_table" -> s"""
       SELECT doc_id, 'what is ' || substr(text, 1, 20) AS question,

@@ -95,6 +95,14 @@ object KbPack extends QueryPack {
         .orderBy(col("bm25").desc, col("chunk_id"))
     }),
 
+    // ContextualPreprocessor (document_preprocessor.py:118): every chunk
+    // carries an LLM-situated context prepended to its content
+    "k13_contextual_chunks" -> ((s, dir) => {
+      Kb.contextualChunk(docs(s, dir).filter(col("doc_id") < 50))
+        .select(col("chunk_id"), col("doc_id"), col("chunk_ix"), col("content"))
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
     // JSON chunker (preprocessing/json_chunker.py): per-field chunks with
     // one-level flattening. The JSON column is built from document
     // columns, so the oracle can state the expected chunks independently
@@ -159,9 +167,10 @@ object KbPack extends QueryPack {
 
   // ------------------------------------------------------------- oracles
 
-  /** DuckDB spelling of the chunk + embed pipeline (shared CTE prefix). */
-  private val oPrefix = s"""
-    WITH docsrc AS (SELECT doc_id, text, lang, source, length(text) AS len FROM documents),
+  /** DuckDB spelling of the chunk + embed pipeline (shared CTE prefix);
+    * `where` filters the source documents. */
+  private def oPrefixWhere(where: String) = s"""
+    WITH docsrc AS (SELECT doc_id, text, lang, source, length(text) AS len FROM documents $where),
     nch AS (SELECT *, CASE WHEN len <= $ChunkSize THEN CAST(1 AS BIGINT)
       ELSE CAST(CEIL((len - $ChunkSize.0)/$Step.0) AS BIGINT) + 1 END AS n_chunks FROM docsrc),
     chunks AS (
@@ -172,6 +181,8 @@ object KbPack extends QueryPack {
           LEAST(i*$Step+$ChunkSize, len) AS chunk_id
       FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)),
     emb AS (SELECT *, ${oEmbed("content")} AS v FROM chunks)"""
+
+  private val oPrefix = oPrefixWhere("")
 
   /** cosine(v, q) with the same sequential-fold shape as CosineSimilarity */
   private def oCos(q: String) =
@@ -289,6 +300,18 @@ object KbPack extends QueryPack {
       SELECT * FROM (SELECT * FROM scored ORDER BY bm25 DESC, chunk_id LIMIT 10)
       ORDER BY bm25 DESC, chunk_id"""
     },
+
+    "k13_contextual_chunks" -> s"""${oPrefixWhere("WHERE doc_id < 50")},
+      withdoc AS (SELECT c.chunk_id, c.doc_id, c.chunk_ix, c.content, d.text
+        FROM chunks c JOIN documents d USING (doc_id)),
+      prompts AS (SELECT chunk_id, doc_id, chunk_ix, content,
+          ${sq(Kb.CtxPromptPrefix)} || text || ${sq(Kb.CtxPromptMid)} ||
+          content || ${sq(Kb.CtxPromptSuffix)} AS p
+        FROM withdoc)
+      SELECT chunk_id, doc_id, chunk_ix,
+        'LLM[' || substr(md5(p), 1, 8) || ']: ' || upper(substr(p, 1, 24)) ||
+          chr(10) || chr(10) || content AS content
+      FROM prompts ORDER BY doc_id, chunk_ix""",
 
     "k10_json_chunks" -> """
       WITH fields AS (

@@ -87,6 +87,20 @@ object ModelPack extends QueryPack {
         ORDER BY l_orderkey, l_linenumber""")
     }),
 
+    // the m02 semantics as pure SQL: SELECT FROM <model> WHERE literal
+    // feature values (ApplyPredictorRowStep, steps.py:172)
+    "m09_model_row_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL li_row PREDICT score USING
+        features='l_quantity,l_extendedprice,l_discount',
+        weights='0.01,0.0001,-2.0', bias=0.5""")
+      c.execute("""SELECT l_quantity, l_extendedprice, l_discount,
+          ROUND(score, 6) AS score
+        FROM li_row
+        WHERE l_quantity = 30.0 AND l_extendedprice = 45000.5 AND l_discount = 0.05""")
+    }),
+
     // RETRAIN (command_executor.py:1042): CREATE MODEL ... FROM (query)
     // fits by one-pass OLS sufficient stats; RETRAIN re-runs the stored
     // training query and activates the new version. The oracle recomputes
@@ -193,6 +207,12 @@ object ModelPack extends QueryPack {
       FROM (SELECT l_orderkey, l_linenumber, $oScore AS score
             FROM lineitem WHERE l_quantity >= 45)
       ORDER BY l_orderkey, l_linenumber""",
+
+    "m09_model_row_sql" -> """
+      SELECT CAST(30.0 AS DOUBLE) AS l_quantity,
+        CAST(45000.5 AS DOUBLE) AS l_extendedprice,
+        CAST(0.05 AS DOUBLE) AS l_discount,
+        ROUND(0.5 + 0.01*30.0 + 0.0001*45000.5 + (-2.0)*0.05, 6) AS score""",
 
     "m06_retrain_version" -> """
       WITH fit AS (

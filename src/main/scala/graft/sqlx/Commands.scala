@@ -88,6 +88,8 @@ final class Commands(
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val ModelJoin =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))\s+JOIN\s+(\w+)\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
+  private val ObjQuery =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
 
   /** session variables surfaced by SHOW VARIABLES (the reference answers
     * these from its mysql-proxy server-variable table). SET overlays. */
@@ -228,7 +230,15 @@ final class Commands(
         // (controller.py:680-740; partitioned auto-rewrite aside)
         val src = run(stripParens(body))
         val contentCol = k.params.getOrElse("content_columns", "text")
-        val chunks = Kb.ingest(src, contentCol)
+        // preprocessor selection (preprocessing_config — text chunking is
+        // the default; contextual and JSON chunkers opt in per KB)
+        val chunks = k.params.get("preprocessor") match {
+          case Some("contextual") =>
+            Kb.contextualChunk(src, contentCol).withColumn("emb", Kb.embed(col("content")))
+          case Some("json") =>
+            Kb.chunkJson(src, contentCol).withColumn("emb", Kb.embed(col("content")))
+          case _ => Kb.ingest(src, contentCol)
+        }
         val toWrite =
           if (warehouse.exists(k.storage) &&
               k.params.get("kb_skip_existing").exists(_.toBoolean))
@@ -315,6 +325,35 @@ final class Commands(
       // controller.py:286-342), compiled by [[KbSql]]
       val k = catalog.kb(name).get
       KbSql.run(spark, warehouse.table(k.storage), where, Option(lim).map(_.toInt))
+
+    case ObjQuery(sel, name, where) if catalog.listModels().contains(name) =>
+      // ApplyPredictorRowStep as SQL (steps.py:172): SELECT ... FROM
+      // <model> WHERE feature = literal [AND ...] — predict one row from
+      // the WHERE values
+      val values = where.split("(?i)\\s+AND\\s+").map { a =>
+        val kv = a.split("=", 2)
+        require(kv.length == 2, s"model row query needs feature = value conditions, got: $a")
+        kv(0).trim -> kv(1).trim.toDouble
+      }.toMap
+      val df = graft.ml.Predict.applyRow(spark, catalog.model(name), values)
+      val tv = s"__model_row_$name"
+      df.createOrReplaceTempView(tv)
+      spark.sql(s"SELECT $sel FROM $tv")
+
+    case ObjQuery(sel, name, where) if catalog.agent(name).isDefined =>
+      // agent-as-table as SQL (sql_query.py:150-161): SELECT ... FROM
+      // <agent> WHERE question = '...' completes the question
+      val q = """(?is)\s*question\s*=\s*'([^']*)'\s*""".r
+      where match {
+        case q(text) =>
+          val df = graft.ml.Agents.answer(
+            spark.range(1).select(lit(text).as("question")), "question")
+          val tv = s"__agent_$name"
+          df.createOrReplaceTempView(tv)
+          spark.sql(s"SELECT $sel FROM $tv")
+        case _ => throw new IllegalArgumentException(
+          s"agent query needs question = '...', got: $where")
+      }
 
     case ModelJoin(sel, tbl, sub, modelName, rest)
         if catalog.listModels().contains(modelName) =>

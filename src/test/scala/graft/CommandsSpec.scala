@@ -169,6 +169,22 @@ class CommandsSpec extends AnyFunSuite {
     assert(vers === Seq((1, true), (2, false), (3, false)))
   }
 
+  test("SELECT FROM model/agent with WHERE literals routes to row predict / completion") {
+    val c = fresh()
+    c.execute("""CREATE MODEL scorer2 PREDICT score USING
+      features='l_quantity,l_discount', weights='0.1,2.0', bias=1.0""")
+    val r = c.execute(
+      "SELECT score FROM scorer2 WHERE l_quantity = 30 AND l_discount = 0.1").first()
+    assert(math.abs(r.getDouble(0) - (1.0 + 0.1 * 30 + 2.0 * 0.1)) < 1e-9)
+    c.execute("CREATE AGENT helper USING model='scorer2'")
+    val a = c.execute(
+      "SELECT answer FROM helper WHERE question = 'what is spark'").first()
+    assert(a.getString(0).startsWith("LLM[") && a.getString(0).contains("WHAT IS SPARK"))
+    // a plain table named neither kb/model/agent still routes to spark.sql
+    assert(c.execute("SELECT count(*) AS n FROM region WHERE r_regionkey < 2")
+      .first().getLong(0) === 2)
+  }
+
   test("information_schema namespace resolves through SQL") {
     val c = fresh()
     c.execute("CREATE TABLE wtx AS SELECT * FROM region")

@@ -40,6 +40,35 @@ class KbSpec extends AnyFunSuite {
     assert(Kb.vectorSearch(emb, "alpha", limit = 2).count() === 2)
   }
 
+  test("contextual chunker situates chunks; tag escaping; preprocessor param routes") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq((1L, "alpha beta <chunk> gamma " + ("word " * 60))).toDF("doc_id", "text")
+    val out = Kb.contextualChunk(d).orderBy("chunk_ix").collect()
+    assert(out.length > 1) // long doc → several chunks
+    // every chunk: LLM-context header, blank line, then the original slice
+    assert(out.forall(_.getAs[String]("content").startsWith("LLM[")))
+    assert(out.forall(_.getAs[String]("content").contains("\n\n")))
+    // the <chunk> tag inside the document was escaped in the prompt, so
+    // the echoed prompt head contains the entity, not the raw tag
+    val summarized = Kb.contextualChunk(d, summarize = true).collect()
+    assert(summarized.forall(r => r.getAs[String]("content").startsWith("LLM[") &&
+      !r.getAs[String]("content").contains("\n\n")))
+    // empty/whitespace documents are skipped, as in the reference
+    val empty = Seq((2L, "   ")).toDF("doc_id", "text")
+    assert(Kb.contextualChunk(empty).count() === 0)
+    // the preprocessor KB param routes ingest through the contextual path
+    val c = new graft.sqlx.Commands(spark,
+      new graft.catalog.Catalog(spark, dir), graft.catalog.Warehouse.temp(spark))
+    c.execute("CREATE KNOWLEDGE BASE kbctx USING content_columns='text', preprocessor='contextual'")
+    c.execute("INSERT INTO kbctx SELECT doc_id, text FROM documents WHERE doc_id < 5")
+    val stored = c.warehouse.table(c.catalog.kb("kbctx").get.storage)
+    assert(stored.count() > 0)
+    assert(stored.select("content").collect().forall(_.getString(0).startsWith("LLM[")))
+    // contextual chunks are searchable like any others
+    assert(c.execute("SELECT * FROM kbctx WHERE content = 'alpha' LIMIT 3").count() === 3)
+  }
+
   test("BM25 stats: computed at ingest, threaded into search, never recomputed") {
     val c = new graft.sqlx.Commands(spark,
       new graft.catalog.Catalog(spark, dir), graft.catalog.Warehouse.temp(spark))

@@ -57,9 +57,172 @@ object FileSource {
     case "txt" => spark.read.text(path)
     case "parquet" => spark.read.parquet(path)
     case "xlsx" => readXlsx(spark, path)
-    case "pdf" => throw new UnsupportedOperationException(
-      "pdf text extraction requires a PDF library not present in this environment " +
-        "(reference: file_reader.py:342 pdfplumber path)")
+    case "pdf" => readPdf(spark, path)
+  }
+
+  // ------------------------------------------------------------------- pdf
+
+  /** Read a PDF's text layer (file_reader.py:342): extract text from the
+    * content streams (FlateDecode via the JDK Inflater; BT/ET blocks,
+    * Tj/TJ/quote show-text operators, Td/TD/T* line breaks), then chunk
+    * it with the KB text splitter and return one `content` row per chunk
+    * with source metadata — the reference's exact output contract
+    * (content + file_format/source_file metadata). Covers the
+    * simple-text PDFs the splitter pipeline consumes; image-based PDFs
+    * need OCR, which is out of scope here as in the reference. */
+  def readPdf(spark: SparkSession, path: String): DataFrame = {
+    val text = extractPdfText(Files.readAllBytes(Paths.get(path)))
+    val name = Paths.get(path).getFileName.toString
+    val doc = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0L, text)), 1),
+      StructType(Seq(StructField("doc_id", org.apache.spark.sql.types.LongType),
+        StructField("text", StringType))))
+    graft.kb.Kb.chunk(doc)
+      .orderBy(org.apache.spark.sql.functions.col("chunk_ix"))
+      .select(
+        org.apache.spark.sql.functions.col("content"),
+        org.apache.spark.sql.functions.lit(name).as("source_file"),
+        org.apache.spark.sql.functions.lit("pdf").as("file_format"))
+  }
+
+  /** All show-text payloads from every content stream, in order. */
+  private def extractPdfText(bytes: Array[Byte]): String = {
+    val raw = new String(bytes, "ISO-8859-1")
+    val out = new StringBuilder
+    var idx = 0
+    while ({ idx = raw.indexOf("stream", idx); idx >= 0 }) {
+      val dictStart = raw.lastIndexOf("<<", idx)
+      val dict = if (dictStart >= 0) raw.substring(dictStart, idx) else ""
+      var dataStart = idx + "stream".length
+      if (raw.startsWith("\r\n", dataStart)) dataStart += 2
+      else if (raw.startsWith("\n", dataStart)) dataStart += 1
+      val end = raw.indexOf("endstream", dataStart)
+      if (end < 0) { idx = dataStart } else {
+        val data = bytes.slice(dataStart, end)
+        val content =
+          if (dict.contains("/FlateDecode")) inflate(data) else new String(data, "ISO-8859-1")
+        if (content.contains("BT")) out.append(textOps(content))
+        idx = end + "endstream".length
+      }
+    }
+    out.toString
+  }
+
+  private def inflate(data: Array[Byte]): String = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val buf = new Array[Byte](8192)
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      while (!inf.finished() && { val n = inf.inflate(buf); out.write(buf, 0, n); n > 0 }) ()
+      new String(out.toByteArray, "ISO-8859-1")
+    } catch {
+      case _: java.util.zip.DataFormatException => "" // not a text stream
+    } finally inf.end()
+  }
+
+  /** One pass over a content stream: collect string literals shown by
+    * Tj / ' / " / TJ, emitting newlines at Td/TD/T* line moves. */
+  private def textOps(content: String): String = {
+    val out = new StringBuilder
+    val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var emitted = false
+    def emit(): Unit = {
+      pending.foreach { s => out.append(s); emitted = true }
+      pending.clear()
+    }
+    while (i < content.length) {
+      content.charAt(i) match {
+        case '(' =>
+          val (s, next) = pdfString(content, i)
+          pending += s
+          i = next
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          val j = {
+            var k = i
+            while (k < content.length && !content.charAt(k).isWhitespace &&
+              content.charAt(k) != '(' && content.charAt(k) != '[' &&
+              content.charAt(k) != ']') k += 1
+            k
+          }
+          content.substring(i, j) match {
+            case "Tj" | "'" | "\"" | "TJ" => emit()
+            case "Td" | "TD" | "T*" => if (emitted) out.append('\n')
+            case "ET" => pending.clear()
+            case _ => ()
+          }
+          i = j
+        case _ => i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Parse a PDF string literal starting at `(`: backslash escapes,
+    * octal codes, balanced nested parens. Returns (text, next index). */
+  private def pdfString(s: String, start: Int): (String, Int) = {
+    val out = new StringBuilder
+    var i = start + 1
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'n' => out.append('\n'); i += 2
+            case 'r' => out.append('\r'); i += 2
+            case 't' => out.append('\t'); i += 2
+            case d if d >= '0' && d <= '7' =>
+              val oct = s.substring(i + 1, math.min(i + 4, s.length)).takeWhile(c => c >= '0' && c <= '7')
+              out.append(Integer.parseInt(oct, 8).toChar)
+              i += 1 + oct.length
+            case other => out.append(other); i += 2
+          }
+        case '(' => depth += 1; out.append('('); i += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) out.append(')')
+          i += 1
+        case c => out.append(c); i += 1
+      }
+    }
+    (out.toString, i)
+  }
+
+  /** Minimal one-page PDF writer (round-trip support): one Flate-encoded
+    * content stream, one line of text per Tj. */
+  def writePdf(path: String, lines: Seq[String]): Unit = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val body = lines.zipWithIndex.map { case (l, i) =>
+      (if (i == 0) "BT /F1 12 Tf 72 720 Td " else "0 -14 Td ") + s"(${esc(l)}) Tj"
+    }.mkString(" ") + " ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(body.getBytes("ISO-8859-1")); deflater.finish()
+    val cbuf = new Array[Byte](body.length * 2 + 64)
+    val clen = deflater.deflate(cbuf); deflater.end()
+    val compressed = cbuf.take(clen)
+    val objs = Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+      "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n",
+      s"4 0 obj << /Length $clen /Filter /FlateDecode >> stream\n",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    w("%PDF-1.4\n")
+    objs.zipWithIndex.foreach { case (o, i) =>
+      offsets += out.size()
+      w(o)
+      if (i == 3) { out.write(compressed); w("\nendstream endobj\n") }
+    }
+    val xref = out.size()
+    w(s"xref\n0 6\n0000000000 65535 f \n" +
+      offsets.map(o => f"$o%010d 00000 n \n").mkString)
+    w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    Files.write(Paths.get(path), out.toByteArray)
   }
 
   // ------------------------------------------------------------------ xlsx

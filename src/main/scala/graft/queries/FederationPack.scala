@@ -95,6 +95,17 @@ object FederationPack extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // pdf round trip: write a one-page PDF of region names, extract the
+    // text layer, chunk through the KB splitter (the reference's exact
+    // read_pdf contract: content rows + source metadata)
+    "f06_pdf_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pdf").toString
+      val names = t(s, dir, "region").orderBy(col("r_regionkey"))
+        .collect().map(_.getString(1)).toSeq
+      FileSource.writePdf(s"$tmp/regions.pdf", Seq.fill(8)(names).flatten)
+      FileSource.read(s, s"$tmp/regions.pdf")
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -139,6 +150,17 @@ object FederationPack extends QueryPack {
       SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
       FROM orders WHERE o_orderkey < 500
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "f06_pdf_roundtrip" -> """
+      WITH names AS (SELECT string_agg(r_name, chr(10) ORDER BY r_regionkey) AS blk FROM region),
+      doc AS (SELECT substr(repeat(blk || chr(10), 8), 1, 8 * (length(blk) + 1) - 1) AS t FROM names),
+      d AS (SELECT t, length(t) AS len FROM doc),
+      nch AS (SELECT *, CASE WHEN len <= 120 THEN CAST(1 AS BIGINT)
+        ELSE CAST(CEIL((len - 120.0) / 96.0) AS BIGINT) + 1 END AS n FROM d),
+      chunks AS (SELECT i, substr(t, CAST(i * 96 + 1 AS INT), 120) AS content
+        FROM nch, UNNEST(generate_series(0, n - 1)) AS u(i))
+      SELECT content, 'regions.pdf' AS source_file, 'pdf' AS file_format
+      FROM chunks ORDER BY i""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

@@ -87,7 +87,7 @@ final class Commands(
   private val KbQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val ModelJoin =
-    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))\s+JOIN\s+(\w+)\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))\s+JOIN\s+(\w+)(?:\.(\d+))?\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
   private val ObjQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
 
@@ -355,14 +355,17 @@ final class Commands(
           s"agent query needs question = '...', got: $where")
       }
 
-    case ModelJoin(sel, tbl, sub, modelName, rest)
+    case ModelJoin(sel, tbl, sub, modelName, version, rest)
         if catalog.listModels().contains(modelName) =>
-      // SELECT ... FROM <data> JOIN <model>: joining a model applies it
-      // (plan_join.py:357-401 — the reference swaps the join for an
-      // ApplyPredictor step over the data side; every data column plus
-      // the model outputs are in scope for the select list)
+      // SELECT ... FROM <data> JOIN <model>[.<version>]: joining a model
+      // applies it (plan_join.py:357-401 — the reference swaps the join
+      // for an ApplyPredictor step over the data side; a `.N` suffix
+      // addresses a specific stored version); every data column plus the
+      // model outputs are in scope for the select list
       val data = run(if (tbl != null) s"SELECT * FROM $tbl" else sub)
-      val applied = graft.ml.Predict.applyModel(data, catalog.model(modelName))
+      val model = Option(version).fold(catalog.model(modelName))(v =>
+        catalog.model(modelName, v.toInt))
+      val applied = graft.ml.Predict.applyModel(data, model)
       val tv = s"__model_join_$modelName"
       applied.createOrReplaceTempView(tv)
       spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")

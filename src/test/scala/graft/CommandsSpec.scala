@@ -167,6 +167,14 @@ class CommandsSpec extends AnyFunSuite {
     val vers = c.execute("SHOW MODELS").collect()
       .map(r => (r.getInt(1), r.getBoolean(2))).toSeq
     assert(vers === Seq((1, true), (2, false), (3, false)))
+    // a `.N` suffix in a model JOIN addresses that stored version
+    val viaV3 = c.execute(
+      "SELECT pred FROM (SELECT * FROM lineitem WHERE l_orderkey = 1) JOIN fitm.3 LIMIT 1")
+      .first().getDouble(0)
+    val viaActive = c.execute(
+      "SELECT pred FROM (SELECT * FROM lineitem WHERE l_orderkey = 1) JOIN fitm.1 LIMIT 1")
+      .first().getDouble(0)
+    assert(viaV3 != viaActive || v1.weights == v3.weights)
   }
 
   test("SELECT FROM model/agent with WHERE literals routes to row predict / completion") {

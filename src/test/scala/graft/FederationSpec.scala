@@ -163,6 +163,18 @@ class FederationSpec extends AnyFunSuite {
     assert(r.getString(0) === "rich" && r.getString(1) === "true")
   }
 
+  test("pdf reader: Flate stream, escapes, nested parens, line structure") {
+    import graft.federation.FileSource
+    val tmp = java.nio.file.Files.createTempDirectory("pdf_spec").toString
+    FileSource.writePdf(s"$tmp/t.pdf",
+      Seq("first line", "with (parens) and \\backslash", "third"))
+    val rows = FileSource.read(spark, s"$tmp/t.pdf").collect()
+    assert(rows.nonEmpty)
+    val text = rows.map(_.getString(0)).mkString
+    assert(text === "first line\nwith (parens) and \\backslash\nthird")
+    assert(rows.head.getString(1) === "t.pdf" && rows.head.getString(2) === "pdf")
+  }
+
   test("file format detection: extension and content sniffing") {
     val tmp = java.nio.file.Files.createTempDirectory("sniff")
     assert(FileSource.detectFormat("x.csv") === "csv")
@@ -179,9 +191,9 @@ class FederationSpec extends AnyFunSuite {
     val t = tmp.resolve("noext_txt")
     java.nio.file.Files.writeString(t, "plain text here\nmore\n")
     assert(FileSource.detectFormat(t.toString) === "txt")
-    intercept[UnsupportedOperationException] { FileSource.read(spark, "x.pdf") }
-    // xlsx now reads for real — a missing file is a file error, not an
-    // unsupported format
+    // xlsx and pdf now read for real — a missing file is a file error,
+    // not an unsupported format
+    intercept[java.io.IOException] { FileSource.read(spark, "x.pdf") }
     intercept[java.io.IOException] { FileSource.read(spark, "x.xlsx") }
   }
 }

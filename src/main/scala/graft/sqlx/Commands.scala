@@ -90,6 +90,16 @@ final class Commands(
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))\s+JOIN\s+(\w+)(?:\.(\d+))?\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
   private val ObjQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
+  private val PrepareStmt = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'(.+)'\s*""".r
+  private val ExecuteStmt = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+?))?\s*""".r
+  private val DeallocateStmt =
+    """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
+
+  /** prepared-statement store (planner/query_prepare.py lifecycle:
+    * prepare → execute-with-params → deallocate). Binding is server-side
+    * positional `?` markers through Spark's parameterized sql — no
+    * string splicing. */
+  private val prepared = scala.collection.mutable.LinkedHashMap[String, String]()
 
   /** session variables surfaced by SHOW VARIABLES (the reference answers
     * these from its mysql-proxy server-variable table). SET overlays. */
@@ -308,6 +318,22 @@ final class Commands(
           qe.executedPlan.toString)), 1),
         StructType(Seq(StructField("optimized_plan", StringType),
           StructField("physical_plan", StringType))))
+    case PrepareStmt(name, body) =>
+      prepared(name) = body
+      ok(s"statement $name prepared")
+    case ExecuteStmt(name, argsStr) =>
+      val body = prepared.getOrElse(name,
+        throw new NoSuchElementException(s"no prepared statement $name"))
+      registerRelations()
+      val args = Option(argsStr)
+        .map(splitTop(_, ',').map(parseLiteral))
+        .getOrElse(Seq.empty)
+      spark.sql(body, args.toArray[Any])
+    case DeallocateStmt(name) =>
+      if (prepared.remove(name).isEmpty)
+        throw new NoSuchElementException(s"no prepared statement $name")
+      ok(s"statement $name deallocated")
+
     case SetStmt(key, value) =>
       // SET (server-variable handling): recorded for SHOW VARIABLES and
       // passed through to the session conf
@@ -395,6 +421,18 @@ final class Commands(
       case seg if seg.nonEmpty => java.util.regex.Pattern.quote(seg)
       case _ => ""
     }.mkString + "$"
+
+  /** SQL literal → value for positional binding: quoted strings,
+    * booleans, integers, decimals. */
+  private def parseLiteral(s: String): Any = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'")) t.drop(1).dropRight(1)
+    else if (t.equalsIgnoreCase("true")) true
+    else if (t.equalsIgnoreCase("false")) false
+    else if (t.equalsIgnoreCase("null")) null
+    else if (t.matches("-?\\d+")) t.toLong
+    else t.toDouble
+  }
 
   private def stripParens(s: String): String = {
     val t = s.trim

@@ -75,6 +75,24 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.execute("USE graft").first().getString(0) === "ok")
   }
 
+  test("PREPARE / EXECUTE USING / DEALLOCATE lifecycle") {
+    val c = fresh()
+    c.execute("PREPARE topord FROM 'SELECT count(*) AS n FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?'")
+    val n = c.execute("EXECUTE topord USING 100000, 'O'").first().getLong(0)
+    val direct = c.execute(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice > 100000 AND o_orderstatus = 'O'")
+      .first().getLong(0)
+    assert(n === direct && n > 0)
+    // re-execution with different params rebinds
+    val n2 = c.execute("EXECUTE topord USING 200000, 'F'").first().getLong(0)
+    assert(n2 !== n)
+    // re-prepare replaces; deallocate removes
+    c.execute("PREPARE topord FROM 'SELECT 1 AS one'")
+    assert(c.execute("EXECUTE topord").first().getInt(0) === 1)
+    c.execute("DEALLOCATE PREPARE topord")
+    intercept[NoSuchElementException] { c.execute("EXECUTE topord") }
+  }
+
   test("parameterized queries bind named params server-side") {
     val c = fresh()
     val n = c.execute(

@@ -32,9 +32,21 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     spark.read.parquet(path(name))
   }
 
-  /** CREATE TABLE AS (SaveToTable, is_replace semantics). */
-  def createTableAs(name: String, df: DataFrame, overwrite: Boolean = false): Unit =
-    df.write.mode(if (overwrite) "overwrite" else "errorifexists").parquet(path(name))
+  /** CREATE TABLE AS (SaveToTable, is_replace semantics). `partitionBy`
+    * lays the table out hive-style — UPDATE/DELETE then rewrite only the
+    * partitions the predicate touches. */
+  def createTableAs(name: String, df: DataFrame, overwrite: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(if (overwrite) "overwrite" else "errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
+  }
+
+  /** single-level partition column, detected from the hive-style dir
+    * layout (`col=value` subdirectories). */
+  def partitionColumn(name: String): Option[String] =
+    Files.list(Paths.get(path(name))).toArray.map(_.toString.split('/').last)
+      .find(d => d.contains("=") && !d.startsWith("_") && !d.startsWith("."))
+      .map(_.split("=")(0))
 
   /** CREATE TABLE with an explicit column list (steps.py:255,
     * command_executor.py:1955): an empty table carrying the schema. */
@@ -60,18 +72,52 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     df.select(cols.toSeq: _*).write.mode("append").parquet(path(name))
   }
 
-  /** UPDATE name SET assignments WHERE cond (UpdateToTable). */
+  /** UPDATE name SET assignments WHERE cond (UpdateToTable). On a
+    * partitioned table only the partitions containing matching rows are
+    * rewritten — the 100 TB shape (a full-table copy-on-write does not
+    * survive scale; a predicate usually touches a few partitions).
+    * Assigning TO the partition column moves rows between partitions, so
+    * that case falls back to the full rewrite. */
   def update(name: String, assignments: Map[String, Column], where: Column): Unit = {
-    val cur = table(name)
-    val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
-      df.withColumn(c, when(where, v).otherwise(col(c)))
+    def updated(df: DataFrame) = assignments.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, when(where, v).otherwise(col(c)))
     }
-    rewrite(name, updated)
+    partitionColumn(name).filterNot(assignments.contains) match {
+      case Some(pc) => rewritePartitions(name, pc, where, updated)
+      case None => rewrite(name, updated(table(name)))
+    }
   }
 
-  /** DELETE FROM name WHERE cond (DeleteStep). */
+  /** DELETE FROM name WHERE cond (DeleteStep); partition-pruned like
+    * [[update]]. */
   def delete(name: String, where: Column): Unit =
-    rewrite(name, table(name).filter(!where))
+    partitionColumn(name) match {
+      case Some(pc) => rewritePartitions(name, pc, where, _.filter(!where))
+      case None => rewrite(name, table(name).filter(!where))
+    }
+
+  /** Rewrite ONLY the partitions holding rows that match `where`;
+    * untouched partition directories keep their files byte-for-byte.
+    * The affected-partition list is one partition-pruned scan; each
+    * rewrite uses the same crash-safe dir swap as the full path. */
+  private def rewritePartitions(name: String, pc: String, where: Column,
+      transform: DataFrame => DataFrame): Unit = {
+    val affected = table(name).filter(where).select(col(pc)).distinct().collect()
+      .map(_.get(0))
+    if (affected.contains(null)) {
+      // rows in the null partition can't be addressed by dir name —
+      // correctness first: full rewrite, layout preserved
+      rewrite(name, transform(table(name)), partitionBy = Seq(pc))
+      return
+    }
+    affected.foreach { v =>
+      val pdir = Paths.get(s"${path(name)}/$pc=$v")
+      // basePath keeps the partition column visible in the frame
+      val part = spark.read.option("basePath", path(name)).parquet(pdir.toString)
+      // partition value is constant inside the dir; files must not carry it
+      rewriteDir(pdir, transform(part).drop(pc))
+    }
+  }
 
   def dropTable(name: String): Unit = rm(Paths.get(path(name)))
 
@@ -81,13 +127,20 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * neither, which a delete-then-move ordering risks). `__tmp`/`__old`
     * leftovers from a crash are invisible to listTables() and reclaimed
     * by the next rewrite. */
-  private def rewrite(name: String, df: DataFrame): Unit = {
+  private def rewrite(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     recover(name)
-    val tmp = Paths.get(path(name + "__tmp"))
-    val old = Paths.get(path(name + "__old"))
+    rewriteDir(Paths.get(path(name)), df, partitionBy)
+  }
+
+  /** crash-safe swap of one directory (table root or a single partition). */
+  private def rewriteDir(cur: java.nio.file.Path, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = cur.resolveSibling(cur.getFileName.toString + "__tmp")
+    val old = cur.resolveSibling(cur.getFileName.toString + "__old")
+    recoverAt(cur)
     rm(tmp); rm(old)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val cur = Paths.get(path(name))
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp.toString)
     Files.move(cur, old)
     Files.move(tmp, cur)
     rm(old)
@@ -100,14 +153,32 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * leading `rm(tmp); rm(old)` would destroy both remaining copies. */
   private def recover(name: String): Unit = {
     val cur = Paths.get(path(name))
+    recoverAt(cur)
+    // a crash mid-partition-rewrite leaves survivors one level down; a
+    // leftover `pc=v__tmp` dir would even PARSE as a partition on the
+    // next root read, so restore-then-clean eagerly
+    if (Files.exists(cur)) {
+      val leftovers = Files.list(cur).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.endsWith("__old") ||
+          p.getFileName.toString.endsWith("__tmp"))
+      leftovers.map(p => cur.resolve(p.getFileName.toString
+          .stripSuffix("__old").stripSuffix("__tmp")))
+        .distinct.foreach { base =>
+          recoverAt(base)
+          rm(base.resolveSibling(base.getFileName.toString + "__tmp"))
+          rm(base.resolveSibling(base.getFileName.toString + "__old"))
+        }
+    }
+  }
+
+  private def recoverAt(cur: java.nio.file.Path): Unit =
     if (!Files.exists(cur)) {
-      val old = Paths.get(path(name + "__old"))
-      val tmp = Paths.get(path(name + "__tmp"))
+      val old = cur.resolveSibling(cur.getFileName.toString + "__old")
+      val tmp = cur.resolveSibling(cur.getFileName.toString + "__tmp")
       if (Files.exists(old)) Files.move(old, cur)
       else if (Files.exists(tmp) && Files.exists(tmp.resolve("_SUCCESS")))
         Files.move(tmp, cur)
     }
-  }
 
   private def rm(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {

@@ -70,6 +70,23 @@ object WritesPack extends QueryPack {
         .orderBy(col("yr"))
     }),
 
+    // partition-pruned UPDATE/DELETE: the table is laid out hive-style by
+    // o_orderstatus; the predicates touch one partition each, so only
+    // those directories rewrite (untouched-file proof in CatalogSpec)
+    "w05_partitioned_dml" -> ((s, dir) => {
+      val wh = Warehouse.temp(s)
+      wh.createTableAs("pord", t(s, dir, "orders"), overwrite = true,
+        partitionBy = Seq("o_orderstatus"))
+      wh.update("pord",
+        Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
+        col("o_orderstatus") === "O")
+      wh.delete("pord", col("o_orderstatus") === "F" && col("o_orderpriority") === "5-LOW")
+      wh.table("pord")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // CREATE TABLE with an explicit column list + literal VALUES inserts,
     // incl. a reordered column list (steps.py:243-255)
     "w04_create_table_cols" -> ((s, dir) => {
@@ -178,6 +195,13 @@ object WritesPack extends QueryPack {
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr, COUNT(*) AS n,
         ${oSum("o_totalprice")} AS total
       FROM full_t GROUP BY yr ORDER BY yr""",
+
+    "w05_partitioned_dml" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        ${oSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END")} AS total
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '5-LOW')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "w04_create_table_cols" -> """
       SELECT * FROM (VALUES

@@ -81,7 +81,8 @@ final class Commands(
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
   private val DeleteStmt =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
-  private val Ctas = """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+AS\s+(.+)""".r
+  private val Ctas =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s+)?AS\s+(.+)""".r
   private val CreateTableCols =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(\s*(.+)\s*\)\s*""".r
   private val KbQuery =
@@ -208,8 +209,9 @@ final class Commands(
     case DropDatabase(name) =>
       catalog.dropDatabase(name); ok(s"database $name dropped")
 
-    case Ctas(_, name, body) =>
-      warehouse.createTableAs(name, run(body), overwrite = true)
+    case Ctas(name, partCols, body) =>
+      warehouse.createTableAs(name, run(body), overwrite = true,
+        partitionBy = Option(partCols).toSeq.flatMap(_.split(",")).map(_.trim))
       ok(s"table $name created")
     case CreateTableCols(name, colDefs) =>
       // CREATE TABLE t (a BIGINT, b STRING, …) — empty table carrying the

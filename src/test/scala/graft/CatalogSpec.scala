@@ -79,6 +79,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(wh.table("t").count() === n - 1)
   }
 
+  test("partitioned UPDATE/DELETE rewrites only affected partitions") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val wh = Warehouse.temp(spark)
+    val orders = Tables.table(spark, dir, "orders")
+    wh.createTableAs("pord", orders, partitionBy = Seq("o_orderstatus"))
+    assert(wh.partitionColumn("pord") === Some("o_orderstatus"))
+    def files(status: String): Set[String] =
+      Files.list(Paths.get(wh.dir, "pord", s"o_orderstatus=$status"))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+    val fBefore = files("F")
+    val pBefore = files("P")
+    val oCount = wh.table("pord").filter(col("o_orderstatus") === "O").count()
+    // update touches only the O partition
+    wh.update("pord", Map("o_totalprice" -> lit(0.0)), col("o_orderstatus") === "O")
+    assert(files("F") === fBefore && files("P") === pBefore,
+      "untouched partitions were rewritten")
+    assert(wh.table("pord").filter(col("o_totalprice") === 0.0).count() === oCount)
+    // delete prunes to the F partition; O and P keep their files
+    val oAfterUpdate = files("O")
+    val n = wh.table("pord").count()
+    val del = wh.table("pord")
+      .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT").count()
+    wh.delete("pord", col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+    assert(files("O") === oAfterUpdate && files("P") === pBefore)
+    assert(wh.table("pord").count() === n - del && del > 0)
+    // assigning TO the partition column falls back to a full rewrite
+    wh.update("pord", Map("o_orderstatus" -> lit("X")), col("o_orderstatus") === "P")
+    assert(wh.table("pord").filter(col("o_orderstatus") === "X").count() > 0)
+    assert(!Files.exists(Paths.get(wh.dir, "pord", "o_orderstatus=P")))
+  }
+
   test("dropDatabase unbinds the catalog conf; reserved names rejected") {
     val cat = new Catalog(spark, dir)
     cat.createDatabase("specmemdb", "mem")

@@ -69,7 +69,10 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     val cols =
       if (byName) schema.fields.map(f => col(f.name).cast(f.dataType))
       else df.columns.zip(schema.fields).map { case (c, f) => col(c).cast(f.dataType).as(f.name) }
-    df.select(cols.toSeq: _*).write.mode("append").parquet(path(name))
+    val w = df.select(cols.toSeq: _*).write.mode("append")
+    // a partitioned table must append INTO the partition layout — plain
+    // root-level part files would corrupt partition discovery
+    partitionColumn(name).fold(w)(pc => w.partitionBy(pc)).parquet(path(name))
   }
 
   /** UPDATE name SET assignments WHERE cond (UpdateToTable). On a

@@ -105,6 +105,12 @@ class CatalogSpec extends AnyFunSuite {
     wh.delete("pord", col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
     assert(files("O") === oAfterUpdate && files("P") === pBefore)
     assert(wh.table("pord").count() === n - del && del > 0)
+    // appends land inside the partition layout, not at the table root
+    val before = wh.table("pord").count()
+    wh.insertInto("pord", orders.limit(7))
+    assert(wh.table("pord").count() === before + 7)
+    assert(!Files.list(Paths.get(wh.dir, "pord")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("part-")), "root-level part files")
     // assigning TO the partition column falls back to a full rewrite
     wh.update("pord", Map("o_orderstatus" -> lit("X")), col("o_orderstatus") === "P")
     assert(wh.table("pord").filter(col("o_orderstatus") === "X").count() > 0)

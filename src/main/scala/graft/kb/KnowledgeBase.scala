@@ -183,6 +183,30 @@ object Kb {
     ingest(graft.federation.PartitionedFetch.keysetFetch(src, trackCol, batchSize, state),
       contentCol)
 
+  /** Streaming ingest: watch a directory of document parquet files and
+    * maintain the chunk store incrementally — the Structured Streaming
+    * form of the reference's job-driven periodic `INSERT INTO kb SELECT
+    * … WHERE id > LAST` pattern (jobs + KB, query_planner.py:918-978).
+    * chunk+embed is the same narrow pipeline as batch ingest (explode +
+    * per-row expressions — valid in append mode, no state), the sink is
+    * the KB's parquet storage dir, and the checkpoint makes delivery
+    * exactly-once across restarts. `AvailableNow` drains pending files
+    * then stops, so callers can drive it batch-style. */
+  def streamingIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      storageDir: String,
+      checkpoint: String,
+      contentCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    ingest(spark.readStream.schema(schema).parquet(srcDir), contentCol)
+      .writeStream
+      .format("parquet")
+      .option("path", storageDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** `kb_skip_existing` semantics (controller.py:728-740): drop incoming
     * chunks whose chunk_id is already present. Key-only left_anti — the
     * scale-correct shape (no payload shuffle of the existing side). */

@@ -18,6 +18,34 @@ class KbSpec extends AnyFunSuite {
 
   lazy val docs: DataFrame = Tables.table(spark, dir, "documents")
 
+  test("streaming ingest maintains the chunk store incrementally, exactly-once") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("kb_stream_src").toString
+    val store = Files.createTempDirectory("kb_stream_store").toString + "/chunks"
+    val ckpt = Files.createTempDirectory("kb_stream_ckpt").toString
+    val batch1 = docs.filter(col("doc_id") < 20)
+    val batch2 = docs.filter(col("doc_id") >= 20 && col("doc_id") < 35)
+    val schema = batch1.schema
+    def drain(): Unit =
+      Kb.streamingIngest(spark, src, schema, store, ckpt).awaitTermination()
+    batch1.write.mode("append").parquet(src)
+    drain()
+    assert(spark.read.parquet(store).count() === Kb.ingest(batch1).count())
+    // new files → only their chunks append
+    batch2.write.mode("append").parquet(src)
+    drain()
+    val expected = Kb.ingest(docs.filter(col("doc_id") < 35)).count()
+    assert(spark.read.parquet(store).count() === expected)
+    // restart with the same checkpoint and no new files → no duplicates
+    drain()
+    assert(spark.read.parquet(store).count() === expected)
+    // streamed chunks are the SAME rows batch ingest produces
+    val streamed = spark.read.parquet(store).select("chunk_id", "content")
+    val direct = Kb.ingest(docs.filter(col("doc_id") < 35)).select("chunk_id", "content")
+    assert(streamed.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(streamed).count() === 0)
+  }
+
   test("JSON chunker: per-field chunks, one-level flatten, error chunk on bad input") {
     val sp = spark
     import sp.implicits._

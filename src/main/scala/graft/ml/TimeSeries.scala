@@ -50,6 +50,44 @@ object TimeSeries {
       .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
   }
 
+  /** Linear-trend forecast: per-group OLS of value over time (x = days
+    * since epoch) fitted on the context window, extrapolated `horizon`
+    * steps — the shape a real TS handler produces where [[forecast]]
+    * emits a flat mean. Still ONE aggregation pass: the five sufficient
+    * sums (n, Σx, Σy, Σx², Σxy) aggregate per group and the line solves
+    * in closed form per row — no per-group fitting loop, no driver math.
+    * Degenerate windows (single point / zero x-variance) fall back to
+    * the mean. Sums use exact decimal arithmetic so the DuckDB oracle
+    * lands on identical doubles (see graft.queries.Parity). */
+  def forecastTrend(data: DataFrame, groupCol: Column, ts: Column, value: Column,
+      tieBreak: Column, window: Int, horizon: Int, stepDays: Int): DataFrame = {
+    import graft.queries.Parity.{dsum, dsum2}
+    val ctx = lookbackContext(data, groupCol, ts, tieBreak, window)
+      .withColumn("__x", datediff(to_date(ts), to_date(lit("1970-01-01"))).cast("double"))
+    val agg = ctx.groupBy(groupCol.as("group_key"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("__x")).as("sx"), // integral day counts: exact in double
+        dsum(value).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        dsum2(col("__x"), value).as("sxy"),
+        max(ts).as("last_ts"),
+        max(col("__x")).as("x_last"),
+        count(lit(1)).as("n_ctx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    agg
+      .withColumn("slope",
+        when(den === 0.0, lit(0.0))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) / den))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_date",
+        date_add(to_date(col("last_ts")), col("h") * stepDays).cast("timestamp"))
+      .withColumn("forecast",
+        round(col("intercept") + col("slope") * (col("x_last") + col("h") * stepDays), 4))
+      .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
+  }
+
   /** `> LATEST` semantics (apply_predictor_step.py:145-151 forecast
     * offset 1): one forecast row per group strictly beyond the group's
     * max seen timestamp. */

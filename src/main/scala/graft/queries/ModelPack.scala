@@ -64,6 +64,16 @@ object ModelPack extends QueryPack {
         .orderBy(col("o_custkey"), col("h"))
     }),
 
+    // linear-trend TS forecast: per-group OLS over the context window as
+    // ONE aggregation pass (no per-group fitting loop)
+    "m10_ts_trend" -> ((s, dir) => {
+      TimeSeries.forecastTrend(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderkey"),
+        window = 6, horizon = 2, stepDays = 30)
+        .withColumnRenamed("group_key", "o_custkey")
+        .orderBy(col("o_custkey"), col("h"))
+    }),
+
     // `> LATEST`: one step beyond each group's max seen timestamp
     "m04_ts_latest" -> ((s, dir) => {
       TimeSeries.latest(t(s, dir, "events"),
@@ -187,6 +197,38 @@ object ModelPack extends QueryPack {
         CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
         ROUND(base, 4) AS forecast, n_ctx
       FROM per, UNNEST(generate_series(1, 2)) AS t(h)
+      ORDER BY o_custkey, h""",
+
+    "m10_ts_trend" -> s"""
+      WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_totalprice, o_orderkey,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      ctx AS (
+        SELECT o_custkey, o_totalprice, o_orderdate,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x
+        FROM ranked WHERE rn <= 6),
+      per AS (
+        SELECT o_custkey,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          SUM(x) AS sx,
+          ${oSum("o_totalprice")} AS sy,
+          SUM(x*x) AS sxx,
+          ${oSum2("x", "o_totalprice")} AS sxy,
+          MAX(o_orderdate) AS last_ts,
+          MAX(x) AS x_last,
+          COUNT(*) AS n_ctx
+        FROM ctx GROUP BY o_custkey),
+      fit AS (SELECT *,
+          CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+            ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
+        FROM per),
+      fin AS (SELECT *, (sy - slope*sx)/n AS intercept FROM fit)
+      SELECT o_custkey, CAST(h AS INTEGER) AS h,
+        CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
+        ROUND(intercept + slope * (x_last + h*30), 4) AS forecast, n_ctx
+      FROM fin, UNNEST(generate_series(1, 2)) AS t(h)
       ORDER BY o_custkey, h""",
 
     "m04_ts_latest" -> s"""

@@ -49,6 +49,55 @@ object Multimodal {
   def imageHeight(img: Column): Column =
     conv(hex(substring(img, 13, 4)), 16, 10).cast(IntegerType)
 
+  // ------------------------------------------------------------- audio
+
+  /** little-endian integer encode/decode as pure expressions — WAV/RIFF
+    * headers are LE where image headers are BE. */
+  private def le(v: Column, n: Int): Column =
+    concat((0 until n).map { i =>
+      unhex(lpad(hex(shiftright(v.cast(LongType), 8 * i) % 256), 2, "0"))
+    }: _*)
+  private def leInt(b: Column, off: Int, n: Int): Column =
+    (0 until n).map { i =>
+      conv(hex(substring(b, off + i, 1)), 16, 10).cast(LongType) * (1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** Deterministic 44-byte canonical WAV header derived from a numeric
+    * id: RIFF/WAVE/fmt/data chunks with PCM fields (channels 1-2, rate
+    * 8-40 kHz, 8/16/24 bit, data size 1000-1999). */
+  def synthWav(id: Column): Column = {
+    val channels = (lit(1) + id % 2).cast(LongType)
+    val rate = (lit(8000) + (id % 5) * 8000).cast(LongType)
+    val bits = (lit(8) + (id % 3) * 8).cast(LongType)
+    val dataSize = (lit(1000) + id % 1000).cast(LongType)
+    val byteRate = rate * channels * (bits / 8).cast(LongType)
+    val blockAlign = channels * (bits / 8).cast(LongType)
+    concat(
+      unhex(lit("52494646")), le(lit(36L) + dataSize, 4), // "RIFF" + size
+      unhex(lit("57415645")), // "WAVE"
+      unhex(lit("666D7420")), le(lit(16L), 4), le(lit(1L), 2), // "fmt ", PCM
+      le(channels, 2), le(rate, 4), le(byteRate, 4),
+      le(blockAlign, 2), le(bits, 2),
+      unhex(lit("64617461")), le(dataSize, 4)) // "data" + size
+  }
+
+  /** RIFF/WAVE magic sniff + PCM header fields at their canonical
+    * offsets; duration = data bytes / byte rate. All codegen'd
+    * expressions over the binary column — no UDF. */
+  def audioFormat(b: Column): Column =
+    when(hex(substring(b, 1, 4)) === "52494646" &&
+      hex(substring(b, 9, 4)) === "57415645", "wav").otherwise("unknown")
+  def audioChannels(b: Column): Column = leInt(b, 23, 2)
+  def audioSampleRate(b: Column): Column = leInt(b, 25, 4)
+  def audioBitsPerSample(b: Column): Column = leInt(b, 35, 2)
+  def audioDataSize(b: Column): Column = leInt(b, 41, 4)
+  /** duration in whole milliseconds (floor) — rational durations land
+    * exactly on round-half boundaries where engines disagree; floor of a
+    * correctly-rounded division is engine-stable. */
+  def audioDurationMs(b: Column): Column =
+    floor(audioDataSize(b).cast(DoubleType) * 1000.0 / leInt(b, 29, 4).cast(DoubleType))
+      .cast(LongType)
+
   /** Frame-sample offsets for a binary payload: every `frameSize`-th
     * byte offset (audio/video sampling plumbing; pure expression). */
   def frameOffsets(payload: Column, frameSize: Int): Column =

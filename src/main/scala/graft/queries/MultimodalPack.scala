@@ -30,6 +30,22 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // WAV/RIFF audio headers: little-endian PCM fields parsed from the
+    // bytes by expressions; the oracle inverts the synthesis
+    "x03_audio_meta" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), synthWav(col("doc_id")).as("wav"))
+        .select(col("doc_id"),
+          audioFormat(col("wav")).as("format"),
+          audioChannels(col("wav")).as("channels"),
+          audioSampleRate(col("wav")).as("sample_rate"),
+          audioBitsPerSample(col("wav")).as("bits"),
+          audioDataSize(col("wav")).as("data_size"),
+          audioDurationMs(col("wav")).as("duration_ms"),
+          length(col("wav")).as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // batched mapPartitions decode + per-format aggregate
     "x02_image_features" -> ((s, dir) => {
       decodeFeatures(imgs(s, dir), "doc_id", "img")
@@ -52,6 +68,23 @@ object MultimodalPack extends QueryPack {
         CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
         CAST(16 AS INTEGER) AS n_bytes
       FROM documents ORDER BY doc_id""",
+
+    "x03_audio_meta" -> """
+      WITH f AS (
+        SELECT doc_id,
+          1 + doc_id % 2 AS channels,
+          8000 + (doc_id % 5) * 8000 AS sample_rate,
+          8 + (doc_id % 3) * 8 AS bits,
+          1000 + doc_id % 1000 AS data_size
+        FROM documents)
+      SELECT doc_id, 'wav' AS format,
+        CAST(channels AS BIGINT) AS channels,
+        CAST(sample_rate AS BIGINT) AS sample_rate,
+        CAST(bits AS BIGINT) AS bits,
+        CAST(data_size AS BIGINT) AS data_size,
+        CAST(FLOOR(data_size * 1000.0 / CAST(sample_rate * channels * (bits // 8) AS DOUBLE)) AS BIGINT) AS duration_ms,
+        CAST(44 AS INTEGER) AS n_bytes
+      FROM f ORDER BY doc_id""",
 
     "x02_image_features" -> s"""
       WITH feats AS (

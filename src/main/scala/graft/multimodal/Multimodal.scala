@@ -98,6 +98,30 @@ object Multimodal {
     floor(audioDataSize(b).cast(DoubleType) * 1000.0 / leInt(b, 29, 4).cast(DoubleType))
       .cast(LongType)
 
+  // ------------------------------------------------------------- video
+
+  /** Deterministic MP4 `ftyp` box (big-endian size + brand + minor
+    * version + one compatible brand) — the container header a video
+    * column leads with. Even ids get brand isom, odd mp42. */
+  def synthMp4(id: Column): Column = {
+    def be4(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+    val brand = when(id % 2 === 0, lit("isom")).otherwise(lit("mp42"))
+    concat(
+      be4(lit(24)), // box size: 8 header + 4 brand + 4 minor + 8 compat
+      lit("ftyp").cast(BinaryType),
+      brand.cast(BinaryType),
+      be4(lit(512) + id % 256),
+      lit("iso2avc1").cast(BinaryType))
+  }
+
+  def videoFormat(b: Column): Column =
+    when(substring(b, 5, 4).cast(StringType) === "ftyp", "mp4").otherwise("unknown")
+  def videoBrand(b: Column): Column = substring(b, 9, 4).cast(StringType)
+  def videoMinorVersion(b: Column): Column =
+    conv(hex(substring(b, 13, 4)), 16, 10).cast(LongType)
+  def videoBoxSize(b: Column): Column =
+    conv(hex(substring(b, 1, 4)), 16, 10).cast(LongType)
+
   /** Frame-sample offsets for a binary payload: every `frameSize`-th
     * byte offset (audio/video sampling plumbing; pure expression). */
   def frameOffsets(payload: Column, frameSize: Int): Column =

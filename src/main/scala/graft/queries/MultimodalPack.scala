@@ -46,6 +46,19 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // MP4 ftyp container header + frame-sample offsets over the payload
+    "x04_video_meta" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), synthMp4(col("doc_id")).as("vid"))
+        .select(col("doc_id"),
+          videoFormat(col("vid")).as("format"),
+          videoBrand(col("vid")).as("brand"),
+          videoMinorVersion(col("vid")).as("minor_version"),
+          videoBoxSize(col("vid")).as("box_size"),
+          size(frameOffsets(col("vid"), 8)).as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // batched mapPartitions decode + per-format aggregate
     "x02_image_features" -> ((s, dir) => {
       decodeFeatures(imgs(s, dir), "doc_id", "img")
@@ -67,6 +80,14 @@ object MultimodalPack extends QueryPack {
         CAST(16 + doc_id % 64 AS INTEGER) AS width,
         CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
         CAST(16 AS INTEGER) AS n_bytes
+      FROM documents ORDER BY doc_id""",
+
+    "x04_video_meta" -> """
+      SELECT doc_id, 'mp4' AS format,
+        CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        CAST(512 + doc_id % 256 AS BIGINT) AS minor_version,
+        CAST(24 AS BIGINT) AS box_size,
+        CAST(3 AS INTEGER) AS n_frames
       FROM documents ORDER BY doc_id""",
 
     "x03_audio_meta" -> """

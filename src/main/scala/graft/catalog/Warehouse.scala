@@ -22,8 +22,16 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
 
+  /** directory listing with the stream CLOSED (Files.list leaks the
+    * underlying DirectoryStream otherwise — called per statement by the
+    * SQL router, so the handles add up). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]) finally s.close()
+  }
+
   def listTables(): Seq[String] =
-    Files.list(Paths.get(dir)).toArray.map(_.toString.split('/').last).toSeq
+    listDir(Paths.get(dir)).map(_.getFileName.toString)
       .filterNot(n => n.endsWith("__tmp") || n.endsWith("__old") || n.startsWith("."))
       .sorted
 
@@ -44,7 +52,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   /** single-level partition column, detected from the hive-style dir
     * layout (`col=value` subdirectories). */
   def partitionColumn(name: String): Option[String] =
-    Files.list(Paths.get(path(name))).toArray.map(_.toString.split('/').last)
+    listDir(Paths.get(path(name))).map(_.getFileName.toString)
       .find(d => d.contains("=") && !d.startsWith("_") && !d.startsWith("."))
       .map(_.split("=")(0))
 
@@ -161,7 +169,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     // leftover `pc=v__tmp` dir would even PARSE as a partition on the
     // next root read, so restore-then-clean eagerly
     if (Files.exists(cur)) {
-      val leftovers = Files.list(cur).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      val leftovers = listDir(cur)
         .filter(p => p.getFileName.toString.endsWith("__old") ||
           p.getFileName.toString.endsWith("__tmp"))
       leftovers.map(p => cur.resolve(p.getFileName.toString

@@ -480,11 +480,14 @@ final class Commands(
   /** Split on semicolons outside single/double quotes. */
   def splitStatements(script: String): Seq[String] = splitTop(script, ';')
 
-  /** Split on `sep` outside single/double quotes; trims, drops empties. */
+  /** Split on `sep` outside single/double quotes AND outside parens
+    * (an assignment like `x = concat(a, ',')` must stay whole); trims,
+    * drops empties. */
   private def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var quote: Option[Char] = None
+    var depth = 0
     s.foreach { c =>
       quote match {
         case Some(q) =>
@@ -492,7 +495,9 @@ final class Commands(
           if (c == q) quote = None
         case None => c match {
           case '\'' | '"' => quote = Some(c); cur.append(c)
-          case `sep` =>
+          case '(' => depth += 1; cur.append(c)
+          case ')' => depth = math.max(0, depth - 1); cur.append(c)
+          case `sep` if depth == 0 =>
             if (cur.toString.trim.nonEmpty) out += cur.toString.trim
             cur.clear()
           case _ => cur.append(c)

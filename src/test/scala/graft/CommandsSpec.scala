@@ -64,6 +64,16 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.warehouse.exists("t1") && c.catalog.listViews() === Seq("v1"))
     // quoted semicolon must not split
     assert(c.splitStatements("SELECT ';' AS x; SELECT 1").size === 2)
+    // neither must separators nested inside parens
+    assert(c.splitStatements("SELECT concat('a', 'b'); SELECT 2").size === 2)
+  }
+
+  test("UPDATE assignments keep commas inside function calls whole") {
+    val c = fresh()
+    c.execute("CREATE TABLE upd_t AS SELECT r_regionkey, r_name FROM region")
+    c.execute("UPDATE upd_t SET r_name = concat(r_name, ',', 'x') WHERE r_regionkey = 0")
+    assert(c.execute("SELECT r_name FROM upd_t WHERE r_regionkey = 0")
+      .first().getString(0).endsWith(",x"))
   }
 
   test("EXPLAIN / SET / USE dispatch") {

@@ -306,6 +306,40 @@ case class RollingHashGrams(child: Expression, k: Int, base: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Minimum over every length-`w` sliding window of a long array —
+  * monotonic-deque O(n), replacing the `transform(sequence(…),
+  * array_min(slice(…)))` formulation that allocates a w-element slice
+  * per position (t07's dominant cost: O(n·w) + n array allocations per
+  * row). When the input is shorter than `w` the array is returned
+  * unchanged (the winnowing convention: a short doc's fingerprint is its
+  * full hash set). Ties keep the deque's earliest entry — the minimum
+  * VALUE is identical to the slice formulation either way. */
+case class SlidingWindowMin(child: Expression, w: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(w > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    val n = arr.length
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    val out = new Array[Long](n - w + 1)
+    // deque of candidate indices, values strictly increasing front→back
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    var i = 0
+    while (i < n) {
+      while (tail > head && arr(dq(tail - 1)) >= arr(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr(dq(head))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
@@ -321,6 +355,8 @@ object VectorFunctions {
     GraftColumnBridge.column(CharNGrams(ex(c), n))
   def rollingHashGrams(c: Column, k: Int, base: Long): Column =
     GraftColumnBridge.column(RollingHashGrams(ex(c), k, base))
+  def slidingWindowMin(c: Column, w: Int): Column =
+    GraftColumnBridge.column(SlidingWindowMin(ex(c), w))
 
   /** SQL registration: cosine_sim / dot_product / simhash64 usable in spark.sql. */
   def register(spark: SparkSession): Unit = {

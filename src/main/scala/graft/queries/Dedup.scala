@@ -61,35 +61,36 @@ object Dedup extends QueryPack {
     // at 100 TB (df-sorted prefix index is one extra shuffle).
     "d01_jaccard_pairs" -> ((s, dir) => {
       val Tau = 0.5
-      // One pass computes + caches the exploded (doc, shingle-hash) set:
-      // every later stage (df counts, prefix index, verify join) reuses it
-      // instead of re-running the regexp+trigram pipeline; 64-bit hashed
-      // shingles make the joins long-keyed instead of string-keyed.
-      val sh = shingled(s, dir)
-      val toks = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("tok"))
-        .cache()
-      val sizes = toks.groupBy(col("doc_id").as("sid")).agg(count(lit(1)).as("n"))
-      val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // ONE narrow pass computes + caches the per-doc hashed-shingle
+      // ARRAY (regexp + trigram pipeline runs once total); sizes come
+      // from size(arr) carried through the explode — no per-doc groupBy
+      // shuffle and no sizes join. 64-bit hashed shingles make the joins
+      // long-keyed instead of string-keyed.
+      val tokArr = shingled(s, dir).select(col("doc_id"),
+        transform(col("shingles"), t => xxhash64(t)).as("arr")).cache()
+      val toks = tokArr.select(col("doc_id"),
+        size(col("arr")).cast(LongType).as("n"), explode(col("arr")).as("tok"))
+      // document frequency via count-over-window: ONE exchange on tok
+      // (the groupBy+join formulation shuffles the exploded set twice);
+      // the rank window then re-partitions by doc once. The small prefix
+      // index is cached so its self-join doesn't recompute both windows.
+      val wTok = Window.partitionBy(col("tok"))
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-      val prefix = toks.join(dfTok, "tok")
+      val prefix = toks
+        .withColumn("df", count(lit(1)).over(wTok))
         .withColumn("rk", row_number().over(wDoc))
-        .join(sizes, col("doc_id") === col("sid"))
         .filter(col("rk") <= col("n") - ceil(col("n") * Tau) + 1)
         .select(col("doc_id"), col("tok"), col("n"))
+        .cache()
       val cands = prefix.as("a")
         .join(prefix.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n") * Tau <= col("a.n") && col("a.n") * Tau <= col("b.n"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .dropDuplicates("doc_a", "doc_b")
-      // verify via per-doc token ARRAYS derived NARROWLY from the
-      // shingle arrays (hash inside transform — no explode, no pack
-      // shuffle), then candidates join the compact one-row-per-doc table
+      // verify: candidates join the cached one-row-per-doc array table
       // twice and intersect in-row — replaces the exploded-token re-join
       // (two wide shuffles of n-tokens-per-doc rows + a count groupBy)
-      val tokArr = sh.select(col("doc_id"),
-        transform(col("shingles"), t => xxhash64(t)).as("arr"))
       val inter = cands
         .join(tokArr.select(col("doc_id").as("_ida"), col("arr").as("arr_a")),
           col("doc_a") === col("_ida"))

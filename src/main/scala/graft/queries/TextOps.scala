@@ -87,14 +87,12 @@ object TextOps extends QueryPack {
       // Output keeps the set as an md5 signature (array columns don't
       // hash-compare cleanly across engines).
       // one O(n) rolling pass per row (RollingHashGrams), bit-identical
-      // to the oracle's per-gram polynomial sum
+      // to the oracle's per-gram polynomial sum; window minima via the
+      // O(n) monotonic-deque SlidingWindowMin (short arrays pass through,
+      // matching the oracle's CASE len >= 4 branch)
       val hashes = graft.functions.VectorFunctions.rollingHashGrams(col("text"), 5, 31L)
-      val w = 4
-      val mins = when(size(col("hashes")) >= w,
-        array_sort(array_distinct(transform(
-          sequence(lit(0), size(col("hashes")) - w),
-          i => array_min(slice(col("hashes"), i + 1, lit(w)))))))
-        .otherwise(array_sort(array_distinct(col("hashes"))))
+      val mins = array_sort(array_distinct(
+        graft.functions.VectorFunctions.slidingWindowMin(col("hashes"), 4)))
       t(s, dir, "documents")
         .withColumn("hashes", hashes)
         .withColumn("fp", mins)

@@ -84,6 +84,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sliding-window min equals brute-force slice minima (short arrays pass through)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      arr <- Gen.listOfN(n, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+      w <- Gen.choose(1, 9)
+    } yield (arr.toArray, w)
+    check(150)(Prop.forAll(gen) { case (arr, w) =>
+      val e = graft.functions.SlidingWindowMin(
+        Literal.create(arr, ArrayType(LongType, containsNull = false)), w)
+      val out = e.eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray()
+      val expect =
+        if (arr.length < w) arr
+        else (0 to arr.length - w).map(i => arr.slice(i, i + w).min).toArray
+      out.sameElements(expect)
+    })
+  }
+
   test("watermark store is monotone under arbitrary advance sequences") {
     import spark.implicits._
     val store = new graft.incremental.Watermarks(

@@ -139,8 +139,72 @@ object Dedup extends QueryPack {
     // md5 token hash → oracle-exact)
     "d03_simhash_pairs" -> ((s, dir) =>
       simhashPairs(t(s, dir, "documents"), maxHamming = 8, md5Hash = true)
-        .orderBy(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- duplicate GROUPS: connected components over the near-dup pair
+    // graph (the canonicalization step after any pairwise dedup — LSH
+    // emits pairs, the pipeline needs one keep-doc per transitive
+    // cluster). Min-label propagation to fixpoint; the oracle walks the
+    // same graph with a recursive CTE.
+    "d04_dup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val nodes = docs.select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
+      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(nodes, pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("dup_group"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** Connected components by min-label propagation: every node starts
+    * labeled with its own id; each round labels flow across edges and
+    * every node keeps the minimum seen; fixpoint when the global label
+    * sum stops changing (labels only decrease, so the sum is a strictly
+    * decreasing convergence witness — one scalar per round, the
+    * unavoidable driver-side part of any iterative fixpoint).
+    *
+    * Scale shape: each round is one shuffle-join (edges ⋈ labels on src)
+    * plus one min-aggregate — the standard label-propagation round. Rounds
+    * = component diameter, and near-dup clusters from banded LSH are
+    * clique-dense (diameter 1-3), so the loop is short in practice;
+    * `localCheckpoint` truncates lineage every round so plan depth stays
+    * constant. A cap guards against adversarial path graphs.
+    *
+    * @param nodes DataFrame(id: long)
+    * @param pairs DataFrame(doc_a, doc_b) undirected edges
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    // decimal(38,0) sum: id sums would overflow a long well below 100 TB
+    // cardinalities; null (empty node set) folds to 0
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      labels = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      round += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    labels
+  }
 
   /** SimHash near-dup pairs over (doc_id, text): one 64-bit fingerprint
     * per doc (narrow scan), 4 bands of 16 bits — near-identical
@@ -227,6 +291,41 @@ object Dedup extends QueryPack {
           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
       SELECT doc_a, doc_b, hamming FROM cands
       WHERE hamming <= 8 ORDER BY doc_a, doc_b""",
+
+    // Connected components over the d03 pair graph: transitive closure by
+    // recursive CTE (UNION dedups, so it terminates), min reachable id =
+    // the group label — exactly the fixpoint min-label propagation
+    // computes.
+    "d04_dup_groups" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+        FROM documents),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT hv FROM toks),
+      votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        FROM hs CROSS JOIN range(0, 64) t(j) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f
+        FROM votes GROUP BY 1),
+      bands AS (SELECT doc_id, f, b, (f >> (b*16)) & 65535 bkey
+                FROM fp CROSS JOIN range(0, 4) t(b)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.f, y.f)) <= 8),
+      edges AS (SELECT doc_a a, doc_b b FROM pairs
+                UNION SELECT doc_b a, doc_a b FROM pairs),
+      nodes AS (
+        SELECT doc_id FROM documents
+        WHERE len(regexp_extract_all(lower(text), '\S+')) >= 1),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
+      FROM reach GROUP BY id ORDER BY doc_id""",
 
     // DuckDB computes the same trigram-shingle jaccard; integer
     // intersection/union + one double division = engine-exact.

@@ -36,6 +36,25 @@ class DedupSpec extends AnyFunSuite {
       s"planted-pair recall $found/${ids.length} below 0.9")
   }
 
+  test("connected components: chains close transitively, singletons keep their own label") {
+    import spark.implicits._
+    // chain 1-2, 2-3 and pair 10-11; 20 isolated — LSH emits only the
+    // pairwise edges, the component step must close 1-3 transitively
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // reversed edge direction must not matter
+    val rev = Seq((2L, 1L), (3L, 2L), (11L, 10L)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(nodes, rev).as[(Long, Long)].collect().toMap === got)
+    // a long path exercises multi-round propagation (diameter 9)
+    val path = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val pn = (1L to 10L).toDF("id")
+    assert(Dedup.connectedComponents(pn, path).as[(Long, Long)].collect().toMap ===
+      (1L to 10L).map(_ -> 1L).toMap)
+  }
+
   test("identical documents collide at hamming 0") {
     val originals = Tables.table(spark, dir, "documents")
       .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))

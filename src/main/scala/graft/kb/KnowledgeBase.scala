@@ -298,6 +298,70 @@ object Kb {
     }
   }
 
+  /** IVF coarse index over the chunk store — the scale path for KB
+    * semantic search: [[vectorSearch]] scores every chunk per query,
+    * which at 100 TB is a full-corpus scan; with an inverted-file index
+    * the query probes `nProbe` of `nCent` cells and scores only those
+    * lists (~nProbe/nCent of the corpus). Built at INGEST time, like the
+    * BM25 corpus stats: assignment is one broadcast of nCent centroids +
+    * a narrow per-row argmax, and the `cell` column persists with the
+    * chunk store (a partition column in a real deployment, so probing
+    * prunes file listings, not just rows).
+    *
+    * Centroids are deterministic — the embeddings of the nCent
+    * lexicographically-first chunk ids (standing in for trained k-means
+    * centers, same convention as the s05 IVF operator; swapping in
+    * trained centers changes recall, not the plan shape).
+    *
+    * @return (chunks with `cell`, centroids(cent_id, cv))
+    */
+  def ivfIndex(chunks: DataFrame, nCent: Int): (DataFrame, DataFrame) = {
+    val cents = broadcast(
+      chunks.orderBy(col("chunk_id")).limit(nCent)
+        .select(col("chunk_id"), col("emb"))
+        .withColumn("cent_id",
+          row_number().over(Window.orderBy(col("chunk_id"))))
+        .select(col("cent_id"), col("emb").as("cv")))
+    val wAssign = Window.partitionBy(col("chunk_id"))
+      .orderBy(col("cc").desc, col("cent_id"))
+    val indexed = chunks.crossJoin(cents)
+      .withColumn("cc", round(cosineSim(col("emb"), col("cv")), 4))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .withColumn("cell", col("cent_id"))
+      .drop("cent_id", "cv", "cc", "crk")
+    (indexed, cents)
+  }
+
+  /** ANN semantic search over an [[ivfIndex]]ed chunk store: rank the
+    * centroid table (nCent rows — a driver-sized frame) against the query
+    * embedding, keep the `nProbe` nearest cells, then score ONLY the
+    * chunks assigned to those cells — the candidate join is a broadcast
+    * semi-join on `cell`, so the scan prunes to ~nProbe/nCent of the
+    * corpus before any distance work. Scoring/threshold/top-k semantics
+    * are identical to [[vectorSearch]]. */
+  def vectorSearchIvf(
+      indexed: DataFrame,
+      cents: DataFrame,
+      queryText: String,
+      nProbe: Int,
+      limit: Int = DefaultLimit,
+      minRelevance: Option[Double] = None): DataFrame = {
+    val k = math.min(if (limit <= 0) DefaultLimit else limit, MaxLimit)
+    val probes = cents
+      .withColumn("qc", round(cosineSim(col("cv"), embed(lit(queryText))), 4))
+      .withColumn("prk",
+        row_number().over(Window.orderBy(col("qc").desc, col("cent_id"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("cent_id").as("cell"))
+    val scored = indexed.join(broadcast(probes), Seq("cell"), "left_semi")
+      .withColumn("distance", round(lit(1.0) - cosineSim(col("emb"), embed(lit(queryText))), 4))
+      .withColumn("relevance", relevanceOf(col("distance")))
+    minRelevance.fold(scored)(t => scored.filter(col("relevance") > t))
+      .orderBy(col("relevance").desc, col("chunk_id"))
+      .limit(k)
+  }
+
   /** Boolean search algebra (executor.py:28-395). The reference compiles
     * WHERE into set operations over per-condition searches:
     *   AND → intersect on chunk_id; positive contents string-AND-joined

@@ -156,6 +156,15 @@ object KbPack extends QueryPack {
       c.execute("SELECT doc_id, count(*) AS n_chunks FROM kbr GROUP BY doc_id ORDER BY doc_id")
     }),
 
+    // IVF-indexed semantic search: the 100 TB path — cell assignment at
+    // ingest, query probes 2 of 8 cells and scores only those lists
+    "k14_kb_ivf_search" -> ((s, dir) => {
+      val (indexed, cents) = Kb.ivfIndex(kb(s, dir), nCent = 8)
+      Kb.vectorSearchIvf(indexed, cents, QueryA, nProbe = 2, limit = 10)
+        .select(col("chunk_id"), col("doc_id"), col("cell"), col("relevance"))
+        .orderBy(col("relevance").desc, col("chunk_id"))
+    }),
+
     "k07_kb_evaluate" -> ((s, dir) => {
       val queries = docs(s, dir).filter(col("doc_id") < 10)
         .select(col("doc_id").as("query_id"),
@@ -372,6 +381,34 @@ object KbPack extends QueryPack {
     "c02_ddl_kb_roundtrip" -> s"""$oPrefix
       SELECT doc_id, count(*) AS n_chunks FROM chunks
       GROUP BY doc_id ORDER BY doc_id""",
+
+    // Mirrors the Spark plan 1:1: centroids = first-8 chunk ids'
+    // embeddings, rounded-cosine argmax assignment, 2 probe cells,
+    // score only the probed lists.
+    "k14_kb_ivf_search" -> {
+      def cosOf(x: String, y: String) =
+        s"""list_sum(list_transform(range(1, ${Dim + 1}), i -> $x[i]*$y[i])) /
+           (sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $x[i]*$x[i]))) *
+            sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $y[i]*$y[i]))))"""
+      s"""$oPrefix,
+      cents AS (SELECT ROW_NUMBER() OVER (ORDER BY chunk_id) AS cent_id, v AS cv
+                FROM (SELECT chunk_id, v FROM emb ORDER BY chunk_id LIMIT 8)),
+      assigned AS (SELECT chunk_id, doc_id, v, cent_id AS cell FROM (
+          SELECT e.chunk_id, e.doc_id, e.v, c.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY e.chunk_id
+              ORDER BY ROUND(${cosOf("e.v", "c.cv")}, 4) DESC, c.cent_id) AS crk
+          FROM emb e CROSS JOIN cents c)
+        WHERE crk = 1),
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      probes AS (SELECT cent_id AS cell FROM (
+          SELECT c.cent_id FROM cents c, qv
+          ORDER BY ROUND(${cosOf("c.cv", "q")}, 4) DESC, c.cent_id LIMIT 2)),
+      scored AS (SELECT a.chunk_id, a.doc_id, CAST(a.cell AS INTEGER) AS cell,
+          ROUND(1.0/(1.0+ROUND(1.0-(${cosOf("a.v", "q")}),4)),4) AS relevance
+        FROM assigned a JOIN probes USING (cell), qv)
+      SELECT * FROM (SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 10)
+      ORDER BY relevance DESC, chunk_id"""
+    },
 
     "k07_kb_evaluate" -> s"""$oPrefix,
       queries AS (SELECT doc_id AS query_id, substr(text, 1, $ChunkSize) AS query_text,

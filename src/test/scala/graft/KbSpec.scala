@@ -250,6 +250,35 @@ class KbSpec extends AnyFunSuite {
     assert(Kb.hybridSearchBm25(chunks, q, metaFilter = lit(false)).count() === 0)
   }
 
+  test("IVF index: cells partition the corpus, probed search prunes and scores exactly") {
+    import spark.implicits._
+    val chunks = Kb.ingest(docs)
+    val (indexed, cents) = Kb.ivfIndex(chunks, nCent = 8)
+    // every chunk lands in exactly one cell; cell ids are centroid ids
+    assert(indexed.count() === chunks.count())
+    val cellIds = indexed.select("cell").distinct().as[Int].collect().toSet
+    assert(cellIds.subsetOf((1 to 8).toSet))
+    // probed search scores candidates with EXACTLY vectorSearch's formula:
+    // every returned (chunk_id, relevance) appears identically in the
+    // brute-force ranking
+    val q = "table scan filter join"
+    val ivf = Kb.vectorSearchIvf(indexed, cents, q, nProbe = 2, limit = 10)
+      .select("chunk_id", "relevance").as[(String, Double)].collect().toMap
+    val brute = vectorSearch(chunks, q, limit = MaxLimit)
+      .select("chunk_id", "relevance").as[(String, Double)].collect().toMap
+    ivf.foreach { case (id, rel) =>
+      assert(brute.get(id).contains(rel), s"ivf relevance for $id diverges from brute force")
+    }
+    // pruning is real: the probed candidate set is a strict subset
+    val probed = indexed.join(
+      cents.withColumn("qc", round(graft.functions.VectorFunctions.cosineSim(
+        col("cv"), Kb.embed(lit(q))), 4))
+        .orderBy(col("qc").desc, col("cent_id")).limit(2)
+        .select(col("cent_id").as("cell")), Seq("cell"), "left_semi").count()
+    assert(probed < chunks.count())
+    assert(probed >= 10)
+  }
+
   test("evaluate: exact-chunk queries retrieve their own doc at rank 1") {
     val queries = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"),

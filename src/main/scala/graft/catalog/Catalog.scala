@@ -221,6 +221,54 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
         databases.keys.map(n => Row("def", n.toString)).toSeq)
       .orderBy("schema_name")
 
+  /** Per-column table statistics — the data-catalog surface
+    * (reference: interfaces/data_catalog/, MetaDatabaseHandler
+    * `meta_get_column_statistics`, integrations/libs/base.py:178-341).
+    * Computed by [[analyzeTable]], stored per table, served through
+    * `information_schema.column_statistics`. */
+  private val columnStats = scala.collection.mutable.LinkedHashMap[String, Seq[Row]]()
+
+  private val columnStatsSchema = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("ordinal_position", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_nulls", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("min_value", StringType),
+    StructField("max_value", StringType)))
+
+  /** ANALYZE TABLE: exact per-column statistics (row count, nulls,
+    * distinct count, min/max as strings) in ONE aggregation pass — the
+    * multi-distinct agg plans as a single Expand over the scan, so at
+    * 100 TB this is one full-table pass, never per-column rescans.
+    * Results persist in the catalog and re-ANALYZE overwrites. */
+  def analyzeTable(name: String, wh: Option[Warehouse] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    val df = resolve(name, wh)
+    val fields = df.schema.fields
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      Seq(count(col(f.name)).as(s"__c$i"),
+        countDistinct(col(f.name)).as(s"__d$i"),
+        min(col(f.name)).cast(StringType).as(s"__mn$i"),
+        max(col(f.name)).cast(StringType).as(s"__mx$i"))
+    } :+ count(lit(1)).as("__n")
+    val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    val n = r.getAs[Long]("__n")
+    columnStats(name) = fields.zipWithIndex.toSeq.map { case (f, i) =>
+      Row(name, f.name, i + 1, n, n - r.getAs[Long](s"__c$i"),
+        r.getAs[Long](s"__d$i"), r.getAs[String](s"__mn$i"), r.getAs[String](s"__mx$i"))
+    }
+    infoColumnStatistics(Some(name))
+  }
+
+  /** information_schema.column_statistics: every ANALYZEd table's stats
+    * (optionally one table's). */
+  def infoColumnStatistics(table: Option[String] = None): DataFrame =
+    frame(columnStatsSchema,
+      table.fold(columnStats.values.flatten.toSeq)(t => columnStats.getOrElse(t, Nil)))
+      .orderBy("table_name", "ordinal_position")
+
   /** information_schema.statistics / key_column_usage: schema-correct
     * empties — the reference returns empty frames for parquet-backed
     * tables too (system_tables.py STATISTICS/KEY_COLUMN_USAGE). */

@@ -38,6 +38,7 @@ object InfoSchema {
     }
     providers("schemata") = () => cat.infoSchemata()
     providers("statistics") = () => cat.infoStatistics()
+    providers("column_statistics") = () => cat.infoColumnStatistics()
     providers("key_column_usage") = () => cat.infoKeyColumnUsage()
     spark.conf.set(s"spark.sql.catalog.$CatalogName", classOf[InfoSchemaCatalog].getName)
   }

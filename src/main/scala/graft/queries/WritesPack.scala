@@ -161,6 +161,17 @@ object WritesPack extends QueryPack {
         .orderBy(col("kind"), col("name"))
     }),
 
+    // ANALYZE TABLE → data-catalog column statistics, served through the
+    // information_schema namespace (interfaces/data_catalog/,
+    // MetaDatabaseHandler meta_get_* at integrations/libs/base.py:178-341)
+    "i03_analyze_stats" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("ANALYZE TABLE nation")
+      c.execute("ANALYZE TABLE region")
+      c.execute("""SELECT * FROM information_schema.column_statistics
+        ORDER BY table_name, ordinal_position""")
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -260,6 +271,27 @@ object WritesPack extends QueryPack {
         ('region','r_regionkey',1),('region','r_name',2),
         ('wt_c04','r_regionkey',1),('wt_c04','r_name',2))
         AS t(table_name, column_name, ordinal_position)
-      ORDER BY table_name, ordinal_position"""
+      ORDER BY table_name, ordinal_position""",
+
+    "i03_analyze_stats" -> {
+      def colStats(table: String, cols: Seq[String]): Seq[String] =
+        cols.zipWithIndex.map { case (c, i) => s"""
+          SELECT '$table' AS table_name, '$c' AS column_name,
+            ${i + 1} AS ordinal_position,
+            count(*) AS n_rows, count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_value,
+            CAST(max($c) AS VARCHAR) AS max_value
+          FROM $table""" }
+      val arms = colStats("nation", Seq("n_nationkey", "n_name", "n_regionkey")) ++
+        colStats("region", Seq("r_regionkey", "r_name"))
+      s"""
+      WITH stats AS (${arms.mkString(" UNION ALL ")})
+      SELECT table_name, column_name,
+        CAST(ordinal_position AS INTEGER) AS ordinal_position,
+        CAST(n_rows AS BIGINT) AS n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+      FROM stats ORDER BY table_name, ordinal_position"""
+    }
   )
 }

@@ -71,6 +71,8 @@ final class Commands(
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
+  private val AnalyzeStmt =
+    """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*""".r
   private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
   private val SetStmt = """(?is)\s*SET\s+(?:SESSION\s+)?@?@?([\w.]+)\s*=\s*(.+?)\s*""".r
   private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
@@ -311,6 +313,11 @@ final class Commands(
     case DescribeModel(name) =>
       catalog.metaModels().filter(col("name") === name)
     case DescribeStmt(name) => catalog.describe(name, Some(warehouse))
+    case AnalyzeStmt(name) =>
+      // data-catalog statistics (interfaces/data_catalog/, base.py:178-341):
+      // one exact aggregation pass, stored on the catalog, queryable via
+      // information_schema.column_statistics
+      catalog.analyzeTable(name, Some(warehouse))
     case ExplainStmt(body) =>
       // EXPLAIN (command_executor.py EXPLAIN dispatch): the optimized +
       // physical plan as a one-row frame

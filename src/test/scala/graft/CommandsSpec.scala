@@ -276,6 +276,27 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.execute("SELECT count(*) AS n FROM ords").first().getLong(0) === 0)
   }
 
+  test("ANALYZE TABLE: exact null/distinct/min-max stats; re-analyze overwrites") {
+    val c = fresh()
+    c.execute("""CREATE TABLE at_t AS
+      SELECT * FROM (VALUES (1, 'a'), (2, CAST(NULL AS STRING)), (2, 'b')) AS t(x, y)""")
+    val st = c.execute("ANALYZE TABLE at_t").collect()
+      .map(r => r.getString(1) -> r).toMap
+    val x = st("x"); val y = st("y")
+    assert((x.getLong(3), x.getLong(4), x.getLong(5), x.getString(6), x.getString(7))
+      === ((3L, 0L, 2L, "1", "2")))
+    assert((y.getLong(3), y.getLong(4), y.getLong(5), y.getString(6), y.getString(7))
+      === ((3L, 1L, 2L, "a", "b")))
+    // stats are queryable through the information_schema namespace
+    assert(c.execute("""SELECT count(*) AS n FROM information_schema.column_statistics
+      WHERE table_name = 'at_t'""").first().getLong(0) === 2)
+    // re-analyze after a write reflects the new state (no stale rows)
+    c.execute("INSERT INTO at_t SELECT * FROM (VALUES (9, 'z')) AS t(x, y)")
+    val st2 = c.execute("ANALYZE TABLE at_t").collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(st2("x").getLong(3) === 4L && st2("x").getString(7) === "9")
+  }
+
   test("CTAS into warehouse + SHOW TABLES + DESCRIBE + DROP TABLE") {
     val c = fresh()
     c.execute("CREATE TABLE top_r AS SELECT * FROM region WHERE r_regionkey < 3")

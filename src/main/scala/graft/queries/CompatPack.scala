@@ -92,6 +92,17 @@ object CompatPack extends QueryPack {
         FROM docs_q38 ORDER BY doc_id""")
     }),
 
+    // `SELECT @@var` handshake queries (mysql_proxy SERVER_VARIABLES)
+    // + SET overlay visibility
+    "q40_system_vars" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("SET @@session_marker = 'r5'")
+      c.execute("""SELECT @@version AS version, @@autocommit AS autocommit,
+        @@max_allowed_packet AS map, @@session_marker AS marker,
+        @@no_such_variable AS missing""")
+    }),
+
     // agent-as-table through SQL: WHERE question = '...' completes it
     "a02_agent_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
@@ -114,6 +125,10 @@ object CompatPack extends QueryPack {
     s"'LLM[' || substr(md5($p), 1, 8) || ']: ' || upper(substr($p, 1, 24))"
 
   def oracles: Map[String, String] = Map(
+
+    "q40_system_vars" -> """
+      SELECT '8.0.17-graft' AS version, '1' AS autocommit,
+        '16777216' AS map, 'r5' AS marker, CAST(NULL AS VARCHAR) AS missing""",
 
     "q37_mysql_compat" -> """
       SELECT o_orderkey,

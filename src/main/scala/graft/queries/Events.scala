@@ -94,6 +94,18 @@ object Events extends QueryPack {
         .orderBy(col("window_start"))
     }),
 
+    "e07_event_dedup" -> ((s, dir) => {
+      // exact dedup of an at-least-once event stream (20% replay):
+      // one shuffle on event_id, keep earliest arrival + arrival count.
+      // The streaming twin (StreamingOps.dedupEvents) does the same with
+      // dropDuplicatesWithinWatermark state.
+      val ev = t(s, dir, "events")
+      ev.unionByName(ev.filter(col("event_id") % 5 === 0))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_seen"), min(col("ts")).as("ts"))
+        .orderBy(col("event_id"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -149,6 +161,13 @@ object Events extends QueryPack {
         COUNT(*) AS n, ${oSum("value")} AS total_value
       FROM events, UNNEST(generate_series(0, 2)) AS t(k)
       GROUP BY 1 ORDER BY window_start""",
+
+    "e07_event_dedup" -> """
+      WITH replayed AS (
+        SELECT * FROM events
+        UNION ALL SELECT * FROM events WHERE event_id % 5 = 0)
+      SELECT event_id, COUNT(*) AS n_seen, CAST(MIN(ts) AS TIMESTAMP) AS ts
+      FROM replayed GROUP BY event_id ORDER BY event_id""",
 
     "e05_hourly_active" -> """
       WITH hourly AS (

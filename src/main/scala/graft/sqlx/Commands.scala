@@ -93,6 +93,8 @@ final class Commands(
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))\s+JOIN\s+(\w+)(?:\.(\d+))?\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
   private val ObjQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
+  private val SysVarQuery =
+    """(?is)\s*SELECT\s+(@@[\w.]+(?:\s+AS\s+\w+)?(?:\s*,\s*@@[\w.]+(?:\s+AS\s+\w+)?)*)\s*(?:LIMIT\s+\d+\s*)?""".r
   private val PrepareStmt = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'(.+)'\s*""".r
   private val ExecuteStmt = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+?))?\s*""".r
   private val DeallocateStmt =
@@ -327,6 +329,20 @@ final class Commands(
           qe.executedPlan.toString)), 1),
         StructType(Seq(StructField("optimized_plan", StringType),
           StructField("physical_plan", StringType))))
+    case SysVarQuery(list) =>
+      // `SELECT @@var [AS alias], …` — the reference's mysql proxy
+      // answers these from its server-variable table (mysql_proxy.py
+      // SERVER_VARIABLES); SET overlays are visible. Unknown vars → NULL,
+      // as MySQL does for unrecognized session vars.
+      val items = splitTop(list, ',').map { item =>
+        val parts = item.split("(?i)\\s+AS\\s+", 2).map(_.trim)
+        val name = parts(0).stripPrefix("@@")
+        val alias = if (parts.length == 2) parts(1) else parts(0)
+        (alias, vars.get(name.toLowerCase).orNull)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(items.map(_._2): _*)), 1),
+        StructType(items.map(i => StructField(i._1, StringType))))
     case PrepareStmt(name, body) =>
       prepared(name) = body
       ok(s"statement $name prepared")
@@ -347,7 +363,7 @@ final class Commands(
       // SET (server-variable handling): recorded for SHOW VARIABLES and
       // passed through to the session conf
       val v = value.stripPrefix("'").stripSuffix("'")
-      vars(key) = v
+      vars(key.toLowerCase) = v
       spark.conf.set(key, v)
       ok(s"set $key")
     case UseStmt(db) =>

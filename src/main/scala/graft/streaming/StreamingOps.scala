@@ -49,13 +49,24 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n_events"))
 
+  /** e07 twin: exactly-once delivery from an at-least-once source —
+    * `dropDuplicatesWithinWatermark` on event_id keeps dedup state only
+    * for the watermark horizon, so state size is bounded by the event
+    * rate × delay (unbounded-state `dropDuplicates` would OOM a 100 TB
+    * stream). */
+  def dedupEvents(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame =
+    stream(spark, sourceDir, schema)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming frame to completion into an in-memory table and
     * return the materialized result. */
-  def drainToMemory(df: DataFrame, name: String): DataFrame = {
+  def drainToMemory(df: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

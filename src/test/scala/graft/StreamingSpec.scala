@@ -64,4 +64,23 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 0)
     assert(a.count() === b.count())
   }
+
+  test("streaming dedup of a replayed source emits each event_id exactly once") {
+    import spark.implicits._
+    // stage the events file TWICE — an at-least-once source where every
+    // event is delivered again
+    val d = java.nio.file.Files.createTempDirectory("events_replay")
+    Seq("a", "b").foreach { suffix =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve(s"events_$suffix.parquet"))
+    }
+    val streamed = StreamingOps.drainToMemory(
+      StreamingOps.dedupEvents(spark, d.toString, rawSchema), "s_e07", "append")
+    val batchIds = Tables.table(spark, dir, "events")
+      .select("event_id").distinct()
+    assert(streamed.count() === batchIds.count())
+    assert(streamed.select("event_id").distinct().count() === streamed.count())
+    assert(streamed.select("event_id").exceptAll(batchIds).count() === 0)
+  }
 }

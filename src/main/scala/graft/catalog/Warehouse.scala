@@ -93,8 +93,13 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     def updated(df: DataFrame) = assignments.foldLeft(df) { case (d, (c, v)) =>
       d.withColumn(c, when(where, v).otherwise(col(c)))
     }
-    partitionColumn(name).filterNot(assignments.contains) match {
-      case Some(pc) => rewritePartitions(name, pc, where, updated)
+    partitionColumn(name) match {
+      case Some(pc) if !assignments.contains(pc) =>
+        rewritePartitions(name, pc, where, updated)
+      case Some(pc) =>
+        // assigning TO the partition column moves rows across partitions:
+        // full rewrite, but the hive layout must survive it
+        rewrite(name, updated(table(name)), partitionBy = Seq(pc))
       case None => rewrite(name, updated(table(name)))
     }
   }

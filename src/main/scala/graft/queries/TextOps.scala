@@ -103,6 +103,35 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    "t08_prep_pipeline" -> ((s, dir) => {
+      // the canonical training-data prep DAG, end to end: language +
+      // quality gate (narrow scan) → exact dedup (one hash shuffle) →
+      // near-dup keep-smallest over SimHash pairs (banded join among
+      // survivors only) → deterministic hash sampling (narrow) → corpus
+      // stats. Every stage is the scale shape already proven by its
+      // standalone operator (t05, d03); composing them shares one scan.
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val filtered = t(s, dir, "documents")
+        .withColumn("n_tokens", size(toks).cast(LongType))
+        .filter(col("lang").isin("en", "de", "fr") && col("n_tokens") >= 30)
+      val keepExact = filtered
+        .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val exact = filtered.join(keepExact.select("doc_id"), Seq("doc_id"), "left_semi")
+      // keep-smallest near-dup policy: any doc paired with a smaller id drops
+      val dropped = graft.queries.Dedup
+        .simhashPairs(exact.select(col("doc_id"), col("text")), maxHamming = 8, md5Hash = true)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val canonical = exact.join(dropped, Seq("doc_id"), "left_anti")
+      val sampled = canonical.filter(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType) % 10 < 8)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -201,6 +230,42 @@ object TextOps extends QueryPack {
         CAST(len(fp) AS INTEGER) AS n_fp,
         md5(array_to_string(fp, ',')) AS fp_sig
       FROM fps ORDER BY doc_id""",
+
+    "t08_prep_pipeline" -> """
+      WITH base AS (
+        SELECT doc_id, lang, text,
+          CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      filtered AS (SELECT * FROM base
+        WHERE lang IN ('en', 'de', 'fr') AND n_tokens >= 30),
+      keep_exact AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+      exact AS (SELECT * FROM filtered
+        WHERE doc_id IN (SELECT doc_id FROM keep_exact)),
+      toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+        FROM exact),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT hv FROM toks),
+      votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        FROM hs CROSS JOIN range(0, 64) t(j) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f
+        FROM votes GROUP BY 1),
+      bands AS (SELECT doc_id, f, b, (f >> (b*16)) & 65535 bkey
+                FROM fp CROSS JOIN range(0, 4) t(b)),
+      dropped AS (
+        SELECT DISTINCT y.doc_id
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.f, y.f)) <= 8),
+      canonical AS (SELECT * FROM exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+      sampled AS (SELECT * FROM canonical
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        ROUND(AVG(n_tokens), 4) AS avg_tokens
+      FROM sampled GROUP BY lang ORDER BY lang""",
 
     "t06_lang_id" -> """
       WITH tri_train AS (

@@ -111,10 +111,15 @@ class CatalogSpec extends AnyFunSuite {
     assert(wh.table("pord").count() === before + 7)
     assert(!Files.list(Paths.get(wh.dir, "pord")).iterator().asScala
       .exists(_.getFileName.toString.startsWith("part-")), "root-level part files")
-    // assigning TO the partition column falls back to a full rewrite
+    // assigning TO the partition column falls back to a full rewrite —
+    // and the hive layout must SURVIVE it (rows moved into their new
+    // partition dirs, not flattened to root-level files)
     wh.update("pord", Map("o_orderstatus" -> lit("X")), col("o_orderstatus") === "P")
     assert(wh.table("pord").filter(col("o_orderstatus") === "X").count() > 0)
     assert(!Files.exists(Paths.get(wh.dir, "pord", "o_orderstatus=P")))
+    assert(wh.partitionColumn("pord") === Some("o_orderstatus"),
+      "partition layout lost by partition-column update")
+    assert(Files.exists(Paths.get(wh.dir, "pord", "o_orderstatus=X")))
   }
 
   test("dropDatabase unbinds the catalog conf; reserved names rejected") {

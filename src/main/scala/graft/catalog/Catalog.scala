@@ -38,12 +38,14 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
 
   private val models = scala.collection.mutable.LinkedHashMap[String, ModelEntry]()
 
-  import Catalog.{AgentEntity, DbEntity, KbEntity, TriggerEntity}
+  import Catalog.{AgentEntity, ChatbotEntity, DbEntity, KbEntity, MlEngineEntity, TriggerEntity}
 
   private val kbs = scala.collection.mutable.LinkedHashMap[String, KbEntity]()
   private val agents = scala.collection.mutable.LinkedHashMap[String, AgentEntity]()
   private val databases = scala.collection.mutable.LinkedHashMap[String, DbEntity]()
   private val triggers = scala.collection.mutable.LinkedHashMap[String, TriggerEntity]()
+  private val chatbots = scala.collection.mutable.LinkedHashMap[String, ChatbotEntity]()
+  private val mlEngines = scala.collection.mutable.LinkedHashMap[String, MlEngineEntity]()
 
   // ------------------------------------------------------------ resolution
 
@@ -139,6 +141,62 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
   def agent(name: String): Option[AgentEntity] = agents.get(name)
   def listAgents(): Seq[String] = agents.keys.toSeq
 
+  /** ALTER KNOWLEDGE BASE (command_executor.py:1455-1468 answer_alter_kb
+    * → kb_controller.update): merge new params into the entity. */
+  def updateKb(name: String, params: Map[String, String]): Unit = {
+    val cur = kbs.getOrElse(name,
+      throw new NoSuchElementException(s"knowledge base $name does not exist"))
+    kbs(name) = cur.copy(params = cur.params ++ params)
+  }
+
+  // ------------------------------------------------- chatbots / ml engines
+
+  /** CREATE CHATBOT (command_executor.py:774-802): a chatbot binds a chat
+    * database (the message channel) to a model OR an agent. The reference
+    * requires the database to exist (:781-786). */
+  def createChatbot(name: String, database: String, model: Option[String],
+      agent: Option[String], isRunning: Boolean = true,
+      params: Map[String, String] = Map.empty): Unit = {
+    require(databases.contains(database),
+      s"Database not found: $database")
+    require(model.isDefined || agent.isDefined,
+      "chatbot needs model = '…' or agent = '…'")
+    chatbots(name) = ChatbotEntity(name, database, model, agent, isRunning, params)
+  }
+  /** UPDATE CHATBOT … SET (command_executor.py:805-836): partial update;
+    * unknown chatbot is an error, like the reference's :833. */
+  def updateChatbot(name: String, params: Map[String, String]): Unit = {
+    val cur = chatbots.getOrElse(name,
+      throw new NoSuchElementException(s"Chatbot with name $name not found"))
+    params.get("database").foreach(d => require(databases.contains(d),
+      s"Database with name $d not found"))
+    chatbots(name) = cur.copy(
+      database = params.getOrElse("database", cur.database),
+      model = params.get("model").orElse(cur.model),
+      agent = params.get("agent").orElse(cur.agent),
+      isRunning = params.get("is_running").map(_.toBoolean).getOrElse(cur.isRunning),
+      params = cur.params ++ (params -- Seq("database", "model", "agent", "is_running")))
+  }
+  def dropChatbot(name: String): Unit =
+    if (chatbots.remove(name).isEmpty)
+      throw new NoSuchElementException(s"chatbot $name does not exist")
+  def chatbot(name: String): Option[ChatbotEntity] = chatbots.get(name)
+  def listChatbots(): Seq[String] = chatbots.keys.toSeq
+
+  /** CREATE ML_ENGINE (command_executor.py:1171-1233): registers a named
+    * instance of a handler with connection params. In this environment the
+    * engine is metadata (the one live trainer is the built-in OLS Fit). */
+  def createMlEngine(name: String, handler: String,
+      params: Map[String, String] = Map.empty, ifNotExists: Boolean = false): Unit = {
+    if (mlEngines.contains(name) && !ifNotExists)
+      throw new IllegalStateException(s"ML engine $name already exists")
+    mlEngines.getOrElseUpdate(name, MlEngineEntity(name, handler, params))
+  }
+  def dropMlEngine(name: String): Unit =
+    if (mlEngines.remove(name).isEmpty)
+      throw new NoSuchElementException(s"ML engine $name does not exist")
+  def listMlEngines(): Seq[String] = mlEngines.keys.toSeq
+
   /** CREATE DATABASE = integration registration (command_executor.py:
     * 1260-1307). engine 'mem' wires the DSv2 MemCatalog under the given
     * name, so `SELECT … FROM <name>.<table>` resolves through Spark's
@@ -169,6 +227,15 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
         throw new NoSuchElementException(s"database $name does not exist")
     }
   def listDatabases(): Seq[String] = databases.keys.toSeq
+
+  /** ALTER DATABASE (command_executor.py:1308-1313 answer_alter_database →
+    * database_controller.update): merge new connection params. */
+  def updateDatabase(name: String, params: Map[String, String]): Unit = {
+    val cur = databases.getOrElse(name,
+      throw new NoSuchElementException(s"database $name does not exist"))
+    databases(name) = cur.copy(params = cur.params ++ params)
+  }
+  def database(name: String): Option[DbEntity] = databases.get(name)
 
   def createTrigger(name: String, tableName: String, sql: String): Unit =
     triggers(name) = TriggerEntity(name, tableName, sql)
@@ -344,6 +411,26 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       triggers.values.map(t => Row(t.name, t.tableName, t.sql)).toSeq)
       .orderBy("name")
 
+  def metaChatbots(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("database", StringType, nullable = false),
+      StructField("model_name", StringType),
+      StructField("agent_name", StringType),
+      StructField("is_running", BooleanType, nullable = false))),
+      chatbots.values.map(c =>
+        Row(c.name, c.database, c.model.orNull, c.agent.orNull, c.isRunning)).toSeq)
+      .orderBy("name")
+
+  def metaMlEngines(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("handler", StringType, nullable = false),
+      StructField("connection_data", StringType, nullable = false))),
+      mlEngines.values.map(e => Row(e.name, e.handler,
+        e.params.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(","))).toSeq)
+      .orderBy("name")
+
   def metaViews(): DataFrame =
     frame(StructType(Seq(StructField("name", StringType, nullable = false))),
       views.keys.map(n => Row(n.toString)).toSeq).orderBy("name")
@@ -365,4 +452,8 @@ object Catalog {
   final case class AgentEntity(name: String, model: String, params: Map[String, String])
   final case class DbEntity(name: String, engine: String, params: Map[String, String])
   final case class TriggerEntity(name: String, tableName: String, sql: String)
+  final case class ChatbotEntity(name: String, database: String,
+      model: Option[String], agent: Option[String], isRunning: Boolean,
+      params: Map[String, String])
+  final case class MlEngineEntity(name: String, handler: String, params: Map[String, String])
 }

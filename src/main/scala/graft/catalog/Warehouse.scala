@@ -137,6 +137,13 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   def dropTable(name: String): Unit = rm(Paths.get(path(name)))
 
+  /** Atomically replace a table's contents (same crash-safe swap as
+    * UPDATE/DELETE) — the path for index builds and other self-derived
+    * rewrites, where writing over the live dir while reading it would
+    * corrupt the table. */
+  def replace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    rewrite(name, df, partitionBy)
+
   /** copy-on-write swap: write to a temp sibling, rename the live dir
     * aside, move the new one in, delete the old copy LAST — a crash at
     * any point leaves either the old or the new table intact (never

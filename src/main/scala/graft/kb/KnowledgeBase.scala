@@ -322,15 +322,22 @@ object Kb {
         .withColumn("cent_id",
           row_number().over(Window.orderBy(col("chunk_id"))))
         .select(col("cent_id"), col("emb").as("cv")))
+    (ivfAssign(chunks, cents), cents)
+  }
+
+  /** Assign each chunk to its nearest centroid — the ingest-time step of
+    * the IVF index. Used by [[ivfIndex]] at build time AND by subsequent
+    * ingests into an indexed KB, so new chunks land in the same cell
+    * layout without a full re-index. */
+  def ivfAssign(chunks: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("chunk_id"))
       .orderBy(col("cc").desc, col("cent_id"))
-    val indexed = chunks.crossJoin(cents)
+    chunks.crossJoin(broadcast(cents))
       .withColumn("cc", round(cosineSim(col("emb"), col("cv")), 4))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .withColumn("cell", col("cent_id"))
       .drop("cent_id", "cv", "cc", "crk")
-    (indexed, cents)
   }
 
   /** ANN semantic search over an [[ivfIndex]]ed chunk store: rank the

@@ -171,6 +171,20 @@ object KbPack extends QueryPack {
           col("text").substr(lit(1), lit(ChunkSize)).as("query_text"),
           col("doc_id").as("gold_doc_id"))
       Kb.evaluate(kb(s, dir), queries, k = 10)
+    }),
+
+    // CREATE INDEX ON KNOWLEDGE_BASE through SQL: ingest, build the IVF
+    // index (chunk store re-laid-out hive-style by cell), search through
+    // the probed path (command_executor.py:968 answer_create_kb_index)
+    "k15_kb_index_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE KNOWLEDGE BASE kbx USING content_columns='text'")
+      c.execute("INSERT INTO kbx SELECT doc_id, text, lang, source FROM documents")
+      c.execute("CREATE INDEX ON KNOWLEDGE_BASE kbx WITH (nlist=8, nprobe=2)")
+      c.execute(s"SELECT * FROM kbx WHERE content = '$QueryA' LIMIT 10")
+        .select(col("chunk_id"), col("doc_id"), col("relevance"))
+        .orderBy(col("relevance").desc, col("chunk_id"))
     })
   )
 
@@ -404,6 +418,33 @@ object KbPack extends QueryPack {
           SELECT c.cent_id FROM cents c, qv
           ORDER BY ROUND(${cosOf("c.cv", "q")}, 4) DESC, c.cent_id LIMIT 2)),
       scored AS (SELECT a.chunk_id, a.doc_id, CAST(a.cell AS INTEGER) AS cell,
+          ROUND(1.0/(1.0+ROUND(1.0-(${cosOf("a.v", "q")}),4)),4) AS relevance
+        FROM assigned a JOIN probes USING (cell), qv)
+      SELECT * FROM (SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 10)
+      ORDER BY relevance DESC, chunk_id"""
+    },
+
+    // Same IVF plan as k14 exercised through the DDL/SQL surface; the
+    // standard search projection drops the cell column.
+    "k15_kb_index_sql" -> {
+      def cosOf(x: String, y: String) =
+        s"""list_sum(list_transform(range(1, ${Dim + 1}), i -> $x[i]*$y[i])) /
+           (sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $x[i]*$x[i]))) *
+            sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> $y[i]*$y[i]))))"""
+      s"""$oPrefix,
+      cents AS (SELECT ROW_NUMBER() OVER (ORDER BY chunk_id) AS cent_id, v AS cv
+                FROM (SELECT chunk_id, v FROM emb ORDER BY chunk_id LIMIT 8)),
+      assigned AS (SELECT chunk_id, doc_id, v, cent_id AS cell FROM (
+          SELECT e.chunk_id, e.doc_id, e.v, c.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY e.chunk_id
+              ORDER BY ROUND(${cosOf("e.v", "c.cv")}, 4) DESC, c.cent_id) AS crk
+          FROM emb e CROSS JOIN cents c)
+        WHERE crk = 1),
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      probes AS (SELECT cent_id AS cell FROM (
+          SELECT c.cent_id FROM cents c, qv
+          ORDER BY ROUND(${cosOf("c.cv", "q")}, 4) DESC, c.cent_id LIMIT 2)),
+      scored AS (SELECT a.chunk_id, a.doc_id,
           ROUND(1.0/(1.0+ROUND(1.0-(${cosOf("a.v", "q")}),4)),4) AS relevance
         FROM assigned a JOIN probes USING (cell), qv)
       SELECT * FROM (SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 10)

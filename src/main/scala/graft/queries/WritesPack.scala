@@ -172,6 +172,60 @@ object WritesPack extends QueryPack {
         ORDER BY table_name, ordinal_position""")
     }),
 
+    // Chatbot + ML-engine DDL surface with transaction no-ops
+    // (command_executor.py:774-838 chatbots, :1171-1236 ml engines,
+    // StartTransaction/Commit/Rollback no-op dispatch)
+    "c05_chatbot_mlengine" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("START TRANSACTION")
+      c.execute("CREATE DATABASE chatdb_c05 ENGINE 'pg'")
+      c.execute("CREATE ML_ENGINE eng_c05 FROM fit USING task='regression'")
+      c.execute("CREATE AGENT ag_c05 USING model='m'")
+      c.execute("CREATE CHATBOT cb_c05 USING database='chatdb_c05', agent='ag_c05'")
+      c.execute("UPDATE CHATBOT cb_c05 SET model='m2'")
+      c.execute("COMMIT")
+      val bots = c.execute("SHOW CHATBOTS").collect().map(r => Row("chatbot",
+        r.getString(0), Seq(r.getString(1), r.getString(2), r.getString(3),
+          r.getBoolean(4).toString).mkString("|")))
+      val engines = c.execute("SHOW ML_ENGINES").collect().map(r =>
+        Row("ml_engine", r.getString(0), Seq(r.getString(1), r.getString(2)).mkString("|")))
+      val handlers = c.execute("SHOW HANDLERS").collect().map(r =>
+        Row("handler", r.getString(0), r.getString(1)))
+      val warnings = Seq(Row("warnings", "count",
+        c.execute("SHOW WARNINGS").count().toString))
+      s.createDataFrame(
+        s.sparkContext.parallelize((bots ++ engines ++ handlers ++ warnings).toSeq, 1),
+        StructType(Seq(StructField("kind", StringType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("detail", StringType, nullable = false))))
+        .orderBy(col("kind"), col("name"))
+    }),
+
+    // ALTER breadth: view redefinition, database + KB param merges
+    // (command_executor.py:633 AlterView, :1308 AlterDatabase,
+    // :1455 answer_alter_kb)
+    "c06_alter_surface" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE VIEW v_c06 AS SELECT r_name FROM region WHERE r_regionkey < 2")
+      c.execute("ALTER VIEW v_c06 AS SELECT r_name FROM region WHERE r_regionkey >= 2")
+      c.execute("CREATE DATABASE db_c06 ENGINE 'pg', PARAMETERS = host='h1'")
+      c.execute("ALTER DATABASE db_c06 port='5432'")
+      c.execute("CREATE KNOWLEDGE BASE kb_c06 USING content_columns='text'")
+      c.execute("ALTER KNOWLEDGE BASE kb_c06 USING chunk_size='300'")
+      val viewRows = c.execute("SELECT r_name FROM v_c06").collect()
+        .map(r => Row("view_row", r.getString(0)))
+      val dbParams = Seq(Row("db_param",
+        c.catalog.database("db_c06").get.params.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString(",")))
+      val kbParams = c.execute("SHOW KNOWLEDGE_BASES").collect()
+        .map(r => Row("kb_param", r.getString(2)))
+      s.createDataFrame(
+        s.sparkContext.parallelize((viewRows ++ dbParams ++ kbParams).toSeq, 1),
+        StructType(Seq(StructField("kind", StringType, nullable = false),
+          StructField("value", StringType, nullable = false))))
+        .orderBy(col("kind"), col("value"))
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -263,6 +317,23 @@ object WritesPack extends QueryPack {
         ('triggers','tr_c03'),
         ('views','v_c03')) AS t(kind, name)
       ORDER BY kind, name""",
+
+    "c05_chatbot_mlengine" -> """
+      SELECT * FROM (VALUES
+        ('chatbot','cb_c05','chatdb_c05|m2|ag_c05|true'),
+        ('handler','files','data'),
+        ('handler','fit','ml'),
+        ('handler','mem','data'),
+        ('ml_engine','eng_c05','fit|task=regression'),
+        ('warnings','count','0')) AS t(kind, name, detail)
+      ORDER BY kind, name""",
+
+    "c06_alter_surface" -> """
+      SELECT * FROM (
+        SELECT 'view_row' AS kind, r_name AS value FROM region WHERE r_regionkey >= 2
+        UNION ALL SELECT 'db_param', 'host=h1,port=5432'
+        UNION ALL SELECT 'kb_param', 'chunk_size=300,content_columns=text')
+      ORDER BY kind, value""",
 
     "c04_info_columns_sql" -> """
       SELECT * FROM (VALUES

@@ -67,7 +67,7 @@ final class Commands(
   private val InsertStmt =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s*(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
   private val ShowStmt =
-    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|KNOWLEDGE[_ ]BASES|AGENTS|TRIGGERS|VARIABLES|STATUS|ENGINES)\s*(?:LIKE\s+'([^']*)')?\s*""".r
+    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|KNOWLEDGE[_ ]BASES|AGENTS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
@@ -95,6 +95,26 @@ final class Commands(
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
   private val SysVarQuery =
     """(?is)\s*SELECT\s+(@@[\w.]+(?:\s+AS\s+\w+)?(?:\s*,\s*@@[\w.]+(?:\s+AS\s+\w+)?)*)\s*(?:LIMIT\s+\d+\s*)?""".r
+  private val TxnStmt =
+    """(?is)\s*(?:START\s+TRANSACTION|BEGIN|COMMIT|ROLLBACK)\s*""".r
+  private val AlterView =
+    """(?is)\s*ALTER\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
+  private val AlterDatabase =
+    """(?is)\s*ALTER\s+DATABASE\s+(\w+)\s+(?:PARAMETERS\s*=\s*|USING\s+|SET\s+)?(.+?)\s*""".r
+  private val AlterKb =
+    """(?is)\s*ALTER\s+KNOWLEDGE[_ ]BASE\s+(\w+)\s+USING\s+(.+?)\s*""".r
+  private val CreateChatbot =
+    """(?is)\s*CREATE\s+CHATBOT\s+(\w+)\s+USING\s+(.+?)\s*""".r
+  private val UpdateChatbot =
+    """(?is)\s*UPDATE\s+CHATBOT\s+(\w+)\s+SET\s+(.+?)\s*""".r
+  private val DropChatbot = """(?is)\s*DROP\s+CHATBOT\s+(\w+)\s*""".r
+  private val CreateMlEngine =
+    """(?is)\s*CREATE\s+ML_ENGINE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FROM\s+(\w+)\s*(?:USING\s+(.+?))?\s*""".r
+  private val DropMlEngine = """(?is)\s*DROP\s+ML_ENGINE\s+(\w+)\s*""".r
+  private val SetActive =
+    """(?is)\s*SET\s+ACTIVE\s+(\w+)\.(\d+)\s*""".r
+  private val CreateKbIndex =
+    """(?is)\s*CREATE\s+INDEX\s+ON\s+KNOWLEDGE[_ ]BASE\s+(\w+)\s*(?:WITH\s*\(\s*(.+?)\s*\))?\s*""".r
   private val PrepareStmt = """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'(.+)'\s*""".r
   private val ExecuteStmt = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+?))?\s*""".r
   private val DeallocateStmt =
@@ -206,12 +226,88 @@ final class Commands(
     case DropTrigger(name) =>
       catalog.dropTrigger(name); ok(s"trigger $name dropped")
 
+    case TxnStmt() =>
+      // START TRANSACTION / BEGIN / COMMIT / ROLLBACK are accepted no-ops
+      // (command_executor.py StartTransaction/CommitTransaction/
+      // RollbackTransaction dispatch — the reference has no transactional
+      // storage either)
+      ok("ok")
+
+    case AlterView(name, body) =>
+      // ALTER VIEW … AS (command_executor.py:633 → answer_alter_view):
+      // redefinition replaces the stored query text, same late-binding
+      // semantics as CREATE VIEW
+      require(catalog.listViews().contains(name), s"view $name does not exist")
+      run(body)
+      catalog.createView(name, {
+        registerBase()
+        registerViews(before = Some(name))
+        spark.sql(body)
+      })
+      ok(s"view $name altered")
+    case AlterKb(name, using) =>
+      catalog.updateKb(name, parseUsing(using))
+      ok(s"knowledge base $name altered")
+
+    case CreateChatbot(name, using) =>
+      val p = parseUsing(using)
+      catalog.createChatbot(name,
+        p.getOrElse("database",
+          throw new IllegalArgumentException("CREATE CHATBOT needs database = '…'")),
+        p.get("model"), p.get("agent"),
+        p.get("is_running").forall(_.toBoolean),
+        p -- Seq("database", "model", "agent", "is_running"))
+      ok(s"chatbot $name created")
+    case UpdateChatbot(name, setList) =>
+      catalog.updateChatbot(name, parseUsing(setList))
+      ok(s"chatbot $name updated")
+    case DropChatbot(name) =>
+      catalog.dropChatbot(name); ok(s"chatbot $name dropped")
+
+    case CreateMlEngine(ifNot, name, handler, using) =>
+      catalog.createMlEngine(name, handler,
+        Option(using).map(parseUsing).getOrElse(Map.empty), ifNot != null)
+      ok(s"ml engine $name created")
+    case DropMlEngine(name) =>
+      catalog.dropMlEngine(name); ok(s"ml engine $name dropped")
+
+    case SetActive(name, version) =>
+      // SET ACTIVE <model>.<version> (command_executor.py:1963
+      // answer_update_model_version → set_model_active_version)
+      catalog.setActiveVersion(name, version.toInt)
+      ok(s"model $name version $version active")
+
+    case CreateKbIndex(name, withParams) =>
+      // CREATE INDEX ON KNOWLEDGE_BASE (command_executor.py:968
+      // answer_create_kb_index → kb_controller.create_index): build the
+      // IVF coarse index over the ingested chunk store. The cell column
+      // becomes the chunk table's PARTITION column, so a probed search
+      // prunes whole partition directories — at 100 TB the query lists
+      // and reads ~nProbe/nlist of the files, not just rows.
+      val k = catalog.kb(name).getOrElse(
+        throw new NoSuchElementException(s"knowledge base $name does not exist"))
+      require(warehouse.exists(k.storage),
+        s"knowledge base $name has no ingested chunks to index")
+      val p = Option(withParams).map(parseUsing).getOrElse(Map.empty)
+      val nlist = p.get("nlist").map(_.toInt).getOrElse(8)
+      val nprobe = p.get("nprobe").map(_.toInt).getOrElse(math.max(1, nlist / 4))
+      val (indexed, cents) = Kb.ivfIndex(warehouse.table(k.storage), nlist)
+      if (warehouse.exists(s"${k.storage}_cents")) warehouse.dropTable(s"${k.storage}_cents")
+      warehouse.createTableAs(s"${k.storage}_cents", cents)
+      warehouse.replace(k.storage, indexed, partitionBy = Seq("cell"))
+      catalog.updateKb(name,
+        Map("ivf_nlist" -> nlist.toString, "ivf_nprobe" -> nprobe.toString))
+      ok(s"index created on knowledge base $name ($nlist cells)")
+
     case CreateDatabase(name, engine, params) =>
       catalog.createDatabase(name, engine.toLowerCase,
         Option(params).map(parseUsing).getOrElse(Map.empty))
       ok(s"database $name created (engine $engine)")
     case DropDatabase(name) =>
       catalog.dropDatabase(name); ok(s"database $name dropped")
+    case AlterDatabase(name, params) =>
+      catalog.updateDatabase(name, parseUsing(params))
+      ok(s"database $name altered")
 
     case Ctas(name, partCols, body) =>
       warehouse.createTableAs(name, run(body), overwrite = true,
@@ -260,8 +356,14 @@ final class Commands(
               k.params.get("kb_skip_existing").exists(_.toBoolean))
             Kb.skipExisting(chunks, warehouse.table(k.storage))
           else chunks
-        if (warehouse.exists(k.storage)) warehouse.insertInto(k.storage, toWrite)
-        else warehouse.createTableAs(k.storage, toWrite)
+        // an indexed KB keeps its IVF cell layout across ingests: new
+        // chunks are assigned to the existing centroids on the way in
+        val withCells =
+          if (warehouse.exists(s"${k.storage}_cents"))
+            Kb.ivfAssign(toWrite, warehouse.table(s"${k.storage}_cents"))
+          else toWrite
+        if (warehouse.exists(k.storage)) warehouse.insertInto(k.storage, withCells)
+        else warehouse.createTableAs(k.storage, withCells)
         // index-build-time corpus stats: one aggregation per ingest, so
         // BM25 search never pays a full-corpus scan per query
         catalog.setKbStats(name, Kb.corpusStats(warehouse.table(k.storage)))
@@ -282,7 +384,7 @@ final class Commands(
           col(df.columns.head).rlike(likeToRegex(p))))
       // each SHOW returns its meta-table schema (mindsdb_tables.py:42-430),
       // not an ad-hoc one-column list
-      likeFilter(what.toUpperCase.replace('_', ' ') match {
+      likeFilter(what.toUpperCase.replace('_', ' ').replaceAll("\\s+", " ") match {
         case "TABLES" => catalog.showTables(Some(warehouse))
         case "VIEWS" => catalog.metaViews()
         case "MODELS" => catalog.metaModels()
@@ -296,6 +398,18 @@ final class Commands(
           Seq("Uptime" -> "0", "Threads_connected" -> "1", "Queries" -> "0"))
         case "ENGINES" => kv("engine", "support",
           Seq("graft-spark" -> "DEFAULT"))
+        case "CHATBOTS" => catalog.metaChatbots()
+        case "ML ENGINES" => catalog.metaMlEngines()
+        case "HANDLERS" => kv("name", "type",
+          Seq("fit" -> "ml", "files" -> "data", "mem" -> "data"))
+        case "TABLE STATUS" => kv("name", "engine",
+          catalog.showTables(Some(warehouse)).collect()
+            .map(r => r.getString(0) -> "parquet").toSeq)
+        case "CHARACTER SET" | "CHARSET" => kv("charset", "default_collation",
+          Seq("binary" -> "binary", "utf8mb4" -> "utf8mb4_general_ci"))
+        case "COLLATION" => kv("collation", "charset",
+          Seq("binary" -> "binary", "utf8mb4_general_ci" -> "utf8mb4"))
+        case "WARNINGS" => kv("level", "message", Nil)
       })
     case ShowColumns(name) =>
       val fields = catalog.resolve(name, Some(warehouse)).schema.fields
@@ -375,7 +489,11 @@ final class Commands(
       // plus relevance/hybrid/rerank params (executor.py:28-395,
       // controller.py:286-342), compiled by [[KbSql]]
       val k = catalog.kb(name).get
-      KbSql.run(spark, warehouse.table(k.storage), where, Option(lim).map(_.toInt))
+      val index = for {
+        nprobe <- k.params.get("ivf_nprobe")
+        if warehouse.exists(s"${k.storage}_cents")
+      } yield (warehouse.table(s"${k.storage}_cents"), nprobe.toInt)
+      KbSql.run(spark, warehouse.table(k.storage), where, Option(lim).map(_.toInt), index)
 
     case ObjQuery(sel, name, where) if catalog.listModels().contains(name) =>
       // ApplyPredictorRowStep as SQL (steps.py:172): SELECT ... FROM

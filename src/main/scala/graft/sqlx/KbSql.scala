@@ -29,9 +29,15 @@ object KbSql {
       alpha: Double = 0.5,
       rerank: Boolean = false)
 
-  /** Execute `SELECT * FROM <kb> WHERE <where> [LIMIT <limit>]`. */
+  /** Execute `SELECT * FROM <kb> WHERE <where> [LIMIT <limit>]`.
+    *
+    * `ivfIndex` — `(centroids, nProbe)` when the KB has a CREATE INDEX'd
+    * IVF coarse index (the chunk table then carries its `cell`
+    * assignment): plain content searches probe only the nearest cells
+    * instead of scanning the whole corpus (kb_controller.create_index,
+    * command_executor.py:968). */
   def run(spark: SparkSession, chunks: DataFrame, where: String,
-      limit: Option[Int]): DataFrame = {
+      limit: Option[Int], ivfIndex: Option[(DataFrame, Int)] = None): DataFrame = {
     val top = flattenAnd(spark.sessionState.sqlParser.parseExpression(where))
     val (paramExprs, condExprs) = top.partition(isParam)
     val p = toParams(paramExprs)
@@ -48,10 +54,15 @@ object KbSql {
       else if (p.rerank)
         Kb.vectorSearch(chunks, positiveQuery(cond), metaFilter(cond), k,
           p.minRelevance, Some(new Kb.KeywordBoostReranker))
-      else if (isSimple(cond))
+      else if (isSimple(cond)) ivfIndex match {
         // plain content [+ metadata] — threshold applies BEFORE top-k,
         // exactly like the direct vectorSearch API
-        Kb.vectorSearch(chunks, positiveQuery(cond), metaFilter(cond), k, p.minRelevance)
+        case Some((cents, nProbe)) =>
+          Kb.vectorSearchIvf(chunks.filter(metaFilter(cond)), cents,
+            positiveQuery(cond), nProbe, k, p.minRelevance)
+        case None =>
+          Kb.vectorSearch(chunks, positiveQuery(cond), metaFilter(cond), k, p.minRelevance)
+      }
       else {
         val searched = Kb.search(chunks, cond, k)
         p.minRelevance.fold(searched)(t => searched.filter(col("relevance") > t))

@@ -308,4 +308,119 @@ class CommandsSpec extends AnyFunSuite {
     c.execute("DROP TABLE top_r")
     assert(!c.warehouse.exists("top_r"))
   }
+
+  test("transactions are accepted no-ops; statements still run between them") {
+    val c = fresh()
+    c.execute("START TRANSACTION")
+    c.execute("CREATE TABLE tx_t AS SELECT * FROM region")
+    c.execute("COMMIT")
+    c.execute("BEGIN")
+    assert(c.execute("SELECT count(*) AS n FROM tx_t").first().getLong(0) === 5)
+    c.execute("ROLLBACK")
+    // no transactional storage: the write persists regardless (reference
+    // behavior — its transaction commands are wire-compat no-ops too)
+    assert(c.warehouse.exists("tx_t"))
+  }
+
+  test("CHATBOT lifecycle: create requires database, update patches, drop removes") {
+    val c = fresh()
+    intercept[IllegalArgumentException] {
+      c.execute("CREATE CHATBOT cb USING database='nope', agent='a1'")
+    }
+    c.execute("CREATE DATABASE chatdb ENGINE 'pg'")
+    c.execute("CREATE AGENT a1 USING model='m'")
+    c.execute("CREATE CHATBOT cb USING database='chatdb', agent='a1'")
+    val row = c.execute("SHOW CHATBOTS").first()
+    assert(row.getString(0) === "cb" && row.getString(1) === "chatdb"
+      && row.getString(3) === "a1" && row.getBoolean(4))
+    c.execute("UPDATE CHATBOT cb SET model='m2', is_running='false'")
+    val row2 = c.execute("SHOW CHATBOTS").first()
+    assert(row2.getString(2) === "m2" && !row2.getBoolean(4))
+    c.execute("DROP CHATBOT cb")
+    assert(c.execute("SHOW CHATBOTS").count() === 0)
+    intercept[NoSuchElementException] { c.execute("DROP CHATBOT cb") }
+  }
+
+  test("ML_ENGINE lifecycle with IF NOT EXISTS") {
+    val c = fresh()
+    c.execute("CREATE ML_ENGINE eng1 FROM fit USING task='regression'")
+    assert(c.execute("SHOW ML_ENGINES").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      === Seq(("eng1", "fit", "task=regression")))
+    intercept[IllegalStateException] { c.execute("CREATE ML_ENGINE eng1 FROM fit") }
+    c.execute("CREATE ML_ENGINE IF NOT EXISTS eng1 FROM fit")
+    c.execute("DROP ML_ENGINE eng1")
+    assert(c.execute("SHOW ML_ENGINES").count() === 0)
+  }
+
+  test("ALTER VIEW redefines; ALTER DATABASE / ALTER KB merge params") {
+    val c = fresh()
+    c.execute("CREATE VIEW av AS SELECT r_name FROM region WHERE r_regionkey < 2")
+    assert(c.execute("SELECT count(*) AS n FROM av").first().getLong(0) === 2)
+    c.execute("ALTER VIEW av AS SELECT r_name FROM region WHERE r_regionkey >= 2")
+    assert(c.execute("SELECT count(*) AS n FROM av").first().getLong(0) === 3)
+    intercept[IllegalArgumentException] {
+      c.execute("ALTER VIEW missing AS SELECT 1")
+    }
+    c.execute("CREATE DATABASE adb ENGINE 'pg', PARAMETERS = host='h1'")
+    c.execute("ALTER DATABASE adb port='5432'")
+    assert(c.catalog.database("adb").get.params
+      === Map("host" -> "h1", "port" -> "5432"))
+    c.execute("CREATE KNOWLEDGE BASE akb USING content_columns='text'")
+    c.execute("ALTER KNOWLEDGE BASE akb USING chunk_size='300'")
+    assert(c.catalog.kb("akb").get.params
+      === Map("content_columns" -> "text", "chunk_size" -> "300"))
+  }
+
+  test("SET ACTIVE pins a model version; bad version rejected") {
+    val c = fresh()
+    c.execute("""CREATE MODEL sam FROM (
+      SELECT l_quantity, l_extendedprice AS y FROM lineitem LIMIT 200
+      ) PREDICT y USING features='l_quantity'""")
+    c.execute("RETRAIN sam")
+    assert(c.catalog.activeVersion("sam") === 2)
+    c.execute("SET ACTIVE sam.1")
+    assert(c.catalog.activeVersion("sam") === 1)
+    intercept[IllegalArgumentException] { c.execute("SET ACTIVE sam.9") }
+  }
+
+  test("CREATE INDEX ON KNOWLEDGE_BASE: cell-partitioned store, probed search, ingest keeps layout") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE ikb USING content_columns='text'")
+    c.execute("INSERT INTO ikb SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 60")
+    val preCols = c.warehouse.table("__kb_ikb").columns.toSet
+    assert(!preCols.contains("cell"))
+    c.execute("CREATE INDEX ON KNOWLEDGE_BASE ikb WITH (nlist=4, nprobe=2)")
+    // the chunk store is now laid out hive-style by cell: probes prune dirs
+    assert(c.warehouse.partitionColumn("__kb_ikb") === Some("cell"))
+    assert(c.warehouse.exists("__kb_ikb_cents"))
+    assert(c.catalog.kb("ikb").get.params("ivf_nprobe") === "2")
+    val hits = c.execute("SELECT * FROM ikb WHERE content = 'data pipeline' LIMIT 5").collect()
+    assert(hits.length === 5)
+    // ingest after index: new chunks get cells assigned on the way in
+    c.execute("INSERT INTO ikb SELECT doc_id, text, lang, source FROM documents WHERE doc_id BETWEEN 60 AND 79")
+    assert(c.warehouse.partitionColumn("__kb_ikb") === Some("cell"))
+    val cells = c.warehouse.table("__kb_ikb").select("cell").distinct().count()
+    assert(cells <= 4 && cells >= 1)
+    // indexing a KB with no chunks is an error
+    c.execute("CREATE KNOWLEDGE BASE empty_kb")
+    intercept[IllegalArgumentException] {
+      c.execute("CREATE INDEX ON KNOWLEDGE_BASE empty_kb")
+    }
+  }
+
+  test("SHOW breadth: warnings empty, charset/collation/handlers/table status populated") {
+    val c = fresh()
+    assert(c.execute("SHOW WARNINGS").count() === 0)
+    assert(c.execute("SHOW CHARSET").collect().map(_.getString(0)).toSeq
+      === Seq("binary", "utf8mb4"))
+    assert(c.execute("SHOW CHARACTER SET").count() === 2)
+    assert(c.execute("SHOW COLLATION").collect().map(_.getString(0)).toSeq
+      === Seq("binary", "utf8mb4_general_ci"))
+    assert(c.execute("SHOW HANDLERS").collect().map(_.getString(0)).toSeq
+      === Seq("fit", "files", "mem"))
+    c.execute("CREATE TABLE st_t AS SELECT * FROM region")
+    val st = c.execute("SHOW TABLE STATUS LIKE 'st%'").collect()
+    assert(st.map(_.getString(0)).toSeq === Seq("st_t") && st.head.getString(1) === "parquet")
+  }
 }

@@ -156,6 +156,40 @@ object Dedup extends QueryPack {
       connectedComponents(nodes, pairs)
         .select(col("id").as("doc_id"), col("lbl").as("dup_group"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SemDedup (Abbas et al. 2023): embedding-space near-dup removal —
+    // cluster the corpus, compare pairs only WITHIN a cluster, drop every
+    // vector that has a higher-similarity-than-threshold neighbor with a
+    // smaller id. Cluster blocking bounds the pairwise work to
+    // sum(cell²) instead of corpus²; at 100 TB cells are k-means
+    // partitions and each cell's pair join is shuffle-local.
+    "d05_semdedup" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.cosineSim
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // deterministic codebook: first 8 vectors stand in for trained
+      // k-means centers (same convention as s05/k14)
+      val cents = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+      val assigned = e.crossJoin(cents)
+        .withColumn("cc", round(cosineSim(col("v"), col("cv")), 4))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("cent_id").as("cell"), col("vec_id"), col("v"))
+      val a = assigned.select(col("cell"), col("vec_id").as("ai"), col("v").as("va"))
+      val b = assigned.select(col("cell"), col("vec_id").as("bi"), col("v").as("vb"))
+      a.join(b, Seq("cell"))
+        .filter(col("ai") < col("bi"))
+        .withColumn("c", cosineSim(col("va"), col("vb")))
+        .filter(col("c") >= 0.35)
+        .groupBy(col("cell"), col("bi"))
+        .agg(min(col("ai")).as("kept_id"), count(lit(1)).as("n_near"),
+          round(max(col("c")), 4).as("max_sim"))
+        .select(col("cell").cast(LongType).as("cell"), col("bi").as("removed_id"),
+          col("kept_id"), col("n_near"), col("max_sim"))
+        .orderBy(col("cell"), col("removed_id"))
     })
   )
 
@@ -326,6 +360,32 @@ object Dedup extends QueryPack {
         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
       FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // Mirrors the Spark plan: first-8 codebook, rounded-cosine argmax
+    // cell assignment, in-cell pairwise cosine, drop-if-smaller-neighbor
+    "d05_semdedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      assigned AS (SELECT cell, vec_id, v FROM (
+          SELECT c.cent_id AS cell, e.vec_id, e.v,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])) /
+                (sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i]))) *
+                 sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i])))), 4)
+              DESC, c.cent_id) AS rk
+          FROM e CROSS JOIN cents c)
+        WHERE rk = 1),
+      sims AS (
+        SELECT a.cell, a.vec_id AS ai, b.vec_id AS bi,
+          list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) AS c
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT CAST(cell AS BIGINT) AS cell, bi AS removed_id,
+        CAST(MIN(ai) AS BIGINT) AS kept_id, COUNT(*) AS n_near,
+        ROUND(MAX(c), 4) AS max_sim
+      FROM sims WHERE c >= 0.35
+      GROUP BY cell, bi ORDER BY cell, removed_id""",
 
     // DuckDB computes the same trigram-shingle jaccard; integer
     // intersection/union + one double division = engine-exact.

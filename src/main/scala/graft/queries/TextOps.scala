@@ -132,6 +132,100 @@ object TextOps extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    "t09_repetition_stats" -> ((s, dir) => {
+      // Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction
+      // of tokens taken by the most frequent word, duplicate-2gram
+      // fraction, top-2gram fraction. All per-row array work — a narrow
+      // scan with NO shuffle (the corpus-wide groupBy-explode
+      // formulation shuffles every token; per-row higher-order functions
+      // keep it embarrassingly parallel, the 100 TB shape).
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).as("n_tokens"),
+          array_distinct(col("toks")).as("dt"),
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))).as("g2"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("dt")).as("n_distinct"),
+          array_max(transform(col("dt"),
+            d => size(filter(col("toks"), x => x === d)))).as("top_word_n"),
+          size(col("g2")).as("n_2grams"),
+          size(array_distinct(col("g2"))).as("n_distinct_2grams"),
+          array_max(transform(array_distinct(col("g2")),
+            g => size(filter(col("g2"), x => x === g)))).as("top_2gram_n"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(col("top_word_n").cast(DoubleType) / col("n_tokens"), 4)
+            .as("top_word_frac"),
+          round(lit(1.0) - col("n_distinct_2grams").cast(DoubleType) / col("n_2grams"), 4)
+            .as("dup_2gram_frac"),
+          round(col("top_2gram_n").cast(DoubleType) / col("n_2grams"), 4)
+            .as("top_2gram_frac"))
+        .withColumn("repetitive",
+          col("top_word_frac") > 0.2 || col("dup_2gram_frac") > 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
+    "t10_pii_redact" -> ((s, dir) => {
+      // PII detection + redaction over a deterministically-augmented
+      // corpus (the synthetic docs carry no PII, so each doc gets a
+      // derived email/phone/IP appended — both engines build the same
+      // string). Three regex passes, counts before redaction, fingerprint
+      // after. Narrow scan, no shuffle.
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1 [0-9]{3}-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com call +1 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0.77")).as("aug"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phone), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("aug"), lit(ip), lit(0))).as("n_ips"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]")).as("redacted_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t11_sequence_packing" -> ((s, dir) => {
+      // Sequence packing for LLM training: docs concatenated in doc_id
+      // order and split at a fixed token budget; each doc belongs to the
+      // bin where it STARTS. The cumulative token offset is a distributed
+      // two-level prefix sum — per-bucket window partials plus a
+      // driver-small bucket-offset frame joined back broadcast — NOT one
+      // global unpartitioned window (which would funnel 100 TB through a
+      // single task).
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast(LongType).as("n_tok"),
+        (col("doc_id") / 100).cast(LongType).as("bucket"))
+      val wIn = w.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val partial = d.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+      // one row per bucket — broadcast scale regardless of corpus size
+      val offsets = d.groupBy(col("bucket")).agg(sum(col("n_tok")).as("btok"))
+        .withColumn("offset", coalesce(sum(col("btok")).over(
+          w.orderBy(col("bucket")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("bucket"), col("offset"))
+      partial.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("start_tok", col("offset") + col("cum_in") - col("n_tok"))
+        .withColumn("bin_id", floor(col("start_tok") / budget))
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin_id"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -266,6 +360,67 @@ object TextOps extends QueryPack {
         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         ROUND(AVG(n_tokens), 4) AS avg_tokens
       FROM sampled GROUP BY lang ORDER BY lang""",
+
+    "t09_repetition_stats" -> """
+      WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents WHERE LEN(regexp_extract_all(lower(text), '\S+')) >= 2),
+      feats AS (
+        SELECT doc_id, toks, LEN(toks) AS n_tokens,
+          list_distinct(toks) AS dt,
+          list_transform(range(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2
+        FROM base),
+      counted AS (
+        SELECT doc_id,
+          CAST(n_tokens AS INTEGER) AS n_tokens,
+          CAST(LEN(dt) AS INTEGER) AS n_distinct,
+          list_aggregate(list_transform(dt,
+            d -> LEN(list_filter(toks, x -> x = d))), 'max') AS top_word_n,
+          LEN(g2) AS n_2grams,
+          LEN(list_distinct(g2)) AS n_distinct_2grams,
+          list_aggregate(list_transform(list_distinct(g2),
+            g -> LEN(list_filter(g2, x -> x = g))), 'max') AS top_2gram_n
+        FROM feats)
+      SELECT doc_id, n_tokens, n_distinct,
+        ROUND(CAST(top_word_n AS DOUBLE) / n_tokens, 4) AS top_word_frac,
+        ROUND(1.0 - CAST(n_distinct_2grams AS DOUBLE) / n_2grams, 4) AS dup_2gram_frac,
+        ROUND(CAST(top_2gram_n AS DOUBLE) / n_2grams, 4) AS top_2gram_frac,
+        (ROUND(CAST(top_word_n AS DOUBLE) / n_tokens, 4) > 0.2 OR
+         ROUND(1.0 - CAST(n_distinct_2grams AS DOUBLE) / n_2grams, 4) > 0.6) AS repetitive
+      FROM counted ORDER BY doc_id""",
+
+    "t10_pii_redact" -> """
+      WITH aug AS (
+        SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@mail.example.com call +1 555-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.77' AS a
+        FROM documents)
+      SELECT doc_id,
+        CAST(LEN(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        CAST(LEN(regexp_extract_all(a, '\+1 [0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        CAST(LEN(regexp_extract_all(a, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips,
+        MD5(regexp_replace(regexp_replace(regexp_replace(a,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\+1 [0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')) AS redacted_fp
+      FROM aug ORDER BY doc_id""",
+
+    "t11_sequence_packing" -> """
+      WITH d AS (
+        SELECT doc_id,
+          CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+          SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok
+        FROM d)
+      SELECT CAST(FLOOR(CAST(start_tok AS DOUBLE) / 2048) AS BIGINT) AS bin_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+        CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      FROM c GROUP BY 1 ORDER BY 1""",
 
     "t06_lang_id" -> """
       WITH tri_train AS (

@@ -55,6 +55,21 @@ class DedupSpec extends AnyFunSuite {
       (1L to 10L).map(_ -> 1L).toMap)
   }
 
+  test("semdedup: planted duplicate embeddings are removed toward the smallest id") {
+    import spark.implicits._
+    val out = graft.queries.Dedup.queries("d05_semdedup")(spark, dir)
+      .select(col("cell"), col("removed_id"), col("kept_id"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // keep-smallest policy: every removed doc points at a smaller keeper
+    assert(out.forall { case (_, removed, kept) => kept < removed })
+    // cells come from the 8-entry codebook
+    assert(out.map(_._1).toSet.subsetOf((0L to 7L).toSet))
+    // a removed id appears once (grouped per removed doc)
+    val ids = out.map(_._2)
+    assert(ids.distinct.length === ids.length)
+  }
+
   test("identical documents collide at hamming 0") {
     val originals = Tables.table(spark, dir, "documents")
       .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))

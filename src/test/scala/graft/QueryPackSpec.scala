@@ -42,6 +42,48 @@ class QueryPackSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("repetition stats match a hand computation") {
+    val row = TextOps.queries("t09_repetition_stats")(spark, dir)
+      .filter(col("doc_id") === 7).first()
+    val text = graft.engine.Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") === 7).select("text").first().getString(0)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val g2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val topWord = toks.groupBy(identity).values.map(_.size).max
+    val top2g = g2.groupBy(identity).values.map(_.size).max
+    assert(row.getAs[Int]("n_tokens") === toks.length)
+    assert(row.getAs[Int]("n_distinct") === toks.distinct.length)
+    assert(row.getAs[Double]("top_word_frac") === r4(topWord.toDouble / toks.length))
+    assert(row.getAs[Double]("dup_2gram_frac") === r4(1.0 - g2.distinct.length.toDouble / g2.length))
+    assert(row.getAs[Double]("top_2gram_frac") === r4(top2g.toDouble / g2.length))
+  }
+
+  test("pii redaction finds exactly the planted email/phone/ip per doc") {
+    val out = TextOps.queries("t10_pii_redact")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("n_emails") === 1 &&
+      r.getAs[Int]("n_phones") === 1 && r.getAs[Int]("n_ips") === 1))
+    // redaction strips every doc-specific PII token: duplicate texts
+    // (the corpus has exact dups) collapse to the same fingerprint
+    val nTexts = graft.engine.Tables.table(spark, dir, "documents")
+      .select("text").distinct().count()
+    assert(out.map(_.getAs[String]("redacted_fp")).distinct.length.toLong === nTexts)
+  }
+
+  test("sequence packing conserves tokens; bins cover contiguous doc ranges") {
+    val bins = TextOps.queries("t11_sequence_packing")(spark, dir)
+      .orderBy(col("bin_id")).collect()
+    assert(bins.length > 1)
+    val totalFromBins = bins.map(_.getAs[Long]("bin_tokens")).sum
+    val total = TextOps.queries("t02_token_count")(spark, dir)
+      .agg(sum(col("ws_tokens"))).first().getLong(0)
+    assert(totalFromBins === total)
+    bins.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("first_doc") === w(0).getAs[Long]("last_doc") + 1)
+    }
+  }
+
   test("except is a real set difference (reference executes it as UNION)") {
     val all = spark.range(10).toDF("k")
     val some = spark.range(4).toDF("k")

@@ -106,6 +106,49 @@ object Events extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "e08_asof_join" -> ((s, dir) => {
+      // as-of attribution: each purchase joined to the latest click at or
+      // before it by the same user (ties: largest click id). One shuffle
+      // on user_id via the union/carry-forward TimeJoins.asofBackward —
+      // no range cross-product, so the plan is the same at 100 TB.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      graft.engine.TimeJoins.asofBackward(
+          purchases, clicks, Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts",
+          tieBreak = Seq("click_id"), rightPrefix = "")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("click_id"), col("click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "e09_range_join" -> ((s, dir) => {
+      // interval attribution: per purchase, the user's clicks inside the
+      // preceding hour. TimeJoins.pointInInterval bands time into 1-hour
+      // buckets so the containment predicate runs as an equi-join on
+      // (user_id, bucket) — never a nested-loop range join.
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("win_start"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val pairs = graft.engine.TimeJoins.pointInInterval(
+        clicks, purchases, Seq("user_id"),
+        pointCol = "ts", startCol = "win_start", endCol = "ts",
+        bucketSeconds = 3600L, pointPrefix = "c_")
+      val counts = pairs.groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks_1h"), dsum(col("c_value")).as("click_value_1h"))
+      purchases.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          coalesce(col("n_clicks_1h"), lit(0L)).as("n_clicks_1h"),
+          coalesce(col("click_value_1h"), lit(0.0)).as("click_value_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -141,6 +184,27 @@ object Events extends QueryPack {
       SELECT user_id, session_id, COUNT(*) AS n_events,
         CAST(MIN(ts) AS TIMESTAMP) AS sess_start, CAST(MAX(ts) AS TIMESTAMP) AS sess_end, ${oSum("value")} AS sess_value
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "e08_asof_join" -> """
+      WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT p.event_id, p.ts, p.user_id, p.value, c.click_id, c.click_ts,
+          ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+        FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts)
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+        click_id, CAST(click_ts AS TIMESTAMP) AS click_ts
+      FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    "e09_range_join" -> s"""
+      WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS cts, value AS cval FROM events WHERE event_type = 'click')
+      SELECT p.event_id, CAST(p.ts AS TIMESTAMP) AS ts, p.user_id,
+        COUNT(c.cts) AS n_clicks_1h,
+        COALESCE(${oSum("c.cval")}, 0) AS click_value_1h
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id AND c.cts <= p.ts AND c.cts >= p.ts - INTERVAL 1 HOUR
+      GROUP BY 1, 2, 3 ORDER BY event_id""",
 
     "e03_last_watermark" -> """
       SELECT event_type, COUNT(*) AS n_new, CAST(MIN(ts) AS TIMESTAMP) AS first_new, CAST(MAX(ts) AS TIMESTAMP) AS last_new

@@ -81,6 +81,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LocalRelation"), s"no source-side result:\n$plan")
   }
 
+  test("e08 as-of join is carry-forward, not a range join: one window, zero join nodes") {
+    val plan = executedPlan("e08_asof_join")
+    assert(!plan.contains("Join"), s"as-of should not plan any join node:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      "expected the carry-forward window")
+  }
+
+  test("e09 range join runs as equi-join on (key, bucket) — no nested loop") {
+    val plan = executedPlan("e09_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to nested loop:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

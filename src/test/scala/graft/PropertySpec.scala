@@ -84,6 +84,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asof-backward join equals brute-force latest-at-or-before argmax") {
+    import spark.implicits._
+    val gen = for {
+      nL <- Gen.choose(0, 25)
+      nR <- Gen.choose(0, 25)
+      // small key/time domains force key collisions, exact time ties, and
+      // keys present on only one side
+      l <- Gen.listOfN(nL, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L)))
+      r <- Gen.listOfN(nR, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 20L)))
+    } yield (l, r)
+    check(25)(Prop.forAll(gen) { case (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("lid", "k", "ts")
+      val right = r.zipWithIndex
+        .map { case ((k, t), i) => (k, i.toLong, new java.sql.Timestamp(t * 1000), i * 1.5) }
+        .toDF("k", "rid", "rts", "payload")
+      val got = graft.engine.TimeJoins.asofBackward(
+        left, right, Seq("k"), "ts", "rts", Seq("rid"), "m_")
+      // brute force: theta join + per-left argmax on (rts, rid)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lid").orderBy(col("rts").desc, col("rid").desc)
+      val want = left.join(right, left("k") === right("k") && col("rts") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("lid"), left("k"), col("ts"),
+          col("rid").as("m_rid"), col("rts").as("m_rts"), col("payload").as("m_payload"))
+      got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0
+    })
+  }
+
+  test("banded point-in-interval join equals naive containment theta join") {
+    import spark.implicits._
+    val gen = for {
+      nP <- Gen.choose(0, 25)
+      nI <- Gen.choose(0, 12)
+      p <- Gen.listOfN(nP, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 5000L)))
+      i <- Gen.listOfN(nI, for {
+        k <- Gen.choose(1L, 3L); s <- Gen.choose(0L, 5000L); len <- Gen.choose(0L, 2500L)
+      } yield (k, s, s + len))
+    } yield (p, i)
+    check(25)(Prop.forAll(gen) { case (p, ivs) =>
+      val points = p.zipWithIndex
+        .map { case ((k, t), ix) => (k, ix.toLong, new java.sql.Timestamp(t * 1000)) }
+        .toDF("k", "pid", "pt")
+      val intervals = ivs.zipWithIndex
+        .map { case ((k, s, e), ix) =>
+          (k, ix.toLong, new java.sql.Timestamp(s * 1000), new java.sql.Timestamp(e * 1000))
+        }
+        .toDF("k", "iid", "lo", "hi")
+      // bucket width chosen so intervals span several buckets
+      val got = graft.engine.TimeJoins.pointInInterval(
+          points, intervals, Seq("k"), "pt", "lo", "hi", 600L, "p_")
+        .select("k", "iid", "lo", "hi", "p_pid", "p_pt")
+      val want = intervals.join(points, Seq("k"))
+        .filter(col("pt").between(col("lo"), col("hi")))
+        .select(col("k"), col("iid"), col("lo"), col("hi"),
+          col("pid").as("p_pid"), col("pt").as("p_pt"))
+      got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0
+    })
+  }
+
   test("sliding-window min equals brute-force slice minima (short arrays pass through)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.Literal

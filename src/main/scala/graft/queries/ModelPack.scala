@@ -149,6 +149,24 @@ object ModelPack extends QueryPack {
         .orderBy(col("l_quantity"))
     }),
 
+    // EVALUATE <metric> FROM (query) (command_executor.py:846
+    // answer_evaluate_metric): sklearn-style metric names over an
+    // (actual, prediction) frame, each ONE aggregation pass. The oracle
+    // recomputes both metrics from the same definitions in DuckDB.
+    "m11_evaluate_metric" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      val r2 = c.execute("""EVALUATE r2_score FROM (
+          SELECT l_quantity AS actual,
+                 l_quantity + 2 * l_discount AS prediction
+          FROM lineitem) USING n_decimals = 6""")
+      val f1 = c.execute("""EVALUATE f1_score FROM (
+          SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS actual,
+                 CASE WHEN l_extendedprice > 26000 THEN 1 ELSE 0 END AS prediction
+          FROM lineitem) USING n_decimals = 6""")
+      r2.crossJoin(f1)
+    }),
+
     // MapReduceStep analog (map_reduce_step.py:22-145): per-group
     // parameterized subplan — "top-2 customers per region" — as ONE
     // windowed plan, no per-group loop
@@ -255,6 +273,30 @@ object ModelPack extends QueryPack {
         CAST(45000.5 AS DOUBLE) AS l_extendedprice,
         CAST(0.05 AS DOUBLE) AS l_discount,
         ROUND(0.5 + 0.01*30.0 + 0.0001*45000.5 + (-2.0)*0.05, 6) AS score""",
+
+    "m11_evaluate_metric" -> s"""
+      WITH r AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS a,
+               l_quantity + 2 * l_discount AS p
+        FROM lineitem),
+      s1 AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               ${oSum("a")} AS sa,
+               ${oSum2("a", "a")} AS sa2,
+               ${oSum2("a-p", "a-p")} AS ssres
+        FROM r),
+      c AS (
+        SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS a,
+               CASE WHEN l_extendedprice > 26000 THEN 1 ELSE 0 END AS p
+        FROM lineitem),
+      s2 AS (
+        SELECT CAST(SUM(CASE WHEN a = 1 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+               CAST(SUM(CASE WHEN a = 0 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+               CAST(SUM(CASE WHEN a = 1 AND p = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fn
+        FROM c)
+      SELECT ROUND(1.0 - ssres / (sa2 - sa * sa / n), 6) AS r2_score,
+             ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1_score
+      FROM s1, s2""",
 
     "m06_retrain_version" -> """
       WITH fit AS (

@@ -54,6 +54,8 @@ final class Commands(
     """(?is)\s*DROP\s+KNOWLEDGE\s+BASE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val EvaluateKb =
     """(?is)\s*EVALUATE\s+KNOWLEDGE[_ ]BASE\s+(\w+)\s+USING\s+(.+?)\s*""".r
+  private val EvaluateMetric =
+    """(?is)\s*EVALUATE\s+(\w+)\s+FROM\s*\((.+)\)\s*(?:USING\s+(.+?))?\s*""".r
   private val CreateAgent =
     """(?is)\s*CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+USING\s+(.+?)\s*""".r
   private val UpdateAgent = """(?is)\s*UPDATE\s+AGENT\s+(\w+)\s+USING\s+(.+?)\s*""".r
@@ -210,6 +212,14 @@ final class Commands(
         throw new IllegalArgumentException("EVALUATE KNOWLEDGE_BASE needs test_table=..."))}")
       Kb.evaluate(warehouse.table(k.storage), test,
         p.get("k").map(_.toInt).getOrElse(Kb.DefaultLimit))
+    case EvaluateMetric(metric, dataSql, using) =>
+      // EVALUATE <metric> FROM (query) [USING n_decimals = k]
+      // (command_executor.py:846 answer_evaluate_metric): the nested
+      // query must yield `actual` and `prediction`; the metric is one
+      // aggregation pass over it
+      val p = Option(using).map(parseUsing).getOrElse(Map.empty)
+      graft.ml.Metrics.evaluate(run(dataSql), metric,
+        p.get("n_decimals").map(_.toInt).getOrElse(3))
 
     case CreateAgent(name, using) =>
       val p = parseUsing(using)

@@ -423,4 +423,37 @@ class CommandsSpec extends AnyFunSuite {
     val st = c.execute("SHOW TABLE STATUS LIKE 'st%'").collect()
     assert(st.map(_.getString(0)).toSeq === Seq("st_t") && st.head.getString(1) === "parquet")
   }
+
+  test("EVALUATE <metric> FROM (query): hand-computed values, aliases, errors") {
+    val c = fresh()
+    // regression frame: actual (1,2,3,4), prediction (1,2,3,8)
+    // mae = 4/4 = 1; mse = 16/4 = 4; rmse = 2
+    // r2 = 1 - 16/5 = -2.2 (ss_tot = (2.25+0.25+0.25+2.25)=5)
+    val reg = "(SELECT * FROM (VALUES (1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 8.0))" +
+      " AS t(actual, prediction))"
+    def one(sql: String): Double = c.execute(sql).first().getDouble(0)
+    assert(one(s"EVALUATE mean_absolute_error FROM $reg") === 1.0)
+    assert(one(s"EVALUATE mse FROM $reg") === 4.0)
+    assert(one(s"EVALUATE rmse FROM $reg") === 2.0)
+    assert(one(s"EVALUATE r2 FROM $reg USING n_decimals = 4") === -2.2)
+    // binary frame: a=(1,1,1,0,0,0), p=(1,1,0,1,0,0) → tp=2 fp=1 fn=1 tn=2
+    // precision = recall = f1 = accuracy = balanced_accuracy = 2/3
+    val cls = "(SELECT * FROM (VALUES (1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0))" +
+      " AS t(actual, prediction))"
+    val twoThirds = 0.667
+    assert(one(s"EVALUATE precision_score FROM $cls") === twoThirds)
+    assert(one(s"EVALUATE recall FROM $cls") === twoThirds)
+    assert(one(s"EVALUATE f1_score FROM $cls") === twoThirds)
+    assert(one(s"EVALUATE accuracy FROM $cls") === twoThirds)
+    assert(one(s"EVALUATE balanced_accuracy FROM $cls") === twoThirds)
+    // reference asserts: unknown metric, missing column, NULLs all raise
+    intercept[IllegalArgumentException] { one(s"EVALUATE not_a_metric FROM $reg") }
+    intercept[IllegalArgumentException] {
+      one("EVALUATE r2_score FROM (SELECT 1.0 AS actual, 2.0 AS other)")
+    }
+    intercept[Exception] {
+      one("EVALUATE r2_score FROM (SELECT * FROM (VALUES (1.0, CAST(NULL AS DOUBLE)))" +
+        " AS t(actual, prediction))")
+    }
+  }
 }

@@ -149,6 +149,24 @@ object Events extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    "e10_asof_sql" -> ((s, dir) => {
+      // the e08 semantics as pure SQL through the statement router:
+      // DuckDB-style `ASOF LEFT JOIN` lowered to the same carry-forward
+      // TimeJoins plan (Commands routes the spelling; the oracle runs
+      // DuckDB's native ASOF JOIN)
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE VIEW asof_purch AS SELECT event_id, ts, user_id, value
+        FROM events WHERE event_type = 'purchase'""")
+      c.execute("""CREATE VIEW asof_clicks AS SELECT user_id,
+        event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'""")
+      c.execute("""SELECT event_id, ts, user_id, value, click_id, click_ts
+        FROM asof_purch p ASOF LEFT JOIN asof_clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        ORDER BY event_id""")
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -195,6 +213,14 @@ object Events extends QueryPack {
       SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
         click_id, CAST(click_ts AS TIMESTAMP) AS click_ts
       FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    "e10_asof_sql" -> """
+      WITH p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click')
+      SELECT p.event_id, CAST(p.ts AS TIMESTAMP) AS ts, p.user_id, p.value,
+        c.click_id, CAST(c.click_ts AS TIMESTAMP) AS click_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY p.event_id""",
 
     "e09_range_join" -> s"""
       WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),

@@ -93,6 +93,9 @@ final class Commands(
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val ModelJoin =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))\s+JOIN\s+(\w+)(?:\.(\d+))?\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
+  private val AsofJoinStmt =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?\s+ASOF\s+(?:LEFT\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
+  private val AsofCond = """(?is)\s*([\w.]+)\s*(=|>=|<=)\s*([\w.]+)\s*""".r
   private val ObjQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
   private val SysVarQuery =
@@ -533,6 +536,65 @@ final class Commands(
         case _ => throw new IllegalArgumentException(
           s"agent query needs question = '...', got: $where")
       }
+
+    case AsofJoinStmt(sel, lName, lAliasO, rName, rAliasO, onConds, rest) =>
+      // SELECT … FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND l.t >= r.t —
+      // DuckDB-style ASOF spelling over [[graft.engine.TimeJoins]]. The
+      // ON tree is equi conjuncts plus exactly one backward time
+      // inequality; execution is the union/carry-forward plan (ONE
+      // shuffle on the keys), never a range cross-product.
+      val lAlias = Option(lAliasO).getOrElse(lName).toLowerCase
+      val rAlias = Option(rAliasO).getOrElse(rName).toLowerCase
+      val leftDf = run(s"SELECT * FROM $lName")
+      val rightDf = run(s"SELECT * FROM $rName")
+      def ref(x: String): (String, String) = x.split("\\.", 2) match {
+        case Array(q, c) => (q.toLowerCase, c)
+        case Array(c) => ("", c)
+      }
+      var keys = Seq.empty[(String, String)] // (left col, right col)
+      var time: Option[(String, String)] = None // (left time, right time)
+      onConds.split("(?i)\\s+AND\\s+").foreach {
+        case AsofCond(a, op, b) =>
+          val ((qa, ca), (qb, cb)) = (ref(a), ref(b))
+          // orient the condition left-side-first; flip the operator if
+          // it was written right-side-first (r.t <= l.t)
+          val (lc, rc, o) =
+            if (qa == lAlias && qb == rAlias) (ca, cb, op)
+            else if (qa == rAlias && qb == lAlias)
+              (cb, ca, op match { case ">=" => "<="; case "<=" => ">="; case e => e })
+            else throw new IllegalArgumentException(
+              s"ASOF JOIN ON condition must reference both sides, got: $a $op $b")
+          o match {
+            case "=" => keys :+= ((lc, rc))
+            case ">=" =>
+              require(time.isEmpty, "ASOF JOIN takes exactly one time inequality")
+              time = Some((lc, rc))
+            case "<=" => throw new IllegalArgumentException(
+              "only backward ASOF (left.time >= right.time) is supported")
+          }
+        case other => throw new IllegalArgumentException(s"bad ASOF condition: $other")
+      }
+      require(keys.nonEmpty, "ASOF JOIN needs at least one equality key")
+      val (leftTime, rightTime) = time.getOrElse(throw new IllegalArgumentException(
+        "ASOF JOIN needs a time inequality (left.time >= right.time)"))
+      // align right key names with the left's (TimeJoins keys are shared)
+      val alignedRight = keys.foldLeft(rightDf) { case (df, (lc, rc)) =>
+        if (lc == rc) df else df.withColumnRenamed(rc, lc)
+      }
+      val keyNames = keys.map(_._1)
+      val payload = alignedRight.columns.toSeq.filterNot(keyNames.contains)
+      val clash = payload.intersect(leftDf.columns.toSeq.filterNot(keyNames.contains))
+      require(clash.isEmpty,
+        s"ASOF JOIN payload columns collide with the left side: ${clash.mkString(", ")}")
+      // deterministic tie-break at equal right times: the remaining right
+      // columns, lexicographic (largest wins); right rows are expected
+      // unique per (keys, time)
+      val tieBreak = payload.filterNot(_ == rightTime).sorted
+      val joined = graft.engine.TimeJoins.asofBackward(
+        leftDf, alignedRight, keyNames, leftTime, rightTime, tieBreak, "")
+      val tv = "__asof_join"
+      joined.createOrReplaceTempView(tv)
+      spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 
     case ModelJoin(sel, tbl, sub, modelName, version, rest)
         if catalog.listModels().contains(modelName) =>

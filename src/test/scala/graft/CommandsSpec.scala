@@ -424,6 +424,37 @@ class CommandsSpec extends AnyFunSuite {
     assert(st.map(_.getString(0)).toSeq === Seq("st_t") && st.head.getString(1) === "parquet")
   }
 
+  test("ASOF JOIN SQL: key/time parsing, flipped spelling, error paths") {
+    val c = fresh()
+    c.execute("CREATE TABLE asof_l AS SELECT * FROM (VALUES " +
+      "(1, 10, TIMESTAMP '2024-01-01 00:10:00'), " +
+      "(2, 10, TIMESTAMP '2024-01-01 00:05:00'), " +
+      "(3, 20, TIMESTAMP '2024-01-01 00:10:00')) AS t(id, k, t)")
+    c.execute("CREATE TABLE asof_r AS SELECT * FROM (VALUES " +
+      "(10, TIMESTAMP '2024-01-01 00:07:00', 'a'), " +
+      "(10, TIMESTAMP '2024-01-01 00:09:00', 'b'), " +
+      "(20, TIMESTAMP '2024-01-01 00:20:00', 'c')) AS t(rk, rt, tag)")
+    val got = c.execute("""SELECT id, tag FROM asof_l l ASOF LEFT JOIN asof_r r
+        ON l.k = r.rk AND l.t >= r.rt ORDER BY id""").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // id 1 sees latest click at 00:09 → b; id 2 only 00:07? no — 00:05 < both → null
+    assert(got === Seq((1, "b"), (2, null), (3, null)))
+    // flipped inequality spelling (r.rt <= l.t) parses to the same join
+    val flipped = c.execute("""SELECT id, tag FROM asof_l l ASOF JOIN asof_r r
+        ON r.rt <= l.t AND l.k = r.rk ORDER BY id""").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(flipped === got)
+    intercept[IllegalArgumentException] { // forward as-of unsupported
+      c.execute("SELECT id FROM asof_l l ASOF JOIN asof_r r ON l.k = r.rk AND l.t <= r.rt")
+    }
+    intercept[IllegalArgumentException] { // no equality key
+      c.execute("SELECT id FROM asof_l l ASOF JOIN asof_r r ON l.t >= r.rt")
+    }
+    intercept[IllegalArgumentException] { // no time inequality
+      c.execute("SELECT id FROM asof_l l ASOF JOIN asof_r r ON l.k = r.rk")
+    }
+  }
+
   test("EVALUATE <metric> FROM (query): hand-computed values, aliases, errors") {
     val c = fresh()
     // regression frame: actual (1,2,3,4), prediction (1,2,3,8)

@@ -158,6 +158,36 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- benchmark decontamination: flag any training document that
+    // shares a 13-token n-gram with the eval/benchmark set (the GPT-3
+    // appendix-C contamination rule). The benchmark side is SMALL (eval
+    // sets are MBs) → distinct gram hashes BROADCAST; the corpus side
+    // generates grams in the scan stage and left-semi joins map-side, so
+    // nothing corpus-sized ever shuffles. The only shuffle is the final
+    // per-doc count of hits — at 100 TB this is a broadcast-filtered
+    // scan, the same shape at any corpus size. Grams travel as md5
+    // hashes (fixed width, DuckDB-reproducible), not 13-token strings.
+    "d06_decontaminate" -> ((s, dir) => {
+      val n = 13
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val docs = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
+      // simulated eval-set leakage, deterministic for the oracle: the
+      // benchmark is one 13-token window (tokens 6..18) lifted from
+      // every 20th document
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .filter(size(col("tk")) >= n + 5)
+        .select(md5(array_join(slice(col("tk"), 6, n), " ")).as("g"))
+        .distinct()
+      val grams = docs.filter(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - (n - 1)),
+          i => md5(array_join(slice(col("tk"), i, lit(n)), " "))))).as("g"))
+      grams.join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDedup (Abbas et al. 2023): embedding-space near-dup removal —
     // cluster the corpus, compare pairs only WITHIN a cluster, drop every
     // vector that has a higher-similarity-than-threshold neighbor with a
@@ -360,6 +390,22 @@ object Dedup extends QueryPack {
         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
       FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // 13-gram contamination rule recomputed verbatim: same tokenizer,
+    // same window slice, same md5 gram key
+    "d06_decontaminate" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      bench AS (
+        SELECT DISTINCT md5(array_to_string(tk[6:18], ' ')) AS g
+        FROM tok WHERE doc_id % 20 = 0 AND len(tk) >= 18),
+      grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS g
+        FROM tok, UNNEST(generate_series(1, len(tk) - 12)) AS t(i)
+        WHERE len(tk) >= 13)
+      SELECT doc_id, COUNT(*) AS n_hit_grams
+      FROM grams WHERE g IN (SELECT g FROM bench)
+      GROUP BY doc_id ORDER BY doc_id""",
 
     // Mirrors the Spark plan: first-8 codebook, rounded-cosine argmax
     // cell assignment, in-cell pairwise cosine, drop-if-smaller-neighbor

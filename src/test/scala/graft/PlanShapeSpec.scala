@@ -94,6 +94,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range join degraded to nested loop:\n$plan")
   }
 
+  test("d06 decontamination: benchmark side broadcasts into a semi join") {
+    val plan = executedPlan("d06_decontaminate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark semi join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus grams should never shuffle for the join:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

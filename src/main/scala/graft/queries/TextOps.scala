@@ -226,6 +226,39 @@ object TextOps extends QueryPack {
         .orderBy(col("bin_id"))
     }),
 
+    // CCNet-style LM quality scoring (Wenzek et al. 2020 uses a KenLM
+    // 5-gram; same pipeline shape here with a char-bigram LM trained
+    // on the corpus itself): (1) ONE aggregation pass builds the
+    // add-one-smoothed bigram model — the model is at most |alphabet|²
+    // rows no matter the corpus size, so it BROADCASTS; (2) a second
+    // pass scores every document against it map-side; the only
+    // corpus-sized shuffle is the per-doc (doc_id, bigram) partial-agg
+    // combine. Perplexity = exp(avg −ln P(c2|c1)). Per-term nll is
+    // rounded at 9dp and summed as DECIMAL so the float sum is
+    // order-independent and the oracle hash-matches.
+    "t12_ngram_perplexity" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.charNGrams
+      import org.apache.spark.sql.types.DecimalType
+      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      val dc = t(s, dir, "documents")
+        .select(col("doc_id"), explode(charNGrams(norm, 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      val lm = dc.groupBy(col("bg")).agg(sum(col("cnt")).as("n"))
+      val ctx = lm.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(sum(col("n")).as("nc"))
+      val v = ctx.agg(count(lit(1)).cast(DoubleType).as("v"))
+      val p = lm.withColumn("c1", substring(col("bg"), 1, 1))
+        .join(ctx, "c1").crossJoin(broadcast(v))
+        .select(col("bg"),
+          round(-log((col("n") + 1.0) / (col("nc") + col("v"))), 9).as("nll"))
+      dc.join(broadcast(p), Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast(LongType).as("n_bigrams"),
+          sum((col("cnt") * col("nll")).cast(DecimalType(28, 10))).as("tot"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(exp(col("tot").cast(DoubleType) / col("n_bigrams")), 4).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -267,6 +300,28 @@ object TextOps extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // same add-one bigram LM recomputed in DuckDB: 9dp-rounded per-term
+    // nll, DECIMAL term sums, identical division/exp order
+    "t12_ngram_perplexity" -> """
+      WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+      dbg AS (
+        SELECT doc_id, substr(t, i, 2) AS bg
+        FROM norm, UNNEST(generate_series(1, length(t) - 1)) AS u(i)
+        WHERE length(t) >= 2),
+      dc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM dbg GROUP BY 1, 2),
+      lm AS (SELECT bg, SUM(cnt) AS n FROM dc GROUP BY 1),
+      ctx AS (SELECT substr(bg, 1, 1) AS c1, SUM(n) AS nc FROM lm GROUP BY 1),
+      v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ctx),
+      p AS (
+        SELECT bg, ROUND(-ln((lm.n + 1.0) / (ctx.nc + v.v)), 9) AS nll
+        FROM lm JOIN ctx ON substr(lm.bg, 1, 1) = ctx.c1, v)
+      SELECT dc.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        ROUND(EXP(CAST(SUM(CAST(cnt * nll AS DECIMAL(28,10))) AS DOUBLE)
+          / CAST(SUM(cnt) AS BIGINT)), 4) AS ppl
+      FROM dc JOIN p USING (bg)
+      GROUP BY dc.doc_id ORDER BY doc_id""",
+
     "t01_lang_stats" -> """
       SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars

@@ -102,6 +102,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus grams should never shuffle for the join:\n$plan")
   }
 
+  test("t12 perplexity: the bigram LM broadcasts into the scoring join") {
+    val plan = executedPlan("t12_ngram_perplexity")
+    assert(plan.contains("BroadcastHashJoin"), s"LM join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side scoring should never sort-merge:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -259,6 +259,41 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-based domain mixing (the multilingual-corpus
+    // reweighting rule, α = 0.5: sample shares ∝ √size, flattening head
+    // domains and boosting tail ones), executed as DETERMINISTIC hash
+    // sampling: per-stratum keep-rates become integer md5 thresholds, so
+    // the same doc set is chosen on every run, every engine, and every
+    // cluster size — no RNG state, no seed-per-partition coupling. The
+    // stratum table is a tiny aggregate that BROADCASTS; the corpus pass
+    // is a map-side filter. √-weights are summed as DECIMAL so the
+    // normalizer is order-independent.
+    "t13_domain_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = t(s, dir, "documents")
+      val strata = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", sqrt(col("n_docs").cast(DoubleType)).cast(DecimalType(18, 6)))
+      val tot = strata.agg(sum(col("w")).as("tw"))
+      val rates = strata.crossJoin(broadcast(tot))
+        .withColumn("rate",
+          least(lit(1.0), lit(300.0) * (col("w").cast(DoubleType) / col("tw").cast(DoubleType))
+            / col("n_docs")))
+        .withColumn("thr", floor(col("rate") * 1000).cast(LongType))
+        .select(col("source"), col("n_docs"), col("thr"))
+      val hash = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast(LongType) % 1000
+      val sampled = docs.join(broadcast(rates.select("source", "thr")), Seq("source"))
+        .filter(hash < col("thr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("thr"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+        .orderBy(col("source"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -300,6 +335,28 @@ object TextOps extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // same √-temperature shares, decimal normalizer, md5 thresholds
+    "t13_domain_mix" -> """
+      WITH strata AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      w AS (SELECT source, n_docs,
+              CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,6)) AS w FROM strata),
+      tot AS (SELECT SUM(w) AS tw FROM w),
+      rates AS (SELECT source, n_docs,
+          CAST(FLOOR(LEAST(1.0,
+            300.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)) / n_docs) * 1000) AS BIGINT) AS thr
+        FROM w, tot),
+      sampled AS (
+        SELECT d.source, COUNT(*) AS n_sampled,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+        FROM documents d JOIN rates r USING (source)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < r.thr
+        GROUP BY 1)
+      SELECT r.source, r.n_docs, r.thr,
+        COALESCE(s.n_sampled, 0) AS n_sampled,
+        COALESCE(s.sampled_chars, 0) AS sampled_chars
+      FROM rates r LEFT JOIN sampled s USING (source)
+      ORDER BY r.source""",
+
     // same add-one bigram LM recomputed in DuckDB: 9dp-rounded per-term
     // nll, DECIMAL term sums, identical division/exp order
     "t12_ngram_perplexity" -> """

@@ -188,6 +188,39 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- exact SPAN dedup (the "exact substring deduplication" rule of
+    // RefinedWeb/Lee et al. 2022, in distributed shingle form): every
+    // 10-token window is hashed; an occurrence is a duplicate span when
+    // the same window appeared at any earlier (doc_id, pos). Per doc:
+    // span count, duplicated-span count, duplicated fraction, and the
+    // keep/drop decision. The one corpus-sized shuffle is the window
+    // over span hashes — inherent to exact-substring dedup (the
+    // suffix-array formulation moves the same volume); span generation
+    // is a narrow scan-stage transform and the final per-doc rollup
+    // re-partitions by doc_id. Spans travel as md5 hashes (fixed width,
+    // DuckDB-reproducible), never as 10-token strings.
+    "d07_span_dedup" -> ((s, dir) => {
+      val k = 10
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val docs = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
+      val occ = docs.filter(size(col("tk")) >= k)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("tk")) - (k - 1)),
+          i => md5(array_join(slice(col("tk"), i, lit(k)), " ")))).as(Seq("pos", "h")))
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+      val perDoc = occ.withColumn("dup", row_number().over(w) > 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("dup").cast(LongType)).as("n_dup_spans"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac", when(col("n_spans") > 0,
+          round(col("n_dup_spans").cast(DoubleType) / col("n_spans"), 4)).otherwise(lit(0.0)))
+        .withColumn("keep", col("dup_frac") <= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDedup (Abbas et al. 2023): embedding-space near-dup removal —
     // cluster the corpus, compare pairs only WITHIN a cluster, drop every
     // vector that has a higher-similarity-than-threshold neighbor with a
@@ -432,6 +465,34 @@ object Dedup extends QueryPack {
         ROUND(MAX(c), 4) AS max_sim
       FROM sims WHERE c >= 0.35
       GROUP BY cell, bi ORDER BY cell, removed_id""",
+
+    // Same 10-token windows, same md5 span keys, same first-occurrence
+    // rule (row_number over (doc_id, pos)); short docs fold in with
+    // zero spans via the left join.
+    "d07_span_dedup" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') tk FROM documents),
+      occ AS (
+        SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+9], ' ')) h
+        FROM tok, UNNEST(generate_series(1, len(tk) - 9)) t(i)
+        WHERE len(tk) >= 10),
+      marked AS (
+        SELECT doc_id,
+          (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos)) > 1 AS dup
+        FROM occ),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+          CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        FROM marked GROUP BY doc_id)
+      SELECT tok.doc_id,
+        COALESCE(a.n_spans, 0) AS n_spans,
+        COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+        CASE WHEN COALESCE(a.n_spans, 0) > 0
+          THEN ROUND(CAST(a.n_dup_spans AS DOUBLE) / a.n_spans, 4) ELSE 0.0 END AS dup_frac,
+        (CASE WHEN COALESCE(a.n_spans, 0) > 0
+          THEN ROUND(CAST(a.n_dup_spans AS DOUBLE) / a.n_spans, 4) ELSE 0.0 END) <= 0.2 AS keep
+      FROM tok LEFT JOIN agg a ON tok.doc_id = a.doc_id
+      ORDER BY tok.doc_id""",
 
     // DuckDB computes the same trigram-shingle jaccard; integer
     // intersection/union + one double division = engine-exact.

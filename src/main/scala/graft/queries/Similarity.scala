@@ -5,6 +5,7 @@ import graft.functions.VectorFunctions.cosineSim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Similarity search over the embeddings table (SURVEY §2.2 vector
   * stores; reference distance ops `<->`,`<#>`,`<=>` at
@@ -75,7 +76,45 @@ object Similarity extends QueryPack {
 
     "s05_ann_ivf" -> ((s, dir) =>
       ivfTopK(emb(s, dir), col("vec_id") < 10, k = 5, nCent = 8, nProbe = 2)
-        .orderBy(col("q_id"), col("rnk")))
+        .orderBy(col("q_id"), col("rnk"))),
+
+    // ---- int8 scalar-quantized kNN (the memory-scale path: a 64-dim
+    // float32 vector is 256 bytes; int8 quantization stores it in 64 —
+    // the standard SQ8 trick large ANN indexes apply before IVF/PQ).
+    // SYMMETRIC quantization with ONE global scale, q = floor(x/S·128)
+    // clamped to int8: a single scale keeps the quantized dot product
+    // proportional to the true dot product (per-dimension affine scales
+    // would reweight dimensions and corrupt the cosine ranking).
+    // Two passes: (1) the global max-|x| is one aggregate → a BROADCAST
+    // scalar at any corpus size; (2) quantization + integer dot/norms
+    // against the query is a narrow map, ranking is TakeOrdered. Every
+    // ranking input is an exact integer (dot and both norms) — the final
+    // cosine division is a deterministic function of exact ints, so no
+    // float-sum ordering hazard exists anywhere.
+    "s06_quantized_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val scale = broadcast(e.agg(
+        max(greatest(abs(array_max(col("v"))), abs(array_min(col("v"))))).as("s")))
+      def sqnorm(c: Column): Column =
+        aggregate(c, lit(0L), (acc, x) => acc + x * x)
+      val q = e.crossJoin(scale)
+        .select(col("vec_id"), col("label"),
+          transform(col("v"), x => greatest(lit(-128), least(lit(127),
+            floor(x / col("s") * 128))).cast("int")).as("qv"))
+      val query = q.filter(col("vec_id") === 0)
+        .select(col("qv").as("quv"), sqnorm(col("qv")).as("qnb"))
+      q.crossJoin(broadcast(query))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          aggregate(zip_with(col("qv"), col("quv"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qdot"),
+          sqnorm(col("qv")).as("qna"), col("qnb"))
+        .withColumn("qc", col("qdot").cast(DoubleType) /
+          sqrt(col("qna").cast(DoubleType) * col("qnb").cast(DoubleType)))
+        .orderBy(col("qc").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("qdot"), round(col("qc"), 4).as("qcos"))
+    })
   )
 
   /** IVF-style ANN: a fixed coarse codebook (here: the first `nCent`
@@ -239,6 +278,32 @@ object Similarity extends QueryPack {
         FROM cands)
       SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, c AS cos_sim
       FROM topk WHERE rnk <= 5 ORDER BY q_id, rnk"""
-    }
+    },
+
+    // Same global max-|x| scale, same floor(x/S*128) int8 quantizer
+    // (identical operation order keeps the doubles bit-equal), same
+    // integer dot/norms — the ranking cosine is a deterministic function
+    // of exact integers on both engines.
+    "s06_quantized_knn" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      s AS (SELECT MAX(GREATEST(ABS(list_max(v)), ABS(list_min(v)))) s FROM e),
+      q AS (
+        SELECT vec_id, label,
+          list_transform(v, x -> CAST(GREATEST(-128, LEAST(127,
+            FLOOR(x / s * 128))) AS INTEGER)) qv
+        FROM e CROSS JOIN s),
+      qq AS (SELECT qv AS quv,
+        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) qnb
+        FROM q WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id, label,
+          CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * quv[i])) AS BIGINT) qdot,
+          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) qna, qnb
+        FROM q CROSS JOIN qq WHERE vec_id <> 0)
+      SELECT vec_id, label, qdot,
+        ROUND(CAST(qdot AS DOUBLE) / SQRT(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)), 4) qcos
+      FROM scored
+      ORDER BY CAST(qdot AS DOUBLE) / SQRT(CAST(qna AS DOUBLE) * CAST(qnb AS DOUBLE)) DESC, vec_id
+      LIMIT 10"""
   )
 }

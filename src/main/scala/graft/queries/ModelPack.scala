@@ -167,6 +167,37 @@ object ModelPack extends QueryPack {
       r2.crossJoin(f1)
     }),
 
+    // ---- model monitoring: score-distribution drift between a
+    // reference window and the current window, as the Population
+    // Stability Index over fixed bins. ONE aggregation pass computes the
+    // (bin × split) counts; the result is bins-sized (tiny) no matter
+    // the corpus, so totals broadcast and every downstream step is
+    // driver-trivial. Laplace smoothing (+0.5 per bin) keeps empty bins
+    // finite on both engines; per-bin terms round to 6dp and the total
+    // is a DECIMAL sum of the rounded terms — order-independent, so the
+    // hash matches a single-threaded oracle run.
+    "m12_drift_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val binned = t(s, dir, "lineitem").select(
+        least(lit(9L), floor(col("l_extendedprice") / 10000)).cast(LongType).as("bin"),
+        (col("l_shipdate") < lit("1995-07-01")).as("is_ref"))
+      val counts = binned.groupBy(col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+      val terms = counts.crossJoin(broadcast(tot))
+        .withColumn("p_ref", (col("n_ref") + 0.5) / (col("t_ref") + 5.0))
+        .withColumn("p_cur", (col("n_cur") + 0.5) / (col("t_cur") + 5.0))
+        .withColumn("psi_term",
+          round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6))
+      terms.select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+          col("psi_term"),
+          sum(col("psi_term").cast(DecimalType(18, 6)))
+            .over(Window.partitionBy(lit(1))).cast(DoubleType).as("psi_total"))
+        .orderBy(col("bin"))
+    }),
+
     // MapReduceStep analog (map_reduce_step.py:22-145): per-group
     // parameterized subplan — "top-2 customers per region" — as ONE
     // windowed plan, no per-group loop
@@ -273,6 +304,33 @@ object ModelPack extends QueryPack {
         CAST(45000.5 AS DOUBLE) AS l_extendedprice,
         CAST(0.05 AS DOUBLE) AS l_discount,
         ROUND(0.5 + 0.01*30.0 + 0.0001*45000.5 + (-2.0)*0.05, 6) AS score""",
+
+    // Same fixed bins, same +0.5 Laplace smoothing, same 6dp-rounded
+    // terms; the total sums the rounded terms (associative) on both
+    // engines.
+    "m12_drift_psi" -> """
+      WITH binned AS (
+        SELECT LEAST(9, CAST(FLOOR(l_extendedprice / 10000) AS BIGINT)) AS bin,
+               l_shipdate < DATE '1995-07-01' AS is_ref
+        FROM lineitem),
+      counts AS (
+        SELECT bin,
+          CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+          CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin),
+      tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) t_ref, CAST(SUM(n_cur) AS BIGINT) t_cur
+              FROM counts),
+      terms AS (
+        SELECT bin, n_ref, n_cur,
+          (n_ref + 0.5) / (t_ref + 5.0) AS p_ref,
+          (n_cur + 0.5) / (t_cur + 5.0) AS p_cur,
+          ROUND(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0)) *
+            LN(((n_cur + 0.5) / (t_cur + 5.0)) / ((n_ref + 0.5) / (t_ref + 5.0))), 6) AS psi_term
+        FROM counts CROSS JOIN tot)
+      SELECT bin, n_ref, n_cur,
+        ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur, psi_term,
+        CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi_total
+      FROM terms ORDER BY bin""",
 
     "m11_evaluate_metric" -> s"""
       WITH r AS (

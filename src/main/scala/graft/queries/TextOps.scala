@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.engine.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -138,25 +138,35 @@ object TextOps extends QueryPack {
       // fraction, top-2gram fraction. All per-row array work — a narrow
       // scan with NO shuffle (the corpus-wide groupBy-explode
       // formulation shuffles every token; per-row higher-order functions
-      // keep it embarrassingly parallel, the 100 TB shape).
+      // keep it embarrassingly parallel, the 100 TB shape). The top
+      // count is a run-length fold over the SORTED array — O(n log n)
+      // per row (the transform-filter-per-distinct-token formulation is
+      // O(n·distinct) and measured 4x slower at sf0.1).
+      def maxRun(sortedArr: Column): Column =
+        aggregate(sortedArr,
+          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (st, x) => {
+            val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(st.getField("best"), run).as("best"))
+          },
+          st => st.getField("best"))
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
       t(s, dir, "documents")
         .select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), col("toks"),
           size(col("toks")).as("n_tokens"),
-          array_distinct(col("toks")).as("dt"),
           transform(sequence(lit(1), size(col("toks")) - 1),
             i => concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1))).as("g2"))
         .select(col("doc_id"), col("n_tokens"),
-          size(col("dt")).as("n_distinct"),
-          array_max(transform(col("dt"),
-            d => size(filter(col("toks"), x => x === d)))).as("top_word_n"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          maxRun(array_sort(col("toks"))).as("top_word_n"),
           size(col("g2")).as("n_2grams"),
           size(array_distinct(col("g2"))).as("n_distinct_2grams"),
-          array_max(transform(array_distinct(col("g2")),
-            g => size(filter(col("g2"), x => x === g)))).as("top_2gram_n"))
+          maxRun(array_sort(col("g2"))).as("top_2gram_n"))
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(col("top_word_n").cast(DoubleType) / col("n_tokens"), 4)
             .as("top_word_frac"),

@@ -109,6 +109,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-side scoring should never sort-merge:\n$plan")
   }
 
+  test("d07 span dedup: first-occurrence window, no degenerate joins") {
+    val plan = executedPlan("d07_span_dedup")
+    assert(plan.contains("Window"), s"expected the first-occurrence window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"span dedup must stay equi-keyed:\n$plan")
+  }
+
+  test("s06 quantized knn: scale scalar broadcasts, ranking is TakeOrdered") {
+    val plan = executedPlan("s06_quantized_knn")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing corpus-sized may shuffle for the scale/query join:\n$plan")
+  }
+
+  test("m12 drift PSI: one aggregation pass with map-side combine") {
+    val plan = executedPlan("m12_drift_psi")
+    assert(plan.contains("partial_"), s"bin counts must partial-aggregate:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"totals must broadcast, not shuffle:\n$plan")
+  }
+
+  test("t09 repetition stats: narrow scan, no exchange before the output sort") {
+    val df = SparkEntry.queries("t09_repetition_stats")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+    // per-row higher-order functions only: the single exchange allowed is
+    // the rangepartitioning for the final ORDER BY
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"repetition stats must not shuffle by any key:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

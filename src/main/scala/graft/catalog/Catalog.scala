@@ -376,7 +376,18 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       StructField("type", StringType, nullable = false))),
       Seq(Row("information_schema", "information_schema", "system"),
         Row("graft", "graft", "project")) ++
-        databases.values.map(d => Row(d.name, d.engine, "data")).toSeq)
+        databases.values.map(d => Row(d.name, d.engine,
+          if (d.engine == "mindsdb") "project" else "data")).toSeq)
+      .orderBy("name")
+
+  /** Projects = the default project plus every mindsdb-engine database
+    * (reference: projects are databases with engine `mindsdb`;
+    * `SHOW PROJECTS` filters the database list to that class). */
+  def metaProjects(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false))),
+      Row("graft") +:
+        databases.values.filter(_.engine == "mindsdb").map(d => Row(d.name)).toSeq)
       .orderBy("name")
 
   def metaJobs(jobs: graft.incremental.Jobs): DataFrame =

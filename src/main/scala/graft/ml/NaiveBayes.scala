@@ -1,0 +1,79 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Multinomial Naive Bayes over token features — a count-based classifier
+  * whose training IS two aggregations, so the full train→predict cycle is
+  * exactly verifiable against a SQL oracle (gradient-trained models are
+  * not). Fills the classification slot next to [[Fit]]'s OLS regression in
+  * the reference's model surface (`CREATE MODEL … PREDICT <label>`;
+  * reference model lifecycle at
+  * mindsdb/interfaces/model/model_controller.py).
+  *
+  * Scale design:
+  *   - train: one explode + two hash aggregations; the model table is
+  *     |vocab| × |classes| rows — vocabulary-bounded, NOT corpus-bounded,
+  *     so it BROADCASTS at any corpus size.
+  *   - predict: per-doc token counts (the only corpus-sized shuffle is the
+  *     partial-agg combine) joined map-side against the broadcast model;
+  *     argmax via a per-doc window.
+  *   - determinism: every log term is rounded at 9dp and products are
+  *     summed as DECIMAL(28,10), making scores independent of partition
+  *     order and bit-identical across engines; argmax ties break on class
+  *     name ascending.
+  */
+object NaiveBayes {
+
+  /** add-one-smoothed model tables from labeled docs.
+    * @return (priors: label|prior|floor, likelihoods: label|tok|ll)
+    *         — `floor` is the unseen-token log-probability ln(1/(tot+V)). */
+  def train(docs: DataFrame, textCol: String, labelCol: String): (DataFrame, DataFrame) = {
+    val toks = explode(tokens(col(textCol))).as("tok")
+    val tokTable = docs.select(col(labelCol).as("label"), toks)
+    val classTok = tokTable.groupBy(col("label"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val classTotals = classTok.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val vocab = classTok.select(col("tok")).distinct()
+      .agg(count(lit(1)).cast(DoubleType).as("v"))
+    val nDocs = docs.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs"))
+    val nTotal = docs.agg(count(lit(1)).cast(DoubleType).as("n"))
+    val priors = nDocs.crossJoin(broadcast(nTotal))
+      .join(classTotals, Seq("label")).crossJoin(broadcast(vocab))
+      .select(col("label"),
+        round(log(col("n_docs") / col("n")), 9).cast(DecimalType(28, 10)).as("prior"),
+        round(log(lit(1.0) / (col("tot") + col("v"))), 9).as("floor"))
+    val likelihoods = classTok.join(classTotals, Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("tok"),
+        round(log((col("cnt") + 1.0) / (col("tot") + col("v"))), 9).as("ll"))
+    (priors, likelihoods)
+  }
+
+  /** per-row argmax prediction; returns (idCol, label columns…, pred_label,
+    * score) with one row per input doc. */
+  def predict(docs: DataFrame, textCol: String, idCol: String,
+      priors: DataFrame, likelihoods: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val dc = docs
+      .select(col(idCol) +: carryCols.map(col) :+ explode(tokens(col(textCol))).as("tok"): _*)
+      .groupBy(col(idCol) +: carryCols.map(col) :+ col("tok"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val scored = dc
+      .crossJoin(broadcast(priors))
+      .join(broadcast(likelihoods), Seq("label", "tok"), "left")
+      .groupBy(col(idCol) +: carryCols.map(col) :+ col("label") : _*)
+      .agg(first(col("prior")).as("prior"),
+        sum((col("cnt") * coalesce(col("ll"), col("floor")))
+          .cast(DecimalType(28, 10))).as("s"))
+      .withColumn("score", col("prior") + col("s"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col(idCol) +: carryCols.map(col) :+
+        col("label").as("pred_label") :+ col("score"): _*)
+  }
+
+  private def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+}

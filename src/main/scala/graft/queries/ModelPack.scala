@@ -198,6 +198,23 @@ object ModelPack extends QueryPack {
         .orderBy(col("bin"))
     }),
 
+    // ---- classification model: multinomial Naive Bayes trained on a
+    // labeled slice, scored on the rest, reported as a confusion matrix.
+    // The count-based trainer makes the whole train→predict cycle
+    // oracle-exact (see graft.ml.NaiveBayes scale notes: vocabulary-
+    // bounded broadcast model, map-side scoring).
+    "m13_naive_bayes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (priors, likelihoods) =
+        graft.ml.NaiveBayes.train(docs.filter(col("doc_id") < 250), "text", "lang")
+      graft.ml.NaiveBayes
+        .predict(docs.filter(col("doc_id") >= 250), "text", "doc_id",
+          priors, likelihoods, carryCols = Seq("lang"))
+        .groupBy(col("lang"), col("pred_label").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     // MapReduceStep analog (map_reduce_step.py:22-145): per-group
     // parameterized subplan — "top-2 customers per region" — as ONE
     // windowed plan, no per-group loop
@@ -218,6 +235,47 @@ object ModelPack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // same add-one NB: 9dp log terms, DECIMAL sums, (score DESC, label ASC)
+    // argmax tie-break
+    "m13_naive_bayes" -> """
+      WITH train_tok AS (
+        SELECT lang AS label, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents WHERE doc_id < 250),
+      class_tok AS (SELECT label, tok, COUNT(*) AS cnt FROM train_tok GROUP BY 1, 2),
+      class_tot AS (SELECT label, SUM(cnt) AS tot FROM class_tok GROUP BY 1),
+      vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM class_tok),
+      n_docs AS (SELECT lang AS label, COUNT(*) AS nd FROM documents
+        WHERE doc_id < 250 GROUP BY 1),
+      n_total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents WHERE doc_id < 250),
+      priors AS (
+        SELECT d.label,
+          CAST(ROUND(ln(d.nd / t.n), 9) AS DECIMAL(28,10)) AS prior,
+          ROUND(ln(1.0 / (ct.tot + v.v)), 9) AS unseen
+        FROM n_docs d, n_total t, class_tot ct, vocab v WHERE d.label = ct.label),
+      ll AS (
+        SELECT ct.label, ct.tok,
+          ROUND(ln((ct.cnt + 1.0) / (t.tot + v.v)), 9) AS ll
+        FROM class_tok ct JOIN class_tot t USING (label), vocab v),
+      dc AS (
+        SELECT doc_id, lang, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, lang,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+          FROM documents WHERE doc_id >= 250)
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT dc.doc_id, dc.lang, p.label,
+          p.prior + SUM(CAST(dc.cnt * COALESCE(ll.ll, p.unseen) AS DECIMAL(28,10))) AS score
+        FROM dc CROSS JOIN priors p
+        LEFT JOIN ll ON ll.label = p.label AND ll.tok = dc.tok
+        GROUP BY dc.doc_id, dc.lang, p.label, p.prior),
+      best AS (
+        SELECT doc_id, lang, label,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+        FROM scored)
+      SELECT lang, label AS pred_lang, COUNT(*) AS n
+      FROM best WHERE rk = 1
+      GROUP BY lang, label ORDER BY lang, pred_lang""",
 
     "m01_model_join" -> s"""
       SELECT l_orderkey, l_linenumber, score,

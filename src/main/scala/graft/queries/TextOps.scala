@@ -304,6 +304,75 @@ object TextOps extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // CCNet-style duplicated-segment removal (Wenzek et al. 2020 dedup
+    // paragraphs by hash across shards; C4 drops any three-sentence span
+    // seen twice). Docs here are single-line, so the "paragraph" unit is
+    // a non-overlapping 10-token segment. Shape: explode segments → ONE
+    // shuffle on the segment hash to count distinct docs → inner join
+    // marks duplicated segments (NOT a broadcast — at 100 TB the dup set
+    // is corpus-sized) → per-doc reassembly keyed by segment index. The
+    // kept-text fingerprint makes the removal content-verifiable.
+    "t14_segment_dedup" -> ((s, dir) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), ceil(size(col("toks")) / lit(10.0)).cast(IntegerType) - 1),
+            i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10))))))
+        .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+        .withColumn("h", md5(col("seg")))
+      val counts = segs.select(col("h"), col("doc_id")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      segs.join(counts, Seq("h"))
+        .withColumn("dup", col("n_docs") >= 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_segs"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_segs"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(!col("dup"),
+              struct(col("seg_idx"), col("seg"))))),
+            st => st.getField("seg")), " ")).as("kept_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR data selection (Xie et al. 2023): importance weight of each
+    // document = sum over tokens of the log-ratio between a TARGET
+    // hashed-unigram distribution (here: docs from src0) and the RAW
+    // corpus distribution, both add-one smoothed over 1024 hash buckets.
+    // Scale shape: the two bucket tables are ≤1024 rows regardless of
+    // corpus size → broadcast; scoring is a map-side join over per-doc
+    // bucket counts (partial-agg combine is the only corpus shuffle).
+    // Per-token log-ratios are rounded at 9dp and summed as DECIMAL so
+    // the result is order-independent and hash-matches the oracle.
+    "t15_dsir_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val bucket = (c: Column) =>
+        conv(substring(md5(c), 1, 8), 16, 10).cast(LongType) % 1024
+      val tokTable = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(toks).as("tok"))
+        .select(col("doc_id"), col("source"), bucket(col("tok")).as("b"))
+      val dc = tokTable.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      val tgt = tokTable.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val raw = tokTable.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tTot = tgt.agg(sum(col("ct")).as("nt"))
+      val rTot = raw.agg(sum(col("cr")).as("nr"))
+      val llr = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+        .select(col("b"), round(
+          log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("nt") + 1024.0)) -
+            log((col("cr") + 1.0) / (col("nr") + 1024.0)), 9).as("llr"))
+      dc.join(broadcast(llr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast(LongType).as("n_tok"),
+          sum((col("cnt") * col("llr")).cast(DecimalType(28, 10))).as("w"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("w").cast(DoubleType) / col("n_tok"), 6).as("avg_llr"))
+        .withColumn("keep", col("avg_llr") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -345,6 +414,51 @@ object TextOps extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // same 10-token segments, corpus-wide distinct-doc counts, ordered
+    // kept-segment reassembly
+    "t14_segment_dedup" -> """
+      WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      segs AS (
+        SELECT doc_id, i AS seg_idx,
+          array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS seg
+        FROM base, UNNEST(generate_series(0,
+          CAST(ceil(LEN(toks) / 10.0) AS INT) - 1)) AS u(i)),
+      counts AS (
+        SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS n_docs
+        FROM segs GROUP BY 1)
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+        md5(COALESCE(string_agg(CASE WHEN c.n_docs < 2 THEN s.seg END,
+          ' ' ORDER BY s.seg_idx), '')) AS kept_fp
+      FROM segs s JOIN counts c ON md5(s.seg) = c.h
+      GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    // same 1024-bucket hashed unigrams, add-one smoothing, 9dp log-ratio
+    // terms, DECIMAL sums
+    "t15_dsir_weights" -> """
+      WITH tb AS (
+        SELECT doc_id, source,
+          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id, source,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents)),
+      dc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM tb GROUP BY 1, 2),
+      tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE source = 'src0' GROUP BY 1),
+      raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY 1),
+      tot AS (SELECT (SELECT SUM(ct) FROM tgt) AS nt, (SELECT SUM(cr) FROM raw) AS nr),
+      llr AS (
+        SELECT raw.b,
+          ROUND(ln((COALESCE(ct, 0) + 1.0) / (nt + 1024.0))
+              - ln((cr + 1.0) / (nr + 1024.0)), 9) AS llr
+        FROM raw LEFT JOIN tgt USING (b), tot),
+      scored AS (
+        SELECT dc.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+          ROUND(CAST(SUM(CAST(cnt * llr AS DECIMAL(28,10))) AS DOUBLE)
+            / CAST(SUM(cnt) AS BIGINT), 6) AS avg_llr
+        FROM dc JOIN llr USING (b) GROUP BY dc.doc_id)
+      SELECT doc_id, n_tok, avg_llr, avg_llr > 0 AS keep
+      FROM scored ORDER BY doc_id""",
+
     // same √-temperature shares, decimal normalizer, md5 thresholds
     "t13_domain_mix" -> """
       WITH strata AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),

@@ -226,6 +226,27 @@ object WritesPack extends QueryPack {
         .orderBy(col("kind"), col("value"))
     }),
 
+    // Projects: mindsdb-engine databases with their own SHOW verb
+    // (command_executor.py:895 global objects; databases_controller
+    // projects = databases WHERE engine = 'mindsdb')
+    "c07_projects" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE PROJECT proj_c07")
+      c.execute("CREATE DATABASE extdb_c07 ENGINE 'pg'")
+      val projects = c.execute("SHOW PROJECTS").collect()
+        .map(r => Row("project", r.getString(0)))
+      val dbs = c.execute("SHOW DATABASES").collect()
+        .map(r => Row("database", s"${r.getString(0)}|${r.getString(2)}"))
+      c.execute("DROP PROJECT proj_c07")
+      val after = c.execute("SHOW PROJECTS").collect()
+        .map(r => Row("after_drop", r.getString(0)))
+      s.createDataFrame(
+        s.sparkContext.parallelize((projects ++ dbs ++ after).toSeq, 1),
+        StructType(Seq(StructField("kind", StringType, nullable = false),
+          StructField("name", StringType, nullable = false))))
+        .orderBy(col("kind"), col("name"))
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -334,6 +355,14 @@ object WritesPack extends QueryPack {
         UNION ALL SELECT 'db_param', 'host=h1,port=5432'
         UNION ALL SELECT 'kb_param', 'chunk_size=300,content_columns=text')
       ORDER BY kind, value""",
+
+    "c07_projects" -> """
+      SELECT * FROM (VALUES
+        ('after_drop','graft'),
+        ('database','extdb_c07|data'),('database','graft|project'),
+        ('database','information_schema|system'),('database','proj_c07|project'),
+        ('project','graft'),('project','proj_c07')) AS t(kind, name)
+      ORDER BY kind, name""",
 
     "c04_info_columns_sql" -> """
       SELECT * FROM (VALUES

@@ -66,10 +66,13 @@ final class Commands(
   private val CreateDatabase =
     """(?is)\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:WITH\s+)?ENGINE\s*=?\s*'([^']+)'\s*(?:,\s*PARAMETERS\s*=\s*(.+))?\s*""".r
   private val DropDatabase = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
+  private val CreateProject =
+    """(?is)\s*CREATE\s+PROJECT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
+  private val DropProject = """(?is)\s*DROP\s+PROJECT\s+(\w+)\s*""".r
   private val InsertStmt =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s*(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
   private val ShowStmt =
-    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|KNOWLEDGE[_ ]BASES|AGENTS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
+    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
@@ -322,6 +325,15 @@ final class Commands(
       catalog.updateDatabase(name, parseUsing(params))
       ok(s"database $name altered")
 
+    case CreateProject(name) =>
+      // projects are mindsdb-engine databases (databases_controller
+      // project handling; command_executor.py:895 lists PROJECTS as a
+      // global object class)
+      catalog.createDatabase(name, "mindsdb")
+      ok(s"project $name created")
+    case DropProject(name) =>
+      catalog.dropDatabase(name); ok(s"project $name dropped")
+
     case Ctas(name, partCols, body) =>
       warehouse.createTableAs(name, run(body), overwrite = true,
         partitionBy = Option(partCols).toSeq.flatMap(_.split(",")).map(_.trim))
@@ -403,6 +415,7 @@ final class Commands(
         case "MODELS" => catalog.metaModels()
         case "JOBS" => catalog.metaJobs(jobs)
         case "DATABASES" => catalog.metaDatabases()
+        case "PROJECTS" => catalog.metaProjects()
         case "KNOWLEDGE BASES" => catalog.metaKnowledgeBases()
         case "AGENTS" => catalog.metaAgents()
         case "TRIGGERS" => catalog.metaTriggers()

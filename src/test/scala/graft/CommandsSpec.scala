@@ -487,4 +487,22 @@ class CommandsSpec extends AnyFunSuite {
         " AS t(actual, prediction))")
     }
   }
+
+  test("PROJECT lifecycle: create, show, typed database row, drop") {
+    val c = fresh()
+    c.execute("CREATE PROJECT p1")
+    c.execute("CREATE PROJECT IF NOT EXISTS p2")
+    c.execute("CREATE DATABASE ext ENGINE 'pg'")
+    val projects = c.execute("SHOW PROJECTS").collect().map(_.getString(0)).toSeq
+    assert(projects === Seq("graft", "p1", "p2"))
+    // projects surface in SHOW DATABASES with type 'project'
+    val types = c.execute("SHOW DATABASES").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(types("p1") === "project" && types("ext") === "data")
+    c.execute("DROP PROJECT p1")
+    assert(!c.execute("SHOW PROJECTS").collect().map(_.getString(0)).contains("p1"))
+    // LIKE filter applies to projects too
+    assert(c.execute("SHOW PROJECTS LIKE 'p%'").collect().map(_.getString(0)).toSeq
+      === Seq("p2"))
+  }
 }

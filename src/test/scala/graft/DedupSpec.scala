@@ -123,4 +123,30 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(originals.unionByName(copies), maxHamming = 0)
     assert(pairs.filter(col("doc_b") === col("doc_a") + 500000).count() === 50)
   }
+
+  test("segment dedup: shared boilerplate segments are flagged in every carrier") {
+    import spark.implicits._
+    // t14 invariants that the oracle can't see: run the exact query shape
+    // over a planted corpus — a 10-token boilerplate block shared by two
+    // docs must count as duplicated in BOTH, unique docs keep everything,
+    // and a doc that is pure boilerplate keeps the empty fingerprint.
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (2L, s"$boiler v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (4L, boiler)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("t14spec")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.TextOps.queries("t14_segment_dedup")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 1L, md5Hex("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))))
+    assert(out(2L)._2 === 1L) // the same boilerplate segment flagged here too
+    assert(out(3L) === ((1L, 0L, md5Hex("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))))
+    assert(out(4L) === ((1L, 1L, md5Hex("")))) // pure boilerplate → nothing kept
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }

@@ -124,6 +124,40 @@ class MlSpec extends AnyFunSuite {
     assert(incSt.n === directSt.n)
   }
 
+  test("NaiveBayes recovers the generating class on a separable corpus") {
+    import spark.implicits._
+    // two classes with disjoint-ish vocabularies; prediction must recover
+    // the class whose words dominate each doc
+    val train = Seq(
+      (1L, "apple banana apple fruit", "food"),
+      (2L, "banana fruit apple apple", "food"),
+      (3L, "gear motor piston engine", "tech"),
+      (4L, "motor gear engine gear", "tech")).toDF("id", "text", "label")
+    val (priors, ll) = graft.ml.NaiveBayes.train(train, "text", "label")
+    val score = Seq(
+      (10L, "apple banana"), (11L, "gear engine piston"),
+      (12L, "fruit fruit motor")).toDF("id", "text")
+    val pred = graft.ml.NaiveBayes.predict(score, "text", "id", priors, ll)
+      .select("id", "pred_label").as[(Long, String)].collect().toMap
+    assert(pred(10L) === "food")
+    assert(pred(11L) === "tech")
+    assert(pred(12L) === "food") // 2 food tokens vs 1 tech token
+  }
+
+  test("NaiveBayes priors shift prediction when likelihoods tie") {
+    import spark.implicits._
+    // identical token distributions per class; class weight 3:1 → the
+    // prior term must decide, and ties in score break on label ascending
+    val train = Seq(
+      (1L, "x", "a"), (2L, "x", "a"), (3L, "x", "a"), (4L, "x", "b"))
+      .toDF("id", "text", "label")
+    val (priors, ll) = graft.ml.NaiveBayes.train(train, "text", "label")
+    val pred = graft.ml.NaiveBayes.predict(
+      Seq((9L, "x")).toDF("id", "text"), "text", "id", priors, ll)
+      .select("pred_label").as[String].head()
+    assert(pred === "a")
+  }
+
   test("lookback context takes exactly min(window, group size) latest rows per group") {
     val ev = Tables.table(spark, dir, "events")
     val ctx = TimeSeries.lookbackContext(ev, col("user_id"), col("ts"), col("event_id"), 10)

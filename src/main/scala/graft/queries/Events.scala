@@ -167,6 +167,31 @@ object Events extends QueryPack {
         ORDER BY event_id""")
     }),
 
+    "e11_stream_join" -> ((s, dir) => {
+      // batch twin of StreamingOps.clickToPurchase (stream-stream
+      // interval join with expirable state): every (click, purchase)
+      // pair of the same user with the purchase in the hour after the
+      // click. Same banded equi-join shape as e09 — the containment
+      // predicate runs on (user_id, hour-bucket), never a nested loop.
+      // StreamingSpec asserts the streaming execution emits exactly
+      // these rows.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("win_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.engine.TimeJoins.pointInInterval(
+        purchases, clicks, Seq("user_id"),
+        pointCol = "ts", startCol = "click_ts", endCol = "win_end",
+        bucketSeconds = 3600L, pointPrefix = "p_")
+        .select(col("click_id"), col("user_id"),
+          col("p_event_id").as("purchase_id"),
+          col("click_ts"), col("p_ts").as("purchase_ts"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -182,6 +207,18 @@ object Events extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "e11_stream_join" -> """
+      WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase')
+      SELECT c.click_id, c.user_id, p.purchase_id,
+        CAST(c.click_ts AS TIMESTAMP) AS click_ts,
+        CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.purchase_ts BETWEEN c.click_ts AND c.click_ts + INTERVAL 1 HOUR
+      ORDER BY c.click_id, p.purchase_id""",
+
     "e01_tumbling_daily" -> s"""
       SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
         ${oSum("value")} AS total_value, COUNT(DISTINCT user_id) AS n_users

@@ -59,6 +59,31 @@ object StreamingOps {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: clicks joined to the same user's
+    * purchases within the following hour. Both sides carry watermarks and
+    * the join condition bounds event time in BOTH directions, so Spark
+    * can expire join state — the shape that holds on an unbounded 100 TB
+    * stream (an unbounded-state stream join would grow forever). The
+    * batch twin is the identical join condition on the static table
+    * (StreamingSpec asserts equality). */
+  def clickToPurchase(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame = {
+    val src = stream(spark, sourceDir, schema)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Run a streaming frame to completion into an in-memory table and
     * return the materialized result. */
   def drainToMemory(df: DataFrame, name: String,

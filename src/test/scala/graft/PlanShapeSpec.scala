@@ -143,6 +143,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"repetition stats must not shuffle by any key:\n$plan")
   }
 
+  test("t14 segment dedup: segment counts partial-aggregate; joins stay equi-keyed") {
+    val plan = executedPlan("t14_segment_dedup")
+    assert(plan.contains("partial_"), s"segment counts must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"segment dedup must stay hash-keyed:\n$plan")
+  }
+
+  test("t15 DSIR: the bucket log-ratio table broadcasts into doc scoring") {
+    val plan = executedPlan("t15_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"), s"llr join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"nothing corpus-sized may cross:\n$plan")
+  }
+
+  test("m13 naive bayes: the model table broadcasts; corpus never sort-merges") {
+    val plan = executedPlan("m13_naive_bayes")
+    assert(plan.contains("BroadcastHashJoin"), s"likelihood join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side scoring must join map-side:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

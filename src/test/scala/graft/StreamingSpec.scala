@@ -65,6 +65,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.count() === b.count())
   }
 
+  test("stream-stream interval join == batch e11 banded range join") {
+    val streamed = StreamingOps.drainToMemory(
+      StreamingOps.clickToPurchase(spark, streamDir, rawSchema), "s_join", "append")
+    val batch = graft.queries.Events.queries("e11_stream_join")(spark, dir)
+    assert(batch.count() > 0, "test data must produce at least one join pair")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming dedup of a replayed source emits each event_id exactly once") {
     import spark.implicits._
     // stage the events file TWICE — an at-least-once source where every

@@ -103,6 +103,19 @@ object CompatPack extends QueryPack {
         @@no_such_variable AS missing""")
     }),
 
+    // user variables: SET @var / SELECT @var, kept separate from the
+    // server-variable namespace (variables_controller.py)
+    "q42_user_vars" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("SET @greeting = 'hello'")
+      c.execute("SET @n = 42")
+      c.execute("SET @n = 43") // reassignment wins
+      c.execute("SET @@sysmarker = 'sys'") // server var, must NOT leak into @
+      c.execute("""SELECT @greeting AS greeting, @n AS n,
+        @unset AS missing, @sysmarker AS not_a_user_var""")
+    }),
+
     // agent-as-table through SQL: WHERE question = '...' completes it
     "a02_agent_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
@@ -129,6 +142,11 @@ object CompatPack extends QueryPack {
     "q40_system_vars" -> """
       SELECT '8.0.17-graft' AS version, '1' AS autocommit,
         '16777216' AS map, 'r5' AS marker, CAST(NULL AS VARCHAR) AS missing""",
+
+    "q42_user_vars" -> """
+      SELECT 'hello' AS greeting, '43' AS n,
+        CAST(NULL AS VARCHAR) AS missing,
+        CAST(NULL AS VARCHAR) AS not_a_user_var""",
 
     "q37_mysql_compat" -> """
       SELECT o_orderkey,

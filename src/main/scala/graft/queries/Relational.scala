@@ -391,6 +391,32 @@ object Relational extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    "q41_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 shape ("suppliers who kept orders waiting"): for
+      // multi-supplier orders, find late lines whose supplier is the ONLY
+      // late supplier on the order. The textbook plan is two correlated
+      // self-joins of lineitem (EXISTS + NOT EXISTS); here both collapse
+      // into ONE per-order aggregation joined back — at 100 TB that is
+      // one shuffle of (orderkey, two counts) instead of two extra
+      // corpus-sized self-join shuffles. "Late" = shipped >90 days after
+      // the order date.
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      li.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     "q36_theta_join" -> ((s, dir) => {
       // non-equi (range) join: suppliers paired with richer suppliers
       val a = t(s, dir, "supplier").select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
@@ -643,6 +669,25 @@ object Relational extends QueryPack {
       SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key
       FROM supplier a JOIN supplier b
         ON a.s_acctbal < b.s_acctbal AND a.s_suppkey <> b.s_suppkey
-      ORDER BY a_key, b_key"""
+      ORDER BY a_key, b_key""",
+
+    // the oracle keeps the textbook EXISTS / NOT EXISTS formulation — if
+    // the agg-join-back rewrite ever diverges from Q21 semantics, the
+    // hash breaks
+    "q41_waiting_supplier" -> """
+      WITH li AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+          l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+      FROM li l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM li l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late)
+      GROUP BY s.s_name
+      ORDER BY numwait DESC, s.s_name LIMIT 20"""
   )
 }

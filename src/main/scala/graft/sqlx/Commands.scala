@@ -79,7 +79,7 @@ final class Commands(
   private val AnalyzeStmt =
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*""".r
   private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
-  private val SetStmt = """(?is)\s*SET\s+(?:SESSION\s+)?@?@?([\w.]+)\s*=\s*(.+?)\s*""".r
+  private val SetStmt = """(?is)\s*SET\s+(?:SESSION\s+)?(@?@?)([\w.]+)\s*=\s*(.+?)\s*""".r
   private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
   private val DescribeModel = """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
@@ -103,6 +103,8 @@ final class Commands(
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
   private val SysVarQuery =
     """(?is)\s*SELECT\s+(@@[\w.]+(?:\s+AS\s+\w+)?(?:\s*,\s*@@[\w.]+(?:\s+AS\s+\w+)?)*)\s*(?:LIMIT\s+\d+\s*)?""".r
+  private val UserVarQuery =
+    """(?is)\s*SELECT\s+(@[\w.]+(?:\s+AS\s+\w+)?(?:\s*,\s*@[\w.]+(?:\s+AS\s+\w+)?)*)\s*(?:LIMIT\s+\d+\s*)?""".r
   private val TxnStmt =
     """(?is)\s*(?:START\s+TRANSACTION|BEGIN|COMMIT|ROLLBACK)\s*""".r
   private val AlterView =
@@ -127,6 +129,10 @@ final class Commands(
   private val ExecuteStmt = """(?is)\s*EXECUTE\s+(\w+)\s*(?:USING\s+(.+?))?\s*""".r
   private val DeallocateStmt =
     """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
+
+  /** user variables: `SET @x = …` / `SELECT @x`
+    * (interfaces/variables/variables_controller.py) */
+  private val userVars = scala.collection.mutable.LinkedHashMap[String, String]()
 
   /** prepared-statement store (planner/query_prepare.py lifecycle:
     * prepare → execute-with-params → deallocate). Binding is server-side
@@ -483,6 +489,18 @@ final class Commands(
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(Row(items.map(_._2): _*)), 1),
         StructType(items.map(i => StructField(i._1, StringType))))
+    case UserVarQuery(list) =>
+      // `SELECT @var [AS alias], …` — user variables set with SET @var
+      // (interfaces/variables/variables_controller.py); unset → NULL
+      val items = splitTop(list, ',').map { item =>
+        val parts = item.split("(?i)\\s+AS\\s+", 2).map(_.trim)
+        val name = parts(0).stripPrefix("@")
+        val alias = if (parts.length == 2) parts(1) else parts(0)
+        (alias, userVars.get(name.toLowerCase).orNull)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(items.map(_._2): _*)), 1),
+        StructType(items.map(i => StructField(i._1, StringType))))
     case PrepareStmt(name, body) =>
       prepared(name) = body
       ok(s"statement $name prepared")
@@ -499,13 +517,14 @@ final class Commands(
         throw new NoSuchElementException(s"no prepared statement $name")
       ok(s"statement $name deallocated")
 
-    case SetStmt(key, value) =>
-      // SET (server-variable handling): recorded for SHOW VARIABLES and
-      // passed through to the session conf
+    case SetStmt(prefix, key, value) =>
+      // SET: `@var` = user variables (variables_controller), bare or
+      // `@@var` = server variables recorded for SHOW VARIABLES and passed
+      // through to the session conf
       val v = value.stripPrefix("'").stripSuffix("'")
-      vars(key.toLowerCase) = v
-      spark.conf.set(key, v)
-      ok(s"set $key")
+      if (prefix == "@") userVars(key.toLowerCase) = v
+      else { vars(key.toLowerCase) = v; spark.conf.set(key, v) }
+      ok(s"set $prefix$key")
     case UseStmt(db) =>
       // USE: single-namespace engine — accepted for wire compatibility
       ok(s"using $db")

@@ -488,6 +488,18 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("user variables: SET @x / SELECT @x, separate from server vars") {
+    val c = fresh()
+    c.execute("SET @x = 'abc'")
+    c.execute("SET @x = 'def'")
+    val r = c.execute("SELECT @x AS x, @y AS y").first()
+    assert(r.getString(0) === "def" && r.getString(1) === null)
+    // server-variable namespace untouched by @ writes
+    assert(c.execute("SELECT @@x AS x").first().getString(0) === null)
+    c.execute("SET @@srv = '1'")
+    assert(c.execute("SELECT @srv AS s").first().getString(0) === null)
+  }
+
   test("PROJECT lifecycle: create, show, typed database row, drop") {
     val c = fresh()
     c.execute("CREATE PROJECT p1")

@@ -336,6 +336,29 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       table.fold(columnStats.values.flatten.toSeq)(t => columnStats.getOrElse(t, Nil)))
       .orderBy("table_name", "ordinal_position")
 
+  /** Data-catalog metadata rendered as one string for LLM/agent context
+    * (DataCatalogRetriever.retrieve_metadata_as_string,
+    * data_catalog_retriever.py:46-72): per table a header plus one line
+    * per column with type and, when ANALYZEd, its statistics. Reads only
+    * catalog state + schemas — no data scan beyond what ANALYZE stored. */
+  def dataCatalogString(tables: Seq[String], wh: Option[Warehouse] = None): String = {
+    val sections = tables.map { t =>
+      val stats = columnStats.getOrElse(t, Nil)
+        .map(r => r.getString(1) -> r).toMap
+      val nRows = stats.values.headOption.map(_.getAs[Long](3))
+      val header = s"Table: $t" + nRows.fold("")(n => s" ($n rows)")
+      val cols = resolve(t, wh).schema.fields.map { f =>
+        val base = s"  - ${f.name} ${f.dataType.sql}"
+        stats.get(f.name).fold(base) { r =>
+          base + s", distinct=${r.getAs[Long](5)}, nulls=${r.getAs[Long](4)}" +
+            s", range=[${r.getAs[String](6)} .. ${r.getAs[String](7)}]"
+        }
+      }
+      (header +: cols.toSeq).mkString("\n")
+    }
+    ("Data Catalog:" +: sections).mkString("\n\n")
+  }
+
   /** information_schema.statistics / key_column_usage: schema-correct
     * empties — the reference returns empty frames for parquet-backed
     * tables too (system_tables.py STATISTICS/KEY_COLUMN_USAGE). */

@@ -172,6 +172,23 @@ object WritesPack extends QueryPack {
         ORDER BY table_name, ordinal_position""")
     }),
 
+    // Data catalog: the reference's DataCatalogRetriever assembles
+    // tables + columns + column statistics into one metadata view for
+    // LLM/agent consumption (data_catalog_retriever.py:46-72). Here the
+    // same join composes in SQL over the live information_schema
+    // namespace after ANALYZE populates the stats.
+    "c08_data_catalog" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("ANALYZE TABLE nation")
+      c.execute("ANALYZE TABLE region")
+      c.execute("""SELECT c.table_name, c.column_name, c.ordinal_position,
+          c.data_type, s.n_rows, s.n_nulls, s.n_distinct, s.min_value, s.max_value
+        FROM information_schema.columns c
+        JOIN information_schema.column_statistics s
+          ON c.table_name = s.table_name AND c.column_name = s.column_name
+        ORDER BY c.table_name, c.ordinal_position""")
+    }),
+
     // Chatbot + ML-engine DDL surface with transaction no-ops
     // (command_executor.py:774-838 chatbots, :1171-1236 ml engines,
     // StartTransaction/Commit/Rollback no-op dispatch)
@@ -372,6 +389,28 @@ object WritesPack extends QueryPack {
         ('wt_c04','r_regionkey',1),('wt_c04','r_name',2))
         AS t(table_name, column_name, ordinal_position)
       ORDER BY table_name, ordinal_position""",
+
+    "c08_data_catalog" -> {
+      def arms(table: String, cols: Seq[(String, String)]): Seq[String] =
+        cols.zipWithIndex.map { case ((cName, cType), i) => s"""
+          SELECT '$table' AS table_name, '$cName' AS column_name,
+            ${i + 1} AS ordinal_position, '$cType' AS data_type,
+            count(*) AS n_rows, count(*) - count($cName) AS n_nulls,
+            count(DISTINCT $cName) AS n_distinct,
+            CAST(min($cName) AS VARCHAR) AS min_value,
+            CAST(max($cName) AS VARCHAR) AS max_value
+          FROM $table""" }
+      val all = arms("nation", Seq("n_nationkey" -> "INT",
+        "n_name" -> "STRING", "n_regionkey" -> "INT")) ++
+        arms("region", Seq("r_regionkey" -> "INT", "r_name" -> "STRING"))
+      s"""
+      WITH cat AS (${all.mkString(" UNION ALL ")})
+      SELECT table_name, column_name,
+        CAST(ordinal_position AS INTEGER) AS ordinal_position, data_type,
+        CAST(n_rows AS BIGINT) AS n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+      FROM cat ORDER BY table_name, ordinal_position"""
+    },
 
     "i03_analyze_stats" -> {
       def colStats(table: String, cols: Seq[String]): Seq[String] =

@@ -142,4 +142,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(t("v1") === "VIEW")
     assert(t("lineitem") === "BASE TABLE")
   }
+
+  test("data catalog string: analyzed tables carry stats, others just types") {
+    val cat = new Catalog(spark, dir)
+    cat.analyzeTable("region")
+    val s = cat.dataCatalogString(Seq("region", "nation"))
+    assert(s.startsWith("Data Catalog:"))
+    assert(s.contains("Table: region (5 rows)"))
+    assert(s.contains("- r_regionkey INT, distinct=5, nulls=0, range=[0 .. 4]"))
+    // nation was not ANALYZEd: header without rows, columns without stats
+    assert(s.contains("Table: nation\n"))
+    assert(s.contains("- n_name STRING\n") || s.contains("- n_name STRING"))
+    assert(!s.linesIterator.exists(l => l.contains("n_name") && l.contains("distinct=")))
+  }
 }

@@ -391,6 +391,34 @@ object Relational extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    "q43_window_dist" -> ((s, dir) => {
+      // distribution window functions: ntile / percent_rank / cume_dist /
+      // lead-lag deltas per priority partition, ordered by a UNIQUE key
+      // pair so ranks are engine-independent
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          round(col("o_totalprice") -
+            coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 4).as("delta_prev"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q44_pivot" -> ((s, dir) => {
+      // PIVOT: per-user event counts spread across event-type columns
+      // (Spark relational pivot; plans as ONE aggregation pass with
+      // map-side combine — never per-column rescans)
+      t(s, dir, "events").filter(col("user_id") < 40)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     "q41_waiting_supplier" -> ((s, dir) => {
       // TPC-H Q21 shape ("suppliers who kept orders waiting"): for
       // multi-supplier orders, find late lines whose supplier is the ONLY
@@ -670,6 +698,26 @@ object Relational extends QueryPack {
       FROM supplier a JOIN supplier b
         ON a.s_acctbal < b.s_acctbal AND a.s_suppkey <> b.s_suppkey
       ORDER BY a_key, b_key""",
+
+    "q43_window_dist" -> """
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+        CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 6) AS cume,
+        ROUND(o_totalprice - COALESCE(LAG(o_totalprice, 1) OVER w, 0.0), 4) AS delta_prev
+      FROM orders WHERE o_orderkey < 2000
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""",
+
+    "q44_pivot" -> """
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events WHERE user_id < 40
+      GROUP BY user_id ORDER BY user_id""",
 
     // the oracle keeps the textbook EXISTS / NOT EXISTS formulation — if
     // the agg-join-back rewrite ever diverges from Q21 semantics, the

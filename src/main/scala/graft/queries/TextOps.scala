@@ -373,6 +373,36 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style heuristic quality filters (Raffel et al. 2020 §2.2,
+    // adapted to this corpus): per-doc rule flags — bad-word blocklist
+    // hits, boilerplate markers (lorem ipsum / braces), minimum token
+    // count, terminal punctuation — plus the keep verdict and per-source
+    // keep rates. Pure narrow scan; the only shuffle is the final
+    // per-source rollup, so the filter is a map-side gate at any corpus
+    // size (the C4 pipeline shape).
+    "t16_c4_filters" -> ((s, dir) => {
+      val badwords = array(Seq("slow", "error").map(lit): _*)
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val flags = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), toks.as("toks"), col("text"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).as("n_tokens"),
+          size(filter(col("toks"), x => array_contains(badwords, x)))
+            .as("badword_hits"),
+          col("text").contains("lorem ipsum").as("has_lorem"),
+          col("text").contains("{").as("has_brace"),
+          col("text").rlike("[.!?\"]$").as("terminal_punct"))
+        .withColumn("keep",
+          col("n_tokens") >= 20 && col("badword_hits") <= 2 &&
+            !col("has_lorem") && !col("has_brace"))
+      flags.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("badword_hits").cast(LongType)).as("total_badwords"),
+          sum(when(col("terminal_punct"), 1L).otherwise(0L)).as("n_terminal"))
+        .orderBy(col("source"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -414,6 +444,26 @@ object TextOps extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "t16_c4_filters" -> """
+      WITH flags AS (
+        SELECT doc_id, source,
+          LEN(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+          LEN(list_filter(regexp_extract_all(lower(text), '\S+'),
+            x -> list_contains(['slow', 'error'], x))) AS badword_hits,
+          contains(text, 'lorem ipsum') AS has_lorem,
+          contains(text, '{') AS has_brace,
+          regexp_matches(text, '[.!?"]$') AS terminal_punct
+        FROM documents),
+      kept AS (
+        SELECT *, (n_tokens >= 20 AND badword_hits <= 2
+          AND NOT has_lorem AND NOT has_brace) AS keep
+        FROM flags)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(badword_hits) AS BIGINT) AS total_badwords,
+        CAST(SUM(CASE WHEN terminal_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_terminal
+      FROM kept GROUP BY source ORDER BY source""",
+
     // same 10-token segments, corpus-wide distinct-doc counts, ordered
     // kept-segment reassembly
     "t14_segment_dedup" -> """

@@ -30,6 +30,16 @@ trait Model {
   def predictBatch(batch: Seq[Array[Double]]): Seq[Row]
 }
 
+/** Models that apply as a whole-DataFrame transform rather than a
+  * numeric row batch — text classifiers and other models whose features
+  * are not fixed-width doubles. `Predict.applyModel` dispatches here
+  * before the batched numeric path. */
+trait FrameModel extends Model {
+  def transform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame
+  final def predictBatch(batch: Seq[Array[Double]]): Seq[Row] =
+    throw new UnsupportedOperationException(s"$name applies via transform, not numeric batches")
+}
+
 /** Deterministic linear scorer — the test-harness stand-in for a real
   * model runtime (the reference's dummy ML engine predicts a constant;
   * tests/unit/dummy_ml_handler). Score is a plain left-to-right affine
@@ -64,7 +74,12 @@ object Predict {
     * payload stay on the input side, so nothing wide is duplicated
     * through the join.
     */
-  def applyModel(data: DataFrame, model: Model, cache: Option[PredictionCache] = None): DataFrame = {
+  def applyModel(data: DataFrame, model: Model, cache: Option[PredictionCache] = None): DataFrame = model match {
+    case fm: FrameModel => fm.transform(data)
+    case _ => applyNumeric(data, model, cache)
+  }
+
+  private def applyNumeric(data: DataFrame, model: Model, cache: Option[PredictionCache]): DataFrame = {
     val spark = data.sparkSession
     cache.flatMap(_.get(model, data)) match {
       case Some(hit) =>

@@ -76,4 +76,58 @@ object NaiveBayes {
 
   private def tokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+
+  private val priorSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("prior", DecimalType(28, 10)),
+    org.apache.spark.sql.types.StructField("floor", DoubleType)))
+  private val llSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ll", DoubleType)))
+
+  /** Train and package as a catalog model (`CREATE MODEL … USING
+    * engine='naive_bayes'`). The model tables are |vocab|×|classes| rows
+    * BY DESIGN, so collecting them at train time is driver-safe at any
+    * corpus size; they rebuild as broadcast frames at apply time. */
+  def trained(name: String, train: org.apache.spark.sql.DataFrame,
+      textCol: String, labelCol: String): NbModel = {
+    val (p, l) = NaiveBayes.train(train, textCol, labelCol)
+    NbModel(name, textCol, labelCol, p.collect().toSeq, l.collect().toSeq)
+  }
+
+  /** A trained NB classifier in the model catalog. Applies as a
+    * whole-frame transform with the same row-id join-back discipline as
+    * the numeric path: only (row_id, prediction) travels through the
+    * token shuffle, the payload joins back narrow. The prediction column
+    * is `pred_<target>` (the data side usually still carries the ground-
+    * truth target column; an unprefixed name would collide). */
+  final case class NbModel(
+      name: String,
+      textCol: String,
+      labelCol: String,
+      priorRows: Seq[org.apache.spark.sql.Row],
+      llRows: Seq[org.apache.spark.sql.Row]) extends FrameModel {
+    def featureCols: Seq[String] = Seq(textCol)
+    def outputSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(s"pred_$labelCol",
+          org.apache.spark.sql.types.StringType)))
+    def transform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val spark = df.sparkSession
+      val priors = spark.createDataFrame(
+        spark.sparkContext.parallelize(priorRows, 1), priorSchema)
+      val lls = spark.createDataFrame(
+        spark.sparkContext.parallelize(llRows, 1), llSchema)
+      val rid = Predict.RowIdCol
+      val withId = df.withColumn(rid, monotonically_increasing_id())
+      val preds = NaiveBayes
+        .predict(withId.select(col(rid), col(textCol)), textCol, rid, priors, lls)
+        .select(col(rid), col("pred_label").as(s"pred_$labelCol"))
+      // left join: rows whose text yields no tokens keep a NULL
+      // prediction instead of vanishing (row-coverage parity with the
+      // numeric apply path)
+      withId.join(preds, Seq(rid), "left").drop(rid)
+    }
+  }
 }

@@ -215,6 +215,21 @@ object ModelPack extends QueryPack {
         .orderBy(col("lang"), col("pred_lang"))
     }),
 
+    // the m13 classifier through the SQL model lifecycle: CREATE MODEL
+    // with engine='naive_bayes', applied via SELECT … JOIN <model> — the
+    // reference's multi-engine CREATE MODEL path
+    "m14_nb_model_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL nb_m14 FROM (
+          SELECT text, lang FROM documents WHERE doc_id < 250)
+        PREDICT lang USING engine='naive_bayes', features='text'""")
+      c.execute("""SELECT lang, pred_lang, COUNT(*) AS n
+        FROM (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 250)
+        JOIN nb_m14
+        GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")
+    }),
+
     // MapReduceStep analog (map_reduce_step.py:22-145): per-group
     // parameterized subplan — "top-2 customers per region" — as ONE
     // windowed plan, no per-group loop
@@ -234,11 +249,10 @@ object ModelPack extends QueryPack {
     })
   )
 
-  def oracles: Map[String, String] = Map(
-
-    // same add-one NB: 9dp log terms, DECIMAL sums, (score DESC, label ASC)
-    // argmax tie-break
-    "m13_naive_bayes" -> """
+  /** add-one NB recomputed in DuckDB: 9dp log terms, DECIMAL sums,
+    * (score DESC, label ASC) argmax tie-break. Shared by m13 (Scala API)
+    * and m14 (SQL model lifecycle) — both must produce this matrix. */
+  private val nbMatrixOracle = """
       WITH train_tok AS (
         SELECT lang AS label, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
         FROM documents WHERE doc_id < 250),
@@ -275,7 +289,12 @@ object ModelPack extends QueryPack {
         FROM scored)
       SELECT lang, label AS pred_lang, COUNT(*) AS n
       FROM best WHERE rk = 1
-      GROUP BY lang, label ORDER BY lang, pred_lang""",
+      GROUP BY lang, label ORDER BY lang, pred_lang"""
+
+  def oracles: Map[String, String] = Map(
+
+    "m14_nb_model_sql" -> nbMatrixOracle,
+    "m13_naive_bayes" -> nbMatrixOracle,
 
     "m01_model_join" -> s"""
       SELECT l_orderkey, l_linenumber, score,

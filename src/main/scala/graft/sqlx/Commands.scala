@@ -176,17 +176,33 @@ final class Commands(
 
     case CreateModelFit(name, trainSql, target, using) =>
       val p = parseUsing(using)
-      val features = p.getOrElse("features",
-        throw new IllegalArgumentException("CREATE MODEL ... FROM needs features='c1,c2'"))
-        .split(",").map(_.trim).toSeq
-      val spec = Fit.FitSpec(features, target, p.getOrElse("score_column", "score"))
-      val trainer = () => {
-        val (m, st) = Fit.fit(name, run(trainSql), spec)
-        (m: graft.ml.Model, Option(st))
+      p.get("engine") match {
+        case Some("naive_bayes") =>
+          // classification engine: CREATE MODEL … PREDICT <label> USING
+          // engine='naive_bayes', features='<text column>' — the
+          // reference's multi-engine model lifecycle (ml_handlers
+          // selection via USING engine=…)
+          val textCol = p.getOrElse("features", "text").split(",").head.trim
+          val trainer = () => {
+            val m = graft.ml.NaiveBayes.trained(name, run(trainSql), textCol, target)
+            (m: graft.ml.Model, Option.empty[Fit.Stats])
+          }
+          val (m, st) = trainer()
+          catalog.createModel(m, st, Some(trainer), None)
+          ok(s"model $name trained (version 1)")
+        case _ =>
+          val features = p.getOrElse("features",
+            throw new IllegalArgumentException("CREATE MODEL ... FROM needs features='c1,c2'"))
+            .split(",").map(_.trim).toSeq
+          val spec = Fit.FitSpec(features, target, p.getOrElse("score_column", "score"))
+          val trainer = () => {
+            val (m, st) = Fit.fit(name, run(trainSql), spec)
+            (m: graft.ml.Model, Option(st))
+          }
+          val (m, st) = trainer()
+          catalog.createModel(m, st, Some(trainer), Some(spec))
+          ok(s"model $name trained (version 1)")
       }
-      val (m, st) = trainer()
-      catalog.createModel(m, st, Some(trainer), Some(spec))
-      ok(s"model $name trained (version 1)")
     case CreateModel(name, target, feats, weights, bias) =>
       catalog.createModel(LinearModel(name,
         feats.split(",").map(_.trim).toSeq,

@@ -488,6 +488,26 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE MODEL engine='naive_bayes': train, SQL apply, null-text row kept, retrain") {
+    val c = fresh()
+    c.execute("""CREATE MODEL nbspec FROM (
+        SELECT text, lang FROM documents WHERE doc_id < 100)
+      PREDICT lang USING engine='naive_bayes', features='text'""")
+    assert(c.catalog.listModels().contains("nbspec"))
+    val applied = c.execute("""SELECT doc_id, lang, pred_lang
+      FROM (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 100 AND doc_id < 120)
+      JOIN nbspec ORDER BY doc_id""")
+    assert(applied.count() === 20) // row coverage: every input row predicted
+    assert(applied.filter(applied("pred_lang").isNull).count() === 0)
+    // predictions come from the trained label set
+    val langs = applied.select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
+    // RETRAIN re-runs the stored trainer and bumps the version
+    c.execute("RETRAIN nbspec")
+    assert(c.catalog.activeVersion("nbspec") === 2)
+  }
+
   test("user variables: SET @x / SELECT @x, separate from server vars") {
     val c = fresh()
     c.execute("SET @x = 'abc'")

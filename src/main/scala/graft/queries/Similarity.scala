@@ -91,6 +91,20 @@ object Similarity extends QueryPack {
     // ranking input is an exact integer (dot and both norms) — the final
     // cosine division is a deterministic function of exact ints, so no
     // float-sum ordering hazard exists anywhere.
+    // Trained k-means clustering (graft.ml.KMeans Lloyd rounds on the
+    // 1e-7 integer grid — exact 64-bit arithmetic end to end, so the
+    // unrolled DuckDB oracle reproduces every centroid and assignment
+    // bit-for-bit). Supplies the trained-centroid path the IVF
+    // operators' stand-in codebooks document.
+    "s07_kmeans" -> ((s, dir) => {
+      val e = graft.engine.Tables.table(s, dir, "embeddings")
+      val (assigned, _) =
+        graft.ml.KMeans.fit(e, "vec_id", "embedding", k = 8, iters = 2)
+      assigned.join(e.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("vec_id"), col("label"), col("cell"), col("d2"))
+        .orderBy(col("vec_id"))
+    }),
+
     "s06_quantized_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       val scale = broadcast(e.agg(
@@ -194,7 +208,43 @@ object Similarity extends QueryPack {
        (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))) *
         sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]))))"""
 
+  /** one Lloyd round in DuckDB on the same integer grid: assign to the
+    * given centroid CTE, then per-(cell, dim) rounded integer means */
+  private def oKmeansRound(centCte: String, assignName: String, centName: String): String = s"""
+      $assignName AS (
+        SELECT vec_id, v, cell, d2 FROM (
+          SELECT vec_id, v, cell, d2,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+          FROM (SELECT t.vec_id, t.v, c.cell,
+              CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> (t.v[i] - c.cv[i]) * (t.v[i] - c.cv[i]))) AS BIGINT) AS d2
+            FROM v t CROSS JOIN $centCte c))
+        WHERE rk = 1),
+      $centName AS (
+        SELECT cell, list(m ORDER BY i) AS cv FROM (
+          SELECT cell, i,
+            CAST(floor(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS m
+          FROM $assignName, UNNEST(generate_series(1, 64)) AS t(i)
+          GROUP BY cell, i)
+        GROUP BY cell)"""
+
   def oracles: Map[String, String] = Map(
+    "s07_kmeans" -> s"""
+      WITH v AS (
+        SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cv
+        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+      ${oKmeansRound("c0", "a0", "c1")},
+      ${oKmeansRound("c1", "a1", "c2")},
+      ${oKmeansRound("c2", "a2", "c3")}
+      SELECT a2.vec_id, v.label, CAST(a2.cell AS INTEGER) AS cell, a2.d2
+      FROM a2 JOIN v USING (vec_id)
+      ORDER BY a2.vec_id""",
+
     "s01_knn_brute" -> s"""
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       scored AS (

@@ -158,6 +158,26 @@ class MlSpec extends AnyFunSuite {
     assert(pred === "a")
   }
 
+  test("kmeans recovers planted well-separated clusters") {
+    import spark.implicits._
+    // three tight clusters around far-apart centers; after two Lloyd
+    // rounds every planted cluster must be pure (one cell per cluster)
+    val pts = (0 until 30).map { i =>
+      val cluster = i % 3
+      val base = Array.fill(8)(cluster * 10.0f)
+      base(i % 8) += 0.01f * (i / 3) // small deterministic jitter
+      (i.toLong, base.toSeq, cluster)
+    }
+    val df = pts.map { case (id, v, c) => (id, v, c) }.toDF("vec_id", "embedding", "planted")
+    val (assigned, cents) = graft.ml.KMeans.fit(df, "vec_id", "embedding", k = 3, iters = 2)
+    val purity = assigned.join(df.select(col("vec_id"), col("planted")), "vec_id")
+      .groupBy("planted").agg(countDistinct("cell").as("cells"))
+    assert(purity.filter(col("cells") =!= 1).count() === 0, "planted cluster split across cells")
+    // and the three cells are distinct
+    assert(assigned.select("cell").distinct().count() === 3)
+    assert(cents.count() === 3)
+  }
+
   test("lookback context takes exactly min(window, group size) latest rows per group") {
     val ev = Tables.table(spark, dir, "events")
     val ctx = TimeSeries.lookbackContext(ev, col("user_id"), col("ts"), col("event_id"), 10)

@@ -164,6 +164,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-side scoring must join map-side:\n$plan")
   }
 
+  test("s07 kmeans: corpus assignment never sort-merges (centroids broadcast)") {
+    val plan = executedPlan("s07_kmeans")
+    assert(!plan.contains("SortMergeJoin"),
+      s"assignment must join against broadcast centroids:\n$plan")
+    assert(plan.contains("partial_"),
+      s"update step must map-side combine the dim sums:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

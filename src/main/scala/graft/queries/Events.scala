@@ -192,6 +192,25 @@ object Events extends QueryPack {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // the e03 LAST mechanics as pure SQL through the statement router
+    // (`WHERE ts > LAST` — context_controller.py:293-344): run 1 inits
+    // the watermark on the pre-split table, an INSERT lands the
+    // post-split rows, run 2 reads exactly the new increment
+    "e12_last_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE TABLE ev12 AS SELECT event_id, ts, event_type
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""")
+      val q = "SELECT event_id, ts, event_type FROM ev12 WHERE ts > LAST"
+      c.execute(q) // init: swallows history
+      c.execute("""INSERT INTO ev12 SELECT event_id, ts, event_type
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""")
+      c.execute(q)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_new"), min(col("ts")).as("first_new"))
+        .orderBy(col("event_type"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -207,6 +226,14 @@ object Events extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "e12_last_sql" -> """
+      SELECT event_type, COUNT(*) AS n_new,
+        CAST(MIN(ts) AS TIMESTAMP) AS first_new
+      FROM events
+      WHERE ts > (SELECT MAX(ts) FROM events
+                  WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+      GROUP BY event_type ORDER BY event_type""",
+
     "e11_stream_join" -> """
       WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
         FROM events WHERE event_type = 'click'),

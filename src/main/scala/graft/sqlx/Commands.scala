@@ -92,6 +92,8 @@ final class Commands(
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s+)?AS\s+(.+)""".r
   private val CreateTableCols =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(\s*(.+)\s*\)\s*""".r
+  private val LastQuery =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+([\w.]+)\s*>\s*LAST\b\s*(.*)""".r
   private val KbQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val ModelJoin =
@@ -133,6 +135,12 @@ final class Commands(
   /** user variables: `SET @x = …` / `SELECT @x`
     * (interfaces/variables/variables_controller.py) */
   private val userVars = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  /** `LAST` watermark store for incremental SQL, persisted beside the
+    * warehouse (same `.state` area as trigger checkpoints) so job
+    * restarts resume where they left off. */
+  private lazy val watermarks =
+    new graft.incremental.Watermarks(s"${warehouse.dir}/.state/watermarks")
 
   /** prepared-statement store (planner/query_prepare.py lifecycle:
     * prepare → execute-with-params → deallocate). Binding is server-side
@@ -544,6 +552,26 @@ final class Commands(
     case UseStmt(db) =>
       // USE: single-namespace engine — accepted for wire compatibility
       ok(s"using $db")
+
+    case LastQuery(sel, table, tsCol, rest) =>
+      // incremental `WHERE <ts> > LAST` (context_controller.py:293-344):
+      // first sight of a query initializes the watermark to the current
+      // max and yields the empty increment; later runs read strictly past
+      // the stored value and advance it. The context key is the
+      // normalized statement text, so each distinct query keeps its own
+      // watermark — the reference keys its query context the same way.
+      // Works inside CREATE JOB bodies (the job tick routes through
+      // run()), which is the reference's primary use.
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sql.trim.toLowerCase.replaceAll("\\s+", " ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val inc = watermarks.applyLast(
+        catalog.resolve(table, Some(warehouse)), tsCol, key)
+      val tv = s"__last_$key"
+      inc.createOrReplaceTempView(tv)
+      val out = spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
+      watermarks.advance(inc, tsCol, key)
+      out
 
     case KbQuery(name, where, lim) if catalog.kb(name).isDefined =>
       // SELECT * FROM <kb> WHERE <condition tree> — full boolean algebra

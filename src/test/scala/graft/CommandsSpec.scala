@@ -508,6 +508,25 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.catalog.activeVersion("nbspec") === 2)
   }
 
+  test("WHERE ts > LAST: init swallows history, later runs see only new rows") {
+    val c = fresh()
+    c.execute("""CREATE TABLE lastt AS
+      SELECT * FROM (VALUES (1, TIMESTAMP '2024-01-01 00:00:00'),
+                            (2, TIMESTAMP '2024-01-02 00:00:00')) AS t(id, ts)""")
+    val q = "SELECT id, ts FROM lastt WHERE ts > LAST ORDER BY id"
+    // run 1: watermark initializes to the current max → empty increment
+    assert(c.execute(q).count() === 0)
+    // run 2 with no new data: still empty
+    assert(c.execute(q).count() === 0)
+    c.execute("INSERT INTO lastt SELECT 3, TIMESTAMP '2024-01-03 00:00:00'")
+    val r3 = c.execute(q).collect()
+    assert(r3.map(_.getInt(0)).toSeq === Seq(3)) // only the new row
+    // run 4: the advance from run 3 hides row 3 now
+    assert(c.execute(q).count() === 0)
+    // a DIFFERENT query text keeps its own watermark context
+    assert(c.execute("SELECT id FROM lastt WHERE ts > LAST").count() === 0)
+  }
+
   test("user variables: SET @x / SELECT @x, separate from server vars") {
     val c = fresh()
     c.execute("SET @x = 'abc'")

@@ -325,6 +325,21 @@ object Kb {
     (ivfAssign(chunks, cents), cents)
   }
 
+  /** IVF with TRAINED centroids: two Lloyd rounds of graft.ml.KMeans over
+    * the chunk embeddings replace the lexicographic stand-in codebook.
+    * Same assignment/probe plan shape, tighter cells → better recall at
+    * the same nProbe. The quantized centroids scale back to the embedding
+    * range for the cosine assignment path. */
+  def ivfIndexTrained(chunks: DataFrame, nCent: Int): (DataFrame, DataFrame) = {
+    val (_, qCents) = graft.ml.KMeans.fit(
+      chunks.select(col("chunk_id"), col("emb")), "chunk_id", "emb", nCent, iters = 2)
+    val cents = broadcast(qCents
+      .select(col("cell").as("cent_id"),
+        transform(col("cv"),
+          x => x.cast(org.apache.spark.sql.types.DoubleType) / 1e7).as("cv")))
+    (ivfAssign(chunks, cents), cents)
+  }
+
   /** Assign each chunk to its nearest centroid — the ingest-time step of
     * the IVF index. Used by [[ivfIndex]] at build time AND by subsequent
     * ingests into an indexed KB, so new chunks land in the same cell

@@ -337,7 +337,12 @@ final class Commands(
       val p = Option(withParams).map(parseUsing).getOrElse(Map.empty)
       val nlist = p.get("nlist").map(_.toInt).getOrElse(8)
       val nprobe = p.get("nprobe").map(_.toInt).getOrElse(math.max(1, nlist / 4))
-      val (indexed, cents) = Kb.ivfIndex(warehouse.table(k.storage), nlist)
+      // trained=true swaps the lexicographic stand-in codebook for two
+      // Lloyd rounds of k-means over the chunk embeddings
+      val (indexed, cents) =
+        if (p.get("trained").exists(_.toBoolean))
+          Kb.ivfIndexTrained(warehouse.table(k.storage), nlist)
+        else Kb.ivfIndex(warehouse.table(k.storage), nlist)
       if (warehouse.exists(s"${k.storage}_cents")) warehouse.dropTable(s"${k.storage}_cents")
       warehouse.createTableAs(s"${k.storage}_cents", cents)
       warehouse.replace(k.storage, indexed, partitionBy = Seq("cell"))

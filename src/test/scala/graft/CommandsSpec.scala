@@ -409,6 +409,22 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE INDEX WITH (trained=true): k-means centroids, search still exact on self-query") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE tkb USING content_columns='text'")
+    c.execute("INSERT INTO tkb SELECT doc_id, text FROM documents WHERE doc_id < 60")
+    c.execute("CREATE INDEX ON KNOWLEDGE_BASE tkb WITH (nlist=4, nprobe=2, trained=true)")
+    assert(c.warehouse.partitionColumn("__kb_tkb") === Some("cell"))
+    // trained centroids: every chunk assigned, cells within nlist
+    val cells = c.warehouse.table("__kb_tkb").select("cell").distinct().count()
+    assert(cells >= 1 && cells <= 4)
+    // a verbatim chunk text query must find its own chunk in the probed cells
+    val text = c.warehouse.table("__kb_tkb").select("chunk_id", "content")
+      .orderBy("chunk_id").first().getString(1).replace("'", "")
+    val hits = c.execute(s"SELECT * FROM tkb WHERE content = '$text' LIMIT 3").collect()
+    assert(hits.nonEmpty)
+  }
+
   test("SHOW breadth: warnings empty, charset/collation/handlers/table status populated") {
     val c = fresh()
     assert(c.execute("SHOW WARNINGS").count() === 0)

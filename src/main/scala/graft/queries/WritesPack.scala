@@ -264,6 +264,27 @@ object WritesPack extends QueryPack {
         .orderBy(col("kind"), col("name"))
     }),
 
+    // DESCRIBE MODEL attribute access (command_executor.py:931-966):
+    // .info / .features / .model each return their deterministic frame
+    "c09_describe_model" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE MODEL dm_c09 PREDICT score USING
+        features='l_quantity,l_discount', weights='0.5,2.0', bias=1.25""")
+      val rows =
+        c.execute("DESCRIBE MODEL dm_c09.info").collect()
+          .map(r => Row("info", r.getString(0), r.getString(1))) ++
+        c.execute("DESCRIBE MODEL dm_c09.features").collect()
+          .map(r => Row("features", r.getString(0), r.getString(1))) ++
+        c.execute("DESCRIBE MODEL dm_c09.1.model").collect()
+          .map(r => Row("model", r.getString(0), r.getString(1)))
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toSeq, 1),
+        StructType(Seq(StructField("attr", StringType, nullable = false),
+          StructField("part", StringType, nullable = false),
+          StructField("value", StringType, nullable = false))))
+        .orderBy(col("attr"), col("part"), col("value"))
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -380,6 +401,21 @@ object WritesPack extends QueryPack {
         ('database','information_schema|system'),('database','proj_c07|project'),
         ('project','graft'),('project','proj_c07')) AS t(kind, name)
       ORDER BY kind, name""",
+
+    "c09_describe_model" -> """
+      SELECT * FROM (VALUES
+        ('features','l_discount','feature'),
+        ('features','l_quantity','feature'),
+        ('features','score','target'),
+        ('info','active_version','1'),
+        ('info','engine','fit'),
+        ('info','n_versions','1'),
+        ('info','name','dm_c09'),
+        ('info','predict','score'),
+        ('model','bias','1.25'),
+        ('model','weight_l_discount','2.0'),
+        ('model','weight_l_quantity','0.5')) AS t(attr, part, value)
+      ORDER BY attr, part, value""",
 
     "c04_info_columns_sql" -> """
       SELECT * FROM (VALUES

@@ -81,7 +81,8 @@ final class Commands(
   private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
   private val SetStmt = """(?is)\s*SET\s+(?:SESSION\s+)?(@?@?)([\w.]+)\s*=\s*(.+?)\s*""".r
   private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
-  private val DescribeModel = """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)\s*""".r
+  private val DescribeModel =
+    """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)(?:\.(\d+))?(?:\.(\w+))?\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val UpdateStmt =
@@ -487,8 +488,40 @@ final class Commands(
       kv("table", "create_table",
         Seq(name -> s"CREATE TABLE `$name` (\n$ddl\n)"))
 
-    case DescribeModel(name) =>
-      catalog.metaModels().filter(col("name") === name)
+    case DescribeModel(name, versionO, attrO) =>
+      // DESCRIBE MODEL name[.version][.attribute] — attribute access per
+      // the reference's describe_model (command_executor.py:931-966,
+      // model_controller.describe_model): info / features / model
+      require(catalog.listModels().contains(name), s"model $name does not exist")
+      val m = Option(versionO).fold(catalog.model(name))(v => catalog.model(name, v.toInt))
+      def two(rows: Seq[(String, String)]): DataFrame = kv("part", "value", rows)
+      Option(attrO).map(_.toLowerCase) match {
+        case None => catalog.metaModels().filter(col("name") === name)
+        case Some("info") => two(Seq(
+          "name" -> name,
+          "engine" -> (m match {
+            case _: graft.ml.NaiveBayes.NbModel => "naive_bayes"
+            case _ => "fit"
+          }),
+          "active_version" -> catalog.activeVersion(name).toString,
+          "n_versions" -> catalog.modelVersions(name).length.toString,
+          "predict" -> m.outputSchema.fields.map(_.name).mkString(",")))
+        case Some("features") => kv("column_name", "role",
+          m.featureCols.map(_ -> "feature") ++
+            m.outputSchema.fields.map(_.name -> "target"))
+        case Some("model") => m match {
+          case lm: LinearModel => two(
+            lm.featureCols.zip(lm.weights).map { case (f, w) => s"weight_$f" -> w.toString } :+
+              ("bias" -> lm.bias.toString))
+          case nb: graft.ml.NaiveBayes.NbModel => two(Seq(
+            "classes" -> nb.priorRows.map(_.getString(0)).sorted.mkString(","),
+            "vocab_terms" -> nb.llRows.map(_.getString(1)).distinct.length.toString,
+            "text_column" -> nb.textCol))
+          case other => two(Seq("engine_model" -> other.getClass.getSimpleName))
+        }
+        case Some(a) =>
+          throw new IllegalArgumentException(s"unknown describe attribute: $a")
+      }
     case DescribeStmt(name) => catalog.describe(name, Some(warehouse))
     case AnalyzeStmt(name) =>
       // data-catalog statistics (interfaces/data_catalog/, base.py:178-341):

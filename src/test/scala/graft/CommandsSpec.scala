@@ -524,6 +524,28 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.catalog.activeVersion("nbspec") === 2)
   }
 
+  test("DESCRIBE MODEL attributes: info/features/model, NB engine, version addressing, errors") {
+    val c = fresh()
+    c.execute("""CREATE MODEL dmod PREDICT s USING
+      features='l_quantity', weights='0.5', bias=1.0""")
+    assert(c.execute("DESCRIBE MODEL dmod.info").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.apply("engine") === "fit")
+    assert(c.execute("DESCRIBE MODEL dmod.features").count() === 2) // feature + target
+    assert(c.execute("DESCRIBE MODEL dmod.1.model").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.apply("bias") === "1.0")
+    c.execute("""CREATE MODEL dnb FROM (
+        SELECT text, lang FROM documents WHERE doc_id < 50)
+      PREDICT lang USING engine='naive_bayes', features='text'""")
+    val nbInfo = c.execute("DESCRIBE MODEL dnb.info").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(nbInfo("engine") === "naive_bayes" && nbInfo("predict") === "pred_lang")
+    val nbModel = c.execute("DESCRIBE MODEL dnb.model").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(nbModel("classes").split(",").toSet.subsetOf(Set("en", "de", "fr", "es", "zh")))
+    intercept[IllegalArgumentException] { c.execute("DESCRIBE MODEL dmod.nope") }
+    intercept[Exception] { c.execute("DESCRIBE MODEL missing_model.info") }
+  }
+
   test("WHERE ts > LAST: init swallows history, later runs see only new rows") {
     val c = fresh()
     c.execute("""CREATE TABLE lastt AS

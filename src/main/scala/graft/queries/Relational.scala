@@ -432,9 +432,14 @@ object Relational extends QueryPack {
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
-      val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      // two-level agg instead of two count-distincts: the distinct pairs
+      // collapse first (map-side combinable), so no Expand doubles the
+      // joined lineitem
+      val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("supp_late"))
+        .groupBy(col("g_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
       li.filter(col("late"))
         .join(perOrder, col("l_orderkey") === col("g_orderkey"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)

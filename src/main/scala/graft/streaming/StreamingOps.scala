@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.StructType
   * `Trigger.AvailableNow` into a memory sink — swap source/sink/trigger
   * for a production deployment; the transform is identical.
   */
+/** flat per-user state record for [[StreamingOps.userProfiles]] */
+final case class UserProfile(n: Long, total: Double, lastTs: Long)
+
 object StreamingOps {
 
   /** `sourceDir` must be a DIRECTORY of parquet files (file-stream
@@ -82,6 +85,41 @@ object StreamingOps {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("click_id"), col("user_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Custom per-key state via flatMapGroupsWithState: a running per-user
+    * profile (event count, total value, last-seen micros) maintained as
+    * explicit GroupState — the escape hatch for state machines windowed
+    * aggregation can't express. Emits the updated profile once per user
+    * per micro-batch; state lives keyed by user, so at 100 TB the state
+    * store scales with |users|, not |events|, and the state class is a
+    * flat case class (compact, codegen-friendly encoder). Event-time
+    * timeout would bound state for churned keys in a production deploy;
+    * the batch twin (plain groupBy) is asserted equal by StreamingSpec. */
+  def userProfiles(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = stream(spark, sourceDir, schema)
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("value").as[Double])
+    src.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[UserProfile]) => {
+          val prev = state.getOption.getOrElse(UserProfile(0L, 0.0, Long.MinValue))
+          var n = prev.n; var total = prev.total; var lastTs = prev.lastTs
+          rows.foreach { case (_, ts, v) =>
+            n += 1L
+            total += v
+            if (ts > lastTs) lastTs = ts
+          }
+          val next = UserProfile(n, total, lastTs)
+          state.update(next)
+          Iterator((user, next.n, next.total, next.lastTs))
+        })
+      .toDF("user_id", "n_events", "total_value", "last_seen_us")
   }
 
   /** Run a streaming frame to completion into an in-memory table and

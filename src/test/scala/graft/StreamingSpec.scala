@@ -74,6 +74,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("flatMapGroupsWithState user profiles == batch per-user aggregates") {
+    val streamed = StreamingOps.drainToMemory(
+      StreamingOps.userProfiles(spark, streamDir, rawSchema), "s_prof", "append")
+    val batch = Tables.table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+        max(unix_micros(col("ts"))).as("last_seen_us"))
+    assert(streamed.count() === batch.count())
+    val j = streamed.alias("s").join(batch.alias("b"), "user_id")
+    assert(j.filter(col("s.n_events") =!= col("b.n_events") ||
+      col("s.last_seen_us") =!= col("b.last_seen_us")).count() === 0)
+    // double totals: same addends in different order → compare rounded
+    assert(j.filter(
+      abs(col("s.total_value") - col("b.total_value")) > 1e-6).count() === 0)
+  }
+
   test("streaming dedup of a replayed source emits each event_id exactly once") {
     import spark.implicits._
     // stage the events file TWICE — an at-least-once source where every

@@ -403,6 +403,33 @@ object TextOps extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Corpus vocabulary statistics: the token-frequency pass every LM
+    // data pipeline runs before tokenizer training / Zipf sanity checks.
+    // One explode + one hash aggregation (map-side combinable); the
+    // result is vocabulary-sized. Reports the top-10 tokens with ranks
+    // plus corpus-level type/token counts and the hapax (frequency-1)
+    // share of the vocabulary.
+    "t17_vocab_stats" -> ((s, dir) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val tf = t(s, dir, "documents")
+        .select(explode(toks).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val totals = tf.agg(
+        sum(col("tf")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      val top = tf.orderBy(col("tf").desc, col("tok")).limit(10)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("tf").desc, col("tok"))))
+      top.crossJoin(broadcast(totals))
+        .select(col("rank"), col("tok"), col("tf"),
+          round(col("tf").cast(DoubleType) / col("n_tokens"), 6).as("tok_share"),
+          col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_hapax").cast(DoubleType) / col("n_types"), 6).as("hapax_ratio"))
+        .orderBy(col("rank"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -444,6 +471,25 @@ object TextOps extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "t17_vocab_stats" -> """
+      WITH tf AS (
+        SELECT tok, COUNT(*) AS tf FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+          FROM documents)
+        GROUP BY tok),
+      totals AS (
+        SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+          CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM tf),
+      top AS (
+        SELECT tok, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rank
+        FROM tf ORDER BY tf DESC, tok LIMIT 10)
+      SELECT CAST(rank AS INTEGER) AS rank, tok, tf,
+        ROUND(CAST(tf AS DOUBLE) / n_tokens, 6) AS tok_share,
+        n_tokens, n_types, n_hapax,
+        ROUND(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+      FROM top, totals ORDER BY rank""",
+
     "t16_c4_filters" -> """
       WITH flags AS (
         SELECT doc_id, source,

@@ -22,4 +22,30 @@ object Agents {
   def answer(questions: DataFrame, questionCol: String,
       complete: Column => Column = AiFunctions.llm): DataFrame =
     questions.withColumn("answer", complete(col(questionCol)))
+
+  /** Retrieval-augmented agent: each distinct question retrieves its
+    * top-1 chunk from a linked knowledge base (the k02 scan shape —
+    * questions BROADCAST against the chunk store, one window argmin per
+    * question) and the completion runs over question + retrieved context.
+    * Reference: `CREATE AGENT … USING data = {knowledge_bases: […]}`
+    * (agents_controller.py:33-52 check_agent_data / AgentParamsData; the
+    * SQL agent mode answers from the linked KBs). Questions with no
+    * retrievable context (empty KB) complete with empty context rather
+    * than vanishing. */
+  def answerWithKb(questions: DataFrame, questionCol: String, chunks: DataFrame,
+      complete: Column => Column = AiFunctions.llm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = questions.select(col(questionCol).as("__q")).distinct()
+      .withColumn("__q_emb", graft.kb.Kb.embed(col("__q")))
+    val w = Window.partitionBy(col("__q")).orderBy(col("__dist"), col("chunk_id"))
+    val top1 = chunks.crossJoin(broadcast(qs))
+      .withColumn("__dist", round(lit(1.0) -
+        graft.functions.VectorFunctions.cosineSim(col("emb"), col("__q_emb")), 4))
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col("__q"), col("content").as("__ctx"))
+    questions.join(broadcast(top1), questions(questionCol) === col("__q"), "left")
+      .withColumn("answer",
+        complete(concat(col(questionCol), lit(" ctx: "), coalesce(col("__ctx"), lit("")))))
+      .drop("__q", "__ctx")
+  }
 }

@@ -185,6 +185,19 @@ object KbPack extends QueryPack {
       c.execute(s"SELECT * FROM kbx WHERE content = '$QueryA' LIMIT 10")
         .select(col("chunk_id"), col("doc_id"), col("relevance"))
         .orderBy(col("relevance").desc, col("chunk_id"))
+    }),
+
+    // retrieval-augmented agent: CREATE AGENT linked to a KB answers
+    // from its top retrieved chunk (agents data={knowledge_bases:[…]},
+    // agents_controller.py:33-52)
+    "a03_agent_rag" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE KNOWLEDGE BASE ragkb USING content_columns='text'")
+      c.execute("""INSERT INTO ragkb SELECT doc_id, text, lang, source
+        FROM documents WHERE doc_id < 20""")
+      c.execute("CREATE AGENT raga USING model='default', knowledge_bases='ragkb'")
+      c.execute("SELECT question, answer FROM raga WHERE question = 'table scan strategy'")
     })
   )
 
@@ -219,6 +232,16 @@ object KbPack extends QueryPack {
   private def sq(s: String) = "'" + s.replace("'", "''") + "'"
 
   def oracles: Map[String, String] = Map(
+    "a03_agent_rag" -> s"""${oPrefixWhere("WHERE doc_id < 20")},
+      qv AS (SELECT ${oEmbed(sq("table scan strategy"))} AS q),
+      scored AS (SELECT chunk_id, content,
+        ROUND(1.0-(${oCos("q")}), 4) AS dist FROM emb, qv),
+      top1 AS (SELECT content FROM scored ORDER BY dist, chunk_id LIMIT 1),
+      p AS (SELECT 'table scan strategy ctx: ' || content AS prompt FROM top1)
+      SELECT 'table scan strategy' AS question,
+        'LLM[' || substr(md5(prompt), 1, 8) || ']: ' || upper(substr(prompt, 1, 24)) AS answer
+      FROM p""",
+
 
     "k01_kb_chunk_ingest" -> s"""$oPrefix
       SELECT chunk_id, doc_id, chunk_ix, n_chunks, start_c, end_c, content, lang, source

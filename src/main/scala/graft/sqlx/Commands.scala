@@ -642,8 +642,16 @@ final class Commands(
       val q = """(?is)\s*question\s*=\s*'([^']*)'\s*""".r
       where match {
         case q(text) =>
-          val df = graft.ml.Agents.answer(
-            spark.range(1).select(lit(text).as("question")), "question")
+          val questions = spark.range(1).select(lit(text).as("question"))
+          // an agent linked to a knowledge base answers retrieval-
+          // augmented (agents data={knowledge_bases:[…]}); others
+          // complete directly
+          val df = catalog.agent(name).get.params.get("knowledge_bases")
+            .flatMap(kbName => catalog.kb(kbName.split(",").head.trim)) match {
+            case Some(k) if warehouse.exists(k.storage) =>
+              graft.ml.Agents.answerWithKb(questions, "question", warehouse.table(k.storage))
+            case _ => graft.ml.Agents.answer(questions, "question")
+          }
           val tv = s"__agent_$name"
           df.createOrReplaceTempView(tv)
           spark.sql(s"SELECT $sel FROM $tv")

@@ -172,6 +172,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"update step must map-side combine the dim sums:\n$plan")
   }
 
+  test("q41 waiting-supplier: two-level agg, no Expand over the join") {
+    val plan = executedPlan("q41_waiting_supplier")
+    assert(!plan.contains("Expand"),
+      s"count-distinct Expand is back — use the two-level aggregation:\n$plan")
+    assert(plan.contains("partial_"), s"per-order counts must map-side combine:\n$plan")
+  }
+
+  test("t17 vocab stats: token counts partial-aggregate, top-k is TakeOrdered") {
+    val plan = executedPlan("t17_vocab_stats")
+    assert(plan.contains("partial_"), s"token counts must map-side combine:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 must be TakeOrdered:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -93,6 +93,8 @@ final class Commands(
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s+)?AS\s+(.+)""".r
   private val CreateTableCols =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(\s*(.+)\s*\)\s*""".r
+  private val LogHistoryQuery =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\s*(.*)""".r
   private val LastQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+([\w.]+)\s*>\s*LAST\b\s*(.*)""".r
   private val KbQuery =
@@ -590,6 +592,22 @@ final class Commands(
     case UseStmt(db) =>
       // USE: single-namespace engine — accepted for wire compatibility
       ok(s"using $db")
+
+    case LogHistoryQuery(sel, rest) =>
+      // `SELECT … FROM log.jobs_history` (jobs_controller.py:330-353):
+      // per-run rows from the scheduler's history buffer
+      val rows = jobs.history.map(r => Row(r.job,
+        java.sql.Timestamp.from(r.at), r.ok, r.error.orNull)).toSeq
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("run_at", org.apache.spark.sql.types.TimestampType, nullable = false),
+          StructField("ok", org.apache.spark.sql.types.BooleanType, nullable = false),
+          StructField("error", StringType))))
+      val tv = "__jobs_history"
+      df.createOrReplaceTempView(tv)
+      spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 
     case LastQuery(sel, table, tsCol, rest) =>
       // incremental `WHERE <ts> > LAST` (context_controller.py:293-344):

@@ -524,6 +524,18 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.catalog.activeVersion("nbspec") === 2)
   }
 
+  test("log.jobs_history: per-run rows queryable with WHERE/ORDER") {
+    val c = fresh()
+    c.execute("CREATE JOB hjob AS (SELECT count(*) FROM region) EVERY 1 hour")
+    c.execute("CREATE JOB hbad AS (SELECT * FROM no_such_table_xyz) EVERY 1 hour")
+    c.jobs.tick(java.time.Instant.now())
+    val all = c.execute("SELECT name, ok FROM log.jobs_history ORDER BY name").collect()
+    assert(all.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+      Seq(("hbad", false), ("hjob", true)))
+    assert(c.execute(
+      "SELECT error FROM log.jobs_history WHERE name = 'hbad'").first().getString(0) != null)
+  }
+
   test("DESCRIBE MODEL attributes: info/features/model, NB engine, version addressing, errors") {
     val c = fresh()
     c.execute("""CREATE MODEL dmod PREDICT s USING

@@ -430,6 +430,25 @@ object TextOps extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // Stratified train/val/test split: within each language stratum,
+    // docs land in 80/10/10 splits by deterministic md5-hash thresholds —
+    // the same doc goes to the same split on every run, engine, and
+    // cluster size (no RNG state, the t13 sampling discipline). Narrow
+    // map + one rollup shuffle; the split column composes with any
+    // downstream pipeline stage.
+    "t18_stratified_split" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(col("lang"), lit(":"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast(LongType) % 100
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -471,6 +490,18 @@ object TextOps extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "t18_stratified_split" -> """
+      WITH s AS (
+        SELECT lang, doc_id, n_chars,
+          CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT lang, doc_id, n_chars,
+          ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+          FROM documents))
+      SELECT lang, split, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM s GROUP BY lang, split ORDER BY lang, split""",
+
     "t17_vocab_stats" -> """
       WITH tf AS (
         SELECT tok, COUNT(*) AS tf FROM (

@@ -38,9 +38,9 @@ final class Commands(
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
   private val DropView = """(?is)\s*DROP\s+VIEW\s+(\w+)\s*""".r
   private val CreateModelFit =
-    """(?is)\s*CREATE\s+MODEL\s+(\w+)\s+FROM\s+\((.+)\)\s+PREDICT\s+(\w+)\s+USING\s+(.+?)\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+FROM\s+\((.+)\)\s+PREDICT\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val CreateModel =
-    """(?is)\s*CREATE\s+MODEL\s+(\w+)\s+PREDICT\s+(\w+)\s+USING\s+features\s*=\s*'([^']+)'\s*,\s*weights\s*=\s*'([^']+)'\s*,\s*bias\s*=\s*([-\d.]+)\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+PREDICT\s+(\w+)\s+USING\s+features\s*=\s*'([^']+)'\s*,\s*weights\s*=\s*'([^']+)'\s*,\s*bias\s*=\s*([-\d.]+)\s*""".r
   private val RetrainStmt = """(?is)\s*RETRAIN\s+(?:MODEL\s+)?(\w+)\s*""".r
   private val FinetuneStmt =
     """(?is)\s*FINETUNE\s+(?:MODEL\s+)?(\w+)\s+FROM\s+\((.+)\)\s*""".r
@@ -185,7 +185,15 @@ final class Commands(
     case DropView(name) =>
       catalog.dropView(name); ok(s"view $name dropped")
 
-    case CreateModelFit(name, trainSql, target, using) =>
+    case CreateModelFit(orReplace, ifNot, name, trainSql, target, using) =>
+      // CREATE [OR REPLACE] MODEL [IF NOT EXISTS]: replace retrains in
+      // place, if-not-exists is a no-op on conflict, bare CREATE on an
+      // existing name errors (reference model lifecycle)
+      if (catalog.listModels().contains(name)) {
+        if (ifNot != null) return ok(s"model $name already exists")
+        require(orReplace != null, s"model $name already exists")
+        catalog.dropModel(name)
+      }
       val p = parseUsing(using)
       p.get("engine") match {
         case Some("naive_bayes") =>
@@ -214,7 +222,12 @@ final class Commands(
           catalog.createModel(m, st, Some(trainer), Some(spec))
           ok(s"model $name trained (version 1)")
       }
-    case CreateModel(name, target, feats, weights, bias) =>
+    case CreateModel(orReplace, ifNot, name, target, feats, weights, bias) =>
+      if (catalog.listModels().contains(name)) {
+        if (ifNot != null) return ok(s"model $name already exists")
+        require(orReplace != null, s"model $name already exists")
+        catalog.dropModel(name)
+      }
       catalog.createModel(LinearModel(name,
         feats.split(",").map(_.trim).toSeq,
         weights.split(",").map(_.trim.toDouble).toSeq,

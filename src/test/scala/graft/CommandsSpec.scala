@@ -524,6 +524,18 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.catalog.activeVersion("nbspec") === 2)
   }
 
+  test("CREATE MODEL conflict semantics: bare errors, IF NOT EXISTS skips, OR REPLACE retrains") {
+    val c = fresh()
+    c.execute("CREATE MODEL cm PREDICT s USING features='l_quantity', weights='1.0', bias=0.0")
+    intercept[IllegalArgumentException] {
+      c.execute("CREATE MODEL cm PREDICT s USING features='l_quantity', weights='9.0', bias=9.0")
+    }
+    c.execute("CREATE MODEL IF NOT EXISTS cm PREDICT s USING features='l_quantity', weights='9.0', bias=9.0")
+    assert(c.catalog.model("cm").asInstanceOf[graft.ml.LinearModel].bias === 0.0) // unchanged
+    c.execute("CREATE OR REPLACE MODEL cm PREDICT s USING features='l_quantity', weights='9.0', bias=9.0")
+    assert(c.catalog.model("cm").asInstanceOf[graft.ml.LinearModel].bias === 9.0) // replaced
+  }
+
   test("log.jobs_history: per-run rows queryable with WHERE/ORDER") {
     val c = fresh()
     c.execute("CREATE JOB hjob AS (SELECT count(*) FROM region) EVERY 1 hour")

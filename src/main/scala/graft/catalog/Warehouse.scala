@@ -49,6 +49,26 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
   }
 
+  /** Bucketed CTAS: hash-bucket the table on `bucketCol` into `n`
+    * buckets (sorted within buckets). Bucketing is THE co-located-join
+    * primitive at 100 TB — two tables bucketed on their join keys with
+    * the same bucket count sort-merge join with ZERO exchange on either
+    * side. Spark tracks bucket metadata in the session catalog, so the
+    * table is written via saveAsTable with an explicit LOCATION under
+    * this warehouse and must be read back with [[bucketedTable]]
+    * (`spark.table`), not the path-based reader. */
+  def createBucketedTableAs(name: String, df: DataFrame,
+      bucketCol: String, n: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode("overwrite")
+      .option("path", path(name))
+      .bucketBy(n, bucketCol).sortBy(bucketCol)
+      .saveAsTable(name)
+  }
+
+  def bucketedTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
+    spark.table(name)
+
   /** single-level partition column, detected from the hive-style dir
     * layout (`col=value` subdirectories). */
   def partitionColumn(name: String): Option[String] =

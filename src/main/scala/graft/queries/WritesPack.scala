@@ -172,6 +172,25 @@ object WritesPack extends QueryPack {
         ORDER BY table_name, ordinal_position""")
     }),
 
+    // Bucketed co-located join: both sides bucketed on the join key with
+    // the same bucket count → the sort-merge join needs NO exchange on
+    // either side (PlanShapeSpec asserts the plan). THE shuffle
+    // eliminator for repeated big-big joins at 100 TB.
+    "w06_bucketed_join" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE orders_b CLUSTERED BY (o_orderkey) INTO 8 BUCKETS AS
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""")
+      c.execute("""CREATE TABLE lineitem_b CLUSTERED BY (l_orderkey) INTO 8 BUCKETS AS
+        SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem""")
+      s.table("orders_b")
+        .join(s.table("lineitem_b").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          Parity.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Data catalog: the reference's DataCatalogRetriever assembles
     // tables + columns + column statistics into one metadata view for
     // LLM/agent consumption (data_catalog_retriever.py:46-72). Here the
@@ -401,6 +420,12 @@ object WritesPack extends QueryPack {
         ('database','information_schema|system'),('database','proj_c07|project'),
         ('project','graft'),('project','proj_c07')) AS t(kind, name)
       ORDER BY kind, name""",
+
+    "w06_bucketed_join" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n_lines,
+        ${oSum("l_extendedprice")} AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "c09_describe_model" -> """
       SELECT * FROM (VALUES

@@ -89,6 +89,8 @@ final class Commands(
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
   private val DeleteStmt =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
+  private val CtasBucketed =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+CLUSTERED\s+BY\s*\(\s*(\w+)\s*\)\s+INTO\s+(\d+)\s+BUCKETS\s+AS\s+(.+)""".r
   private val Ctas =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s+)?AS\s+(.+)""".r
   private val CreateTableCols =
@@ -384,6 +386,13 @@ final class Commands(
       ok(s"project $name created")
     case DropProject(name) =>
       catalog.dropDatabase(name); ok(s"project $name dropped")
+
+    case CtasBucketed(name, bucketCol, n, body) =>
+      // CREATE TABLE … CLUSTERED BY (col) INTO n BUCKETS AS …: the
+      // co-located-join layout (same bucket count + key on both sides →
+      // exchange-free sort-merge joins)
+      warehouse.createBucketedTableAs(name, run(body), bucketCol, n.toInt)
+      ok(s"bucketed table $name created ($n buckets on $bucketCol)")
 
     case Ctas(name, partCols, body) =>
       warehouse.createTableAs(name, run(body), overwrite = true,
@@ -907,7 +916,12 @@ final class Commands(
       graft.engine.Tables.table(spark, catalog.sfDir, n).createOrReplaceTempView(n)
     }
     warehouse.listTables().filterNot(_.startsWith("__kb_")).foreach { n =>
-      warehouse.table(n).createOrReplaceTempView(n)
+      // a bucketed table lives in the session catalog (bucket metadata
+      // only exists there); a path-based temp view would shadow it and
+      // silently drop the bucket layout ("default" scoping skips temp
+      // views so plain tables still refresh their registration)
+      if (!spark.catalog.tableExists("default", n))
+        warehouse.table(n).createOrReplaceTempView(n)
     }
     catalog.listKbs().foreach { n =>
       catalog.kb(n).filter(k => warehouse.exists(k.storage)).foreach { k =>

@@ -185,6 +185,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-10 must be TakeOrdered:\n$plan")
   }
 
+  test("w06 bucketed join: sort-merge with ZERO exchange on either side") {
+    val plan = executedPlan("w06_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), s"expected a merge join:\n$plan")
+    // the only exchange allowed is the post-join aggregation shuffle;
+    // neither JOIN INPUT may re-shuffle — bucket layout carries the
+    // partitioning. SMJ inputs appear before the join node reads its
+    // children, so assert no hashpartitioning on the join keys at all.
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not re-shuffle its inputs:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

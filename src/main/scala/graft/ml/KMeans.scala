@@ -71,4 +71,44 @@ object KMeans {
     while (i < iters) { cents = update(assign(vecs, cents)); i += 1 }
     (assign(vecs, cents).drop("v"), cents)
   }
+
+  /** Train and package as a catalog model (`CREATE MODEL … USING
+    * engine='kmeans'`): centroids collect at train time (k×d longs —
+    * driver-safe by construction) and rebuild as a broadcast frame per
+    * apply. */
+  def trained(name: String, train: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): KmModel = {
+    val (_, cents) = fit(train, idCol, vecCol, k, iters)
+    KmModel(name, vecCol, cents.collect().toSeq)
+  }
+
+  private val centSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cv",
+      org.apache.spark.sql.types.ArrayType(LongType))))
+
+  /** Trained k-means in the model catalog: applying the model assigns
+    * each row's vector to its nearest centroid (`cell` column). Same
+    * row-id join-back discipline as the other FrameModels. */
+  final case class KmModel(
+      name: String,
+      vecCol: String,
+      centRows: Seq[org.apache.spark.sql.Row]) extends FrameModel {
+    def featureCols: Seq[String] = Seq(vecCol)
+    def outputSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType)))
+    def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(centRows, 1), centSchema)
+      val rid = Predict.RowIdCol
+      val withId = df.withColumn(rid, monotonically_increasing_id())
+      val assigned = KMeans.assign(
+        withId.select(col(rid).as("vec_id"), quantize(col(vecCol)).as("v")), cents)
+        .select(col("vec_id").as(rid), col("cell"))
+      withId.join(assigned, Seq(rid), "left").drop(rid)
+    }
+  }
 }

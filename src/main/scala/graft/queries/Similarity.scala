@@ -105,6 +105,21 @@ object Similarity extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // the s07 clustering through the SQL model lifecycle: CREATE MODEL
+    // engine='kmeans', applied via SELECT … JOIN <model> — trained
+    // centroids collected once, assignment broadcast per apply
+    "m15_kmeans_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL km15 FROM (
+          SELECT vec_id, embedding FROM embeddings)
+        PREDICT cell USING engine='kmeans', features='embedding',
+          id_column='vec_id', k='8', iterations='2'""")
+      c.execute("""SELECT vec_id, label, cell
+        FROM (SELECT vec_id, label, embedding FROM embeddings)
+        JOIN km15 ORDER BY vec_id""")
+    }),
+
     "s06_quantized_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       val scale = broadcast(e.agg(
@@ -229,6 +244,24 @@ object Similarity extends QueryPack {
         GROUP BY cell)"""
 
   def oracles: Map[String, String] = Map(
+    // the same unrolled Lloyd rounds as s07; the SQL lifecycle must land
+    // every vector in the identical cell
+    "m15_kmeans_sql" -> s"""
+      WITH v AS (
+        SELECT vec_id, label,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1e7 + 0.5) AS BIGINT)) AS v
+        FROM embeddings),
+      c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell, v AS cv
+        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)),
+      ${oKmeansRound("c0", "a0", "c1")},
+      ${oKmeansRound("c1", "a1", "c2")},
+      ${oKmeansRound("c2", "a2", "c3")}
+      SELECT a2.vec_id, v.label, CAST(a2.cell AS INTEGER) AS cell
+      FROM a2 JOIN v USING (vec_id)
+      ORDER BY a2.vec_id""",
+
     "s07_kmeans" -> s"""
       WITH v AS (
         SELECT vec_id, label,

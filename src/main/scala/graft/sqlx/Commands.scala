@@ -198,6 +198,21 @@ final class Commands(
       }
       val p = parseUsing(using)
       p.get("engine") match {
+        case Some("kmeans") =>
+          // clustering engine: PREDICT names the assignment column
+          // contract (always emitted as `cell`); features names the
+          // vector column, id_column the deterministic-init key
+          val vecCol = p.getOrElse("features", "embedding").split(",").head.trim
+          val idCol = p.getOrElse("id_column", "vec_id")
+          val k = p.getOrElse("k", "8").toInt
+          val iters = p.getOrElse("iterations", "2").toInt
+          val trainer = () => {
+            val m = graft.ml.KMeans.trained(name, run(trainSql), idCol, vecCol, k, iters)
+            (m: graft.ml.Model, Option.empty[Fit.Stats])
+          }
+          val (m, st) = trainer()
+          catalog.createModel(m, st, Some(trainer), None)
+          ok(s"model $name trained (version 1)")
         case Some("naive_bayes") =>
           // classification engine: CREATE MODEL … PREDICT <label> USING
           // engine='naive_bayes', features='<text column>' — the
@@ -525,6 +540,7 @@ final class Commands(
           "name" -> name,
           "engine" -> (m match {
             case _: graft.ml.NaiveBayes.NbModel => "naive_bayes"
+            case _: graft.ml.KMeans.KmModel => "kmeans"
             case _ => "fit"
           }),
           "active_version" -> catalog.activeVersion(name).toString,
@@ -541,6 +557,11 @@ final class Commands(
             "classes" -> nb.priorRows.map(_.getString(0)).sorted.mkString(","),
             "vocab_terms" -> nb.llRows.map(_.getString(1)).distinct.length.toString,
             "text_column" -> nb.textCol))
+          case km: graft.ml.KMeans.KmModel => two(Seq(
+            "k" -> km.centRows.length.toString,
+            "dims" -> km.centRows.headOption
+              .map(_.getSeq[Long](1).length.toString).getOrElse("0"),
+            "vector_column" -> km.vecCol))
           case other => two(Seq("engine_model" -> other.getClass.getSimpleName))
         }
         case Some(a) =>

@@ -179,4 +179,29 @@ class PropertySpec extends AnyFunSuite {
       store.get(id).contains(values.max)
     })
   }
+
+  test("kmeans assignments are bit-identical under any input partitioning") {
+    val e = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Int] = {
+      val (a, _) = graft.ml.KMeans.fit(df, "vec_id", "embedding", k = 5, iters = 2)
+      a.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    val base = cells(e.coalesce(1))
+    assert(cells(e.repartition(7)) === base)
+    assert(cells(e.repartition(32, col("label"))) === base)
+  }
+
+  test("naive bayes predictions are identical under any input partitioning") {
+    val docs = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    def preds(train: org.apache.spark.sql.DataFrame,
+        score: org.apache.spark.sql.DataFrame): Map[Long, String] = {
+      val (p, l) = graft.ml.NaiveBayes.train(train, "text", "lang")
+      graft.ml.NaiveBayes.predict(score, "text", "doc_id", p, l)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val train = docs.filter(col("doc_id") < 40)
+    val score = docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    val base = preds(train.coalesce(1), score.coalesce(1))
+    assert(preds(train.repartition(11), score.repartition(13)) === base)
+  }
 }

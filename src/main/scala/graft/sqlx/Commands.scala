@@ -46,7 +46,7 @@ final class Commands(
     """(?is)\s*FINETUNE\s+(?:MODEL\s+)?(\w+)\s+FROM\s+\((.+)\)\s*""".r
   private val DropModel = """(?is)\s*DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateJob =
-    """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s*\(\s*(.+?)\s*\)\s+EVERY\s+(.+?)\s*""".r
+    """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s*\(\s*(.+?)\s*\)\s+EVERY\s+([\w ]+?)(?:\s+START\s+'([^']+)')?(?:\s+END\s+'([^']+)')?\s*""".r
   private val DropJob = """(?is)\s*DROP\s+JOB\s+(\w+)\s*""".r
   private val CreateKb =
     """(?is)\s*CREATE\s+KNOWLEDGE\s+BASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:USING\s+(.+?))?\s*""".r
@@ -259,8 +259,15 @@ final class Commands(
     case DropModel(name) =>
       catalog.dropModel(name); ok(s"model $name dropped")
 
-    case CreateJob(name, body, schedule) =>
-      jobs.create(Jobs.Job(name, s"every $schedule", () => { run(body).count(); () }))
+    case CreateJob(name, body, schedule, startAt, endAt) =>
+      // START/END bound the job's execution window (jobs_controller.py
+      // start_at/end_at: first run not before START, deactivate past END)
+      def ts(s: String): java.time.Instant =
+        java.time.LocalDateTime.parse(s.trim.replace(" ", "T"))
+          .toInstant(java.time.ZoneOffset.UTC)
+      jobs.create(Jobs.Job(name, s"every $schedule",
+        () => { run(body).count(); () },
+        start = Option(startAt).map(ts), end = Option(endAt).map(ts)))
       ok(s"job $name created")
     case DropJob(name) =>
       jobs.drop(name); ok(s"job $name dropped")

@@ -536,6 +536,23 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.catalog.model("cm").asInstanceOf[graft.ml.LinearModel].bias === 9.0) // replaced
   }
 
+  test("CREATE JOB START/END bounds: not due before START, deactivates past END") {
+    val c = fresh()
+    c.execute("""CREATE JOB bounded AS (SELECT 1) EVERY 1 hour
+      START '2030-01-01 00:00:00' END '2030-01-02 00:00:00'""")
+    def at(s: String) = java.time.LocalDateTime.parse(s.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC)
+    // before START: nothing due
+    assert(c.jobs.tick(at("2029-12-31 23:00:00")).isEmpty)
+    // inside the window: runs
+    val ran = c.jobs.tick(at("2030-01-01 00:30:00"))
+    assert(ran.map(_.job) === Seq("bounded") && ran.head.ok)
+    // past END: expires and deactivates
+    val expired = c.jobs.tick(at("2030-01-03 00:00:00"))
+    assert(expired.headOption.flatMap(_.error).contains("expired"))
+    assert(c.jobs.tick(at("2030-01-04 00:00:00")).isEmpty)
+  }
+
   test("log.jobs_history: per-run rows queryable with WHERE/ORDER") {
     val c = fresh()
     c.execute("CREATE JOB hjob AS (SELECT count(*) FROM region) EVERY 1 hour")

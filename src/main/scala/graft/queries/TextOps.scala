@@ -449,6 +449,33 @@ object TextOps extends QueryPack {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Novelty / memorization profiling: per doc, the fraction of its
+    // 8-gram spans already seen in any EARLIER doc (doc_id order = the
+    // ingestion order). High repeat share = memorized/boilerplate
+    // content — the complement of d07's span dedup, reported as a score
+    // instead of a drop set. Shape: explode spans → min-doc per span
+    // hash (one map-side-combinable shuffle) → join back on the hash →
+    // per-doc reagg. Spans travel as md5 hashes, never strings.
+    "t19_novelty_scan" -> ((s, dir) => {
+      val n = 8
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val spans = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("tk"), i, lit(n)))))).as("h"))
+      val firstSeen = spans.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      spans.join(firstSeen, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_spans"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_repeated"))
+        .select(col("doc_id"), col("n_spans"), col("n_repeated"),
+          round(lit(1.0) - col("n_repeated").cast(DoubleType) / col("n_spans"), 6)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t06_lang_id" -> ((s, dir) => {
       // n-gram language-ID: character-trigram profiles built from a
       // labeled slice (top-20 trigrams per language — a SMALL aggregate),
@@ -490,6 +517,21 @@ object TextOps extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "t19_novelty_scan" -> """
+      WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      spans AS (
+        SELECT doc_id, md5(array_to_string(tk[i:(i+7)], ' ')) AS h
+        FROM base, UNNEST(generate_series(1, LEN(tk) - 7)) AS u(i)
+        WHERE LEN(tk) >= 8),
+      first_seen AS (SELECT h, MIN(doc_id) AS first_doc FROM spans GROUP BY h)
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+        ROUND(1.0 - CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS novelty
+      FROM spans s JOIN first_seen f USING (h)
+      GROUP BY s.doc_id ORDER BY s.doc_id""",
+
     "t18_stratified_split" -> """
       WITH s AS (
         SELECT lang, doc_id, n_chars,

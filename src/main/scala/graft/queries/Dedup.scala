@@ -165,8 +165,9 @@ object Dedup extends QueryPack {
     // generates grams in the scan stage and left-semi joins map-side, so
     // nothing corpus-sized ever shuffles. The only shuffle is the final
     // per-doc count of hits — at 100 TB this is a broadcast-filtered
-    // scan, the same shape at any corpus size. Grams travel as md5
-    // hashes (fixed width, DuckDB-reproducible), not 13-token strings.
+    // scan, the same shape at any corpus size. Grams travel as 60-bit
+    // bigints (md5-prefix conv — 8-byte keys instead of 32-byte hex
+    // strings, DuckDB-reproducible), not 13-token strings.
     "d06_decontaminate" -> ((s, dir) => {
       val n = 13
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
@@ -174,14 +175,15 @@ object Dedup extends QueryPack {
       // simulated eval-set leakage, deterministic for the oracle: the
       // benchmark is one 13-token window (tokens 6..18) lifted from
       // every 20th document
+      val gram = (x: Column) => conv(substring(md5(x), 1, 15), 16, 10).cast(LongType)
       val bench = docs.filter(col("doc_id") % 20 === 0)
         .filter(size(col("tk")) >= n + 5)
-        .select(md5(array_join(slice(col("tk"), 6, n), " ")).as("g"))
+        .select(gram(array_join(slice(col("tk"), 6, n), " ")).as("g"))
         .distinct()
       val grams = docs.filter(size(col("tk")) >= n)
         .select(col("doc_id"), explode(array_distinct(transform(
           sequence(lit(1), size(col("tk")) - (n - 1)),
-          i => md5(array_join(slice(col("tk"), i, lit(n)), " "))))).as("g"))
+          i => gram(array_join(slice(col("tk"), i, lit(n)), " "))))).as("g"))
       grams.join(broadcast(bench), Seq("g"), "left_semi")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit_grams"))
@@ -193,12 +195,14 @@ object Dedup extends QueryPack {
     // 10-token window is hashed; an occurrence is a duplicate span when
     // the same window appeared at any earlier (doc_id, pos). Per doc:
     // span count, duplicated-span count, duplicated fraction, and the
-    // keep/drop decision. The one corpus-sized shuffle is the window
-    // over span hashes — inherent to exact-substring dedup (the
-    // suffix-array formulation moves the same volume); span generation
-    // is a narrow scan-stage transform and the final per-doc rollup
-    // re-partitions by doc_id. Spans travel as md5 hashes (fixed width,
-    // DuckDB-reproducible), never as 10-token strings.
+    // keep/drop decision. First occurrence per span hash is a map-side-
+    // combinable min(struct(doc_id, pos)) aggregate — NOT a row_number
+    // window, which would funnel every occurrence of one hot span hash
+    // (a boilerplate 10-gram at 100 TB) into a single unsplittable task.
+    // The join-back on h is an equi-join AQE's skew handling can split.
+    // Spans travel as 60-bit bigints (conv of the md5 prefix — fixed
+    // 8-byte shuffle keys, DuckDB-reproducible), never as hex strings
+    // or 10-token strings.
     "d07_span_dedup" -> ((s, dir) => {
       val k = 10
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
@@ -206,9 +210,12 @@ object Dedup extends QueryPack {
       val occ = docs.filter(size(col("tk")) >= k)
         .select(col("doc_id"), posexplode(transform(
           sequence(lit(1), size(col("tk")) - (k - 1)),
-          i => md5(array_join(slice(col("tk"), i, lit(k)), " ")))).as(Seq("pos", "h")))
-      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-      val perDoc = occ.withColumn("dup", row_number().over(w) > 1)
+          i => conv(substring(md5(array_join(slice(col("tk"), i, lit(k)), " ")), 1, 15), 16, 10)
+            .cast(LongType))).as(Seq("pos", "h")))
+      val first = occ.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+      val perDoc = occ.join(first, Seq("h"))
+        .withColumn("dup", struct(col("doc_id"), col("pos")) =!= col("first_occ"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"), sum(col("dup").cast(LongType)).as("n_dup_spans"))
       docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
@@ -441,15 +448,16 @@ object Dedup extends QueryPack {
       FROM reach GROUP BY id ORDER BY doc_id""",
 
     // 13-gram contamination rule recomputed verbatim: same tokenizer,
-    // same window slice, same md5 gram key
+    // same window slice, same 60-bit md5-prefix gram key
     "d06_decontaminate" -> """
       WITH tok AS (
         SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
       bench AS (
-        SELECT DISTINCT md5(array_to_string(tk[6:18], ' ')) AS g
+        SELECT DISTINCT ('0x' || substr(md5(array_to_string(tk[6:18], ' ')), 1, 15))::BIGINT AS g
         FROM tok WHERE doc_id % 20 = 0 AND len(tk) >= 18),
       grams AS (
-        SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS g
+        SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15))::BIGINT AS g
         FROM tok, UNNEST(generate_series(1, len(tk) - 12)) AS t(i)
         WHERE len(tk) >= 13)
       SELECT doc_id, COUNT(*) AS n_hit_grams
@@ -482,20 +490,25 @@ object Dedup extends QueryPack {
       FROM sims WHERE c >= 0.35
       GROUP BY cell, bi ORDER BY cell, removed_id""",
 
-    // Same 10-token windows, same md5 span keys, same first-occurrence
-    // rule (row_number over (doc_id, pos)); short docs fold in with
-    // zero spans via the left join.
+    // Same 10-token windows, same 60-bit bigint span keys (md5-prefix
+    // conv), same first-occurrence rule (min (doc_id, pos) per span);
+    // short docs fold in with zero spans via the left join.
     "d07_span_dedup" -> """
       WITH tok AS (
         SELECT doc_id, regexp_extract_all(lower(text), '\S+') tk FROM documents),
       occ AS (
-        SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+9], ' ')) h
+        SELECT doc_id, i AS pos,
+          ('0x' || substr(md5(array_to_string(tk[i:i+9], ' ')), 1, 15))::BIGINT h
         FROM tok, UNNEST(generate_series(1, len(tk) - 9)) t(i)
         WHERE len(tk) >= 10),
+      firsts AS (
+        SELECT h, doc_id fd, pos fp FROM (
+          SELECT h, doc_id, pos,
+            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) rn
+          FROM occ) WHERE rn = 1),
       marked AS (
-        SELECT doc_id,
-          (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos)) > 1 AS dup
-        FROM occ),
+        SELECT o.doc_id, (o.doc_id, o.pos) <> (fs.fd, fs.fp) AS dup
+        FROM occ o JOIN firsts fs ON o.h = fs.h),
       agg AS (
         SELECT doc_id, COUNT(*) AS n_spans,
           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans

@@ -314,13 +314,17 @@ object TextOps extends QueryPack {
     // kept-text fingerprint makes the removal content-verifiable.
     "t14_segment_dedup" -> ((s, dir) => {
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      // size>0 guard: sequence(0, -1) would default to step -1 and emit
+      // two phantom segments for a zero-token doc (DuckDB's
+      // generate_series(0,-1) is empty — results would diverge)
       val segs = t(s, dir, "documents")
         .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
         .select(col("doc_id"), posexplode(
           transform(sequence(lit(0), ceil(size(col("toks")) / lit(10.0)).cast(IntegerType) - 1),
             i => concat_ws(" ", slice(col("toks"), i * 10 + 1, lit(10))))))
         .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
-        .withColumn("h", md5(col("seg")))
+        .withColumn("h", conv(substring(md5(col("seg")), 1, 15), 16, 10).cast(LongType))
       val counts = segs.select(col("h"), col("doc_id")).distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       segs.join(counts, Seq("h"))
@@ -455,7 +459,8 @@ object TextOps extends QueryPack {
     // content — the complement of d07's span dedup, reported as a score
     // instead of a drop set. Shape: explode spans → min-doc per span
     // hash (one map-side-combinable shuffle) → join back on the hash →
-    // per-doc reagg. Spans travel as md5 hashes, never strings.
+    // per-doc reagg. Spans travel as 60-bit bigints (md5-prefix conv —
+    // 8-byte shuffle keys, not 32-byte hex strings), never strings.
     "t19_novelty_scan" -> ((s, dir) => {
       val n = 8
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
@@ -464,7 +469,8 @@ object TextOps extends QueryPack {
         .filter(size(col("tk")) >= n)
         .select(col("doc_id"), explode(
           transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-            i => md5(concat_ws(" ", slice(col("tk"), i, lit(n)))))).as("h"))
+            i => conv(substring(md5(concat_ws(" ", slice(col("tk"), i, lit(n)))), 1, 15), 16, 10)
+              .cast(LongType))).as("h"))
       val firstSeen = spans.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       spans.join(firstSeen, Seq("h"))
         .groupBy(col("doc_id"))
@@ -521,7 +527,7 @@ object TextOps extends QueryPack {
       WITH base AS (
         SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
       spans AS (
-        SELECT doc_id, md5(array_to_string(tk[i:(i+7)], ' ')) AS h
+        SELECT doc_id, ('0x' || substr(md5(array_to_string(tk[i:(i+7)], ' ')), 1, 15))::BIGINT AS h
         FROM base, UNNEST(generate_series(1, LEN(tk) - 7)) AS u(i)
         WHERE LEN(tk) >= 8),
       first_seen AS (SELECT h, MIN(doc_id) AS first_doc FROM spans GROUP BY h)
@@ -594,13 +600,13 @@ object TextOps extends QueryPack {
         FROM base, UNNEST(generate_series(0,
           CAST(ceil(LEN(toks) / 10.0) AS INT) - 1)) AS u(i)),
       counts AS (
-        SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS n_docs
+        SELECT ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h, COUNT(DISTINCT doc_id) AS n_docs
         FROM segs GROUP BY 1)
       SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
         CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
         md5(COALESCE(string_agg(CASE WHEN c.n_docs < 2 THEN s.seg END,
           ' ' ORDER BY s.seg_idx), '')) AS kept_fp
-      FROM segs s JOIN counts c ON md5(s.seg) = c.h
+      FROM segs s JOIN counts c ON ('0x' || substr(md5(s.seg), 1, 15))::BIGINT = c.h
       GROUP BY s.doc_id ORDER BY s.doc_id""",
 
     // same 1024-bucket hashed unigrams, add-one smoothing, 9dp log-ratio

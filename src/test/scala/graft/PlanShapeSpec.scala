@@ -109,9 +109,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-side scoring should never sort-merge:\n$plan")
   }
 
-  test("d07 span dedup: first-occurrence window, no degenerate joins") {
+  test("d07 span dedup: first-occurrence is a partial aggregate, never a Window over h") {
     val plan = executedPlan("d07_span_dedup")
-    assert(plan.contains("Window"), s"expected the first-occurrence window:\n$plan")
+    // a row_number window over span hashes funnels every occurrence of a
+    // hot span into one unsplittable task; min(struct) partial-aggregates
+    // map-side and the join-back is AQE-skew-splittable
+    assert(!plan.contains("Window"), s"hot-key window over span hash is back:\n$plan")
+    assert(plan.contains("partial_"), s"first-occurrence must map-side combine:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"span dedup must stay equi-keyed:\n$plan")
   }

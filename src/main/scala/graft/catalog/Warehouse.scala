@@ -155,7 +155,29 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     }
   }
 
-  def dropTable(name: String): Unit = rm(Paths.get(path(name)))
+  def dropTable(name: String): Unit = {
+    // a bucketed table also lives in the SESSION catalog (bucket
+    // metadata only exists there) — drop that entry too when it points
+    // under THIS warehouse, or a stale catalog row would silently shadow
+    // a later same-named warehouse table with dangling data
+    if (spark.catalog.tableExists("default", name) &&
+        catalogLocationUnderDir(name)) spark.sql(s"DROP TABLE default.`$name`")
+    rm(Paths.get(path(name)))
+  }
+
+  /** True when the session-catalog table `name` is stored under this
+    * warehouse's directory (i.e. it is OUR registration, not another
+    * Warehouse instance's or an unrelated user table). The `default.`
+    * qualifier bypasses temp-view resolution — a bare name would
+    * describe a same-named temp view instead of the catalog entry. */
+  def catalogLocationUnderDir(name: String): Boolean =
+    try {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED default.`$name`")
+        .filter(col("col_name") === "Location").select("data_type")
+        .collect().headOption.map(_.getString(0)).getOrElse("")
+      val canonical = Paths.get(dir).toAbsolutePath.normalize.toString
+      loc.stripPrefix("file:").startsWith(canonical)
+    } catch { case _: Exception => false }
 
   /** Atomically replace a table's contents (same crash-safe swap as
     * UPDATE/DELETE) — the path for index builds and other self-derived

@@ -111,6 +111,24 @@ object ModelPack extends QueryPack {
         WHERE l_quantity = 30.0 AND l_extendedprice = 45000.5 AND l_discount = 0.05""")
     }),
 
+    // m08 semantics through the ONE-PARSE router: the model join sits
+    // inside a CTE and the model carries an alias — shapes the regex
+    // fast-path can't see; the Catalyst-parse route (plan_join.py:357-401
+    // handles arbitrary join trees) inlines the CTE and swaps the join
+    "m16_model_join_cte" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL li_scorer16 PREDICT score USING
+        features='l_quantity,l_extendedprice,l_discount',
+        weights='0.01,0.0001,-2.0', bias=0.5""")
+      c.execute("""WITH scored AS (
+          SELECT l_orderkey, l_linenumber, ROUND(score, 6) AS score
+          FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) JOIN li_scorer16 AS m)
+        SELECT l_orderkey, l_linenumber, score,
+          CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
+        FROM scored ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // RETRAIN (command_executor.py:1042): CREATE MODEL ... FROM (query)
     // fits by one-pass OLS sufficient stats; RETRAIN re-runs the stored
     // training query and activates the new version. The oracle recomputes
@@ -370,6 +388,13 @@ object ModelPack extends QueryPack {
       ORDER BY user_id""",
 
     "m08_model_join_sql" -> s"""
+      SELECT l_orderkey, l_linenumber, score,
+        CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
+      FROM (SELECT l_orderkey, l_linenumber, $oScore AS score
+            FROM lineitem WHERE l_quantity >= 45)
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "m16_model_join_cte" -> s"""
       SELECT l_orderkey, l_linenumber, score,
         CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
       FROM (SELECT l_orderkey, l_linenumber, $oScore AS score

@@ -96,7 +96,7 @@ final class Commands(
   private val CreateTableCols =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(\s*(.+)\s*\)\s*""".r
   private val LogHistoryQuery =
-    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\s*(.*)""".r
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\b\s*(.*)""".r
   private val LastQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+([\w.]+)\s*>\s*LAST\b\s*(.*)""".r
   private val KbQuery =
@@ -265,8 +265,12 @@ final class Commands(
       def ts(s: String): java.time.Instant =
         java.time.LocalDateTime.parse(s.trim.replace(" ", "T"))
           .toInstant(java.time.ZoneOffset.UTC)
+      // job bodies route through the statement router (executeScript →
+      // execute), NOT bare spark.sql: the reference's primary use of a
+      // job body is incremental `WHERE ts > LAST`, and multi-statement
+      // bodies separated by ';' are legal (jobs_controller query lists)
       jobs.create(Jobs.Job(name, s"every $schedule",
-        () => { run(body).count(); () },
+        () => { executeScript(body).count(); () },
         start = Option(startAt).map(ts), end = Option(endAt).map(ts)))
       ok(s"job $name created")
     case DropJob(name) =>
@@ -667,12 +671,17 @@ final class Commands(
       // normalized statement text, so each distinct query keeps its own
       // watermark — the reference keys its query context the same way.
       // Works inside CREATE JOB bodies (the job tick routes through
-      // run()), which is the reference's primary use.
+      // executeScript → execute), which is the reference's primary use.
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(sql.trim.toLowerCase.replaceAll("\\s+", " ").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
+      // materialize the increment ONCE (eager localCheckpoint): the
+      // advance below and the caller's later consumption then see the
+      // SAME snapshot — advancing from the lazy plan would re-scan, and
+      // rows landing between advance and consumption would be delivered
+      // twice (the reference advances via a result callback)
       val inc = watermarks.applyLast(
-        catalog.resolve(table, Some(warehouse)), tsCol, key)
+        catalog.resolve(table, Some(warehouse)), tsCol, key).localCheckpoint()
       val tv = s"__last_$key"
       inc.createOrReplaceTempView(tv)
       val out = spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
@@ -801,7 +810,73 @@ final class Commands(
       applied.createOrReplaceTempView(tv)
       spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 
-    case other => run(other)
+    case other => modelAwareRun(other)
+  }
+
+  /** One-parse model-relation routing (reference plan_join.py:357-401
+    * handles arbitrary join trees): parse the statement ONCE with the
+    * Catalyst parser, inline top-level CTE definitions, and swap every
+    * bare `JOIN <model>` — aliased, CTE-nested, or inside a subquery —
+    * for the applied predictor over the join's data side. The regex
+    * fast-path above still catches the simple spellings (and version
+    * suffixes, which don't parse as identifiers); this route catches
+    * everything the regexes can't see. Statements without a model join
+    * run unchanged. */
+  private def modelAwareRun(sql: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+    val models = catalog.listModels().toSet
+    if (models.isEmpty) return run(sql)
+    val parsed =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case _: Exception => return run(sql) }
+
+    def modelRel(p: LogicalPlan): Option[(String, String)] = p match {
+      case SubqueryAlias(id, u: UnresolvedRelation)
+          if u.multipartIdentifier.size == 1 && models(u.multipartIdentifier.head) =>
+        Some((u.multipartIdentifier.head, id.name))
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 1 && models(u.multipartIdentifier.head) =>
+        Some((u.multipartIdentifier.head, u.multipartIdentifier.head))
+      case _ => None
+    }
+    def substitute(plan: LogicalPlan, defs: Map[String, LogicalPlan]): LogicalPlan =
+      plan.transformUp {
+        case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
+            defs.contains(u.multipartIdentifier.head.toLowerCase) =>
+          SubqueryAlias(u.multipartIdentifier.head,
+            defs(u.multipartIdentifier.head.toLowerCase))
+      }
+    // CTE inlining makes a CTE-nested model join visible to the Join
+    // rewrite below AND lets the data side resolve without WITH context
+    def inlineCtes(plan: LogicalPlan): LogicalPlan = plan match {
+      case w: UnresolvedWith =>
+        val defs = w.cteRelations.foldLeft(Map.empty[String, LogicalPlan]) {
+          case (acc, (name, body, _)) =>
+            acc + (name.toLowerCase -> substitute(inlineCtes(body), acc))
+        }
+        substitute(inlineCtes(w.child), defs)
+      case p => p
+    }
+    val inlined = inlineCtes(parsed)
+    val hasModelJoin = inlined.collectFirst {
+      case Join(_, r, _, _, _) if modelRel(r).isDefined => ()
+    }.isDefined
+    if (!hasModelJoin) return run(sql)
+    registerRelations()
+    val rewritten = inlined.transformUp {
+      case Join(left, right, Inner | Cross, None, _) if modelRel(right).isDefined =>
+        // joining a model applies it over the data side (the reference
+        // swaps the join for an ApplyPredictor step); the alias scopes
+        // both the data columns and the model outputs
+        val (m, alias) = modelRel(right).get
+        val applied = graft.ml.Predict.applyModel(
+          org.apache.spark.sql.GraftColumnBridge.ofRows(spark, left),
+          catalog.model(m))
+        SubqueryAlias(alias, applied.queryExecution.analyzed)
+    }
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, rewritten)
   }
 
   /** `key = value [, key = value …]` (USING / PARAMETERS clauses). Values
@@ -831,7 +906,10 @@ final class Commands(
     * booleans, integers, decimals. */
   private def parseLiteral(s: String): Any = {
     val t = s.trim
-    if (t.startsWith("'") && t.endsWith("'")) t.drop(1).dropRight(1)
+    // SQL-escaped '' inside a quoted literal unescapes to a single quote
+    // (binding is typed, so the value never re-enters SQL text)
+    if (t.startsWith("'") && t.endsWith("'"))
+      t.drop(1).dropRight(1).replace("''", "'")
     else if (t.equalsIgnoreCase("true")) true
     else if (t.equalsIgnoreCase("false")) false
     else if (t.equalsIgnoreCase("null")) null
@@ -947,8 +1025,12 @@ final class Commands(
       // a bucketed table lives in the session catalog (bucket metadata
       // only exists there); a path-based temp view would shadow it and
       // silently drop the bucket layout ("default" scoping skips temp
-      // views so plain tables still refresh their registration)
-      if (!spark.catalog.tableExists("default", n))
+      // views so plain tables still refresh their registration). Skip
+      // ONLY when the catalog entry is OURS (location under this
+      // warehouse) — a same-named entry from another Commands instance
+      // sharing the SparkSession must not shadow this warehouse's table
+      if (!spark.catalog.tableExists("default", n) ||
+          !warehouse.catalogLocationUnderDir(n))
         warehouse.table(n).createOrReplaceTempView(n)
     }
     catalog.listKbs().foreach { n =>

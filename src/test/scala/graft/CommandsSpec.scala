@@ -618,6 +618,73 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.execute("SELECT @srv AS s").first().getString(0) === null)
   }
 
+  test("WHERE ts > LAST works inside a CREATE JOB body (job ticks route the statement router)") {
+    val c = fresh()
+    c.execute("""CREATE TABLE jlast AS
+      SELECT * FROM (VALUES (1, TIMESTAMP '2024-01-01 00:00:00')) AS t(id, ts)""")
+    c.execute(
+      "CREATE JOB incjob AS (SELECT id FROM jlast WHERE ts > LAST) EVERY 1 hour")
+    // tick 1: LAST initializes — must NOT fail with an unresolved column
+    val r1 = c.jobs.tick(java.time.Instant.now())
+    assert(r1.size === 1 && r1.head.ok, s"job tick failed: ${r1.head.error}")
+    c.execute("INSERT INTO jlast SELECT 2, TIMESTAMP '2024-01-02 00:00:00'")
+    val r2 = c.jobs.tick(java.time.Instant.now().plusSeconds(3700))
+    assert(r2.size === 1 && r2.head.ok, s"job tick failed: ${r2.head.error}")
+    assert(c.jobs.history.forall(_.error.isEmpty))
+  }
+
+  test("EXECUTE binds a string parameter containing a quote (typed, no splicing)") {
+    val c = fresh()
+    c.execute("PREPARE echoq FROM 'SELECT ? AS v'")
+    assert(c.execute("EXECUTE echoq USING 'it''s'").first().getString(0) === "it's")
+    // a classic injection shape stays a plain value under typed binding
+    c.execute("PREPARE cntq FROM 'SELECT count(*) AS n FROM region WHERE r_name = ?'")
+    assert(c.execute("EXECUTE cntq USING ''' OR ''1''=''1'").first().getLong(0) === 0)
+  }
+
+  test("log.jobs_history does not swallow prefixed table names") {
+    val c = fresh()
+    intercept[Exception] { c.execute("SELECT name FROM log.jobs_history_old").collect() }
+    // the real route still answers
+    assert(c.execute("SELECT name FROM log.jobs_history").count() === 0)
+  }
+
+  test("DROP of a bucketed table clears its session-catalog entry; name is reusable") {
+    val c = fresh()
+    c.execute("CREATE TABLE bdrop CLUSTERED BY (r_regionkey) INTO 2 BUCKETS AS " +
+      "SELECT r_regionkey, r_name FROM region")
+    assert(spark.catalog.tableExists("default", "bdrop"))
+    c.execute("DROP TABLE bdrop")
+    assert(!spark.catalog.tableExists("default", "bdrop"),
+      "stale session-catalog entry would shadow a future warehouse table")
+    // same name, plain table, different schema: must resolve to the NEW data
+    c.execute("CREATE TABLE bdrop AS SELECT 42 AS answer")
+    assert(c.execute("SELECT answer FROM bdrop").first().getInt(0) === 42)
+  }
+
+  test("model joins route through the one-parse rewrite: aliased, CTE-nested, subquery-nested") {
+    val c = fresh()
+    c.execute("""CREATE MODEL rs PREDICT score USING
+      features='r_regionkey', weights='2.0', bias=1.0""")
+    // aliased model (regex fast-path can't see the alias)
+    val a = c.execute(
+      "SELECT r_name, score FROM region JOIN rs AS m ORDER BY r_name").collect()
+    assert(a.length === 5 && a.forall(r => r.getDouble(1) >= 1.0))
+    // CTE-nested + aliased
+    val b = c.execute("""WITH sc AS (SELECT r_regionkey, score FROM region JOIN rs AS m)
+      SELECT count(*) AS n FROM sc WHERE score > 1.0""").first().getLong(0)
+    assert(b === 4) // r_regionkey 1..4 score 3,5,7,9; key 0 scores exactly 1.0
+    // nested inside a subquery in the FROM clause
+    val d = c.execute("""SELECT max(score) AS mx FROM
+      (SELECT score FROM (SELECT * FROM region WHERE r_regionkey < 3) JOIN rs)""")
+      .first().getDouble(0)
+    assert(d === 5.0)
+    // a plain join of two real tables is untouched by the rewrite
+    val e = c.execute("""SELECT count(*) AS n FROM nation
+      JOIN region ON n_regionkey = r_regionkey""").first().getLong(0)
+    assert(e === 25)
+  }
+
   test("PROJECT lifecycle: create, show, typed database row, drop") {
     val c = fresh()
     c.execute("CREATE PROJECT p1")

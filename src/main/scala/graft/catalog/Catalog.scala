@@ -359,19 +359,62 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
     ("Data Catalog:" +: sections).mkString("\n\n")
   }
 
-  /** information_schema.statistics / key_column_usage: schema-correct
-    * empties — the reference returns empty frames for parquet-backed
-    * tables too (system_tables.py STATISTICS/KEY_COLUMN_USAGE). */
-  def infoStatistics(): DataFrame =
+  /** information_schema.statistics — the index-layout surface
+    * (system_tables.py:441 STATISTICS): one row per physical access
+    * structure a table carries. For a parquet-backed warehouse that
+    * means hive-style partition layouts, session-catalog bucket specs
+    * (the co-located-join primitive), and KB IVF coarse indexes.
+    * `cardinality` is filled from ANALYZE statistics when present
+    * (partition/bucket columns) or the trained cell count (IVF). */
+  def infoStatistics(wh: Option[Warehouse] = None): DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def card(t: String, c: String): Any =
+      columnStats.getOrElse(t, Nil).find(_.getString(1) == c)
+        .map(_.getAs[Long](5)).orNull
+    wh.foreach { w =>
+      w.listTables().filterNot(_.startsWith("__kb_")).foreach { t =>
+        w.partitionColumn(t).foreach { pc =>
+          rows += Row(t, "partition", pc, 1, card(t, pc))
+        }
+        w.bucketSpec(t).foreach { case (cols, n) =>
+          cols.zipWithIndex.foreach { case (bc, i) =>
+            rows += Row(t, s"bucket_$n", bc, i + 1, card(t, bc))
+          }
+        }
+      }
+      listKbs().foreach { kb =>
+        this.kb(kb).filter(k => w.exists(s"${k.storage}_cents")).foreach { k =>
+          rows += Row(kb, "ivf", "embedding", 1, w.table(s"${k.storage}_cents").count())
+        }
+      }
+    }
     frame(StructType(Seq(
       StructField("table_name", StringType), StructField("index_name", StringType),
-      StructField("column_name", StringType), StructField("seq_in_index", IntegerType))),
-      Nil)
-  def infoKeyColumnUsage(): DataFrame =
+      StructField("column_name", StringType), StructField("seq_in_index", IntegerType),
+      StructField("cardinality", LongType))),
+      rows.toSeq).orderBy("table_name", "index_name", "seq_in_index")
+  }
+
+  /** information_schema.key_column_usage (system_tables.py:423): the
+    * layout-defining key columns as constraint rows — bucket and
+    * partition columns are the engine's co-location "keys". */
+  def infoKeyColumnUsage(wh: Option[Warehouse] = None): DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    wh.foreach { w =>
+      w.listTables().filterNot(_.startsWith("__kb_")).foreach { t =>
+        w.partitionColumn(t).foreach(pc => rows += Row(s"partition_$t", t, pc, 1))
+        w.bucketSpec(t).foreach { case (cols, _) =>
+          cols.zipWithIndex.foreach { case (bc, i) =>
+            rows += Row(s"bucket_$t", t, bc, i + 1)
+          }
+        }
+      }
+    }
     frame(StructType(Seq(
       StructField("constraint_name", StringType), StructField("table_name", StringType),
       StructField("column_name", StringType), StructField("ordinal_position", IntegerType))),
-      Nil)
+      rows.toSeq).orderBy("constraint_name", "ordinal_position")
+  }
 
   // ----------------------------------------------------------- meta tables
   // (the MindsDB-side tables: mindsdb_tables.py MODELS :42, DATABASES

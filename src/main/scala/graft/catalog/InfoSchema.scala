@@ -37,9 +37,9 @@ object InfoSchema {
       cat.infoColumns(names, Some(wh))
     }
     providers("schemata") = () => cat.infoSchemata()
-    providers("statistics") = () => cat.infoStatistics()
+    providers("statistics") = () => cat.infoStatistics(Some(wh))
     providers("column_statistics") = () => cat.infoColumnStatistics()
-    providers("key_column_usage") = () => cat.infoKeyColumnUsage()
+    providers("key_column_usage") = () => cat.infoKeyColumnUsage(Some(wh))
     spark.conf.set(s"spark.sql.catalog.$CatalogName", classOf[InfoSchemaCatalog].getName)
   }
 }

@@ -69,6 +69,20 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def bucketedTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.table(name)
 
+  /** Bucket layout of a session-catalog-registered bucketed table:
+    * (bucket columns, bucket count). None for plain/foreign tables. */
+  def bucketSpec(name: String): Option[(Seq[String], Int)] =
+    if (!spark.catalog.tableExists("default", name) || !catalogLocationUnderDir(name)) None
+    else {
+      val desc = spark.sql(s"DESCRIBE TABLE EXTENDED default.`$name`").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      for {
+        n <- desc.get("Num Buckets").map(_.trim.toInt)
+        cols <- desc.get("Bucket Columns")
+      } yield (cols.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq, n)
+    }
+
   /** single-level partition column, detected from the hive-style dir
     * layout (`col=value` subdirectories). */
   def partitionColumn(name: String): Option[String] =

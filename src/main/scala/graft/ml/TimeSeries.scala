@@ -88,6 +88,58 @@ object TimeSeries {
       .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
   }
 
+  /** Seasonal-naive forecast with residual-σ confidence bounds — the
+    * third TS engine next to the flat mean ([[forecast]]) and the OLS
+    * trend ([[forecastTrend]]), mirroring the reference's pluggable
+    * `timeseries_settings` model variety (sql_query.py:181-205).
+    *
+    * Model: within each group's lookback window, context rows take a
+    * phase = backward-offset mod `period`; the forecast for horizon step
+    * h is the mean of context values in phase (-h mod period) — the
+    * value the series took one/two/three seasons before the forecast
+    * point. Bounds are forecast ± z·σ where σ is the RMS residual of the
+    * phase-mean model on its own context (the seasonal-naive in-sample
+    * error). A phase with no context rows (window < period) falls back
+    * to the group mean.
+    *
+    * Scale shape: ONE window pass builds the context, then two
+    * map-side-combinable aggregations (per group×phase, per group) and
+    * joins keyed on the group — phase tables are groups×period rows,
+    * never corpus-sized. All sums are exact-decimal (see Parity) so the
+    * DuckDB oracle lands on identical doubles. */
+  def forecastSeasonal(data: DataFrame, groupCol: Column, ts: Column, value: Column,
+      tieBreak: Column, window: Int, horizon: Int, stepDays: Int, period: Int,
+      z: Double = 1.96): DataFrame = {
+    import graft.queries.Parity.dsum2
+    val w = Window.partitionBy(groupCol).orderBy(ts.desc, tieBreak.desc)
+    val ctx = data
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= window)
+      .select(groupCol.as("gk"), ts.as("__ts"), value.as("__v"),
+        (col("__rn") % period).as("__ph"))
+    val phase = ctx.groupBy(col("gk"), col("__ph"))
+      .agg(round(davg(col("__v")), 4).as("pm"))
+    val grp = ctx.groupBy(col("gk"))
+      .agg(round(davg(col("__v")), 4).as("gm"),
+        max(col("__ts")).as("last_ts"), count(lit(1)).as("n_ctx"))
+    val sig = ctx.join(phase, Seq("gk", "__ph"))
+      .withColumn("__r", col("__v") - col("pm"))
+      .groupBy(col("gk"))
+      .agg(dsum2(col("__r"), col("__r")).as("ss"), count(lit(1)).as("n"))
+      .select(col("gk"), round(sqrt(col("ss") / col("n")), 4).as("sigma"))
+    grp.join(sig, Seq("gk"))
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("__ph", (lit(period) - col("h") % period) % period)
+      .join(phase, Seq("gk", "__ph"), "left")
+      .withColumn("forecast", coalesce(col("pm"), col("gm")))
+      .withColumn("forecast_date",
+        date_add(to_date(col("last_ts")), col("h") * stepDays).cast("timestamp"))
+      .withColumn("lower", round(col("forecast") - lit(z) * col("sigma"), 4))
+      .withColumn("upper", round(col("forecast") + lit(z) * col("sigma"), 4))
+      .select(col("gk").as("group_key"), col("h"), col("forecast_date"),
+        col("forecast"), col("lower"), col("upper"), col("n_ctx"))
+  }
+
   /** `> LATEST` semantics (apply_predictor_step.py:145-151 forecast
     * offset 1): one forecast row per group strictly beyond the group's
     * max seen timestamp. */

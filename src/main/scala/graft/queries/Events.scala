@@ -211,6 +211,38 @@ object Events extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // external-source polling trigger end-to-end (subscribe() semantics,
+    // dummy_data_handler.py:102): a DSv2 mem table grows between two
+    // fires; each fire key-diffs the snapshot and the trigger SQL
+    // aggregates ONLY the delta into the accumulator — so the per-batch
+    // counts prove no row was re-delivered
+    "e13_poll_trigger" -> ((s, dir) => {
+      import graft.federation.{MemCatalog, MemTables}
+      if (!s.conf.getOption("spark.sql.catalog.mem")
+          .contains(classOf[MemCatalog].getName))
+        s.conf.set("spark.sql.catalog.mem", classOf[MemCatalog].getName)
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      val src = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      def slice(maxId: Long) = MemTables.register("e13_src",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType))),
+        src.filter(col("event_id") <= maxId).collect().toSeq)
+      c.execute("CREATE TABLE e13_acc (event_type STRING, n BIGINT)")
+      c.execute("""CREATE TRIGGER e13t ON mem.e13_src
+        (INSERT INTO e13_acc SELECT event_type, count(*) AS n
+         FROM TABLE_DELTA GROUP BY event_type)""")
+      slice(1000); c.fireTrigger("e13t")
+      c.fireTrigger("e13t") // no new keys: must not re-deliver
+      slice(2000); c.fireTrigger("e13t")
+      c.execute("""SELECT event_type, count(*) AS n_batches,
+          sum(n) AS n_events, min(n) AS min_batch, max(n) AS max_batch
+        FROM e13_acc GROUP BY event_type ORDER BY event_type""")
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -226,6 +258,22 @@ object Events extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the two delta batches recomputed directly from the id slices: the
+    // accumulator must hold batch-1 counts (ids <= 1000) and batch-2
+    // counts (1000 < ids <= 2000) — nothing else, nothing twice
+    "e13_poll_trigger" -> """
+      WITH b1 AS (
+        SELECT event_type, COUNT(*) AS n FROM events
+        WHERE event_id <= 1000 GROUP BY event_type),
+      b2 AS (
+        SELECT event_type, COUNT(*) AS n FROM events
+        WHERE event_id > 1000 AND event_id <= 2000 GROUP BY event_type),
+      acc AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      SELECT event_type, COUNT(*) AS n_batches,
+        CAST(SUM(n) AS BIGINT) AS n_events,
+        CAST(MIN(n) AS BIGINT) AS min_batch, CAST(MAX(n) AS BIGINT) AS max_batch
+      FROM acc GROUP BY event_type ORDER BY event_type""",
+
     "e12_last_sql" -> """
       SELECT event_type, COUNT(*) AS n_new,
         CAST(MIN(ts) AS TIMESTAMP) AS first_new

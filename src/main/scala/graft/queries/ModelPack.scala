@@ -64,6 +64,18 @@ object ModelPack extends QueryPack {
         .orderBy(col("o_custkey"), col("h"))
     }),
 
+    // seasonal-naive TS forecast with residual-σ bounds: per-phase means
+    // over the context window, forecast ± 1.96σ of the in-sample
+    // residuals (the third engine of the pluggable TS variety,
+    // sql_query.py:181-205)
+    "m17_ts_seasonal" -> ((s, dir) => {
+      TimeSeries.forecastSeasonal(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderkey"),
+        window = 12, horizon = 4, stepDays = 30, period = 4)
+        .withColumnRenamed("group_key", "o_custkey")
+        .orderBy(col("o_custkey"), col("h"))
+    }),
+
     // linear-trend TS forecast: per-group OLS over the context window as
     // ONE aggregation pass (no per-group fitting loop)
     "m10_ts_trend" -> ((s, dir) => {
@@ -341,6 +353,38 @@ object ModelPack extends QueryPack {
         CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
         ROUND(base, 4) AS forecast, n_ctx
       FROM per, UNNEST(generate_series(1, 2)) AS t(h)
+      ORDER BY o_custkey, h""",
+
+    // same phases (backward-offset mod period), same decimal phase/group
+    // means rounded at 4dp, same decimal residual sum-of-squares
+    "m17_ts_seasonal" -> s"""
+      WITH ranked AS (
+        SELECT o_custkey AS g, o_orderdate, o_totalprice AS v,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      ctx AS (SELECT g, o_orderdate, v, rn % 4 AS ph FROM ranked WHERE rn <= 12),
+      phase AS (
+        SELECT g, ph, ROUND(${oAvg("v")}, 4) AS pm FROM ctx GROUP BY g, ph),
+      grp AS (
+        SELECT g, ROUND(${oAvg("v")}, 4) AS gm,
+          MAX(o_orderdate) AS last_ts, COUNT(*) AS n_ctx
+        FROM ctx GROUP BY g),
+      sig AS (
+        SELECT c.g, ROUND(sqrt(CAST(SUM(
+            CAST((c.v - p.pm) AS DECIMAL(19,4)) * CAST((c.v - p.pm) AS DECIMAL(19,4))
+          ) AS DOUBLE) / COUNT(*)), 4) AS sigma
+        FROM ctx c JOIN phase p ON c.g = p.g AND c.ph = p.ph GROUP BY c.g),
+      steps AS (
+        SELECT grp.g, gm, last_ts, n_ctx, sigma, h, (4 - h % 4) % 4 AS ph
+        FROM grp JOIN sig ON grp.g = sig.g, UNNEST(generate_series(1, 4)) AS t(h))
+      SELECT s.g AS o_custkey, CAST(h AS INTEGER) AS h,
+        CAST(CAST(s.last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
+        COALESCE(p.pm, s.gm) AS forecast,
+        ROUND(COALESCE(p.pm, s.gm) - 1.96*s.sigma, 4) AS lower,
+        ROUND(COALESCE(p.pm, s.gm) + 1.96*s.sigma, 4) AS upper,
+        n_ctx
+      FROM steps s LEFT JOIN phase p ON s.g = p.g AND s.ph = p.ph
       ORDER BY o_custkey, h""",
 
     "m10_ts_trend" -> s"""

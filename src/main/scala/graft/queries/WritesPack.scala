@@ -172,6 +172,27 @@ object WritesPack extends QueryPack {
         ORDER BY table_name, ordinal_position""")
     }),
 
+    // information_schema.statistics / key_column_usage populated from
+    // the physical layouts (system_tables.py:441, :423): partition
+    // columns, bucket specs, and ANALYZE-filled cardinality, joined to
+    // information_schema.columns for ordinal positions
+    "i04_stats_layout" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE part_i04 PARTITIONED BY (o_orderstatus) AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""")
+      c.execute("""CREATE TABLE buck_i04 CLUSTERED BY (o_orderkey) INTO 4 BUCKETS AS
+        SELECT o_orderkey, o_totalprice FROM orders""")
+      c.execute("ANALYZE TABLE buck_i04")
+      c.execute("""SELECT s.table_name, s.index_name, s.column_name, s.seq_in_index,
+          s.cardinality, k.constraint_name, c.ordinal_position
+        FROM information_schema.statistics s
+        JOIN information_schema.key_column_usage k
+          ON s.table_name = k.table_name AND s.column_name = k.column_name
+        JOIN information_schema.columns c
+          ON s.table_name = c.table_name AND s.column_name = c.column_name
+        ORDER BY s.table_name, s.index_name, s.seq_in_index""")
+    }),
+
     // Bucketed co-located join: both sides bucketed on the join key with
     // the same bucket count → the sort-merge join needs NO exchange on
     // either side (PlanShapeSpec asserts the plan). THE shuffle
@@ -383,6 +404,21 @@ object WritesPack extends QueryPack {
         ('supplier','BASE TABLE'),('v_i02','VIEW'),('wt_i02','BASE TABLE'))
         AS t(table_name, table_type)
       ORDER BY table_name""",
+
+    // expected layout rows recomputed: bucket cardinality = the exact
+    // distinct key count ANALYZE stores; the un-ANALYZEd partition
+    // column has NULL cardinality; ordinal 3 = partition column read
+    // back LAST from the hive layout
+    "i04_stats_layout" -> """
+      SELECT * FROM (
+        SELECT 'buck_i04' AS table_name, 'bucket_4' AS index_name,
+          'o_orderkey' AS column_name, 1 AS seq_in_index,
+          CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS cardinality,
+          'bucket_buck_i04' AS constraint_name, 1 AS ordinal_position
+        UNION ALL
+        SELECT 'part_i04', 'partition', 'o_orderstatus', 1,
+          CAST(NULL AS BIGINT), 'partition_part_i04', 3)
+      ORDER BY table_name, index_name, seq_in_index""",
 
     "c03_show_objects" -> """
       SELECT * FROM (VALUES

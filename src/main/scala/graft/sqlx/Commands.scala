@@ -930,6 +930,22 @@ final class Commands(
   def fireTrigger(name: String): Unit = {
     val t = catalog.trigger(name).getOrElse(
       throw new NoSuchElementException(s"trigger $name does not exist"))
+    // a DOTTED table name is an external DSv2 source (e.g. mem.<table>):
+    // those can't stream from a directory, so the trigger polls the
+    // source snapshot and key-diffs (subscribe() semantics,
+    // dummy_data_handler.py:102); the first column is the delivery key
+    if (t.tableName.contains(".")) {
+      graft.incremental.Triggers.pollExternal(spark,
+        () => spark.table(t.tableName),
+        spark.table(t.tableName).schema.fields.head.name,
+        s"${warehouse.dir}/.state/poll_trigger_$name",
+        (delta, _) => {
+          delta.createOrReplaceTempView("TABLE_DELTA")
+          executeScript(t.sql)
+          ()
+        })
+      return
+    }
     val schema = warehouse.table(t.tableName).schema
     // checkpoints live under the dot-prefixed `.state` sibling (never
     // listed as a table by Warehouse.listTables, so registerRelations

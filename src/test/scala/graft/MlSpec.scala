@@ -196,4 +196,42 @@ class MlSpec extends AnyFunSuite {
     val mx = ev.groupBy(col("user_id").as("group_key")).agg(max("ts").as("mx"))
     assert(fc.join(mx, "group_key").filter(col("next_ts") <= col("mx")).count() === 0)
   }
+
+  test("seasonal forecast: per-phase means and residual bounds, hand-computed") {
+    import spark.implicits._
+    // one group, a strict period-2 alternation 10,20,10,20: phase means
+    // are exact, in-sample residuals are all zero
+    val alt = Seq.tabulate(4)(i =>
+        (1L, java.sql.Date.valueOf(s"2024-01-0${i + 1}"), if (i % 2 == 0) 10.0 else 20.0, i.toLong))
+      .toDF("g", "d", "v", "k")
+    val fc = TimeSeries.forecastSeasonal(alt, col("g"), col("d"), col("v"), col("k"),
+      window = 4, horizon = 2, stepDays = 1, period = 2)
+      .orderBy("h").collect()
+    // last value is day4=20.0 (phase rn=1); h=1 forecasts phase (2-1)%2=1
+    // = rows rn∈{1,3} = days {4,2} = 20.0; h=2 forecasts phase 0 =
+    // rows rn∈{2,4} = days {3,1} = 10.0
+    assert(fc.map(r => (r.getAs[Int]("h"), r.getAs[Double]("forecast"))).toSeq
+      === Seq((1, 20.0), (2, 10.0)))
+    // zero residuals → bounds collapse onto the forecast
+    assert(fc.forall(r => r.getAs[Double]("lower") === r.getAs[Double]("forecast")
+      && r.getAs[Double]("upper") === r.getAs[Double]("forecast")))
+
+    // constant series with one outlier: sigma = sqrt(mean residual²)
+    // computed by hand. window=4 covers values 10,10,10,22 (phase means:
+    // ph1 {rn1,rn3}, ph0 {rn2,rn4}); period=2
+    val out = Seq(
+        (2L, java.sql.Date.valueOf("2024-01-01"), 22.0, 0L),
+        (2L, java.sql.Date.valueOf("2024-01-02"), 10.0, 1L),
+        (2L, java.sql.Date.valueOf("2024-01-03"), 10.0, 2L),
+        (2L, java.sql.Date.valueOf("2024-01-04"), 10.0, 3L))
+      .toDF("g", "d", "v", "k")
+    val f2 = TimeSeries.forecastSeasonal(out, col("g"), col("d"), col("v"), col("k"),
+      window = 4, horizon = 1, stepDays = 1, period = 2).collect().head
+    // phases (backward offsets): rn1=day4 v10 ph1, rn2=day3 v10 ph0,
+    // rn3=day2 v10 ph1, rn4=day1 v22 ph0 → pm(ph1)=10, pm(ph0)=16;
+    // residuals: 0, -6, 0, 6 → sigma = sqrt(72/4) = 4.2426
+    assert(f2.getAs[Double]("forecast") === 10.0) // h=1 → phase 1
+    assert(math.abs(f2.getAs[Double]("lower") - (10.0 - 1.96 * 4.2426)) < 5e-5)
+    assert(math.abs(f2.getAs[Double]("upper") - (10.0 + 1.96 * 4.2426)) < 5e-5)
+  }
 }

@@ -140,6 +140,39 @@ object TimeSeries {
         col("forecast"), col("lower"), col("upper"), col("n_ctx"))
   }
 
+  /** Exponentially-weighted moving average forecast (fourth TS engine):
+    * s₁ = x₁, sₜ = α·xₜ + (1-α)·sₜ₋₁ over the context window in time
+    * order; the flat forecast is the final smoothed level. The fold
+    * runs INSIDE the aggregate over the per-group context array (≤
+    * `window` elements by construction), so the shape is one window
+    * pass + one combinable aggregation like every other engine — and
+    * the strictly-sequential double arithmetic is order-pinned, which
+    * makes the result bit-identical across engines and partitionings. */
+  def forecastEwma(data: DataFrame, groupCol: Column, ts: Column, value: Column,
+      tieBreak: Column, window: Int, horizon: Int, stepDays: Int,
+      alpha: Double): DataFrame = {
+    val ctx = lookbackContext(data, groupCol, ts, tieBreak, window)
+    val agg = ctx.groupBy(groupCol.as("group_key"))
+      .agg(array_sort(collect_list(struct(ts.as("t"), tieBreak.as("k"), value.as("v"))))
+          .as("arr"),
+        max(ts).as("last_ts"), count(lit(1)).as("n_ctx"))
+      .withColumn("vals", transform(col("arr"), x => x.getField("v")))
+      .withColumn("level", aggregate(
+        slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+        element_at(col("vals"), 1),
+        (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
+    agg
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_date",
+        date_add(to_date(col("last_ts")), col("h") * stepDays).cast("timestamp"))
+      // floor(x·10⁴+0.5)/10⁴, not round(x,4): the fold can land exactly
+      // on a .00005 tie, where engine tie-breaking (HALF_UP vs
+      // half-even) diverges — this spelling is tie-independent given
+      // the same double on both sides (levels are non-negative prices)
+      .withColumn("forecast", floor(col("level") * 1e4 + 0.5) / 1e4)
+      .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
+  }
+
   /** `> LATEST` semantics (apply_predictor_step.py:145-151 forecast
     * offset 1): one forecast row per group strictly beyond the group's
     * max seen timestamp. */

@@ -76,6 +76,16 @@ object ModelPack extends QueryPack {
         .orderBy(col("o_custkey"), col("h"))
     }),
 
+    // EWMA forecast: order-pinned fold over the context array — the
+    // fourth TS engine (flat mean / OLS trend / seasonal / EWMA)
+    "m18_ts_ewma" -> ((s, dir) => {
+      TimeSeries.forecastEwma(t(s, dir, "orders"),
+        col("o_custkey"), col("o_orderdate"), col("o_totalprice"), col("o_orderkey"),
+        window = 8, horizon = 2, stepDays = 30, alpha = 0.3)
+        .withColumnRenamed("group_key", "o_custkey")
+        .orderBy(col("o_custkey"), col("h"))
+    }),
+
     // linear-trend TS forecast: per-group OLS over the context window as
     // ONE aggregation pass (no per-group fitting loop)
     "m10_ts_trend" -> ((s, dir) => {
@@ -352,6 +362,28 @@ object ModelPack extends QueryPack {
       SELECT o_custkey, CAST(h AS INTEGER) AS h,
         CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
         ROUND(base, 4) AS forecast, n_ctx
+      FROM per, UNNEST(generate_series(1, 2)) AS t(h)
+      ORDER BY o_custkey, h""",
+
+    // the identical left fold (s1 = first value, then α·x + (1-α)·acc in
+    // time order) — sequential double arithmetic is order-pinned, so no
+    // decimal detour is needed
+    "m18_ts_ewma" -> """
+      WITH ranked AS (
+        SELECT o_custkey AS g, o_orderdate, o_orderkey, o_totalprice AS v,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      per AS (
+        SELECT g, list(v ORDER BY o_orderdate, o_orderkey) AS vals,
+          MAX(o_orderdate) AS last_ts, COUNT(*) AS n_ctx
+        FROM ranked WHERE rn <= 8 GROUP BY g)
+      SELECT g AS o_custkey, CAST(h AS INTEGER) AS h,
+        CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
+        FLOOR(list_reduce(vals,
+          (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc) * 10000 + 0.5)
+          / 10000 AS forecast,
+        n_ctx
       FROM per, UNNEST(generate_series(1, 2)) AS t(h)
       ORDER BY o_custkey, h""",
 

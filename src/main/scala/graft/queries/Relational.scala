@@ -255,6 +255,46 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // statistical aggregates — variance/stddev/correlation derived from
+    // exact-decimal sufficient sums (n, Σx, Σy, Σx², Σy², Σxy), the same
+    // engine-exact route m10's OLS takes: the summation order of a
+    // native stddev/corr differs between engines at the last ulp, the
+    // decimal sums do not. Map-side combinable like any sum.
+    "q45_stat_aggs" -> ((s, dir) => {
+      import graft.queries.Parity.dsum2
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum2(col("l_quantity"), col("l_quantity")).as("sxx"),
+          dsum2(col("l_extendedprice"), col("l_extendedprice")).as("syy"),
+          dsum2(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+      agg.select(col("l_returnflag"),
+          col("n").cast(LongType).as("n_rows"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 4)
+            .as("var_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+            .as("stddev_qty"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // exact interpolated percentiles (sort-based `percentile`, the
+    // quantile_cont definition both engines share — deterministic under
+    // any partitioning because the aggregate sorts its group)
+    "q46_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q22_conditional_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -621,6 +661,35 @@ object Relational extends QueryPack {
         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         ${oSum("(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END)")} AS big_spend
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // DECIMAL(19,4) factor casts: DuckDB multiplies DECIMAL(18)s at
+    // width 18 and overflows on price*price; 19+19 promotes to a
+    // DECIMAL(38,8) product — values are exact either way
+    "q45_stat_aggs" -> {
+      def dsq(a: String, b: String) =
+        s"CAST(SUM(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4))) AS DOUBLE)"
+      s"""
+      WITH suff AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+          ${oSum("l_quantity")} AS sx, ${oSum("l_extendedprice")} AS sy,
+          ${dsq("l_quantity", "l_quantity")} AS sxx,
+          ${dsq("l_extendedprice", "l_extendedprice")} AS syy,
+          ${dsq("l_quantity", "l_extendedprice")} AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        ROUND((sxx - sx*sx/n) / (n - 1), 4) AS var_qty,
+        ROUND(sqrt((sxx - sx*sx/n) / (n - 1)), 4) AS stddev_qty,
+        ROUND((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 4)
+          AS corr_qty_price
+      FROM suff ORDER BY l_returnflag"""
+    },
+
+    "q46_percentiles" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+        ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q23_scalar_subquery" -> s"""

@@ -100,6 +100,7 @@ object Md5TokenHash {
     val h = d.digest(s.getBytes)
     ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) | ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
   }
+  def digest(): java.security.MessageDigest = digests.get()
   def first64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val d = digests.get(); d.reset()
     val h = d.digest(s.getBytes)
@@ -306,6 +307,51 @@ case class RollingHashGrams(child: Expression, k: Int, base: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 60-bit md5-prefix hash of every k-token window of a token array —
+  * the span key of exact-substring dedup (d06/d07/t19), equal by
+  * construction to `conv(substring(md5(concat_ws(' ', window)),1,15),
+  * 16,10)`: UTF-8 bytes of the space-joined window, md5, first 15 hex
+  * digits as an unsigned value (first 8 digest bytes big-endian >>> 4).
+  * One tight loop per row over a reused byte buffer, replacing a
+  * transform(sequence)+slice+array_join+md5+conv+substring+cast
+  * pipeline that allocates a UTF8String per window and round-trips the
+  * digest through hex text and decimal-string parsing. */
+case class Md5SpanHashes(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val d = Md5TokenHash.digest()
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      d.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) d.update(' '.toByte)
+        d.update(toks(i + j))
+        j += 1
+      }
+      val h = d.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xFFL); b += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Minimum over every length-`w` sliding window of a long array —
   * monotonic-deque O(n), replacing the `transform(sequence(…),
   * array_min(slice(…)))` formulation that allocates a w-element slice
@@ -357,6 +403,8 @@ object VectorFunctions {
     GraftColumnBridge.column(RollingHashGrams(ex(c), k, base))
   def slidingWindowMin(c: Column, w: Int): Column =
     GraftColumnBridge.column(SlidingWindowMin(ex(c), w))
+  def md5SpanHashes(c: Column, k: Int): Column =
+    GraftColumnBridge.column(Md5SpanHashes(ex(c), k))
 
   /** SQL registration: cosine_sim / dot_product / simhash64 usable in spark.sql. */
   def register(spark: SparkSession): Unit = {

@@ -181,9 +181,8 @@ object Dedup extends QueryPack {
         .select(gram(array_join(slice(col("tk"), 6, n), " ")).as("g"))
         .distinct()
       val grams = docs.filter(size(col("tk")) >= n)
-        .select(col("doc_id"), explode(array_distinct(transform(
-          sequence(lit(1), size(col("tk")) - (n - 1)),
-          i => gram(array_join(slice(col("tk"), i, lit(n)), " "))))).as("g"))
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.VectorFunctions.md5SpanHashes(col("tk"), n))).as("g"))
       grams.join(broadcast(bench), Seq("g"), "left_semi")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit_grams"))
@@ -207,11 +206,13 @@ object Dedup extends QueryPack {
       val k = 10
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
       val docs = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
+      // native Md5SpanHashes: one buffer-reusing pass per row computes
+      // every window's 60-bit md5-prefix key — same values as the
+      // conv(substring(md5(array_join(slice(…))))) pipeline, without a
+      // UTF8String build + hex/decimal text round-trip per window
       val occ = docs.filter(size(col("tk")) >= k)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(1), size(col("tk")) - (k - 1)),
-          i => conv(substring(md5(array_join(slice(col("tk"), i, lit(k)), " ")), 1, 15), 16, 10)
-            .cast(LongType))).as(Seq("pos", "h")))
+        .select(col("doc_id"), posexplode(
+          graft.functions.VectorFunctions.md5SpanHashes(col("tk"), k)).as(Seq("pos", "h")))
       val first = occ.groupBy(col("h"))
         .agg(min(struct(col("doc_id"), col("pos"))).as("first_occ"))
       val perDoc = occ.join(first, Seq("h"))

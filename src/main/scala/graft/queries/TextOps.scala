@@ -468,9 +468,7 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), toks.as("tk"))
         .filter(size(col("tk")) >= n)
         .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-            i => conv(substring(md5(concat_ws(" ", slice(col("tk"), i, lit(n)))), 1, 15), 16, 10)
-              .cast(LongType))).as("h"))
+          graft.functions.VectorFunctions.md5SpanHashes(col("tk"), n)).as("h"))
       val firstSeen = spans.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       spans.join(firstSeen, Seq("h"))
         .groupBy(col("doc_id"))

@@ -131,6 +131,20 @@ object KbPack extends QueryPack {
         .orderBy(col("chunk_id"))
     }),
 
+    // KB search nested in a CTE with an ALIASED kb relation — the shape
+    // only the one-parse route sees (the regex route needs a bare
+    // top-level `SELECT * FROM <kb> WHERE`); same executor semantics
+    "k16_kb_cte_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE KNOWLEDGE BASE kbc USING content_columns='text'")
+      c.execute("INSERT INTO kbc SELECT doc_id, text, lang, source FROM documents")
+      c.execute(s"""WITH hits AS (
+          SELECT chunk_id, doc_id, relevance FROM kbc AS kb
+          WHERE content = '$QueryA' AND lang = 'en')
+        SELECT chunk_id, doc_id, relevance FROM hits ORDER BY chunk_id""")
+    }),
+
     // k05's hybrid blend as pure SQL: mode switches ride in the WHERE
     // clause as params (controller.py:286-342)
     "k12_kb_hybrid_sql" -> ((s, dir) => {
@@ -394,6 +408,14 @@ object KbPack extends QueryPack {
         SELECT * FROM arm1
         UNION ALL
         SELECT * FROM arm2 WHERE chunk_id NOT IN (SELECT chunk_id FROM arm1))
+      ORDER BY chunk_id""",
+
+    // same semantic search + metadata filter, DefaultLimit(10) top-k
+    "k16_kb_cte_sql" -> s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      scored AS (SELECT chunk_id, doc_id, ${oRel("q")} AS relevance
+        FROM emb, qv WHERE lang = 'en')
+      SELECT * FROM (SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 10)
       ORDER BY chunk_id""",
 
     "k12_kb_hybrid_sql" -> {

@@ -824,23 +824,26 @@ final class Commands(
     * run unchanged. */
   private def modelAwareRun(sql: String): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, SubqueryAlias, UnresolvedWith}
     import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
     val models = catalog.listModels().toSet
-    if (models.isEmpty) return run(sql)
+    val kbs = catalog.listKbs().toSet
+    if (models.isEmpty && kbs.isEmpty) return run(sql)
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return run(sql) }
 
-    def modelRel(p: LogicalPlan): Option[(String, String)] = p match {
+    def namedRel(p: LogicalPlan, names: Set[String]): Option[(String, String)] = p match {
       case SubqueryAlias(id, u: UnresolvedRelation)
-          if u.multipartIdentifier.size == 1 && models(u.multipartIdentifier.head) =>
+          if u.multipartIdentifier.size == 1 && names(u.multipartIdentifier.head) =>
         Some((u.multipartIdentifier.head, id.name))
       case u: UnresolvedRelation
-          if u.multipartIdentifier.size == 1 && models(u.multipartIdentifier.head) =>
+          if u.multipartIdentifier.size == 1 && names(u.multipartIdentifier.head) =>
         Some((u.multipartIdentifier.head, u.multipartIdentifier.head))
       case _ => None
     }
+    def modelRel(p: LogicalPlan): Option[(String, String)] = namedRel(p, models)
+    def kbRel(p: LogicalPlan): Option[(String, String)] = namedRel(p, kbs)
     def substitute(plan: LogicalPlan, defs: Map[String, LogicalPlan]): LogicalPlan =
       plan.transformUp {
         case u: UnresolvedRelation if u.multipartIdentifier.size == 1 &&
@@ -860,21 +863,44 @@ final class Commands(
       case p => p
     }
     val inlined = inlineCtes(parsed)
-    val hasModelJoin = inlined.collectFirst {
-      case Join(_, r, _, _, _) if modelRel(r).isDefined => ()
+    val needsRewrite = inlined.collectFirst {
+      case Join(l, r, _, _, _) if modelRel(r).isDefined || modelRel(l).isDefined => ()
+      case Filter(_, rel) if kbRel(rel).isDefined => ()
     }.isDefined
-    if (!hasModelJoin) return run(sql)
+    if (!needsRewrite) return run(sql)
     registerRelations()
     val rewritten = inlined.transformUp {
-      case Join(left, right, Inner | Cross, None, _) if modelRel(right).isDefined =>
-        // joining a model applies it over the data side (the reference
-        // swaps the join for an ApplyPredictor step); the alias scopes
-        // both the data columns and the model outputs
+      // joining a model applies it over the data side — EITHER side, the
+      // way the reference planner picks whichever relation is a
+      // predictor (plan_join.py:357-380); the alias scopes both the
+      // data columns and the model outputs
+      case Join(left, right, Inner | Cross, None, _)
+          if modelRel(right).isDefined && modelRel(left).isEmpty =>
         val (m, alias) = modelRel(right).get
         val applied = graft.ml.Predict.applyModel(
           org.apache.spark.sql.GraftColumnBridge.ofRows(spark, left),
           catalog.model(m))
         SubqueryAlias(alias, applied.queryExecution.analyzed)
+      case Join(left, right, Inner | Cross, None, _)
+          if modelRel(left).isDefined && modelRel(right).isEmpty =>
+        val (m, alias) = modelRel(left).get
+        val applied = graft.ml.Predict.applyModel(
+          org.apache.spark.sql.GraftColumnBridge.ofRows(spark, right),
+          catalog.model(m))
+        SubqueryAlias(alias, applied.queryExecution.analyzed)
+      // `FROM <kb> WHERE <cond>` anywhere in the tree — aliased or
+      // CTE-nested — runs the knowledge-base search semantics, not a
+      // plain chunk filter (executor.py compiles the WHERE tree into
+      // set operations over per-condition searches)
+      case Filter(cond, rel) if kbRel(rel).isDefined =>
+        val (name, alias) = kbRel(rel).get
+        val k = catalog.kb(name).get
+        val index = for {
+          nprobe <- k.params.get("ivf_nprobe")
+          if warehouse.exists(s"${k.storage}_cents")
+        } yield (warehouse.table(s"${k.storage}_cents"), nprobe.toInt)
+        val out = KbSql.runParsed(spark, warehouse.table(k.storage), cond, None, index)
+        SubqueryAlias(alias, out.queryExecution.analyzed)
     }
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, rewritten)
   }

@@ -37,8 +37,15 @@ object KbSql {
     * instead of scanning the whole corpus (kb_controller.create_index,
     * command_executor.py:968). */
   def run(spark: SparkSession, chunks: DataFrame, where: String,
+      limit: Option[Int], ivfIndex: Option[(DataFrame, Int)] = None): DataFrame =
+    runParsed(spark, chunks,
+      spark.sessionState.sqlParser.parseExpression(where), limit, ivfIndex)
+
+  /** Same, for a WHERE tree already parsed by the statement router (the
+    * one-parse route hands the Filter condition over directly). */
+  def runParsed(spark: SparkSession, chunks: DataFrame, where: Expression,
       limit: Option[Int], ivfIndex: Option[(DataFrame, Int)] = None): DataFrame = {
-    val top = flattenAnd(spark.sessionState.sqlParser.parseExpression(where))
+    val top = flattenAnd(where)
     val (paramExprs, condExprs) = top.partition(isParam)
     val p = toParams(paramExprs)
     val k = limit.getOrElse(Kb.DefaultLimit)

@@ -679,6 +679,11 @@ class CommandsSpec extends AnyFunSuite {
       (SELECT score FROM (SELECT * FROM region WHERE r_regionkey < 3) JOIN rs)""")
       .first().getDouble(0)
     assert(d === 5.0)
+    // model on the LEFT side applies the same way (reference planner
+    // picks whichever relation is a predictor)
+    val f = c.execute(
+      "SELECT r_name, score FROM rs JOIN region ORDER BY r_name").collect()
+    assert(f.length === 5 && f.map(_.getDouble(1)).max === 9.0)
     // a plain join of two real tables is untouched by the rewrite
     val e = c.execute("""SELECT count(*) AS n FROM nation
       JOIN region ON n_regionkey = r_regionkey""").first().getLong(0)

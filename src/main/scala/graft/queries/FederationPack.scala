@@ -106,6 +106,24 @@ object FederationPack extends QueryPack {
       FileSource.read(s, s"$tmp/regions.pdf")
     }),
 
+    // the files integration as a SQL namespace: `FROM files.<name>`
+    // resolves against the warehouse .files area, format-sniffed into a
+    // distributed scan (the reference's uploaded-files surface)
+    "f07_files_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      val filesDir = java.nio.file.Paths.get(s"${c.warehouse.dir}/.files")
+      java.nio.file.Files.createDirectories(filesDir)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true")
+        .csv(filesDir.resolve("orders_f07.csv").toString)
+      c.execute("""SELECT o_orderstatus, count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM files.orders_f07 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -161,6 +179,10 @@ object FederationPack extends QueryPack {
         FROM nch, UNNEST(generate_series(0, n - 1)) AS u(i))
       SELECT content, 'regions.pdf' AS source_file, 'pdf' AS file_format
       FROM chunks ORDER BY i""",
+
+    "f07_files_sql" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

@@ -431,6 +431,23 @@ final class Commands(
       ok(s"table $name created")
     case DropTable(name) =>
       warehouse.dropTable(name); ok(s"table $name dropped")
+    case UpdateStmt(name, assigns, where)
+        if !name.equalsIgnoreCase("AGENT") && catalog.kb(name).isDefined =>
+      // UPDATE <kb> SET … WHERE cond — chunk-level update; updating
+      // `content` re-embeds it, exactly the reference's update_query
+      // (controller.py:580-608 adds the embeddings column when content
+      // is among the update columns)
+      val k = catalog.kb(name).get
+      require(warehouse.exists(k.storage),
+        s"knowledge base $name has no ingested data")
+      val m0 = splitTop(assigns, ',').map { a =>
+        val kv = a.split("=", 2)
+        require(kv.length == 2, s"bad assignment: $a")
+        kv(0).trim -> expr(kv(1).trim)
+      }.toMap
+      val m = m0.get("content").fold(m0)(c => m0 + ("emb" -> graft.kb.Kb.embed(c)))
+      warehouse.update(k.storage, m, expr(where))
+      ok(s"updated knowledge base $name")
     case UpdateStmt(name, assigns, where) if !name.equalsIgnoreCase("AGENT") =>
       // UPDATE <warehouse table> SET a = e, … WHERE cond (update_step.py)
       require(warehouse.exists(name), s"table $name does not exist")
@@ -441,11 +458,21 @@ final class Commands(
       }.toMap
       warehouse.update(name, m, expr(where))
       ok(s"updated $name")
-    case DeleteStmt(name, where) =>
-      // DELETE FROM <warehouse table> [WHERE cond] (delete_step.py)
-      require(warehouse.exists(name), s"table $name does not exist")
-      warehouse.delete(name, Option(where).map(expr).getOrElse(lit(true)))
-      ok(s"deleted from $name")
+    case DeleteStmt(name, where) => catalog.kb(name) match {
+      case Some(k) =>
+        // DELETE FROM <kb> [WHERE cond] — chunk-level delete against the
+        // KB storage (controller.py:622 delete_query; bare DELETE is
+        // clear(), :640); predicates address chunk metadata columns
+        require(warehouse.exists(k.storage),
+          s"knowledge base $name has no ingested data")
+        warehouse.delete(k.storage, Option(where).map(expr).getOrElse(lit(true)))
+        ok(s"deleted from knowledge base $name")
+      case None =>
+        // DELETE FROM <warehouse table> [WHERE cond] (delete_step.py)
+        require(warehouse.exists(name), s"table $name does not exist")
+        warehouse.delete(name, Option(where).map(expr).getOrElse(lit(true)))
+        ok(s"deleted from $name")
+    }
 
     case InsertStmt(name, colList, body) => catalog.kb(name) match {
       case Some(k) =>
@@ -828,7 +855,6 @@ final class Commands(
     import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
     val models = catalog.listModels().toSet
     val kbs = catalog.listKbs().toSet
-    if (models.isEmpty && kbs.isEmpty) return run(sql)
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sql)
       catch { case _: Exception => return run(sql) }
@@ -862,10 +888,22 @@ final class Commands(
         substitute(inlineCtes(w.child), defs)
       case p => p
     }
+    def fileRel(p: LogicalPlan): Option[(String, String)] = p match {
+      case SubqueryAlias(id, u: UnresolvedRelation)
+          if u.multipartIdentifier.size == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("files") =>
+        Some((u.multipartIdentifier(1), id.name))
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("files") =>
+        Some((u.multipartIdentifier(1), u.multipartIdentifier(1)))
+      case _ => None
+    }
     val inlined = inlineCtes(parsed)
     val needsRewrite = inlined.collectFirst {
       case Join(l, r, _, _, _) if modelRel(r).isDefined || modelRel(l).isDefined => ()
       case Filter(_, rel) if kbRel(rel).isDefined => ()
+      case rel if fileRel(rel).isDefined => ()
     }.isDefined
     if (!needsRewrite) return run(sql)
     registerRelations()
@@ -901,6 +939,28 @@ final class Commands(
         } yield (warehouse.table(s"${k.storage}_cents"), nprobe.toInt)
         val out = KbSql.runParsed(spark, warehouse.table(k.storage), cond, None, index)
         SubqueryAlias(alias, out.queryExecution.analyzed)
+      // `FROM files.<name>` — the reference's files integration as a SQL
+      // namespace: the name resolves against the warehouse `.files`
+      // area, format-sniffed by FileSource (csv/json/parquet/xlsx/pdf/
+      // txt) into a DISTRIBUTED scan, never a driver-side read
+      case rel if fileRel(rel).isDefined =>
+        val (name, alias) = fileRel(rel).get
+        val dirPath = java.nio.file.Paths.get(s"${warehouse.dir}/.files")
+        val candidates =
+          if (!java.nio.file.Files.isDirectory(dirPath)) Seq.empty
+          else {
+            val s = java.nio.file.Files.list(dirPath)
+            try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+              .filter { p =>
+                val fn = p.getFileName.toString
+                fn == name || fn.stripSuffix(
+                  fn.split('.').lastOption.fold("")("." + _)) == name
+              }
+            finally s.close()
+          }
+        require(candidates.nonEmpty, s"file $name not found in files storage")
+        val df = graft.federation.FileSource.read(spark, candidates.head.toString)
+        SubqueryAlias(alias, df.queryExecution.analyzed)
     }
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, rewritten)
   }

@@ -690,6 +690,54 @@ class CommandsSpec extends AnyFunSuite {
     assert(e === 25)
   }
 
+  test("DELETE FROM knowledge base: predicate chunk delete, bare DELETE clears") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE kbd USING content_columns='text'")
+    c.execute("INSERT INTO kbd SELECT doc_id, text, lang, source FROM documents")
+    val total = c.execute("SELECT count(*) AS n FROM kbd").first().getLong(0)
+    assert(total > 0)
+    val low = c.execute("SELECT count(*) AS n FROM kbd WHERE doc_id < 10").first().getLong(0)
+    assert(low > 0)
+    c.execute("DELETE FROM kbd WHERE doc_id < 10")
+    assert(c.execute("SELECT count(*) AS n FROM kbd").first().getLong(0) === total - low)
+    // search still works over the surviving chunks
+    assert(c.execute("SELECT * FROM kbd WHERE content = 'scan' LIMIT 5").count() === 5)
+    c.execute("DELETE FROM kbd") // clear()
+    assert(c.execute("SELECT count(*) AS n FROM kbd").first().getLong(0) === 0)
+  }
+
+  test("UPDATE knowledge base: content update re-embeds the chunk") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE kbu USING content_columns='text'")
+    c.execute("INSERT INTO kbu SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 20")
+    val target = c.execute("SELECT chunk_id FROM kbu LIMIT 1").first().getString(0)
+    c.execute(s"UPDATE kbu SET content = 'zebra quantum haiku' WHERE chunk_id = '$target'")
+    // the updated chunk must now be the TOP hit for its new content
+    val top = c.execute("SELECT * FROM kbu WHERE content = 'zebra quantum haiku' LIMIT 1")
+      .first().getAs[String]("chunk_id")
+    assert(top === target, "embedding not recomputed on content update")
+    // metadata-only update leaves the embedding usable
+    c.execute(s"UPDATE kbu SET lang = 'xx' WHERE chunk_id = '$target'")
+    assert(c.execute(s"SELECT * FROM kbu WHERE content = 'zebra quantum haiku' LIMIT 1")
+      .first().getAs[String]("chunk_id") === target)
+  }
+
+  test("files.<name> SQL namespace: format-sniffed reads from the warehouse files area") {
+    val c = fresh()
+    val filesDir = java.nio.file.Paths.get(s"${c.warehouse.dir}/.files")
+    java.nio.file.Files.createDirectories(filesDir)
+    java.nio.file.Files.writeString(filesDir.resolve("prices.csv"),
+      "item,price\napple,1.5\npear,2.0\n")
+    val r = c.execute(
+      "SELECT item, price FROM files.prices ORDER BY item").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("apple", "pear"))
+    // joins with regular tables and aliases compose
+    val n = c.execute("""SELECT count(*) AS n FROM files.prices AS p
+      JOIN region ON r_regionkey >= 0""").first().getLong(0)
+    assert(n === 10)
+    intercept[Exception] { c.execute("SELECT * FROM files.missing").collect() }
+  }
+
   test("PROJECT lifecycle: create, show, typed database row, drop") {
     val c = fresh()
     c.execute("CREATE PROJECT p1")

@@ -173,6 +173,55 @@ object TimeSeries {
       .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
   }
 
+  /** Time-series model created by the reference's TS DDL —
+    * `CREATE MODEL m FROM (q) PREDICT v ORDER BY ts [GROUP BY g]
+    * WINDOW n HORIZON h [USING engine=…]` (sql_query.py:181-205
+    * timeseries_settings). Applies as a whole-frame transform: joining
+    * the model forecasts over the join's data side with the stored
+    * settings. Engines: mean (default), trend, seasonal, ewma. */
+  final case class TsModel(
+      name: String,
+      target: String,
+      tsCol: String,
+      groupCol: Option[String],
+      window: Int,
+      horizon: Int,
+      engine: String,
+      params: Map[String, String]) extends graft.ml.FrameModel {
+    import org.apache.spark.sql.types._
+    override def featureCols: Seq[String] = tsCol +: groupCol.toSeq
+    override def outputSchema: StructType = {
+      val base = Seq(
+        StructField(groupCol.getOrElse("group_key"), LongType),
+        StructField("h", IntegerType),
+        StructField("forecast_date", TimestampType),
+        StructField("forecast", DoubleType))
+      val bounds =
+        if (engine == "seasonal")
+          Seq(StructField("lower", DoubleType), StructField("upper", DoubleType))
+        else Nil
+      StructType(base ++ bounds :+ StructField("n_ctx", LongType))
+    }
+    override def transform(df: DataFrame): DataFrame = {
+      val g = groupCol.map(col).getOrElse(lit(0L))
+      val tie = col(params.getOrElse("tie_break", tsCol))
+      val step = params.getOrElse("step_days", "30").toInt
+      val out = engine match {
+        case "trend" =>
+          forecastTrend(df, g, col(tsCol), col(target), tie, window, horizon, step)
+        case "seasonal" =>
+          forecastSeasonal(df, g, col(tsCol), col(target), tie, window, horizon, step,
+            period = params.getOrElse("period", "4").toInt)
+        case "ewma" =>
+          forecastEwma(df, g, col(tsCol), col(target), tie, window, horizon, step,
+            alpha = params.getOrElse("alpha", "0.3").toDouble)
+        case _ =>
+          forecast(df, g, col(tsCol), col(target), tie, window, horizon, step)
+      }
+      groupCol.fold(out)(gc => out.withColumnRenamed("group_key", gc))
+    }
+  }
+
   /** `> LATEST` semantics (apply_predictor_step.py:145-151 forecast
     * offset 1): one forecast row per group strictly beyond the group's
     * max seen timestamp. */

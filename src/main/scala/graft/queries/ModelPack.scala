@@ -32,6 +32,27 @@ object ModelPack extends QueryPack {
   // on the 6-decimal grid — rounding there is drift-proof, while a
   // 4-decimal cut lands on exact .5 boundaries where Spark (shortest-
   // repr HALF_UP) and DuckDB (binary) disagree.
+  /** Shared EWMA oracle: m18 (library call) and m19 (TS DDL) must
+    * produce the identical frame. */
+  private val ewmaOracle = """
+      WITH ranked AS (
+        SELECT o_custkey AS g, o_orderdate, o_orderkey, o_totalprice AS v,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      per AS (
+        SELECT g, list(v ORDER BY o_orderdate, o_orderkey) AS vals,
+          MAX(o_orderdate) AS last_ts, COUNT(*) AS n_ctx
+        FROM ranked WHERE rn <= 8 GROUP BY g)
+      SELECT g AS o_custkey, CAST(h AS INTEGER) AS h,
+        CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
+        FLOOR(list_reduce(vals,
+          (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc) * 10000 + 0.5)
+          / 10000 AS forecast,
+        n_ctx
+      FROM per, UNNEST(generate_series(1, 2)) AS t(h)
+      ORDER BY o_custkey, h"""
+
   private val oScore =
     "ROUND(0.5 + 0.01*l_quantity + 0.0001*l_extendedprice + (-2.0)*l_discount, 6)"
 
@@ -74,6 +95,20 @@ object ModelPack extends QueryPack {
         window = 12, horizon = 4, stepDays = 30, period = 4)
         .withColumnRenamed("group_key", "o_custkey")
         .orderBy(col("o_custkey"), col("h"))
+    }),
+
+    // the m18 semantics through the reference's TS DDL: CREATE MODEL …
+    // PREDICT v ORDER BY ts GROUP BY g WINDOW n HORIZON h USING
+    // engine='ewma', then applied by joining data against the model
+    "m19_ts_ddl" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL ts19 FROM (SELECT * FROM orders)
+        PREDICT o_totalprice ORDER BY o_orderdate GROUP BY o_custkey
+        WINDOW 8 HORIZON 2
+        USING engine='ewma', alpha=0.3, step_days=30, tie_break='o_orderkey'""")
+      c.execute("""SELECT o_custkey, h, forecast_date, forecast, n_ctx
+        FROM orders JOIN ts19 ORDER BY o_custkey, h""")
     }),
 
     // EWMA forecast: order-pinned fold over the context array — the
@@ -368,24 +403,10 @@ object ModelPack extends QueryPack {
     // the identical left fold (s1 = first value, then α·x + (1-α)·acc in
     // time order) — sequential double arithmetic is order-pinned, so no
     // decimal detour is needed
-    "m18_ts_ewma" -> """
-      WITH ranked AS (
-        SELECT o_custkey AS g, o_orderdate, o_orderkey, o_totalprice AS v,
-          ROW_NUMBER() OVER (PARTITION BY o_custkey
-            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-        FROM orders),
-      per AS (
-        SELECT g, list(v ORDER BY o_orderdate, o_orderkey) AS vals,
-          MAX(o_orderdate) AS last_ts, COUNT(*) AS n_ctx
-        FROM ranked WHERE rn <= 8 GROUP BY g)
-      SELECT g AS o_custkey, CAST(h AS INTEGER) AS h,
-        CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
-        FLOOR(list_reduce(vals,
-          (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc) * 10000 + 0.5)
-          / 10000 AS forecast,
-        n_ctx
-      FROM per, UNNEST(generate_series(1, 2)) AS t(h)
-      ORDER BY o_custkey, h""",
+    "m18_ts_ewma" -> ewmaOracle,
+
+    // the TS-DDL route produces exactly the m18 forecasts
+    "m19_ts_ddl" -> ewmaOracle,
 
     // same phases (backward-offset mod period), same decimal phase/group
     // means rounded at 4dp, same decimal residual sum-of-squares

@@ -37,6 +37,8 @@ final class Commands(
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
   private val DropView = """(?is)\s*DROP\s+VIEW\s+(\w+)\s*""".r
+  private val CreateTsModel =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+FROM\s+\((.+)\)\s+PREDICT\s+(\w+)\s+ORDER\s+BY\s+([\w.]+)\s+(?:GROUP\s+BY\s+([\w.]+)\s+)?WINDOW\s+(\d+)\s+HORIZON\s+(\d+)\s*(?:USING\s+(.+?))?\s*""".r
   private val CreateModelFit =
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+FROM\s+\((.+)\)\s+PREDICT\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val CreateModel =
@@ -187,6 +189,22 @@ final class Commands(
     case DropView(name) =>
       catalog.dropView(name); ok(s"view $name dropped")
 
+    case CreateTsModel(orReplace, ifNot, name, trainSql, target, tsCol,
+        groupCol, window, horizon, using) =>
+      // the reference's TS DDL (`… PREDICT v ORDER BY ts [GROUP BY g]
+      // WINDOW n HORIZON h`, sql_query.py:181-205): the settings store
+      // on the model; applying = joining data against it
+      if (catalog.listModels().contains(name)) {
+        if (ifNot != null) return ok(s"model $name already exists")
+        require(orReplace != null, s"model $name already exists")
+        catalog.dropModel(name)
+      }
+      run(trainSql) // validate the training query eagerly, like CREATE MODEL
+      val tsParams = parseUsing(Option(using).getOrElse(""))
+      catalog.createModel(graft.ml.TimeSeries.TsModel(name, target, tsCol,
+        Option(groupCol), window.toInt, horizon.toInt,
+        tsParams.getOrElse("engine", "mean"), tsParams))
+      ok(s"model $name created")
     case CreateModelFit(orReplace, ifNot, name, trainSql, target, using) =>
       // CREATE [OR REPLACE] MODEL [IF NOT EXISTS]: replace retrains in
       // place, if-not-exists is a no-op on conflict, bare CREATE on an

@@ -738,6 +738,31 @@ class CommandsSpec extends AnyFunSuite {
     intercept[Exception] { c.execute("SELECT * FROM files.missing").collect() }
   }
 
+  test("TS model DDL: ORDER BY/GROUP BY/WINDOW/HORIZON clauses, engines apply via join") {
+    val c = fresh()
+    c.execute("""CREATE MODEL tsq FROM (SELECT * FROM orders)
+      PREDICT o_totalprice ORDER BY o_orderdate GROUP BY o_custkey
+      WINDOW 6 HORIZON 3 USING engine='seasonal', period=3, tie_break='o_orderkey'""")
+    assert(c.catalog.listModels().contains("tsq"))
+    val out = c.execute("SELECT * FROM orders JOIN tsq")
+    assert(out.columns.toSeq.contains("lower") && out.columns.toSeq.contains("upper"))
+    // 3 horizon rows per group present in the data side
+    val groups = c.execute("SELECT count(DISTINCT o_custkey) AS n FROM orders")
+      .first().getLong(0)
+    assert(out.count() === groups * 3)
+    // bare re-create errors; IF NOT EXISTS is a no-op
+    intercept[IllegalArgumentException] { c.execute(
+      """CREATE MODEL tsq FROM (SELECT * FROM orders) PREDICT o_totalprice
+        ORDER BY o_orderdate WINDOW 2 HORIZON 1""") }
+    c.execute("""CREATE MODEL IF NOT EXISTS tsq FROM (SELECT * FROM orders)
+      PREDICT o_totalprice ORDER BY o_orderdate WINDOW 2 HORIZON 1""")
+    // ungrouped spelling works too (single global series)
+    c.execute("""CREATE MODEL tsg FROM (SELECT * FROM orders)
+      PREDICT o_totalprice ORDER BY o_orderdate WINDOW 4 HORIZON 2
+      USING tie_break='o_orderkey'""")
+    assert(c.execute("SELECT * FROM orders JOIN tsg").count() === 2)
+  }
+
   test("PROJECT lifecycle: create, show, typed database row, drop") {
     val c = fresh()
     c.execute("CREATE PROJECT p1")

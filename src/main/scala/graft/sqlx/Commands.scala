@@ -853,7 +853,16 @@ final class Commands(
       val applied = graft.ml.Predict.applyModel(data, model)
       val tv = s"__model_join_$modelName"
       applied.createOrReplaceTempView(tv)
-      spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
+      // `WHERE <ts> > LATEST` on a TS model join is the reference's
+      // only-future spelling (apply_predictor_step.py:145-151); our TS
+      // transform already emits exclusively beyond-max forecast rows,
+      // so the predicate neutralizes rather than failing to resolve
+      val restAdj = Option(rest).map { r =>
+        if (model.isInstanceOf[graft.ml.TimeSeries.TsModel])
+          r.replaceAll("(?i)\\b[\\w.]+\\s*>\\s*LATEST\\b", "1 = 1")
+        else r
+      }
+      spark.sql(s"SELECT $sel FROM $tv ${restAdj.getOrElse("")}")
 
     case other => modelAwareRun(other)
   }

@@ -761,6 +761,9 @@ class CommandsSpec extends AnyFunSuite {
       PREDICT o_totalprice ORDER BY o_orderdate WINDOW 4 HORIZON 2
       USING tie_break='o_orderkey'""")
     assert(c.execute("SELECT * FROM orders JOIN tsg").count() === 2)
+    // the reference's only-future spelling composes on a TS join
+    assert(c.execute(
+      "SELECT * FROM orders JOIN tsg WHERE o_orderdate > LATEST").count() === 2)
   }
 
   test("PROJECT lifecycle: create, show, typed database row, drop") {

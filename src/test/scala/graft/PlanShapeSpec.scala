@@ -201,6 +201,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed join must not re-shuffle its inputs:\n$plan")
   }
 
+  test("q45 statistical sums split partial/final; no join at all") {
+    val plan = executedPlan("q45_stat_aggs")
+    assert(plan.contains("partial_"), s"sufficient sums must map-side combine:\n$plan")
+    assert(!plan.contains("Join"), s"stat aggs are one aggregation pass:\n$plan")
+  }
+
+  test("m17 seasonal forecast: phase/group stats partial-aggregate, joins stay equi-keyed") {
+    val plan = executedPlan("m17_ts_seasonal")
+    assert(plan.contains("partial_"), s"phase means must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"seasonal joins must stay group-keyed:\n$plan")
+  }
+
+  test("m18 EWMA: the fold stays inside one aggregation, no degenerate join") {
+    val plan = executedPlan("m18_ts_ewma")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"EWMA must not cross anything:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

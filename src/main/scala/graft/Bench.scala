@@ -30,10 +30,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.exists(n.startsWith)) }
-    // warm-up: JVM/codegen/parquet-footer caches; excluded from numbers
-    queries.foreach { case (_, fn) => force(fn(spark, sfDir)) }
+    // warm-up: JVM/codegen/parquet-footer caches; excluded from numbers.
+    // Cached frames clear BETWEEN queries (queries that .cache()
+    // internally still benefit within their own runs): accumulated
+    // caches from 150+ earlier queries otherwise build memory pressure
+    // that slows late-alphabet queries by 30%+ — measured s07 drifting
+    // 1.18→1.58 s purely from suite growth.
+    queries.foreach { case (_, fn) =>
+      force(fn(spark, sfDir)); spark.catalog.clearCache()
+    }
     val results = queries.map { case (name, fn) =>
       val ts = Seq.fill(3)(timeOne(fn(spark, sfDir))).sorted
+      spark.catalog.clearCache()
       name -> ts(1) // median of 3
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -168,6 +168,18 @@ object ModelPack extends QueryPack {
         WHERE l_quantity = 30.0 AND l_extendedprice = 45000.5 AND l_discount = 0.05""")
     }),
 
+    // anomaly-detection engine in the SQL model lifecycle: per-group
+    // z-scores, 2.5σ flag, applied by joining the data against the model
+    "m20_anomaly_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL anom20 FROM (SELECT * FROM lineitem)
+        PREDICT l_extendedprice USING engine='anomaly',
+        features='l_extendedprice', group_by='l_returnflag', threshold=2.5""")
+      c.execute("""SELECT l_orderkey, l_linenumber, l_returnflag, score, is_anomaly
+        FROM lineitem JOIN anom20 ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // m08 semantics through the ONE-PARSE router: the model join sits
     // inside a CTE and the model carries an alias — shapes the regex
     // fast-path can't see; the Catalyst-parse route (plan_join.py:357-401
@@ -407,6 +419,25 @@ object ModelPack extends QueryPack {
 
     // the TS-DDL route produces exactly the m18 forecasts
     "m19_ts_ddl" -> ewmaOracle,
+
+    // same decimal sufficient sums, same population σ, same floor-spelled
+    // score rounding (tie-independent given identical doubles)
+    "m20_anomaly_sql" -> """
+      WITH st AS (
+        SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+                   CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY 1),
+      ms AS (SELECT g, sx/n AS mu,
+          CASE WHEN (sxx - sx*sx/n)/n > 0
+            THEN sqrt((sxx - sx*sx/n)/n) ELSE 1.0 END AS sigma
+        FROM st)
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+        FLOOR((l_extendedprice - mu)/sigma * 10000 + 0.5)/10000 AS score,
+        ABS(FLOOR((l_extendedprice - mu)/sigma * 10000 + 0.5)/10000) > 2.5 AS is_anomaly
+      FROM lineitem JOIN ms ON l_returnflag = ms.g
+      ORDER BY l_orderkey, l_linenumber""",
 
     // same phases (backward-offset mod period), same decimal phase/group
     // means rounded at 4dp, same decimal residual sum-of-squares

@@ -231,6 +231,21 @@ final class Commands(
           val (m, st) = trainer()
           catalog.createModel(m, st, Some(trainer), None)
           ok(s"model $name trained (version 1)")
+        case Some("anomaly") =>
+          // anomaly-detection engine: per-group z-scores of the feature;
+          // PREDICT names the flag contract (always emitted as
+          // score/is_anomaly), group_by keys the stats, threshold
+          // defaults to the 3σ rule
+          val featCol = p.getOrElse("features", target).split(",").head.trim
+          val gCol = p.get("group_by").map(_.trim)
+          val thr = p.getOrElse("threshold", "3.0").toDouble
+          val trainer = () => {
+            val m = graft.ml.Anomaly.trained(name, run(trainSql), featCol, gCol, thr)
+            (m: graft.ml.Model, Option.empty[Fit.Stats])
+          }
+          val (m, st) = trainer()
+          catalog.createModel(m, st, Some(trainer), None)
+          ok(s"model $name trained (version 1)")
         case Some("naive_bayes") =>
           // classification engine: CREATE MODEL … PREDICT <label> USING
           // engine='naive_bayes', features='<text column>' — the

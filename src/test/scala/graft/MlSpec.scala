@@ -197,6 +197,25 @@ class MlSpec extends AnyFunSuite {
     assert(fc.join(mx, "group_key").filter(col("next_ts") <= col("mx")).count() === 0)
   }
 
+  test("anomaly engine: hand-computed z-scores, grouped stats, zero-variance guard") {
+    import spark.implicits._
+    // group a: values 1,1,1,9 → μ=3, σ=sqrt((4+4+4+36)/4)=sqrt(12)
+    // group b: constant 5 → σ guards to 1, all scores 0
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 9.0),
+      ("b", 5.0), ("b", 5.0)).toDF("g", "x")
+    val m = graft.ml.Anomaly.trained("anom", df, "x", Some("g"), threshold = 1.5)
+    val out = graft.ml.Predict.applyModel(df, m).orderBy("g", "x").collect()
+    val sig = math.sqrt(12.0)
+    def r4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    assert(out.take(3).forall(_.getAs[Double]("score") === r4((1.0 - 3.0) / sig)))
+    assert(out(3).getAs[Double]("score") === r4((9.0 - 3.0) / sig))
+    // |−0.5774| < 1.5 not anomalous; 1.7321 > 1.5 anomalous
+    assert(out.take(3).forall(!_.getAs[Boolean]("is_anomaly")))
+    assert(out(3).getAs[Boolean]("is_anomaly"))
+    assert(out.drop(4).forall(r =>
+      r.getAs[Double]("score") === 0.0 && !r.getAs[Boolean]("is_anomaly")))
+  }
+
   test("seasonal forecast: per-phase means and residual bounds, hand-computed") {
     import spark.implicits._
     // one group, a strict period-2 alternation 10,20,10,20: phase means

@@ -612,6 +612,8 @@ final class Commands(
           "engine" -> (m match {
             case _: graft.ml.NaiveBayes.NbModel => "naive_bayes"
             case _: graft.ml.KMeans.KmModel => "kmeans"
+            case ts: graft.ml.TimeSeries.TsModel => ts.engine
+            case _: graft.ml.Anomaly.AnomalyModel => "anomaly"
             case _ => "fit"
           }),
           "active_version" -> catalog.activeVersion(name).toString,
@@ -633,6 +635,17 @@ final class Commands(
             "dims" -> km.centRows.headOption
               .map(_.getSeq[Long](1).length.toString).getOrElse("0"),
             "vector_column" -> km.vecCol))
+          case ts: graft.ml.TimeSeries.TsModel => two(Seq(
+            "engine" -> ts.engine,
+            "order_by" -> ts.tsCol,
+            "group_by" -> ts.groupCol.getOrElse(""),
+            "window" -> ts.window.toString,
+            "horizon" -> ts.horizon.toString))
+          case an: graft.ml.Anomaly.AnomalyModel => two(Seq(
+            "feature" -> an.featureCol,
+            "group_by" -> an.groupCol.getOrElse(""),
+            "threshold" -> an.threshold.toString,
+            "n_groups" -> an.stats.length.toString))
           case other => two(Seq("engine_model" -> other.getClass.getSimpleName))
         }
         case Some(a) =>

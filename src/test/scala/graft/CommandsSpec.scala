@@ -764,6 +764,11 @@ class CommandsSpec extends AnyFunSuite {
     // the reference's only-future spelling composes on a TS join
     assert(c.execute(
       "SELECT * FROM orders JOIN tsg WHERE o_orderdate > LATEST").count() === 2)
+    // DESCRIBE MODEL reports the TS settings
+    val info = c.execute("DESCRIBE MODEL tsq.model").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(info("engine") === "seasonal" && info("window") === "6"
+      && info("horizon") === "3" && info("group_by") === "o_custkey")
   }
 
   test("PROJECT lifecycle: create, show, typed database row, drop") {

@@ -36,7 +36,7 @@ final class Commands(
 
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
-  private val DropView = """(?is)\s*DROP\s+VIEW\s+(\w+)\s*""".r
+  private val DropView = """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateTsModel =
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+FROM\s+\((.+)\)\s+PREDICT\s+(\w+)\s+ORDER\s+BY\s+([\w.]+)\s+(?:GROUP\s+BY\s+([\w.]+)\s+)?WINDOW\s+(\d+)\s+HORIZON\s+(\d+)\s*(?:USING\s+(.+?))?\s*""".r
   private val CreateModelFit =
@@ -49,7 +49,7 @@ final class Commands(
   private val DropModel = """(?is)\s*DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateJob =
     """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s*\(\s*(.+?)\s*\)\s+EVERY\s+([\w ]+?)(?:\s+START\s+'([^']+)')?(?:\s+END\s+'([^']+)')?\s*""".r
-  private val DropJob = """(?is)\s*DROP\s+JOB\s+(\w+)\s*""".r
+  private val DropJob = """(?is)\s*DROP\s+JOB\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateKb =
     """(?is)\s*CREATE\s+KNOWLEDGE\s+BASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:USING\s+(.+?))?\s*""".r
   private val DropKb =
@@ -61,13 +61,13 @@ final class Commands(
   private val CreateAgent =
     """(?is)\s*CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+USING\s+(.+?)\s*""".r
   private val UpdateAgent = """(?is)\s*UPDATE\s+AGENT\s+(\w+)\s+USING\s+(.+?)\s*""".r
-  private val DropAgent = """(?is)\s*DROP\s+AGENT\s+(\w+)\s*""".r
+  private val DropAgent = """(?is)\s*DROP\s+AGENT\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateTrigger =
     """(?is)\s*CREATE\s+TRIGGER\s+(\w+)\s+ON\s+([\w.]+)\s*\(\s*(.+)\s*\)\s*""".r
-  private val DropTrigger = """(?is)\s*DROP\s+TRIGGER\s+(\w+)\s*""".r
+  private val DropTrigger = """(?is)\s*DROP\s+TRIGGER\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateDatabase =
     """(?is)\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(?:WITH\s+)?ENGINE\s*=?\s*'([^']+)'\s*(?:,\s*PARAMETERS\s*=\s*(.+))?\s*""".r
-  private val DropDatabase = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
+  private val DropDatabase = """(?is)\s*DROP\s+DATABASE\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateProject =
     """(?is)\s*CREATE\s+PROJECT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*""".r
   private val DropProject = """(?is)\s*DROP\s+PROJECT\s+(\w+)\s*""".r
@@ -186,8 +186,9 @@ final class Commands(
         spark.sql(body)
       })
       ok(s"view $name created")
-    case DropView(name) =>
-      catalog.dropView(name); ok(s"view $name dropped")
+    case DropView(ifEx, name) =>
+      if (catalog.listViews().contains(name)) { catalog.dropView(name); ok(s"view $name dropped") }
+      else { require(ifEx != null, s"view $name does not exist"); ok(s"view $name does not exist") }
 
     case CreateTsModel(orReplace, ifNot, name, trainSql, target, tsCol,
         groupCol, window, horizon, using) =>
@@ -306,8 +307,9 @@ final class Commands(
         () => { executeScript(body).count(); () },
         start = Option(startAt).map(ts), end = Option(endAt).map(ts)))
       ok(s"job $name created")
-    case DropJob(name) =>
-      jobs.drop(name); ok(s"job $name dropped")
+    case DropJob(ifEx, name) =>
+      if (jobs.list().exists(_.name == name)) { jobs.drop(name); ok(s"job $name dropped") }
+      else { require(ifEx != null, s"job $name does not exist"); ok(s"job $name does not exist") }
 
     case CreateKb(ifNot, name, using) =>
       catalog.createKb(name, parseUsing(Option(using).getOrElse("")), ifNot != null)
@@ -340,14 +342,16 @@ final class Commands(
       ok(s"agent $name created")
     case UpdateAgent(name, using) =>
       catalog.updateAgent(name, parseUsing(using)); ok(s"agent $name updated")
-    case DropAgent(name) =>
-      catalog.dropAgent(name); ok(s"agent $name dropped")
+    case DropAgent(ifEx, name) =>
+      if (catalog.agent(name).isDefined) { catalog.dropAgent(name); ok(s"agent $name dropped") }
+      else { require(ifEx != null, s"agent $name does not exist"); ok(s"agent $name does not exist") }
 
     case CreateTrigger(name, table, body) =>
       catalog.createTrigger(name, table, body)
       ok(s"trigger $name created")
-    case DropTrigger(name) =>
-      catalog.dropTrigger(name); ok(s"trigger $name dropped")
+    case DropTrigger(ifEx, name) =>
+      if (catalog.trigger(name).isDefined) { catalog.dropTrigger(name); ok(s"trigger $name dropped") }
+      else { require(ifEx != null, s"trigger $name does not exist"); ok(s"trigger $name does not exist") }
 
     case TxnStmt() =>
       // START TRANSACTION / BEGIN / COMMIT / ROLLBACK are accepted no-ops
@@ -431,8 +435,13 @@ final class Commands(
       catalog.createDatabase(name, engine.toLowerCase,
         Option(params).map(parseUsing).getOrElse(Map.empty))
       ok(s"database $name created (engine $engine)")
-    case DropDatabase(name) =>
-      catalog.dropDatabase(name); ok(s"database $name dropped")
+    case DropDatabase(ifEx, name) =>
+      if (catalog.listDatabases().contains(name)) {
+        catalog.dropDatabase(name); ok(s"database $name dropped")
+      } else {
+        require(ifEx != null, s"database $name does not exist")
+        ok(s"database $name does not exist")
+      }
     case AlterDatabase(name, params) =>
       catalog.updateDatabase(name, parseUsing(params))
       ok(s"database $name altered")

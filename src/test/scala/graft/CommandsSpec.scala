@@ -151,7 +151,7 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.catalog.agent("ag").get.model === "m2")
     c.execute("DROP AGENT ag")
     assert(c.catalog.listAgents().isEmpty)
-    intercept[NoSuchElementException] { c.execute("DROP AGENT ag") }
+    intercept[IllegalArgumentException] { c.execute("DROP AGENT ag") }
   }
 
   test("DATABASE DDL round-trip; SHOW DATABASES uses the meta schema") {
@@ -769,6 +769,18 @@ class CommandsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(info("engine") === "seasonal" && info("window") === "6"
       && info("horizon") === "3" && info("group_by") === "o_custkey")
+  }
+
+  test("DROP … IF EXISTS: missing objects no-op with the clause, error without") {
+    val c = fresh()
+    for (kind <- Seq("VIEW", "JOB", "AGENT", "TRIGGER", "DATABASE")) {
+      assert(c.execute(s"DROP $kind IF EXISTS ghost_$kind").first().getString(0) === "ok")
+      intercept[IllegalArgumentException] { c.execute(s"DROP $kind ghost_$kind") }
+    }
+    // existing objects still drop with the clause present
+    c.execute("CREATE VIEW dv AS SELECT 1 AS one")
+    c.execute("DROP VIEW IF EXISTS dv")
+    assert(!c.catalog.listViews().contains("dv"))
   }
 
   test("PROJECT lifecycle: create, show, typed database row, drop") {

@@ -66,47 +66,35 @@ object Triggers {
       stateDir: String,
       handler: (DataFrame, Long) => Unit): Long = {
     import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
     Files.createDirectories(Paths.get(stateDir))
     val seen = Paths.get(stateDir, "seen")
-    val tmp = Paths.get(stateDir, "seen__tmp")
-    val old = Paths.get(stateDir, "seen__old")
-    // crash recovery: a finished-but-unswapped tmp (old was removed)
-    // promotes; an unfinished tmp beside a live seen dir is discarded
-    if (Files.exists(tmp) && !Files.exists(seen)) Files.move(tmp, seen)
-    else if (Files.exists(tmp)) rmTree(tmp)
-    if (Files.exists(old)) rmTree(old)
     val batchFile = Paths.get(stateDir, "batch")
     val batchId =
       if (Files.exists(batchFile)) Files.readString(batchFile).trim.toLong + 1 else 0L
+    def seenNonEmpty = Files.exists(seen) && {
+      val s = Files.list(seen)
+      try s.filter(_.toString.endsWith(".parquet")).findFirst().isPresent
+      finally s.close()
+    }
     val cur = snapshot()
     val delta =
-      (if (Files.exists(seen))
+      (if (seenNonEmpty)
         cur.join(spark.read.parquet(seen.toString), Seq(keyCol), "left_anti")
       else cur).localCheckpoint()
     val n = delta.count()
     if (n > 0) {
       handler(delta, batchId)
-      val newSeen =
-        if (Files.exists(seen))
-          spark.read.parquet(seen.toString)
-            .union(delta.select(org.apache.spark.sql.functions.col(keyCol))).distinct()
-        else delta.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
-      newSeen.write.parquet(tmp.toString)
-      if (Files.exists(seen)) Files.move(seen, old)
-      Files.move(tmp, seen)
-      if (Files.exists(old)) rmTree(old)
+      // append-only key log: each poll ADDS its delta's keys as a new
+      // parquet file — O(delta) state write per poll, never an
+      // O(total-keys) rewrite; the next poll's anti-join reads all
+      // appended files. Spark's append commits files atomically (crash
+      // debris stays under _temporary, which the reader ignores), so
+      // the exactly-once-per-key contract survives without a swap.
+      delta.select(col(keyCol)).distinct()
+        .write.mode("append").parquet(seen.toString)
       Files.writeString(batchFile, batchId.toString)
     }
     n
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally s.close()
-    }
   }
 }

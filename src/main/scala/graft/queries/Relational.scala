@@ -255,6 +255,42 @@ object Relational extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // SQL UDTF surface: LATERAL VIEW explode (≡ the reference backends'
+    // unnest table functions) — generator output joins its source row,
+    // then aggregates; the generate runs inside the scan stage
+    "q47_lateral_view" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM documents
+        LATERAL VIEW explode(split(lower(text), '\\s+')) t AS word
+        WHERE word != '' AND doc_id < 100
+        GROUP BY word
+        HAVING COUNT(*) >= 50
+        ORDER BY n DESC, word
+      """)
+    }),
+
+    // multiset set operations: INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicities (min / difference counts), completing the §2.7 trio
+    // beyond the distinct variants of q12/q13
+    "q48_set_ops_all" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT op, k FROM (
+          SELECT 'intersect_all' AS op, k FROM (
+            SELECT c_nationkey AS k FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey AS k FROM supplier)
+          UNION ALL
+          SELECT 'except_all' AS op, k FROM (
+            SELECT c_nationkey AS k FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey AS k FROM supplier))
+        ORDER BY op, k
+      """)
+    }),
+
     // statistical aggregates — variance/stddev/correlation derived from
     // exact-decimal sufficient sums (n, Σx, Σy, Σx², Σy², Σxy), the same
     // engine-exact route m10's OLS takes: the summation order of a
@@ -662,6 +698,28 @@ object Relational extends QueryPack {
         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
         ${oSum("(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END)")} AS big_spend
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q48_set_ops_all" -> """
+      SELECT op, k FROM (
+        SELECT 'intersect_all' AS op, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey AS k FROM supplier)
+        UNION ALL
+        SELECT 'except_all' AS op, k FROM (
+          SELECT c_nationkey AS k FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS k FROM supplier))
+      ORDER BY op, k""",
+
+    "q47_lateral_view" -> """
+      SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+            FROM documents)
+      WHERE word != '' AND doc_id < 100
+      GROUP BY word
+      HAVING COUNT(*) >= 50
+      ORDER BY n DESC, word""",
 
     // DECIMAL(19,4) factor casts: DuckDB multiplies DECIMAL(18)s at
     // width 18 and overflows on price*price; 19+19 promotes to a

@@ -453,6 +453,33 @@ object TextOps extends QueryPack {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Length-bucketed batching efficiency: docs bucket to the next
+    // power-of-two token length (the standard padded-batch discipline);
+    // per bucket: doc count, real tokens, padded tokens (n_docs ×
+    // bucket size), and the padding-waste share — the number a training
+    // pipeline reads to pick bucket boundaries. Pure map + one
+    // combinable rollup; no shuffle beyond the aggregation.
+    "t20_padding_waste" -> ((s, dir) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val n = size(toks).cast(LongType)
+      // next power of two ≥ n via the bin-string bit trick (1 <<
+      // bitlength(n-1)) — integer-exact on both engines, where a
+      // float 2^ceil(log2(n)) risks an ulp tie on exact powers of two
+      t(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_tok"))
+        .withColumn("bucket", when(col("n_tok") <= 1, col("n_tok"))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tok - 1)) AS INT))")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("real_tokens"),
+          (count(lit(1)) * first(col("bucket"))).as("padded_tokens"))
+        .withColumn("waste_frac", when(col("padded_tokens") > 0,
+          round(lit(1.0) - col("real_tokens").cast(DoubleType) / col("padded_tokens"), 4))
+          .otherwise(0.0))
+        .orderBy(col("bucket"))
+    }),
+
     // Novelty / memorization profiling: per doc, the fraction of its
     // 8-gram spans already seen in any EARLIER doc (doc_id order = the
     // ingestion order). High repeat share = memorized/boilerplate
@@ -535,6 +562,25 @@ object TextOps extends QueryPack {
           / COUNT(*), 6) AS novelty
       FROM spans s JOIN first_seen f USING (h)
       GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    // same bit-trick buckets, same integer token counts
+    "t20_padding_waste" -> """
+      WITH toks AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+        FROM documents),
+      bucketed AS (
+        SELECT doc_id, n_tok,
+          CASE WHEN n_tok <= 1 THEN n_tok
+            ELSE CAST(1 << length(bin(n_tok - 1)) AS BIGINT) END AS bucket
+        FROM toks)
+      SELECT bucket, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+        CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+        CASE WHEN COUNT(*) * bucket > 0
+          THEN ROUND(1.0 - CAST(SUM(n_tok) AS DOUBLE) / (COUNT(*) * bucket), 4)
+          ELSE 0.0 END AS waste_frac
+      FROM bucketed GROUP BY bucket ORDER BY bucket""",
 
     "t18_stratified_split" -> """
       WITH s AS (

@@ -261,6 +261,115 @@ object Dedup extends QueryPack {
         .select(col("cell").cast(LongType).as("cell"), col("bi").as("removed_id"),
           col("kept_id"), col("n_near"), col("max_sim"))
         .orderBy(col("cell"), col("removed_id"))
+    }),
+
+    // ---- canonical-representative selection ("which copy to keep") ----
+    // After grouping near-duplicates (d04's components), a real pipeline
+    // keeps ONE document per group: the longest (best-quality proxy),
+    // ties to the smallest doc_id. The argmax is min(struct(-len, id))
+    // per group — map-side combinable — and the join-back is
+    // group-keyed, so the step scales with the dup graph like d04, never
+    // corpus². Emits keep/drop per doc: the actionable dedup verdict.
+    "d09_dup_representative" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val nodes = docs.select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
+      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
+        .select(col("doc_a"), col("doc_b"))
+      val comps = connectedComponents(nodes, pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("dup_group"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val reps = comps.groupBy(col("dup_group"))
+        .agg(min(struct((-col("n_chars")).as("negq"), col("doc_id"))).as("best"))
+        .select(col("dup_group"), col("best.doc_id").as("rep_id"))
+      comps.join(reps, Seq("dup_group"))
+        .select(col("doc_id"), col("dup_group"), col("rep_id"),
+          (col("doc_id") === col("rep_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- leakage-safe train/val/test split ----------------------------
+    // Splitting by doc hash lets near-duplicates straddle train and
+    // test — the classic eval-contamination bug (Dodge et al. 2021
+    // document the C4/benchmark overlap version). The fix: assign the
+    // split to the duplicate GROUP (d04's components), so every
+    // near-dup lands on the same side by construction. The split key is
+    // the group label's 60-bit md5 — deterministic, partition-invariant
+    // — and n_leaky_groups (groups spanning >1 split) is emitted as the
+    // checkable invariant: it must be 0.
+    "d10_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val nodes = docs.select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
+      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
+        .select(col("doc_a"), col("doc_b"))
+      val u = conv(substring(md5(col("dup_group").cast("string")), 1, 15), 16, 10)
+        .cast(LongType) % 10
+      val assigned = connectedComponents(nodes, pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("dup_group"))
+        .withColumn("split", when(u < 8, "train").when(u === 8, "val").otherwise("test"))
+      val leaky = assigned.groupBy(col("dup_group"))
+        .agg(count_distinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1).count()
+      assigned.groupBy(col("split"))
+        .agg(count_distinct(col("dup_group")).as("n_groups"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("n_leaky_groups", lit(leaky))
+        .orderBy(col("split"))
+    }),
+
+    // ---- HLL cardinality sketch (Flajolet et al. 2007, m=1024) --------
+    // Distinct-count planning for dedup at 100 TB: registers are
+    // mergeable partial aggregates — every task folds its rows into at
+    // most 1024 (bucket, max-rank) cells map-side, so the shuffle is
+    // O(m) per column regardless of corpus size, where exact
+    // count-distinct shuffles every distinct value. The sketch is
+    // engine-exact end to end: bucket/rank/register-sum stay in 64-bit
+    // integers (rank terms sum as 2^(51-rank), exactly representable),
+    // floats appear only in the final one-row estimate. Exact distinct
+    // runs alongside purely to report the sketch's relative error — at
+    // scale that branch is the one you drop.
+    "d08_hll_cardinality" -> ((s, dir) => {
+      def hllOne(df: DataFrame, c: String, name: String): DataFrame = {
+        val hashed = df.select(col(c).cast("string").as("v"))
+          .select(col("v"),
+            conv(substring(md5(col("v")), 1, 15), 16, 10).cast(LongType).as("h60"))
+        // every distinct value hashes into exactly one bucket, so the
+        // per-bucket distinct counts sum to the global exact distinct —
+        // one aggregation tree carries both the sketch and its truth,
+        // no second scan, no join
+        val reg = hashed
+          .select(shiftright(col("h60"), 50).as("bucket"), col("v"),
+            col("h60").bitwiseAND(lit((1L << 50) - 1)).as("w"))
+          .groupBy(col("bucket"))
+          .agg(max(when(col("w") === 0, lit(51))
+            .otherwise(lit(51) - length(bin(col("w"))))).as("rnk"),
+            count_distinct(col("v")).as("nd"))
+        reg.agg(count(lit(1)).as("nz"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - rnk AS INT))")).as("sum_int"),
+          sum(col("nd")).as("n_exact"))
+          // alpha_m * m^2 * 2^51 / (register sum scaled by 2^51); the
+          // small-range branch is Flajolet's linear-counting correction.
+          // All float literals via lit(Double), never SQL text — a bare
+          // 0.7213 parses as DECIMAL on both engines with DIFFERENT
+          // division rules; doubles make both sides the same IEEE ops
+          .withColumn("raw",
+            lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
+              * lit(1048576.0) * lit(2251799813685248.0)
+              / expr("CAST(sum_int + (1024 - nz) * shiftleft(CAST(1 AS BIGINT), 51) AS DOUBLE)"))
+          .withColumn("est", when(col("raw") <= 2560.0 && col("nz") < 1024,
+            lit(1024.0) * log(lit(1024.0) / (lit(1024) - col("nz")))).otherwise(col("raw")))
+          .select(lit(name).as("col_name"), col("n_exact").cast(LongType).as("n_exact"),
+            col("nz").cast(LongType).as("nz_buckets"),
+            round(col("est"), 4).as("hll_est"),
+            round(col("est") / col("n_exact") - 1.0, 4).as("rel_err"))
+      }
+      hllOne(t(s, dir, "lineitem"), "l_partkey", "lineitem.l_partkey")
+        .union(hllOne(t(s, dir, "orders"), "o_custkey", "orders.o_custkey"))
+        .union(hllOne(t(s, dir, "events"), "user_id", "events.user_id"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -352,6 +461,137 @@ object Dedup extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // d04's recursive-CTE components, extended with the keep-policy:
+    // longest doc (ties to smallest id) represents its group
+    "d09_dup_representative" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+        FROM documents),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT hv FROM toks),
+      votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        FROM hs CROSS JOIN range(0, 64) t(j) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f
+        FROM votes GROUP BY 1),
+      bands AS (SELECT doc_id, f, b, (f >> (b*16)) & 65535 bkey
+                FROM fp CROSS JOIN range(0, 4) t(b)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.f, y.f)) <= 8),
+      edges AS (SELECT doc_a a, doc_b b FROM pairs
+                UNION SELECT doc_b a, doc_a b FROM pairs),
+      nodes AS (
+        SELECT doc_id FROM documents
+        WHERE len(regexp_extract_all(lower(text), '\S+')) >= 1),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comps AS (
+        SELECT reach.id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group,
+          any_value(d.n_chars) AS n_chars
+        FROM reach JOIN documents d ON reach.id = d.doc_id
+        GROUP BY reach.id),
+      reps AS (
+        SELECT dup_group, doc_id AS rep_id FROM (
+          SELECT dup_group, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY dup_group
+              ORDER BY n_chars DESC, doc_id) AS rn
+          FROM comps)
+        WHERE rn = 1)
+      SELECT c.doc_id, c.dup_group, r.rep_id, c.doc_id = r.rep_id AS keep
+      FROM comps c JOIN reps r USING (dup_group)
+      ORDER BY c.doc_id""",
+
+    // d04's components + the group-keyed split; the leak count is the
+    // invariant the whole design exists to force to zero
+    "d10_leakage_safe_split" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+        FROM documents),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT hv FROM toks),
+      votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        FROM hs CROSS JOIN range(0, 64) t(j) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f
+        FROM votes GROUP BY 1),
+      bands AS (SELECT doc_id, f, b, (f >> (b*16)) & 65535 bkey
+                FROM fp CROSS JOIN range(0, 4) t(b)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.f, y.f)) <= 8),
+      edges AS (SELECT doc_a a, doc_b b FROM pairs
+                UNION SELECT doc_b a, doc_a b FROM pairs),
+      nodes AS (
+        SELECT doc_id FROM documents
+        WHERE len(regexp_extract_all(lower(text), '\S+')) >= 1),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comps AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
+                FROM reach GROUP BY id),
+      assigned AS (
+        SELECT doc_id, dup_group,
+          CASE WHEN ('0x'||substr(md5(CAST(dup_group AS VARCHAR)),1,15))::BIGINT % 10 < 8
+               THEN 'train'
+               WHEN ('0x'||substr(md5(CAST(dup_group AS VARCHAR)),1,15))::BIGINT % 10 = 8
+               THEN 'val'
+               ELSE 'test' END AS split
+        FROM comps)
+      SELECT split, CAST(COUNT(DISTINCT dup_group) AS BIGINT) AS n_groups,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST((SELECT COUNT(*) FROM (SELECT dup_group FROM assigned
+              GROUP BY dup_group HAVING COUNT(DISTINCT split) > 1)) AS BIGINT)
+          AS n_leaky_groups
+      FROM assigned GROUP BY split ORDER BY split""",
+
+    // Same 60-bit md5-prefix key, same integer register arithmetic; the
+    // two engines' floats meet only in the final one-row estimate, where
+    // every operand is an exact integer (identical IEEE rounding).
+    "d08_hll_cardinality" -> {
+      def one(table: String, c: String, name: String) = s"""
+        SELECT '$name' AS col_name, n_exact, nz_buckets,
+          ROUND(est, 4) AS hll_est, ROUND(est / n_exact - 1.0, 4) AS rel_err
+        FROM (
+          SELECT n_exact, nz AS nz_buckets,
+            CASE WHEN raw <= 2560.0 AND nz < 1024
+                 THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / (1024 - nz))
+                 ELSE raw END AS est
+          FROM (
+            SELECT SUM(nd) AS n_exact,
+              COUNT(*) AS nz,
+              CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+CAST(1.079 AS DOUBLE)/CAST(1024.0 AS DOUBLE))
+                * CAST(1048576.0 AS DOUBLE) * CAST(2251799813685248.0 AS DOUBLE)
+                / CAST(SUM(1::BIGINT << (51 - rnk))
+                       + (1024 - COUNT(*)) * (1::BIGINT << 51) AS DOUBLE) AS raw
+            FROM (
+              SELECT h60 >> 50 AS bucket,
+                MAX(CASE WHEN (h60 & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                         ELSE 51 - length(bin(h60 & ((1::BIGINT << 50) - 1))) END) AS rnk,
+                COUNT(DISTINCT v) AS nd
+              FROM (SELECT v, ('0x'||substr(md5(v),1,15))::BIGINT AS h60
+                    FROM (SELECT CAST($c AS VARCHAR) AS v FROM $table))
+              GROUP BY 1)))"""
+      s"""
+      SELECT CAST(col_name AS VARCHAR) AS col_name, CAST(n_exact AS BIGINT) AS n_exact,
+        CAST(nz_buckets AS BIGINT) AS nz_buckets, hll_est, rel_err
+      FROM (
+        ${one("lineitem", "l_partkey", "lineitem.l_partkey")}
+        UNION ALL
+        ${one("orders", "o_custkey", "orders.o_custkey")}
+        UNION ALL
+        ${one("events", "user_id", "events.user_id")})
+      ORDER BY col_name"""
+    },
     // The md5 shingle hash makes the whole MinHash pipeline DuckDB-
     // reproducible: h = first-32-bits-of-md5, sig_i = min((a_i·h+b_i) mod p)
     // with the Scala-side (a, b) constants inlined below; band keys are the

@@ -243,6 +243,61 @@ object Events extends QueryPack {
         FROM e13_acc GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // Spark 4 VARIANT as the semi-structured column path (the
+    // reference's JSON columns story): parse once into the binary
+    // variant encoding, extract typed fields with variant_get — the
+    // open-format analog of a struct-typed shredded read, and the form
+    // Photon-class engines vectorize; json string re-parsing per access
+    // is the anti-pattern this replaces
+    "e14_variant_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // IGNORE NULLS window navigation: per-user carry-forward of the last
+    // purchase amount (gap-filling a sparse signal along an event
+    // timeline) — lag/last_value with null skipping, the SQL spelling of
+    // a forward-fill. One shuffle on user_id, O(1) state per row.
+    "e15_carry_forward" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT event_id, user_id, event_type, purchase_val,
+          lag(purchase_val) IGNORE NULLS
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase,
+          last_value(purchase_val) IGNORE NULLS
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM (SELECT event_id, user_id, ts, event_type,
+                CASE WHEN event_type = 'purchase' THEN value END AS purchase_val
+              FROM events WHERE user_id < 20)
+        ORDER BY user_id, event_id
+      """)
+    }),
+
+    // RANGE-interval window frames: trailing 24h activity per user,
+    // ordered by event time — the time-based frame spelling (vs q16's
+    // row-based frames). The value sum runs in exact integer cents:
+    // a double SUM over a RANGE frame is summation-order-sensitive and
+    // two engines may disagree in the last ulp; cents cannot.
+    "e16_range_frame" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT event_id, user_id,
+          CAST(SUM(1) OVER w AS BIGINT) AS n_24h,
+          SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+            / CAST(100.0 AS DOUBLE) AS val_24h
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+      """)
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -258,6 +313,37 @@ object Events extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // typed json_extract is DuckDB's native equivalent of variant_get
+    "e14_variant_props" -> """
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // DuckDB spells null skipping inside the call parens
+    "e15_carry_forward" -> """
+      SELECT event_id, user_id, event_type, purchase_val,
+        lag(purchase_val IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase,
+        last_value(purchase_val IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM (SELECT event_id, user_id, ts, event_type,
+              CASE WHEN event_type = 'purchase' THEN value END AS purchase_val
+            FROM events WHERE user_id < 20)
+      ORDER BY user_id, event_id""",
+
+    "e16_range_frame" -> """
+      SELECT event_id, user_id,
+        CAST(SUM(1) OVER w AS BIGINT) AS n_24h,
+        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+          / CAST(100.0 AS DOUBLE) AS val_24h
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+
     // the two delta batches recomputed directly from the id slices: the
     // accumulator must hold batch-1 counts (ids <= 1000) and batch-2
     // counts (1000 < ids <= 2000) — nothing else, nothing twice

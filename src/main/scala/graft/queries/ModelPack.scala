@@ -65,7 +65,7 @@ object ModelPack extends QueryPack {
         .withColumn("score", round(col("score"), 6))
         .withColumn("label", when(col("score") > 3.0, "high").otherwise("low"))
         .select(col("l_orderkey"), col("l_linenumber"), col("score"), col("label"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("score"))
     }),
 
     // ApplyPredictorRowStep: literal WHERE values → one-row predict
@@ -151,7 +151,31 @@ object ModelPack extends QueryPack {
       c.execute("""SELECT l_orderkey, l_linenumber, ROUND(score, 6) AS score,
           CASE WHEN ROUND(score, 6) > 3.0 THEN 'high' ELSE 'low' END AS label
         FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) JOIN li_scorer
-        ORDER BY l_orderkey, l_linenumber""")
+        ORDER BY l_orderkey, l_linenumber, score""")
+    }),
+
+    // chained model application: one predictor's output column is the
+    // next predictor's feature, in a single statement — the reference
+    // planner walks arbitrary join trees applying every predictor
+    // relation it meets (plan_join.py:357-401), so nesting the first
+    // application as the data side of the second must route recursively
+    "m21_model_chain_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL chain_score PREDICT score USING
+        features='l_quantity,l_extendedprice,l_discount',
+        weights='0.01,0.0001,-2.0', bias=0.5""")
+      c.execute("""CREATE MODEL chain_risk PREDICT risk USING
+        features='score', weights='2.0', bias=-1.0""")
+      // score joins the sort as a tiebreak: the synthetic lineitem has
+      // duplicate (orderkey, linenumber) pairs, and an untied ORDER BY
+      // leaves the two engines free to disagree on tie order
+      c.execute("""SELECT l_orderkey, l_linenumber, ROUND(score, 6) AS score,
+          ROUND(risk, 6) AS risk
+        FROM (SELECT * FROM
+          (SELECT * FROM lineitem WHERE l_quantity >= 45) JOIN chain_score)
+        JOIN chain_risk
+        ORDER BY l_orderkey, l_linenumber, score""")
     }),
 
     // the m02 semantics as pure SQL: SELECT FROM <model> WHERE literal
@@ -177,7 +201,7 @@ object ModelPack extends QueryPack {
         PREDICT l_extendedprice USING engine='anomaly',
         features='l_extendedprice', group_by='l_returnflag', threshold=2.5""")
       c.execute("""SELECT l_orderkey, l_linenumber, l_returnflag, score, is_anomaly
-        FROM lineitem JOIN anom20 ORDER BY l_orderkey, l_linenumber""")
+        FROM lineitem JOIN anom20 ORDER BY l_orderkey, l_linenumber, score""")
     }),
 
     // m08 semantics through the ONE-PARSE router: the model join sits
@@ -195,7 +219,7 @@ object ModelPack extends QueryPack {
           FROM (SELECT * FROM lineitem WHERE l_quantity >= 45) JOIN li_scorer16 AS m)
         SELECT l_orderkey, l_linenumber, score,
           CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
-        FROM scored ORDER BY l_orderkey, l_linenumber""")
+        FROM scored ORDER BY l_orderkey, l_linenumber, score""")
     }),
 
     // RETRAIN (command_executor.py:1042): CREATE MODEL ... FROM (query)
@@ -388,7 +412,7 @@ object ModelPack extends QueryPack {
         CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
       FROM (SELECT l_orderkey, l_linenumber, $oScore AS score
             FROM lineitem WHERE l_quantity >= 45)
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, score""",
 
     "m02_model_row" -> """
       SELECT CAST(30.0 AS DOUBLE) AS l_quantity,
@@ -437,7 +461,7 @@ object ModelPack extends QueryPack {
         FLOOR((l_extendedprice - mu)/sigma * 10000 + 0.5)/10000 AS score,
         ABS(FLOOR((l_extendedprice - mu)/sigma * 10000 + 0.5)/10000) > 2.5 AS is_anomaly
       FROM lineitem JOIN ms ON l_returnflag = ms.g
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, score""",
 
     // same phases (backward-offset mod period), same decimal phase/group
     // means rounded at 4dp, same decimal residual sum-of-squares
@@ -520,14 +544,24 @@ object ModelPack extends QueryPack {
         CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
       FROM (SELECT l_orderkey, l_linenumber, $oScore AS score
             FROM lineitem WHERE l_quantity >= 45)
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, score""",
 
     "m16_model_join_cte" -> s"""
       SELECT l_orderkey, l_linenumber, score,
         CASE WHEN score > 3.0 THEN 'high' ELSE 'low' END AS label
       FROM (SELECT l_orderkey, l_linenumber, $oScore AS score
             FROM lineitem WHERE l_quantity >= 45)
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, score""",
+
+    // risk chains off the UNROUNDED score (the second predictor sees the
+    // first's raw double), so the oracle re-derives it inline; decimal
+    // exactness keeps ROUND(...,6) an identity on the DuckDB side
+    "m21_model_chain_sql" -> s"""
+      SELECT l_orderkey, l_linenumber, $oScore AS score,
+        ROUND(-1.0 + 2.0*(0.5 + 0.01*l_quantity + 0.0001*l_extendedprice
+          + (-2.0)*l_discount), 6) AS risk
+      FROM lineitem WHERE l_quantity >= 45
+      ORDER BY l_orderkey, l_linenumber, score""",
 
     "m09_model_row_sql" -> """
       SELECT CAST(30.0 AS DOUBLE) AS l_quantity,

@@ -291,6 +291,40 @@ object Relational extends QueryPack {
       """)
     }),
 
+    // UNPIVOT — the inverse of q44's PIVOT: wide per-status counts fold
+    // back to (metric, value) rows. Runs as an Expand over the
+    // aggregated (5-row) side, so the melt never touches fact-table
+    // scale data
+    "q49_unpivot" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, metric, val
+        FROM (SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+              FROM orders GROUP BY o_orderpriority)
+        UNPIVOT (val FOR metric IN (n_f, n_o, n_p))
+        ORDER BY o_orderpriority, metric
+      """)
+    }),
+
+    // GROUPING()/super-aggregate introspection over ROLLUP: the flags
+    // distinguish a real NULL group key from a rollup subtotal row —
+    // the part of the cube surface q18-q20 don't exercise
+    "q50_grouping_funcs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio,
+          o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)
+    }),
+
     // statistical aggregates — variance/stddev/correlation derived from
     // exact-decimal sufficient sums (n, Σx, Σy, Σx², Σy², Σxy), the same
     // engine-exact route m10's OLS takes: the summation order of a
@@ -720,6 +754,29 @@ object Relational extends QueryPack {
       GROUP BY word
       HAVING COUNT(*) >= 50
       ORDER BY n DESC, word""",
+
+    // the melt spelled as UNION ALL — engine-neutral, same multiset
+    "q49_unpivot" -> """
+      WITH agg AS (
+        SELECT o_orderpriority,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, metric, val FROM (
+        SELECT o_orderpriority, 'n_f' AS metric, n_f AS val FROM agg
+        UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM agg
+        UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM agg)
+      ORDER BY o_orderpriority, metric""",
+
+    "q50_grouping_funcs" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_prio,
+        o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     // DECIMAL(19,4) factor casts: DuckDB multiplies DECIMAL(18)s at
     // width 18 and overflows on price*price; 19+19 promotes to a

@@ -480,6 +480,36 @@ object TextOps extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // Deterministic weighted sampling for training-data mixing: Poisson
+    // (per-doc Bernoulli) inclusion with probability ∝ min(n_chars, 512)
+    // × a per-language upweight (en 1×, zh 8×, others 4× — the
+    // low-resource upsampling knob; probabilities ≥ 1 saturate to
+    // always-include), decided by an exact integer test on the doc's
+    // 60-bit md5 key. No RNG state, no floats in the selection: the
+    // Efraimidis–Spirakis u^(1/w) key was rejected because pow() ulp
+    // differences across engines can flip a marginal selection, while
+    // an integer compare cannot. Inclusion is a pure per-row map —
+    // deterministic under any partitioning, re-runnable byte-for-byte,
+    // and the only shuffle is the final combinable per-language rollup.
+    "t21_weighted_sample" -> ((s, dir) => {
+      val h60 = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast(LongType)
+      val mult = when(col("lang") === "en", 1L)
+        .when(col("lang") === "zh", 8L).otherwise(4L)
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          ((h60 % 2048) < least(col("n_chars"), lit(512L)) * mult).as("picked"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("picked"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("picked"), col("n_chars")).otherwise(0L)).as("sampled_chars"),
+          // tie-safe rounding spelling (exact rational n/d can land on a
+          // .00005 boundary, where HALF_UP and half-even disagree)
+          (floor(sum(when(col("picked"), 1L).otherwise(0L)) * lit(1.0)
+            / count(lit(1)) * lit(1e4) + lit(0.5)) / lit(1e4)).as("frac"))
+        .orderBy(col("lang"))
+    }),
+
     // Novelty / memorization profiling: per doc, the fraction of its
     // 8-gram spans already seen in any EARLIER doc (doc_id order = the
     // ingestion order). High repeat share = memorized/boilerplate
@@ -581,6 +611,24 @@ object TextOps extends QueryPack {
           THEN ROUND(1.0 - CAST(SUM(n_tok) AS DOUBLE) / (COUNT(*) * bucket), 4)
           ELSE 0.0 END AS waste_frac
       FROM bucketed GROUP BY bucket ORDER BY bucket""",
+
+    // same 60-bit md5 key, same integer inclusion test, same saturating
+    // per-language multipliers; frac uses the tie-safe floor spelling
+    "t21_weighted_sample" -> """
+      WITH d AS (
+        SELECT doc_id, lang, n_chars,
+          ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h60,
+          CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 8 ELSE 4 END AS mult
+        FROM documents),
+      s AS (
+        SELECT *, ((h60 % 2048) < LEAST(n_chars, 512) * mult) AS picked FROM d)
+      SELECT lang,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(SUM(CASE WHEN picked THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+        FLOOR(CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) * 1e4 + 0.5) / 1e4 AS frac
+      FROM s GROUP BY lang ORDER BY lang""",
 
     "t18_stratified_split" -> """
       WITH s AS (

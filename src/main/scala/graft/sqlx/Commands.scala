@@ -883,8 +883,11 @@ final class Commands(
       // applies it (plan_join.py:357-401 — the reference swaps the join
       // for an ApplyPredictor step over the data side; a `.N` suffix
       // addresses a specific stored version); every data column plus the
-      // model outputs are in scope for the select list
-      val data = run(if (tbl != null) s"SELECT * FROM $tbl" else sub)
+      // model outputs are in scope for the select list. The data side
+      // recurses through execute(), not plain spark.sql: the reference
+      // planner walks arbitrary join trees, so a nested model join
+      // (chained predictors) must route the same way the top level did
+      val data = execute(if (tbl != null) s"SELECT * FROM $tbl" else sub)
       val model = Option(version).fold(catalog.model(modelName))(v =>
         catalog.model(modelName, v.toInt))
       val applied = graft.ml.Predict.applyModel(data, model)

@@ -220,6 +220,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"EWMA must not cross anything:\n$plan")
   }
 
+  test("d08 HLL sketch: registers partial-aggregate; no join anywhere") {
+    val plan = executedPlan("d08_hll_cardinality")
+    // the whole point of the sketch at scale: every task folds rows into
+    // <= 1024 register cells before any exchange, and the exact-distinct
+    // companion rides the same aggregation tree instead of a second scan
+    assert(plan.contains("partial_"), s"registers must map-side combine:\n$plan")
+    assert(!plan.contains("Join"), s"sketch + truth are one aggregation tree:\n$plan")
+  }
+
+  test("t21 weighted sample: pure map + one combinable rollup, no join, no window") {
+    val plan = executedPlan("t21_weighted_sample")
+    assert(plan.contains("partial_"), s"per-language rollup must map-side combine:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"inclusion is a per-row integer test — nothing may shuffle for it:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -138,6 +138,41 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** MERGE INTO name USING source ON cond — the upsert verb the
+    * reference's INSERT/UPDATE/DELETE trio lacks. Matched target rows
+    * take the SET assignments (expressions over both aliases), unmatched
+    * target rows pass through, unmatched source rows insert by name
+    * (INSERT *). One left join for the update side + one anti join for
+    * the insert side, then the same crash-safe swap as UPDATE — the
+    * copy-on-write MERGE shape Delta/Iceberg use, with the join
+    * shuffling on the merge key (AQE-skew-splittable) rather than any
+    * driver-side diffing. Standard MERGE cardinality contract: the
+    * source must be unique on the join key (a target row matching two
+    * source rows would duplicate).
+    *
+    * @param sets pairs of (target column, SQL expression text) */
+  def merge(name: String, tAlias: String, source: DataFrame, sAlias: String,
+      on: String, sets: Seq[(String, String)]): Unit = {
+    val tgt = table(name)
+    val schema = tgt.schema
+    val marked = source.withColumn("__merge_src", lit(1))
+    val joined = tgt.as(tAlias).join(marked.as(sAlias), expr(on), "left")
+    val matched = col("__merge_src").isNotNull
+    val setMap = sets.toMap
+    val outCols = schema.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(rhs) =>
+          when(matched, expr(rhs).cast(f.dataType))
+            .otherwise(col(s"$tAlias.${f.name}")).as(f.name)
+        case None => col(s"$tAlias.${f.name}").as(f.name)
+      }
+    }
+    val inserts = source.as(sAlias).join(tgt.as(tAlias), expr(on), "left_anti")
+      .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    val result = joined.select(outCols.toSeq: _*).unionByName(inserts)
+    replace(name, result, partitionBy = partitionColumn(name).toSeq)
+  }
+
   /** DELETE FROM name WHERE cond (DeleteStep); partition-pruned like
     * [[update]]. */
   def delete(name: String, where: Column): Unit =

@@ -289,6 +289,34 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- edit-distance-verified near-dups -----------------------------
+    // The precision tier above fingerprint methods: SimHash bands
+    // propose candidates (recall, corpus-scale), Levenshtein verifies
+    // them exactly (precision, pair-scale). The O(n·m) verify runs ONLY
+    // on banded candidates — never all pairs — so corpus size bounds the
+    // band join and candidate count bounds the expensive step. Text is
+    // normalized to ASCII ('#' per non-ASCII codepoint) first: the
+    // oracle engine computes byte-based distances, Spark codepoint-based
+    // — after normalization the two are the same function.
+    "d11_edit_distance_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = simhashPairs(docs, maxHamming = 16, md5Hash = true)
+        .select(col("doc_a"), col("doc_b"))
+      val norm = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "#").as("nt"))
+      cands
+        .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("ta")), Seq("doc_a"))
+        .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("tb")), Seq("doc_b"))
+        .withColumn("lev", levenshtein(col("ta"), col("tb")))
+        .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))))
+        .filter(col("lev") <= col("max_len") * 0.25)
+        .select(col("doc_a"), col("doc_b"), col("lev").cast(LongType).as("lev"),
+          col("max_len").cast(LongType).as("max_len"),
+          (floor(col("lev").cast(DoubleType) / col("max_len") * lit(1e4) + lit(0.5))
+            / lit(1e4)).as("rel_dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- leakage-safe train/val/test split ----------------------------
     // Splitting by doc hash lets near-duplicates straddle train and
     // test — the classic eval-contamination bug (Dodge et al. 2021
@@ -461,6 +489,39 @@ object Dedup extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // same simhash candidate CTE as d03/d04, byte==codepoint after the
+    // ASCII normalization, same floor-spelled ratio
+    "d11_edit_distance_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+        FROM documents),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT hv FROM toks),
+      votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        FROM hs CROSS JOIN range(0, 64) t(j) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f
+        FROM votes GROUP BY 1),
+      bands AS (SELECT doc_id, f, b, (f >> (b*16)) & 65535 bkey
+                FROM fp CROSS JOIN range(0, 4) t(b)),
+      cands AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.f, y.f)) <= 16),
+      norm AS (
+        SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '#', 'g') AS nt
+        FROM documents)
+      SELECT c.doc_a, c.doc_b,
+        CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+        CAST(GREATEST(length(a.nt), length(b.nt)) AS BIGINT) AS max_len,
+        FLOOR(CAST(levenshtein(a.nt, b.nt) AS DOUBLE)
+          / GREATEST(length(a.nt), length(b.nt)) * 1e4 + 0.5) / 1e4 AS rel_dist
+      FROM cands c JOIN norm a ON c.doc_a = a.doc_id JOIN norm b ON c.doc_b = b.doc_id
+      WHERE levenshtein(a.nt, b.nt) <= GREATEST(length(a.nt), length(b.nt)) * 0.25
+      ORDER BY c.doc_a, c.doc_b""",
+
     // d04's recursive-CTE components, extended with the keep-policy:
     // longest doc (ties to smallest id) represents its group
     "d09_dup_representative" -> """

@@ -5,6 +5,7 @@ import graft.ml.{LinearModel, Predict, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import Parity._
 
 /** Model-as-table + time-series prediction pack (SURVEY §2.1
@@ -176,6 +177,36 @@ object ModelPack extends QueryPack {
           (SELECT * FROM lineitem WHERE l_quantity >= 45) JOIN chain_score)
         JOIN chain_risk
         ORDER BY l_orderkey, l_linenumber, score""")
+    }),
+
+    // rolling-origin backtest — the standard TS cross-validation
+    // (Hyndman & Athanasopoulos, "Forecasting" §5.10): fold k holds out
+    // the k-th-newest point of every series and forecasts it with the
+    // window-4 mean of the points strictly before it (m03's engine),
+    // reporting per-fold MAE. One ranking window + one frame window —
+    // no per-fold rescans; folds are rows of the same plan. Float
+    // safety: the error stays DECIMAL as |4·actual − Σ4| (scaling by 4
+    // avoids the /4 whose result is not a binary fraction); doubles
+    // appear only in the final one-per-fold division.
+    "m22_ts_backtest" -> ((s, dir) => {
+      val wRank = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val ranked = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(wRank))
+      val wNext = Window.partitionBy(col("o_custkey")).orderBy(col("rn"))
+        .rowsBetween(1, 4)
+      ranked
+        .withColumn("s4", sum(col("o_totalprice").cast(DecimalType(18, 4))).over(wNext))
+        .withColumn("n4", count(lit(1)).over(wNext))
+        .filter(col("rn") <= 3 && col("n4") === 4)
+        .withColumn("err4",
+          abs(col("o_totalprice").cast(DecimalType(18, 4)) * 4 - col("s4")))
+        .groupBy(col("rn").cast(LongType).as("fold"))
+        .agg(count(lit(1)).as("n_series"),
+          (sum(col("err4")).cast(DoubleType)
+            / (count(lit(1)) * lit(4.0))).as("mae"))
+        .orderBy(col("fold"))
     }),
 
     // the m02 semantics as pure SQL: SELECT FROM <model> WHERE literal
@@ -552,6 +583,28 @@ object ModelPack extends QueryPack {
       FROM (SELECT l_orderkey, l_linenumber, $oScore AS score
             FROM lineitem WHERE l_quantity >= 45)
       ORDER BY l_orderkey, l_linenumber, score""",
+
+    // identical rank + frame windows; the error is exact decimal
+    // |4·actual − Σ4|, doubles only at the final per-fold division
+    "m22_ts_backtest" -> """
+      WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      wf AS (
+        SELECT o_custkey, rn, o_totalprice,
+          SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY rn
+                  ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING) AS s4,
+          COUNT(*) OVER (PARTITION BY o_custkey ORDER BY rn
+                  ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING) AS n4
+        FROM ranked)
+      SELECT CAST(rn AS BIGINT) AS fold, CAST(COUNT(*) AS BIGINT) AS n_series,
+        CAST(SUM(ABS(CAST(o_totalprice AS DECIMAL(18,4)) * 4 - s4)) AS DOUBLE)
+          / (COUNT(*) * CAST(4.0 AS DOUBLE)) AS mae
+      FROM wf WHERE rn <= 3 AND n4 = 4
+      GROUP BY rn ORDER BY fold""",
 
     // risk chains off the UNROUNDED score (the second predictor sees the
     // first's raw double), so the oracle re-derives it inline; decimal

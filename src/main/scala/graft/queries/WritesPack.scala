@@ -212,6 +212,28 @@ object WritesPack extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // MERGE INTO (upsert) — the DML verb the reference's INSERT/UPDATE/
+    // DELETE trio lacks: matched keys take the SET assignment, unmatched
+    // source rows insert. One join-based copy-on-write rewrite
+    // (Warehouse.merge); +1000.00 keeps the arithmetic scale-exact so
+    // neither engine rounds.
+    "w07_merge_upsert" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE mt7 AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 100""")
+      c.execute("""MERGE INTO mt7 t USING (
+          SELECT o_orderkey, o_totalprice + 1000.00 AS o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey BETWEEN 51 AND 150) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *""")
+      c.execute(s"""SELECT CASE WHEN o_orderkey <= 50 THEN 'untouched'
+            WHEN o_orderkey <= 100 THEN 'updated' ELSE 'inserted' END AS band,
+          COUNT(*) AS n, ${Parity.oSum("o_totalprice")} AS total
+        FROM mt7 GROUP BY 1 ORDER BY band""")
+    }),
+
     // Data catalog: the reference's DataCatalogRetriever assembles
     // tables + columns + column statistics into one metadata view for
     // LLM/agent consumption (data_catalog_retriever.py:46-72). Here the
@@ -366,6 +388,20 @@ object WritesPack extends QueryPack {
       FROM orders
       WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '5-LOW')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the merged table recomputed straight from orders: keys <= 100
+    // existed, 51-150 got the +1000.00 source value (51-100 via MATCHED
+    // update, 101-150 via NOT MATCHED insert)
+    "w07_merge_upsert" -> s"""
+      WITH merged AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey BETWEEN 51 AND 150
+               THEN o_totalprice + 1000.00 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey <= 150)
+      SELECT CASE WHEN o_orderkey <= 50 THEN 'untouched'
+          WHEN o_orderkey <= 100 THEN 'updated' ELSE 'inserted' END AS band,
+        COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM merged GROUP BY 1 ORDER BY band""",
 
     "w04_create_table_cols" -> """
       SELECT * FROM (VALUES

@@ -89,6 +89,8 @@ final class Commands(
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val UpdateStmt =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
+  private val MergeStmt =
+    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(?:(\w+)|\((.+)\))(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
   private val DeleteStmt =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
   private val CtasBucketed =
@@ -473,6 +475,25 @@ final class Commands(
       ok(s"table $name created")
     case DropTable(name) =>
       warehouse.dropTable(name); ok(s"table $name dropped")
+    case MergeStmt(name, tAliasOpt, srcName, srcSub, sAliasOpt, onCond, setList) =>
+      // MERGE INTO <table> [t] USING <src> [s] ON cond
+      // WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT * —
+      // the upsert verb; the source side routes through run() so views,
+      // warehouse tables, and base tables all work as USING sources
+      require(warehouse.exists(name), s"table $name does not exist")
+      val tAlias = Option(tAliasOpt).getOrElse(name)
+      val source = if (srcName != null) run(s"SELECT * FROM $srcName") else run(srcSub)
+      val sAlias = Option(sAliasOpt).getOrElse(if (srcName != null) srcName else "s")
+      val sets = splitTop(setList, ',').map { a =>
+        val kv = a.split("=", 2)
+        require(kv.length == 2, s"bad assignment: $a")
+        val lhs = kv(0).trim
+        (if (lhs.toLowerCase.startsWith(s"${tAlias.toLowerCase}."))
+          lhs.substring(tAlias.length + 1) else lhs) -> kv(1).trim
+      }
+      warehouse.merge(name, tAlias, source, sAlias, onCond, sets)
+      ok(s"merged into $name")
+
     case UpdateStmt(name, assigns, where)
         if !name.equalsIgnoreCase("AGENT") && catalog.kb(name).isDefined =>
       // UPDATE <kb> SET … WHERE cond — chunk-level update; updating

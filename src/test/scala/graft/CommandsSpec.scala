@@ -32,6 +32,41 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.execute("SELECT count(*) AS n FROM region").first().getLong(0) === 2)
   }
 
+  test("MERGE INTO upserts; partitioned target keeps its layout") {
+    val c = fresh()
+    c.execute("""CREATE TABLE mrg PARTITIONED BY (o_orderstatus) AS
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey <= 20""")
+    c.execute("""MERGE INTO mrg t USING (
+        SELECT o_orderkey, o_totalprice + 5.00 AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey BETWEEN 11 AND 30) s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+      WHEN NOT MATCHED THEN INSERT *""")
+    val out = c.execute("SELECT count(*) AS n FROM mrg").first().getLong(0)
+    assert(out === 31) // keys 0..30
+    // matched rows took the source value, untouched rows kept theirs
+    val base = c.execute(
+      """SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s FROM orders
+         WHERE o_orderkey <= 30""").first().getDecimal(0)
+    val merged = c.execute(
+      "SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s FROM mrg")
+      .first().getDecimal(0)
+    assert(merged.subtract(base) === new java.math.BigDecimal("100.00")) // 20 rows x 5.00
+    // the hive partition layout survived the copy-on-write merge
+    val whDir = c.warehouse.dir
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$whDir/mrg"))
+      .toArray.map(_.toString)
+    assert(dirs.exists(_.contains("o_orderstatus=")), s"lost partition layout: ${dirs.toSeq}")
+    // idempotence: re-running the same MERGE only re-applies the update
+    c.execute("""MERGE INTO mrg t USING (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey BETWEEN 11 AND 30) s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(c.execute("SELECT count(*) AS n FROM mrg").first().getLong(0) === 31)
+  }
+
   test("CREATE MODEL registers a scorer; SHOW MODELS lists it") {
     val c = fresh()
     c.execute("""CREATE MODEL scorer PREDICT score USING

@@ -263,6 +263,38 @@ object Dedup extends QueryPack {
         .orderBy(col("cell"), col("removed_id"))
     }),
 
+    // ---- count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    // The frequency companion to d08's cardinality sketch: 4 salted hash
+    // rows × 512 buckets; a value's estimate is the MIN of its 4 cell
+    // counts (only ever an overcount). Cells are map-side combinable and
+    // the sketch is 2048 cells regardless of corpus size — the shape
+    // that finds boilerplate tokens/spans at 100 TB without shuffling
+    // every distinct value. Exact counts ride along for the top-10 to
+    // report the sketch's overcount (zero here: heavy hitters dominate
+    // their buckets). Same 60-bit md5 keys, pure integer arithmetic —
+    // engine-exact.
+    "d12_cms_heavy_hitters" -> ((s, dir) => {
+      val occ = t(s, dir, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("tok"))
+        .select(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType).as("h"))
+      val rows4 = array((0 until 4).map(lit(_)): _*)
+      def bucket(r: Column, h: Column): Column =
+        conv(substring(md5(concat(r.cast("string"), lit("_"), h.cast("string"))), 1, 15),
+          16, 10).cast(LongType) % 512
+      val cells = occ.select(col("h"), explode(rows4).as("r"))
+        .withColumn("bucket", bucket(col("r"), col("h")))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val top = occ.groupBy(col("h")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("h")).limit(10)
+      top.select(col("h"), col("true_cnt"), explode(rows4).as("r"))
+        .withColumn("bucket", bucket(col("r"), col("h")))
+        .join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("h"), col("true_cnt"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("h"))
+    }),
+
     // ---- canonical-representative selection ("which copy to keep") ----
     // After grouping near-duplicates (d04's components), a real pipeline
     // keeps ONE document per group: the longest (best-quality proxy),
@@ -521,6 +553,32 @@ object Dedup extends QueryPack {
       FROM cands c JOIN norm a ON c.doc_a = a.doc_id JOIN norm b ON c.doc_b = b.doc_id
       WHERE levenshtein(a.nt, b.nt) <= GREATEST(length(a.nt), length(b.nt)) * 0.25
       ORDER BY c.doc_a, c.doc_b""",
+
+    // same salted 60-bit row hashes, same min-of-cells estimate
+    "d12_cms_heavy_hitters" -> """
+      WITH occ AS (
+        SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT h
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) tok
+              FROM documents)),
+      cells AS (
+        SELECT r,
+          ('0x'||substr(md5(CAST(r AS VARCHAR)||'_'||CAST(h AS VARCHAR)),1,15))::BIGINT
+            % 512 AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM occ CROSS JOIN range(0, 4) t2(r) GROUP BY 1, 2),
+      top AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM occ
+        GROUP BY h ORDER BY true_cnt DESC, h LIMIT 10),
+      est AS (
+        SELECT t.h, t.true_cnt, MIN(c.cnt) AS cms_est
+        FROM top t CROSS JOIN range(0, 4) t3(r)
+        JOIN cells c ON c.r = t3.r
+          AND c.bucket =
+            ('0x'||substr(md5(CAST(t3.r AS VARCHAR)||'_'||CAST(t.h AS VARCHAR)),1,15))::BIGINT
+              % 512
+        GROUP BY 1, 2)
+      SELECT h, true_cnt, cms_est, cms_est - true_cnt AS overcount
+      FROM est ORDER BY true_cnt DESC, h""",
 
     // d04's recursive-CTE components, extended with the keep-policy:
     // longest doc (ties to smallest id) represents its group

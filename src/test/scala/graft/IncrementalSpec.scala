@@ -105,6 +105,38 @@ class IncrementalSpec extends AnyFunSuite {
     assert(seen.get() === 140)
   }
 
+  test("streaming CDC apply: delta batches MERGE into the warehouse, exactly-once") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val srcDir = java.nio.file.Files.createTempDirectory("cdc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    val wh = graft.catalog.Warehouse.temp(spark)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    def frame(rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }, 1), schema)
+    wh.createTableAs("cdc_tgt", frame((1L to 5L).map(i => (i, 0L))), overwrite = true)
+
+    def applyCdc(): Unit = Triggers.drain(Triggers.onTableChanges(
+      spark, srcDir, schema, ckpt,
+      (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        wh.merge("cdc_tgt", "t", delta, "s", "t.id = s.id", Seq("v" -> "s.v"))))
+
+    // batch 1: upsert ids 3..7 — 3 updates + 2 inserts
+    frame((3L to 7L).map(i => (i, i * 10))).write.mode("append").parquet(srcDir)
+    applyCdc()
+    val after1 = wh.table("cdc_tgt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after1 === Map(1L -> 0L, 2L -> 0L, 3L -> 30L, 4L -> 40L, 5L -> 50L,
+      6L -> 60L, 7L -> 70L))
+
+    // batch 2 after "restart" (same checkpoint): ONLY the new file applies
+    frame(Seq((7L, 700L), (8L, 800L))).write.mode("append").parquet(srcDir)
+    applyCdc()
+    val after2 = wh.table("cdc_tgt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2(7L) === 700L && after2(8L) === 800L && after2.size === 8)
+    // untouched keys kept their values — the merge never re-read old deltas
+    assert(after2(3L) === 30L && after2(1L) === 0L)
+  }
+
   test("polling trigger on an external DSv2 table: key-diff batches, state survives restart") {
     import graft.federation.{MemCatalog, MemTables}
     import org.apache.spark.sql.Row

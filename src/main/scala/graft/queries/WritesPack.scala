@@ -234,6 +234,31 @@ object WritesPack extends QueryPack {
         FROM mt7 GROUP BY 1 ORDER BY band""")
     }),
 
+    // Incremental materialized view (jobs + `WHERE ts > LAST` composed
+    // into one engine object, jobs_controller.py:104 +
+    // context_controller.py:293-344): CREATE runs the initial full
+    // refresh; the REFRESH after the insert scans ONLY rows past the
+    // stored watermark and merges map-side-combinable partials
+    // (count+count, sum+sum, max(max) — MaterializedViews). The final
+    // state must equal the oracle's full recompute over all events.
+    "w08_incremental_mv" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE ev_w08 AS
+        SELECT * FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'""")
+      c.execute("""CREATE MATERIALIZED VIEW mv_w08 TRACK ts AS (
+        SELECT event_type, date_trunc('DAY', ts) AS day,
+          count(*) AS n_events,
+          sum(CAST(value AS DECIMAL(18,4))) AS total_value,
+          max(value) AS max_value
+        FROM ev_w08 GROUP BY event_type, day)""")
+      c.execute("""INSERT INTO ev_w08
+        SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""")
+      c.execute("REFRESH MATERIALIZED VIEW mv_w08")
+      c.execute("""SELECT event_type, day, n_events,
+          CAST(total_value AS DOUBLE) AS total_value, max_value
+        FROM mv_w08 ORDER BY event_type, day""")
+    }),
+
     // Data catalog: the reference's DataCatalogRetriever assembles
     // tables + columns + column statistics into one metadata view for
     // LLM/agent consumption (data_catalog_retriever.py:46-72). Here the
@@ -388,6 +413,16 @@ object WritesPack extends QueryPack {
       FROM orders
       WHERE NOT (o_orderstatus = 'F' AND o_orderpriority = '5-LOW')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // the incrementally-maintained view recomputed in full: the merge of
+    // (initial full refresh over ts <= Jan 20) with (delta refresh over
+    // ts > Jan 20) must equal one aggregation over ALL events
+    "w08_incremental_mv" -> """
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        MAX(value) AS max_value
+      FROM events GROUP BY event_type, day
+      ORDER BY event_type, day""",
 
     // the merged table recomputed straight from orders: keys <= 100
     // existed, 51-150 got the +1000.00 source value (51-100 via MATCHED

@@ -36,6 +36,12 @@ final class Commands(
 
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
+  private val CreateMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+TRACK\s+([\w.]+)\s+AS\s+(.+)""".r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val DropView = """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateTsModel =
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s+FROM\s+\((.+)\)\s+PREDICT\s+(\w+)\s+ORDER\s+BY\s+([\w.]+)\s+(?:GROUP\s+BY\s+([\w.]+)\s+)?WINDOW\s+(\d+)\s+HORIZON\s+(\d+)\s*(?:USING\s+(.+?))?\s*""".r
@@ -74,7 +80,7 @@ final class Commands(
   private val InsertStmt =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s*(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
   private val ShowStmt =
-    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
+    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
@@ -151,6 +157,11 @@ final class Commands(
   private lazy val watermarks =
     new graft.incremental.Watermarks(s"${warehouse.dir}/.state/watermarks")
 
+  /** incrementally-maintained materialized views, stored beside the
+    * warehouse in the same `.state` area as watermarks/checkpoints. */
+  private lazy val mvs = new graft.incremental.MaterializedViews(
+    spark, s"${warehouse.dir}/.state/mv", run)
+
   /** prepared-statement store (planner/query_prepare.py lifecycle:
     * prepare → execute-with-params → deallocate). Binding is server-side
     * positional `?` markers through Spark's parameterized sql — no
@@ -191,6 +202,23 @@ final class Commands(
     case DropView(ifEx, name) =>
       if (catalog.listViews().contains(name)) { catalog.dropView(name); ok(s"view $name dropped") }
       else { require(ifEx != null, s"view $name does not exist"); ok(s"view $name does not exist") }
+
+    case CreateMv(name, tsCol, body) =>
+      // CREATE MATERIALIZED VIEW <name> TRACK <ts> AS (SELECT … GROUP BY …)
+      // — the engine-native spelling of the reference's incremental-job
+      // aggregate (jobs + `WHERE ts > LAST`, jobs_controller.py:104 +
+      // context_controller.py:293-344); see [[MaterializedViews]]
+      mvs.create(name, tsCol, stripParens(body))
+      ok(s"materialized view $name created")
+    case RefreshMv(name) =>
+      val (groups, wm) = mvs.refresh(name)
+      ok(s"materialized view $name refreshed: $groups groups, watermark ${wm.getOrElse(-1L)}")
+    case DropMv(ifEx, name) =>
+      if (mvs.exists(name)) { mvs.drop(name); ok(s"materialized view $name dropped") }
+      else {
+        require(ifEx != null, s"materialized view $name does not exist")
+        ok(s"materialized view $name does not exist")
+      }
 
     case CreateTsModel(orReplace, ifNot, name, trainSql, target, tsCol,
         groupCol, window, horizon, using) =>
@@ -588,6 +616,8 @@ final class Commands(
       likeFilter(what.toUpperCase.replace('_', ' ').replaceAll("\\s+", " ") match {
         case "TABLES" => catalog.showTables(Some(warehouse))
         case "VIEWS" => catalog.metaViews()
+        case "MATERIALIZED VIEWS" => kv("name", "type",
+          mvs.list().map(_ -> "materialized"))
         case "MODELS" => catalog.metaModels()
         case "JOBS" => catalog.metaJobs(jobs)
         case "DATABASES" => catalog.metaDatabases()
@@ -1227,6 +1257,11 @@ final class Commands(
       catalog.kb(n).filter(k => warehouse.exists(k.storage)).foreach { k =>
         warehouse.table(k.storage).createOrReplaceTempView(n)
       }
+    }
+    // a materialized view reads as its finalized partials (no source
+    // scan); one mid-initial-refresh (version 0) is not yet readable
+    mvs.list().filter(mvs.isReadable).foreach { n =>
+      mvs.read(n).createOrReplaceTempView(n)
     }
   }
 

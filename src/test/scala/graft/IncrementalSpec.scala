@@ -44,6 +44,54 @@ class IncrementalSpec extends AnyFunSuite {
     assert(inc3.filter(unix_micros(col("ts")) <= wm2).count() === 0)
   }
 
+  test("materialized view: incremental refresh equals full recompute; LAST semantics") {
+    val wh = graft.catalog.Warehouse.temp(spark)
+    val c = new graft.sqlx.Commands(spark,
+      new graft.catalog.Catalog(spark, dir), wh)
+    c.execute("""CREATE TABLE mvsrc AS
+      SELECT * FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'""")
+    c.execute("""CREATE MATERIALIZED VIEW mv_t TRACK ts AS (
+      SELECT event_type, count(*) AS n, avg(value) AS avg_v, min(value) AS min_v
+      FROM mvsrc WHERE value >= 0 GROUP BY event_type)""")
+
+    def full() = c.execute("""SELECT event_type, count(*) AS n,
+        avg(value) AS avg_v, min(value) AS min_v
+      FROM mvsrc WHERE value >= 0 GROUP BY event_type
+      ORDER BY event_type""").collect().toSeq
+    def mv() = c.execute(
+      "SELECT * FROM mv_t ORDER BY event_type").collect().toSeq
+
+    // initial refresh (at CREATE) matches the full aggregate incl. the
+    // avg finalization (sum/count) and the body's WHERE
+    assert(mv() === full())
+
+    // refresh with no new rows is a no-op (watermark unchanged, same rows)
+    val before = mv()
+    c.execute("REFRESH MATERIALIZED VIEW mv_t")
+    assert(mv() === before)
+
+    // delta refresh folds in only rows past the watermark
+    c.execute("""INSERT INTO mvsrc
+      SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""")
+    c.execute("REFRESH MATERIALIZED VIEW mv_t")
+    assert(mv() === full())
+
+    // LAST contract: a row arriving AT OR BELOW the high-water mark is
+    // not picked up (same as the reference's LAST keyword)
+    c.execute("""INSERT INTO mvsrc VALUES (999999, TIMESTAMP '2024-01-02 00:00:00',
+      1, 'click', 5.0, '{}')""")
+    val stale = mv()
+    c.execute("REFRESH MATERIALIZED VIEW mv_t")
+    assert(mv() === stale)
+
+    // SHOW / DROP lifecycle
+    assert(c.execute("SHOW MATERIALIZED VIEWS").collect().map(_.getString(0)).toSeq
+      === Seq("mv_t"))
+    c.execute("DROP MATERIALIZED VIEW mv_t")
+    intercept[Exception] { c.execute("REFRESH MATERIALIZED VIEW mv_t") }
+    c.execute("DROP MATERIALIZED VIEW IF EXISTS mv_t") // no-op with the clause
+  }
+
   test("job schedule parsing and calendar months") {
     assert(Jobs.nextDate("every 2 hours", Instant.parse("2026-01-01T00:00:00Z"))
       === Instant.parse("2026-01-01T02:00:00Z"))

@@ -173,12 +173,52 @@ object TimeSeries {
       .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
   }
 
+  /** Holt linear (double-exponential) forecast — fifth TS engine: the
+    * EWMA level recurrence plus a smoothed trend, so the forecast is a
+    * line, not a flat level. Seed (l₁,b₁) = (x₁, 0); then
+    *   lₜ = α·xₜ + (1-α)(lₜ₋₁+bₜ₋₁),  bₜ = β(lₜ-lₜ₋₁) + (1-β)bₜ₋₁;
+    * forecast(h) = l + h·b. Same shape as [[forecastEwma]]: the strictly
+    * sequential fold runs inside the aggregate over the ≤`window`-element
+    * per-group context array (a 2-element [level, trend] accumulator),
+    * one window pass + one combinable aggregation — and the order-pinned
+    * double arithmetic is bit-identical across engines/partitionings. */
+  def forecastHolt(data: DataFrame, groupCol: Column, ts: Column, value: Column,
+      tieBreak: Column, window: Int, horizon: Int, stepDays: Int,
+      alpha: Double, beta: Double): DataFrame = {
+    val ctx = lookbackContext(data, groupCol, ts, tieBreak, window)
+    // new level inlined twice in the fold (no let-binding in the lambda);
+    // the oracle SQL spells the identical duplicated expression so both
+    // engines run the same double ops in the same order
+    def newLevel(acc: Column, x: Column): Column =
+      lit(alpha) * x + lit(1.0 - alpha) * (element_at(acc, 1) + element_at(acc, 2))
+    val agg = ctx.groupBy(groupCol.as("group_key"))
+      .agg(array_sort(collect_list(struct(ts.as("t"), tieBreak.as("k"), value.as("v"))))
+          .as("arr"),
+        max(ts).as("last_ts"), count(lit(1)).as("n_ctx"))
+      .withColumn("vals", transform(col("arr"), x => x.getField("v")))
+      .withColumn("lb", aggregate(
+        slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+        array(element_at(col("vals"), 1), lit(0.0)),
+        (acc, x) => array(
+          newLevel(acc, x),
+          lit(beta) * (newLevel(acc, x) - element_at(acc, 1)) +
+            lit(1.0 - beta) * element_at(acc, 2))))
+    agg
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("forecast_date",
+        date_add(to_date(col("last_ts")), col("h") * stepDays).cast("timestamp"))
+      // tie-independent rounding, same rationale as forecastEwma
+      .withColumn("forecast", floor(
+        (element_at(col("lb"), 1) + col("h") * element_at(col("lb"), 2)) * 1e4 + 0.5) / 1e4)
+      .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
+  }
+
   /** Time-series model created by the reference's TS DDL —
     * `CREATE MODEL m FROM (q) PREDICT v ORDER BY ts [GROUP BY g]
     * WINDOW n HORIZON h [USING engine=…]` (sql_query.py:181-205
     * timeseries_settings). Applies as a whole-frame transform: joining
     * the model forecasts over the join's data side with the stored
-    * settings. Engines: mean (default), trend, seasonal, ewma. */
+    * settings. Engines: mean (default), trend, seasonal, ewma, holt. */
   final case class TsModel(
       name: String,
       target: String,
@@ -215,6 +255,10 @@ object TimeSeries {
         case "ewma" =>
           forecastEwma(df, g, col(tsCol), col(target), tie, window, horizon, step,
             alpha = params.getOrElse("alpha", "0.3").toDouble)
+        case "holt" =>
+          forecastHolt(df, g, col(tsCol), col(target), tie, window, horizon, step,
+            alpha = params.getOrElse("alpha", "0.3").toDouble,
+            beta = params.getOrElse("beta", "0.2").toDouble)
         case _ =>
           forecast(df, g, col(tsCol), col(target), tie, window, horizon, step)
       }

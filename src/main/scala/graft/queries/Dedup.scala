@@ -189,6 +189,41 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Bloom-pre-filtered decontamination: the scale path when the
+    // benchmark set is too large to broadcast as a hash-join relation
+    // (a Bloom filter is ~10 bits/item at 1% fpp vs hundreds for a
+    // broadcast hash table). The probe stream drops non-matching grams
+    // MAP-SIDE before the shuffle of the exact confirming join, which
+    // then removes the Bloom's false positives — same answer as the
+    // exact semi-join (the oracle computes it exactly), a fraction of
+    // the shuffled bytes. Spark's own runtime bloom-join optimization
+    // applies the identical pattern; here it is explicit and testable.
+    "d13_bloom_decontaminate" -> ((s, dir) => {
+      val n = 8
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val docs = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
+      val gram = (x: Column) => conv(substring(md5(x), 1, 15), 16, 10).cast(LongType)
+      // simulated eval set: one 8-token window (tokens 3..10) from every
+      // 25th document
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .filter(size(col("tk")) >= n + 2)
+        .select(gram(array_join(slice(col("tk"), 3, n), " ")).as("g"))
+        .distinct()
+      val bloom = bench.stat.bloomFilter("g", 1000L, 0.01)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((g: Long) => bloomB.value.mightContainLong(g))
+      val grams = docs.filter(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.VectorFunctions.md5SpanHashes(col("tk"), n))).as("g"))
+      grams.filter(mightContain(col("g")))
+        // shuffle_hash (not broadcast): models the eval set that cannot
+        // broadcast; the Bloom already cut the probe side
+        .join(bench.hint("shuffle_hash"), Seq("g"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact SPAN dedup (the "exact substring deduplication" rule of
     // RefinedWeb/Lee et al. 2022, in distributed shingle form): every
     // 10-token window is hashed; an occurrence is a duplicate span when
@@ -820,6 +855,23 @@ object Dedup extends QueryPack {
           ('0x' || substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15))::BIGINT AS g
         FROM tok, UNNEST(generate_series(1, len(tk) - 12)) AS t(i)
         WHERE len(tk) >= 13)
+      SELECT doc_id, COUNT(*) AS n_hit_grams
+      FROM grams WHERE g IN (SELECT g FROM bench)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    // the Bloom filter changes no answers (false positives die in the
+    // confirming join), so the oracle is the exact computation
+    "d13_bloom_decontaminate" -> """
+      WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      bench AS (
+        SELECT DISTINCT ('0x' || substr(md5(array_to_string(tk[3:10], ' ')), 1, 15))::BIGINT AS g
+        FROM tok WHERE doc_id % 25 = 0 AND len(tk) >= 10),
+      grams AS (
+        SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS g
+        FROM tok, UNNEST(generate_series(1, len(tk) - 7)) AS t(i)
+        WHERE len(tk) >= 8)
       SELECT doc_id, COUNT(*) AS n_hit_grams
       FROM grams WHERE g IN (SELECT g FROM bench)
       GROUP BY doc_id ORDER BY doc_id""",

@@ -263,6 +263,24 @@ object Events extends QueryPack {
     // purchase amount (gap-filling a sparse signal along an event
     // timeline) — lag/last_value with null skipping, the SQL spelling of
     // a forward-fill. One shuffle on user_id, O(1) state per row.
+    // batch twin of StreamingOps.enrichStatic (stream-static feature
+    // lookup): events from the last week enriched with each user's
+    // PRIOR lifetime profile (count + exact-decimal spend before the
+    // cutoff). The dim side is |users|-sized → broadcast; the stream
+    // side never keys state, so the streaming twin is stateless.
+    "e17_stream_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cutoff = to_timestamp(lit("2024-01-25 00:00:00"))
+      val dim = ev.filter(col("ts") < cutoff)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("hist_n"), dsum(col("value")).as("hist_total"))
+      ev.filter(col("ts") >= cutoff)
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("hist_n"), col("hist_total"))
+        .orderBy(col("event_id"))
+    }),
+
     "e15_carry_forward" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -322,6 +340,17 @@ object Events extends QueryPack {
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     // DuckDB spells null skipping inside the call parens
+    "e17_stream_enrich" -> s"""
+      WITH dim AS (
+        SELECT user_id, COUNT(*) AS hist_n, ${oSum("value")} AS hist_total
+        FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        GROUP BY user_id)
+      SELECT e.event_id, e.user_id, e.event_type, e.value,
+        dim.hist_n, dim.hist_total
+      FROM events e LEFT JOIN dim USING (user_id)
+      WHERE e.ts >= TIMESTAMP '2024-01-25 00:00:00'
+      ORDER BY e.event_id""",
+
     "e15_carry_forward" -> """
       SELECT event_id, user_id, event_type, purchase_val,
         lag(purchase_val IGNORE NULLS)

@@ -112,6 +112,22 @@ object ModelPack extends QueryPack {
         FROM orders JOIN ts19 ORDER BY o_custkey, h""")
     }),
 
+    // Holt linear (double-exponential) forecast: level + smoothed trend
+    // fold over the context array, forecast(h) = level + h·trend — the
+    // fifth TS engine, routed through the TS DDL to prove the USING
+    // engine='holt' lifecycle end to end
+    "m23_ts_holt" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL ts23 FROM (SELECT * FROM orders)
+        PREDICT o_totalprice ORDER BY o_orderdate GROUP BY o_custkey
+        WINDOW 8 HORIZON 3
+        USING engine='holt', alpha=0.5, beta=0.3, step_days=30,
+          tie_break='o_orderkey'""")
+      c.execute("""SELECT o_custkey, h, forecast_date, forecast, n_ctx
+        FROM orders JOIN ts23 ORDER BY o_custkey, h""")
+    }),
+
     // EWMA forecast: order-pinned fold over the context array — the
     // fourth TS engine (flat mean / OLS trend / seasonal / EWMA)
     "m18_ts_ewma" -> ((s, dir) => {
@@ -471,6 +487,37 @@ object ModelPack extends QueryPack {
     // time order) — sequential double arithmetic is order-pinned, so no
     // decimal detour is needed
     "m18_ts_ewma" -> ewmaOracle,
+
+    // the identical [level, trend] left fold (seed [x₁, 0], new level
+    // spelled twice inside the lambda exactly as the Spark fold inlines
+    // it — same double ops in the same order on both engines)
+    "m23_ts_holt" -> """
+      WITH ranked AS (
+        SELECT o_custkey AS g, o_orderdate, o_orderkey, o_totalprice AS v,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      per AS (
+        SELECT g, list(v ORDER BY o_orderdate, o_orderkey) AS vals,
+          MAX(o_orderdate) AS last_ts, COUNT(*) AS n_ctx
+        FROM ranked WHERE rn <= 8 GROUP BY g),
+      folded AS (
+        SELECT g, last_ts, n_ctx,
+          list_reduce(
+            list_concat([[vals[1], CAST(0.0 AS DOUBLE)]],
+              list_transform(vals[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
+            (acc, x) -> [
+              CAST(0.5 AS DOUBLE)*x[1] + CAST(0.5 AS DOUBLE)*(acc[1] + acc[2]),
+              CAST(0.3 AS DOUBLE)*(CAST(0.5 AS DOUBLE)*x[1]
+                + CAST(0.5 AS DOUBLE)*(acc[1] + acc[2]) - acc[1])
+                + CAST(0.7 AS DOUBLE)*acc[2]]) AS lb
+        FROM per)
+      SELECT g AS o_custkey, CAST(h AS INTEGER) AS h,
+        CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
+        FLOOR((lb[1] + h * lb[2]) * 10000 + 0.5) / 10000 AS forecast,
+        n_ctx
+      FROM folded, UNNEST(generate_series(1, 3)) AS t(h)
+      ORDER BY o_custkey, h""",
 
     // the TS-DDL route produces exactly the m18 forecasts
     "m19_ts_ddl" -> ewmaOracle,

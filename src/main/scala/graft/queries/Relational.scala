@@ -399,6 +399,33 @@ object Relational extends QueryPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // WITH RECURSIVE — native Catalyst recursion (UnionLoop/UnionLoopExec,
+    // Spark 4): a 12-month calendar spine generated by the recursive
+    // member, left-joined to monthly order aggregates so months past the
+    // data's end (orders stop 2001-08) zero-fill — the standard
+    // gap-filling spine for time-series completeness. Each recursion
+    // step is a distributed plan; the loop's per-iteration output is
+    // tiny (one row), the join side is the aggregated table.
+    "q51_recursive_cte" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""
+        WITH RECURSIVE months(mon) AS (
+          SELECT DATE '2001-01-01'
+          UNION ALL
+          SELECT add_months(mon, 1) FROM months WHERE mon < DATE '2001-12-01'
+        )
+        SELECT CAST(m.mon AS TIMESTAMP) AS mon, COALESCE(o.n, 0) AS n_orders,
+          COALESCE(o.total, CAST(0.0 AS DOUBLE)) AS total
+        FROM months m LEFT JOIN (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mon,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1) o
+        ON m.mon = o.mon
+        ORDER BY m.mon""")
+    }),
+
     "q25_correlated_exists" -> ((s, dir) => {
       val maxed = t(s, dir, "lineitem").filter(col("l_quantity") === 50)
         .select(col("l_orderkey")).distinct()
@@ -821,6 +848,23 @@ object Relational extends QueryPack {
         COUNT(*) AS n_cust
       FROM customer JOIN per_cust ON c_custkey = o_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // DuckDB runs the same recursive spine natively
+    "q51_recursive_cte" -> """
+      WITH RECURSIVE months(mon) AS (
+        SELECT DATE '2001-01-01'
+        UNION ALL
+        SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE mon < DATE '2001-12-01')
+      SELECT CAST(mon AS TIMESTAMP) AS mon, COALESCE(n, 0) AS n_orders,
+        COALESCE(total, CAST(0.0 AS DOUBLE)) AS total
+      FROM months LEFT JOIN (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1) agg
+      ON mon = agg.m
+      ORDER BY mon""",
 
     "q25_correlated_exists" -> """
       SELECT o_orderkey, o_totalprice FROM orders

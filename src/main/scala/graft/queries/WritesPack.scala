@@ -372,6 +372,20 @@ object WritesPack extends QueryPack {
         .orderBy(col("attr"), col("part"), col("value"))
     }),
 
+    // The session's executed-statement log as a queryable table —
+    // the reference's QUERIES meta table (mindsdb_tables.py:430):
+    // every statement routed through execute() records id, kind,
+    // normalized text, and ok/error status; errors carry the message
+    "c10_query_log" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE TABLE wt_c10 AS SELECT * FROM region")
+      c.execute("SELECT COUNT(*) AS n FROM wt_c10")
+      try c.execute("DROP VIEW nope_c10")
+      catch { case _: Exception => () }
+      c.execute("""SELECT query_id, kind, statement, status, error
+        FROM log.queries ORDER BY query_id""")
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -445,6 +459,19 @@ object WritesPack extends QueryPack {
         (CAST(3 AS BIGINT), 'gamma', CAST(30.125 AS DOUBLE)))
         AS t(k, name, price)
       ORDER BY k""",
+
+    // the log contents are fully deterministic: three statements in
+    // order, the DROP VIEW failing with the router's require message
+    "c10_query_log" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'CREATE', 'CREATE TABLE wt_c10 AS SELECT * FROM region',
+          'ok', CAST(NULL AS VARCHAR)),
+        (CAST(2 AS BIGINT), 'SELECT', 'SELECT COUNT(*) AS n FROM wt_c10',
+          'ok', CAST(NULL AS VARCHAR)),
+        (CAST(3 AS BIGINT), 'DROP', 'DROP VIEW nope_c10',
+          'error', 'requirement failed: view nope_c10 does not exist'))
+        AS t(query_id, kind, statement, status, error)
+      ORDER BY query_id""",
 
     "v01_view_expand" -> s"""
       SELECT c_nationkey, COUNT(*) AS n, ${oSum("o_totalprice")} AS total

@@ -107,6 +107,8 @@ final class Commands(
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(\s*(.+)\s*\)\s*""".r
   private val LogHistoryQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\b\s*(.*)""".r
+  private val LogQueriesQuery =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.queries\b\s*(.*)""".r
   private val LastQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+([\w.]+)\s*>\s*LAST\b\s*(.*)""".r
   private val KbQuery =
@@ -180,9 +182,35 @@ final class Commands(
     "version" -> "8.0.17-graft",
     "version_comment" -> "graft spark-native engine")
 
+  /** Executed-statement log backing `log.queries` — the reference's
+    * QUERIES meta table (mindsdb_tables.py:430): id, first-keyword kind,
+    * normalized text, ok/error status. Driver-side, metadata-sized. */
+  private val queryLog =
+    scala.collection.mutable.ArrayBuffer[(Long, String, String, String, String)]()
+  private var queryCounter = 0L
+
   /** Execute one statement; DDL returns a status frame, queries return
-    * their result. */
-  def execute(sql: String): DataFrame = sql match {
+    * their result. Every statement — including ones dispatched
+    * recursively (model-join data sides, job bodies) — records into
+    * [[queryLog]]; rows append at completion, so a nested statement
+    * logs before its parent. */
+  def execute(sql: String): DataFrame = {
+    queryCounter += 1
+    val id = queryCounter
+    val norm = sql.trim.replaceAll("\\s+", " ")
+    val kind = norm.split("\\s+", 2).head.toUpperCase
+    try {
+      val out = dispatch(sql)
+      queryLog += ((id, kind, norm, "ok", null))
+      out
+    } catch { case e: Throwable =>
+      queryLog += ((id, kind, norm, "error",
+        Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      throw e
+    }
+  }
+
+  private def dispatch(sql: String): DataFrame = sql match {
     case CreateView(name, body) =>
       // validate the body now (spark.sql analyzes eagerly), but store the
       // SQL TEXT and re-expand at every resolution: a view over a
@@ -793,6 +821,24 @@ final class Commands(
           StructField("ok", org.apache.spark.sql.types.BooleanType, nullable = false),
           StructField("error", StringType))))
       val tv = "__jobs_history"
+      df.createOrReplaceTempView(tv)
+      spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
+
+    case LogQueriesQuery(sel, rest) =>
+      // `SELECT … FROM log.queries` (QUERIES meta table,
+      // mindsdb_tables.py:430): the session's executed-statement log.
+      // The snapshot is taken before this statement completes, so the
+      // running query never lists itself.
+      val rows = queryLog.map(q => Row(q._1, q._2, q._3, q._4, q._5)).toSeq
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("query_id", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("statement", StringType, nullable = false),
+          StructField("status", StringType, nullable = false),
+          StructField("error", StringType))))
+      val tv = "__query_log"
       df.createOrReplaceTempView(tv)
       spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 

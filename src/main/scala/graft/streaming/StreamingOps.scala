@@ -87,6 +87,21 @@ object StreamingOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment join: every streaming event looks up a
+    * STATIC dimension frame (here a per-user profile) — the
+    * feature-lookup shape of a serving pipeline. Stream-static joins
+    * are STATELESS: no watermark bookkeeping, the static side joins
+    * (broadcast when small) against each micro-batch, so the operator
+    * adds zero state-store growth on an unbounded stream. The batch
+    * twin is the identical left join on the static table
+    * (StreamingSpec asserts equality). */
+  def enrichStatic(spark: SparkSession, sourceDir: String, schema: StructType,
+      dim: DataFrame): DataFrame =
+    stream(spark, sourceDir, schema)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("hist_n"), col("hist_total"))
+
   /** Custom per-key state via flatMapGroupsWithState: a running per-user
     * profile (event count, total value, last-seen micros) maintained as
     * explicit GroupState — the escape hatch for state machines windowed

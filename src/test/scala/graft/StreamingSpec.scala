@@ -65,6 +65,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.count() === b.count())
   }
 
+  test("stream-static enrichment join == batch e17 (stateless lookup)") {
+    val ev = Tables.table(spark, dir, "events")
+    val cutoff = to_timestamp(lit("2024-01-25 00:00:00"))
+    val dim = ev.filter(col("ts") < cutoff)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("hist_n"),
+        graft.queries.Parity.dsum(col("value")).as("hist_total"))
+    val streamed = StreamingOps.drainToMemory(
+      StreamingOps.enrichStatic(spark, streamDir, rawSchema, dim),
+      "s_e17", "append")
+      .filter(col("event_id").isNotNull) // full stream enriched; compare on the twin's slice
+    val batch = graft.queries.Events.queries("e17_stream_enrich")(spark, dir)
+    val streamedSlice = streamed
+      .join(batch.select(col("event_id")), Seq("event_id"), "left_semi")
+    assert(streamedSlice.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamedSlice).count() === 0)
+  }
+
   test("stream-stream interval join == batch e11 banded range join") {
     val streamed = StreamingOps.drainToMemory(
       StreamingOps.clickToPurchase(spark, streamDir, rawSchema), "s_join", "append")

@@ -236,6 +236,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"inclusion is a per-row integer test — nothing may shuffle for it:\n$plan")
   }
 
+  test("d13 bloom decontamination: map-side bloom filter BEFORE a shuffled (not broadcast) confirm join") {
+    val plan = executedPlan("d13_bloom_decontaminate")
+    // the confirm join models an eval set too big to broadcast
+    assert(plan.contains("ShuffledHashJoin"), s"confirm join not shuffled-hash:\n$plan")
+    // the bloom probe runs in the scan-side filter, before any exchange:
+    // the UDF shows up as a filter condition in the probe stage
+    val firstJoin = plan.indexOf("ShuffledHashJoin")
+    assert(plan.substring(firstJoin).contains("Filter"), // probe side below the join
+      s"no map-side filter under the confirm join:\n$plan")
+  }
+
+  test("q51 recursive CTE executes as a native UnionLoop, then a broadcast spine join") {
+    val df = SparkEntry.queries("q51_recursive_cte")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("UnionLoop"), s"recursion not a native UnionLoop:\n$opt")
+    // the 12-row spine must be the BUILD side, never shuffle the aggregate
+    val plan = executedPlan("q51_recursive_cte")
+    assert(plan.contains("BroadcastHashJoin"), s"spine join not broadcast:\n$plan")
+  }
+
+  test("m23 Holt fold stays inside one aggregation over the context window") {
+    val plan = executedPlan("m23_ts_holt")
+    assert(plan.contains("partial_"), s"context agg not partial/final:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"degenerate join in holt apply:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -40,11 +40,96 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     spark.read.parquet(path(name))
   }
 
+  // ---- time travel --------------------------------------------------
+  // Every DML commit (UPDATE/DELETE/MERGE/INSERT/overwrite-CTAS/replace)
+  // first snapshots the live table into a hidden `.{name}__v{N}` sibling
+  // via HARD LINKS — the snapshot shares every untouched data file's
+  // inode with the live copy, so retaining history costs metadata, not
+  // bytes (the same shared-file model a table format like Delta/Iceberg
+  // uses for its versions; reference tables have no history at all).
+  // Version numbering: a table is born at version 0; each commit bumps
+  // the live version by one and freezes the pre-image as its number.
+  // `.`-prefixed snapshot dirs are invisible to listTables()/recover().
+
+  private def versionDir(name: String, v: Int) = s"$dir/.$name" + s"__v$v"
+
+  /** Versions retained for `name`, oldest first. Sparse after VACUUM
+    * RETAIN: only the newest k survive, numbering unchanged. */
+  def versions(name: String): Seq[Int] = {
+    val prefix = s".$name" + "__v"
+    listDir(Paths.get(dir)).map(_.getFileName.toString)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      .filter(_.forall(_.isDigit)).map(_.toInt).sorted // skips the `__version` marker
+  }
+
+  /** Live version number = commits so far (snapshot count is the live
+    * number only before any VACUUM, so it is tracked explicitly). */
+  def currentVersion(name: String): Int = versionMarker(name)
+
+  /** Read the table as of `v`: the live state for the current version,
+    * the frozen snapshot for an earlier one. */
+  def tableVersion(name: String, v: Int): DataFrame = {
+    val cur = currentVersion(name)
+    if (v == cur) table(name)
+    else if (versions(name).contains(v)) spark.read.parquet(versionDir(name, v))
+    else throw new NoSuchElementException(
+      s"table $name has no version $v (current $cur, retained ${versions(name).mkString(",")})")
+  }
+
+  /** Drop all but the newest `retain` snapshots (VACUUM). */
+  def vacuum(name: String, retain: Int = 0): Int = {
+    val drop = versions(name).dropRight(retain)
+    drop.foreach(v => rm(Paths.get(versionDir(name, v))))
+    drop.size
+  }
+
+  /** Freeze the live state as the next version snapshot; called by every
+    * mutating verb before it touches the table. Internal storage tables
+    * (`__`-prefixed: KB chunk stores, index cells) skip versioning —
+    * their rewrite cadence is per-ingest, not per-user-commit. */
+  private[catalog] def snapshot(name: String): Unit =
+    if (exists(name) && !name.startsWith("__")) {
+      recover(name)
+      val v = versionMarker(name)
+      linkTree(Paths.get(path(name)), Paths.get(versionDir(name, v)))
+      setVersionMarker(name, v + 1)
+    }
+
+  /** The live version rides in a hidden marker file at the warehouse
+    * root (NOT inside the table dir — every rewrite/overwrite path
+    * recreates that dir, and a marker there would silently reset the
+    * history numbering). */
+  private def markerPath(name: String) = Paths.get(dir, s".$name" + "__version")
+  private def versionMarker(name: String): Int =
+    if (Files.exists(markerPath(name)))
+      new String(Files.readAllBytes(markerPath(name)), "UTF-8").trim.toInt
+    else 0
+  private def setVersionMarker(name: String, v: Int): Unit =
+    Files.write(markerPath(name), v.toString.getBytes("UTF-8"))
+
+  /** Hard-link every file of `src` under `dst` (copy fallback for
+    * filesystems without link support). */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    rm(dst)
+    val files = Files.walk(src)
+    try files.forEach { p =>
+      val rel = src.relativize(p)
+      val to = dst.resolve(rel)
+      if (Files.isDirectory(p)) Files.createDirectories(to)
+      else {
+        Files.createDirectories(to.getParent)
+        try Files.createLink(to, p)
+        catch { case _: UnsupportedOperationException => Files.copy(p, to) }
+      }
+    } finally files.close()
+  }
+
   /** CREATE TABLE AS (SaveToTable, is_replace semantics). `partitionBy`
     * lays the table out hive-style — UPDATE/DELETE then rewrite only the
     * partitions the predicate touches. */
   def createTableAs(name: String, df: DataFrame, overwrite: Boolean = false,
       partitionBy: Seq[String] = Nil): Unit = {
+    if (overwrite) snapshot(name) // replacing an existing table is a commit
     val w = df.write.mode(if (overwrite) "overwrite" else "errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
   }
@@ -103,6 +188,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * VALUES row arrives as int/decimal — appending those verbatim would
     * corrupt the parquet schema). */
   def insertInto(name: String, df: DataFrame): Unit = {
+    snapshot(name)
     val schema = table(name).schema
     require(df.columns.length == schema.length,
       s"INSERT arity mismatch: ${df.columns.length} values for ${schema.length} columns of $name")
@@ -124,6 +210,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * Assigning TO the partition column moves rows between partitions, so
     * that case falls back to the full rewrite. */
   def update(name: String, assignments: Map[String, Column], where: Column): Unit = {
+    snapshot(name)
     def updated(df: DataFrame) = assignments.foldLeft(df) { case (d, (c, v)) =>
       d.withColumn(c, when(where, v).otherwise(col(c)))
     }
@@ -175,11 +262,13 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   /** DELETE FROM name WHERE cond (DeleteStep); partition-pruned like
     * [[update]]. */
-  def delete(name: String, where: Column): Unit =
+  def delete(name: String, where: Column): Unit = {
+    snapshot(name)
     partitionColumn(name) match {
       case Some(pc) => rewritePartitions(name, pc, where, _.filter(!where))
       case None => rewrite(name, table(name).filter(!where))
     }
+  }
 
   /** Rewrite ONLY the partitions holding rows that match `where`;
     * untouched partition directories keep their files byte-for-byte.
@@ -212,6 +301,9 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     if (spark.catalog.tableExists("default", name) &&
         catalogLocationUnderDir(name)) spark.sql(s"DROP TABLE default.`$name`")
     rm(Paths.get(path(name)))
+    // history dies with the table: snapshots + version marker
+    versions(name).foreach(v => rm(Paths.get(versionDir(name, v))))
+    rm(markerPath(name))
   }
 
   /** True when the session-catalog table `name` is stored under this
@@ -232,8 +324,10 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * UPDATE/DELETE) — the path for index builds and other self-derived
     * rewrites, where writing over the live dir while reading it would
     * corrupt the table. */
-  def replace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+  def replace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    snapshot(name)
     rewrite(name, df, partitionBy)
+  }
 
   /** copy-on-write swap: write to a temp sibling, rename the live dir
     * aside, move the new one in, delete the old copy LAST — a crash at

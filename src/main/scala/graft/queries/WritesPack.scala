@@ -259,6 +259,26 @@ object WritesPack extends QueryPack {
         FROM mv_w08 ORDER BY event_type, day""")
     }),
 
+    // Time travel over the warehouse's hard-linked snapshot history
+    // (Delta/Iceberg `VERSION AS OF`; the reference has no table
+    // history): three commits — CTAS (v0 state), UPDATE (v1), DELETE
+    // (v2 = live) — then one statement reads all three versions side by
+    // side. Snapshots share untouched file inodes with the live copy
+    // (hard links), so history is metadata-priced, not byte-priced.
+    "w09_time_travel" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE tt9 AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 300""")
+      c.execute("UPDATE tt9 SET o_totalprice = o_totalprice * 2 WHERE o_orderstatus = 'O'")
+      c.execute("DELETE FROM tt9 WHERE o_orderkey % 3 = 0")
+      c.execute(s"""SELECT v, COUNT(*) AS n, ${Parity.oSum("o_totalprice")} AS total
+        FROM (SELECT 0 AS v, o_totalprice FROM tt9 FOR VERSION AS OF 0
+          UNION ALL SELECT 1 AS v, o_totalprice FROM tt9 FOR VERSION AS OF 1
+          UNION ALL SELECT 2 AS v, o_totalprice FROM tt9)
+        GROUP BY v ORDER BY v""")
+    }),
+
     // Data catalog: the reference's DataCatalogRetriever assembles
     // tables + columns + column statistics into one metadata view for
     // LLM/agent consumption (data_catalog_retriever.py:46-72). Here the
@@ -398,6 +418,24 @@ object WritesPack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // each version recomputed straight from orders: v0 = the CTAS
+    // subset, v1 = after the doubled-O update, v2 = after the delete
+    "w09_time_travel" -> s"""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 300),
+      v1 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM base),
+      v2 AS (SELECT * FROM v1 WHERE o_orderkey % 3 <> 0)
+      SELECT v, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM (SELECT 0 AS v, o_totalprice FROM base
+        UNION ALL SELECT 1 AS v, o_totalprice FROM v1
+        UNION ALL SELECT 2 AS v, o_totalprice FROM v2)
+      GROUP BY v ORDER BY v""",
 
     "w01_ctas_roundtrip" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total

@@ -91,6 +91,9 @@ final class Commands(
   private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
   private val DescribeModel =
     """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)(?:\.(\d+))?(?:\.(\w+))?\s*""".r
+  private val DescribeHistory = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*""".r
+  private val VacuumStmt =
+    """(?is)\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val UpdateStmt =
@@ -210,7 +213,24 @@ final class Commands(
     }
   }
 
-  private def dispatch(sql: String): DataFrame = sql match {
+  /** `<table> FOR VERSION AS OF <n>` — time travel over the warehouse's
+    * hard-linked snapshot history (Delta/Iceberg-style `VERSION AS OF`;
+    * the reference has no table history at all). Rewritten BEFORE route
+    * matching so the clause works anywhere a relation can appear —
+    * subqueries, UNION branches, CTE bodies — with each occurrence bound
+    * to a registered snapshot view. */
+  private val ForVersion =
+    """(?is)(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private def rewriteTimeTravel(sql: String): String =
+    if (!sql.matches("(?is).*FOR\\s+VERSION\\s+AS\\s+OF.*")) sql
+    else ForVersion.replaceAllIn(sql, m => {
+      val (name, v) = (m.group(1), m.group(2).toInt)
+      val tv = s"__${name}_v$v"
+      warehouse.tableVersion(name, v).createOrReplaceTempView(tv)
+      tv
+    })
+
+  private def dispatch(sql0: String): DataFrame = { val sql = rewriteTimeTravel(sql0); sql match {
     case CreateView(name, body) =>
       // validate the body now (spark.sql analyzes eagerly), but store the
       // SQL TEXT and re-expand at every resolution: a view over a
@@ -739,6 +759,18 @@ final class Commands(
         case Some(a) =>
           throw new IllegalArgumentException(s"unknown describe attribute: $a")
       }
+    case DescribeHistory(name) =>
+      // version history, newest first (DESCRIBE HISTORY, Delta-style)
+      val cur = warehouse.currentVersion(name)
+      val rows = (Seq(cur -> "current") ++
+        warehouse.versions(name).reverse.map(_ -> "snapshot"))
+        .map { case (v, kind) => Row(v.toLong, kind) }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("version", org.apache.spark.sql.types.LongType),
+          StructField("kind", StringType))))
+    case VacuumStmt(name, retainO) =>
+      val dropped = warehouse.vacuum(name, Option(retainO).map(_.toInt).getOrElse(0))
+      ok(s"vacuumed $name: $dropped snapshot(s) removed")
     case DescribeStmt(name) => catalog.describe(name, Some(warehouse))
     case AnalyzeStmt(name) =>
       // data-catalog statistics (interfaces/data_catalog/, base.py:178-341):
@@ -1002,7 +1034,7 @@ final class Commands(
       spark.sql(s"SELECT $sel FROM $tv ${restAdj.getOrElse("")}")
 
     case other => modelAwareRun(other)
-  }
+  } }
 
   /** One-parse model-relation routing (reference plan_join.py:357-401
     * handles arbitrary join trees): parse the statement ONCE with the

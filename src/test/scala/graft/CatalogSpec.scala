@@ -155,4 +155,57 @@ class CatalogSpec extends AnyFunSuite {
     assert(s.contains("- n_name STRING\n") || s.contains("- n_name STRING"))
     assert(!s.linesIterator.exists(l => l.contains("n_name") && l.contains("distinct=")))
   }
+
+  test("time travel: every DML commit freezes a hard-linked snapshot") {
+    val wh = Warehouse.temp(spark)
+    val nation = Tables.table(spark, dir, "nation")
+    wh.createTableAs("n", nation) // version 0, no snapshot yet
+    assert(wh.currentVersion("n") === 0 && wh.versions("n").isEmpty)
+
+    wh.insertInto("n", nation.limit(3)) // commit → v0 frozen, live = 1
+    wh.update("n", Map("n_name" -> lit("ZZ")), col("n_nationkey") === 0) // live = 2
+    wh.delete("n", col("n_nationkey") >= 20) // live = 3
+    assert(wh.currentVersion("n") === 3 && wh.versions("n") === Seq(0, 1, 2))
+
+    val n0 = nation.count()
+    assert(wh.tableVersion("n", 0).count() === n0)
+    assert(wh.tableVersion("n", 1).count() === n0 + 3)
+    assert(wh.tableVersion("n", 1).filter(col("n_name") === "ZZ").count() === 0)
+    // nationkey 0 exists twice at v2 (the insert appended a duplicate)
+    assert(wh.tableVersion("n", 2).filter(col("n_name") === "ZZ").count() === 2)
+    assert(wh.tableVersion("n", 3).filter(col("n_nationkey") >= 20).count() === 0)
+    intercept[NoSuchElementException] { wh.tableVersion("n", 9) }
+
+    // snapshots share inodes with the files they froze (metadata-priced)
+    val snapFile = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(wh.dir).resolve(".n__v0"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    assert(java.nio.file.Files.getAttribute(snapFile, "unix:nlink")
+      .asInstanceOf[Int] >= 1)
+
+    // VACUUM RETAIN keeps the newest snapshots; numbering is unchanged
+    assert(wh.vacuum("n", retain = 1) === 2)
+    assert(wh.versions("n") === Seq(2) && wh.currentVersion("n") === 3)
+    intercept[NoSuchElementException] { wh.tableVersion("n", 0) }
+
+    wh.dropTable("n") // history dies with the table
+    assert(wh.versions("n").isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh.dir).resolve(".n__version")))
+  }
+
+  test("FOR VERSION AS OF / DESCRIBE HISTORY / VACUUM SQL routes") {
+    val c = new graft.sqlx.Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
+    c.execute("CREATE TABLE ttv AS SELECT n_nationkey, n_name FROM nation")
+    c.execute("DELETE FROM ttv WHERE n_nationkey >= 10")
+    assert(c.execute("SELECT COUNT(*) AS n FROM ttv FOR VERSION AS OF 0")
+      .collect()(0).getLong(0) === 25)
+    assert(c.execute("SELECT COUNT(*) AS n FROM ttv").collect()(0).getLong(0) === 10)
+    val hist = c.execute("DESCRIBE HISTORY ttv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist === Seq((1L, "current"), (0L, "snapshot")))
+    c.execute("VACUUM ttv")
+    assert(c.execute("DESCRIBE HISTORY ttv").count() === 1)
+    intercept[Exception] { c.execute("SELECT * FROM ttv FOR VERSION AS OF 0") }
+  }
 }

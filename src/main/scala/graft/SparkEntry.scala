@@ -12,7 +12,7 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] =
     Seq(Relational, TextOps, Dedup, Similarity, Events, KbPack, ModelPack, WritesPack,
-      FederationPack, CompatPack, MultimodalPack)
+      FederationPack, CompatPack, MultimodalPack, GraphOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Knowledge-base semantic search — the reference's flagship capability:

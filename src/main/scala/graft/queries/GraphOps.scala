@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-analysis operators over relation-derived graphs.
+  *
+  * The reference exposes its data to agent/LLM pipelines but has no graph
+  * primitives; ranking entities by link structure (which suppliers anchor
+  * the purchase graph, which documents anchor a citation graph) is a
+  * standard large-corpus curation signal (Page et al. 1999), so it joins
+  * the training-data-pipeline pack as a first-class operator alongside
+  * dedup's connected components (Dedup.scala d04).
+  *
+  * Determinism: PageRank in doubles is order-sensitive (float addition is
+  * not associative — a different partitioning yields different low bits,
+  * and a DuckDB re-run would hash-mismatch). All mass here is integer
+  * fixed-point (1e-9 units, BIGINT): addition is associative, division is
+  * floor — bit-identical on any partitioning and any engine.
+  */
+object GraphOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PageRank over the customer↔supplier purchase graph (5 supersteps,
+    // damping 0.85). Scale shape: the edge list is built once, hash-
+    // partitioned on src and persisted — every superstep reuses that
+    // partitioning for the contribution join, then one shuffle on dst
+    // re-aggregates ranks (the classic two-shuffle-per-superstep Pregel
+    // plan). Per-superstep localCheckpoint cuts the lineage so the plan
+    // stays O(1) deep instead of O(iterations) (at 1000 executors a
+    // 5-deep chained join plan re-executes everything on a lost
+    // partition; checkpointing is how production graph engines bound
+    // recovery). Node count only enters through per-node state — no
+    // driver-side collection anywhere.
+    "g01_pagerank" -> ((s, dir) => {
+      val unit = 1000000000L // 1e-9 fixed-point units; rank0 = 1.0
+      val base = 150000000L  // (1 - 0.85) * unit
+      // bipartite purchase edges, both directions (so no node dangles):
+      // even ids = customers (custkey*2), odd ids = suppliers (suppkey*2+1)
+      val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = cs.select(col("c").as("src"), col("s").as("dst"))
+        .union(cs.select(col("s").as("src"), col("c").as("dst")))
+        .repartition(col("src")).persist()
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .persist()
+      var ranks = outdeg.select(col("src").as("node"), lit(unit).as("rank"))
+      for (_ <- 1 to 5) {
+        val contrib = ranks.join(outdeg, ranks("node") === outdeg("src"))
+          .select(col("node"), expr("rank DIV outdeg").as("contrib"))
+        ranks = edges.join(contrib, edges("src") === contrib("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("mass"))
+          .select(col("dst").as("node"),
+            (lit(base) + expr("(85 * mass) DIV 100")).as("rank"))
+          .localCheckpoint()
+      }
+      val out = ranks.orderBy(col("node"))
+      edges.unpersist(); outdeg.unpersist()
+      out
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    // the same five supersteps unrolled; DuckDB's `//` is the same floor
+    // division as Spark's DIV, and SUM widens to HUGEINT so the rank is
+    // cast back to BIGINT for schema parity
+    "g01_pagerank" -> {
+      def step(k: Int): String = s"""
+        r$k AS (
+          SELECT e.dst AS node,
+            CAST(150000000 + (85 * SUM(r.rank // o.outdeg)) // 100 AS BIGINT) AS rank
+          FROM edges e
+          JOIN r${k - 1} r ON r.node = e.src
+          JOIN outdeg o ON o.src = e.src
+          GROUP BY e.dst)"""
+      s"""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, s AS dst FROM cs
+        UNION ALL SELECT s AS src, c AS dst FROM cs),
+      outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM outdeg),
+      ${(1 to 5).map(step).mkString(",")}
+      SELECT node, rank FROM r5 ORDER BY node"""
+    })
+}

@@ -263,6 +263,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"degenerate join in holt apply:\n$plan")
   }
 
+  test("g01 pagerank: edge list persisted and reused across supersteps, equi-joins only") {
+    val plan = executedPlan("g01_pagerank")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"degenerate join in pagerank superstep:\n$plan")
+    // final superstep reads the checkpointed prior ranks, not a 5-deep
+    // re-derivation (lineage is cut every iteration)
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"superstep did not read checkpointed ranks:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

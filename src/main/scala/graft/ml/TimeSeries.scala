@@ -213,6 +213,66 @@ object TimeSeries {
       .select(col("group_key"), col("h"), col("forecast_date"), col("forecast"), col("n_ctx"))
   }
 
+  /** Holt-Winters additive forecast (sixth TS engine): level + trend +
+    * seasonality. Seasonal indices are fixed at their initial estimates
+    * (phase mean − group mean over the lookback, the γ=0 variant of
+    * additive Holt-Winters — Winters 1960 §3 with the seasonal update
+    * switched off), then the [[forecastHolt]] level/trend recurrence
+    * runs over the DESEASONALIZED series and the matching index is added
+    * back at forecast time:
+    *   forecast(h) = l + h·b + s[(−h) mod period].
+    *
+    * Determinism: indices derive from rounded exact-decimal means (same
+    * spelling as [[forecastSeasonal]]); the fold is order-pinned inside
+    * one aggregate; so results are bit-identical across engines and
+    * partitionings. Scale shape: one window pass, two group(-×phase)
+    * aggregations, joins keyed on the group — identical to the other
+    * engines, no new shuffle class. */
+  def forecastHoltWinters(data: DataFrame, groupCol: Column, ts: Column, value: Column,
+      tieBreak: Column, window: Int, horizon: Int, stepDays: Int, period: Int,
+      alpha: Double, beta: Double): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(ts.desc, tieBreak.desc)
+    val ctx = data
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= window)
+      .select(groupCol.as("gk"), ts.as("__ts"), tieBreak.as("__k"), value.as("__v"),
+        (col("__rn") % period).as("__ph"))
+    val phase = ctx.groupBy(col("gk"), col("__ph"))
+      .agg(round(davg(col("__v")), 4).as("pm"))
+    val grp = ctx.groupBy(col("gk"))
+      .agg(round(davg(col("__v")), 4).as("gm"),
+        max(col("__ts")).as("last_ts"), count(lit(1)).as("n_ctx"))
+    // deseasonalize, then fold level+trend over the time-ordered array
+    def newLevel(acc: Column, x: Column): Column =
+      lit(alpha) * x + lit(1.0 - alpha) * (element_at(acc, 1) + element_at(acc, 2))
+    val folded = ctx.join(phase, Seq("gk", "__ph")).join(grp.select(col("gk"), col("gm")), Seq("gk"))
+      .withColumn("__d", col("__v") - (col("pm") - col("gm")))
+      .groupBy(col("gk"))
+      .agg(array_sort(collect_list(struct(col("__ts").as("t"), col("__k").as("k"),
+        col("__d").as("v")))).as("arr"))
+      .withColumn("vals", transform(col("arr"), x => x.getField("v")))
+      .withColumn("lb", aggregate(
+        slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+        array(element_at(col("vals"), 1), lit(0.0)),
+        (acc, x) => array(
+          newLevel(acc, x),
+          lit(beta) * (newLevel(acc, x) - element_at(acc, 1)) +
+            lit(1.0 - beta) * element_at(acc, 2))))
+      .select(col("gk"), col("lb"))
+    grp.join(folded, Seq("gk"))
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .withColumn("__ph", (lit(period) - col("h") % period) % period)
+      .join(phase, Seq("gk", "__ph"), "left")
+      .withColumn("forecast_date",
+        date_add(to_date(col("last_ts")), col("h") * stepDays).cast("timestamp"))
+      // tie-independent rounding, same rationale as forecastEwma
+      .withColumn("forecast", floor(
+        (element_at(col("lb"), 1) + col("h") * element_at(col("lb"), 2) +
+          coalesce(col("pm") - col("gm"), lit(0.0))) * 1e4 + 0.5) / 1e4)
+      .select(col("gk").as("group_key"), col("h"), col("forecast_date"),
+        col("forecast"), col("n_ctx"))
+  }
+
   /** Time-series model created by the reference's TS DDL —
     * `CREATE MODEL m FROM (q) PREDICT v ORDER BY ts [GROUP BY g]
     * WINDOW n HORIZON h [USING engine=…]` (sql_query.py:181-205
@@ -257,6 +317,11 @@ object TimeSeries {
             alpha = params.getOrElse("alpha", "0.3").toDouble)
         case "holt" =>
           forecastHolt(df, g, col(tsCol), col(target), tie, window, horizon, step,
+            alpha = params.getOrElse("alpha", "0.3").toDouble,
+            beta = params.getOrElse("beta", "0.2").toDouble)
+        case "holt_winters" =>
+          forecastHoltWinters(df, g, col(tsCol), col(target), tie, window, horizon, step,
+            period = params.getOrElse("period", "4").toInt,
             alpha = params.getOrElse("alpha", "0.3").toDouble,
             beta = params.getOrElse("beta", "0.2").toDouble)
         case _ =>

@@ -128,6 +128,21 @@ object ModelPack extends QueryPack {
         FROM orders JOIN ts23 ORDER BY o_custkey, h""")
     }),
 
+    // Holt-Winters additive (sixth TS engine): fixed seasonal indices
+    // (phase mean − group mean, the γ=0 additive variant) + the Holt
+    // level/trend fold over the deseasonalized series, through the TS DDL
+    "m24_ts_holt_winters" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL ts24 FROM (SELECT * FROM orders)
+        PREDICT o_totalprice ORDER BY o_orderdate GROUP BY o_custkey
+        WINDOW 12 HORIZON 4
+        USING engine='holt_winters', alpha=0.5, beta=0.3, period=4,
+          step_days=30, tie_break='o_orderkey'""")
+      c.execute("""SELECT o_custkey, h, forecast_date, forecast, n_ctx
+        FROM orders JOIN ts24 ORDER BY o_custkey, h""")
+    }),
+
     // EWMA forecast: order-pinned fold over the context array — the
     // fourth TS engine (flat mean / OLS trend / seasonal / EWMA)
     "m18_ts_ewma" -> ((s, dir) => {
@@ -569,6 +584,54 @@ object ModelPack extends QueryPack {
         COALESCE(p.pm, s.gm) AS forecast,
         ROUND(COALESCE(p.pm, s.gm) - 1.96*s.sigma, 4) AS lower,
         ROUND(COALESCE(p.pm, s.gm) + 1.96*s.sigma, 4) AS upper,
+        n_ctx
+      FROM steps s LEFT JOIN phase p ON s.g = p.g AND s.ph = p.ph
+      ORDER BY o_custkey, h""",
+
+    // m17's phase/group means supply the fixed seasonal indices; m23's
+    // list_reduce runs the identical level/trend fold over the
+    // deseasonalized series (alpha=0.5, beta=0.3 → the same duplicated
+    // new-level expression, spelled once per accumulator slot)
+    "m24_ts_holt_winters" -> s"""
+      WITH ranked AS (
+        SELECT o_custkey AS g, o_orderdate, o_orderkey, o_totalprice AS v,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      ctx AS (
+        SELECT g, o_orderdate, o_orderkey, v, rn % 4 AS ph
+        FROM ranked WHERE rn <= 12),
+      phase AS (
+        SELECT g, ph, ROUND(${oAvg("v")}, 4) AS pm FROM ctx GROUP BY g, ph),
+      grp AS (
+        SELECT g, ROUND(${oAvg("v")}, 4) AS gm,
+          MAX(o_orderdate) AS last_ts, COUNT(*) AS n_ctx
+        FROM ctx GROUP BY g),
+      des AS (
+        SELECT c.g, c.o_orderdate, c.o_orderkey, c.v - (p.pm - m.gm) AS d
+        FROM ctx c
+        JOIN phase p ON c.g = p.g AND c.ph = p.ph
+        JOIN grp m ON c.g = m.g),
+      per AS (
+        SELECT g, list(d ORDER BY o_orderdate, o_orderkey) AS vals
+        FROM des GROUP BY g),
+      folded AS (
+        SELECT g, list_reduce(
+          list_concat([[vals[1], CAST(0.0 AS DOUBLE)]],
+            list_transform(vals[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
+          (acc, x) -> [
+            CAST(0.5 AS DOUBLE)*x[1] + CAST(0.5 AS DOUBLE)*(acc[1] + acc[2]),
+            CAST(0.3 AS DOUBLE)*(CAST(0.5 AS DOUBLE)*x[1]
+              + CAST(0.5 AS DOUBLE)*(acc[1] + acc[2]) - acc[1])
+              + CAST(0.7 AS DOUBLE)*acc[2]]) AS lb
+        FROM per),
+      steps AS (
+        SELECT f.g, lb, gm, last_ts, n_ctx, h, (4 - h % 4) % 4 AS ph
+        FROM folded f JOIN grp ON f.g = grp.g,
+          UNNEST(generate_series(1, 4)) AS t(h))
+      SELECT s.g AS o_custkey, CAST(h AS INTEGER) AS h,
+        CAST(CAST(s.last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
+        FLOOR((lb[1] + h * lb[2] + COALESCE(p.pm - s.gm, 0.0)) * 10000 + 0.5) / 10000 AS forecast,
         n_ctx
       FROM steps s LEFT JOIN phase p ON s.g = p.g AND s.ph = p.ph
       ORDER BY o_custkey, h""",

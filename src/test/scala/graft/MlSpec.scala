@@ -253,4 +253,28 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(f2.getAs[Double]("lower") - (10.0 - 1.96 * 4.2426)) < 5e-5)
     assert(math.abs(f2.getAs[Double]("upper") - (10.0 + 1.96 * 4.2426)) < 5e-5)
   }
+
+  test("holt-winters: pure seasonal alternation forecast repeats the season; constant series stays flat") {
+    import spark.implicits._
+    // strict period-2 alternation: deseasonalized series is constant, so
+    // the Holt fold yields (level=mean, trend=0) and the forecast is the
+    // seasonal index added back — the alternation continues exactly
+    val alt = Seq.tabulate(4)(i =>
+        (1L, java.sql.Date.valueOf(s"2024-01-0${i + 1}"), if (i % 2 == 0) 10.0 else 20.0, i.toLong))
+      .toDF("g", "d", "v", "k")
+    val fc = TimeSeries.forecastHoltWinters(alt, col("g"), col("d"), col("v"), col("k"),
+      window = 4, horizon = 2, stepDays = 1, period = 2, alpha = 0.5, beta = 0.3)
+      .orderBy("h").collect()
+    assert(fc.map(r => (r.getAs[Int]("h"), r.getAs[Double]("forecast"))).toSeq
+      === Seq((1, 20.0), (2, 10.0)))
+    // constant series: all phase indices zero, level locks to the
+    // constant, trend stays zero → flat forecast at every horizon
+    val const = Seq.tabulate(6)(i =>
+        (2L, java.sql.Date.valueOf(s"2024-01-0${i + 1}"), 7.5, i.toLong))
+      .toDF("g", "d", "v", "k")
+    val f2 = TimeSeries.forecastHoltWinters(const, col("g"), col("d"), col("v"), col("k"),
+      window = 6, horizon = 3, stepDays = 1, period = 3, alpha = 0.4, beta = 0.2)
+      .collect()
+    assert(f2.length === 3 && f2.forall(_.getAs[Double]("forecast") === 7.5))
+  }
 }

@@ -279,6 +279,24 @@ object WritesPack extends QueryPack {
         GROUP BY v ORDER BY v""")
     }),
 
+    // SCD Type-2 history build (Kimball dimension versioning; beyond the
+    // reference's plain INSERT/UPDATE writeback): each user's event_type
+    // run becomes one version row with valid_from/valid_to/is_current —
+    // re-observations of an unchanged state do NOT open versions, so
+    // history scales with changes, not observations. Aggregated per
+    // event_type for the oracle.
+    "w10_scd2_history" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.engine.Scd.history(ev, col("user_id"), col("ts"), col("event_id"),
+          Seq(col("event_type")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          countDistinct(col("key")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Data catalog: the reference's DataCatalogRetriever assembles
     // tables + columns + column statistics into one metadata view for
     // LLM/agent consumption (data_catalog_retriever.py:46-72). Here the
@@ -441,6 +459,24 @@ object WritesPack extends QueryPack {
       SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
       FROM orders WHERE o_totalprice > 200000
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "w10_scd2_history" -> """
+      WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      runs AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type),
+      hist AS (
+        SELECT user_id, event_type, valid_from,
+          LEAD(valid_from) OVER (PARTITION BY user_id
+            ORDER BY valid_from, event_id) AS valid_to
+        FROM runs)
+      SELECT event_type, COUNT(*) AS n_versions,
+        CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM hist GROUP BY event_type ORDER BY event_type""",
 
     "w02_update_delete" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n,

@@ -194,6 +194,23 @@ class CatalogSpec extends AnyFunSuite {
       java.nio.file.Paths.get(wh.dir).resolve(".n__version")))
   }
 
+  test("SCD2: runs collapse, versions chain valid_from -> valid_to, one current per key") {
+    import spark.implicits._
+    val ch = Seq( // key 1: A,A,B,A — the repeated A does NOT open a version
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"), (1L, 40L, 4L, "A"),
+      (2L, 15L, 5L, "X")) // key 2: single observation stays current
+      .toDF("k", "t", "id", "attr")
+    val h = graft.engine.Scd.history(ch, col("k"), col("t"), col("id"), Seq(col("attr")))
+      .orderBy(col("key"), col("valid_from")).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("attr"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")), r.getAs[Boolean]("is_current")))
+    assert(h.toSeq === Seq(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 15L, None, true)))
+  }
+
   test("FOR VERSION AS OF / DESCRIBE HISTORY / VACUUM SQL routes") {
     val c = new graft.sqlx.Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
     c.execute("CREATE TABLE ttv AS SELECT n_nationkey, n_name FROM nation")

@@ -320,6 +320,42 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       loc.stripPrefix("file:").startsWith(canonical)
     } catch { case _: Exception => false }
 
+  /** OPTIMIZE: compact a table's accumulated small files (every append
+    * adds task-count files; a 100 TB table fed by streaming inserts
+    * degrades into millions of KB-sized files whose open/seek overhead
+    * dominates scans — bin-packing compaction is the standard cure,
+    * cf. Delta OPTIMIZE / Iceberg rewrite_data_files). Partitioned
+    * tables compact each partition directory independently (the
+    * partition list is metadata-sized; each rewrite is the same
+    * crash-safe swap as UPDATE) with `coalesce` — a narrow, shuffle-free
+    * merge of input splits. The pre-image is snapshotted first, so
+    * OPTIMIZE is itself a time-travelable commit. Returns parquet file
+    * count (before, after). */
+  def optimize(name: String, targetFiles: Int = 1): (Int, Int) = {
+    require(bucketSpec(name).isEmpty,
+      s"OPTIMIZE of bucketed table $name: re-run its CLUSTERED BY CTAS " +
+        "(bucket layout lives in the session catalog and fixes the file count)")
+    snapshot(name)
+    def parquetFiles(p: java.nio.file.Path): Int = {
+      val s = Files.walk(p)
+      try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val before = parquetFiles(Paths.get(path(name)))
+    partitionColumn(name) match {
+      case Some(pc) =>
+        listDir(Paths.get(path(name)))
+          .filter(p => p.getFileName.toString.contains("=") && Files.isDirectory(p))
+          .foreach { pdir =>
+            val part = spark.read.option("basePath", path(name)).parquet(pdir.toString)
+            rewriteDir(pdir, part.drop(pc).coalesce(targetFiles))
+          }
+      case None =>
+        rewrite(name, table(name).coalesce(targetFiles))
+    }
+    (before, parquetFiles(Paths.get(path(name))))
+  }
+
   /** Atomically replace a table's contents (same crash-safe swap as
     * UPDATE/DELETE) — the path for index builds and other self-derived
     * rewrites, where writing over the live dir while reading it would

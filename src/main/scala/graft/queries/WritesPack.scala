@@ -297,6 +297,27 @@ object WritesPack extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // OPTIMIZE compaction (Delta OPTIMIZE analog): a partitioned table
+    // fed by four small appends accumulates task-count files per
+    // partition; compaction coalesces each partition directory to one
+    // file WITHOUT changing contents — the oracle recomputes the same
+    // aggregate straight from orders, proving content preservation. The
+    // file-count drop itself is asserted in CatalogSpec.
+    "w11_optimize_compact" -> ((s, dir) => {
+      val wh = Warehouse.temp(s)
+      val orders = t(s, dir, "orders")
+      wh.createTableAs("opt", orders.filter(year(col("o_orderdate")) < 1996),
+        overwrite = true, partitionBy = Seq("o_orderstatus"))
+      (1996 to 1998).foreach(y =>
+        wh.insertInto("opt", orders.filter(year(col("o_orderdate")) === y)))
+      wh.insertInto("opt", orders.filter(year(col("o_orderdate")) > 1998))
+      wh.optimize("opt")
+      wh.table("opt")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Data catalog: the reference's DataCatalogRetriever assembles
     // tables + columns + column statistics into one metadata view for
     // LLM/agent consumption (data_catalog_retriever.py:46-72). Here the
@@ -459,6 +480,10 @@ object WritesPack extends QueryPack {
       SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
       FROM orders WHERE o_totalprice > 200000
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "w11_optimize_compact" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "w10_scd2_history" -> """
       WITH ordered AS (

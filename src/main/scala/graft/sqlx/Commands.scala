@@ -92,6 +92,8 @@ final class Commands(
   private val DescribeModel =
     """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)(?:\.(\d+))?(?:\.(\w+))?\s*""".r
   private val DescribeHistory = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*""".r
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+(?:TABLE\s+)?(\w+)\s*(?:INTO\s+(\d+)\s+FILES?)?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
@@ -768,6 +770,10 @@ final class Commands(
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("version", org.apache.spark.sql.types.LongType),
           StructField("kind", StringType))))
+    case OptimizeStmt(name, filesO) =>
+      val (before, after) =
+        warehouse.optimize(name, Option(filesO).map(_.toInt).getOrElse(1))
+      ok(s"optimized $name: $before -> $after files")
     case VacuumStmt(name, retainO) =>
       val dropped = warehouse.vacuum(name, Option(retainO).map(_.toInt).getOrElse(0))
       ok(s"vacuumed $name: $dropped snapshot(s) removed")

@@ -211,6 +211,31 @@ class CatalogSpec extends AnyFunSuite {
       (2L, "X", 15L, None, true)))
   }
 
+  test("OPTIMIZE compacts small files per partition dir, preserves content, is a commit") {
+    val wh = Warehouse.temp(spark)
+    val orders = Tables.table(spark, dir, "orders")
+    wh.createTableAs("o", orders.limit(100).repartition(4),
+      partitionBy = Seq("o_orderstatus"))
+    wh.insertInto("o", orders.limit(40).repartition(3))
+    def files(sub: String = "") = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(wh.dir, "o" + sub))
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val beforeCount = wh.table("o").count()
+    val beforeFiles = files()
+    assert(beforeFiles > 3, s"fixture should start fragmented, had $beforeFiles files")
+    val (b, a) = wh.optimize("o")
+    assert(b === beforeFiles && a < b)
+    // one file per partition directory
+    wh.table("o").select(col("o_orderstatus")).distinct().collect().map(_.getString(0))
+      .foreach(v => assert(files(s"/o_orderstatus=$v") === 1))
+    assert(wh.table("o").count() === beforeCount)
+    // OPTIMIZE snapshotted the fragmented pre-image as a version
+    assert(wh.currentVersion("o") === 2) // insert + optimize
+    assert(wh.tableVersion("o", 1).count() === beforeCount)
+  }
+
   test("FOR VERSION AS OF / DESCRIBE HISTORY / VACUUM SQL routes") {
     val c = new graft.sqlx.Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
     c.execute("CREATE TABLE ttv AS SELECT n_nationkey, n_name FROM nation")

@@ -224,6 +224,39 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- cross-SOURCE contamination matrix: pairwise 13-gram overlap
+    // between corpus sources (the dataset-level view of d06's doc-level
+    // decontamination — "how much does source A leak into source B",
+    // the audit a training-data curator runs before mixing corpora).
+    // Scale shape: ONE distinct (gram, source) table feeds both sides;
+    // the gram-keyed self-join fans out at most S² rows per gram (S =
+    // source count, single digits), so intersection size is gram-count
+    // work, never corpus²; per-source totals are one combinable agg.
+    // Gram keys are 60-bit md5-prefix bigints (8-byte shuffle keys),
+    // same as d06/d07.
+    "d14_source_overlap" -> ((s, dir) => {
+      val n = 13
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val grams = t(s, dir, "documents")
+        .select(col("source"), toks.as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("source"), explode(array_distinct(
+          graft.functions.VectorFunctions.md5SpanHashes(col("tk"), n))).as("g"))
+        .distinct()
+      val per = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val inter = grams.as("a").join(grams.as("b"), "g")
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(per.select(col("source").as("src_a"), col("n_grams").as("na")), Seq("src_a"))
+        .join(per.select(col("source").as("src_b"), col("n_grams").as("nb")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_common"), col("na"), col("nb"),
+          round(col("n_common").cast(DoubleType) /
+            (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- exact SPAN dedup (the "exact substring deduplication" rule of
     // RefinedWeb/Lee et al. 2022, in distributed shingle form): every
     // 10-token window is hashed; an occurrence is a duplicate span when
@@ -841,6 +874,27 @@ object Dedup extends QueryPack {
         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
       FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "d14_source_overlap" -> """
+      WITH tok AS (
+        SELECT source, regexp_extract_all(lower(text), '\S+') AS tk FROM documents),
+      grams AS (
+        SELECT DISTINCT source,
+          ('0x' || substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 15))::BIGINT AS g
+        FROM tok, UNNEST(generate_series(1, len(tk) - 12)) AS t(i)
+        WHERE len(tk) >= 13),
+      per AS (SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY source),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM grams a JOIN grams b USING (g)
+        WHERE a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_common, pa.n_grams AS na, pb.n_grams AS nb,
+        ROUND(CAST(n_common AS DOUBLE) / (pa.n_grams + pb.n_grams - n_common), 6) AS jaccard
+      FROM inter
+      JOIN per pa ON pa.source = src_a
+      JOIN per pb ON pb.source = src_b
+      ORDER BY src_a, src_b""",
 
     // 13-gram contamination rule recomputed verbatim: same tokenizer,
     // same window slice, same 60-bit md5-prefix gram key

@@ -15,11 +15,23 @@ object Verify {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A swallowed failure once masked a 38-case regression (the case
+        // simply vanished from the driver's report). Emit a one-row
+        // parquet with an unmistakable schema so the DuckDB compare
+        // REPORTS a mismatch instead of omitting the case, plus a
+        // machine-readable sidecar.
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        import spark.implicits._
+        try Seq(("__VERIFY_FAILED__", failures(name)))
+          .toDF("_verify_error", "_verify_message")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +49,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} case(s) FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -356,6 +356,20 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     (before, parquetFiles(Paths.get(path(name))))
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE dst SHALLOW CLONE src`): `dst`
+    * materializes as hard links to `src`'s current data files — a
+    * 100 TB table clones in metadata time, zero bytes copied. Safe
+    * because every mutating verb here is copy-on-write (files are
+    * replaced, never modified in place), so the clone and the source
+    * diverge naturally on first write to either; the clone starts its
+    * own version history at 0. */
+  def cloneTable(src: String, dst: String): Unit = {
+    require(exists(src), s"CLONE source $src does not exist")
+    require(!exists(dst), s"CLONE target $dst already exists")
+    recover(src)
+    linkTree(Paths.get(path(src)), Paths.get(path(dst)))
+  }
+
   /** Atomically replace a table's contents (same crash-safe swap as
     * UPDATE/DELETE) — the path for index builds and other self-derived
     * rewrites, where writing over the live dir while reading it would

@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
   *  - `shuffle.partitions` sized to the local core count, not 200: at
   *    test scale 200 partitions means 200 near-empty reducers per
   *    exchange; on a real cluster this is tuned to cores×(2..4).
-  *  - `nanosAsLong`: the driver-generated `events.ts` is parquet
-  *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects.
+  *  - `nanosAsLong`: some generations of the driver-generated
+  *    `events.ts` are parquet TIMESTAMP(NANOS), which the vectorized
+  *    reader otherwise rejects; harmless when the file is timestamp[us]
+  *    (Tables.normalizeEventTs handles either dtype at read time).
   *  - UTC session timezone so timestamp arithmetic matches the DuckDB
   *    oracle run.
   */

@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loader for the driver-generated test tables (TESTDATA.md).
   *
@@ -23,18 +24,28 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  /** Read one table. Path layout fixed by TESTDATA.md.
-    *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL); read it as raw nanos and
-    * convert losslessly (values are µs-precision) to TimestampType.
+  /** Normalize `events.ts` to session-TZ TimestampType regardless of how
+    * the generator wrote it. Historically the driver wrote parquet
+    * TIMESTAMP(NANOS) — readable only as a raw nanos long
+    * (`nanosAsLong`) needing an explicit µs conversion; current test data
+    * writes timestamp[us] (read as TIMESTAMP or TIMESTAMP_NTZ). Branching
+    * on the OBSERVED dtype keeps both generations working instead of
+    * hard-coding either era's workaround.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType)      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampType) => df
+      case Some(_)             => df.withColumn("ts", col("ts").cast(TimestampType))
+      case None                => df
+    }
+
+  /** Read one table. Path layout fixed by TESTDATA.md. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, name),
       if (name == "events") {
         Session.ensureEventConfig(spark)
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
       } else {
         spark.read.parquet(s"$dir/$name.parquet")
       })

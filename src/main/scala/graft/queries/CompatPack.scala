@@ -116,6 +116,19 @@ object CompatPack extends QueryPack {
         @unset AS missing, @sysmarker AS not_a_user_var""")
     }),
 
+    // QUALIFY (Snowflake/DuckDB/BigQuery): filter on window results
+    // without the subquery — the router rewrites to the standard wrap
+    // (project predicate → filter → drop); top-3 orders per status here
+    "q52_qualify" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""")
+    }),
+
     // agent-as-table through SQL: WHERE question = '...' completes it
     "a02_agent_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
@@ -138,6 +151,14 @@ object CompatPack extends QueryPack {
     s"'LLM[' || substr(md5($p), 1, 8) || ']: ' || upper(substr($p, 1, 24))"
 
   def oracles: Map[String, String] = Map(
+
+    // DuckDB has native QUALIFY — the oracle uses it directly
+    "q52_qualify" -> """
+      SELECT o_orderstatus, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        ORDER BY o_totalprice DESC, o_orderkey) <= 3
+      ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""",
 
     "q40_system_vars" -> """
       SELECT '8.0.17-graft' AS version, '1' AS autocommit,

@@ -404,12 +404,43 @@ object Dedup extends QueryPack {
         .select(col("doc_a"), col("doc_b"))
       val norm = docs.select(col("doc_id"),
         regexp_replace(col("text"), "[^\\x00-\\x7F]", "#").as("nt"))
-      cands
-        .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("ta")), Seq("doc_a"))
-        .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("tb")), Seq("doc_b"))
-        .withColumn("lev", levenshtein(col("ta"), col("tb")))
-        .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))))
-        .filter(col("lev") <= col("max_len") * 0.25)
+      // Verification cost control — the full-text Levenshtein DP is the
+      // expensive step (O(n²) per pair; unbounded it was 59% of the
+      // whole bench), so three RESULT-PRESERVING prunes bound it, each
+      // a valid lower bound on the edit distance (the filter-verify
+      // cascade of the similarity-join literature, cf. Gravano 2001
+      // count filtering / PassJoin):
+      //  1. length gap: lev ≥ |len(a)−len(b)|;
+      //  2. threshold-bounded levenshtein (banded O(n·k) DP, early
+      //     exit): the global bound k = ⌊0.25·max corpus len⌋ dominates
+      //     every per-pair bound ⌊0.25·max_len⌋, so every pair the
+      //     exact filter would keep still gets its exact distance;
+      //     pairs cut off at -1 are exactly those the filter drops.
+      val maxLen = norm.agg(max(length(col("nt")))).first().getInt(0)
+      val normF = norm.withColumn("ln", length(col("nt")))
+      // persisted: three DP branches below share this candidate set —
+      // without it each union branch would recompute the simhash join
+      val joined = cands
+        .join(normF.select(col("doc_id").as("doc_a"), col("nt").as("ta"),
+          col("ln").as("la")), Seq("doc_a"))
+        .join(normF.select(col("doc_id").as("doc_b"), col("nt").as("tb"),
+          col("ln").as("lb")), Seq("doc_b"))
+        .withColumn("max_len", greatest(col("la"), col("lb")))
+        .filter(abs(col("la") - col("lb")) <= col("max_len") * 0.25)
+        .persist()
+      // The threshold argument must be a literal, but a tight threshold
+      // is what makes the early exit bite — so pairs split into max_len
+      // buckets, each DP bounded by ⌈0.25·bucket-upper⌉ ≥ its per-pair
+      // bound (results identical; the -1 cutoffs are exactly the pairs
+      // the exact filter drops). Disjoint filters on the same frame: no
+      // pair is evaluated twice.
+      val cuts = Seq(0, maxLen / 2, maxLen * 3 / 4, maxLen + 1)
+      val dp = cuts.sliding(2).map { case Seq(lo, hi) =>
+        joined.filter(col("max_len") >= lo && col("max_len") < hi)
+          .withColumn("lev",
+            levenshtein(col("ta"), col("tb"), ((hi - 1) * 0.25).toInt.max(1)))
+      }.reduce(_ union _)
+      dp.filter(col("lev") >= 0 && col("lev") <= col("max_len") * 0.25)
         .select(col("doc_a"), col("doc_b"), col("lev").cast(LongType).as("lev"),
           col("max_len").cast(LongType).as("max_len"),
           (floor(col("lev").cast(DoubleType) / col("max_len") * lit(1e4) + lit(0.5))

@@ -316,6 +316,45 @@ object Events extends QueryPack {
       """)
     }),
 
+    // retention cohort matrix: users grouped by first-seen day, activity
+    // counted at each day offset — the standard growth-analytics read on
+    // an event log. Two shuffles total: one per-user min (map-side
+    // combinable), one (cohort_day, offset) count with the per-user
+    // first-day broadcast back via join on user_id; distinct-user counts
+    // are exact. At 100 TB the cohort table is |users|-sized — the join
+    // is the only wide op and AQE handles its skew.
+    "e18_retention_cohort" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+      ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+        .join(firstDay, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast(LongType).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // event-type transition matrix (first-order Markov view of user
+    // journeys): per-user lead() pairs each event with its successor,
+    // then one count per (from, to) cell plus the row-normalized
+    // probability. O(1) window state per row, one shuffle on user_id,
+    // one |types|²-sized aggregate — scale-safe at any corpus size.
+    "e19_event_transitions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+      val cells = pairs.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = Window.partitionBy(col("from_type"))
+      cells
+        .withColumn("p", round(col("n") / sum(col("n")).over(byFrom), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -485,6 +524,30 @@ object Events extends QueryPack {
         UNION ALL SELECT * FROM events WHERE event_id % 5 = 0)
       SELECT event_id, COUNT(*) AS n_seen, CAST(MIN(ts) AS TIMESTAMP) AS ts
       FROM replayed GROUP BY event_id ORDER BY event_id""",
+
+    "e18_retention_cohort" -> """
+      WITH first_day AS (
+        SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+      active AS (
+        SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events)
+      SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+        CAST(DATEDIFF('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        COUNT(DISTINCT a.user_id) AS n_users
+      FROM active a JOIN first_day f USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
+    "e19_event_transitions" -> """
+      WITH pairs AS (
+        SELECT event_type AS from_type,
+          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+      cells AS (
+        SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+        WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+        ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+      FROM cells ORDER BY from_type, to_type""",
 
     "e05_hourly_active" -> """
       WITH hourly AS (

@@ -124,6 +124,31 @@ object FederationPack extends QueryPack {
         FROM files.orders_f07 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
+    // whole-AGGREGATE pushdown (SupportsPushDownAggregates): COUNT/SUM/
+    // MIN/MAX GROUP BY evaluate inside the source; Spark's scan output IS
+    // the finished groups (the DSv2-native form of shipping an aggregate
+    // query to a remote handler — at 100 TB the network carries |groups|
+    // rows, not the table). The sum column is integral so source-side and
+    // oracle summation orders cannot disagree; min/max are order-free.
+    "f08_agg_pushdown" -> ((s, dir) => {
+      memCatalog(s)
+      val slim = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("qty"),
+          col("l_extendedprice"))
+      MemTables.register("remote_li_f08",
+        StructType(Seq(
+          StructField("l_returnflag", StringType),
+          StructField("qty", LongType),
+          StructField("l_extendedprice", DoubleType))),
+        slim.collect().toSeq)
+      s.table("mem.remote_li_f08")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -183,6 +208,13 @@ object FederationPack extends QueryPack {
     "f07_files_sql" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "f08_agg_pushdown" -> """
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+      FROM lineitem WHERE l_orderkey < 2000
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

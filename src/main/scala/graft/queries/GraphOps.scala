@@ -65,6 +65,54 @@ object GraphOps extends QueryPack {
       val out = ranks.orderBy(col("node"))
       edges.unpersist(); outdeg.unpersist()
       out
+    }),
+
+    // Triangle counting over the supplier co-occurrence graph (two
+    // suppliers adjacent iff they ship in the same order) — the standard
+    // clustering-coefficient / community-density signal. Scale shape:
+    // the compact-forward algorithm (Schank & Wagner 2005) orients every
+    // edge from the lower-degree endpoint to the higher ((deg, id)
+    // lexicographic, so orientation is total and deterministic); wedge
+    // enumeration then joins oriented edges on their SOURCE, which bounds
+    // per-node work by out-degree ≤ O(sqrt(|E|)) — the hub that would
+    // explode a naive neighbor join carries almost no oriented edges.
+    // Three equi-joins, all hash-partitioned on node ids; no windows, no
+    // cross products.
+    "g02_triangle_count" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val a = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("v"))
+      val und = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // orient each edge low→high in (deg, id) order
+      val du = deg.select(col("node").as("u"), col("deg").as("du"))
+      val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+      val oriented = und.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"))
+      val e1 = oriented.select(col("src"), col("dst").as("x"))
+      val e2 = oriented.select(col("src"), col("dst").as("y"))
+      val wedges = e1.join(e2, Seq("src")).filter(col("x") < col("y"))
+      // a wedge closes iff (x,y) is itself an oriented edge in EITHER
+      // direction (orientation of the closing edge is unconstrained)
+      val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+        .union(oriented.select(col("dst").as("x"), col("src").as("y")))
+        .distinct()
+      val tri = wedges.join(closing, Seq("x", "y"))
+        .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
+      // per-supplier triangle membership + global count
+      val perNode = tri.select(col("a").as("supp"))
+        .union(tri.select(col("b").as("supp")))
+        .union(tri.select(col("c").as("supp")))
+        .groupBy(col("supp")).agg(count(lit(1)).as("n_triangles"))
+      perNode.orderBy(col("supp"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -92,5 +140,43 @@ object GraphOps extends QueryPack {
       r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM outdeg),
       ${(1 to 5).map(step).mkString(",")}
       SELECT node, rank FROM r5 ORDER BY node"""
-    })
+    },
+
+    // identical compact-forward construction: same orientation, same
+    // wedge/closing joins — the count is combinatorially exact, so the
+    // two engines must agree row-for-row
+    "g02_triangle_count" -> """
+      WITH und AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey),
+      deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        GROUP BY node),
+      oriented AS (
+        SELECT
+          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+               THEN u ELSE v END AS src,
+          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+               THEN v ELSE u END AS dst
+        FROM und
+        JOIN deg du ON du.node = und.u
+        JOIN deg dv ON dv.node = und.v),
+      wedges AS (
+        SELECT e1.src, e1.dst AS x, e2.dst AS y
+        FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+        WHERE e1.dst < e2.dst),
+      closing AS (
+        SELECT src AS x, dst AS y FROM oriented
+        UNION
+        SELECT dst AS x, src AS y FROM oriented),
+      tri AS (
+        SELECT w.src AS a, w.x AS b, w.y AS c
+        FROM wedges w JOIN closing c ON c.x = w.x AND c.y = w.y)
+      SELECT supp, COUNT(*) AS n_triangles FROM (
+        SELECT a AS supp FROM tri
+        UNION ALL SELECT b AS supp FROM tri
+        UNION ALL SELECT c AS supp FROM tri)
+      GROUP BY supp ORDER BY supp""")
 }

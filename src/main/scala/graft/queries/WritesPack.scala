@@ -279,6 +279,24 @@ object WritesPack extends QueryPack {
         GROUP BY v ORDER BY v""")
     }),
 
+    // Zero-copy SHALLOW CLONE (Delta-style): the clone materializes as
+    // hard links in metadata time — no bytes move at any table size.
+    // Both sides then mutate DIFFERENTLY; the final read proves full
+    // divergence (copy-on-write DML never touches a shared inode).
+    "w12_shallow_clone" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE cl12 AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 300""")
+      c.execute("CREATE TABLE cl12c SHALLOW CLONE cl12")
+      c.execute("UPDATE cl12 SET o_totalprice = o_totalprice * 2 WHERE o_orderstatus = 'O'")
+      c.execute("DELETE FROM cl12c WHERE o_orderkey % 2 = 0")
+      c.execute(s"""SELECT side, COUNT(*) AS n, ${Parity.oSum("o_totalprice")} AS total
+        FROM (SELECT 'src' AS side, o_totalprice FROM cl12
+          UNION ALL SELECT 'clone' AS side, o_totalprice FROM cl12c)
+        GROUP BY side ORDER BY side""")
+    }),
+
     // SCD Type-2 history build (Kimball dimension versioning; beyond the
     // reference's plain INSERT/UPDATE writeback): each user's event_type
     // run becomes one version row with valid_from/valid_to/is_current —
@@ -460,6 +478,20 @@ object WritesPack extends QueryPack {
 
     // each version recomputed straight from orders: v0 = the CTAS
     // subset, v1 = after the doubled-O update, v2 = after the delete
+    "w12_shallow_clone" -> s"""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 300),
+      src AS (
+        SELECT CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM base),
+      cl AS (SELECT o_totalprice FROM base WHERE o_orderkey % 2 <> 0)
+      SELECT side, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM (SELECT 'src' AS side, o_totalprice FROM src
+        UNION ALL SELECT 'clone' AS side, o_totalprice FROM cl)
+      GROUP BY side ORDER BY side""",
+
     "w09_time_travel" -> s"""
       WITH base AS (
         SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -104,6 +104,8 @@ final class Commands(
     """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(?:(\w+)|\((.+)\))(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
   private val DeleteStmt =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
+  private val CloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+(?:SHALLOW\s+)?CLONE\s+(\w+)\s*""".r
   private val CtasBucketed =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+CLUSTERED\s+BY\s*\(\s*(\w+)\s*\)\s+INTO\s+(\d+)\s+BUCKETS\s+AS\s+(.+)""".r
   private val Ctas =
@@ -232,7 +234,50 @@ final class Commands(
       tv
     })
 
-  private def dispatch(sql0: String): DataFrame = { val sql = rewriteTimeTravel(sql0); sql match {
+  /** First top-level (outside parens and string literals) occurrence of
+    * word `kw`, case-insensitive; -1 if absent. */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    var depth = 0; var i = 0; var inStr = false
+    val n = s.length; val k = kw.length
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && i + k <= n && s.regionMatches(true, i, kw, 0, k) &&
+          (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+          (i + k == n || !isWordChar(s.charAt(i + k)))) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `QUALIFY <pred>` (Snowflake/DuckDB/BigQuery) — filter on window
+    * results without spelling the subquery. Spark has no QUALIFY, so the
+    * statement rewrites to the standard wrap: project the predicate over
+    * the query's output, filter on it, drop the helper column. The
+    * predicate may reference any column of the query's OUTPUT (exactly
+    * the wrap's semantics — the common form for top-k-per-group). */
+  private def rewriteQualify(sql: String): String =
+    if (!sql.matches("(?is)\\s*(SELECT|WITH)\\b.*")) sql
+    else {
+      val idx = topLevelKeyword(sql, "QUALIFY")
+      if (idx < 0) sql
+      else {
+        val pre = sql.substring(0, idx)
+        val rest = sql.substring(idx + "QUALIFY".length)
+        val stops = Seq("ORDER", "LIMIT").map(topLevelKeyword(rest, _)).filter(_ >= 0)
+        val predEnd = if (stops.isEmpty) rest.length else stops.min
+        val pred = rest.substring(0, predEnd)
+        val tail = rest.substring(predEnd)
+        s"SELECT * EXCEPT(__q) FROM (SELECT *, ($pred) AS __q FROM ($pre)) WHERE __q $tail"
+      }
+    }
+
+  private def dispatch(sql0: String): DataFrame = {
+    val sql = rewriteQualify(rewriteTimeTravel(sql0)); sql match {
     case CreateView(name, body) =>
       // validate the body now (spark.sql analyzes eagerly), but store the
       // SQL TEXT and re-expand at every resolution: a view over a
@@ -534,6 +579,13 @@ final class Commands(
       ok(s"project $name created")
     case DropProject(name) =>
       catalog.dropDatabase(name); ok(s"project $name dropped")
+
+    case CloneStmt(dst, src) =>
+      // CREATE TABLE dst [SHALLOW] CLONE src — zero-copy clone via hard
+      // links (Delta's SHALLOW CLONE). Copy-on-write DML means the two
+      // tables diverge safely on first write to either.
+      warehouse.cloneTable(src, dst)
+      ok(s"table $dst cloned from $src")
 
     case CtasBucketed(name, bucketCol, n, body) =>
       // CREATE TABLE … CLUSTERED BY (col) INTO n BUCKETS AS …: the

@@ -21,10 +21,12 @@ final case class UserProfile(n: Long, total: Double, lastTs: Long)
 object StreamingOps {
 
   /** `sourceDir` must be a DIRECTORY of parquet files (file-stream
-    * contract) carrying the raw events schema (ts as nanos-long). */
+    * contract) carrying the raw events schema; `ts` normalization is
+    * shared with the batch loader (schema-aware — nanos-long or native
+    * timestamp), so both eras of generated test data stream. */
   private def stream(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(sourceDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.engine.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(sourceDir))
 
   /** e01 twin: tumbling daily counts per event type, 1-day watermark for
     * late data. */

@@ -818,6 +818,47 @@ class CommandsSpec extends AnyFunSuite {
     assert(!c.catalog.listViews().contains("dv"))
   }
 
+  test("SHALLOW CLONE: zero-copy via hard links, fully divergent after DML") {
+    val c = fresh()
+    c.execute("CREATE TABLE clsrc AS SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 100")
+    c.execute("CREATE TABLE cldst SHALLOW CLONE clsrc")
+    // clone shares inodes with the source (zero bytes copied)
+    val srcFile = java.nio.file.Files.walk(java.nio.file.Paths.get(s"${c.warehouse.dir}/clsrc"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    assert(java.nio.file.Files.getAttribute(srcFile, "unix:nlink").asInstanceOf[Int] >= 2,
+      "clone did not hard-link the source's data files")
+    // mutate both sides differently; neither sees the other's change
+    c.execute("UPDATE clsrc SET o_totalprice = 0 WHERE o_orderkey <= 50")
+    c.execute("DELETE FROM cldst WHERE o_orderkey > 90")
+    val srcZero = c.execute("SELECT count(*) AS n FROM clsrc WHERE o_totalprice = 0").first().getLong(0)
+    val dstZero = c.execute("SELECT count(*) AS n FROM cldst WHERE o_totalprice = 0").first().getLong(0)
+    val dstN = c.execute("SELECT count(*) AS n FROM cldst").first().getLong(0)
+    val srcN = c.execute("SELECT count(*) AS n FROM clsrc").first().getLong(0)
+    assert(srcZero > 0 && dstZero === 0L, "clone saw the source's UPDATE")
+    assert(dstN < srcN, "source saw the clone's DELETE")
+    // cloning onto an existing table is an error
+    intercept[IllegalArgumentException](c.execute("CREATE TABLE cldst CLONE clsrc"))
+  }
+
+  test("QUALIFY rewrites to the window-filter wrap; literals containing the word survive") {
+    val c = fresh()
+    val top = c.execute("""SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        ORDER BY o_totalprice DESC, o_orderkey) <= 2
+      ORDER BY o_orderstatus, o_totalprice DESC""").collect()
+    assert(top.length === 2 * top.map(_.getString(0)).distinct.length,
+      "expected exactly 2 rows per status")
+    assert(!top.map(_.schema.fieldNames.toSeq).head.contains("__q"),
+      "helper column leaked into the output")
+    // per-group maxima really are the kept rows
+    val best = c.execute("""SELECT max(o_totalprice) AS m FROM orders
+      WHERE o_orderstatus = 'F'""").first().getDouble(0)
+    assert(top.filter(_.getString(0) == "F").map(_.getDouble(2)).max === best)
+    // the keyword inside a string literal must NOT trigger the rewrite
+    val lit = c.execute("SELECT 'do not qualify me' AS s").first().getString(0)
+    assert(lit === "do not qualify me")
+  }
+
   test("PROJECT lifecycle: create, show, typed database row, drop") {
     val c = fresh()
     c.execute("CREATE PROJECT p1")

@@ -273,6 +273,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"superstep did not read checkpointed ranks:\n$plan")
   }
 
+  test("f08 whole aggregate pushes into the DSv2 source") {
+    val plan = executedPlan("f08_agg_pushdown")
+    assert(plan.contains("PushedAggregation") || !plan.contains("HashAggregate"),
+      s"aggregate not pushed into the mem source:\n$plan")
+  }
+
+  test("g02 triangle counting: equi-joins only, no nested-loop anywhere") {
+    val plan = executedPlan("g02_triangle_count")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated to a nested loop:\n$plan")
+  }
+
+  test("e18 retention cohort: per-user first-day aggregates partially before its exchange") {
+    val plan = executedPlan("e18_retention_cohort")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"no partial aggregation before shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in cohort plan:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

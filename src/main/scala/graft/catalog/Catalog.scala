@@ -46,6 +46,7 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
   private val triggers = scala.collection.mutable.LinkedHashMap[String, TriggerEntity]()
   private val chatbots = scala.collection.mutable.LinkedHashMap[String, ChatbotEntity]()
   private val mlEngines = scala.collection.mutable.LinkedHashMap[String, MlEngineEntity]()
+  private val skills = scala.collection.mutable.LinkedHashMap[String, Catalog.SkillEntity]()
 
   // ------------------------------------------------------------ resolution
 
@@ -140,6 +141,28 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       throw new NoSuchElementException(s"agent $name does not exist")
   def agent(name: String): Option[AgentEntity] = agents.get(name)
   def listAgents(): Seq[String] = agents.keys.toSeq
+
+  // --------------------------------------------------------------- skills
+
+  /** CREATE SKILL (reference skills table, interfaces/storage/db.py:434:
+    * name + type + JSON params; types `text2sql` — database/tables
+    * restriction — and `knowledge_base`). Skills attach to agents via the
+    * agent's `skills` param (agent_skills association, db.py:423). */
+  def createSkill(name: String, skillType: String,
+      params: Map[String, String] = Map.empty): Unit =
+    skills(name) = Catalog.SkillEntity(name, skillType, params)
+  def updateSkill(name: String, params: Map[String, String]): Unit = {
+    val cur = skills.getOrElse(name,
+      throw new NoSuchElementException(s"skill $name does not exist"))
+    skills(name) = cur.copy(
+      skillType = params.getOrElse("type", cur.skillType),
+      params = cur.params ++ (params - "type"))
+  }
+  def dropSkill(name: String): Unit =
+    if (skills.remove(name).isEmpty)
+      throw new NoSuchElementException(s"skill $name does not exist")
+  def skill(name: String): Option[Catalog.SkillEntity] = skills.get(name)
+  def listSkills(): Seq[String] = skills.keys.toSeq
 
   /** ALTER KNOWLEDGE BASE (command_executor.py:1455-1468 answer_alter_kb
     * → kb_controller.update): merge new params into the entity. */
@@ -480,6 +503,15 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       agents.values.map(a => Row(a.name, a.model)).toSeq)
       .orderBy("name")
 
+  def metaSkills(): DataFrame =
+    frame(StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("params", StringType, nullable = false))),
+      skills.values.map(sk => Row(sk.name, sk.skillType,
+        sk.params.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(","))).toSeq)
+      .orderBy("name")
+
   def metaTriggers(): DataFrame =
     frame(StructType(Seq(
       StructField("name", StringType, nullable = false),
@@ -527,6 +559,9 @@ object Catalog {
     def storage: String = s"__kb_$name"
   }
   final case class AgentEntity(name: String, model: String, params: Map[String, String])
+  /** One skill (db.py:434 Skills: name/type/params). `tables` in params
+    * is the text2sql table allowlist, comma-separated in declared order. */
+  final case class SkillEntity(name: String, skillType: String, params: Map[String, String])
   final case class DbEntity(name: String, engine: String, params: Map[String, String])
   final case class TriggerEntity(name: String, tableName: String, sql: String)
   final case class ChatbotEntity(name: String, database: String,

@@ -37,7 +37,91 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   def table(name: String): DataFrame = {
     recover(name)
-    spark.read.parquet(path(name))
+    val evo = evoLog(name)
+    if (evo.isEmpty) spark.read.parquet(path(name))
+    else applyEvo(spark.read.option("mergeSchema", "true").parquet(path(name)), evo)
+  }
+
+  // ---- schema evolution ---------------------------------------------
+  // ALTER TABLE ADD/RENAME/DROP COLUMN as metadata-only operations (the
+  // Delta/Iceberg model): NO data file is rewritten — a 100 TB table
+  // alters in milliseconds. The change lives in an append-only sidecar
+  // log `.{name}__evolog`; reads merge parquet schemas across file
+  // generations and replay the log: added columns surface the declared
+  // default for pre-ALTER files, renames coalesce old-name files into
+  // the new name, drops project the column away. The replay is
+  // idempotent, so a copy-on-write DML (which materializes the evolved
+  // schema into every rewritten file) composes with an older log.
+
+  private def evoPath(name: String) = Paths.get(dir, s".$name" + "__evolog")
+
+  private def evoLog(name: String): Seq[Array[String]] =
+    if (!Files.exists(evoPath(name))) Nil
+    else {
+      val src = scala.io.Source.fromFile(evoPath(name).toFile, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(_.split("\t", -1)).toList
+      finally src.close()
+    }
+
+  private def evoAppend(name: String, parts: String*): Unit =
+    Files.writeString(evoPath(name), parts.mkString("\t") + "\n",
+      java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+
+  private def applyEvo(df0: DataFrame, evo: Seq[Array[String]]): DataFrame =
+    evo.foldLeft(df0) { (df, e) =>
+      e(0) match {
+        case "add" =>
+          val Array(_, c, typ, dflt) = e
+          val d = if (dflt.isEmpty) lit(null).cast(typ)
+                  else org.apache.spark.sql.functions.expr(dflt).cast(typ)
+          if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c).cast(typ), d))
+          else df.withColumn(c, d)
+        case "rename" =>
+          val Array(_, from, to) = e
+          if (df.columns.contains(from) && df.columns.contains(to))
+            df.withColumn(to, coalesce(col(to), col(from))).drop(from)
+          else if (df.columns.contains(from)) df.withColumnRenamed(from, to)
+          else df
+        case "drop" =>
+          if (df.columns.contains(e(1))) df.drop(e(1)) else df
+        case other => throw new IllegalStateException(s"unknown evolog op: $other")
+      }
+    }
+
+  /** ALTER TABLE … ADD COLUMN c type [DEFAULT expr]: pre-ALTER rows read
+    * the default (like Delta's ADD COLUMN + default); post-ALTER inserts
+    * must supply the column. */
+  def addColumn(name: String, column: String, sqlType: String,
+      default: Option[String] = None): Unit = {
+    require(exists(name), s"table $name does not exist")
+    require(bucketSpec(name).isEmpty, "ALTER TABLE on a bucketed table is not supported")
+    require(!table(name).columns.map(_.toLowerCase).contains(column.toLowerCase),
+      s"column $column already exists in $name")
+    evoAppend(name, "add", column, sqlType, default.getOrElse(""))
+  }
+
+  /** ALTER TABLE … RENAME COLUMN old TO new (metadata-only). */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    require(exists(name), s"table $name does not exist")
+    require(bucketSpec(name).isEmpty, "ALTER TABLE on a bucketed table is not supported")
+    val cols = table(name).columns.map(_.toLowerCase)
+    require(cols.contains(from.toLowerCase), s"column $from does not exist in $name")
+    require(!cols.contains(to.toLowerCase), s"column $to already exists in $name")
+    require(!partitionColumn(name).exists(_.equalsIgnoreCase(from)),
+      "cannot rename the partition column")
+    evoAppend(name, "rename", from, to)
+  }
+
+  /** ALTER TABLE … DROP COLUMN c (metadata-only projection). */
+  def dropColumn(name: String, column: String): Unit = {
+    require(exists(name), s"table $name does not exist")
+    require(bucketSpec(name).isEmpty, "ALTER TABLE on a bucketed table is not supported")
+    require(table(name).columns.map(_.toLowerCase).contains(column.toLowerCase),
+      s"column $column does not exist in $name")
+    require(!partitionColumn(name).exists(_.equalsIgnoreCase(column)),
+      "cannot drop the partition column")
+    evoAppend(name, "drop", column)
   }
 
   // ---- time travel --------------------------------------------------
@@ -301,9 +385,10 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     if (spark.catalog.tableExists("default", name) &&
         catalogLocationUnderDir(name)) spark.sql(s"DROP TABLE default.`$name`")
     rm(Paths.get(path(name)))
-    // history dies with the table: snapshots + version marker
+    // history dies with the table: snapshots + version marker + evolog
     versions(name).foreach(v => rm(Paths.get(versionDir(name, v))))
     rm(markerPath(name))
+    rm(evoPath(name))
   }
 
   /** True when the session-catalog table `name` is stored under this
@@ -356,6 +441,60 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     (before, parquetFiles(Paths.get(path(name))))
   }
 
+  /** OPTIMIZE … ZORDER BY (Delta OPTIMIZE ZORDER / Iceberg
+    * rewrite_data_files sort-order): rewrite the table with rows
+    * clustered along a Morton (Z-order) curve over the named numeric
+    * columns, so every output file covers a small HYPER-RECTANGLE of the
+    * key space — parquet min/max footer stats then prune files for
+    * selective predicates on ANY zorder dimension (a single-column sort
+    * only prunes its own column). The pipeline is one stats pass
+    * (min/max per column, a 1-row frame), a map-side z-value, and ONE
+    * range repartition — the shape that holds at 100 TB: the range
+    * partitioner samples, no global sort materializes on one node.
+    * Numeric/date/timestamp columns only (strings have no meaningful
+    * linear scale). Returns (filesBefore, filesAfter). */
+  def optimizeZorder(name: String, cols: Seq[String], targetFiles: Int = 8): (Int, Int) = {
+    require(bucketSpec(name).isEmpty, "ZORDER of a bucketed table is not supported")
+    require(partitionColumn(name).isEmpty,
+      "ZORDER of a hive-partitioned table is not supported (zorder within partitions TBD)")
+    require(cols.nonEmpty && cols.size <= 4, "ZORDER BY takes 1-4 columns")
+    snapshot(name)
+    def parquetFiles(p: java.nio.file.Path): Int = {
+      val s = Files.walk(p)
+      try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val before = parquetFiles(Paths.get(path(name)))
+    val df = table(name)
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    // one pass: min/max per zorder column (numeric scale anchors)
+    val statsRow = df.agg(
+      min(col(cols.head).cast("double")).as(s"mn0"),
+      (cols.zipWithIndex.tail.map { case (c, i) => min(col(c).cast("double")).as(s"mn$i") } ++
+        cols.zipWithIndex.map { case (c, i) => max(col(c).cast("double")).as(s"mx$i") }): _*)
+      .first()
+    val bits = 16
+    // per-column 16-bit bucket, then bit-interleave into the z-value
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        val mn = if (statsRow.isNullAt(j)) 0.0 else statsRow.getDouble(j)
+        val mx = if (statsRow.isNullAt(cols.size + j)) 0.0
+                 else statsRow.getDouble(cols.size + j)
+        val scaled =
+          if (mx == mn) lit(0L)
+          else least(lit(65535L), greatest(lit(0L),
+            ((col(c).cast("double") - mn) / (mx - mn) * 65535.0).cast("long")))
+        a.bitwiseOR(shiftleft(shiftright(scaled, bit).bitwiseAND(lit(1L)),
+          bit * cols.size + j))
+      }
+    }
+    rewrite(name, df.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z"))
+    (before, parquetFiles(Paths.get(path(name))))
+  }
+
   /** SHALLOW CLONE (Delta `CREATE TABLE dst SHALLOW CLONE src`): `dst`
     * materializes as hard links to `src`'s current data files — a
     * 100 TB table clones in metadata time, zero bytes copied. Safe
@@ -368,6 +507,9 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     require(!exists(dst), s"CLONE target $dst already exists")
     recover(src)
     linkTree(Paths.get(path(src)), Paths.get(path(dst)))
+    // the clone keeps the source's evolved schema (log copied, not shared)
+    if (Files.exists(evoPath(src)))
+      Files.copy(evoPath(src), evoPath(dst))
   }
 
   /** Atomically replace a table's contents (same crash-safe swap as

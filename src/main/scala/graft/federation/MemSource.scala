@@ -33,6 +33,8 @@ object MemTables {
   val registry: TrieMap[String, (StructType, Seq[Row])] = TrieMap.empty
   /** table name → filters pushed at the last scan planning */
   val pushed: TrieMap[String, Seq[Filter]] = TrieMap.empty
+  /** table name → top-k limit pushed at the last scan planning */
+  val pushedTopN: TrieMap[String, Int] = TrieMap.empty
   /** (left, right) table pairs whose join was evaluated source-side
     * ([[SingleSourceJoinPushdown]]) — plan-shape tests assert on this. */
   val pushedJoins: scala.collection.mutable.ArrayBuffer[(String, String)] =
@@ -97,13 +99,15 @@ class MemScanBuilder(tableName: String, fullSchema: StructType, rows: Seq[Row])
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.aggregate._
-  import org.apache.spark.sql.connector.expressions.{Expression => CExpr, FieldReference}
+  import org.apache.spark.sql.connector.expressions.{Expression => CExpr, FieldReference, NullOrdering, SortDirection, SortOrder}
 
   private var requiredSchema = fullSchema
   private var accepted: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(Array[SortOrder], Int)] = None
   private var aggregation: Option[Aggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -120,6 +124,34 @@ class MemScanBuilder(tableName: String, fullSchema: StructType, rows: Seq[Row])
       else StructType(fullSchema.fields.filter(f => required.fieldNames.contains(f.name)))
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  // ---- ORDER BY … LIMIT k pushdown: the source returns the finished
+  // top-k (the reference ships ORDER BY/LIMIT to the handler the same
+  // way, query_planner.py:456-481 + handler-side sort). COMPLETE
+  // pushdown (isPartiallyPushed=false): Spark drops its own Sort+Limit
+  // — k rows cross the boundary, not the table.
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean =
+    if (aggregation.isDefined ||
+        !orders.forall(o => refName(o.expression()).isDefined)) false
+    else { topN = Some((orders, n)); MemTables.pushedTopN(tableName) = n; true }
+
+  override def isPartiallyPushed(): Boolean = false
+
+  private def topNOrdering(orders: Array[SortOrder]): Ordering[Row] =
+    new Ordering[Row] {
+      override def compare(x: Row, y: Row): Int =
+        orders.iterator.map { o =>
+          val i = fullSchema.fieldIndex(refName(o.expression()).get)
+          val (a, b) = (x.get(i), y.get(i))
+          val c = (a, b) match {
+            case (null, null) => 0
+            case (null, _) => if (o.nullOrdering() == NullOrdering.NULLS_FIRST) -1 else 1
+            case (_, null) => if (o.nullOrdering() == NullOrdering.NULLS_FIRST) 1 else -1
+            case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+          }
+          if (o.direction() == SortDirection.DESCENDING) -c else c
+        }.find(_ != 0).getOrElse(0)
+    }
 
   // ---- whole-aggregate pushdown: the DSv2-native form of the
   // reference's ship-the-whole-query-to-the-source planning
@@ -175,8 +207,13 @@ class MemScanBuilder(tableName: String, fullSchema: StructType, rows: Seq[Row])
     val out = aggregation match {
       case Some(agg) => MemAggEval.eval(fullSchema, filtered, agg)
       case None =>
+        // top-k sorts on FULL rows (the sort key may be pruned from the
+        // output), then projects
+        val ordered = topN.fold(filtered) { case (orders, n) =>
+          filtered.sorted(topNOrdering(orders)).take(n)
+        }
         val idx = requiredSchema.fieldNames.map(fullSchema.fieldIndex)
-        filtered.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
+        ordered.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
     }
     val limited = limit.fold(out)(out.take)
     new MemScan(requiredSchema, limited)

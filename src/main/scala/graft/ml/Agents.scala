@@ -32,6 +32,36 @@ object Agents {
     * SQL agent mode answers from the linked KBs). Questions with no
     * retrievable context (empty KB) complete with empty context rather
     * than vanishing. */
+  /** Text2SQL-skill agent (reference skill type `text2sql`,
+    * interfaces/storage/db.py:434; the LLM writes SQL restricted to the
+    * skill's database/tables — env-blocked here, so the deterministic
+    * stand-in resolves the first allowlisted table named in the question
+    * and answers with a real aggregation over it). The per-table profile
+    * (one COUNT(*) row each) is computed ONCE and broadcast — the
+    * question side never scans the data tables, so this holds at any
+    * corpus size: |tables| rows cross the network, not table rows.
+    * Questions naming no allowlisted table fall through to the plain
+    * completion stub (the reference answers "cannot answer" similarly).
+    */
+  def answerTextToSql(questions: DataFrame, questionCol: String,
+      tables: Seq[(String, DataFrame)],
+      complete: Column => Column = AiFunctions.llm): DataFrame = {
+    val profile = tables.map { case (n, df) =>
+      df.groupBy().agg(count(lit(1)).as("__n")).select(lit(n).as("__t"), col("__n"))
+    }.reduce(_.union(_))
+    // first allowlisted table mentioned in the question, in declared order
+    val matched = tables.map(_._1).foldRight(lit(null).cast("string")) {
+      (n, rest) => when(lower(col(questionCol)).contains(n.toLowerCase), lit(n)).otherwise(rest)
+    }
+    questions.withColumn("__t", matched)
+      .join(broadcast(profile), Seq("__t"), "left")
+      .withColumn("answer",
+        when(col("__t").isNotNull,
+          concat(col("__t"), lit(" has "), col("__n").cast("string"), lit(" rows")))
+        .otherwise(complete(col(questionCol))))
+      .drop("__t", "__n")
+  }
+
   def answerWithKb(questions: DataFrame, questionCol: String, chunks: DataFrame,
       complete: Column => Column = AiFunctions.llm): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.engine.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -355,6 +355,66 @@ object Events extends QueryPack {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // strict-order funnel (view → click-after-view → purchase-after-
+    // click): each stage's first timestamp must follow the previous
+    // stage's. Three filtered window-mins share ONE partitioning on
+    // user_id (Catalyst reuses the exchange), then a |cohorts|-sized
+    // rollup — no per-stage re-scan, no self-joins. Unlike e04's
+    // unordered counts, a click before the first view does NOT convert.
+    "e20_funnel_strict" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val staged = t(s, dir, "events")
+        .withColumn("first_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("first_click",
+          min(when(col("event_type") === "click" && col("ts") > col("first_view"),
+            col("ts"))).over(w))
+        .withColumn("first_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("first_click"),
+            col("ts"))).over(w))
+      staged.groupBy(col("user_id"))
+        .agg(min(col("first_view")).as("v"), min(col("first_click")).as("c"),
+          min(col("first_purchase")).as("p"))
+        .filter(col("v").isNotNull)
+        .groupBy(date_trunc("day", col("v")).as("cohort_day"))
+        .agg(count(lit(1)).as("n_view"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+        .orderBy(col("cohort_day"))
+    }),
+
+    // RFM segmentation (recency/frequency/monetary): per-user metrics in
+    // one aggregation, quintile boundaries from ONE exact-percentile
+    // pass (a 1-row frame, broadcast), buckets by comparison against the
+    // broadcast boundaries — no global ntile window (a corpus-wide
+    // ordered window would pin all users to one task at 100 TB).
+    "e21_rfm_segments" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+          dsum(col("value")).as("monetary"))
+      val anchor = perUser.groupBy().agg(max(col("last_ts")).as("anchor"))
+      val metrics = perUser.crossJoin(broadcast(anchor))
+        .withColumn("recency",
+          expr("(unix_micros(anchor) - unix_micros(last_ts)) div 86400000000"))
+      val bounds = metrics.groupBy().agg(
+        expr("percentile(recency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rb"),
+        expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fb"),
+        expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mb"))
+      def bucket(m: Column, b: Column, inverted: Boolean): Column = {
+        val raw = (0 until 4).map(i => when(m > b.getItem(i), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)
+        if (inverted) lit(6) - raw else raw // recent = high score
+      }
+      metrics.crossJoin(broadcast(bounds))
+        .withColumn("r", bucket(col("recency").cast(DoubleType), col("rb"), inverted = true))
+        .withColumn("f", bucket(col("freq").cast(DoubleType), col("fb"), inverted = false))
+        .withColumn("m", bucket(col("monetary"), col("mb"), inverted = false))
+        .groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_users"), dsum(col("monetary")).as("total_value"))
+        .orderBy(col("r"), col("f"), col("m"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -536,6 +596,64 @@ object Events extends QueryPack {
         COUNT(DISTINCT a.user_id) AS n_users
       FROM active a JOIN first_day f USING (user_id)
       GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
+    "e20_funnel_strict" -> """
+      WITH s1 AS (
+        SELECT user_id, ts, event_type,
+          MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS fv
+        FROM events),
+      s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+          OVER (PARTITION BY user_id) AS fc
+        FROM s1),
+      s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > fc THEN ts END)
+          OVER (PARTITION BY user_id) AS fp
+        FROM s2),
+      pu AS (
+        SELECT user_id, MIN(fv) AS v, MIN(fc) AS c, MIN(fp) AS p
+        FROM s3 GROUP BY user_id)
+      SELECT CAST(DATE_TRUNC('day', v) AS TIMESTAMP) AS cohort_day,
+        COUNT(*) AS n_view,
+        CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      FROM pu WHERE v IS NOT NULL
+      GROUP BY 1 ORDER BY cohort_day""",
+
+    "e21_rfm_segments" -> s"""
+      WITH per_user AS (
+        SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+          ${oSum("value")} AS monetary
+        FROM events GROUP BY user_id),
+      anch AS (SELECT MAX(last_ts) AS anchor FROM per_user),
+      metrics AS (
+        SELECT user_id, freq, monetary,
+          (epoch_us(anchor) - epoch_us(last_ts)) // 86400000000 AS recency
+        FROM per_user, anch),
+      bounds AS (
+        SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
+          quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+          quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        FROM metrics),
+      scored AS (
+        SELECT user_id, monetary,
+          6 - (1 + (CASE WHEN CAST(recency AS DOUBLE) > rb[1] THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(recency AS DOUBLE) > rb[2] THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(recency AS DOUBLE) > rb[3] THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(recency AS DOUBLE) > rb[4] THEN 1 ELSE 0 END)) AS r,
+          1 + (CASE WHEN CAST(freq AS DOUBLE) > fb[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(freq AS DOUBLE) > fb[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(freq AS DOUBLE) > fb[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN CAST(freq AS DOUBLE) > fb[4] THEN 1 ELSE 0 END) AS f,
+          1 + (CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END)
+            + (CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END)
+            + (CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END)
+            + (CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END) AS m
+        FROM metrics, bounds)
+      SELECT r, f, m, COUNT(*) AS n_users,
+        CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM scored GROUP BY r, f, m ORDER BY r, f, m""",
 
     "e19_event_transitions" -> """
       WITH pairs AS (

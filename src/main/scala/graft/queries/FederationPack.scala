@@ -149,6 +149,27 @@ object FederationPack extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ORDER BY … LIMIT k pushed WHOLE into the DSv2 source: the source
+    // returns the finished top-k and Spark's own Sort+Limit disappear —
+    // k rows cross the boundary, not the table (the reference ships
+    // ORDER BY/LIMIT to the remote handler the same way)
+    "f09_topn_pushdown" -> ((s, dir) => {
+      memCatalog(s)
+      val slim = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      MemTables.register("remote_ord_f09",
+        StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType))),
+        slim.collect().toSeq)
+      s.table("mem.remote_ord_f09")
+        .filter(col("o_orderstatus") === "O")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(7)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -208,6 +229,12 @@ object FederationPack extends QueryPack {
     "f07_files_sql" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "f09_topn_pushdown" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey < 3000 AND o_orderstatus = 'O'
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 7""",
 
     "f08_agg_pushdown" -> """
       SELECT l_returnflag, COUNT(*) AS n,

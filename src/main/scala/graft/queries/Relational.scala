@@ -309,6 +309,33 @@ object Relational extends QueryPack {
       """)
     }),
 
+    // GROUP BY ALL (DuckDB/Snowflake/Spark 3.4+ shorthand): every
+    // non-aggregate select item becomes a grouping key — the resolved
+    // plan is identical to the explicit-keys spelling
+    "q53_group_by_all" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_yr,
+          CAST(COUNT(*) AS BIGINT) AS n, ${Parity.oSum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus, ship_yr
+      """)
+    }),
+
+    // LISTAGG ... WITHIN GROUP (SQL:2016, Spark 4.0+): ordered string
+    // aggregation; the per-group order is total so the result is
+    // deterministic on any partitioning
+    "q54_listagg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_regionkey,
+          listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+      """)
+    }),
+
     // GROUPING()/super-aggregate introspection over ROLLUP: the flags
     // distinguish a real NULL group key from a rollup subtotal row —
     // the part of the cube surface q18-q20 don't exercise
@@ -795,6 +822,19 @@ object Relational extends QueryPack {
         UNION ALL SELECT o_orderpriority, 'n_o', n_o FROM agg
         UNION ALL SELECT o_orderpriority, 'n_p', n_p FROM agg)
       ORDER BY o_orderpriority, metric""",
+
+    "q53_group_by_all" -> s"""
+      SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INTEGER) AS ship_yr,
+        COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY ALL
+      ORDER BY l_returnflag, l_linestatus, ship_yr""",
+
+    "q54_listagg" -> """
+      SELECT n_regionkey,
+        string_agg(n_name, ',' ORDER BY n_name) AS members,
+        COUNT(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
 
     "q50_grouping_funcs" -> """
       SELECT o_orderstatus, o_orderpriority,

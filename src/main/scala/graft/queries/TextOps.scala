@@ -413,6 +413,32 @@ object TextOps extends QueryPack {
     // result is vocabulary-sized. Reports the top-10 tokens with ranks
     // plus corpus-level type/token counts and the hapax (frequency-1)
     // share of the vocabulary.
+    // TF-IDF keyword extraction: corpus document frequencies from the
+    // same (doc, term) aggregate that feeds per-doc TF (one explode, two
+    // map-side-combinable aggregations), doc count as a broadcast
+    // scalar, top-3 terms per doc by score with a total tie order. The
+    // per-doc window partitions by doc_id — bounded by document length,
+    // never corpus size.
+    "t22_tfidf_keywords" -> ((s, dir) => {
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").groupBy().agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf").cast(DoubleType) *
+            log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     "t17_vocab_stats" -> ((s, dir) => {
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
       val tf = t(s, dir, "documents")
@@ -641,6 +667,25 @@ object TextOps extends QueryPack {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         CAST(MIN(doc_id) AS BIGINT) AS first_doc
       FROM s GROUP BY lang, split ORDER BY lang, split""",
+
+    "t22_tfidf_keywords" -> """
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+          FROM documents)
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+          CAST(tf.tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        FROM tf JOIN dfreq USING (term), nd),
+      ranked AS (
+        SELECT doc_id, term, score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, ROUND(score, 4) AS score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "t17_vocab_stats" -> """
       WITH tf AS (

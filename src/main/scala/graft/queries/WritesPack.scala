@@ -449,6 +449,66 @@ object WritesPack extends QueryPack {
         .orderBy(col("attr"), col("part"), col("value"))
     }),
 
+    // OPTIMIZE … ZORDER BY: rows re-clustered along a Morton curve so
+    // every file covers a small hyper-rectangle of (custkey, totalprice)
+    // — selective predicates on EITHER column prune files via parquet
+    // min/max stats (CatalogSpec proves the two-dimensional pruning);
+    // the oracle verifies the rewrite preserved content exactly
+    "w14_zorder" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE zt14 AS
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders""")
+      c.execute("OPTIMIZE zt14 ZORDER BY (o_custkey, o_totalprice) INTO 8 FILES")
+      c.execute(s"""SELECT COUNT(*) AS n,
+          CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+          CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+          ${Parity.oSum("o_totalprice")} AS total
+        FROM zt14""")
+    }),
+
+    // Schema evolution as metadata-only ALTERs (Delta/Iceberg model —
+    // no data file rewritten at any table size): ADD COLUMN surfaces its
+    // DEFAULT for pre-ALTER files, RENAME coalesces old-name files into
+    // the new name, DROP projects away; post-ALTER inserts carry the
+    // evolved schema and read back merged
+    "w13_schema_evolution" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE ev13 AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 200""")
+      c.execute("ALTER TABLE ev13 ADD COLUMN channel STRING DEFAULT 'web'")
+      c.execute("INSERT INTO ev13 VALUES (9000001, 123.5, 'O', 'store')")
+      c.execute("ALTER TABLE ev13 RENAME COLUMN o_totalprice TO price")
+      c.execute("ALTER TABLE ev13 DROP COLUMN o_orderstatus")
+      c.execute(s"""SELECT channel, COUNT(*) AS n, ${Parity.oSum("price")} AS total
+        FROM ev13 GROUP BY channel ORDER BY channel""")
+    }),
+
+    // Text2SQL-skill agent (Skills table db.py:434, agent_skills
+    // db.py:423): the skill restricts the agent to an allowlist of
+    // tables; the question resolves against the allowlist and the answer
+    // is computed by a real aggregation over the named table. The
+    // per-table profile is ONE broadcast row per table — question rows
+    // never scan the data tables.
+    "a04_skill_text2sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE SKILL sk_a04 USING type='text2sql',
+        database='graft', tables='orders,customer'""")
+      c.execute("CREATE AGENT sqa_a04 USING model='default', skills='sk_a04'")
+      c.execute("SELECT question, answer FROM sqa_a04 WHERE question = 'how many rows are in customer?'")
+    }),
+
+    // SHOW SKILLS after a create/update/drop lifecycle
+    "c11_show_skills" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE SKILL sk1_c11 USING type='text2sql', database='graft', tables='orders'")
+      c.execute("CREATE SKILL sk2_c11 USING type='knowledge_base', source='kbx'")
+      c.execute("CREATE SKILL sk3_c11 USING type='text2sql', tables='region'")
+      c.execute("UPDATE SKILL sk1_c11 SET tables='orders,lineitem'")
+      c.execute("DROP SKILL sk3_c11")
+      c.execute("SHOW SKILLS")
+    }),
+
     // The session's executed-statement log as a queryable table —
     // the reference's QUERIES meta table (mindsdb_tables.py:430):
     // every statement routed through execute() records id, kind,
@@ -670,6 +730,31 @@ object WritesPack extends QueryPack {
         ('ml_engine','eng_c05','fit|task=regression'),
         ('warnings','count','0')) AS t(kind, name, detail)
       ORDER BY kind, name""",
+
+    "w14_zorder" -> s"""
+      SELECT COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+        ${oSum("o_totalprice")} AS total
+      FROM orders""",
+
+    "w13_schema_evolution" -> s"""
+      WITH base AS (
+        SELECT o_totalprice AS price, 'web' AS channel
+        FROM orders WHERE o_orderkey <= 200
+        UNION ALL SELECT 123.5, 'store')
+      SELECT channel, COUNT(*) AS n, ${oSum("price")} AS total
+      FROM base GROUP BY channel ORDER BY channel""",
+
+    "a04_skill_text2sql" -> """
+      SELECT 'how many rows are in customer?' AS question,
+        'customer has ' || (SELECT COUNT(*) FROM customer) || ' rows' AS answer""",
+
+    "c11_show_skills" -> """
+      SELECT * FROM (VALUES
+        ('sk1_c11', 'text2sql', 'database=graft,tables=orders,lineitem'),
+        ('sk2_c11', 'knowledge_base', 'source=kbx')) AS t(name, type, params)
+      ORDER BY name""",
 
     "c06_alter_surface" -> """
       SELECT * FROM (

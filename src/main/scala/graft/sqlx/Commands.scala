@@ -68,6 +68,10 @@ final class Commands(
     """(?is)\s*CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+USING\s+(.+?)\s*""".r
   private val UpdateAgent = """(?is)\s*UPDATE\s+AGENT\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val DropAgent = """(?is)\s*DROP\s+AGENT\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
+  private val CreateSkill =
+    """(?is)\s*CREATE\s+SKILL\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+USING\s+(.+?)\s*""".r
+  private val UpdateSkill = """(?is)\s*UPDATE\s+SKILL\s+(\w+)\s+SET\s+(.+?)\s*""".r
+  private val DropSkill = """(?is)\s*DROP\s+SKILL\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateTrigger =
     """(?is)\s*CREATE\s+TRIGGER\s+(\w+)\s+ON\s+([\w.]+)\s*\(\s*(.+)\s*\)\s*""".r
   private val DropTrigger = """(?is)\s*DROP\s+TRIGGER\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
@@ -80,7 +84,7 @@ final class Commands(
   private val InsertStmt =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s*(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
   private val ShowStmt =
-    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
+    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|SKILLS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
@@ -94,6 +98,8 @@ final class Commands(
   private val DescribeHistory = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+(?:TABLE\s+)?(\w+)\s*(?:INTO\s+(\d+)\s+FILES?)?\s*""".r
+  private val OptimizeZorderStmt =
+    """(?is)\s*OPTIMIZE\s+(?:TABLE\s+)?(\w+)\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s*(?:INTO\s+(\d+)\s+FILES?)?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
@@ -135,6 +141,12 @@ final class Commands(
     """(?is)\s*(?:START\s+TRANSACTION|BEGIN|COMMIT|ROLLBACK)\s*""".r
   private val AlterView =
     """(?is)\s*ALTER\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
+  private val AlterAddCol =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*(?:DEFAULT\s+(.+?))?\s*""".r
+  private val AlterRenameCol =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterDropCol =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val AlterDatabase =
     """(?is)\s*ALTER\s+DATABASE\s+(\w+)\s+(?:PARAMETERS\s*=\s*|USING\s+|SET\s+)?(.+?)\s*""".r
   private val AlterKb =
@@ -471,6 +483,18 @@ final class Commands(
       if (catalog.agent(name).isDefined) { catalog.dropAgent(name); ok(s"agent $name dropped") }
       else { require(ifEx != null, s"agent $name does not exist"); ok(s"agent $name does not exist") }
 
+    // CREATE/UPDATE/DROP SKILL (skills table db.py:434; agent linkage via
+    // the agent's skills=… param — agent_skills association db.py:423)
+    case CreateSkill(name, using) =>
+      val p = parseUsing(using)
+      catalog.createSkill(name, p.getOrElse("type", "text2sql"), p - "type")
+      ok(s"skill $name created")
+    case UpdateSkill(name, set) =>
+      catalog.updateSkill(name, parseUsing(set)); ok(s"skill $name updated")
+    case DropSkill(ifEx, name) =>
+      if (catalog.skill(name).isDefined) { catalog.dropSkill(name); ok(s"skill $name dropped") }
+      else { require(ifEx != null, s"skill $name does not exist"); ok(s"skill $name does not exist") }
+
     case CreateTrigger(name, table, body) =>
       catalog.createTrigger(name, table, body)
       ok(s"trigger $name created")
@@ -497,6 +521,17 @@ final class Commands(
         spark.sql(body)
       })
       ok(s"view $name altered")
+    // ALTER TABLE schema evolution (metadata-only; Warehouse evolog)
+    case AlterAddCol(name, column, typ, dflt) =>
+      warehouse.addColumn(name, column, typ, Option(dflt))
+      ok(s"column $column added to $name")
+    case AlterRenameCol(name, from, to) =>
+      warehouse.renameColumn(name, from, to)
+      ok(s"column $from renamed to $to in $name")
+    case AlterDropCol(name, column) =>
+      warehouse.dropColumn(name, column)
+      ok(s"column $column dropped from $name")
+
     case AlterKb(name, using) =>
       catalog.updateKb(name, parseUsing(using))
       ok(s"knowledge base $name altered")
@@ -726,6 +761,7 @@ final class Commands(
         case "PROJECTS" => catalog.metaProjects()
         case "KNOWLEDGE BASES" => catalog.metaKnowledgeBases()
         case "AGENTS" => catalog.metaAgents()
+        case "SKILLS" => catalog.metaSkills()
         case "TRIGGERS" => catalog.metaTriggers()
         case "VARIABLES" => kv("variable_name", "value", vars.toSeq)
         case "STATUS" => kv("variable_name", "value",
@@ -822,6 +858,11 @@ final class Commands(
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
         StructType(Seq(StructField("version", org.apache.spark.sql.types.LongType),
           StructField("kind", StringType))))
+    case OptimizeZorderStmt(name, colList, filesO) =>
+      val (before, after) = warehouse.optimizeZorder(name,
+        colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(filesO).map(_.toInt).getOrElse(8))
+      ok(s"zordered $name: $before -> $after files")
     case OptimizeStmt(name, filesO) =>
       val (before, after) =
         warehouse.optimize(name, Option(filesO).map(_.toInt).getOrElse(1))
@@ -992,9 +1033,27 @@ final class Commands(
           // an agent linked to a knowledge base answers retrieval-
           // augmented (agents data={knowledge_bases:[…]}); others
           // complete directly
-          val df = catalog.agent(name).get.params.get("knowledge_bases")
-            .flatMap(kbName => catalog.kb(kbName.split(",").head.trim)) match {
-            case Some(k) if warehouse.exists(k.storage) =>
+          val params = catalog.agent(name).get.params
+          // skill dispatch (agent_skills association, db.py:423): a
+          // text2sql skill answers from its table allowlist; a
+          // knowledge_base skill (or the knowledge_bases param) answers
+          // retrieval-augmented; no skill → plain completion
+          val textSkill = params.get("skills").toSeq
+            .flatMap(_.split(",").map(_.trim)).flatMap(catalog.skill(_).toSeq)
+            .find(_.skillType == "text2sql")
+          val kbLink = params.get("knowledge_bases")
+            .flatMap(kbName => catalog.kb(kbName.split(",").head.trim))
+            .orElse(params.get("skills").toSeq
+              .flatMap(_.split(",").map(_.trim)).flatMap(catalog.skill(_).toSeq)
+              .find(_.skillType == "knowledge_base")
+              .flatMap(sk => sk.params.get("source").flatMap(catalog.kb(_))))
+          val df = (textSkill, kbLink) match {
+            case (Some(sk), _) =>
+              val allow = sk.params.get("tables").toSeq
+                .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+              graft.ml.Agents.answerTextToSql(questions, "question",
+                allow.map(t => t -> catalog.resolve(t, Some(warehouse))))
+            case (_, Some(k)) if warehouse.exists(k.storage) =>
               graft.ml.Agents.answerWithKb(questions, "question", warehouse.table(k.storage))
             case _ => graft.ml.Agents.answer(questions, "question")
           }

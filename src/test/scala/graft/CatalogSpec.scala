@@ -250,4 +250,85 @@ class CatalogSpec extends AnyFunSuite {
     assert(c.execute("DESCRIBE HISTORY ttv").count() === 1)
     intercept[Exception] { c.execute("SELECT * FROM ttv FOR VERSION AS OF 0") }
   }
+
+  test("ZORDER: files cover small hyper-rectangles; both dimensions prune") {
+    val wh = Warehouse.temp(spark)
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    wh.createTableAs("zo", orders)
+    val (_, after) = wh.optimizeZorder("zo", Seq("o_custkey", "o_totalprice"), targetFiles = 8)
+    assert(after === 8)
+    // per-file min/max on both dims straight from the files
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(wh.dir, "zo"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_custkey"), max("o_custkey"), min("o_totalprice"), max("o_totalprice"))
+        .first()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    // a selective probe on EITHER column overlaps only a minority of files
+    val (cLo, cHi) = (100L, 140L)
+    val custHits = ranges.count { case (mn, mx, _, _) => mx >= cLo && mn <= cHi }
+    val (pLo, pHi) = (50000.0, 60000.0)
+    val priceHits = ranges.count { case (_, _, mn, mx) => mx >= pLo && mn <= pHi }
+    assert(custHits < files.length, s"custkey probe hit every file ($custHits/${files.length})")
+    assert(priceHits < files.length, s"price probe hit every file ($priceHits/${files.length})")
+    // content preserved exactly
+    assert(wh.table("zo").count() === orders.count())
+    // total order on one column only does NOT give the second dim this
+    // property: single-column-sorted layout leaves price unpruned
+    wh.createTableAs("so", orders.repartitionByRange(8, col("o_custkey")))
+    val sfiles = java.nio.file.Files.walk(java.nio.file.Paths.get(wh.dir, "so"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    val sPriceHits = sfiles.count { f =>
+      val r = spark.read.parquet(f).agg(min("o_totalprice"), max("o_totalprice")).first()
+      r.getDouble(1) >= pLo && r.getDouble(0) <= pHi
+    }
+    assert(priceHits < sPriceHits,
+      s"zorder ($priceHits) should prune price better than custkey-sort ($sPriceHits)")
+    // guards
+    intercept[IllegalArgumentException](wh.optimizeZorder("zo", Nil))
+    intercept[IllegalArgumentException](wh.optimizeZorder("zo", Seq("nope")))
+  }
+
+  test("schema evolution: ADD/RENAME/DROP COLUMN are metadata-only and compose") {
+    val wh = Warehouse.temp(spark)
+    val nation = Tables.table(spark, dir, "nation")
+    wh.createTableAs("evo", nation.select(col("n_nationkey"), col("n_name")))
+    val filesBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(wh.dir, "evo"))
+      .toArray.length
+
+    wh.addColumn("evo", "grade", "INT", Some("7"))
+    // metadata-only: no data file touched
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(wh.dir, "evo"))
+      .toArray.length === filesBefore)
+    // pre-ALTER rows surface the default
+    assert(wh.table("evo").filter(col("grade") === 7).count() === 25)
+
+    // post-ALTER inserts carry the column; read-back merges generations
+    import spark.implicits._
+    wh.insertInto("evo", Seq((900L, "ZULIA", 3)).toDF("n_nationkey", "n_name", "grade"))
+    val byGrade = wh.table("evo").groupBy("grade").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byGrade === Map(7 -> 25L, 3 -> 1L))
+
+    wh.renameColumn("evo", "n_name", "name")
+    assert(wh.table("evo").columns.toSeq === Seq("n_nationkey", "grade", "name")
+      || wh.table("evo").columns.sorted.toSeq === Seq("grade", "n_nationkey", "name"))
+    assert(wh.table("evo").filter(col("name") === "ZULIA").count() === 1)
+
+    wh.dropColumn("evo", "grade")
+    assert(!wh.table("evo").columns.contains("grade"))
+
+    // a copy-on-write DML materializes the evolved schema; replay stays correct
+    wh.delete("evo", col("n_nationkey") >= 900)
+    assert(wh.table("evo").count() === 25)
+    assert(wh.table("evo").columns.contains("name"))
+
+    // guards: duplicate add, missing rename source, bad drop
+    intercept[IllegalArgumentException](wh.addColumn("evo", "name", "STRING"))
+    intercept[IllegalArgumentException](wh.renameColumn("evo", "nope", "x"))
+    intercept[IllegalArgumentException](wh.dropColumn("evo", "nope"))
+  }
 }

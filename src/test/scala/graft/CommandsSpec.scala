@@ -859,6 +859,37 @@ class CommandsSpec extends AnyFunSuite {
     assert(lit === "do not qualify me")
   }
 
+  test("SKILL lifecycle: create, show, update, drop; text2sql agent dispatch") {
+    val c = fresh()
+    c.execute("CREATE SKILL t2s USING type='text2sql', database='graft', tables='orders,customer'")
+    c.execute("CREATE SKILL kbsk USING type='knowledge_base', source='nokb'")
+    val shown = c.execute("SHOW SKILLS").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown === Map("t2s" -> "text2sql", "kbsk" -> "knowledge_base"))
+    // agent with the skill answers by aggregating over the allowlisted table
+    c.execute("CREATE AGENT sqa USING model='default', skills='t2s'")
+    val ans = c.execute("SELECT answer FROM sqa WHERE question = 'count rows in orders please'")
+      .first().getString(0)
+    val n = c.execute("SELECT count(*) AS n FROM orders").first().getLong(0)
+    assert(ans === s"orders has $n rows")
+    // question naming no allowlisted table falls through to the completion stub
+    val fb = c.execute("SELECT answer FROM sqa WHERE question = 'what is the weather'")
+      .first().getString(0)
+    assert(fb.startsWith("LLM["), s"expected completion fallback, got: $fb")
+    // allowlist order breaks ties: both tables named -> first declared wins
+    val both = c.execute("SELECT answer FROM sqa WHERE question = 'orders or customer?'")
+      .first().getString(0)
+    assert(both.startsWith("orders has "))
+    // UPDATE SKILL merges params; DROP removes; IF EXISTS tolerates absence
+    c.execute("UPDATE SKILL t2s SET tables='region'")
+    val reg = c.execute("SELECT answer FROM sqa WHERE question = 'size of region'")
+      .first().getString(0)
+    assert(reg === "region has 5 rows")
+    c.execute("DROP SKILL kbsk")
+    intercept[Exception](c.execute("DROP SKILL kbsk"))
+    c.execute("DROP SKILL IF EXISTS kbsk")
+    assert(c.execute("SHOW SKILLS").count() === 1L)
+  }
+
   test("PROJECT lifecycle: create, show, typed database row, drop") {
     val c = fresh()
     c.execute("CREATE PROJECT p1")

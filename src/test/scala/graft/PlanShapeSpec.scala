@@ -279,6 +279,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"aggregate not pushed into the mem source:\n$plan")
   }
 
+  test("f09 ORDER BY+LIMIT pushes whole into the DSv2 source (no Spark-side sort)") {
+    graft.federation.MemTables.pushedTopN.remove("remote_ord_f09")
+    val plan = executedPlan("f09_topn_pushdown")
+    assert(graft.federation.MemTables.pushedTopN.get("remote_ord_f09").contains(7),
+      s"source never saw the top-k pushdown:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"Spark still plans its own global top-k:\n$plan")
+  }
+
   test("g02 triangle counting: equi-joins only, no nested-loop anywhere") {
     val plan = executedPlan("g02_triangle_count")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -95,6 +95,8 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def addColumn(name: String, column: String, sqlType: String,
       default: Option[String] = None): Unit = {
     require(exists(name), s"table $name does not exist")
+    require(!inTransaction,
+      "ALTER TABLE is metadata-only (evolution log) and not transactional — COMMIT or ROLLBACK first")
     require(bucketSpec(name).isEmpty, "ALTER TABLE on a bucketed table is not supported")
     require(!table(name).columns.map(_.toLowerCase).contains(column.toLowerCase),
       s"column $column already exists in $name")
@@ -104,6 +106,8 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   /** ALTER TABLE … RENAME COLUMN old TO new (metadata-only). */
   def renameColumn(name: String, from: String, to: String): Unit = {
     require(exists(name), s"table $name does not exist")
+    require(!inTransaction,
+      "ALTER TABLE is metadata-only (evolution log) and not transactional — COMMIT or ROLLBACK first")
     require(bucketSpec(name).isEmpty, "ALTER TABLE on a bucketed table is not supported")
     val cols = table(name).columns.map(_.toLowerCase)
     require(cols.contains(from.toLowerCase), s"column $from does not exist in $name")
@@ -116,6 +120,8 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   /** ALTER TABLE … DROP COLUMN c (metadata-only projection). */
   def dropColumn(name: String, column: String): Unit = {
     require(exists(name), s"table $name does not exist")
+    require(!inTransaction,
+      "ALTER TABLE is metadata-only (evolution log) and not transactional — COMMIT or ROLLBACK first")
     require(bucketSpec(name).isEmpty, "ALTER TABLE on a bucketed table is not supported")
     require(table(name).columns.map(_.toLowerCase).contains(column.toLowerCase),
       s"column $column does not exist in $name")
@@ -171,13 +177,78 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * mutating verb before it touches the table. Internal storage tables
     * (`__`-prefixed: KB chunk stores, index cells) skip versioning —
     * their rewrite cadence is per-ingest, not per-user-commit. */
-  private[catalog] def snapshot(name: String): Unit =
+  private[catalog] def snapshot(name: String): Unit = {
+    txnTouch(name)
     if (exists(name) && !name.startsWith("__")) {
       recover(name)
       val v = versionMarker(name)
       linkTree(Paths.get(path(name)), Paths.get(versionDir(name, v)))
       setVersionMarker(name, v + 1)
     }
+  }
+
+  // ------------------------------------------------------- transactions
+  // Multi-statement transactions over the snapshot machinery (the same
+  // Delta/Iceberg-style commit log that powers time travel): BEGIN
+  // records each table's pre-image version at FIRST touch — O(1)
+  // metadata per touched table, zero data copied at any size (snapshots
+  // hard-link). ROLLBACK restores every touched table to its recorded
+  // version (tables created inside the transaction are dropped);
+  // COMMIT just forgets the record — the DML already landed. DDL that
+  // destroys history (DROP TABLE, ALTER COLUMN metadata ops) is refused
+  // while a transaction is open rather than half-supported.
+
+  private var txnTouched:
+      Option[scala.collection.mutable.LinkedHashMap[String, Int]] = None
+
+  def inTransaction: Boolean = txnTouched.isDefined
+
+  def begin(): Unit = {
+    require(txnTouched.isEmpty, "a transaction is already open")
+    txnTouched = Some(scala.collection.mutable.LinkedHashMap.empty)
+  }
+
+  /** Record `name`'s pre-image version the first time a transaction
+    * touches it (-1 = did not exist → rollback drops it). */
+  private def txnTouch(name: String): Unit =
+    txnTouched.foreach { m =>
+      if (!m.contains(name) && !name.startsWith("__"))
+        m(name) = if (exists(name)) versionMarker(name) else -1
+    }
+
+  def commitTxn(): Unit = {
+    require(txnTouched.isDefined, "no open transaction")
+    txnTouched = None
+  }
+
+  /** Undo every statement since BEGIN; returns per-table actions
+    * (newest-touched first). */
+  def rollbackTxn(): Seq[String] = {
+    val m = txnTouched.getOrElse(throw new IllegalStateException("no open transaction"))
+    txnTouched = None
+    m.toSeq.reverse.map { case (name, v) =>
+      if (v < 0) {
+        if (exists(name)) dropTable(name)
+        s"$name: dropped (created in transaction)"
+      } else { restoreVersion(name, v); s"$name: restored to version $v" }
+    }
+  }
+
+  /** Restore the live table to retained version `v`. The restore is
+    * itself a commit (the aborted state stays in history — auditable,
+    * VACUUM-able), and the data moves by hard link, never by copy. */
+  def restoreVersion(name: String, v: Int): Unit = {
+    if (v == versionMarker(name)) return
+    val src = Paths.get(versionDir(name, v))
+    require(Files.exists(src), s"version $v of $name is not retained")
+    val wasOpen = txnTouched
+    txnTouched = None // the restore's own snapshot must not re-record
+    try {
+      snapshot(name)
+      rm(Paths.get(path(name)))
+      linkTree(src, Paths.get(path(name)))
+    } finally txnTouched = wasOpen
+  }
 
   /** The live version rides in a hidden marker file at the warehouse
     * root (NOT inside the table dir — every rewrite/overwrite path
@@ -214,6 +285,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def createTableAs(name: String, df: DataFrame, overwrite: Boolean = false,
       partitionBy: Seq[String] = Nil): Unit = {
     if (overwrite) snapshot(name) // replacing an existing table is a commit
+    else txnTouch(name) // creation inside a transaction → rollback drops
     val w = df.write.mode(if (overwrite) "overwrite" else "errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
   }
@@ -228,6 +300,8 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * (`spark.table`), not the path-based reader. */
   def createBucketedTableAs(name: String, df: DataFrame,
       bucketCol: String, n: Int): Unit = {
+    require(!inTransaction,
+      "bucketed CTAS registers session-catalog metadata and is not transactional — COMMIT or ROLLBACK first")
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
     df.write.mode("overwrite")
       .option("path", path(name))
@@ -261,9 +335,11 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   /** CREATE TABLE with an explicit column list (steps.py:255,
     * command_executor.py:1955): an empty table carrying the schema. */
-  def createTable(name: String, schema: org.apache.spark.sql.types.StructType): Unit =
+  def createTable(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    txnTouch(name)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .repartition(1).write.mode("errorifexists").parquet(path(name))
+  }
 
   /** INSERT INTO (InsertToTable): append by column name when the incoming
     * names are a permutation of the table's, positionally otherwise (the
@@ -378,6 +454,8 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   }
 
   def dropTable(name: String): Unit = {
+    require(!inTransaction,
+      "DROP TABLE destroys table history and is not transactional — COMMIT or ROLLBACK first")
     // a bucketed table also lives in the SESSION catalog (bucket
     // metadata only exists there) — drop that entry too when it points
     // under THIS warehouse, or a stale catalog row would silently shadow
@@ -505,6 +583,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def cloneTable(src: String, dst: String): Unit = {
     require(exists(src), s"CLONE source $src does not exist")
     require(!exists(dst), s"CLONE target $dst already exists")
+    txnTouch(dst) // a clone created inside a transaction rolls back to dropped
     recover(src)
     linkTree(Paths.get(path(src)), Paths.get(path(dst)))
     // the clone keeps the source's evolved schema (log copied, not shared)

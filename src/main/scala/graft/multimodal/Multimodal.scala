@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
   * plumbing mirrors its file-reader dispatch
   * (integrations/utilities/files/file_reader.py:85-223).
   *
-  * Real codec libraries are not present in this environment, so the
-  * DECODE step is a deterministic stub over the real byte plumbing:
-  * schema, batching, and partitioning are production-shaped; the pixel
-  * math is a placeholder a codec drop-in replaces.
+  * The synthetic-header paths (below) parse bytes with pure
+  * expressions; the PNG path is a REAL codec round-trip — the JDK's
+  * built-in `javax.imageio` encodes and decodes actual PNG files, no
+  * external library needed. Only formats the JDK lacks (video codecs,
+  * OCR) remain stubbed at the decode step.
   *
   * Header parsing is pure built-in expressions (substring/hex/conv on
   * binary) — codegen'd, no UDF, no custom Expression needed.
@@ -126,6 +127,94 @@ object Multimodal {
     * byte offset (audio/video sampling plumbing; pure expression). */
   def frameOffsets(payload: Column, frameSize: Int): Column =
     sequence(lit(0), greatest(length(payload) - 1, lit(0)), lit(frameSize))
+
+  // ------------------------------------------- real PNG codec (JDK ImageIO)
+
+  /** Deterministic grayscale test pattern dims — even and ≤16 so the
+    * closed-form oracle can recompute every decoded statistic. */
+  def pngDims(id: Long): (Int, Int) =
+    (8 + 2 * (id % 5).toInt, 8 + 2 * ((id * 3) % 5).toInt)
+
+  /** pixel(x, y) = (id·31 + x·7 + y·13) mod 256 — the pattern the
+    * encoder rasterizes and the oracle recomputes arithmetically. */
+  def pngPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Encode each row's pattern as a REAL PNG through the JDK-native
+    * `javax.imageio` codec (no external library). Raster-level sample
+    * writes — no colorspace conversion, so 8-bit gray round-trips
+    * losslessly. Runs distributed as mapPartitions; output is
+    * (id, png: binary). */
+  def encodePngGray(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("png", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = pngDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Decode REAL PNG bytes via ImageIO and emit exact integer stats:
+    * dims read from the decoded raster, the sample sum, and the sum of a
+    * 2×2-block floor-average downsample (a real resize over decoded
+    * pixels). All integers → hash-exact against the closed-form oracle. */
+  def decodePngStats(df: DataFrame, idCol: String, pngCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("sum_px", LongType),
+      StructField("resized_w", IntegerType), StructField("resized_h", IntegerType),
+      StructField("resized_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType), col(pngCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val raster = img.getRaster
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          var rsum = 0L
+          var by = 0
+          while (by < h / 2) {
+            var bx = 0
+            while (bx < w / 2) {
+              val s4 = raster.getSample(2 * bx, 2 * by, 0) +
+                raster.getSample(2 * bx + 1, 2 * by, 0) +
+                raster.getSample(2 * bx, 2 * by + 1, 0) +
+                raster.getSample(2 * bx + 1, 2 * by + 1, 0)
+              rsum += s4 / 4
+              bx += 1
+            }
+            by += 1
+          }
+          Row(r.getLong(0), w, h, sum, w / 2, h / 2, rsum)
+        }
+      }
+    }(enc)
+  }
 
   /** Batched decode stub: per image, "decode" = mean byte value of the
     * payload (a codec would emit real features here). Runs as

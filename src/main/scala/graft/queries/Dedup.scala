@@ -257,6 +257,37 @@ object Dedup extends QueryPack {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // ---- frequent-pair mining (association rules, Agrawal et al. 1993):
+    // parts co-ordered in the same order, with support, confidence and
+    // lift. Scale shape: the pair self-join is keyed on the order id and
+    // bounded by basket size (≤7 lines per TPC-H order — per-order work
+    // is O(basket²), never O(catalog²)); pair counting is a map-side-
+    // combinable aggregation; item counts join back on the part keys
+    // (dimension-sized, broadcastable); the single global scalar (basket
+    // count) rides a broadcast cross join. Ratios are one double
+    // division each — deterministic across engines.
+    "d15_frequent_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nBaskets = li.agg(countDistinct(col("ok")).as("n_baskets"))
+      val a = li.select(col("ok"), col("pk").as("p1"))
+      val b = li.select(col("ok"), col("pk").as("p2"))
+      val pairs = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      pairs
+        .join(item.select(col("pk").as("p1"), col("cnt").as("n_p1")), Seq("p1"))
+        .join(item.select(col("pk").as("p2"), col("cnt").as("n_p2")), Seq("p2"))
+        .crossJoin(broadcast(nBaskets))
+        .select(col("p1"), col("p2"), col("support"), col("n_p1"), col("n_p2"),
+          round(col("support").cast(DoubleType) / col("n_p1"), 6).as("confidence"),
+          round(col("support").cast(DoubleType) * col("n_baskets") /
+            (col("n_p1") * col("n_p2")), 6).as("lift"))
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+        .limit(50)
+    }),
+
     // ---- exact SPAN dedup (the "exact substring deduplication" rule of
     // RefinedWeb/Lee et al. 2022, in distributed shingle form): every
     // 10-token window is hashed; an occurrence is a duplicate span when
@@ -905,6 +936,26 @@ object Dedup extends QueryPack {
         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
       FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "d15_frequent_pairs" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM li),
+      pairs AS (
+        SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+        FROM li a JOIN li b ON a.ok = b.ok
+        WHERE a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= 2),
+      item AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY pk)
+      SELECT p.p1, p.p2, p.support, i1.cnt AS n_p1, i2.cnt AS n_p2,
+        ROUND(CAST(p.support AS DOUBLE) / i1.cnt, 6) AS confidence,
+        ROUND(CAST(p.support AS DOUBLE) * nb.n_baskets / (i1.cnt * i2.cnt), 6) AS lift
+      FROM pairs p
+      JOIN item i1 ON i1.pk = p.p1
+      JOIN item i2 ON i2.pk = p.p2
+      CROSS JOIN nb
+      ORDER BY p.support DESC, p.p1, p.p2
+      LIMIT 50""",
 
     "d14_source_overlap" -> """
       WITH tok AS (

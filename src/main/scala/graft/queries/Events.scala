@@ -415,6 +415,29 @@ object Events extends QueryPack {
         .orderBy(col("r"), col("f"), col("m"))
     }),
 
+    // rolling 7-day distinct active users (DAU + trailing WAU): exact
+    // distinct counts over a sliding window. COUNT(DISTINCT) cannot ride
+    // a window frame, and a corpus-wide ordered window would pin one
+    // task — instead each (user, day) fans out to the ≤7 report days it
+    // supports (a constant-factor map-side explode), then ONE distinct
+    // aggregation keyed on report day does all the work. Report days are
+    // semi-joined to days that actually occur, so the fan-out adds no
+    // phantom tail days.
+    "e22_rolling_dau" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = du.select(col("day")).distinct()
+      val contrib = du
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      val wau = contrib.join(days, Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau7"))
+      val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day").cast("timestamp").as("day"), col("dau"), col("wau7"))
+        .orderBy(col("day"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -449,6 +472,22 @@ object Events extends QueryPack {
       FROM events e LEFT JOIN dim USING (user_id)
       WHERE e.ts >= TIMESTAMP '2024-01-25 00:00:00'
       ORDER BY e.event_id""",
+
+    "e22_rolling_dau" -> """
+      WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      contrib AS (
+        SELECT du.user_id, du.day + CAST(o.off AS INTEGER) AS day
+        FROM du CROSS JOIN (SELECT range AS off FROM range(0, 7)) o),
+      wau AS (
+        SELECT c.day, COUNT(DISTINCT c.user_id) AS wau7
+        FROM contrib c
+        WHERE c.day IN (SELECT day FROM days)
+        GROUP BY c.day),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day)
+      SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau7
+      FROM dau JOIN wau ON wau.day = dau.day
+      ORDER BY dau.day""",
 
     "e15_carry_forward" -> """
       SELECT event_id, user_id, event_type, purchase_val,

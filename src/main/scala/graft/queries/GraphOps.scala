@@ -113,6 +113,39 @@ object GraphOps extends QueryPack {
         .union(tri.select(col("c").as("supp")))
         .groupBy(col("supp")).agg(count(lit(1)).as("n_triangles"))
       perNode.orderBy(col("supp"))
+    }),
+
+    // k-core decomposition (Seidman 1983) of the supplier co-occurrence
+    // graph: iteratively peel nodes with degree < k until the subgraph
+    // stabilizes — the dense backbone that survives is the classic
+    // community-strength / spam-farm signal. Peeling is unrolled to 4
+    // deterministic rounds (mirrored exactly by the oracle); each round
+    // is one map-side-combinable degree aggregation plus two
+    // hash-partitioned semi-joins restricting edges to surviving
+    // endpoints — no windows, no driver iteration over nodes, and the
+    // edge set only shrinks, so round r costs at most round r-1. A
+    // localCheckpoint per round keeps the plan O(1) deep (same recovery
+    // argument as g01's supersteps).
+    "g03_kcore" -> ((s, dir) => {
+      val k = 48
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val a = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("v"))
+      var edges = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct().localCheckpoint()
+      for (_ <- 1 to 4) {
+        val deg = edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val live = deg.filter(col("deg") >= k).select(col("node"))
+        edges = edges
+          .join(live.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(live.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")).localCheckpoint()
+      }
+      edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).cast("long").as("core_deg"))
+        .orderBy(col("node"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -178,5 +211,29 @@ object GraphOps extends QueryPack {
         SELECT a AS supp FROM tri
         UNION ALL SELECT b AS supp FROM tri
         UNION ALL SELECT c AS supp FROM tri)
-      GROUP BY supp ORDER BY supp""")
+      GROUP BY supp ORDER BY supp""",
+
+    // the same four peel rounds unrolled — peeling is deterministic
+    // (degree thresholding has no ties to break), so edge sets agree
+    // exactly at every round
+    "g03_kcore" -> {
+      def round(r: Int): String = s"""
+        deg$r AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e${r - 1} UNION ALL SELECT v AS node FROM e${r - 1})
+          GROUP BY node),
+        e$r AS (
+          SELECT u, v FROM e${r - 1}
+          WHERE u IN (SELECT node FROM deg$r WHERE deg >= 48)
+            AND v IN (SELECT node FROM deg$r WHERE deg >= 48))"""
+      s"""
+      WITH e0 AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey),
+      ${(1 to 4).map(round).mkString(",")}
+      SELECT node, COUNT(*) AS core_deg FROM (
+        SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4)
+      GROUP BY node ORDER BY node"""
+    })
 }

@@ -256,6 +256,34 @@ object ModelPack extends QueryPack {
 
     // anomaly-detection engine in the SQL model lifecycle: per-group
     // z-scores, 2.5σ flag, applied by joining the data against the model
+    // time-series gap-fill: regularize an irregular per-user daily series
+    // onto a dense day spine (per-group min..max), forward-filling gaps
+    // with the last observation — the reconciliation step every TS engine
+    // needs before windowed training (the reference's timeseries_settings
+    // assume a regular cadence; this op manufactures one). Scale shape:
+    // the spine explode is linear in each group's day span, the fill is a
+    // per-group ordered window (O(1) state, no corpus-wide ordering), and
+    // the join is keyed (group, day). Values ride as exact integer cents
+    // so both engines hash-match bit-for-bit.
+    "m25_ts_gapfill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("user_id") < 10 && col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).as("actual_cents"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_cents", last(col("actual_cents"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("actual_cents").isNull)
+        .select(col("user_id"), col("day").cast("timestamp").as("day"),
+          col("actual_cents"), col("filled_cents"), col("is_gap"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     "m20_anomaly_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
         new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
@@ -539,6 +567,27 @@ object ModelPack extends QueryPack {
 
     // same decimal sufficient sums, same population σ, same floor-spelled
     // score rounding (tie-independent given identical doubles)
+    "m25_ts_gapfill" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS actual_cents
+        FROM events WHERE user_id < 10 AND event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS DATE)),
+      bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+      spine AS (
+        SELECT user_id, CAST(g AS DATE) AS day FROM (
+          SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g
+          FROM bounds))
+      SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day, d.actual_cents,
+        last_value(d.actual_cents IGNORE NULLS)
+          OVER (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+        d.actual_cents IS NULL AS is_gap
+      FROM spine s
+      LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+      ORDER BY s.user_id, s.day""",
+
     "m20_anomaly_sql" -> """
       WITH st AS (
         SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,

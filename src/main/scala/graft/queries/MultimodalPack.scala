@@ -59,6 +59,19 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL PNG codec round-trip: each doc's deterministic gray pattern
+    // is encoded to an actual PNG by the JDK's javax.imageio, decoded
+    // back by the same codec in a second distributed stage, and the
+    // DECODED pixels produce exact integer stats (sum + a real 2×2
+    // floor-average resize). The oracle recomputes every stat from the
+    // pattern formula — so a hash match proves the codec round-trip is
+    // lossless end to end.
+    "x05_png_roundtrip" -> ((s, dir) => {
+      val ids = Tables.table(s, dir, "documents").select(col("doc_id"))
+      decodePngStats(encodePngGray(ids, "doc_id"), "doc_id", "png")
+        .orderBy(col("doc_id"))
+    }),
+
     // batched mapPartitions decode + per-format aggregate
     "x02_image_features" -> ((s, dir) => {
       decodeFeatures(imgs(s, dir), "doc_id", "img")
@@ -106,6 +119,39 @@ object MultimodalPack extends QueryPack {
         CAST(FLOOR(data_size * 1000.0 / CAST(sample_rate * channels * (bits // 8) AS DOUBLE)) AS BIGINT) AS duration_ms,
         CAST(44 AS INTEGER) AS n_bytes
       FROM f ORDER BY doc_id""",
+
+    // closed-form recomputation of the decoded-pixel stats: the Spark
+    // side reads them from REAL decoded PNGs, so equality proves the
+    // JDK codec round-trip is sample-exact
+    "x05_png_roundtrip" -> """
+      WITH dims AS (
+        SELECT doc_id,
+          8 + 2 * (doc_id % 5) AS w,
+          8 + 2 * ((doc_id * 3) % 5) AS h
+        FROM documents),
+      px AS (
+        SELECT d.doc_id, (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS p
+        FROM dims d
+        JOIN (SELECT range AS x FROM range(0, 16)) x ON x.x < d.w
+        JOIN (SELECT range AS y FROM range(0, 16)) y ON y.y < d.h),
+      blocks AS (
+        SELECT d.doc_id,
+          (((d.doc_id * 31 + (2*bx.b) * 7 + (2*by.b) * 13) % 256)
+           + ((d.doc_id * 31 + (2*bx.b+1) * 7 + (2*by.b) * 13) % 256)
+           + ((d.doc_id * 31 + (2*bx.b) * 7 + (2*by.b+1) * 13) % 256)
+           + ((d.doc_id * 31 + (2*bx.b+1) * 7 + (2*by.b+1) * 13) % 256)) // 4 AS avg4
+        FROM dims d
+        JOIN (SELECT range AS b FROM range(0, 8)) bx ON bx.b < d.w // 2
+        JOIN (SELECT range AS b FROM range(0, 8)) by ON by.b < d.h // 2)
+      SELECT d.doc_id,
+        CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+        CAST(s.sum_px AS BIGINT) AS sum_px,
+        CAST(d.w // 2 AS INTEGER) AS resized_w, CAST(d.h // 2 AS INTEGER) AS resized_h,
+        CAST(b.resized_sum AS BIGINT) AS resized_sum
+      FROM dims d
+      JOIN (SELECT doc_id, SUM(p) AS sum_px FROM px GROUP BY doc_id) s USING (doc_id)
+      JOIN (SELECT doc_id, SUM(avg4) AS resized_sum FROM blocks GROUP BY doc_id) b USING (doc_id)
+      ORDER BY doc_id""",
 
     "x02_image_features" -> s"""
       WITH feats AS (

@@ -326,6 +326,31 @@ object Relational extends QueryPack {
     // LISTAGG ... WITHIN GROUP (SQL:2016, Spark 4.0+): ordered string
     // aggregation; the per-group order is total so the result is
     // deterministic on any partitioning
+    // higher-order array functions (SQL lambda surface): per-order
+    // quantity arrays built with an order-pinned sort (collect_list order
+    // is partitioning-dependent; array_sort makes it total), then
+    // transform / filter / aggregate lambdas reduce them back to scalars.
+    // The lambdas run inside the per-row projection — codegen'd, zero
+    // extra shuffles beyond the one groupBy.
+    "q55_array_lambdas" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          CAST(size(qs) AS INT) AS n_items,
+          aggregate(qs, 0L, (acc, x) -> acc + x) AS sum_q,
+          CAST(size(filter(qs, x -> x > 25)) AS INT) AS n_big,
+          CAST(size(array_distinct(qs)) AS INT) AS n_distinct,
+          aggregate(transform(qs, x -> x * x), 0L, (acc, x) -> acc + x) AS sum_sq
+        FROM (
+          SELECT o_orderkey,
+            array_sort(collect_list(CAST(l_quantity AS BIGINT))) AS qs
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderkey <= 2000
+          GROUP BY o_orderkey)
+        ORDER BY o_orderkey
+      """)
+    }),
+
     "q54_listagg" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -829,6 +854,23 @@ object Relational extends QueryPack {
       FROM lineitem
       GROUP BY ALL
       ORDER BY l_returnflag, l_linestatus, ship_yr""",
+
+    // DuckDB's list lambdas mirror Spark's higher-order functions;
+    // integer elements make every reduction exact
+    "q55_array_lambdas" -> """
+      SELECT o_orderkey,
+        CAST(len(qs) AS INTEGER) AS n_items,
+        CAST(list_sum(qs) AS BIGINT) AS sum_q,
+        CAST(len(list_filter(qs, x -> x > 25)) AS INTEGER) AS n_big,
+        CAST(len(list_distinct(qs)) AS INTEGER) AS n_distinct,
+        CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sum_sq
+      FROM (
+        SELECT o_orderkey,
+          list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey <= 2000
+        GROUP BY o_orderkey)
+      ORDER BY o_orderkey""",
 
     "q54_listagg" -> """
       SELECT n_regionkey,

@@ -419,6 +419,79 @@ object TextOps extends QueryPack {
     // scalar, top-3 terms per doc by score with a total tie order. The
     // per-doc window partitions by doc_id — bounded by document length,
     // never corpus size.
+    // Per-source distribution shift: KL(source ‖ corpus) over unigram
+    // distributions — the domain-drift / mixture-health metric a
+    // training-data pipeline tracks per ingest source (the corpus-level
+    // sibling of m12's feature-drift PSI). One explode + two combinable
+    // aggregations; source totals and the corpus scalar broadcast back;
+    // per-term contributions round at 9dp and sum as DECIMAL (t12's
+    // order-independence rule) so the hash matches at any partitioning.
+    "t24_source_divergence" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val tf = t(s, dir, "documents")
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      val srcTot = tf.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+      val corp = tf.groupBy(col("tok")).agg(sum(col("n")).as("nc"))
+      val corpTot = corp.agg(sum(col("nc")).as("nt"))
+      tf.join(srcTot, Seq("source")).join(corp, Seq("tok"))
+        .crossJoin(broadcast(corpTot))
+        .select(col("source"), col("ns"),
+          round((col("n") / col("ns")) *
+            log((col("n") * col("nt")) / (col("ns") * col("nc"))), 9).as("contrib"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).cast(LongType).as("n_tokens"),
+          sum(col("contrib").cast(DecimalType(28, 10))).as("tot"))
+        .select(col("source"), col("n_tokens"),
+          round(col("tot").cast(DoubleType), 6).as("kl"))
+        .orderBy(col("source"))
+    }),
+
+    // BPE tokenizer-merge training (Sennrich et al. 2016), distributed
+    // form: ONE corpus-scale pass builds the word-frequency table, then
+    // every merge round runs on the model-sized vocab (top-200 words
+    // under a total order) — pair counting is an explode + map-side-
+    // combinable weighted count, the argmax merge rule is the learned
+    // artifact (driver-sized by definition), and merge application is a
+    // literal token-boundary replace. At 100 TB only the first pass
+    // touches the corpus; rounds never do. Merge application is
+    // left-to-right non-overlapping (Java/DuckDB replace semantics —
+    // immediately-adjacent repeats of the just-merged pair defer to the
+    // next round); both engines share those semantics exactly.
+    "t23_bpe_merges" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(200)
+      var vocab = words.select(
+        concat(concat_ws(" ", filter(split(col("w"), ""), x => x =!= "")),
+          lit(" </w>")).as("seq"),
+        col("cnt")).persist()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to 3) {
+        val best = vocab
+          .select(col("cnt"), split(col("seq"), " ").as("tk"))
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("weight"))
+          .orderBy(col("weight").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b) = (best.getString(0), best.getString(1))
+        merges += ((r, a, b, best.getLong(2)))
+        val next = vocab.select(
+          expr(s"trim(replace(concat(' ', seq, ' '), ' $a $b ', ' $a$b '))").as("seq"),
+          col("cnt")).persist()
+        vocab.unpersist()
+        vocab = next
+      }
+      vocab.unpersist()
+      import s.implicits._
+      merges.toSeq.toDF("round", "a", "b", "weight").orderBy(col("round"))
+    }),
+
     "t22_tfidf_keywords" -> ((s, dir) => {
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
       val tf = t(s, dir, "documents")
@@ -667,6 +740,58 @@ object TextOps extends QueryPack {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         CAST(MIN(doc_id) AS BIGINT) AS first_doc
       FROM s GROUP BY lang, split ORDER BY lang, split""",
+
+    // same expression text → same IEEE op order → same doubles; the
+    // 9dp-round + DECIMAL sum makes the total order-independent
+    "t24_source_divergence" -> """
+      WITH tf AS (
+        SELECT source, tok, COUNT(*) AS n FROM (
+          SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+          FROM documents)
+        GROUP BY source, tok),
+      st AS (SELECT source, SUM(n) AS ns FROM tf GROUP BY source),
+      corp AS (SELECT tok, SUM(n) AS nc FROM tf GROUP BY tok),
+      ct AS (SELECT SUM(nc) AS nt FROM corp),
+      contribs AS (
+        SELECT tf.source, st.ns,
+          ROUND((tf.n / st.ns) * ln((tf.n * ct.nt) / (st.ns * corp.nc)), 9) AS contrib
+        FROM tf JOIN st USING (source) JOIN corp USING (tok), ct)
+      SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+        ROUND(CAST(SUM(CAST(contrib AS DECIMAL(28,10))) AS DOUBLE), 6) AS kl
+      FROM contribs GROUP BY source ORDER BY source""",
+
+    // the same three merge rounds unrolled; DuckDB's replace shares
+    // Java's left-to-right non-overlapping semantics (verified), so
+    // vocab states agree exactly at every round
+    "t23_bpe_merges" -> {
+      def round(r: Int): String = s"""
+        p$r AS (
+          SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS weight FROM (
+            SELECT tk[i] AS a, tk[i + 1] AS b, cnt FROM (
+              SELECT tk, cnt, unnest(range(1, len(tk))) AS i
+              FROM (SELECT string_split(seq, ' ') AS tk, cnt FROM v${r - 1})))
+          GROUP BY a, b),
+        m$r AS (SELECT a, b, weight FROM p$r ORDER BY weight DESC, a, b LIMIT 1),
+        v$r AS (
+          SELECT trim(replace(' ' || seq || ' ',
+            ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')) AS seq, cnt
+          FROM v${r - 1}, m$r m)"""
+      s"""
+      WITH words AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+          FROM documents)
+        WHERE LENGTH(w) >= 2
+        GROUP BY w ORDER BY cnt DESC, w LIMIT 200),
+      v0 AS (
+        SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq, cnt
+        FROM words),
+      ${(1 to 3).map(round).mkString(",")}
+      SELECT CAST(1 AS INTEGER) AS round, a, b, weight FROM m1
+      UNION ALL SELECT CAST(2 AS INTEGER), a, b, weight FROM m2
+      UNION ALL SELECT CAST(3 AS INTEGER), a, b, weight FROM m3
+      ORDER BY round"""
+    },
 
     "t22_tfidf_keywords" -> """
       WITH tf AS (

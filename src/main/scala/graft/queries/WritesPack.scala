@@ -193,6 +193,31 @@ object WritesPack extends QueryPack {
         ORDER BY s.table_name, s.index_name, s.seq_in_index""")
     }),
 
+    // equi-width histogram profiling — the distribution sketch behind the
+    // data catalog's column statistics (the reference surfaces
+    // most_common_values per column; an equi-width histogram is the form
+    // that still works when the domain is continuous). Scale shape: one
+    // min/max pass per column (map-side combinable) broadcast back, then
+    // one combinable bucket count — two narrow aggregations, no sort, no
+    // window, any corpus size.
+    "i05_histogram" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def histOf(cn: String): DataFrame = {
+        val b = li.agg(min(col(cn)).cast(DoubleType).as("mn"),
+          max(col(cn)).cast(DoubleType).as("mx"))
+        li.select(col(cn).cast(DoubleType).as("x")).crossJoin(broadcast(b))
+          .select(least(floor((col("x") - col("mn")) * 10 / (col("mx") - col("mn"))),
+            lit(9.0)).cast(LongType).as("bucket"), col("mn"), col("mx"))
+          .groupBy(col("bucket"), col("mn"), col("mx")).agg(count(lit(1)).as("n"))
+          .select(lit(cn).as("col_name"), col("bucket"),
+            round(col("mn") + col("bucket") * (col("mx") - col("mn")) / 10, 4).as("lo"),
+            round(col("mn") + (col("bucket") + 1) * (col("mx") - col("mn")) / 10, 4).as("hi"),
+            col("n"))
+      }
+      histOf("l_quantity").union(histOf("l_extendedprice"))
+        .orderBy(col("col_name"), col("bucket"))
+    }),
+
     // Bucketed co-located join: both sides bucketed on the join key with
     // the same bucket count → the sort-merge join needs NO exchange on
     // either side (PlanShapeSpec asserts the plan). THE shuffle
@@ -295,6 +320,29 @@ object WritesPack extends QueryPack {
         FROM (SELECT 'src' AS side, o_totalprice FROM cl12
           UNION ALL SELECT 'clone' AS side, o_totalprice FROM cl12c)
         GROUP BY side ORDER BY side""")
+    }),
+
+    // Multi-statement TRANSACTIONS over the snapshot log (beyond the
+    // reference, whose BEGIN/COMMIT/ROLLBACK dispatch is a no-op): the
+    // first transaction's UPDATE + DELETE are ROLLED BACK — the final
+    // read must show no trace of them; the second transaction COMMITs.
+    // Rollback restores pre-image versions by hard link — O(metadata)
+    // per touched table at any size, zero data copied.
+    "w15_transactions" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE txn15 AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 400""")
+      c.execute("BEGIN")
+      c.execute("UPDATE txn15 SET o_totalprice = o_totalprice * 10 WHERE o_orderstatus = 'F'")
+      c.execute("DELETE FROM txn15 WHERE o_orderkey % 2 = 0")
+      c.execute("ROLLBACK")
+      c.execute("BEGIN")
+      c.execute("UPDATE txn15 SET o_totalprice = o_totalprice * 2 WHERE o_orderstatus = 'O'")
+      c.execute("COMMIT")
+      c.execute(s"""SELECT o_orderstatus, COUNT(*) AS n,
+          ${Parity.oSum("o_totalprice")} AS total
+        FROM txn15 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
     // SCD Type-2 history build (Kimball dimension versioning; beyond the
@@ -535,6 +583,47 @@ object WritesPack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // same bucket arithmetic, literally: identical expression text means
+    // identical IEEE operation order, so bucket edges agree bit-for-bit
+    "i05_histogram" -> """
+      WITH b1 AS (SELECT CAST(MIN(l_quantity) AS DOUBLE) AS mn,
+                         CAST(MAX(l_quantity) AS DOUBLE) AS mx FROM lineitem),
+      b2 AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS mn,
+                    CAST(MAX(l_extendedprice) AS DOUBLE) AS mx FROM lineitem),
+      h1 AS (
+        SELECT col_name, bucket, mn, mx, COUNT(*) AS n FROM (
+          SELECT 'l_quantity' AS col_name,
+            CAST(LEAST(FLOOR(((CAST(l_quantity AS DOUBLE) - mn) * 10) / (mx - mn)), 9) AS BIGINT) AS bucket,
+            mn, mx
+          FROM lineitem, b1)
+        GROUP BY col_name, bucket, mn, mx),
+      h2 AS (
+        SELECT col_name, bucket, mn, mx, COUNT(*) AS n FROM (
+          SELECT 'l_extendedprice' AS col_name,
+            CAST(LEAST(FLOOR(((CAST(l_extendedprice AS DOUBLE) - mn) * 10) / (mx - mn)), 9) AS BIGINT) AS bucket,
+            mn, mx
+          FROM lineitem, b2)
+        GROUP BY col_name, bucket, mn, mx)
+      SELECT col_name, bucket,
+        ROUND(mn + bucket * (mx - mn) / 10, 4) AS lo,
+        ROUND(mn + (bucket + 1) * (mx - mn) / 10, 4) AS hi, n
+      FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+      ORDER BY col_name, bucket""",
+
+    // only the COMMITTED update survives: the rolled-back ×10/delete
+    // must leave no trace
+    "w15_transactions" -> s"""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 400),
+      fin AS (
+        SELECT o_orderstatus,
+          CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice
+        FROM base)
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // each version recomputed straight from orders: v0 = the CTAS
     // subset, v1 = after the doubled-O update, v2 = after the delete

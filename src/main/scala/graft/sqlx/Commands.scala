@@ -104,6 +104,8 @@ final class Commands(
     """(?is)\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val ExportStmt =
+    """(?is)\s*EXPORT\s+(?:TABLE\s+(\w+)|\((.+)\))\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?(?:\s+SHARD\s+ROWS\s+(\d+))?\s*""".r
   private val UpdateStmt =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
   private val MergeStmt =
@@ -138,7 +140,7 @@ final class Commands(
   private val UserVarQuery =
     """(?is)\s*SELECT\s+(@[\w.]+(?:\s+AS\s+\w+)?(?:\s*,\s*@[\w.]+(?:\s+AS\s+\w+)?)*)\s*(?:LIMIT\s+\d+\s*)?""".r
   private val TxnStmt =
-    """(?is)\s*(?:START\s+TRANSACTION|BEGIN|COMMIT|ROLLBACK)\s*""".r
+    """(?is)\s*(START\s+TRANSACTION|BEGIN|COMMIT|ROLLBACK)\s*""".r
   private val AlterView =
     """(?is)\s*ALTER\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
   private val AlterAddCol =
@@ -502,12 +504,23 @@ final class Commands(
       if (catalog.trigger(name).isDefined) { catalog.dropTrigger(name); ok(s"trigger $name dropped") }
       else { require(ifEx != null, s"trigger $name does not exist"); ok(s"trigger $name does not exist") }
 
-    case TxnStmt() =>
-      // START TRANSACTION / BEGIN / COMMIT / ROLLBACK are accepted no-ops
-      // (command_executor.py StartTransaction/CommitTransaction/
-      // RollbackTransaction dispatch — the reference has no transactional
-      // storage either)
-      ok("ok")
+    case TxnStmt(verb) =>
+      // Real multi-statement transactions over the warehouse snapshot
+      // log (beyond the reference, whose command_executor.py
+      // StartTransaction/Commit/Rollback dispatch is a no-op): BEGIN
+      // records pre-image versions at first touch, ROLLBACK restores
+      // them by hard link, COMMIT forgets the record. O(metadata) per
+      // touched table at any data size.
+      verb.trim.toUpperCase.replaceAll("\\s+", " ") match {
+        case "BEGIN" | "START TRANSACTION" =>
+          warehouse.begin(); ok("transaction started")
+        case "COMMIT" =>
+          warehouse.commitTxn(); ok("committed")
+        case _ =>
+          val actions = warehouse.rollbackTxn()
+          ok(if (actions.isEmpty) "rolled back (nothing touched)"
+             else s"rolled back: ${actions.mkString("; ")}")
+      }
 
     case AlterView(name, body) =>
       // ALTER VIEW … AS (command_executor.py:633 → answer_alter_view):
@@ -640,6 +653,40 @@ final class Commands(
       ok(s"table $name created")
     case DropTable(name) =>
       warehouse.dropTable(name); ok(s"table $name dropped")
+    case ExportStmt(nameO, subO, path, fmtO, shardO) =>
+      // EXPORT TABLE t | (query) TO '<path>' [FORMAT jsonl|csv|parquet]
+      // [SHARD ROWS n] — the training-data hand-off: size-bounded shard
+      // files (maxRecordsPerFile caps rows per file WITHOUT a
+      // repartition — each write task rolls files as it fills them, so
+      // sharding is free at any scale) plus a _manifest.json the
+      // downstream loader trusts instead of re-listing/recounting.
+      val df = Option(nameO).map(n => run(s"SELECT * FROM $n"))
+        .getOrElse(run(subO))
+      val fmt = Option(fmtO).map(_.toLowerCase).getOrElse("jsonl")
+      val shardRows = Option(shardO).map(_.toLong)
+      val w0 = df.write.mode("overwrite")
+      val w = shardRows.fold(w0)(n => w0.option("maxRecordsPerFile", n))
+      fmt match {
+        case "jsonl" | "json" => w.json(path)
+        case "csv" => w.option("header", "true").csv(path)
+        case "parquet" => w.parquet(path)
+        case other => throw new IllegalArgumentException(
+          s"EXPORT FORMAT $other not supported (jsonl, csv, parquet)")
+      }
+      val ext = if (fmt == "parquet") ".parquet" else if (fmt == "csv") ".csv" else ".json"
+      val shards = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        try s.filter(p => p.getFileName.toString.endsWith(ext)).count()
+        finally s.close()
+      }
+      val rows = spark.read.format(if (fmt == "csv") "csv" else if (fmt == "parquet") "parquet" else "json")
+        .option("header", "true").load(path).count()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_manifest.json"),
+        s"""{"format":"$fmt","rows":$rows,"shards":$shards""" +
+          shardRows.map(n => s""","shard_rows":$n""").getOrElse("") + "}")
+      import spark.implicits._
+      Seq((path, fmt, rows, shards)).toDF("path", "format", "n_rows", "n_shards")
     case MergeStmt(name, tAliasOpt, srcName, srcSub, sAliasOpt, onCond, setList) =>
       // MERGE INTO <table> [t] USING <src> [s] ON cond
       // WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT * —

@@ -840,6 +840,63 @@ class CommandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](c.execute("CREATE TABLE cldst CLONE clsrc"))
   }
 
+  test("EXPORT: sharded jsonl with manifest; csv and query forms round-trip") {
+    val c = fresh()
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val res = c.execute(
+      s"EXPORT (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 500) " +
+        s"TO '$out/j' FORMAT jsonl SHARD ROWS 50").first()
+    val (rows, shards) = (res.getLong(2), res.getLong(3))
+    assert(rows > 100 && shards >= rows / 50,
+      s"expected >=${rows / 50} shards for $rows rows, got $shards")
+    // every shard respects the row cap; the manifest agrees with reality
+    val back = spark.read.json(s"$out/j")
+    assert(back.count() === rows)
+    import org.apache.spark.sql.functions.{col, input_file_name, count => cnt, lit, max => mx}
+    val maxPerFile = back.groupBy(input_file_name()).agg(cnt(lit(1)).as("n"))
+      .agg(mx(col("n"))).first().getLong(0)
+    assert(maxPerFile <= 50, s"a shard holds $maxPerFile rows (cap 50)")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/j/_manifest.json")), "UTF-8")
+    assert(manifest.contains(s""""rows":$rows""") && manifest.contains(s""""shards":$shards"""))
+    // csv + named-table form
+    c.execute("CREATE TABLE exp_t AS SELECT r_regionkey, r_name FROM region")
+    val res2 = c.execute(s"EXPORT TABLE exp_t TO '$out/c' FORMAT csv").first()
+    assert(res2.getLong(2) === 5L)
+    assert(spark.read.option("header", "true").csv(s"$out/c").count() === 5L)
+  }
+
+  test("TRANSACTIONS: rollback undoes DML and drops tables created inside; commit persists") {
+    val c = fresh()
+    c.execute("CREATE TABLE tx1 AS SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 100")
+    val before = c.execute("SELECT count(*) AS n, sum(o_orderkey) AS s FROM tx1").first()
+    c.execute("BEGIN")
+    c.execute("UPDATE tx1 SET o_totalprice = 0 WHERE o_orderkey <= 50")
+    c.execute("DELETE FROM tx1 WHERE o_orderkey > 90")
+    c.execute("CREATE TABLE tx_new AS SELECT 1 AS x")
+    assert(c.warehouse.exists("tx_new"))
+    c.execute("ROLLBACK")
+    val after = c.execute("SELECT count(*) AS n, sum(o_orderkey) AS s FROM tx1").first()
+    assert(after === before, "rollback did not restore the pre-transaction state")
+    assert(!c.warehouse.exists("tx_new"), "rollback did not drop the table created inside")
+    assert(c.execute("SELECT count(*) AS n FROM tx1 WHERE o_totalprice = 0")
+      .first().getLong(0) === 0L)
+    // committed work persists
+    c.execute("START TRANSACTION")
+    c.execute("UPDATE tx1 SET o_totalprice = -1 WHERE o_orderkey = 1")
+    c.execute("COMMIT")
+    assert(c.execute("SELECT count(*) AS n FROM tx1 WHERE o_totalprice = -1")
+      .first().getLong(0) === 1L)
+    // guards: no nested BEGIN; COMMIT/ROLLBACK require an open txn;
+    // history-destroying DDL refused inside a transaction
+    c.execute("BEGIN")
+    intercept[IllegalArgumentException](c.execute("BEGIN"))
+    intercept[IllegalArgumentException](c.execute("DROP TABLE tx1"))
+    c.execute("ROLLBACK")
+    intercept[IllegalArgumentException](c.execute("COMMIT"))
+    assert(c.warehouse.exists("tx1"))
+  }
+
   test("QUALIFY rewrites to the window-filter wrap; literals containing the word survive") {
     val c = fresh()
     val top = c.execute("""SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders

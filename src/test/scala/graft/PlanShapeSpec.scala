@@ -301,6 +301,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in cohort plan:\n$plan")
   }
 
+  test("d15 frequent pairs: basket self-join is an equi-join; counts aggregate partially") {
+    val plan = executedPlan("d15_frequent_pairs")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in basket join:\n$plan")
+    assert(plan.contains("partial_"), s"pair count not map-side combinable:\n$plan")
+  }
+
+  test("e22 rolling DAU: explode fan-out feeds a partial aggregate, no global window") {
+    val plan = executedPlan("e22_rolling_dau")
+    assert(plan.contains("Generate"), s"no explode fan-out:\n$plan")
+    assert(plan.contains("partial_"), s"distinct count not partially aggregated:\n$plan")
+    assert(!plan.contains("Window"), s"rolling distinct fell back to a window:\n$plan")
+  }
+
+  test("g03 k-core peeling: equi-joins only across all rounds") {
+    val plan = executedPlan("g03_kcore")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"peeling join degenerated:\n$plan")
+  }
+
+  test("i05 histogram: one broadcast bounds pass + combinable bucket counts, no sort before output") {
+    val plan = executedPlan("i05_histogram")
+    assert(plan.contains("partial_"), s"bucket count not map-side combinable:\n$plan")
+    assert(!plan.contains("Window"), s"histogram should not need a window:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -415,6 +415,23 @@ object Events extends QueryPack {
         .orderBy(col("r"), col("f"), col("m"))
     }),
 
+    // most-common 3-step user paths (the path-mining read behind funnel
+    // DISCOVERY — e20 checks a KNOWN funnel; this surfaces the paths
+    // worth checking): two leads over ONE per-user ordered partitioning
+    // (O(1) window state), a |types|³-bounded count, total tie order.
+    "e23_common_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(10)
+    }),
+
     // rolling 7-day distinct active users (DAU + trailing WAU): exact
     // distinct counts over a sliding window. COUNT(DISTINCT) cannot ride
     // a window frame, and a corpus-wide ordered window would pin one
@@ -472,6 +489,19 @@ object Events extends QueryPack {
       FROM events e LEFT JOIN dim USING (user_id)
       WHERE e.ts >= TIMESTAMP '2024-01-25 00:00:00'
       ORDER BY e.event_id""",
+
+    "e23_common_paths" -> """
+      WITH seq AS (
+        SELECT event_type AS step1,
+          lead(event_type, 1) OVER w AS step2,
+          lead(event_type, 2) OVER w AS step3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT step1, step2, step3, COUNT(*) AS n
+      FROM seq WHERE step3 IS NOT NULL
+      GROUP BY step1, step2, step3
+      ORDER BY n DESC, step1, step2, step3
+      LIMIT 10""",
 
     "e22_rolling_dau" -> """
       WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -67,21 +67,30 @@ object GraphOps extends QueryPack {
       out
     }),
 
-    // Triangle counting over the supplier co-occurrence graph (two
-    // suppliers adjacent iff they ship in the same order) — the standard
-    // clustering-coefficient / community-density signal. Scale shape:
-    // the compact-forward algorithm (Schank & Wagner 2005) orients every
-    // edge from the lower-degree endpoint to the higher ((deg, id)
-    // lexicographic, so orientation is total and deterministic); wedge
-    // enumeration then joins oriented edges on their SOURCE, which bounds
-    // per-node work by out-degree ≤ O(sqrt(|E|)) — the hub that would
-    // explode a naive neighbor join carries almost no oriented edges.
-    // Three equi-joins, all hash-partitioned on node ids; no windows, no
-    // cross products.
+    // Triangle counting over the part co-purchase graph (two parts
+    // adjacent iff they appear in the same order) — the standard
+    // clustering-coefficient / community-density signal. The graph is
+    // over PARTS, not suppliers, deliberately: part count scales
+    // linearly with the data so the graph stays sparse at every SF,
+    // whereas a supplier co-occurrence graph saturates toward complete
+    // as orders-per-supplier grows (measured: 88 s at sf0.1 from ~125M
+    // wedges on a near-complete 1000-node graph — a density trap, not a
+    // plan flaw). Scale shape: the compact-forward algorithm (Schank &
+    // Wagner 2005) orients every edge from the lower-degree endpoint to
+    // the higher ((deg, id) lexicographic, so orientation is total and
+    // deterministic); wedge enumeration then joins oriented edges on
+    // their SOURCE, which bounds per-node work by out-degree ≤
+    // O(sqrt(|E|)) — the hub that would explode a naive neighbor join
+    // carries almost no oriented edges. Three equi-joins, all
+    // hash-partitioned on node ids; no windows, no cross products.
     "g02_triangle_count" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val a = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("u"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("v"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+      // NOT persisted, deliberately: oriented feeds three consumers, but
+      // measured at sf0.1 the recompute is cheaper than the cache
+      // barrier (17.4 s recomputed vs 25.3 s persisted) — the wedge join
+      // dominates and pipelines better against streamed inputs
       val und = a.join(b, Seq("ok")).filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct()
       val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
@@ -107,32 +116,41 @@ object GraphOps extends QueryPack {
         .distinct()
       val tri = wedges.join(closing, Seq("x", "y"))
         .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
-      // per-supplier triangle membership + global count
-      val perNode = tri.select(col("a").as("supp"))
-        .union(tri.select(col("b").as("supp")))
-        .union(tri.select(col("c").as("supp")))
-        .groupBy(col("supp")).agg(count(lit(1)).as("n_triangles"))
-      perNode.orderBy(col("supp"))
+      // per-part triangle membership + global count
+      val perNode = tri.select(col("a").as("part"))
+        .union(tri.select(col("b").as("part")))
+        .union(tri.select(col("c").as("part")))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+      perNode.orderBy(col("part"))
     }),
 
-    // k-core decomposition (Seidman 1983) of the supplier co-occurrence
-    // graph: iteratively peel nodes with degree < k until the subgraph
-    // stabilizes — the dense backbone that survives is the classic
-    // community-strength / spam-farm signal. Peeling is unrolled to 4
-    // deterministic rounds (mirrored exactly by the oracle); each round
-    // is one map-side-combinable degree aggregation plus two
-    // hash-partitioned semi-joins restricting edges to surviving
-    // endpoints — no windows, no driver iteration over nodes, and the
-    // edge set only shrinks, so round r costs at most round r-1. A
-    // localCheckpoint per round keeps the plan O(1) deep (same recovery
-    // argument as g01's supersteps).
+    // k-core decomposition (Seidman 1983) of the part co-purchase graph
+    // (sparse at every SF — same density argument as g02): iteratively
+    // peel nodes with degree < k until the subgraph stabilizes — the
+    // dense backbone that survives is the classic community-strength /
+    // spam-farm signal. k is DATA-DEPENDENT — 75% of the mean degree,
+    // computed in exact integer arithmetic — because an absolute k is
+    // meaningless across scales (the same constant that isolates a
+    // backbone at one SF empties or keeps everything at another).
+    // Peeling is unrolled to 4 deterministic rounds (mirrored exactly by
+    // the oracle); each round is one map-side-combinable degree
+    // aggregation plus two hash-partitioned semi-joins restricting
+    // edges to surviving endpoints — no windows, no driver iteration
+    // over nodes, and the edge set only shrinks, so round r costs at
+    // most round r-1. A localCheckpoint per round keeps the plan O(1)
+    // deep (same recovery argument as g01's supersteps); the single
+    // collected scalar (k) is the model parameter, not data.
     "g03_kcore" -> ((s, dir) => {
-      val k = 48
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val a = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("u"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("v"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
       var edges = a.join(b, Seq("ok")).filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct().localCheckpoint()
+      val st = edges
+        .select(col("u").as("node")).union(edges.select(col("v").as("node")))
+        .agg(count(lit(1)).as("deg_sum"), countDistinct(col("node")).as("n_nodes"))
+        .select(expr("(deg_sum * 75) DIV (100 * n_nodes)").as("k")).head()
+      val k = st.getLong(0)
       for (_ <- 1 to 4) {
         val deg = edges.select(col("u").as("node"))
           .union(edges.select(col("v").as("node")))
@@ -179,15 +197,15 @@ object GraphOps extends QueryPack {
     // wedge/closing joins — the count is combinatorially exact, so the
     // two engines must agree row-for-row
     "g02_triangle_count" -> """
-      WITH und AS (
-        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      WITH und AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        WHERE a.l_suppkey < b.l_suppkey),
-      deg AS (
+        WHERE a.l_partkey < b.l_partkey),
+      deg AS MATERIALIZED (
         SELECT node, COUNT(*) AS deg FROM (
           SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
         GROUP BY node),
-      oriented AS (
+      oriented AS MATERIALIZED (
         SELECT
           CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
                THEN u ELSE v END AS src,
@@ -200,37 +218,43 @@ object GraphOps extends QueryPack {
         SELECT e1.src, e1.dst AS x, e2.dst AS y
         FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
         WHERE e1.dst < e2.dst),
-      closing AS (
+      closing AS MATERIALIZED (
         SELECT src AS x, dst AS y FROM oriented
         UNION
         SELECT dst AS x, src AS y FROM oriented),
       tri AS (
         SELECT w.src AS a, w.x AS b, w.y AS c
         FROM wedges w JOIN closing c ON c.x = w.x AND c.y = w.y)
-      SELECT supp, COUNT(*) AS n_triangles FROM (
-        SELECT a AS supp FROM tri
-        UNION ALL SELECT b AS supp FROM tri
-        UNION ALL SELECT c AS supp FROM tri)
-      GROUP BY supp ORDER BY supp""",
+      SELECT part, COUNT(*) AS n_triangles FROM (
+        SELECT a AS part FROM tri
+        UNION ALL SELECT b AS part FROM tri
+        UNION ALL SELECT c AS part FROM tri)
+      GROUP BY part ORDER BY part""",
 
     // the same four peel rounds unrolled — peeling is deterministic
     // (degree thresholding has no ties to break), so edge sets agree
     // exactly at every round
+    // MATERIALIZED: each round references the previous one 4× — DuckDB
+    // would otherwise inline the whole chain exponentially. k is the
+    // same exact-integer 75%-of-mean-degree scalar the Spark side uses.
     "g03_kcore" -> {
       def round(r: Int): String = s"""
-        deg$r AS (
+        deg$r AS MATERIALIZED (
           SELECT node, COUNT(*) AS deg FROM (
             SELECT u AS node FROM e${r - 1} UNION ALL SELECT v AS node FROM e${r - 1})
           GROUP BY node),
-        e$r AS (
+        e$r AS MATERIALIZED (
           SELECT u, v FROM e${r - 1}
-          WHERE u IN (SELECT node FROM deg$r WHERE deg >= 48)
-            AND v IN (SELECT node FROM deg$r WHERE deg >= 48))"""
+          WHERE u IN (SELECT node FROM deg$r WHERE deg >= (SELECT k FROM kv))
+            AND v IN (SELECT node FROM deg$r WHERE deg >= (SELECT k FROM kv)))"""
       s"""
-      WITH e0 AS (
-        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-        WHERE a.l_suppkey < b.l_suppkey),
+        WHERE a.l_partkey < b.l_partkey),
+      kv AS MATERIALIZED (
+        SELECT (COUNT(*) * 75) // (100 * COUNT(DISTINCT node)) AS k FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)),
       ${(1 to 4).map(round).mkString(",")}
       SELECT node, COUNT(*) AS core_deg FROM (
         SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4)

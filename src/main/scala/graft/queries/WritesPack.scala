@@ -322,6 +322,16 @@ object WritesPack extends QueryPack {
         GROUP BY side ORDER BY side""")
     }),
 
+    // SHOW CREATE TABLE: reproducible DDL rendered from the physical
+    // layout (schema + hive partition column), MySQL result shape —
+    // the oracle states the expected DDL literally
+    "c12_show_create" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE sc12 PARTITIONED BY (o_orderstatus) AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""")
+      c.execute("SHOW CREATE TABLE sc12")
+    }),
+
     // Multi-statement TRANSACTIONS over the snapshot log (beyond the
     // reference, whose BEGIN/COMMIT/ROLLBACK dispatch is a no-op): the
     // first transaction's UPDATE + DELETE are ROLLED BACK — the final
@@ -610,6 +620,15 @@ object WritesPack extends QueryPack {
         ROUND(mn + (bucket + 1) * (mx - mn) / 10, 4) AS hi, n
       FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
       ORDER BY col_name, bucket""",
+
+    "c12_show_create" -> """
+      SELECT 'sc12' AS tbl,
+        'CREATE TABLE `sc12` (' || chr(10) ||
+        '  `o_orderkey` BIGINT,' || chr(10) ||
+        '  `o_totalprice` DOUBLE,' || chr(10) ||
+        '  `o_orderstatus` STRING' || chr(10) ||
+        ')' || chr(10) ||
+        'PARTITIONED BY (`o_orderstatus`)' AS create_stmt""",
 
     // only the COMMITTED update survives: the rolled-back ×10/delete
     // must leave no trace

@@ -838,10 +838,26 @@ final class Commands(
           StructField("null", StringType), StructField("key", StringType),
           StructField("default", StringType), StructField("extra", StringType))))
     case ShowCreate(name) =>
-      val fields = catalog.resolve(name, Some(warehouse)).schema.fields
-      val ddl = fields.map(f => s"  `${f.name}` ${f.dataType.sql}").mkString(",\n")
-      kv("table", "create_table",
-        Seq(name -> s"CREATE TABLE `$name` (\n$ddl\n)"))
+      // SHOW CREATE TABLE: reproducible DDL rendered from the physical
+      // layout — schema (evolution log applied), hive partition column,
+      // bucket spec; non-warehouse relations fall back to schema-only.
+      val bs = warehouse.bucketSpec(name)
+      require(warehouse.exists(name) || bs.isDefined ||
+        (try { catalog.resolve(name, Some(warehouse)); true }
+         catch { case _: Exception => false }), s"table $name does not exist")
+      val schema =
+        if (bs.isDefined) warehouse.bucketedTable(spark, name).schema
+        else if (warehouse.exists(name)) warehouse.table(name).schema
+        else catalog.resolve(name, Some(warehouse)).schema
+      val ddl = schema.fields.map(f => s"  `${f.name}` ${f.dataType.sql}").mkString(",\n")
+      val pc = if (bs.isDefined || !warehouse.exists(name)) None
+        else warehouse.partitionColumn(name)
+      val stmt = s"CREATE TABLE `$name` (\n$ddl\n)" +
+        pc.map(p => s"\nPARTITIONED BY (`$p`)").getOrElse("") +
+        bs.map { case (cs, n) =>
+          s"\nCLUSTERED BY (${cs.map(c => s"`$c`").mkString(", ")}) INTO $n BUCKETS"
+        }.getOrElse("")
+      kv("tbl", "create_stmt", Seq(name -> stmt))
 
     case DescribeModel(name, versionO, attrO) =>
       // DESCRIBE MODEL name[.version][.attribute] — attribute access per

@@ -840,6 +840,19 @@ class CommandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](c.execute("CREATE TABLE cldst CLONE clsrc"))
   }
 
+  test("SHOW CREATE TABLE: bucket spec and evolved columns render; missing table errors") {
+    val c = fresh()
+    c.execute("CREATE TABLE scb CLUSTERED BY (o_orderkey) INTO 4 BUCKETS AS " +
+      "SELECT o_orderkey, o_totalprice FROM orders")
+    val b = c.execute("SHOW CREATE TABLE scb").first().getString(1)
+    assert(b.contains("CLUSTERED BY (`o_orderkey`) INTO 4 BUCKETS"), b)
+    c.execute("CREATE TABLE scp AS SELECT r_regionkey, r_name FROM region")
+    c.execute("ALTER TABLE scp ADD COLUMN note STRING DEFAULT 'x'")
+    val p = c.execute("SHOW CREATE TABLE scp").first().getString(1)
+    assert(p.contains("`note` STRING"), s"evolved column missing from:\n$p")
+    intercept[IllegalArgumentException](c.execute("SHOW CREATE TABLE nope_missing"))
+  }
+
   test("EXPORT: sharded jsonl with manifest; csv and query forms round-trip") {
     val c = fresh()
     val out = java.nio.file.Files.createTempDirectory("graft-export").toString

@@ -102,4 +102,26 @@ object Fit {
     val (w, b) = solve(combined)
     (LinearModel(name, spec.features, w, b, spec.scoreCol), combined)
   }
+
+  /** Ridge regression (Tikhonov; Hoerl & Kennard 1970): the SAME
+    * additive sufficient statistics as OLS with λ added to the feature
+    * diagonal of Z'Z at solve time — the intercept is conventionally
+    * unpenalized. The 100 TB shape is unchanged: one embarrassingly
+    * parallel scan, k² doubles to the driver, and since λ only enters
+    * the solve, the statistics still ADD exactly. */
+  def solveRidge(s: Stats, lambda: Double): (Seq[Double], Double) = {
+    val k = s.zty.length
+    val penalized = Stats(s.n,
+      Array.tabulate(k, k)((i, j) =>
+        s.ztz(i)(j) + (if (i == j && i > 0) lambda else 0.0)),
+      s.zty)
+    solve(penalized)
+  }
+
+  def fitRidge(name: String, df: DataFrame, spec: FitSpec,
+      lambda: Double): (LinearModel, Stats) = {
+    val st = stats(df, spec)
+    val (w, b) = solveRidge(st, lambda)
+    (LinearModel(name, spec.features, w, b, spec.scoreCol), st)
+  }
 }

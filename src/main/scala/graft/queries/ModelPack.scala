@@ -186,6 +186,22 @@ object ModelPack extends QueryPack {
         ORDER BY l_orderkey, l_linenumber, score""")
     }),
 
+    // ridge-regression engine through the SQL lifecycle: λ shrinks the
+    // slope toward zero relative to m06's OLS (the oracle refits the
+    // same penalized closed form from explicit sums). λ is large enough
+    // that ridge and OLS disagree well above the 6dp coefficient round.
+    "m26_ridge_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL ridge_m26 FROM
+        (SELECT l_quantity, l_extendedprice FROM lineitem)
+        PREDICT l_extendedprice USING engine='ridge', features='l_quantity',
+        lambda=5000000.0, score_column='pred'""")
+      c.execute("""SELECT l_orderkey, l_linenumber, ROUND(pred, 4) AS pred
+        FROM (SELECT * FROM lineitem WHERE l_quantity >= 48) JOIN ridge_m26
+        ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // chained model application: one predictor's output column is the
     // next predictor's feature, in a single statement — the reference
     // planner walks arbitrary join trees applying every predictor
@@ -831,6 +847,27 @@ object ModelPack extends QueryPack {
       SELECT ROUND(1.0 - ssres / (sa2 - sa * sa / n), 6) AS r2_score,
              ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1_score
       FROM s1, s2""",
+
+    // penalized closed form from explicit sums: the intercept is
+    // unpenalized, so b = (Sy - w*Sx)/n with the shrunk w
+    "m26_ridge_sql" -> """
+      WITH s AS (
+        SELECT COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DOUBLE)) AS sx,
+          SUM(CAST(l_extendedprice AS DOUBLE)) AS sy,
+          SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+          SUM(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sxy
+        FROM lineitem),
+      raw AS (
+        SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n + 5000000.0) AS wr, sx, sy, n
+        FROM s),
+      fit AS (
+        SELECT ROUND(wr, 6) AS w, ROUND((sy - wr * sx) / n, 6) AS b FROM raw)
+      SELECT l_orderkey, l_linenumber,
+        ROUND(b + w * l_quantity, 4) AS pred
+      FROM lineitem, fit
+      WHERE l_quantity >= 48
+      ORDER BY l_orderkey, l_linenumber""",
 
     "m06_retrain_version" -> """
       WITH fit AS (

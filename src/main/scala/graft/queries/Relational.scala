@@ -326,6 +326,22 @@ object Relational extends QueryPack {
     // LISTAGG ... WITHIN GROUP (SQL:2016, Spark 4.0+): ordered string
     // aggregation; the per-group order is total so the result is
     // deterministic on any partitioning
+    // regex scalar-function breadth (extract / extract_all / replace /
+    // RLIKE): all map-side, codegen'd, zero shuffles beyond the output
+    // sort — DuckDB's RE2 and Java's regex agree on this (lookaround-
+    // free) pattern subset
+    "q56_regex_funcs" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT doc_id,
+          CAST(length(regexp_replace(text, '[^0-9]', '')) AS INT) AS n_digits,
+          CAST(size(regexp_extract_all(text, '\\b[A-Z][a-z]+\\b', 0)) AS INT) AS n_cap_words,
+          regexp_extract(text, '([0-9]+)', 1) AS first_num,
+          text RLIKE 'https?://' AS has_url
+        FROM documents ORDER BY doc_id
+      """)
+    }),
+
     // higher-order array functions (SQL lambda surface): per-order
     // quantity arrays built with an order-pinned sort (collect_list order
     // is partitioning-dependent; array_sort makes it total), then
@@ -854,6 +870,14 @@ object Relational extends QueryPack {
       FROM lineitem
       GROUP BY ALL
       ORDER BY l_returnflag, l_linestatus, ship_yr""",
+
+    "q56_regex_funcs" -> """
+      SELECT doc_id,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits,
+        CAST(len(regexp_extract_all(text, '\b[A-Z][a-z]+\b')) AS INTEGER) AS n_cap_words,
+        regexp_extract(text, '([0-9]+)', 1) AS first_num,
+        regexp_matches(text, 'https?://') AS has_url
+      FROM documents ORDER BY doc_id""",
 
     // DuckDB's list lambdas mirror Spark's higher-order functions;
     // integer elements make every reduction exact

@@ -386,6 +386,25 @@ final class Commands(
           val (m, st) = trainer()
           catalog.createModel(m, st, Some(trainer), None)
           ok(s"model $name trained (version 1)")
+        case Some("ridge") =>
+          // regularized-regression engine: OLS's additive sufficient
+          // statistics with λ on the feature diagonal at solve time
+          // (engine variety via USING engine=…, like the reference's
+          // ml_handler selection). RETRAIN re-runs the stored trainer;
+          // FINETUNE is not offered (it would silently re-solve
+          // unpenalized), so the spec is not stored.
+          val features = p.getOrElse("features",
+            throw new IllegalArgumentException("engine='ridge' needs features='c1,c2'"))
+            .split(",").map(_.trim).toSeq
+          val lambda = p.getOrElse("lambda", "1.0").toDouble
+          val spec = Fit.FitSpec(features, target, p.getOrElse("score_column", "score"))
+          val trainer = () => {
+            val (m, st) = Fit.fitRidge(name, run(trainSql), spec, lambda)
+            (m: graft.ml.Model, Option(st))
+          }
+          val (m, st) = trainer()
+          catalog.createModel(m, st, Some(trainer), None)
+          ok(s"model $name trained (version 1)")
         case Some("naive_bayes") =>
           // classification engine: CREATE MODEL … PREDICT <label> USING
           // engine='naive_bayes', features='<text column>' — the

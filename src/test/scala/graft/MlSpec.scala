@@ -109,6 +109,25 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("Fit.fitRidge shrinks toward zero, matches the closed form, and λ=0 is OLS") {
+    import graft.ml.Fit
+    val sp = spark
+    import sp.implicits._
+    // symmetric design: x in {-1, 0, 1}, y = 2x → Sx = 0, so the
+    // penalized closed form is exactly w = Sxy/(Sxx + λ), b = 0
+    val d = Seq((-1.0, -2.0), (0.0, 0.0), (1.0, 2.0)).toDF("x", "y")
+    val spec = Fit.FitSpec(Seq("x"), "y")
+    val (m0, _) = Fit.fitRidge("r0", d, spec, 0.0)
+    assert(m0.weights === Seq(2.0) && m0.bias === 0.0, "λ=0 must equal OLS")
+    val (m2, _) = Fit.fitRidge("r2", d, spec, 2.0)
+    // Sxy = 4, Sxx = 2 → w = 4/(2+2) = 1.0
+    assert(m2.weights === Seq(1.0) && m2.bias === 0.0)
+    val (m6, _) = Fit.fitRidge("r6", d, spec, 6.0)
+    assert(m6.weights === Seq(0.5) && m6.bias === 0.0)
+    // monotone shrinkage
+    assert(m0.weights.head > m2.weights.head && m2.weights.head > m6.weights.head)
+  }
+
   test("Fit.finetune(old, new) equals fit(old union new) exactly") {
     import graft.ml.Fit
     val sp = spark

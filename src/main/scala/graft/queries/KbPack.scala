@@ -75,6 +75,34 @@ object KbPack extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // batch retrieval (the RAG-at-scale read: MANY questions against one
+    // KB in a single plan, not a per-question loop): the query table
+    // broadcasts, scoring is map-side over the chunk store, and top-3
+    // per query is a TWO-PHASE ranked window — phase 1 partitions by
+    // (query, 64-way chunk shard) so no task ever holds corpus×query
+    // rows, phase 2 ranks the ≤ 64×3 shard winners per query. A single
+    // window keyed only on query_id would pin one whole-corpus task per
+    // question at 100 TB.
+    "k17_kb_batch_search" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.cosineSim
+      import org.apache.spark.sql.expressions.Window
+      val sp = s
+      import sp.implicits._
+      val qs = Seq((1L, QueryA), (2L, QueryB), (3L, QueryNeg)).toDF("query_id", "qtext")
+        .withColumn("qv", Kb.embed(col("qtext"))).select(col("query_id"), col("qv"))
+      val scored = kb(s, dir).crossJoin(broadcast(qs))
+        .withColumn("distance", round(lit(1.0) - cosineSim(col("emb"), col("qv")), 4))
+        .withColumn("relevance", Kb.relevanceOf(col("distance")))
+      val w1 = Window.partitionBy(col("query_id"), pmod(xxhash64(col("chunk_id")), lit(64)))
+        .orderBy(col("relevance").desc, col("chunk_id"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("relevance").desc, col("chunk_id"))
+      scored.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 3)
+        .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("chunk_id"), col("doc_id"), col("relevance"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "k08_kb_rerank" -> ((s, dir) => {
       // over-fetch ×2 → rerank (keyword-boost stub standing in for the
       // LLM listwise reranker) → cut back to limit
@@ -260,6 +288,23 @@ object KbPack extends QueryPack {
     "k01_kb_chunk_ingest" -> s"""$oPrefix
       SELECT chunk_id, doc_id, chunk_ix, n_chunks, start_c, end_c, content, lang, source
       FROM chunks ORDER BY doc_id, chunk_ix""",
+
+    // one flat window suffices in DuckDB — the two-phase shard ranking
+    // on the Spark side selects the identical top-3 (a global top-3 is
+    // always within its shard's top-3)
+    "k17_kb_batch_search" -> s"""$oPrefix,
+      qs AS (
+        SELECT CAST(1 AS BIGINT) AS query_id, ${oEmbed(sq(QueryA))} AS q
+        UNION ALL SELECT 2, ${oEmbed(sq(QueryB))}
+        UNION ALL SELECT 3, ${oEmbed(sq(QueryNeg))}),
+      scored AS (
+        SELECT query_id, chunk_id, doc_id, ${oRel("q")} AS relevance FROM emb, qs),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY relevance DESC, chunk_id) AS rank
+        FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, chunk_id, doc_id, relevance
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "k02_kb_semantic_search" -> s"""$oPrefix,
       qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),

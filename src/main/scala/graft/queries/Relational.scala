@@ -326,6 +326,23 @@ object Relational extends QueryPack {
     // LISTAGG ... WITHIN GROUP (SQL:2016, Spark 4.0+): ordered string
     // aggregation; the per-group order is total so the result is
     // deterministic on any partitioning
+    // correlated LATERAL subquery with per-row ORDER BY + LIMIT (SQL:1999
+    // lateral derived tables; DuckDB/Postgres spelling) — top-2
+    // customers per nation. Catalyst decorrelates this into a ranked
+    // window under the hood, so it scales as one partitioned window,
+    // not a per-nation re-scan.
+    "q57_lateral_topk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n_name, c.c_acctbal DESC, c.c_name
+      """)
+    }),
+
     // regex scalar-function breadth (extract / extract_all / replace /
     // RLIKE): all map-side, codegen'd, zero shuffles beyond the output
     // sort — DuckDB's RE2 and Java's regex agree on this (lookaround-
@@ -870,6 +887,14 @@ object Relational extends QueryPack {
       FROM lineitem
       GROUP BY ALL
       ORDER BY l_returnflag, l_linestatus, ship_yr""",
+
+    "q57_lateral_topk" -> """
+      SELECT n_name, c.c_name, c.c_acctbal
+      FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      ORDER BY n_name, c.c_acctbal DESC, c.c_name""",
 
     "q56_regex_funcs" -> """
       SELECT doc_id,

@@ -19,6 +19,72 @@ object TextOps extends QueryPack {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** Oracle-side BPE training CTE chain (words → v0 → p/m/v rounds 1-3),
+    * shared verbatim by the t23 and t25 oracles. MATERIALIZED throughout:
+    * each round references its predecessor several times and DuckDB
+    * would otherwise inline the chain exponentially. */
+  private val bpeTrainCtes: String = {
+    def round(r: Int): String = s"""
+      p$r AS MATERIALIZED (
+        SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS weight FROM (
+          SELECT tk[i] AS a, tk[i + 1] AS b, cnt FROM (
+            SELECT tk, cnt, unnest(range(1, len(tk))) AS i
+            FROM (SELECT string_split(seq, ' ') AS tk, cnt FROM v${r - 1})))
+        GROUP BY a, b),
+      m$r AS MATERIALIZED (SELECT a, b, weight FROM p$r ORDER BY weight DESC, a, b LIMIT 1),
+      v$r AS MATERIALIZED (
+        SELECT trim(replace(' ' || seq || ' ',
+          ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')) AS seq, cnt
+        FROM v${r - 1}, m$r m)"""
+    s"""WITH words AS MATERIALIZED (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+          FROM documents)
+        WHERE LENGTH(w) >= 2
+        GROUP BY w ORDER BY cnt DESC, w LIMIT 200),
+      v0 AS MATERIALIZED (
+        SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq, cnt
+        FROM words),
+      ${(1 to 3).map(round).mkString(",")}"""
+  }
+
+  /** BPE merge training shared by t23 (the merge table) and t25 (corpus
+    * tokenization): one corpus-scale word-count pass, then 3 merge
+    * rounds over the top-200 word-frequency vocab. The learned merge is
+    * a model artifact — driver-sized by definition. Returns
+    * (round, left, right, weight) in learned order. */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(200)
+    var vocab = words.select(
+      concat(concat_ws(" ", filter(split(col("w"), ""), x => x =!= "")),
+        lit(" </w>")).as("seq"),
+      col("cnt")).persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to 3) {
+      val best = vocab
+        .select(col("cnt"), split(col("seq"), " ").as("tk"))
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b) = (best.getString(0), best.getString(1))
+      merges += ((r, a, b, best.getLong(2)))
+      val next = vocab.select(
+        expr(s"trim(replace(concat(' ', seq, ' '), ' $a $b ', ' $a$b '))").as("seq"),
+        col("cnt")).persist()
+      vocab.unpersist()
+      vocab = next
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "or", "is", "in", "to")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -460,36 +526,36 @@ object TextOps extends QueryPack {
     // immediately-adjacent repeats of the just-merged pair defer to the
     // next round); both engines share those semantics exactly.
     "t23_bpe_merges" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("w")).limit(200)
-      var vocab = words.select(
-        concat(concat_ws(" ", filter(split(col("w"), ""), x => x =!= "")),
-          lit(" </w>")).as("seq"),
-        col("cnt")).persist()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (r <- 1 to 3) {
-        val best = vocab
-          .select(col("cnt"), split(col("seq"), " ").as("tk"))
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("cnt")).as("weight"))
-          .orderBy(col("weight").desc, col("a"), col("b")).limit(1)
-          .collect()(0)
-        val (a, b) = (best.getString(0), best.getString(1))
-        merges += ((r, a, b, best.getLong(2)))
-        val next = vocab.select(
-          expr(s"trim(replace(concat(' ', seq, ' '), ' $a $b ', ' $a$b '))").as("seq"),
-          col("cnt")).persist()
-        vocab.unpersist()
-        vocab = next
-      }
-      vocab.unpersist()
       import s.implicits._
-      merges.toSeq.toDF("round", "a", "b", "weight").orderBy(col("round"))
+      bpeMerges(s, dir).toDF("round", "a", "b", "weight").orderBy(col("round"))
+    }),
+
+    // BPE APPLICATION (the other half of t23's training): tokenize the
+    // whole corpus with the learned merges and report per-source
+    // compression. The scale trick is the same one training uses: merges
+    // apply per DISTINCT (source, word) — vocabulary-sized work — and
+    // occurrence counts weight the totals, so the corpus is touched by
+    // exactly one word-count pass regardless of merge count.
+    "t25_bpe_tokenize" -> ((s, dir) => {
+      val merges = bpeMerges(s, dir)
+      val words = t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("s", concat(
+          concat_ws(" ", filter(split(col("w"), ""), x => x =!= "")), lit(" </w>")))
+      val applied = merges.foldLeft(words) { case (df, (_, a, b, _)) =>
+        df.withColumn("s",
+          expr(s"trim(replace(concat(' ', s, ' '), ' $a $b ', ' $a$b '))"))
+      }
+      applied.groupBy(col("source")).agg(
+          sum(col("cnt")).cast(LongType).as("n_words"),
+          sum((length(col("w")) + 1) * col("cnt")).cast(LongType).as("n_char_tokens"),
+          sum(size(split(col("s"), " ")) * col("cnt")).cast(LongType).as("n_bpe_tokens"))
+        .select(col("source"), col("n_words"), col("n_char_tokens"), col("n_bpe_tokens"),
+          round(col("n_char_tokens").cast(DoubleType) / col("n_bpe_tokens"), 6)
+            .as("compression"))
+        .orderBy(col("source"))
     }),
 
     "t22_tfidf_keywords" -> ((s, dir) => {
@@ -762,36 +828,45 @@ object TextOps extends QueryPack {
 
     // the same three merge rounds unrolled; DuckDB's replace shares
     // Java's left-to-right non-overlapping semantics (verified), so
-    // vocab states agree exactly at every round
-    "t23_bpe_merges" -> {
-      def round(r: Int): String = s"""
-        p$r AS (
-          SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS weight FROM (
-            SELECT tk[i] AS a, tk[i + 1] AS b, cnt FROM (
-              SELECT tk, cnt, unnest(range(1, len(tk))) AS i
-              FROM (SELECT string_split(seq, ' ') AS tk, cnt FROM v${r - 1})))
-          GROUP BY a, b),
-        m$r AS (SELECT a, b, weight FROM p$r ORDER BY weight DESC, a, b LIMIT 1),
-        v$r AS (
-          SELECT trim(replace(' ' || seq || ' ',
-            ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')) AS seq, cnt
-          FROM v${r - 1}, m$r m)"""
-      s"""
-      WITH words AS (
-        SELECT w, COUNT(*) AS cnt FROM (
-          SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-          FROM documents)
-        WHERE LENGTH(w) >= 2
-        GROUP BY w ORDER BY cnt DESC, w LIMIT 200),
-      v0 AS (
-        SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq, cnt
-        FROM words),
-      ${(1 to 3).map(round).mkString(",")}
+    // vocab states agree exactly at every round. MATERIALIZED prevents
+    // exponential CTE inlining of the round chain.
+    "t23_bpe_merges" -> s"""
+      $bpeTrainCtes
       SELECT CAST(1 AS INTEGER) AS round, a, b, weight FROM m1
       UNION ALL SELECT CAST(2 AS INTEGER), a, b, weight FROM m2
       UNION ALL SELECT CAST(3 AS INTEGER), a, b, weight FROM m3
-      ORDER BY round"""
-    },
+      ORDER BY round""",
+
+    // training CTEs shared with t23, then per-DISTINCT-word application
+    // weighted by occurrence counts — the identical replace chain
+    "t25_bpe_tokenize" -> s"""
+      $bpeTrainCtes,
+      aw AS MATERIALIZED (
+        SELECT source, w, COUNT(*) AS cnt FROM (
+          SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+          FROM documents)
+        WHERE w <> ''
+        GROUP BY source, w),
+      a0 AS (
+        SELECT source, cnt, LENGTH(w) AS wlen,
+          array_to_string(string_split(w, ''), ' ') || ' </w>' AS s0
+        FROM aw),
+      a1 AS (SELECT source, cnt, wlen, trim(replace(' ' || s0 || ' ',
+        ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')) AS s0
+        FROM a0, m1 m),
+      a2 AS (SELECT source, cnt, wlen, trim(replace(' ' || s0 || ' ',
+        ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')) AS s0
+        FROM a1, m2 m),
+      a3 AS (SELECT source, cnt, wlen, trim(replace(' ' || s0 || ' ',
+        ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')) AS s0
+        FROM a2, m3 m)
+      SELECT source,
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        CAST(SUM((wlen + 1) * cnt) AS BIGINT) AS n_char_tokens,
+        CAST(SUM(len(string_split(s0, ' ')) * cnt) AS BIGINT) AS n_bpe_tokens,
+        ROUND(CAST(SUM((wlen + 1) * cnt) AS DOUBLE) /
+          CAST(SUM(len(string_split(s0, ' ')) * cnt) AS BIGINT), 6) AS compression
+      FROM a3 GROUP BY source ORDER BY source""",
 
     "t22_tfidf_keywords" -> """
       WITH tf AS (

@@ -200,11 +200,42 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       isRunning = params.get("is_running").map(_.toBoolean).getOrElse(cur.isRunning),
       params = cur.params ++ (params -- Seq("database", "model", "agent", "is_running")))
   }
-  def dropChatbot(name: String): Unit =
+  def dropChatbot(name: String): Unit = {
     if (chatbots.remove(name).isEmpty)
       throw new NoSuchElementException(s"chatbot $name does not exist")
+    chatTurns.filterInPlace { case ((b, _), _) => b != name }
+  }
   def chatbot(name: String): Option[ChatbotEntity] = chatbots.get(name)
   def listChatbots(): Seq[String] = chatbots.keys.toSeq
+
+  // ------------------------------------------------- conversation memory
+  // Per-(chatbot, session) turn history — the reference persists chat
+  // turns so multi-turn context survives (db.py ChatBotsHistory;
+  // chatbot_task polls the channel and replays context). Memory-resident
+  // here, like the other session-scoped meta state; conversation context
+  // is conversation-sized by definition.
+
+  private val chatTurns = scala.collection.mutable.LinkedHashMap[
+    (String, String), scala.collection.mutable.ArrayBuffer[(Int, String, String)]]()
+
+  /** Append a turn; returns its 1-based turn number within the session. */
+  def appendChat(bot: String, session: String, role: String, content: String): Int = {
+    val buf = chatTurns.getOrElseUpdate((bot, session),
+      scala.collection.mutable.ArrayBuffer.empty)
+    val turn = buf.size + 1
+    buf += ((turn, role, content))
+    turn
+  }
+
+  /** Turns for one (bot, session), oldest first: (turn, role, content). */
+  def chatHistory(bot: String, session: String): Seq[(Int, String, String)] =
+    chatTurns.getOrElse((bot, session), Nil).toSeq
+
+  /** Every turn across bots/sessions: (bot, session, turn, role, content). */
+  def allChatHistory(): Seq[(String, String, Int, String, String)] =
+    chatTurns.toSeq.flatMap { case ((b, s), buf) =>
+      buf.map { case (t, r, c) => (b, s, t, r, c) }
+    }
 
   /** CREATE ML_ENGINE (command_executor.py:1171-1233): registers a named
     * instance of a handler with connection params. In this environment the

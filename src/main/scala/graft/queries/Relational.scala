@@ -326,6 +326,41 @@ object Relational extends QueryPack {
     // LISTAGG ... WITHIN GROUP (SQL:2016, Spark 4.0+): ordered string
     // aggregation; the per-group order is total so the result is
     // deterministic on any partitioning
+    // calendar-function breadth beyond q27: month-end snapping, month
+    // arithmetic with end-of-month clamping, ISO week/quarter extracts —
+    // all map-side scalar work
+    "q58_date_breadth" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+          CAST(add_months(CAST(o_orderdate AS DATE), 2) AS TIMESTAMP) AS plus2m,
+          CAST(quarter(o_orderdate) AS INT) AS qtr,
+          CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+          CAST(dayofweek(o_orderdate) AS INT) AS dow
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+      """)
+    }),
+
+    // window navigation breadth beyond q14-q16: nth_value, first/last
+    // over an explicit frame, lead with a default — one per-customer
+    // partitioning shared by every function
+    "q59_window_nav" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+          first_value(o_totalprice) OVER w AS first_price,
+          nth_value(o_totalprice, 2) OVER w AS second_price,
+          last_value(o_totalprice) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+          lead(o_totalprice, 1, -1.0) OVER w AS next_or_neg1
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+      """)
+    }),
+
     // correlated LATERAL subquery with per-row ORDER BY + LIMIT (SQL:1999
     // lateral derived tables; DuckDB/Postgres spelling) — top-2
     // customers per nation. Catalyst decorrelates this into a ranked
@@ -887,6 +922,29 @@ object Relational extends QueryPack {
       FROM lineitem
       GROUP BY ALL
       ORDER BY l_returnflag, l_linestatus, ship_yr""",
+
+    // DuckDB's dayofweek is 0-based Sunday, Spark's is 1-based — the +1
+    // aligns them; interval month addition clamps to month end in both
+    "q58_date_breadth" -> """
+      SELECT o_orderkey,
+        CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m,
+        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
+
+    "q59_window_nav" -> """
+      SELECT o_custkey, o_orderkey,
+        first_value(o_totalprice) OVER w AS first_price,
+        nth_value(o_totalprice, 2) OVER w AS second_price,
+        last_value(o_totalprice) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        lead(o_totalprice, 1, -1.0) OVER w AS next_or_neg1
+      FROM orders WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
 
     "q57_lateral_topk" -> """
       SELECT n_name, c.c_name, c.c_acctbal

@@ -158,6 +158,10 @@ final class Commands(
   private val UpdateChatbot =
     """(?is)\s*UPDATE\s+CHATBOT\s+(\w+)\s+SET\s+(.+?)\s*""".r
   private val DropChatbot = """(?is)\s*DROP\s+CHATBOT\s+(\w+)\s*""".r
+  private val AskChatbot =
+    """(?is)\s*ASK\s+(\w+)\s+'([^']*)'(?:\s+SESSION\s+'([^']*)')?\s*""".r
+  private val LogChatHistoryQuery =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.chatbot_history\b\s*(.*)""".r
   private val CreateMlEngine =
     """(?is)\s*CREATE\s+ML_ENGINE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+FROM\s+(\w+)\s*(?:USING\s+(.+?))?\s*""".r
   private val DropMlEngine = """(?is)\s*DROP\s+ML_ENGINE\s+(\w+)\s*""".r
@@ -1020,6 +1024,49 @@ final class Commands(
     case UseStmt(db) =>
       // USE: single-namespace engine — accepted for wire compatibility
       ok(s"using $db")
+
+    case AskChatbot(bot, message, sessionO) =>
+      // ASK <bot> '<message>' [SESSION '<id>'] — the chat turn flow the
+      // reference runs off a polled channel (chatbot_task replays the
+      // conversation to the agent; ChatBotsHistory persists turns).
+      // Multi-turn memory is REAL: the last 3 turns stitch into the
+      // completion prompt, so the same question answers differently in
+      // different conversation states — observable with the
+      // deterministic stub, same contract for a live model.
+      val cb = catalog.chatbot(bot).getOrElse(
+        throw new NoSuchElementException(s"chatbot $bot does not exist"))
+      require(cb.isRunning, s"chatbot $bot is not running")
+      val session = Option(sessionO).getOrElse("default")
+      val history = catalog.chatHistory(bot, session)
+      val turn = catalog.appendChat(bot, session, "user", message)
+      val ctx = history.takeRight(3).map(_._3).mkString(" | ")
+      val prompt = if (ctx.isEmpty) message else s"$ctx || $message"
+      val answer = {
+        import spark.implicits._
+        Seq(prompt).toDF("prompt")
+          .select(graft.functions.AiFunctions.llm(col("prompt")).as("answer"))
+          .first().getString(0)
+      }
+      catalog.appendChat(bot, session, "assistant", answer)
+      import spark.implicits._
+      Seq((bot, session, turn, answer)).toDF("chatbot", "session", "turn", "answer")
+
+    case LogChatHistoryQuery(sel, rest) =>
+      // `SELECT … FROM log.chatbot_history` — the queryable turn log
+      // (db.py ChatBotsHistory)
+      val rows = catalog.allChatHistory()
+        .map { case (b, s2, t, r, c) => Row(b, s2, t, r, c) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("chatbot", StringType, nullable = false),
+          StructField("session", StringType, nullable = false),
+          StructField("turn", org.apache.spark.sql.types.IntegerType, nullable = false),
+          StructField("role", StringType, nullable = false),
+          StructField("content", StringType, nullable = false))))
+      val ctv = "__chatbot_history"
+      df.createOrReplaceTempView(ctv)
+      spark.sql(s"SELECT $sel FROM $ctv ${Option(rest).getOrElse("")}")
 
     case LogHistoryQuery(sel, rest) =>
       // `SELECT … FROM log.jobs_history` (jobs_controller.py:330-353):

@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.StructType
 /** flat per-user state record for [[StreamingOps.userProfiles]] */
 final case class UserProfile(n: Long, total: Double, lastTs: Long)
 
+/** last event seen per user, for [[StreamingOps.transitions]] */
+final case class LastEvent(ts: Long, id: Long, tpe: String)
+
 object StreamingOps {
 
   /** `sourceDir` must be a DIRECTORY of parquet files (file-stream
@@ -137,6 +140,41 @@ object StreamingOps {
           Iterator((user, next.n, next.total, next.lastTs))
         })
       .toDF("user_id", "n_events", "total_value", "last_seen_us")
+  }
+
+  /** Streaming twin of e19's event-transition matrix: the per-user LAST
+    * event rides as GroupState; each micro-batch sorts its per-user
+    * slice by event time and emits one (from, to) row per consecutive
+    * pair, stitching across batches through the stored last event —
+    * so the incremental union of emissions equals the batch lead()
+    * pairing. State is one flat record per user (O(|users|) at any
+    * event volume); the per-batch sort is bounded by that user's slice
+    * of ONE micro-batch, never the full history. Assumes event-time
+    * ordering across micro-batches per user (true for replayed logs;
+    * a production deploy would add a watermark + reorder buffer). */
+  def transitions(spark: SparkSession, sourceDir: String, schema: StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = stream(spark, sourceDir, schema)
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+    src.as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[LastEvent]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var prev = state.getOption
+          val out = Seq.newBuilder[(String, String)]
+          sorted.foreach { r =>
+            prev.foreach(p => out += ((p.tpe, r._4)))
+            prev = Some(LastEvent(r._2, r._3, r._4))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+        })
+      .toDF("from_type", "to_type")
   }
 
   /** Run a streaming frame to completion into an in-memory table and

@@ -840,6 +840,32 @@ class CommandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](c.execute("CREATE TABLE cldst CLONE clsrc"))
   }
 
+  test("chatbot conversation memory: multi-turn context changes answers; history queryable per session") {
+    val c = fresh()
+    c.execute("CREATE DATABASE chatdb_cs ENGINE 'pg'")
+    c.execute("CREATE MODEL m_cs PREDICT score USING features='l_quantity', weights='1.0', bias=0.0")
+    c.execute("CREATE CHATBOT bot_cs USING database = 'chatdb_cs', model = 'm_cs'")
+    val a1 = c.execute("ASK bot_cs 'what is spark' SESSION 's1'").first()
+    assert(a1.getString(0) === "bot_cs" && a1.getInt(2) === 1)
+    // same question, same session → different answer (context grew)
+    val a2 = c.execute("ASK bot_cs 'what is spark' SESSION 's1'").first()
+    assert(a2.getInt(2) === 3, "assistant turns must also advance the counter")
+    assert(a1.getString(3) !== a2.getString(3), "multi-turn context did not change the answer")
+    // same question in a FRESH session → the turn-1 answer again
+    val b1 = c.execute("ASK bot_cs 'what is spark' SESSION 's2'").first()
+    assert(b1.getString(3) === a1.getString(3), "sessions must be isolated")
+    // history is queryable and ordered
+    val hist = c.execute(
+      "SELECT session, turn, role FROM log.chatbot_history WHERE chatbot = 'bot_cs' ORDER BY session, turn")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(hist.count(_._1 == "s1") === 4 && hist.count(_._1 == "s2") === 2)
+    assert(hist.filter(_._1 == "s1").map(_._3).toSeq === Seq("user", "assistant", "user", "assistant"))
+    // unknown bot errors; DROP clears its history
+    intercept[NoSuchElementException](c.execute("ASK nobody_cs 'hi'"))
+    c.execute("DROP CHATBOT bot_cs")
+    assert(c.execute("SELECT count(*) AS n FROM log.chatbot_history").first().getLong(0) === 0L)
+  }
+
   test("SHOW CREATE TABLE: bucket spec and evolved columns render; missing table errors") {
     val c = fresh()
     c.execute("CREATE TABLE scb CLUSTERED BY (o_orderkey) INTO 4 BUCKETS AS " +

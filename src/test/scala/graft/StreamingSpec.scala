@@ -108,6 +108,22 @@ class StreamingSpec extends AnyFunSuite {
       abs(col("s.total_value") - col("b.total_value")) > 1e-6).count() === 0)
   }
 
+  test("stateful streaming transitions == batch e19 lead() pair counts") {
+    val streamed = StreamingOps.drainToMemory(
+      StreamingOps.transitions(spark, streamDir, rawSchema), "s_trans", "append")
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Tables.table(spark, dir, "events")
+      .withColumn("to_type", org.apache.spark.sql.functions.lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.join(batch, Seq("from_type", "to_type", "n"), "left_anti").count() === 0,
+      "streaming transition counts differ from the batch lead() pairing")
+  }
+
   test("streaming dedup of a replayed source emits each event_id exactly once") {
     import spark.implicits._
     // stage the events file TWICE — an at-least-once source where every

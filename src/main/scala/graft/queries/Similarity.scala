@@ -56,6 +56,29 @@ object Similarity extends QueryPack {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // per-label embedding diagnostics: class centroids and within-class
+    // variance per dimension — the separability / collapse report run
+    // before training on labeled embeddings (a degenerate dimension or
+    // overlapping centroids show up here first). One posexplode + one
+    // map-side-combinable aggregation; output is |labels|×dims rows —
+    // model-sized at any corpus scale. Component sums ride DECIMAL so
+    // the means are order-independent and hash-exact.
+    "s08_embedding_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      emb(s, dir)
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(28, 12))).as("sx"),
+          sum((col("x") * col("x")).cast(DecimalType(28, 12))).as("sxx"))
+        .withColumn("mu", col("sx").cast(DoubleType) / col("n"))
+        .select(col("label"), col("dim"), col("n"),
+          round(col("mu"), 6).as("centroid"),
+          round(col("sxx").cast(DoubleType) / col("n") - col("mu") * col("mu"), 6)
+            .as("variance"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     "s03_cosine_near_pairs" -> ((s, dir) => {
       // embedding-cosine near-dup: blocked on label (the natural join key
       // here; at scale the blocking key comes from LSH, see s04).
@@ -277,6 +300,23 @@ object Similarity extends QueryPack {
       SELECT a2.vec_id, v.label, CAST(a2.cell AS INTEGER) AS cell, a2.d2
       FROM a2 JOIN v USING (vec_id)
       ORDER BY a2.vec_id""",
+
+    // dims enumerated 0..63 (the embedding width of the test corpus);
+    // identical double arithmetic order after exact DECIMAL sums
+    "s08_embedding_stats" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      px AS (
+        SELECT label, d.dim, v[d.dim + 1] AS x
+        FROM e, (SELECT CAST(range AS INTEGER) AS dim FROM range(0, 64)) d),
+      agg AS (
+        SELECT label, dim, COUNT(*) AS n,
+          SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+          SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx
+        FROM px GROUP BY label, dim),
+      m AS (SELECT *, CAST(sx AS DOUBLE) / n AS mu FROM agg)
+      SELECT label, dim, n, ROUND(mu, 6) AS centroid,
+        ROUND(CAST(sxx AS DOUBLE) / n - mu * mu, 6) AS variance
+      FROM m ORDER BY label, dim""",
 
     "s01_knn_brute" -> s"""
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),

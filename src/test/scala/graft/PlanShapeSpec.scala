@@ -326,6 +326,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"histogram should not need a window:\n$plan")
   }
 
+  test("k17 batch retrieval: two-phase ranked windows, query table broadcasts") {
+    val plan = executedPlan("k17_kb_batch_search")
+    val windows = plan.sliding("Window".length).count(_ == "Window")
+    assert(windows >= 2, s"expected the sharded two-phase window pair:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query table did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in batch retrieval:\n$plan")
+  }
+
+  test("q57 LATERAL top-k decorrelates to a ranked window, no per-row re-scan") {
+    val plan = executedPlan("q57_lateral_topk")
+    assert(plan.contains("Window"), s"lateral not decorrelated to a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in lateral plan:\n$plan")
+  }
+
+  test("t25 BPE tokenization: corpus word counts aggregate partially; merges apply to the vocab side") {
+    val plan = executedPlan("t25_bpe_tokenize")
+    assert(plan.contains("partial_"), s"word count not map-side combinable:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in tokenize plan:\n$plan")
+  }
+
+  test("s08 embedding stats: one explode into a combinable aggregation, no join") {
+    val plan = executedPlan("s08_embedding_stats")
+    assert(plan.contains("Generate"), s"no posexplode:\n$plan")
+    assert(plan.contains("partial_"), s"component sums not partially aggregated:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -216,6 +216,77 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------- real WAV codec (javax.sound)
+
+  /** Deterministic PCM test signal: n = 64 + id%64 sixteen-bit samples,
+    * sample(i) = (((i · (id%7 + 2)) mod 199) − 99) · 256 — all integer,
+    * so the closed-form oracle recomputes energy and zero crossings. */
+  def wavSampleCount(id: Long): Int = 64 + (id % 64).toInt
+  def wavSample(id: Long, i: Int): Int = ((((i * (id % 7 + 2)) % 199) - 99) * 256).toInt
+
+  /** Encode each row's PCM pattern as a REAL 16-bit mono 8 kHz WAV
+    * (canonical 44-byte RIFF header + little-endian samples). The decode
+    * half goes through the JDK's javax.sound codec, not our own header
+    * parser — this upgrades x03's header-level audio story to a live
+    * codec, the same move x05 made for images. Runs distributed as
+    * mapPartitions; output (id, wav: binary). */
+  def encodePcmWav(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("wav", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = wavSampleCount(id)
+        val dataLen = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+        bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+        bb.putInt(16); bb.putShort(1); bb.putShort(1) // PCM, mono
+        bb.putInt(8000); bb.putInt(8000 * 2)          // sample rate, byte rate
+        bb.putShort(2); bb.putShort(16)               // block align, bits
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+        var i = 0
+        while (i < n) { bb.putShort(wavSample(id, i).toShort); i += 1 }
+        Row(id, bb.array())
+      }
+    }(enc)
+  }
+
+  /** Decode REAL WAV bytes through javax.sound.sampled.AudioSystem (the
+    * JDK codec resolves the format and strips the container) and emit
+    * exact integer stats over the DECODED samples: count, energy
+    * (sum of squares), zero crossings (sign-change count). Integers →
+    * hash-exact against the closed-form oracle. */
+  def decodeWavStats(df: DataFrame, idCol: String, wavCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("n_samples", LongType),
+      StructField("sum_sq", LongType), StructField("zero_cross", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType), col(wavCol)).mapPartitions { it =>
+      it.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected decoded format: $fmt")
+        val bytes = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sumSq = 0L; var zc = 0L; var nn = 0L
+        var prev = 0; var first = true
+        while (bb.remaining() >= 2) {
+          val v = bb.getShort.toInt
+          sumSq += v.toLong * v
+          if (!first && ((prev < 0) != (v < 0))) zc += 1
+          prev = v; first = false; nn += 1
+        }
+        Row(r.getLong(0), nn, sumSq, zc)
+      }
+    }(enc)
+  }
+
   /** Batched decode stub: per image, "decode" = mean byte value of the
     * payload (a codec would emit real features here). Runs as
     * mapPartitions over batches — the production shape for model-based

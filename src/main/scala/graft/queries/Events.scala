@@ -455,6 +455,34 @@ object Events extends QueryPack {
         .orderBy(col("day"))
     }),
 
+    // gap-based sessionization (30-min inactivity cut — the batch twin of
+    // e06's streaming session windows): lag() over the per-user ordered
+    // partitioning marks session starts, a running sum over the SAME
+    // partitioning numbers them (Catalyst reuses one exchange + sort for
+    // both windows), then one aggregation per (user, session) and a
+    // combinable histogram by session length. Per-user window state is
+    // O(1) and partitions are user-sized — no global sort anywhere, the
+    // canonical sessionize plan at any corpus size.
+    "e24_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            expr("unix_micros(ts) - unix_micros(prev_ts)") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapped.groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(expr("(unix_micros(en) - unix_micros(st)) div 1000000"))
+            .as("total_duration_s"))
+        .orderBy(col("n_events"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -502,6 +530,35 @@ object Events extends QueryPack {
       GROUP BY step1, step2, step3
       ORDER BY n DESC, step1, step2, step3
       LIMIT 10""",
+
+    // DuckDB's epoch_us and // floor division mirror Spark's unix_micros
+    // and div; both running sums use explicit ROWS UNBOUNDED PRECEDING
+    "e24_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      f AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+               THEN 1 ELSE 0 END AS new_sess
+        FROM g),
+      n AS (
+        SELECT user_id, ts,
+          SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM f),
+      sess AS (
+        SELECT user_id, sess_no, COUNT(*) AS n_events,
+          min(ts) AS st, max(ts) AS en
+        FROM n GROUP BY user_id, sess_no)
+      SELECT CAST(n_events AS BIGINT) AS n_events,
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM((epoch_us(en) - epoch_us(st)) // 1000000) AS BIGINT)
+          AS total_duration_s
+      FROM sess GROUP BY n_events ORDER BY n_events""",
 
     "e22_rolling_dau" -> """
       WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

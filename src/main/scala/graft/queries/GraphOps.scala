@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.engine.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-analysis operators over relation-derived graphs.
@@ -169,6 +170,74 @@ object GraphOps extends QueryPack {
       edges.select(col("u").as("node")).union(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).cast("long").as("core_deg"))
         .orderBy(col("node"))
+    }),
+
+    // label-propagation community detection (Raghavan 2007), synchronous
+    // deterministic variant over the part co-purchase graph: 4 unrolled
+    // rounds, each node adopts its neighborhood's most frequent label
+    // (ties → smallest label, via lexicographic max over (cnt, −label) —
+    // a total order both engines share). Scale shape: each round is ONE
+    // equi-join of the hash-partitioned edge list with the |V|-sized
+    // label table plus two combinable aggregations; the argmax is
+    // max(struct(...)) — map-side combinable, never a corpus window.
+    // localCheckpoint bounds plan depth as in g01/g03.
+    "g05_label_propagation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+      val und = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val edges = und.union(und.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")).persist()
+      var labels = edges.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")).localCheckpoint()
+      for (_ <- 1 to 4) {
+        val nbr = edges.join(labels, edges("v") === labels("node"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        labels = nbr.groupBy(col("u"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
+          .select(col("u").as("node"), (-col("best.neg")).as("lbl"))
+          .localCheckpoint()
+      }
+      val out = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("community_size"))
+        .orderBy(col("community_size").desc, col("lbl")).limit(20)
+      edges.unpersist()
+      out
+    }),
+
+    // item-item collaborative filtering (Linden 2003 Amazon item-to-item):
+    // cosine similarity between parts over the order-basket incidence,
+    // cos(u,v) = |orders with both| / sqrt(|orders with u|·|orders with v|),
+    // top-5 neighbors per queried part. Scale shape: the pair join is
+    // keyed on the ORDER id, so work is bounded by sum(basket²) — never
+    // catalog² — and the query-part filter lands on the pair join's left
+    // scan (pushdown), so only queried parts fan out. Item counts join
+    // back dimension-sized. cosine is rounded to 6dp BEFORE ranking so
+    // both engines rank identical doubles (the sqrt/division are IEEE-
+    // identical; rounding pins the tie order). The ranking window runs
+    // over CANDIDATE pairs (basket-bounded, ≤ co-purchase fan-out per
+    // part), not the corpus — the window-vs-aggregate concern that
+    // motivates q60's TopKPairs does not arise at candidate scale.
+    "g04_item_similarity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val n = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val a = li.filter(col("p") <= 200).select(col("ok"), col("p").as("u"))
+      val b = li.select(col("ok"), col("p").as("v"))
+      val co = a.join(b, Seq("ok")).filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      val nu = n.select(col("p").as("u"), col("n").as("nu"))
+      val nv = n.select(col("p").as("v"), col("n").as("nv"))
+      val sim = co.join(nu, Seq("u")).join(nv, Seq("v"))
+        .withColumn("cosine", round(col("c").cast("double") /
+          sqrt((col("nu") * col("nv")).cast("double")), 6))
+      val w = Window.partitionBy(col("u")).orderBy(col("cosine").desc, col("v"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("u").cast("long").as("part"), col("rank").cast("int").as("rank"),
+          col("v").cast("long").as("neighbor"), col("cosine"))
+        .orderBy(col("part"), col("rank"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -264,5 +333,54 @@ object GraphOps extends QueryPack {
       SELECT node, COUNT(*) AS core_deg FROM (
         SELECT u AS node FROM e4 UNION ALL SELECT v AS node FROM e4)
       GROUP BY node ORDER BY node"""
-    })
+    },
+
+    // the same four synchronous rounds unrolled; row_number (cnt DESC,
+    // lbl ASC) is the same argmax as Spark's max(struct(cnt, -lbl))
+    "g05_label_propagation" -> {
+      def round(r: Int): String = s"""
+        nbr$r AS (
+          SELECT e.u, l.lbl, COUNT(*) AS cnt
+          FROM edges e JOIN l${r - 1} l ON l.node = e.v
+          GROUP BY e.u, l.lbl),
+        l$r AS MATERIALIZED (
+          SELECT u AS node, lbl FROM (
+            SELECT u, lbl,
+              row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+            FROM nbr$r) WHERE rn = 1)"""
+      s"""
+      WITH und AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey),
+      edges AS MATERIALIZED (
+        SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+      l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges),
+      ${(1 to 4).map(round).mkString(",")}
+      SELECT lbl, COUNT(*) AS community_size FROM l4
+      GROUP BY lbl ORDER BY community_size DESC, lbl LIMIT 20"""
+    },
+
+    // same construction; the 6dp round happens before ranking in both
+    // engines so the (cosine DESC, v) tie order is identical
+    "g04_item_similarity" -> """
+      WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      n AS MATERIALIZED (SELECT p, COUNT(*) AS n FROM li GROUP BY p),
+      co AS (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        FROM li a JOIN li b ON a.ok = b.ok
+        WHERE a.p <= 200 AND a.p <> b.p
+        GROUP BY a.p, b.p),
+      sim AS (
+        SELECT u, v,
+          round(CAST(c AS DOUBLE) / sqrt(CAST(nu.n * nv.n AS DOUBLE)), 6) AS cosine
+        FROM co JOIN n nu ON nu.p = u JOIN n nv ON nv.p = v),
+      rk AS (
+        SELECT u, v, cosine,
+          row_number() OVER (PARTITION BY u ORDER BY cosine DESC, v) AS rn
+        FROM sim)
+      SELECT CAST(u AS BIGINT) AS part, CAST(rn AS INTEGER) AS rank,
+        CAST(v AS BIGINT) AS neighbor, cosine
+      FROM rk WHERE rn <= 5 ORDER BY part, rank""")
 }

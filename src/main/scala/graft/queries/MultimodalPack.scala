@@ -72,6 +72,18 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL WAV codec round-trip (audio sibling of x05): deterministic
+    // 16-bit PCM encoded into actual RIFF/WAVE bytes, decoded back by
+    // the JDK's javax.sound codec in a second distributed stage, exact
+    // integer energy + zero-crossing stats over the DECODED samples.
+    // Hash equality against the closed-form oracle proves the audio
+    // codec path is sample-exact end to end.
+    "x06_wav_roundtrip" -> ((s, dir) => {
+      val ids = Tables.table(s, dir, "documents").select(col("doc_id"))
+      decodeWavStats(encodePcmWav(ids, "doc_id"), "doc_id", "wav")
+        .orderBy(col("doc_id"))
+    }),
+
     // batched mapPartitions decode + per-format aggregate
     "x02_image_features" -> ((s, dir) => {
       decodeFeatures(imgs(s, dir), "doc_id", "img")
@@ -152,6 +164,27 @@ object MultimodalPack extends QueryPack {
       JOIN (SELECT doc_id, SUM(p) AS sum_px FROM px GROUP BY doc_id) s USING (doc_id)
       JOIN (SELECT doc_id, SUM(avg4) AS resized_sum FROM blocks GROUP BY doc_id) b USING (doc_id)
       ORDER BY doc_id""",
+
+    // closed-form recomputation of the decoded-sample stats; equality
+    // proves the javax.sound decode returns the exact PCM we encoded
+    "x06_wav_roundtrip" -> """
+      WITH d AS (
+        SELECT doc_id, doc_id % 7 + 2 AS m, 64 + doc_id % 64 AS n
+        FROM documents),
+      s AS (
+        SELECT d.doc_id, i.range AS i,
+          ((((i.range * d.m) % 199) - 99) * 256) AS v
+        FROM d JOIN (SELECT range FROM range(0, 128)) i ON i.range < d.n),
+      w AS (
+        SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM s)
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_samples,
+        CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+        CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (v < 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+      FROM w GROUP BY doc_id ORDER BY doc_id""",
 
     "x02_image_features" -> s"""
       WITH feats AS (

@@ -23,7 +23,60 @@ object Relational extends QueryPack {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** Exact k-th smallest (1-based rank) of a LongType column by iterative
+    * histogram refinement: each round counts 4096 equal-width buckets over
+    * the surviving value range (ONE map-side-combinable aggregation), the
+    * driver walks the 4096-row histogram (model-sized, not data-sized) to
+    * pick the bucket holding rank k, and the range narrows 4096×. Integer
+    * cents spanning 2^40 resolve in ≤4 rounds — ≤4 scans total, versus a
+    * global sort whose single ordered partition is the classic one-task
+    * pin (q46's `percentile` aggregate likewise buffers every value of a
+    * group in one aggregation buffer; fine per-group, not corpus-wide).
+    * This is the scale path for EXACT corpus-level quantiles at 100 TB.
+    */
+  private def kthSmallest(df: DataFrame, c: String, k0: Long): Long = {
+    val mm = df.agg(min(col(c)), max(col(c))).head()
+    var lo = mm.getLong(0); var hi = mm.getLong(1)
+    var k = k0
+    var cur = df
+    while (lo < hi) {
+      val w = (hi - lo) / 4096 + 1
+      cur = cur.filter(col(c) >= lo && col(c) <= hi)
+      val counts = cur
+        .groupBy(expr(s"($c - $lo) div $w").as("b"))
+        .agg(count(lit(1)).as("n")).orderBy(col("b")).collect()
+      var cum = 0L; var i = 0; var found = false
+      while (i < counts.length && !found) {
+        val b = counts(i).getLong(0); val n = counts(i).getLong(1)
+        if (cum + n >= k) {
+          k -= cum
+          hi = math.min(hi, lo + (b + 1) * w - 1)
+          lo = lo + b * w
+          found = true
+        } else { cum += n; i += 1 }
+      }
+    }
+    lo
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact corpus-level p50/p90/p99 WITHOUT a global sort — see
+    // kthSmallest above. Rank convention k = floor((n-1)·q) + 1 is spelled
+    // out literally in the oracle (row_number against the same rank), so
+    // no engine's quantile interpolation flavor is trusted.
+    "q61_exact_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val cents = t(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+        .persist()
+      val n = cents.count()
+      val out = Seq(0.5, 0.9, 0.99)
+        .map(q => (q, kthSmallest(cents, "cents", math.floor((n - 1) * q).toLong + 1)))
+      cents.unpersist()
+      out.toDF("q", "cents")
+    }),
 
     // ---- aggregation ----------------------------------------------------
     "q01_pricing_summary" -> ((s, dir) => {
@@ -358,6 +411,49 @@ object Relational extends QueryPack {
         FROM orders WHERE o_custkey < 50
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         ORDER BY o_custkey, o_orderkey
+      """)
+    }),
+
+    // top-3 suppliers by revenue per nation WITHOUT a window: revenue
+    // rolls up per (nation, supplier) — map-side combinable — then
+    // graft's TopKPairs TypedImperativeAggregate keeps only k pairs per
+    // partial buffer, so the second shuffle carries ≤ k rows per
+    // (nation, partition) instead of every supplier row into one sorted
+    // window task (a hot group pins a single task under the row_number
+    // spelling, and AQE cannot split a window partition). posexplode
+    // turns the per-nation array back into ranked rows. `.explain`:
+    // ObjectHashAggregate with partial aggregation, zero Window —
+    // PlanShapeSpec asserts it.
+    "q60_topk_per_group" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val sup = Tables.table(s, dir, "supplier")
+      val rev = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("cents"))
+      rev.groupBy(col("s_nationkey"))
+        .agg(graft.functions.TopK.topk(col("cents"), col("s_suppkey").cast("long"), 3).as("top"))
+        .select(col("s_nationkey"), posexplode(col("top")))
+        .select(
+          col("s_nationkey"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.payload").as("s_suppkey"),
+          (col("col.key").cast("double") / 100).as("revenue"))
+        .orderBy(col("s_nationkey"), col("rank"))
+    }),
+
+    // SQL:2003 FILTER clause on aggregates (conditional aggregation
+    // without CASE wrapping) — runs inside the same partial/final
+    // aggregation as the unfiltered count, zero extra scans
+    "q62_filter_clause" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+          COUNT(*) AS n_all,
+          COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
       """)
     }),
 
@@ -945,6 +1041,53 @@ object Relational extends QueryPack {
       FROM orders WHERE o_custkey < 50
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
       ORDER BY o_custkey, o_orderkey""",
+
+    // the rank formula is written out literally — no quantile_disc /
+    // percentile flavor dependence on either engine
+    "q61_exact_quantiles" -> """
+      WITH c AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM lineitem),
+      r AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+          COUNT(*) OVER () AS n
+        FROM c)
+      SELECT CAST(0.5 AS DOUBLE) AS q, cents FROM r
+        WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE), cents FROM r
+        WHERE rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE), cents FROM r
+        WHERE rn = CAST(floor((n - 1) * 0.99) AS BIGINT) + 1
+      ORDER BY q""",
+
+    // the oracle spells top-k the classic window way; graft's aggregate
+    // must agree row-for-row under the same (cents DESC, suppkey ASC)
+    // total tie order
+    "q60_topk_per_group" -> """
+      WITH rev AS (
+        SELECT s_nationkey, s_suppkey,
+          SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, s_suppkey),
+      rk AS (
+        SELECT s_nationkey, s_suppkey, cents,
+          row_number() OVER (
+            PARTITION BY s_nationkey ORDER BY cents DESC, s_suppkey) AS rn
+        FROM rev)
+      SELECT s_nationkey, CAST(rn AS INTEGER) AS rank,
+        CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        CAST(cents AS DOUBLE) / 100 AS revenue
+      FROM rk WHERE rn <= 3 ORDER BY s_nationkey, rank""",
+
+    "q62_filter_clause" -> """
+      SELECT l_returnflag,
+        COUNT(*) AS n_all,
+        COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+          FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q57_lateral_topk" -> """
       SELECT n_name, c.c_name, c.c_acctbal

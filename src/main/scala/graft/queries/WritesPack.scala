@@ -218,6 +218,46 @@ object WritesPack extends QueryPack {
         .orderBy(col("col_name"), col("bucket"))
     }),
 
+    // data-quality expectations report (Great-Expectations-style CHECK
+    // suite — the validation gate a training pipeline runs before
+    // ingesting a new drop): every scalar rule (nulls, ranges,
+    // positivity) rides ONE conditional-aggregation scan of lineitem;
+    // uniqueness of the (orderkey, linenumber) PK is an exact distinct
+    // on the same aggregation tree; referential integrity is ONE
+    // equi anti-join on the key (AQE-skew-safe shuffle — never a
+    // broadcast of the 100 TB fact side, never a per-rule re-scan).
+    "i06_dq_expectations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val scalars = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_null"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty_range"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("price_pos"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("ship_null"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("pk_dup"))
+      val orphans = li.select(col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_orphans"))
+      scalars.crossJoin(orphans)
+        .select(
+          struct(lit("l_quantity_not_null").as("rule"), col("qty_null").as("v")).as("r1"),
+          struct(lit("l_quantity_in_1_50").as("rule"), col("qty_range").as("v")).as("r2"),
+          struct(lit("l_extendedprice_positive").as("rule"), col("price_pos").as("v")).as("r3"),
+          struct(lit("l_shipdate_not_null").as("rule"), col("ship_null").as("v")).as("r4"),
+          struct(lit("pk_orderkey_linenumber_unique").as("rule"), col("pk_dup").as("v")).as("r5"),
+          struct(lit("fk_orderkey_in_orders").as("rule"), col("fk_orphans").as("v")).as("r6"),
+          col("n"))
+        .select(explode(array(col("r1"), col("r2"), col("r3"), col("r4"),
+          col("r5"), col("r6"))).as("r"), col("n"))
+        .select(col("r.rule").as("rule"), col("n").as("n_checked"),
+          col("r.v").as("n_violations"),
+          (col("r.v") === 0L).as("passed"))
+        .orderBy(col("rule"))
+    }),
+
     // Bucketed co-located join: both sides bucketed on the join key with
     // the same bucket count → the sort-merge join needs NO exchange on
     // either side (PlanShapeSpec asserts the plan). THE shuffle
@@ -620,6 +660,31 @@ object WritesPack extends QueryPack {
         ROUND(mn + (bucket + 1) * (mx - mn) / 10, 4) AS hi, n
       FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
       ORDER BY col_name, bucket""",
+
+    // one conditional-aggregation pass + one anti-join, same rules
+    "i06_dq_expectations" -> """
+      WITH s AS (
+        SELECT COUNT(*) AS n,
+          SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_null,
+          SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_range,
+          SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_pos,
+          SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS ship_null,
+          COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS pk_dup
+        FROM lineitem),
+      o AS (
+        SELECT COUNT(*) AS fk_orphans FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      r AS (
+        SELECT 'l_quantity_not_null' AS rule, CAST(qty_null AS BIGINT) AS v, n FROM s
+        UNION ALL SELECT 'l_quantity_in_1_50', CAST(qty_range AS BIGINT), n FROM s
+        UNION ALL SELECT 'l_extendedprice_positive', CAST(price_pos AS BIGINT), n FROM s
+        UNION ALL SELECT 'l_shipdate_not_null', CAST(ship_null AS BIGINT), n FROM s
+        UNION ALL SELECT 'pk_orderkey_linenumber_unique', CAST(pk_dup AS BIGINT), n FROM s
+        UNION ALL SELECT 'fk_orderkey_in_orders', CAST(fk_orphans AS BIGINT), n
+          FROM o, s)
+      SELECT rule, CAST(n AS BIGINT) AS n_checked, v AS n_violations,
+        v = 0 AS passed
+      FROM r ORDER BY rule""",
 
     "c12_show_create" -> """
       SELECT 'sc12' AS tbl,

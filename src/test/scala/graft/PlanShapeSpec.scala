@@ -354,6 +354,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 
+  test("q60 top-k per group is a mergeable aggregate: ObjectHashAggregate with partials, zero Window") {
+    val plan = executedPlan("q60_topk_per_group")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKPairs not planned as ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into the top-k plan:\n$plan")
+  }
+
+  test("e24 sessionize: both windows share ONE user_id exchange (lag + running sum, one sort)") {
+    val plan = executedPlan("e24_sessionize")
+    val n = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly 1 user_id exchange, saw $n:\n$plan")
+  }
+
+  test("g04 item similarity: basket pair join stays equi-keyed, no nested loop") {
+    val plan = executedPlan("g04_item_similarity")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"degenerate join in similarity plan:\n$plan")
+    assert(plan.contains("partial_"), s"co-occurrence counts not map-side combined:\n$plan")
+  }
+
+  test("i06 dq report: all scalar rules ride one lineitem scan + one anti-join") {
+    val plan = executedPlan("i06_dq_expectations")
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 3, s"expected <=3 scans (lineitem x2 + orders), saw $scans:\n$plan")
+    assert(plan.contains("LeftAnti"), s"referential check not an anti-join:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -58,6 +58,23 @@ object AiFunctions {
     })
     add("to_markdown", es => Concat(Seq(Literal("# Document\n\n"), es.head)))
     add("doc_hash", es => md5Of(Cast(es.head, StringType)))
+
+    // graft's mergeable top-k aggregate (functions/TopK.scala) on the SQL
+    // surface: topk_pairs(key, payload, k). The analyzer wraps the
+    // returned AggregateFunction in an AggregateExpression; k must be a
+    // foldable integer literal (it sizes the aggregation buffer).
+    add("topk_pairs", es => {
+      require(es.length == 3, "topk_pairs(key BIGINT, payload BIGINT, k INT)")
+      val k = es(2) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case Literal(v: Long, org.apache.spark.sql.types.LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"topk_pairs k must be an integer literal, got $other")
+      }
+      TopKPairs(
+        Cast(es(0), org.apache.spark.sql.types.LongType),
+        Cast(es(1), org.apache.spark.sql.types.LongType), k)
+    })
   }
 }
 

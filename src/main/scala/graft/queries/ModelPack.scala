@@ -300,6 +300,40 @@ object ModelPack extends QueryPack {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // STL-style seasonal decomposition (Cleveland 1990, moving-average
+    // variant): trend = centered 7-row moving average per group, seasonal
+    // = per-(group, day-of-week) mean of the detrended series, remainder
+    // = the rest. All intermediates are EXACT integers — detrended rides
+    // as 7·value − sum7 (no early division) and the seasonal index as
+    // (Σdetr7, count) sufficient sums — so the final doubles derive from
+    // exact integers in one deterministic expression on both engines.
+    // Scale shape: one per-group ordered window (O(1) state), one
+    // |groups|×7-sized combinable aggregation broadcast back via an
+    // equi-join. No corpus-wide ordering anywhere.
+    "m27_stl_decompose" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("value"))
+      val w7 = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("sum7", sum(col("value")).over(w7))
+        .withColumn("n7", count(col("value")).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("detr7", col("value") * 7 - col("sum7"))
+        .withColumn("dow", dayofweek(col("day")))
+      val seas = tr.groupBy(col("prio"), col("dow"))
+        .agg(sum(col("detr7")).as("ssum"), count(lit(1)).as("scnt"))
+      tr.join(seas, Seq("prio", "dow"))
+        .select(col("prio"), col("day").cast("timestamp").as("day"), col("value"),
+          round(col("sum7") / 7.0, 6).as("trend"),
+          round(col("ssum") / (col("scnt") * 7.0), 6).as("seasonal"),
+          round(col("value") - col("sum7") / 7.0 - col("ssum") / (col("scnt") * 7.0), 6)
+            .as("remainder"))
+        .orderBy(col("prio"), col("day"))
+    }),
+
     "m20_anomaly_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
         new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
@@ -603,6 +637,37 @@ object ModelPack extends QueryPack {
       FROM spine s
       LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
       ORDER BY s.user_id, s.day""",
+
+    // identical integer intermediates (sum7, 7·value − sum7, Σdetr7) and
+    // the same left-to-right final double expression; DuckDB's
+    // dayofweek is Spark's − 1
+    "m27_stl_decompose" -> """
+      WITH daily AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+          COUNT(*) AS value
+        FROM orders GROUP BY 1, 2),
+      tr AS (
+        SELECT prio, day, value,
+          SUM(value) OVER w AS sum7,
+          COUNT(value) OVER w AS n7
+        FROM daily
+        WINDOW w AS (PARTITION BY prio ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      t2 AS (
+        SELECT prio, day, value, sum7, value * 7 - sum7 AS detr7,
+          dayofweek(day) + 1 AS dow
+        FROM tr WHERE n7 = 7),
+      seas AS (
+        SELECT prio, dow, SUM(detr7) AS ssum, COUNT(*) AS scnt
+        FROM t2 GROUP BY prio, dow)
+      SELECT t2.prio, CAST(t2.day AS TIMESTAMP) AS day,
+        CAST(t2.value AS BIGINT) AS value,
+        ROUND(t2.sum7 / 7.0, 6) AS trend,
+        ROUND(seas.ssum / (seas.scnt * 7.0), 6) AS seasonal,
+        ROUND(t2.value - t2.sum7 / 7.0 - seas.ssum / (seas.scnt * 7.0), 6)
+          AS remainder
+      FROM t2 JOIN seas ON seas.prio = t2.prio AND seas.dow = t2.dow
+      ORDER BY t2.prio, t2.day""",
 
     "m20_anomaly_sql" -> """
       WITH st AS (

@@ -442,6 +442,23 @@ object Relational extends QueryPack {
         .orderBy(col("s_nationkey"), col("rank"))
     }),
 
+    // relational division ("customers active in ALL priority classes" —
+    // Codd's ÷). The textbook double-NOT-EXISTS spelling re-scans the
+    // divisor per row; the scale-correct plan is ONE combinable
+    // count-distinct aggregation compared against a broadcast scalar —
+    // which is what both engines execute here.
+    "q63_relational_division" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_custkey
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(DISTINCT o_orderpriority) =
+          (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+        ORDER BY o_custkey
+      """)
+    }),
+
     // SQL:2003 FILTER clause on aggregates (conditional aggregation
     // without CASE wrapping) — runs inside the same partial/final
     // aggregation as the unfiltered count, zero extra scans
@@ -1080,6 +1097,14 @@ object Relational extends QueryPack {
         CAST(s_suppkey AS BIGINT) AS s_suppkey,
         CAST(cents AS DOUBLE) / 100 AS revenue
       FROM rk WHERE rn <= 3 ORDER BY s_nationkey, rank""",
+
+    "q63_relational_division" -> """
+      SELECT o_custkey
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(DISTINCT o_orderpriority) =
+        (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+      ORDER BY o_custkey""",
 
     "q62_filter_clause" -> """
       SELECT l_returnflag,

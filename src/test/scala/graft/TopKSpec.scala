@@ -31,6 +31,22 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("topk_pairs on the SQL surface matches the Column API aggregate") {
+    import spark.implicits._
+    graft.functions.AiFunctions.register(spark)
+    val df = (1 to 100).map(i => (((i * 13) % 37).toLong, i % 3, i.toLong))
+      .toDF("k", "g", "p")
+    df.createOrReplaceTempView("tk_spec")
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getInt(0) ->
+        r.getSeq[Row](1).map(x => (x.getLong(0), x.getLong(1))).toList).toMap
+    val viaSql = shape(spark.sql(
+      "SELECT g, topk_pairs(k, p, 2) AS top FROM tk_spec GROUP BY g").collect())
+    val viaApi = shape(df.groupBy($"g")
+      .agg(graft.functions.TopK.topk($"k", $"p", 2).as("top")).collect())
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("null keys/payloads are skipped; k larger than the group returns the whole group") {
     import spark.implicits._
     val df = Seq(

@@ -363,6 +363,41 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     partitionColumn(name).fold(w)(pc => w.partitionBy(pc)).parquet(path(name))
   }
 
+  /** INSERT OVERWRITE with DYNAMIC partition semantics (the Hive/Delta
+    * `partitionOverwriteMode=dynamic` contract): ONLY partitions present
+    * in the input are replaced; untouched partition directories keep
+    * their files byte-for-byte (still hard-link-shared with history
+    * snapshots) — so refreshing a 100 TB table's one hot partition is
+    * priced by that partition, not the table. The pre-image is
+    * snapshotted first: the overwrite is a time-travelable, rollback-able
+    * commit like every other mutating verb. Input columns resolve by
+    * name when they are a permutation of the table's, positionally
+    * otherwise (insertInto's rule). */
+  def insertOverwritePartitions(name: String, df: DataFrame): Unit = {
+    val pc = partitionColumn(name).getOrElse(throw new IllegalArgumentException(
+      s"INSERT OVERWRITE on $name: dynamic partition overwrite needs a partitioned table"))
+    snapshot(name)
+    val schema = table(name).schema
+    require(df.columns.length == schema.length,
+      s"INSERT OVERWRITE arity mismatch: ${df.columns.length} values for ${schema.length} columns of $name")
+    val byName = df.columns.map(_.toLowerCase).sorted
+      .sameElements(schema.fieldNames.map(_.toLowerCase).sorted)
+    val cols =
+      if (byName) schema.fields.map(f => col(f.name).cast(f.dataType))
+      else df.columns.zip(schema.fields).map { case (c, f) => col(c).cast(f.dataType).as(f.name) }
+    val tmp = Paths.get(path(name) + "__owtmp")
+    rm(tmp)
+    df.select(cols.toSeq: _*).write.mode("overwrite")
+      .partitionBy(pc).parquet(tmp.toString)
+    listDir(tmp).filter(_.getFileName.toString.startsWith(pc + "="))
+      .foreach { pdir =>
+        val dst = Paths.get(path(name), pdir.getFileName.toString)
+        rm(dst)
+        Files.move(pdir, dst)
+      }
+    rm(tmp)
+  }
+
   /** UPDATE name SET assignments WHERE cond (UpdateToTable). On a
     * partitioned table only the partitions containing matching rows are
     * rewritten — the 100 TB shape (a full-table copy-on-write does not

@@ -483,6 +483,30 @@ object Events extends QueryPack {
         .orderBy(col("n_events"))
     }),
 
+    // MATCH_RECOGNIZE-lite row-pattern matching (SQL:2016 ch. 12's core
+    // use): each user's ordered event-type sequence renders to a letter
+    // string — one ordered array_sort over a per-user collected struct
+    // array, bounded by that user's own activity (the per-entity bound
+    // every sessionizer accepts) — and a regex counts non-overlapping
+    // view→clicks→purchase runs. The regex subset (literal letters,
+    // greedy *) matches identically in Java and RE2-family engines.
+    "e25_pattern_match" -> ((s, dir) => {
+      val letter = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p").otherwise("x")
+      t(s, dir, "events")
+        .withColumn("l", letter)
+        .groupBy(col("user_id"))
+        .agg(concat_ws("",
+          expr("transform(array_sort(collect_list(struct(ts, event_id, l))), x -> x.l)"))
+          .as("seq"))
+        .select(col("user_id"),
+          length(col("seq")).cast(LongType).as("seq_len"),
+          size(expr("regexp_extract_all(seq, 'vc*p', 0)")).cast(LongType).as("n_funnels"))
+        .filter(col("user_id") < 200)
+        .orderBy(col("user_id"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -530,6 +554,20 @@ object Events extends QueryPack {
       GROUP BY step1, step2, step3
       ORDER BY n DESC, step1, step2, step3
       LIMIT 10""",
+
+    // ordered string_agg ≡ ordered collect+transform+concat; both
+    // regex engines count non-overlapping greedy matches left-to-right
+    "e25_pattern_match" -> """
+      WITH s AS (
+        SELECT user_id,
+          string_agg(
+            CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' ELSE 'x' END,
+            '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id)
+      SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_funnels
+      FROM s WHERE user_id < 200 ORDER BY user_id""",
 
     // DuckDB's epoch_us and // floor division mirror Spark's unix_micros
     // and div; both running sums use explicit ROWS UNBOUNDED PRECEDING

@@ -218,6 +218,23 @@ object WritesPack extends QueryPack {
         .orderBy(col("col_name"), col("bucket"))
     }),
 
+    // dynamic partition overwrite (Hive partitionOverwriteMode=dynamic):
+    // refresh exactly the partitions the query produces — the daily-drop
+    // re-ingest shape. Every untouched partition keeps its files
+    // byte-for-byte (CatalogSpec proves the inode sharing); the oracle
+    // states the expected post-state ('O' repriced, the rest original).
+    "w16_dynamic_overwrite" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE dow16 PARTITIONED BY (o_orderstatus) AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""")
+      c.execute("""INSERT OVERWRITE dow16
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O'""")
+      c.execute("""SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM dow16 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // data-quality expectations report (Great-Expectations-style CHECK
     // suite — the validation gate a training pipeline runs before
     // ingesting a new drop): every scalar rule (nulls, ranges,
@@ -660,6 +677,18 @@ object WritesPack extends QueryPack {
         ROUND(mn + (bucket + 1) * (mx - mn) / 10, 4) AS hi, n
       FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
       ORDER BY col_name, bucket""",
+
+    // post-state after replacing only the 'O' partition
+    "w16_dynamic_overwrite" -> """
+      WITH t AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+               ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus
+        FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // one conditional-aggregation pass + one anti-join, same rules
     "i06_dq_expectations" -> """

@@ -83,6 +83,8 @@ final class Commands(
   private val DropProject = """(?is)\s*DROP\s+PROJECT\s+(\w+)\s*""".r
   private val InsertStmt =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s*(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
+  private val InsertOverwriteStmt =
+    """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
   private val ShowStmt =
     """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|SKILLS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowColumns =
@@ -771,6 +773,13 @@ final class Commands(
         warehouse.delete(name, Option(where).map(expr).getOrElse(lit(true)))
         ok(s"deleted from $name")
     }
+
+    // dynamic partition overwrite (Hive/Delta partitionOverwriteMode=
+    // dynamic): replaces exactly the partitions the query produces
+    case InsertOverwriteStmt(name, body) =>
+      require(warehouse.exists(name), s"table $name does not exist")
+      warehouse.insertOverwritePartitions(name, run(stripParens(body)))
+      ok(s"overwrote partitions of $name")
 
     case InsertStmt(name, colList, body) => catalog.kb(name) match {
       case Some(k) =>

@@ -331,4 +331,32 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](wh.renameColumn("evo", "nope", "x"))
     intercept[IllegalArgumentException](wh.dropColumn("evo", "nope"))
   }
+
+  test("dynamic partition overwrite replaces only produced partitions; others untouched") {
+    import spark.implicits._
+    val wh = Warehouse.temp(spark)
+    wh.createTableAs("dpo",
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "part"),
+      partitionBy = Seq("part"))
+    def bFiles = wh.table("dpo").inputFiles.filter(_.contains("part=b")).toSet
+    val before = bFiles
+    assert(before.nonEmpty)
+
+    // overwrite produces ONLY partition a — b must keep its exact files
+    wh.insertOverwritePartitions("dpo",
+      Seq((9L, "a", 99L)).toDF("id", "part", "v")) // name-permutation input
+    assert(bFiles === before, "untouched partition was rewritten")
+    val rows = wh.table("dpo").select(col("id"), col("v"), col("part"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows === Set((9L, 99L, "a"), (2L, 20L, "b")))
+
+    // the overwrite is a time-travelable commit: pre-image retained
+    assert(wh.tableVersion("dpo", 0)
+      .filter(col("part") === "a").select(col("v")).as[Long].collect().toSeq === Seq(10L))
+
+    // unpartitioned target is refused with guidance
+    wh.createTableAs("flat", Seq((1L, 2L)).toDF("a", "b"))
+    intercept[IllegalArgumentException](
+      wh.insertOverwritePartitions("flat", Seq((3L, 4L)).toDF("a", "b")))
+  }
 }

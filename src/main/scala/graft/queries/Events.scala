@@ -507,6 +507,40 @@ object Events extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // A/B experiment readout (two-proportion pooled z-test): variant =
+    // user_id parity, conversion = "user ever purchased". The whole
+    // readout is two combinable aggregations (per-user flag → per-arm
+    // counts) and a 1×1 join of the two arm rows — the z-score derives
+    // from four exact integers in ONE deterministic double expression,
+    // mirrored token-for-token in the oracle (IEEE ops on identical
+    // inputs in identical order ⇒ identical bits).
+    "e26_ab_test" -> ((s, dir) => {
+      // conversion = a high-value purchase (plain "ever purchased" is ~1.0
+      // in this data — a degenerate pooled variance divides by zero)
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+          .otherwise(0L)).as("conv"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      val arms = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val a = arms.filter(col("variant") === 0)
+        .select(col("n_users").as("n0"), col("n_conv").as("c0"))
+      val b = arms.filter(col("variant") === 1)
+        .select(col("n_users").as("n1"), col("n_conv").as("c1"))
+      val pPool = (col("c0") + col("c1")).cast(DoubleType) / (col("n0") + col("n1"))
+      a.crossJoin(b).select(
+        col("n0"), col("c0"), col("n1"), col("c1"),
+        round(col("c0").cast(DoubleType) / col("n0"), 6).as("p0"),
+        round(col("c1").cast(DoubleType) / col("n1"), 6).as("p1"),
+        round(
+          when(pPool > 0 && pPool < 1,
+            (col("c1").cast(DoubleType) / col("n1") - col("c0").cast(DoubleType) / col("n0")) /
+              sqrt(pPool * (lit(1.0) - pPool) *
+                (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+            .otherwise(lit(0.0)), 6).as("z"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -554,6 +588,33 @@ object Events extends QueryPack {
       GROUP BY step1, step2, step3
       ORDER BY n DESC, step1, step2, step3
       LIMIT 10""",
+
+    // the same four integers through the token-identical z expression
+    "e26_ab_test" -> """
+      WITH pu AS (
+        SELECT user_id,
+          MAX(CASE WHEN event_type = 'purchase' AND value > 150
+              THEN 1 ELSE 0 END) AS conv,
+          CAST(user_id % 2 AS INTEGER) AS variant
+        FROM events GROUP BY user_id),
+      arms AS (
+        SELECT variant, COUNT(*) AS n_users, SUM(conv) AS n_conv
+        FROM pu GROUP BY variant),
+      a AS (SELECT n_users AS n0, n_conv AS c0 FROM arms WHERE variant = 0),
+      b AS (SELECT n_users AS n1, n_conv AS c1 FROM arms WHERE variant = 1)
+      SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+        CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+        ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+        ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+        ROUND(
+          CASE WHEN CAST(c0 + c1 AS DOUBLE) / (n0 + n1) > 0
+                AND CAST(c0 + c1 AS DOUBLE) / (n0 + n1) < 1
+            THEN (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+              sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                   (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                   (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))
+            ELSE 0.0 END, 6) AS z
+      FROM a, b""",
 
     // ordered string_agg ≡ ordered collect+transform+concat; both
     // regex engines count non-overlapping greedy matches left-to-right

@@ -334,6 +334,34 @@ object ModelPack extends QueryPack {
         .orderBy(col("prio"), col("day"))
     }),
 
+    // hierarchical forecast reconciliation (Hyndman & Athanasopoulos
+    // §10): per-group lookback-mean forecasts (bottom level) vs the
+    // total split top-down by lookback share — the two classic
+    // reconciliation paths, which disagree exactly when groups have
+    // missing days in the lookback. ONE filtered aggregation feeds both
+    // levels; the group and total stat tables are model-sized broadcast
+    // scalars; divisions are deferred to the final deterministic
+    // expression mirrored token-for-token in the oracle.
+    "m28_hier_reconcile" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("v"))
+      val maxDay = daily.groupBy().agg(max(col("day")).as("d1"))
+      val look = daily.crossJoin(broadcast(maxDay))
+        .filter(col("day") > date_sub(col("d1"), 28))
+      val g = look.groupBy(col("prio"))
+        .agg(sum(col("v")).as("gsum"), count(lit(1)).as("gdays"))
+      val tot = look.groupBy()
+        .agg(sum(col("v")).as("tsum"), countDistinct(col("day")).as("tdays"))
+      g.crossJoin(broadcast(tot)).select(
+        col("prio"),
+        round(col("gsum").cast(DoubleType) / col("gdays"), 6).as("bottom_fc"),
+        round((col("tsum").cast(DoubleType) / col("tdays")) *
+          (col("gsum").cast(DoubleType) / col("tsum")), 6).as("topdown_fc"))
+        .orderBy(col("prio"))
+    }),
+
     "m20_anomaly_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
         new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
@@ -637,6 +665,23 @@ object ModelPack extends QueryPack {
       FROM spine s
       LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
       ORDER BY s.user_id, s.day""",
+
+    // same one-pass lookback stats, same deferred-division expression
+    "m28_hier_reconcile" -> """
+      WITH daily AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+          COUNT(*) AS v
+        FROM orders GROUP BY 1, 2),
+      mx AS (SELECT MAX(day) AS d1 FROM daily),
+      look AS (SELECT daily.* FROM daily, mx WHERE day > d1 - 28),
+      g AS (SELECT prio, SUM(v) AS gsum, COUNT(*) AS gdays
+            FROM look GROUP BY prio),
+      tot AS (SELECT SUM(v) AS tsum, COUNT(DISTINCT day) AS tdays FROM look)
+      SELECT prio,
+        ROUND(CAST(gsum AS DOUBLE) / gdays, 6) AS bottom_fc,
+        ROUND((CAST(tsum AS DOUBLE) / tdays) * (CAST(gsum AS DOUBLE) / tsum), 6)
+          AS topdown_fc
+      FROM g, tot ORDER BY prio""",
 
     // identical integer intermediates (sum7, 7·value − sum7, Σdetr7) and
     // the same left-to-right final double expression; DuckDB's

@@ -442,6 +442,22 @@ object Relational extends QueryPack {
         .orderBy(col("s_nationkey"), col("rank"))
     }),
 
+    // by-NAME union (DataFrame unionByName ≡ DuckDB UNION ALL BY NAME):
+    // the second input's columns arrive in a different order — a
+    // positional UNION would silently sum keys into prices. Resolution
+    // is by name, then one combinable rollup proves the alignment.
+    "q64_union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val x = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val y = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_totalprice"), col("o_orderkey"))
+      x.unionByName(y)
+        .groupBy().agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          sum(col("o_orderkey")).as("key_sum"))
+    }),
+
     // relational division ("customers active in ALL priority classes" —
     // Codd's ÷). The textbook double-NOT-EXISTS spelling re-scans the
     // divisor per row; the scale-correct plan is ONE combinable
@@ -1097,6 +1113,15 @@ object Relational extends QueryPack {
         CAST(s_suppkey AS BIGINT) AS s_suppkey,
         CAST(cents AS DOUBLE) / 100 AS revenue
       FROM rk WHERE rn <= 3 ORDER BY s_nationkey, rank""",
+
+    "q64_union_by_name" -> s"""
+      WITH u AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL BY NAME
+        SELECT o_totalprice, o_orderkey FROM orders WHERE o_orderstatus = 'O')
+      SELECT COUNT(*) AS n, ${oSum("o_totalprice")} AS total,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM u""",
 
     "q63_relational_division" -> """
       SELECT o_custkey

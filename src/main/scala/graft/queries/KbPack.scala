@@ -103,6 +103,55 @@ object KbPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MMR diversity rerank (Carbonell & Goldstein 1998) — the RAG
+    // answer-diversity pass beside k08's relevance-boost reranker:
+    // distributed ranked retrieval over-fetches the top-8, then the
+    // greedy λ·rel − (1−λ)·maxSim selection runs on the CANDIDATE set
+    // only (8 rows on the driver — model-sized; the corpus never leaves
+    // the executors, the same shape as k08's rerank window). Every pair
+    // similarity and every MMR score rounds to 4dp BEFORE each argmax,
+    // and the penalty weight is the literal 0.3 (not 1−0.7, which is
+    // 0.30000000000000004 in IEEE), so both engines walk the identical
+    // (score DESC, chunk_id) greedy path.
+    "k18_kb_mmr" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.cosineSim
+      val base = kb(s, dir)
+        .withColumn("qv", Kb.embed(lit(QueryA)))
+        .withColumn("distance", round(lit(1.0) - cosineSim(col("emb"), col("qv")), 4))
+        .withColumn("relevance", Kb.relevanceOf(col("distance")))
+      val cands = base.orderBy(col("relevance").desc, col("chunk_id")).limit(8)
+        .select(col("chunk_id"), col("relevance"), col("emb")).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val byId = cands.map(c => c._1 -> c._3).toMap
+      val first = cands.minBy { case (id, rel, _) => (-rel, id) }
+      val selected = scala.collection.mutable.ArrayBuffer(
+        (first._1, r4(0.7 * first._2)))
+      var remaining = cands.toVector.filterNot(_._1 == first._1)
+      while (selected.size < 4 && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel, v) =>
+          val penalty = selected.map(sel => r4(cos(v, byId(sel._1)))).max
+          (id, r4(0.7 * rel - 0.3 * penalty))
+        }
+        val best = scored.minBy { case (id, sc) => (-sc, id) }
+        selected += best
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      val sp = s
+      import sp.implicits._
+      selected.toSeq.zipWithIndex
+        .map { case ((id, sc), i) => (i + 1, id, sc) }
+        .toDF("rank", "chunk_id", "mmr_score")
+    }),
+
     "k08_kb_rerank" -> ((s, dir) => {
       // over-fetch ×2 → rerank (keyword-boost stub standing in for the
       // LLM listwise reranker) → cut back to limit
@@ -305,6 +354,41 @@ object KbPack extends QueryPack {
         FROM scored)
       SELECT query_id, CAST(rank AS INTEGER) AS rank, chunk_id, doc_id, relevance
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the same greedy unrolled: pairwise 4dp-rounded similarities, the
+    // literal 0.3 penalty weight, (score DESC, chunk_id) argmax per round
+    "k18_kb_mmr" -> {
+      def selSet(r: Int) =
+        (1 to r).map(i => s"SELECT chunk_id FROM s$i").mkString(" UNION ALL ")
+      def mmrRound(r: Int): String = s"""
+        r$r AS (
+          SELECT c.chunk_id,
+            ROUND(CAST(0.7 AS DOUBLE) * c.relevance - CAST(0.3 AS DOUBLE) *
+              (SELECT MAX(s) FROM sim
+               WHERE ci = c.chunk_id AND cj IN (${selSet(r - 1)})), 4) AS score
+          FROM cand c WHERE c.chunk_id NOT IN (${selSet(r - 1)})),
+        s$r AS (SELECT chunk_id, score FROM r$r ORDER BY score DESC, chunk_id LIMIT 1)"""
+      s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      scored AS (SELECT chunk_id, ${oRel("q")} AS relevance, v FROM emb, qv),
+      cand AS MATERIALIZED (
+        SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 8),
+      sim AS MATERIALIZED (
+        SELECT a.chunk_id AS ci, b.chunk_id AS cj,
+          ROUND(list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i]*b.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i]*a.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, ${Dim + 1}), i -> b.v[i]*b.v[i])))), 4) AS s
+        FROM cand a, cand b WHERE a.chunk_id <> b.chunk_id),
+      s1 AS (SELECT chunk_id, ROUND(CAST(0.7 AS DOUBLE) * relevance, 4) AS score
+             FROM cand ORDER BY relevance DESC, chunk_id LIMIT 1),
+      ${(2 to 4).map(mmrRound).mkString(",")}
+      SELECT * FROM (
+        SELECT CAST(1 AS INTEGER) AS rank, chunk_id, score AS mmr_score FROM s1
+        UNION ALL SELECT 2, chunk_id, score FROM s2
+        UNION ALL SELECT 3, chunk_id, score FROM s3
+        UNION ALL SELECT 4, chunk_id, score FROM s4)
+      ORDER BY rank"""
+    },
 
     "k02_kb_semantic_search" -> s"""$oPrefix,
       qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),

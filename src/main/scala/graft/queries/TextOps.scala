@@ -492,6 +492,46 @@ object TextOps extends QueryPack {
     // aggregations; source totals and the corpus scalar broadcast back;
     // per-term contributions round at 9dp and sum as DECIMAL (t12's
     // order-independence rule) so the hash matches at any partitioning.
+    // filter-funnel waterfall (the ablation table every corpus paper
+    // publishes — RefinedWeb Tab.2 / Gopher App.A shape): sequential
+    // survival counts through length → digit-ratio → uppercase-ratio →
+    // exact-dedup stages. All scalar rules are map-side flags summed in
+    // ONE conditional aggregation; the dedup stage is the combinable
+    // min-per-hash + semi-join shape (d07's skew-safe first-occurrence),
+    // so no stage re-scans the corpus.
+    "t26_filter_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("len", length(col("text")))
+        .withColumn("f1", col("len") >= 100)
+        .withColumn("f2",
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast(DoubleType) /
+            col("len") < 0.2)
+        .withColumn("f3",
+          length(regexp_replace(col("text"), "[^A-Z]", "")).cast(DoubleType) /
+            col("len") < 0.5)
+      val s3 = d.filter(col("f1") && col("f2") && col("f3"))
+        .withColumn("h", md5(col("text")))
+      val first = s3.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      val survivors = s3.join(first,
+        s3("h") === first("h") && s3("doc_id") === first("keep_id"), "left_semi")
+      val counts = d.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("n3"))
+      counts.crossJoin(survivors.agg(count(lit(1)).as("n4")))
+        .select(explode(array(
+          struct(lit(1).as("stage_no"), lit("input").as("stage"), col("n0").as("n")),
+          struct(lit(2).as("stage_no"), lit("min_length").as("stage"), col("n1").as("n")),
+          struct(lit(3).as("stage_no"), lit("digit_ratio").as("stage"), col("n2").as("n")),
+          struct(lit(4).as("stage_no"), lit("uppercase_ratio").as("stage"), col("n3").as("n")),
+          struct(lit(5).as("stage_no"), lit("exact_dedup").as("stage"), col("n4").as("n"))))
+          .as("r"))
+        .select(col("r.stage_no").cast(IntegerType).as("stage_no"),
+          col("r.stage").as("stage"), col("r.n").as("n_surviving"))
+        .orderBy(col("stage_no"))
+    }),
+
     "t24_source_divergence" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
@@ -809,6 +849,40 @@ object TextOps extends QueryPack {
 
     // same expression text → same IEEE op order → same doubles; the
     // 9dp-round + DECIMAL sum makes the total order-independent
+    // same flags, same single-pass sums, same min-per-hash dedup stage
+    "t26_filter_funnel" -> """
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS len,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS ndig,
+          length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nup
+        FROM documents),
+      f AS (
+        SELECT doc_id, text,
+          len >= 100 AS f1,
+          CAST(ndig AS DOUBLE) / len < 0.2 AS f2,
+          CAST(nup AS DOUBLE) / len < 0.5 AS f3
+        FROM d),
+      s3 AS (SELECT doc_id, md5(text) AS h FROM f WHERE f1 AND f2 AND f3),
+      fst AS (SELECT h, MIN(doc_id) AS keep_id FROM s3 GROUP BY h),
+      n4v AS (
+        SELECT COUNT(*) AS n4 FROM s3
+        JOIN fst ON s3.h = fst.h AND s3.doc_id = fst.keep_id),
+      c AS (
+        SELECT COUNT(*) AS n0,
+          SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+          SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+          SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3
+        FROM f)
+      SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+        CAST(n AS BIGINT) AS n_surviving
+      FROM (
+        SELECT 1 AS stage_no, 'input' AS stage, n0 AS n FROM c
+        UNION ALL SELECT 2, 'min_length', n1 FROM c
+        UNION ALL SELECT 3, 'digit_ratio', n2 FROM c
+        UNION ALL SELECT 4, 'uppercase_ratio', n3 FROM c
+        UNION ALL SELECT 5, 'exact_dedup', n4 FROM n4v)
+      ORDER BY stage_no""",
+
     "t24_source_divergence" -> """
       WITH tf AS (
         SELECT source, tok, COUNT(*) AS n FROM (

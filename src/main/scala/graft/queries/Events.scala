@@ -541,6 +541,43 @@ object Events extends QueryPack {
             .otherwise(lit(0.0)), 6).as("z"))
     }),
 
+    // survival-analysis hazard table (the Kaplan-Meier ingredient set —
+    // time-to-convert from first view, right-censored at the observation
+    // edge): per-user spans from ONE aggregation, then the life table is
+    // a |days|-sized rollup — n_at_risk derives from a cumulative sum
+    // over that post-aggregation table (model-sized; the only ordered
+    // window runs on ≤ observation-days rows, never the corpus). The
+    // KM product itself is left to the reader because exp/ln are not
+    // cross-libm bit-stable; every emitted column is exact-integer or a
+    // single rounded division.
+    "e27_survival_hazard" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v"),
+        min(when(col("event_type") === "purchase" && col("value") > 150, col("ts"))).as("p"))
+        .filter(col("v").isNotNull)
+      val maxTs = ev.groupBy().agg(max(col("ts")).as("mx"))
+      val spans = perUser.crossJoin(broadcast(maxTs))
+        .withColumn("conv", col("p").isNotNull && col("p") >= col("v"))
+        .withColumn("off",
+          when(col("conv"), datediff(to_date(col("p")), to_date(col("v"))))
+            .otherwise(datediff(to_date(col("mx")), to_date(col("v")))).cast(LongType))
+      val byOff = spans.groupBy(col("off")).agg(
+        sum(when(col("conv"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("conv"), 1L).otherwise(0L)).as("c"))
+      val w = Window.orderBy(col("off"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byOff
+        .withColumn("removed_before", coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+        .crossJoin(broadcast(spans.groupBy().agg(count(lit(1)).as("n_total"))))
+        .select(col("off"),
+          (col("n_total") - col("removed_before")).as("n_at_risk"),
+          col("d").as("n_events"), col("c").as("n_censored"),
+          round(col("d").cast(DoubleType) /
+            (col("n_total") - col("removed_before")), 6).as("hazard"))
+        .orderBy(col("off"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -588,6 +625,38 @@ object Events extends QueryPack {
       GROUP BY step1, step2, step3
       ORDER BY n DESC, step1, step2, step3
       LIMIT 10""",
+
+    // same span derivation, same |days|-sized cumulative risk table
+    "e27_survival_hazard" -> """
+      WITH pu AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+          MIN(CASE WHEN event_type = 'purchase' AND value > 150 THEN ts END) AS p
+        FROM events GROUP BY user_id),
+      mx AS (SELECT MAX(ts) AS mx FROM events),
+      spans AS (
+        SELECT user_id, p IS NOT NULL AND p >= v AS conv,
+          CASE WHEN p IS NOT NULL AND p >= v
+               THEN datediff('day', CAST(v AS DATE), CAST(p AS DATE))
+               ELSE datediff('day', CAST(v AS DATE), CAST(mx.mx AS DATE)) END AS off
+        FROM pu, mx WHERE v IS NOT NULL),
+      byoff AS (
+        SELECT off,
+          SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS d,
+          SUM(CASE WHEN NOT conv THEN 1 ELSE 0 END) AS c
+        FROM spans GROUP BY off),
+      tot AS (SELECT COUNT(*) AS n_total FROM spans),
+      lifet AS (
+        SELECT off, d, c,
+          COALESCE(SUM(d + c) OVER (
+            ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS removed_before
+        FROM byoff)
+      SELECT CAST(off AS BIGINT) AS off,
+        CAST(n_total - removed_before AS BIGINT) AS n_at_risk,
+        CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+        ROUND(CAST(d AS DOUBLE) / (n_total - removed_before), 6) AS hazard
+      FROM lifet, tot ORDER BY off""",
 
     // the same four integers through the token-identical z expression
     "e26_ab_test" -> """

@@ -122,6 +122,8 @@ final class Commands(
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(\w+)\s+(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s+)?AS\s+(.+)""".r
   private val CreateTableCols =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(\s*(.+)\s*\)\s*""".r
+  private val CreateTableLike =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s*""".r
   private val LogHistoryQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\b\s*(.*)""".r
   private val LogQueriesQuery =
@@ -671,6 +673,17 @@ final class Commands(
       warehouse.createTableAs(name, run(body), overwrite = true,
         partitionBy = Option(partCols).toSeq.flatMap(_.split(",")).map(_.trim))
       ok(s"table $name created")
+    case CreateTableLike(name, src) =>
+      // CREATE TABLE dst LIKE src (MySQL/Hive): empty table carrying the
+      // source's schema. Physical layout (partitions/buckets) is NOT
+      // copied — matching MySQL's behavior of cloning structure only;
+      // CLONE is the verb that shares data+layout.
+      require(warehouse.exists(src) || catalog.spark.catalog.tableExists(src),
+        s"table $src does not exist")
+      warehouse.createTable(name,
+        (if (warehouse.exists(src)) warehouse.table(src)
+         else catalog.spark.table(src)).schema)
+      ok(s"table $name created like $src")
     case CreateTableCols(name, colDefs) =>
       // CREATE TABLE t (a BIGINT, b STRING, …) — empty table carrying the
       // declared schema (steps.py:255, command_executor.py:1955)

@@ -1003,4 +1003,20 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.execute("SHOW PROJECTS LIKE 'p%'").collect().map(_.getString(0)).toSeq
       === Seq("p2"))
   }
+
+  test("CREATE TABLE LIKE clones structure only: empty, same schema, no data link") {
+    val c = fresh()
+    c.execute("CREATE TABLE ctl_src AS SELECT n_nationkey, n_name FROM nation")
+    c.execute("CREATE TABLE ctl_dst LIKE ctl_src")
+    val src = c.execute("SELECT * FROM ctl_src")
+    val dst = c.execute("SELECT * FROM ctl_dst")
+    assert(dst.count() === 0L)
+    assert(dst.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // the clone is structurally independent: inserts land only in dst
+    c.execute("INSERT INTO ctl_dst VALUES (99, 'X')")
+    assert(c.execute("SELECT * FROM ctl_dst").count() === 1L)
+    assert(c.execute("SELECT * FROM ctl_src").count() === 25L)
+    intercept[Exception](c.execute("CREATE TABLE ctl_bad LIKE no_such_table"))
+  }
 }

@@ -382,6 +382,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"referential check not an anti-join:\n$plan")
   }
 
+  test("t26 funnel: scalar stages partial-aggregate; dedup stage is agg + semi-join, no window") {
+    val plan = executedPlan("t26_filter_funnel")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"window leaked into the funnel plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"dedup stage not a semi-join:\n$plan")
+  }
+
+  test("m27 STL: combinable seasonal aggregation, joins stay equi-keyed") {
+    val plan = executedPlan("m27_stl_decompose")
+    assert(plan.contains("partial_"), s"seasonal sums not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"degenerate join in STL plan:\n$plan")
+  }
+
+  test("g05 label propagation: equi-joins only; argmax is an aggregate, never a window") {
+    val plan = executedPlan("g05_label_propagation")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"degenerate join in LPA plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in LPA plan:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -494,6 +494,39 @@ object ModelPack extends QueryPack {
         .orderBy(col("lang"), col("pred_lang"))
     }),
 
+    // per-class precision/recall/F1 over m13's confusion matrix — the
+    // classification half of EVALUATE (m11 covers regression metrics).
+    // Everything derives from the |classes|²-sized matrix: three tiny
+    // aggregations + left joins, ratios in one deterministic expression
+    // (F1 from the UNROUNDED precision/recall, rounded once at output).
+    "m29_classification_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (priors, likelihoods) =
+        graft.ml.NaiveBayes.train(docs.filter(col("doc_id") < 250), "text", "lang")
+      val conf = graft.ml.NaiveBayes
+        .predict(docs.filter(col("doc_id") >= 250), "text", "doc_id",
+          priors, likelihoods, carryCols = Seq("lang"))
+        .groupBy(col("lang"), col("pred_label").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val classes = conf.select(col("lang").as("cls"))
+        .union(conf.select(col("pred_lang"))).distinct()
+      val tp = conf.filter(col("lang") === col("pred_lang"))
+        .select(col("lang").as("cls"), col("n").as("tp"))
+      val act = conf.groupBy(col("lang").as("cls")).agg(sum(col("n")).as("actual"))
+      val prd = conf.groupBy(col("pred_lang").as("cls")).agg(sum(col("n")).as("predicted"))
+      val p = col("tp").cast(DoubleType) / col("predicted")
+      val r = col("tp").cast(DoubleType) / col("actual")
+      classes.join(tp, Seq("cls"), "left").join(act, Seq("cls"), "left")
+        .join(prd, Seq("cls"), "left")
+        .na.fill(0L, Seq("tp", "actual", "predicted"))
+        .select(col("cls"), col("tp"), col("actual"), col("predicted"),
+          round(when(col("predicted") > 0, p).otherwise(0.0), 6).as("prec"),
+          round(when(col("actual") > 0, r).otherwise(0.0), 6).as("recall"),
+          round(when(col("tp") > 0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6)
+            .as("f1"))
+        .orderBy(col("cls"))
+    }),
+
     // the m13 classifier through the SQL model lifecycle: CREATE MODEL
     // with engine='naive_bayes', applied via SELECT … JOIN <model> — the
     // reference's multi-engine CREATE MODEL path
@@ -570,7 +603,49 @@ object ModelPack extends QueryPack {
       FROM best WHERE rk = 1
       GROUP BY lang, label ORDER BY lang, pred_lang"""
 
+  /** the same NB scoring pipeline with the confusion matrix as a `conf`
+    * CTE, for oracles that post-process the matrix (m29). */
+  private val nbConfusionCtes =
+    nbMatrixOracle.stripSuffix("""
+      SELECT lang, label AS pred_lang, COUNT(*) AS n
+      FROM best WHERE rk = 1
+      GROUP BY lang, label ORDER BY lang, pred_lang""") + """,
+      conf AS (
+        SELECT lang, label AS pred_lang, COUNT(*) AS n
+        FROM best WHERE rk = 1 GROUP BY lang, label)"""
+
   def oracles: Map[String, String] = Map(
+
+    // same matrix, same tiny joins, F1 from unrounded ratios
+    "m29_classification_report" -> s"""$nbConfusionCtes,
+      classes AS (
+        SELECT DISTINCT lang AS cls FROM conf
+        UNION SELECT DISTINCT pred_lang FROM conf),
+      tp AS (SELECT lang AS cls, n AS tp FROM conf WHERE lang = pred_lang),
+      act AS (SELECT lang AS cls, SUM(n) AS actual FROM conf GROUP BY lang),
+      prd AS (SELECT pred_lang AS cls, SUM(n) AS predicted FROM conf
+              GROUP BY pred_lang)
+      SELECT c.cls,
+        CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+        CAST(COALESCE(act.actual, 0) AS BIGINT) AS actual,
+        CAST(COALESCE(prd.predicted, 0) AS BIGINT) AS predicted,
+        ROUND(CASE WHEN COALESCE(prd.predicted, 0) > 0
+          THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / prd.predicted
+          ELSE 0.0 END, 6) AS prec,
+        ROUND(CASE WHEN COALESCE(act.actual, 0) > 0
+          THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE) / act.actual
+          ELSE 0.0 END, 6) AS recall,
+        ROUND(CASE WHEN COALESCE(tp.tp, 0) > 0
+          THEN 2.0 * (CAST(tp.tp AS DOUBLE) / prd.predicted) *
+               (CAST(tp.tp AS DOUBLE) / act.actual) /
+               ((CAST(tp.tp AS DOUBLE) / prd.predicted) +
+                (CAST(tp.tp AS DOUBLE) / act.actual))
+          ELSE 0.0 END, 6) AS f1
+      FROM classes c
+      LEFT JOIN tp ON tp.cls = c.cls
+      LEFT JOIN act ON act.cls = c.cls
+      LEFT JOIN prd ON prd.cls = c.cls
+      ORDER BY c.cls""",
 
     "m14_nb_model_sql" -> nbMatrixOracle,
     "m13_naive_bayes" -> nbMatrixOracle,

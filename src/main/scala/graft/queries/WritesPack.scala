@@ -218,6 +218,15 @@ object WritesPack extends QueryPack {
         .orderBy(col("col_name"), col("bucket"))
     }),
 
+    // SHOW PARTITIONS over a hive-layout warehouse table: the partition
+    // inventory every engine exposes; one combinable count per value
+    "i07_show_partitions" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE part_i07 PARTITIONED BY (o_orderstatus) AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""")
+      c.execute("SHOW PARTITIONS part_i07")
+    }),
+
     // dynamic partition overwrite (Hive partitionOverwriteMode=dynamic):
     // refresh exactly the partitions the query produces — the daily-drop
     // re-ingest shape. Every untouched partition keeps its files
@@ -677,6 +686,12 @@ object WritesPack extends QueryPack {
         ROUND(mn + (bucket + 1) * (mx - mn) / 10, 4) AS hi, n
       FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
       ORDER BY col_name, bucket""",
+
+    "i07_show_partitions" -> """
+      SELECT 'o_orderstatus' AS partition_column,
+        CAST(o_orderstatus AS VARCHAR) AS partition_value,
+        COUNT(*) AS n_rows
+      FROM orders GROUP BY o_orderstatus ORDER BY partition_value""",
 
     // post-state after replacing only the 'O' partition
     "w16_dynamic_overwrite" -> """

@@ -5,7 +5,7 @@ import graft.incremental.Jobs
 import graft.kb.Kb
 import graft.ml.{Fit, LinearModel}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Statement router for the MindsDB-style DDL surface (SURVEY §2.13;
@@ -124,6 +124,8 @@ final class Commands(
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(\s*(.+)\s*\)\s*""".r
   private val CreateTableLike =
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s*""".r
+  private val ShowPartitions =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
   private val LogHistoryQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\b\s*(.*)""".r
   private val LogQueriesQuery =
@@ -673,6 +675,17 @@ final class Commands(
       warehouse.createTableAs(name, run(body), overwrite = true,
         partitionBy = Option(partCols).toSeq.flatMap(_.split(",")).map(_.trim))
       ok(s"table $name created")
+    // SHOW PARTITIONS t (Hive/Spark DDL): one combinable count per
+    // partition value — partition metadata at any table size
+    case ShowPartitions(name) =>
+      val pc = warehouse.partitionColumn(name).getOrElse(
+        throw new IllegalArgumentException(s"SHOW PARTITIONS: table $name is not partitioned"))
+      warehouse.table(name)
+        .groupBy(col(pc).cast(StringType).as("partition_value"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(pc).as("partition_column"), col("partition_value"), col("n_rows"))
+        .orderBy(col("partition_value"))
+
     case CreateTableLike(name, src) =>
       // CREATE TABLE dst LIKE src (MySQL/Hive): empty table carrying the
       // source's schema. Physical layout (partitions/buckets) is NOT

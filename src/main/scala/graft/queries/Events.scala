@@ -578,6 +578,34 @@ object Events extends QueryPack {
         .orderBy(col("off"))
     }),
 
+    // robust outlier days by median absolute deviation (the 3-MAD rule —
+    // Hampel's robust alternative to z-scores, immune to the outliers it
+    // hunts): the corpus collapses to a |days|-sized daily rollup FIRST,
+    // so the two global median windows run on post-aggregation rows only
+    // (model-sized — the same deliberate exception as e27's life table).
+    // Medians use q61's literal rank formula k = floor((n−1)/2)+1 on both
+    // engines; every column is exact-integer.
+    "e29_mad_outlier_days" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+      def medianOf(df: DataFrame, c: String): DataFrame = {
+        val w = Window.orderBy(col(c))
+        df.withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(df.groupBy().agg(count(lit(1)).as("n"))))
+          .filter(col("rn") === expr("CAST(floor((n - 1) * 0.5) AS BIGINT) + 1"))
+          .select(col(c).as(s"med_$c"))
+      }
+      val dev = daily.crossJoin(broadcast(medianOf(daily, "cents")))
+        .withColumn("adev", abs(col("cents") - col("med_cents")))
+      dev.crossJoin(broadcast(medianOf(dev.select(col("adev")), "adev")))
+        .select(col("day").cast("timestamp").as("day"), col("cents"),
+          col("med_cents").as("med"), col("adev"),
+          col("med_adev").as("mad"),
+          (col("adev") > lit(3) * col("med_adev")).as("is_outlier"))
+        .orderBy(col("day"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -625,6 +653,25 @@ object Events extends QueryPack {
       GROUP BY step1, step2, step3
       ORDER BY n DESC, step1, step2, step3
       LIMIT 10""",
+
+    // same daily rollup, same literal-rank medians
+    "e29_mad_outlier_days" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+      r1 AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+               COUNT(*) OVER () AS n FROM daily),
+      med AS (SELECT cents AS med FROM r1
+              WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1),
+      dev AS (SELECT day, cents, med, abs(cents - med) AS adev FROM daily, med),
+      r2 AS (SELECT adev, row_number() OVER (ORDER BY adev) AS rn,
+               COUNT(*) OVER () AS n FROM dev),
+      mad AS (SELECT adev AS mad FROM r2
+              WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1)
+      SELECT CAST(day AS TIMESTAMP) AS day, cents, med, adev, mad,
+        adev > 3 * mad AS is_outlier
+      FROM dev, mad ORDER BY day""",
 
     // same span derivation, same |days|-sized cumulative risk table
     "e27_survival_hazard" -> """

@@ -442,6 +442,18 @@ object Relational extends QueryPack {
         .orderBy(col("s_nationkey"), col("rank"))
     }),
 
+    // lateral column aliases (Spark 3.4+/DuckDB: a SELECT item referencing
+    // an alias defined earlier in the same list) — pure projection rewrite
+    "q65_lateral_alias" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          o_totalprice * 0.9 AS discounted,
+          discounted * 1.1 AS with_tax
+        FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+      """)
+    }),
+
     // by-NAME union (DataFrame unionByName ≡ DuckDB UNION ALL BY NAME):
     // the second input's columns arrive in a different order — a
     // positional UNION would silently sum keys into prices. Resolution
@@ -1113,6 +1125,12 @@ object Relational extends QueryPack {
         CAST(s_suppkey AS BIGINT) AS s_suppkey,
         CAST(cents AS DOUBLE) / 100 AS revenue
       FROM rk WHERE rn <= 3 ORDER BY s_nationkey, rank""",
+
+    "q65_lateral_alias" -> """
+      SELECT o_orderkey,
+        o_totalprice * 0.9 AS discounted,
+        discounted * 1.1 AS with_tax
+      FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
 
     "q64_union_by_name" -> s"""
       WITH u AS (

@@ -126,6 +126,8 @@ final class Commands(
     """(?is)\s*CREATE\s+TABLE\s+(\w+)\s+LIKE\s+(\w+)\s*""".r
   private val ShowPartitions =
     """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val LogHistoryQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\b\s*(.*)""".r
   private val LogQueriesQuery =
@@ -675,6 +677,16 @@ final class Commands(
       warehouse.createTableAs(name, run(body), overwrite = true,
         partitionBy = Option(partCols).toSeq.flatMap(_.split(",")).map(_.trim))
       ok(s"table $name created")
+    // COPY INTO t FROM '<path>' (Snowflake/Delta's bulk-load verb): the
+    // file is format-sniffed (FileSource — csv/json/parquet/xlsx/txt),
+    // read distributed, and appended through INSERT's name/position
+    // conform rule — the files-upload ingest path as one statement
+    case CopyInto(name, path) =>
+      require(warehouse.exists(name), s"COPY INTO: table $name does not exist")
+      warehouse.insertInto(name,
+        graft.federation.FileSource.read(catalog.spark, path))
+      ok(s"copied $path into $name")
+
     // SHOW PARTITIONS t (Hive/Spark DDL): one combinable count per
     // partition value — partition metadata at any table size
     case ShowPartitions(name) =>

@@ -1004,6 +1004,49 @@ class CommandsSpec extends AnyFunSuite {
       === Seq("p2"))
   }
 
+  test("COPY INTO bulk-loads a sniffed file through INSERT's conform rule") {
+    val c = fresh()
+    val dir = java.nio.file.Files.createTempDirectory("copyinto").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/load.csv"),
+      "id,name\n1,alpha\n2,beta\n3,gamma\n")
+    c.execute("CREATE TABLE cpy (id BIGINT, name STRING)")
+    c.execute(s"COPY INTO cpy FROM '$dir/load.csv'")
+    val rows = c.execute("SELECT * FROM cpy ORDER BY id").collect()
+    assert(rows.length === 3 && rows.head.getLong(0) === 1L
+      && rows.head.getString(1) === "alpha")
+    // appends, not replaces
+    c.execute(s"COPY INTO cpy FROM '$dir/load.csv'")
+    assert(c.execute("SELECT * FROM cpy").count() === 6L)
+    intercept[Exception](c.execute(s"COPY INTO no_such FROM '$dir/load.csv'"))
+  }
+
+  test("e24's lag-based sessionization agrees with Spark's session_window aggregation") {
+    // cross-validation: the same 30-min gap rule expressed two ways must
+    // produce the identical multiset of (user, events-per-session)
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.engine.Tables.table(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    val viaWindow = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"), col("n")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val viaLag = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess", when(col("prev_ts").isNull ||
+        expr("unix_micros(ts) - unix_micros(prev_ts)") > 1800L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_no")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"), col("n")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaWindow === viaLag)
+  }
+
   test("CREATE TABLE LIKE clones structure only: empty, same schema, no data link") {
     val c = fresh()
     c.execute("CREATE TABLE ctl_src AS SELECT n_nationkey, n_name FROM nation")

@@ -362,6 +362,40 @@ object ModelPack extends QueryPack {
         .orderBy(col("prio"))
     }),
 
+    // two-sample Kolmogorov-Smirnov drift statistic (binned, 1000 cells —
+    // the distribution-shift alarm beside m12's PSI): D = max |F̂₁ − F̂₂|
+    // over the shared equal-width binning. The CDF difference is kept as
+    // the EXACT integer cross-product |c₁·n₂ − c₂·n₁| (one division at
+    // output), bin counts are map-side combinable, and the only ordered
+    // window runs over ≤1001 post-aggregation bins — model-sized, the
+    // same deliberate exception as e27/e29. Binning (not per-value CDFs)
+    // is the 100 TB choice: exact per-value KS needs a corpus-wide
+    // ordered scan.
+    "m30_ks_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("g"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("cents"))
+      val mm = li.agg(min(col("cents")), max(col("cents"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val w = (hi - lo) / 1000 + 1
+      val piv = li.groupBy(expr(s"(cents - $lo) div $w").as("bin"))
+        .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).as("nr"),
+          sum(when(col("g") === "A", 1L).otherwise(0L)).as("na"))
+      val tot = piv.groupBy().agg(sum(col("nr")).as("tr"), sum(col("na")).as("ta"))
+      val wb = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      piv.withColumn("cr", sum(col("nr")).over(wb))
+        .withColumn("ca", sum(col("na")).over(wb))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("cr") * col("ta") - col("ca") * col("tr")).as("num"),
+          (col("tr") * col("ta")).as("den"))
+        .groupBy(col("den")).agg(max(col("num")).as("ks_num"))
+        .select(col("ks_num"), col("den"),
+          round(col("ks_num").cast(DoubleType) / col("den"), 6).as("ks_d"))
+    }),
+
     "m20_anomaly_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
         new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
@@ -740,6 +774,30 @@ object ModelPack extends QueryPack {
       FROM spine s
       LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
       ORDER BY s.user_id, s.day""",
+
+    // same binning, same exact cross-product numerator
+    "m30_ks_drift" -> """
+      WITH li AS (
+        SELECT l_returnflag AS g,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+      mm AS (SELECT MIN(cents) AS lo,
+               (MAX(cents) - MIN(cents)) // 1000 + 1 AS w FROM li),
+      piv AS (
+        SELECT (cents - lo) // w AS bin,
+          SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS nr,
+          SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS na
+        FROM li, mm GROUP BY 1),
+      tot AS (SELECT SUM(nr) AS tr, SUM(na) AS ta FROM piv),
+      cdf AS (
+        SELECT bin,
+          SUM(nr) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cr,
+          SUM(na) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca
+        FROM piv)
+      SELECT CAST(MAX(ABS(cr * ta - ca * tr)) AS BIGINT) AS ks_num,
+        CAST(tr * ta AS BIGINT) AS den,
+        ROUND(CAST(MAX(ABS(cr * ta - ca * tr)) AS DOUBLE) / (tr * ta), 6) AS ks_d
+      FROM cdf, tot GROUP BY tr, ta""",
 
     // same one-pass lookback stats, same deferred-division expression
     "m28_hier_reconcile" -> """

@@ -492,6 +492,25 @@ object TextOps extends QueryPack {
     // aggregations; source totals and the corpus scalar broadcast back;
     // per-term contributions round at 9dp and sum as DECIMAL (t12's
     // order-independence rule) so the hash matches at any partitioning.
+    // canary-string decontamination scan (the GPT-3 App.C / canary-token
+    // approach beside d06's 13-gram matching: known sentinel strings
+    // grep'd verbatim): the canary list broadcasts as literals, matching
+    // is map-side substring containment, counts combine — one scan for
+    // the whole list at any corpus size.
+    "t27_canary_scan" -> ((s, dir) => {
+      val canaries = Seq("spark batch window", "filter join scan", "canary-zzz-000")
+      val d = t(s, dir, "documents")
+      val flags = canaries.zipWithIndex.map { case (c, i) =>
+        sum(when(col("text").contains(c), 1L).otherwise(0L)).as(s"c$i")
+      }
+      d.agg(flags.head, flags.tail: _*)
+        .select(explode(array(canaries.zipWithIndex.map { case (c, i) =>
+          struct(lit(c).as("canary"), col(s"c$i").as("n_docs"))
+        }: _*)).as("r"))
+        .select(col("r.canary").as("canary"), col("r.n_docs").as("n_docs"))
+        .orderBy(col("canary"))
+    }),
+
     // filter-funnel waterfall (the ablation table every corpus paper
     // publishes — RefinedWeb Tab.2 / Gopher App.A shape): sequential
     // survival counts through length → digit-ratio → uppercase-ratio →
@@ -849,6 +868,20 @@ object TextOps extends QueryPack {
 
     // same expression text → same IEEE op order → same doubles; the
     // 9dp-round + DECIMAL sum makes the total order-independent
+    // LIKE '%…%' on wildcard-free canaries ≡ contains()
+    "t27_canary_scan" -> """
+      WITH c AS (
+        SELECT
+          SUM(CASE WHEN text LIKE '%spark batch window%' THEN 1 ELSE 0 END) AS c0,
+          SUM(CASE WHEN text LIKE '%filter join scan%' THEN 1 ELSE 0 END) AS c1,
+          SUM(CASE WHEN text LIKE '%canary-zzz-000%' THEN 1 ELSE 0 END) AS c2
+        FROM documents)
+      SELECT canary, CAST(n_docs AS BIGINT) AS n_docs FROM (
+        SELECT 'spark batch window' AS canary, c0 AS n_docs FROM c
+        UNION ALL SELECT 'filter join scan', c1 FROM c
+        UNION ALL SELECT 'canary-zzz-000', c2 FROM c)
+      ORDER BY canary""",
+
     // same flags, same single-pass sums, same min-per-hash dedup stage
     "t26_filter_funnel" -> """
       WITH d AS (

@@ -363,6 +363,20 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     partitionColumn(name).fold(w)(pc => w.partitionBy(pc)).parquet(path(name))
   }
 
+  /** TRUNCATE TABLE: remove every row, keep the schema. A snapshot-logged
+    * commit like every other mutating verb — time travel (or ROLLBACK)
+    * recovers the data; the truncate itself is O(metadata). The hive
+    * partition layout collapses (an empty partitioned write has no
+    * partition directories), matching what an empty table means here. */
+  def truncate(name: String): Unit = {
+    snapshot(name)
+    val schema = table(name).schema
+    rm(Paths.get(path(name)))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1).write.mode("overwrite").parquet(path(name))
+  }
+
   /** INSERT OVERWRITE with DYNAMIC partition semantics (the Hive/Delta
     * `partitionOverwriteMode=dynamic` contract): ONLY partitions present
     * in the input are replaced; untouched partition directories keep

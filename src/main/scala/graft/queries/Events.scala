@@ -606,6 +606,36 @@ object Events extends QueryPack {
         .orderBy(col("day"))
     }),
 
+    // cohort LTV curve (cumulative revenue per signup cohort by day
+    // offset — e18's retention matrix with money instead of presence):
+    // revenue rolls up per (cohort, offset) combinably, the cumulative
+    // sum runs per-cohort over post-aggregation rows, cohort sizes join
+    // back dimension-sized; exact integer cents, one deterministic
+    // division chain at output.
+    "e31_cohort_ltv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .join(firstDay, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast(LongType).as("day_offset"))
+        .agg(sum(col("cents")).as("cents"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val sizes = firstDay.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_users"))
+      rev.withColumn("cum_cents", sum(col("cents")).over(w))
+        .join(sizes, Seq("cohort_day"))
+        .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+          col("day_offset"), col("cents"), col("cum_cents"), col("cohort_users"),
+          round(col("cum_cents").cast(DoubleType) / col("cohort_users") / 100.0, 6)
+            .as("ltv_per_user"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -653,6 +683,33 @@ object Events extends QueryPack {
       GROUP BY step1, step2, step3
       ORDER BY n DESC, step1, step2, step3
       LIMIT 10""",
+
+    // same rollup, same per-cohort running sum, same division order
+    "e31_cohort_ltv" -> """
+      WITH fd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+      rev AS (
+        SELECT fd.cohort_day,
+          CAST(datediff('day', fd.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+            AS day_offset,
+          CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events e JOIN fd ON fd.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT cohort_day, day_offset, cents,
+          SUM(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+            ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM rev),
+      sz AS (SELECT cohort_day, COUNT(*) AS cohort_users FROM fd GROUP BY 1)
+      SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day, c.day_offset,
+        c.cents, CAST(c.cum_cents AS BIGINT) AS cum_cents,
+        CAST(sz.cohort_users AS BIGINT) AS cohort_users,
+        ROUND(CAST(c.cum_cents AS DOUBLE) / sz.cohort_users / 100.0, 6)
+          AS ltv_per_user
+      FROM cum c JOIN sz ON sz.cohort_day = c.cohort_day
+      ORDER BY c.cohort_day, c.day_offset""",
 
     // same daily rollup, same literal-rank medians
     "e29_mad_outlier_days" -> """

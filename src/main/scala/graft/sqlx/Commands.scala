@@ -128,6 +128,8 @@ final class Commands(
     """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
+  private val TruncateStmt =
+    """(?is)\s*TRUNCATE\s+TABLE\s+(\w+)\s*""".r
   private val LogHistoryQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\b\s*(.*)""".r
   private val LogQueriesQuery =
@@ -677,6 +679,13 @@ final class Commands(
       warehouse.createTableAs(name, run(body), overwrite = true,
         partitionBy = Option(partCols).toSeq.flatMap(_.split(",")).map(_.trim))
       ok(s"table $name created")
+    // TRUNCATE TABLE: empty the table, keep the schema — snapshot-logged
+    // so time travel / ROLLBACK recovers the pre-image
+    case TruncateStmt(name) =>
+      require(warehouse.exists(name), s"TRUNCATE: table $name does not exist")
+      warehouse.truncate(name)
+      ok(s"truncated $name")
+
     // COPY INTO t FROM '<path>' (Snowflake/Delta's bulk-load verb): the
     // file is format-sniffed (FileSource — csv/json/parquet/xlsx/txt),
     // read distributed, and appended through INSERT's name/position

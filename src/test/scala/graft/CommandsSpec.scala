@@ -1047,6 +1047,20 @@ class CommandsSpec extends AnyFunSuite {
     assert(viaWindow === viaLag)
   }
 
+  test("TRUNCATE TABLE empties but keeps schema; the pre-image is a recoverable version") {
+    val c = fresh()
+    c.execute("CREATE TABLE trunc AS SELECT n_nationkey, n_name FROM nation")
+    c.execute("TRUNCATE TABLE trunc")
+    val after = c.execute("SELECT * FROM trunc")
+    assert(after.count() === 0L)
+    assert(after.columns.toSeq === Seq("n_nationkey", "n_name"))
+    // still insertable, and the truncate is a time-travelable commit
+    c.execute("INSERT INTO trunc VALUES (99, 'X')")
+    assert(c.execute("SELECT * FROM trunc").count() === 1L)
+    assert(c.execute("SELECT * FROM trunc FOR VERSION AS OF 0").count() === 25L)
+    intercept[Exception](c.execute("TRUNCATE TABLE no_such"))
+  }
+
   test("CREATE TABLE LIKE clones structure only: empty, same schema, no data link") {
     val c = fresh()
     c.execute("CREATE TABLE ctl_src AS SELECT n_nationkey, n_name FROM nation")

@@ -266,6 +266,28 @@ object Dedup extends QueryPack {
     // (dimension-sized, broadcastable); the single global scalar (basket
     // count) rides a broadcast cross join. Ratios are one double
     // division each — deterministic across engines.
+    // per-source exact-dup rate (the dedup-observability readout every
+    // curation run reports next to the dedup itself): first-occurrence =
+    // combinable min(doc_id) per content hash (the d07 shape), everything
+    // after that key'd min is one |sources|-sized rollup — dup share and
+    // the bytes a dedup pass would reclaim, by ingest source.
+    "d16_source_dup_rate" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).as("len"),
+          md5(col("text")).as("h"))
+      val first = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      d.join(first, Seq("h"))
+        .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+          sum(when(col("is_dup"), col("len").cast("long")).otherwise(0L))
+            .as("dup_bytes"))
+        .select(col("source"), col("n_docs"), col("n_dups"), col("dup_bytes"),
+          round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"))
+        .orderBy(col("source"))
+    }),
+
     "d15_frequent_pairs" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -936,6 +958,23 @@ object Dedup extends QueryPack {
         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
       FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // same min-per-hash first occurrence, same |sources| rollup
+    "d16_source_dup_rate" -> """
+      WITH d AS (
+        SELECT doc_id, source, length(text) AS len, md5(text) AS h
+        FROM documents),
+      fst AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h)
+      SELECT d.source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN d.doc_id <> fst.keep_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dups,
+        CAST(SUM(CASE WHEN d.doc_id <> fst.keep_id THEN d.len ELSE 0 END)
+          AS BIGINT) AS dup_bytes,
+        ROUND(CAST(SUM(CASE WHEN d.doc_id <> fst.keep_id THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      FROM d JOIN fst ON fst.h = d.h
+      GROUP BY d.source ORDER BY d.source""",
 
     "d15_frequent_pairs" -> """
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -403,6 +403,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window in LPA plan:\n$plan")
   }
 
+  test("d16 source dup rate: first-occurrence is a partial aggregate, join stays equi-keyed") {
+    val plan = executedPlan("d16_source_dup_rate")
+    assert(plan.contains("partial_"), s"min-per-hash not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"degenerate join in dup-rate plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in dup-rate plan:\n$plan")
+  }
+
+  test("m30 KS drift: bin counts partial-aggregate; only the 1001-bin CDF window sorts") {
+    val plan = executedPlan("m30_ks_drift")
+    assert(plan.contains("partial_"), s"bin counts not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in KS plan:\n$plan")
+  }
+
+  test("e31 cohort LTV: rollup partial-aggregates; running sum is per-cohort, not global") {
+    val plan = executedPlan("e31_cohort_ltv")
+    assert(plan.contains("partial_"), s"revenue rollup not map-side combined:\n$plan")
+    assert(plan.contains("hashpartitioning(cohort_day"),
+      s"LTV window not partitioned by cohort:\n$plan")
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -636,6 +636,27 @@ object Events extends QueryPack {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // DAU/MAU stickiness ratio (the engagement KPI): trailing-30-day MAU
+    // by the same constant-factor fan-out as e22 (each (user, day)
+    // supports its ≤30 report days, then ONE exact distinct aggregation)
+    // — no corpus window, no per-day rescan; the ratio is one rounded
+    // division of two exact counts.
+    "e32_stickiness" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = du.select(col("day")).distinct()
+      val contrib = du
+        .select(col("user_id"), explode(sequence(lit(0), lit(29))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      val mau = contrib.join(days, Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau30"))
+      val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      dau.join(mau, Seq("day"))
+        .select(col("day").cast("timestamp").as("day"), col("dau"), col("mau30"),
+          round(col("dau").cast(DoubleType) / col("mau30"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     "e05_hourly_active" -> ((s, dir) => {
       // distinct active users per hour + top event type, exercising
       // count-distinct + window-over-aggregate composition
@@ -683,6 +704,25 @@ object Events extends QueryPack {
       GROUP BY step1, step2, step3
       ORDER BY n DESC, step1, step2, step3
       LIMIT 10""",
+
+    // e22's fan-out shape with a 30-day support window
+    "e32_stickiness" -> """
+      WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      contrib AS (
+        SELECT du.user_id, du.day + CAST(o.off AS INTEGER) AS day
+        FROM du CROSS JOIN (SELECT range AS off FROM range(0, 30)) o),
+      mau AS (
+        SELECT c.day, COUNT(DISTINCT c.user_id) AS mau30
+        FROM contrib c
+        WHERE c.day IN (SELECT day FROM days)
+        GROUP BY c.day),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day)
+      SELECT CAST(dau.day AS TIMESTAMP) AS day,
+        CAST(dau.dau AS BIGINT) AS dau, CAST(mau.mau30 AS BIGINT) AS mau30,
+        ROUND(CAST(dau.dau AS DOUBLE) / mau.mau30, 6) AS stickiness
+      FROM dau JOIN mau ON mau.day = dau.day
+      ORDER BY dau.day""",
 
     // same rollup, same per-cohort running sum, same division order
     "e31_cohort_ltv" -> """

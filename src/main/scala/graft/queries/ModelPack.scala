@@ -396,6 +396,30 @@ object ModelPack extends QueryPack {
           round(col("ks_num").cast(DoubleType) / col("den"), 6).as("ks_d"))
     }),
 
+    // Theil-Sen robust trend (Sen 1968 — the median of pairwise slopes,
+    // immune to the outlier days OLS bends toward): the corpus collapses
+    // to the |days| daily rollup FIRST, so the O(days²) pair join and the
+    // median selection run at post-aggregation scale (~10³ pairs — the
+    // e27/e29/m30 model-sized exception). Slopes divide exact integers;
+    // the median uses q61's literal rank formula on the 6dp-rounded
+    // slopes so both engines select the identical element.
+    "m31_theilsen_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("v"))
+        .withColumn("d", datediff(col("day"), lit("1992-01-01")).cast(LongType))
+      val a = daily.select(col("d").as("d1"), col("v").as("v1"))
+      val b = daily.select(col("d").as("d2"), col("v").as("v2"))
+      val slopes = a.join(b, col("d1") < col("d2"))
+        .select(round((col("v2") - col("v1")).cast(DoubleType) /
+          (col("d2") - col("d1")), 6).as("slope"))
+      val n = slopes.count()
+      val w = Window.orderBy(col("slope"))
+      slopes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === math.floor((n - 1) * 0.5).toLong + 1)
+        .select(col("slope").as("theil_sen_slope"), lit(n).as("n_pairs"))
+    }),
+
     "m20_anomaly_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
         new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
@@ -774,6 +798,24 @@ object ModelPack extends QueryPack {
       FROM spine s
       LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
       ORDER BY s.user_id, s.day""",
+
+    // same pair construction, same rounded slopes, same literal rank
+    "m31_theilsen_trend" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS v
+        FROM orders GROUP BY 1),
+      dd AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01', day) AS BIGINT) AS d, v
+        FROM daily),
+      slopes AS (
+        SELECT ROUND(CAST(b.v - a.v AS DOUBLE) / (b.d - a.d), 6) AS slope
+        FROM dd a JOIN dd b ON a.d < b.d),
+      r AS (
+        SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+          COUNT(*) OVER () AS n
+        FROM slopes)
+      SELECT slope AS theil_sen_slope, CAST(n AS BIGINT) AS n_pairs
+      FROM r WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1""",
 
     // same binning, same exact cross-product numerator
     "m30_ks_drift" -> """

@@ -492,6 +492,21 @@ object TextOps extends QueryPack {
     // aggregations; source totals and the corpus scalar broadcast back;
     // per-term contributions round at 9dp and sum as DECIMAL (t12's
     // order-independence rule) so the hash matches at any partitioning.
+    // lexical diversity by source (type-token ratio — the vocabulary-
+    // richness signal next to t24's KL drift): one tokenizing explode,
+    // then a per-source exact distinct + count; the division is one
+    // rounded ratio of two exact integers.
+    "t28_type_token_ratio" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("ttr"))
+        .orderBy(col("source"))
+    }),
+
     // canary-string decontamination scan (the GPT-3 App.C / canary-token
     // approach beside d06's 13-gram matching: known sentinel strings
     // grep'd verbatim): the canary list broadcasts as literals, matching
@@ -868,6 +883,18 @@ object TextOps extends QueryPack {
 
     // same expression text → same IEEE op order → same doubles; the
     // 9dp-round + DECIMAL sum makes the total order-independent
+    // the NB-proven tokenizer parity: regexp '\\S+' ≡ split-on-\\s+
+    "t28_type_token_ratio" -> """
+      WITH toks AS (
+        SELECT source,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        FROM documents)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+        ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr
+      FROM toks GROUP BY source ORDER BY source""",
+
     // LIKE '%…%' on wildcard-free canaries ≡ contains()
     "t27_canary_scan" -> """
       WITH c AS (

@@ -38,8 +38,15 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def table(name: String): DataFrame = {
     recover(name)
     val evo = evoLog(name)
-    if (evo.isEmpty) spark.read.parquet(path(name))
-    else applyEvo(spark.read.option("mergeSchema", "true").parquet(path(name)), evo)
+    val base =
+      if (isEmptyShell(name))
+        // truncated partitioned table: no parquet files to infer from —
+        // the recorded schema stands in until the next insert
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readPcol(name).get._2)
+      else if (evo.isEmpty) spark.read.parquet(path(name))
+      else spark.read.option("mergeSchema", "true").parquet(path(name))
+    if (evo.isEmpty) base else applyEvo(base, evo)
   }
 
   // ---- schema evolution ---------------------------------------------
@@ -332,6 +339,9 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     listDir(Paths.get(path(name))).map(_.getFileName.toString)
       .find(d => d.contains("=") && !d.startsWith("_") && !d.startsWith("."))
       .map(_.split("=")(0))
+      // a truncated partitioned table has no pc=v dirs — the sidecar
+      // keeps partition-dependent verbs working until data returns
+      .orElse(if (isEmptyShell(name)) readPcol(name).map(_._1) else None)
 
   /** CREATE TABLE with an explicit column list (steps.py:255,
     * command_executor.py:1955): an empty table carrying the schema. */
@@ -365,17 +375,54 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   /** TRUNCATE TABLE: remove every row, keep the schema. A snapshot-logged
     * commit like every other mutating verb — time travel (or ROLLBACK)
-    * recovers the data; the truncate itself is O(metadata). The hive
-    * partition layout collapses (an empty partitioned write has no
-    * partition directories), matching what an empty table means here. */
+    * recovers the data; the truncate itself is O(metadata). Routed
+    * through the same crash-safe swap as every rewrite (a bare
+    * rm-then-write would leave NO surviving copy if it crashed between
+    * the two — violating the never-neither invariant at [[rewriteDir]]).
+    * A partitioned table KEEPS its partitioning (the Hive/Delta TRUNCATE
+    * contract): an empty partitioned write has no `pc=v` dirs to detect
+    * from, so the partition column + schema are recorded in a
+    * dot-prefixed sidecar that [[partitionColumn]] and [[table]] consult
+    * only while the table has no data files. */
   def truncate(name: String): Unit = {
-    snapshot(name)
+    val pc = partitionColumn(name)
     val schema = table(name).schema
-    rm(Paths.get(path(name)))
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .repartition(1).write.mode("overwrite").parquet(path(name))
+    snapshot(name)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    pc match {
+      case Some(p) =>
+        Files.writeString(pcolPath(name), p + "\t" + schema.toDDL,
+          java.nio.charset.StandardCharsets.UTF_8)
+        rewriteDir(Paths.get(path(name)), empty, partitionBy = Seq(p))
+      case None =>
+        rm(pcolPath(name))
+        rewriteDir(Paths.get(path(name)), empty.repartition(1))
+    }
   }
+
+  /** Sidecar carrying a truncated partitioned table's layout
+    * (`pcol \t schemaDDL`) — the only state an empty partitioned dir
+    * cannot represent on disk. Dot-prefixed: invisible to listTables and
+    * to the parquet reader. */
+  private def pcolPath(name: String) = Paths.get(dir, s".$name" + "__pcol")
+
+  private def readPcol(name: String): Option[(String, org.apache.spark.sql.types.StructType)] =
+    if (!Files.exists(pcolPath(name))) None
+    else {
+      val Array(pc, ddl) = Files.readString(pcolPath(name)).trim.split("\t", 2)
+      Some((pc, org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    }
+
+  /** True while `name` is a truncated partitioned table: the sidecar
+    * exists and the table dir holds nothing but markers (`_SUCCESS`) —
+    * one O(root-entries) listing, short-circuited by the sidecar check. */
+  private def isEmptyShell(name: String): Boolean =
+    Files.exists(pcolPath(name)) && Files.exists(Paths.get(path(name))) &&
+      listDir(Paths.get(path(name))).forall { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
 
   /** INSERT OVERWRITE with DYNAMIC partition semantics (the Hive/Delta
     * `partitionOverwriteMode=dynamic` contract): ONLY partitions present
@@ -399,15 +446,24 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     val cols =
       if (byName) schema.fields.map(f => col(f.name).cast(f.dataType))
       else df.columns.zip(schema.fields).map { case (c, f) => col(c).cast(f.dataType).as(f.name) }
-    val tmp = Paths.get(path(name) + "__owtmp")
+    // dot-prefixed staging dir: invisible to listTables() and to the
+    // parquet reader — a crash never leaves a phantom table in SHOW TABLES
+    val tmp = Paths.get(dir, s".$name" + "__owstage")
     rm(tmp)
     df.select(cols.toSeq: _*).write.mode("overwrite")
       .partitionBy(pc).parquet(tmp.toString)
     listDir(tmp).filter(_.getFileName.toString.startsWith(pc + "="))
       .foreach { pdir =>
+        // same move-aside-then-move-in protocol as rewriteDir: a crash at
+        // any point leaves either the old or the new partition on disk
+        // (the `pc=v__old` survivor is restored by recover()'s
+        // one-level-down scan), never neither
         val dst = Paths.get(path(name), pdir.getFileName.toString)
-        rm(dst)
+        val old = Paths.get(path(name), pdir.getFileName.toString + "__old")
+        rm(old)
+        if (Files.exists(dst)) Files.move(dst, old)
         Files.move(pdir, dst)
+        rm(old)
       }
     rm(tmp)
   }
@@ -516,6 +572,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     versions(name).foreach(v => rm(Paths.get(versionDir(name, v))))
     rm(markerPath(name))
     rm(evoPath(name))
+    rm(pcolPath(name))
   }
 
   /** True when the session-catalog table `name` is stored under this

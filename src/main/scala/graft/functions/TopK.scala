@@ -124,12 +124,16 @@ case class TopKPairs(
 
 object TopK {
   /** Column API: array of k (key, payload) structs, sorted key DESC,
-    * payload ASC — `posexplode` it for (rank-1, pair) rows. Both inputs
-    * must be LongType (exact integer order keys — cents, counts, ids). */
+    * payload ASC — `posexplode` it for (rank-1, pair) rows. Inputs are
+    * cast to LongType (exact integer order keys — cents, counts, ids),
+    * mirroring the SQL registration, so an Int/Decimal column widens
+    * instead of failing inside update() with a ClassCastException. */
   def topk(ordKey: Column, payload: Column, k: Int): Column =
     GraftColumnBridge.column(
       TopKPairs(
-        GraftColumnBridge.expression(ordKey),
-        GraftColumnBridge.expression(payload),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          GraftColumnBridge.expression(ordKey), LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          GraftColumnBridge.expression(payload), LongType),
         k).toAggregateExpression())
 }

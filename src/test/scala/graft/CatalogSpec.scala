@@ -358,5 +358,51 @@ class CatalogSpec extends AnyFunSuite {
     wh.createTableAs("flat", Seq((1L, 2L)).toDF("a", "b"))
     intercept[IllegalArgumentException](
       wh.insertOverwritePartitions("flat", Seq((3L, 4L)).toDF("a", "b")))
+
+    // the staging dir never shows up as a phantom table mid-flight or
+    // after a crash: it is dot-prefixed, outside listTables()'s view
+    assert(wh.listTables() === Seq("dpo", "flat"))
+  }
+
+  test("truncate keeps schema, partitioning, and crash-safety") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val wh = Warehouse.temp(spark)
+    wh.createTableAs("tp",
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "part"),
+      partitionBy = Seq("part"))
+    val schemaBefore = wh.table("tp").schema
+    wh.truncate("tp")
+
+    // empty but fully functional: schema intact, still partitioned
+    assert(wh.table("tp").count() === 0)
+    assert(wh.table("tp").schema.fieldNames.sorted === schemaBefore.fieldNames.sorted)
+    assert(wh.partitionColumn("tp") === Some("part"))
+
+    // partition-dependent verbs keep working after TRUNCATE (the
+    // Hive/Delta contract): INSERT INTO lands IN the hive layout...
+    wh.insertInto("tp", Seq((3L, 30L, "c")).toDF("id", "v", "part"))
+    assert(wh.table("tp").inputFiles.exists(_.contains("part=c")))
+    // ...and dynamic partition overwrite still resolves the layout
+    wh.insertOverwritePartitions("tp", Seq((4L, 40L, "c")).toDF("id", "v", "part"))
+    assert(wh.table("tp").select(col("id"), col("v"), col("part"))
+      .as[(Long, Long, String)].collect().toSet === Set((4L, 40L, "c")))
+
+    // truncate is a crash-safe swap: at no point is the live dir gone
+    // without a __old/__tmp survivor — prove the commit is also
+    // time-travelable (pre-image retained like every mutating verb)
+    wh.truncate("tp")
+    assert(wh.tableVersion("tp", wh.versions("tp").max)
+      .count() === 1)
+
+    // unpartitioned truncate: schema survives in the empty parquet itself
+    wh.createTableAs("tf", Seq((1L, 2L)).toDF("a", "b"))
+    wh.truncate("tf")
+    assert(wh.table("tf").count() === 0)
+    assert(wh.table("tf").schema.fieldNames.toSeq === Seq("a", "b"))
+
+    wh.dropTable("tp")
+    assert(!wh.exists("tp"))
+    assert(!Files.exists(Paths.get(wh.dir, ".tp__pcol")), "sidecar must die with the table")
   }
 }

@@ -29,7 +29,8 @@ object InfoSchema {
 
   /** Bind the info-schema tables to a session's catalog state and
     * register the DSv2 catalog under `information_schema`. */
-  def bind(spark: org.apache.spark.sql.SparkSession, cat: Catalog, wh: Warehouse): Unit = {
+  def bind(spark: org.apache.spark.sql.SparkSession, cat: Catalog, wh: Warehouse,
+      jobs: Option[graft.incremental.Jobs] = None): Unit = {
     providers("tables") = () => cat.infoTables(Some(wh))
     providers("columns") = () => {
       val names = graft.engine.Tables.names ++
@@ -40,6 +41,87 @@ object InfoSchema {
     providers("statistics") = () => cat.infoStatistics(Some(wh))
     providers("column_statistics") = () => cat.infoColumnStatistics()
     providers("key_column_usage") = () => cat.infoKeyColumnUsage(Some(wh))
+
+    // ---- MySQL-compat catalog tables (system_tables.py:346-543): BI
+    // tools introspect THESE as SQL tables, not just the SHOW verbs.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def const(schema: StructType, rows: Seq[Row]): () => DataFrame =
+      () => spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+    providers("engines") = const(
+      StructType(Seq(
+        StructField("engine", StringType), StructField("support", StringType),
+        StructField("comment", StringType), StructField("transactions", StringType),
+        StructField("xa", StringType), StructField("savepoints", StringType))),
+      Seq(Row("InnoDB", "DEFAULT",
+        "Supports transactions, row-level locking, and foreign keys",
+        "YES", "YES", "YES")))
+
+    providers("character_sets") = const(
+      StructType(Seq(
+        StructField("character_set_name", StringType),
+        StructField("default_collate_name", StringType),
+        StructField("description", StringType),
+        StructField("maxlen", IntegerType))),
+      // values per COLUMN semantics (the reference's data rows swap
+      // collate/description against its own column list — a bug not
+      // worth replicating, like the EXCEPT fix)
+      Seq(Row("utf8", "utf8_general_ci", "UTF-8 Unicode", 3),
+        Row("latin1", "latin1_swedish_ci", "cp1252 West European", 1),
+        Row("utf8mb4", "utf8mb4_general_ci", "UTF-8 Unicode", 4)))
+
+    providers("collations") = const(
+      StructType(Seq(
+        StructField("collation_name", StringType),
+        StructField("character_set_name", StringType),
+        StructField("id", LongType), StructField("is_default", StringType),
+        StructField("is_compiled", StringType), StructField("sortlen", LongType),
+        StructField("pad_attribute", StringType))),
+      Seq(Row("utf8_general_ci", "utf8", 33L, "Yes", "Yes", 1L, "PAD SPACE"),
+        Row("latin1_swedish_ci", "latin1", 8L, "Yes", "Yes", 1L, "PAD SPACE")))
+
+    // EVENTS is LIVE: one row per scheduled job (the MySQL event
+    // scheduler analog of CREATE JOB — system_tables.py:315-343)
+    providers("events") = () => {
+      val schema = StructType(Seq(
+        StructField("event_catalog", StringType), StructField("event_schema", StringType),
+        StructField("event_name", StringType), StructField("event_body", StringType),
+        StructField("event_definition", StringType), StructField("event_type", StringType),
+        StructField("interval_value", StringType), StructField("interval_field", StringType),
+        StructField("starts", StringType), StructField("ends", StringType),
+        StructField("status", StringType), StructField("on_completion", StringType)))
+      val rows = jobs.toSeq.flatMap(_.list()).map { j =>
+        // schedule text is "every [N] unit" (Jobs.parseSchedule); a bare
+        // unit means every 1 of it
+        val parts = j.schedule.trim.toLowerCase.stripPrefix("every")
+          .trim.split("\\s+") match {
+          case Array(p) => Array("1", p)
+          case other => other
+        }
+        Row("def", "graft", j.name, "SQL", j.schedule, "RECURRING",
+          parts(0),
+          if (parts.length > 1) parts(1).toUpperCase else null,
+          j.start.map(_.toString).orNull, j.end.map(_.toString).orNull,
+          if (j.active) "ENABLED" else "DISABLED", "NOT PRESERVE")
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+
+    // ROUTINES: the session-registered SQL functions (AiFunctions +
+    // custom aggregates), i.e. what a BI tool may call in queries
+    providers("routines") = const(
+      StructType(Seq(
+        StructField("specific_name", StringType), StructField("routine_catalog", StringType),
+        StructField("routine_schema", StringType), StructField("routine_name", StringType),
+        StructField("routine_type", StringType), StructField("data_type", StringType),
+        StructField("routine_body", StringType), StructField("routine_definition", StringType),
+        StructField("is_deterministic", StringType), StructField("sql_data_access", StringType))),
+      graft.functions.AiFunctions.routineRows.map { case (n, t, defn) =>
+        Row(n, "def", "graft", n, "FUNCTION", t, "EXTERNAL", defn, "YES", "NO SQL")
+      })
+
     spark.conf.set(s"spark.sql.catalog.$CatalogName", classOf[InfoSchemaCatalog].getName)
   }
 }

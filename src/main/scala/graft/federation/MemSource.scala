@@ -39,6 +39,11 @@ object MemTables {
     * ([[SingleSourceJoinPushdown]]) — plan-shape tests assert on this. */
   val pushedJoins: scala.collection.mutable.ArrayBuffer[(String, String)] =
     scala.collection.mutable.ArrayBuffer.empty
+  /** SQL text rendered for each whole-subplan pushdown, in execution
+    * order — the exact string a JDBC source would receive; specs assert
+    * its shape ([[SingleSourceJoinPushdown]], [[SqlRender]]). */
+  val renderedSql: scala.collection.mutable.ArrayBuffer[String] =
+    scala.collection.mutable.ArrayBuffer.empty
 
   def register(name: String, schema: StructType, rows: Seq[Row]): Unit =
     registry(name) = (schema, rows)
@@ -216,9 +221,27 @@ class MemScanBuilder(tableName: String, fullSchema: StructType, rows: Seq[Row])
         ordered.map(r => Row.fromSeq(idx.toSeq.map(r.get)))
     }
     val limited = limit.fold(out)(out.take)
-    new MemScan(requiredSchema, limited)
+    new MemScan(requiredSchema, limited,
+      Some(MemScanProvenance(tableName, accepted.toSeq,
+        requiredSchema.fieldNames.toSeq, fullSchema.fieldNames.toSeq,
+        aggregated = aggregation.isDefined,
+        limited = limit.isDefined || topN.isDefined)))
   }
 }
+
+/** What a [[MemScan]] is, in source terms: the table it reads plus every
+  * pushdown folded into it — exactly the facts a SQL renderer needs to
+  * re-express the scan as `(SELECT cols FROM table WHERE fs) alias` when
+  * a whole join tree ships to the source as one query. Aggregated or
+  * limited scans are complete answers already and never re-render inside
+  * a larger pushed query. */
+case class MemScanProvenance(
+    table: String,
+    filters: Seq[Filter],
+    columns: Seq[String],
+    allColumns: Seq[String],
+    aggregated: Boolean,
+    limited: Boolean)
 
 /** Driver-side (i.e. "source"-side) evaluation of pushed aggregates. */
 object MemAggEval {
@@ -272,7 +295,8 @@ object MemAggEval {
   }
 }
 
-class MemScan(schema: StructType, val memRows: Seq[Row]) extends Scan with Batch {
+class MemScan(schema: StructType, val memRows: Seq[Row],
+    val provenance: Option[MemScanProvenance] = None) extends Scan with Batch {
   /** post-pushdown rows — [[SingleSourceJoinPushdown]] reads these to
     * evaluate a whole join source-side. */
   override def readSchema(): StructType = schema

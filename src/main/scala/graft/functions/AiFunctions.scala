@@ -42,6 +42,27 @@ object AiFunctions {
     * operators — silently changing its semantics session-wide would be a
     * correctness hazard, which is exactly the reference's own
     * unknown-function guard concern (sql.py:300-313). */
+  /** Driver-side evaluation of the same deterministic `llm` stub (for
+    * per-turn chat flows where the prompt is one string, not a column) —
+    * byte-identical to the Catalyst expression: LLM[first-8-of-md5]:
+    * UPPER(first 24 chars). */
+  def llmLocal(prompt: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(prompt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.map(b => f"$b%02x").mkString
+    s"LLM[${hex.take(8)}]: ${prompt.take(24).toUpperCase}"
+  }
+
+  /** (name, return type, definition) for information_schema.routines —
+    * kept next to [[register]] so the catalog row list cannot drift from
+    * what is actually registered. */
+  val routineRows: Seq[(String, String, String)] = Seq(
+    ("llm", "varchar", "LLM[<md5-8>]: UPPER(substr(prompt, 1, 24)) — deterministic stub behind the real call shape"),
+    ("to_markdown", "varchar", "'# Document\\n\\n' || text"),
+    ("doc_hash", "varchar", "md5(cast(x AS string))"),
+    ("topk_pairs", "array<struct<key:bigint,payload:bigint>>",
+      "mergeable top-k aggregate: k (key, payload) pairs, key DESC"))
+
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{BinaryType, StringType}

@@ -62,6 +62,69 @@ object Agents {
       .drop("__t", "__n")
   }
 
+  /** One skill of a multi-skill agent, in dispatch order (the reference's
+    * `skills` association on an agent, db.py:423/434 — an agent composes
+    * several skills and routes each question to the first one capable of
+    * answering it). */
+  sealed trait AgentSkill
+  /** capable when the question names an allowlisted table */
+  final case class TextToSqlSkill(tables: Seq[(String, DataFrame)]) extends AgentSkill
+  /** capable when the top retrieved chunk's relevance ≥ `minRelevance`
+    * AND the chunk is lexically grounded in the question (shares ≥1
+    * token of ≥3 chars) — the deterministic stand-in for the reference's
+    * reranker relevance gate: retrieval that shares no terms with the
+    * question is evidence of nothing and must not outrank later skills */
+  final case class KbSkill(chunks: DataFrame, minRelevance: Double = 0.0) extends AgentSkill
+
+  /** ORDERED multi-skill dispatch, first-capable-answers: every skill
+    * contributes a nullable candidate-answer column (null = "not
+    * capable"), and the final answer is `coalesce(candidates…, plain
+    * completion)` — one declarative plan, no per-question driver loop.
+    * Each skill keeps its single-skill plan shape (profiles and top-1
+    * retrievals broadcast against the question side), so N skills cost N
+    * broadcast joins, never N scans of the question table. */
+  def answerMultiSkill(questions: DataFrame, questionCol: String,
+      skills: Seq[AgentSkill],
+      complete: Column => Column = AiFunctions.llm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var df = questions
+    var helperCols = Seq.empty[String]
+    val candidates = skills.zipWithIndex.map {
+      case (TextToSqlSkill(tables), i) =>
+        val profile = tables.map { case (n, d) =>
+          d.groupBy().agg(count(lit(1)).as(s"__n_$i")).select(lit(n).as(s"__t_$i"), col(s"__n_$i"))
+        }.reduce(_.union(_))
+        val matched = tables.map(_._1).foldRight(lit(null).cast("string")) {
+          (n, rest) => when(lower(col(questionCol)).contains(n.toLowerCase), lit(n)).otherwise(rest)
+        }
+        df = df.withColumn(s"__t_$i", matched)
+          .join(broadcast(profile), Seq(s"__t_$i"), "left")
+        helperCols ++= Seq(s"__t_$i", s"__n_$i")
+        when(col(s"__t_$i").isNotNull,
+          concat(col(s"__t_$i"), lit(" has "), col(s"__n_$i").cast("string"), lit(" rows")))
+      case (KbSkill(chunks, minRel), i) =>
+        val qs = questions.select(col(questionCol).as(s"__q_$i")).distinct()
+          .withColumn("__qe", graft.kb.Kb.embed(col(s"__q_$i")))
+        val w = Window.partitionBy(col(s"__q_$i")).orderBy(col(s"__d_$i"), col("chunk_id"))
+        val top1 = chunks.crossJoin(broadcast(qs))
+          .withColumn(s"__d_$i", round(lit(1.0) -
+            graft.functions.VectorFunctions.cosineSim(col("emb"), col("__qe")), 4))
+          .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+          .select(col(s"__q_$i"), col("content").as(s"__ctx_$i"),
+            round(lit(1.0) / (lit(1.0) + col(s"__d_$i")), 4).as(s"__rel_$i"))
+        df = df.join(broadcast(top1), df(questionCol) === col(s"__q_$i"), "left")
+        helperCols ++= Seq(s"__q_$i", s"__ctx_$i", s"__rel_$i")
+        def toks(c: Column) =
+          filter(split(lower(c), "\\W+"), t => length(t) >= 3)
+        when(col(s"__rel_$i") >= minRel &&
+            arrays_overlap(toks(col(s"__ctx_$i")), toks(col(questionCol))),
+          complete(concat(col(questionCol), lit(" ctx: "), col(s"__ctx_$i"))))
+    }
+    df.withColumn("answer",
+        coalesce(candidates :+ complete(col(questionCol)): _*))
+      .drop(helperCols: _*)
+  }
+
   def answerWithKb(questions: DataFrame, questionCol: String, chunks: DataFrame,
       complete: Column => Column = AiFunctions.llm): DataFrame = {
     import org.apache.spark.sql.expressions.Window

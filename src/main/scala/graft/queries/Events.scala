@@ -243,6 +243,43 @@ object Events extends QueryPack {
         FROM e13_acc GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // chatbot TRANSPORT stand-in end-to-end (chatbot_task.py poll loop):
+    // the bot binds to a mem-catalog message table; each poll key-diffs
+    // the channel (exactly-once, the e13 protocol), answers every new
+    // message THROUGH the session turn memory, and posts replies into a
+    // warehouse reply table. Two polls, interleaved sessions: the second
+    // batch's answers embed first-batch context, proving the memory
+    // crossed polls; the middle no-op poll proves no re-delivery.
+    "e33_chatbot_channel" -> ((s, dir) => {
+      import graft.federation.{MemCatalog, MemTables}
+      if (!s.conf.getOption("spark.sql.catalog.mem")
+          .contains(classOf[MemCatalog].getName))
+        s.conf.set("spark.sql.catalog.mem", classOf[MemCatalog].getName)
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      val msgSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("message_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("session",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.StringType)))
+      val all = Seq(
+        org.apache.spark.sql.Row(1L, "s1", "hello there spark"),
+        org.apache.spark.sql.Row(2L, "s2", "what is a join"),
+        org.apache.spark.sql.Row(3L, "s1", "tell me more"),
+        org.apache.spark.sql.Row(4L, "s2", "and a shuffle too"))
+      def channel(n: Int) = MemTables.register("chan33_msgs", msgSchema, all.take(n))
+      c.execute("CREATE DATABASE chan33 ENGINE 'mem'")
+      c.execute("""CREATE CHATBOT tb33 USING database='chan33', model='default',
+        table='chan33_msgs', reply_table='tb33_replies'""")
+      channel(2); c.pollChatbotChannel("tb33")
+      c.pollChatbotChannel("tb33") // no new messages: must answer nothing
+      channel(4); c.pollChatbotChannel("tb33")
+      c.execute("""SELECT message_id, session, batch, answer
+        FROM tb33_replies ORDER BY message_id""")
+    }),
+
     // Spark 4 VARIANT as the semi-structured column path (the
     // reference's JSON columns story): parse once into the binary
     // variant encoding, extract typed fields with variant_get — the
@@ -925,6 +962,36 @@ object Events extends QueryPack {
         CAST(SUM(n) AS BIGINT) AS n_events,
         CAST(MIN(n) AS BIGINT) AS min_batch, CAST(MAX(n) AS BIGINT) AS max_batch
       FROM acc GROUP BY event_type ORDER BY event_type""",
+
+    // replies re-derived turn by turn: batch-0 answers are the plain
+    // stub; batch-1 prompts stitch the session's batch-0 turns (user
+    // message + assistant answer) before the new message — the empty
+    // middle poll contributes nothing, so exactly 4 rows in 2 batches
+    "e33_chatbot_channel" -> """
+      WITH b0 AS (
+        SELECT CAST(1 AS BIGINT) AS message_id, 's1' AS session,
+               'hello there spark' AS prompt
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 's2', 'what is a join'),
+      r0 AS (
+        SELECT message_id, session, CAST(0 AS BIGINT) AS batch, prompt,
+          'LLM[' || substr(md5(prompt), 1, 8) || ']: ' || upper(substr(prompt, 1, 24)) AS answer
+        FROM b0),
+      b1 AS (
+        SELECT CAST(3 AS BIGINT) AS message_id, 's1' AS session,
+          (SELECT prompt || ' | ' || answer FROM r0 WHERE session = 's1')
+            || ' || tell me more' AS prompt
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), 's2',
+          (SELECT prompt || ' | ' || answer FROM r0 WHERE session = 's2')
+            || ' || and a shuffle too'),
+      r1 AS (
+        SELECT message_id, session, CAST(1 AS BIGINT) AS batch,
+          'LLM[' || substr(md5(prompt), 1, 8) || ']: ' || upper(substr(prompt, 1, 24)) AS answer
+        FROM b1)
+      SELECT message_id, session, batch, answer FROM r0
+      UNION ALL SELECT message_id, session, batch, answer FROM r1
+      ORDER BY message_id""",
 
     "e12_last_sql" -> """
       SELECT event_type, COUNT(*) AS n_new,

@@ -32,9 +32,18 @@ object FederationPack extends QueryPack {
     Row("1-URGENT", "expedite"), Row("2-HIGH", "expedite"), Row("3-MEDIUM", "standard"),
     Row("4-NOT SPECIFIED", "standard"), Row("5-LOW", "deferred"))
 
+  /** third "remote" dimension covering only SOME priorities — the LEFT
+    * side of the pushed outer join exercises source-side null extension */
+  private val noteSchema = StructType(Seq(
+    StructField("o_orderpriority", StringType, nullable = false),
+    StructField("note", StringType, nullable = false)))
+  private val noteRows = Seq(
+    Row("1-URGENT", "sla-4h"), Row("2-HIGH", "sla-24h"), Row("5-LOW", "batch"))
+
   private def memCatalog(s: SparkSession): Unit = {
     MemTables.register("priority_weight", weightSchema, weightRows)
     MemTables.register("status_label", labelSchema, labelRows)
+    MemTables.register("priority_note", noteSchema, noteRows)
     if (!s.conf.getOption("spark.sql.catalog.mem").contains(classOf[MemCatalog].getName))
       s.conf.set("spark.sql.catalog.mem", classOf[MemCatalog].getName)
     graft.federation.SingleSourceJoinPushdown.ensure(s)
@@ -170,6 +179,39 @@ object FederationPack extends QueryPack {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // MULTI-WAY single-catalog pushdown with an OUTER join: a left-deep
+    // tree of THREE mem-catalog scans (weight ⋈ label ⟕ note) flattens,
+    // renders to one SQL statement, and executes inside the source — the
+    // Spark plan joins orders against ONE LocalRelation; zero dim-dim
+    // join nodes survive (plan_join.py:185-223 flattening + :61-94
+    // single-source shipping)
+    "f10_multiway_pushdown" -> ((s, dir) => {
+      memCatalog(s)
+      val dims = s.table("mem.priority_weight")
+        .join(s.table("mem.status_label"), "o_orderpriority")
+        .join(s.table("mem.priority_note"), Seq("o_orderpriority"), "left")
+      t(s, dir, "orders")
+        .join(broadcast(dims), Seq("o_orderpriority"))
+        .groupBy(col("label"), coalesce(col("note"), lit("none")).as("note"))
+        .agg(count(lit(1)).as("n"), dsum2(col("weight"), col("o_totalprice")).as("weighted"))
+        .orderBy(col("label"), col("note"))
+    }),
+
+    // the rendered-SQL wire format made visible: the pushed three-way
+    // join IS the query result — what comes back is exactly what the
+    // remote engine computed from the rendered statement
+    // (sqlalchemy_render.py:112 equivalent; FederationSpec asserts the
+    // SQL text shape)
+    "f11_pushdown_sql_render" -> ((s, dir) => {
+      memCatalog(s)
+      s.table("mem.priority_weight")
+        .join(s.table("mem.status_label"), "o_orderpriority")
+        .join(s.table("mem.priority_note"), Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("weight"), col("label"),
+          coalesce(col("note"), lit("none")).as("note"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -242,6 +284,34 @@ object FederationPack extends QueryPack {
         MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
       FROM lineitem WHERE l_orderkey < 2000
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "f10_multiway_pushdown" -> s"""
+      WITH lab AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'), ('3-MEDIUM', 'standard'),
+        ('4-NOT SPECIFIED', 'standard'), ('5-LOW', 'deferred')) AS l(o_orderpriority, label)),
+      nt AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'sla-4h'), ('2-HIGH', 'sla-24h'), ('5-LOW', 'batch'))
+        AS x(o_orderpriority, note))
+      SELECT label, COALESCE(nt.note, 'none') AS note, COUNT(*) AS n,
+        ${oSum2("weight", "o_totalprice")} AS weighted
+      FROM orders
+      JOIN $oWeights USING (o_orderpriority)
+      JOIN lab USING (o_orderpriority)
+      LEFT JOIN nt USING (o_orderpriority)
+      GROUP BY label, COALESCE(nt.note, 'none') ORDER BY label, note""",
+
+    "f11_pushdown_sql_render" -> s"""
+      WITH lab AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'), ('3-MEDIUM', 'standard'),
+        ('4-NOT SPECIFIED', 'standard'), ('5-LOW', 'deferred')) AS l(o_orderpriority, label)),
+      nt AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'sla-4h'), ('2-HIGH', 'sla-24h'), ('5-LOW', 'batch'))
+        AS x(o_orderpriority, note))
+      SELECT w.o_orderpriority, weight, label, COALESCE(nt.note, 'none') AS note
+      FROM $oWeights
+      JOIN lab USING (o_orderpriority)
+      LEFT JOIN nt USING (o_orderpriority)
+      ORDER BY w.o_orderpriority""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

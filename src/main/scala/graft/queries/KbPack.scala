@@ -289,6 +289,29 @@ object KbPack extends QueryPack {
         FROM documents WHERE doc_id < 20""")
       c.execute("CREATE AGENT raga USING model='default', knowledge_bases='ragkb'")
       c.execute("SELECT question, answer FROM raga WHERE question = 'table scan strategy'")
+    }),
+
+    // MULTI-SKILL agent, ordered first-capable-answers dispatch
+    // (agent_skills association db.py:423/434: one agent composes a KB
+    // retrieval skill AND a text2sql skill). The KB skill answers only
+    // when its top chunk is lexically grounded in the question; the
+    // row-count question shares no terms with the corpus, so it falls
+    // through to the text2sql skill's allowlisted aggregation — both
+    // skills exercised in one session.
+    "a05_agent_multiskill" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE KNOWLEDGE BASE mskb USING content_columns='text'")
+      c.execute("""INSERT INTO mskb SELECT doc_id, text, lang, source
+        FROM documents WHERE doc_id < 20""")
+      c.execute("CREATE SKILL ksk_a05 USING type='knowledge_base', source='mskb'")
+      c.execute("CREATE SKILL ssk_a05 USING type='text2sql', database='graft', tables='orders,customer'")
+      c.execute("CREATE AGENT msag USING model='default', skills='ksk_a05,ssk_a05'")
+      val r1 = c.execute(
+        "SELECT question, answer FROM msag WHERE question = 'explain the hash merge window strategy'")
+      val r2 = c.execute(
+        "SELECT question, answer FROM msag WHERE question = 'how many rows are in orders?'")
+      r1.unionByName(r2).orderBy(col("question"))
     })
   )
 
@@ -332,6 +355,25 @@ object KbPack extends QueryPack {
       SELECT 'table scan strategy' AS question,
         'LLM[' || substr(md5(prompt), 1, 8) || ']: ' || upper(substr(prompt, 1, 24)) AS answer
       FROM p""",
+
+    // q1 routes to the KB skill (top chunk shares 'merge'/'the' with the
+    // question); q2 shares no ≥3-char token with its top chunk, so the
+    // text2sql skill answers from the allowlist — the oracle re-derives
+    // the KB answer and states the aggregation answer
+    "a05_agent_multiskill" -> s"""${oPrefixWhere("WHERE doc_id < 20")},
+      qv AS (SELECT ${oEmbed(sq("explain the hash merge window strategy"))} AS q),
+      scored AS (SELECT chunk_id, content,
+        ROUND(1.0-(${oCos("q")}), 4) AS dist FROM emb, qv),
+      top1 AS (SELECT content FROM scored ORDER BY dist, chunk_id LIMIT 1),
+      p AS (SELECT 'explain the hash merge window strategy ctx: ' || content AS prompt FROM top1)
+      SELECT question, answer FROM (
+        SELECT 'explain the hash merge window strategy' AS question,
+          'LLM[' || substr(md5(prompt), 1, 8) || ']: ' || upper(substr(prompt, 1, 24)) AS answer
+        FROM p
+        UNION ALL
+        SELECT 'how many rows are in orders?' AS question,
+          'orders has ' || (SELECT COUNT(*) FROM orders) || ' rows' AS answer
+      ) ORDER BY question""",
 
 
     "k01_kb_chunk_ingest" -> s"""$oPrefix

@@ -227,6 +227,34 @@ object WritesPack extends QueryPack {
       c.execute("SHOW PARTITIONS part_i07")
     }),
 
+    // MySQL-compat catalog tables as SQL-queryable information_schema
+    // members (system_tables.py:315-543): BI tools introspect ENGINES/
+    // CHARACTER_SETS/COLLATIONS/EVENTS/ROUTINES via SELECT, not SHOW.
+    // EVENTS is live off the job scheduler; ROUTINES lists the
+    // registered SQL functions; the charset row joins its collation.
+    "i08_mysql_catalog_tables" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE JOB ev_i08a AS (SELECT 1) EVERY 1 day")
+      c.execute("CREATE JOB ev_i08b AS (SELECT 1) EVERY 2 hours")
+      c.execute("""
+        SELECT 'event' AS kind, event_name AS name, interval_field AS detail,
+               status AS extra
+        FROM information_schema.events
+        UNION ALL
+        SELECT 'routine', routine_name, data_type, is_deterministic
+        FROM information_schema.routines
+        UNION ALL
+        SELECT 'engine', engine, support, transactions
+        FROM information_schema.engines
+        UNION ALL
+        SELECT 'charset', cs.character_set_name, co.collation_name,
+               CAST(cs.maxlen AS STRING)
+        FROM information_schema.character_sets cs
+        JOIN information_schema.collations co
+          ON co.character_set_name = cs.character_set_name
+        ORDER BY kind, name""")
+    }),
+
     // dynamic partition overwrite (Hive partitionOverwriteMode=dynamic):
     // refresh exactly the partitions the query produces — the daily-drop
     // re-ingest shape. Every untouched partition keeps its files
@@ -692,6 +720,21 @@ object WritesPack extends QueryPack {
         CAST(o_orderstatus AS VARCHAR) AS partition_value,
         COUNT(*) AS n_rows
       FROM orders GROUP BY o_orderstatus ORDER BY partition_value""",
+
+    // the MySQL-compat catalog rows are deterministic by construction
+    "i08_mysql_catalog_tables" -> """
+      SELECT * FROM (VALUES
+        ('charset', 'latin1', 'latin1_swedish_ci', '1'),
+        ('charset', 'utf8', 'utf8_general_ci', '3'),
+        ('engine', 'InnoDB', 'DEFAULT', 'YES'),
+        ('event', 'ev_i08a', 'DAY', 'ENABLED'),
+        ('event', 'ev_i08b', 'HOURS', 'ENABLED'),
+        ('routine', 'doc_hash', 'varchar', 'YES'),
+        ('routine', 'llm', 'varchar', 'YES'),
+        ('routine', 'to_markdown', 'varchar', 'YES'),
+        ('routine', 'topk_pairs', 'array<struct<key:bigint,payload:bigint>>', 'YES')
+      ) AS t(kind, name, detail, extra)
+      ORDER BY kind, name""",
 
     // post-state after replacing only the 'O' partition
     "w16_dynamic_overwrite" -> """

@@ -31,8 +31,8 @@ final class Commands(
     val jobs: Jobs = new Jobs) {
 
   // `information_schema.<table>` resolves through a live DSv2 catalog
-  // bound to this session's catalog/warehouse state
-  graft.catalog.InfoSchema.bind(spark, catalog, warehouse)
+  // bound to this session's catalog/warehouse/jobs state
+  graft.catalog.InfoSchema.bind(spark, catalog, warehouse, Some(jobs))
 
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
@@ -1223,25 +1223,44 @@ final class Commands(
           // text2sql skill answers from its table allowlist; a
           // knowledge_base skill (or the knowledge_bases param) answers
           // retrieval-augmented; no skill → plain completion
-          val textSkill = params.get("skills").toSeq
+          val namedSkills = params.get("skills").toSeq
             .flatMap(_.split(",").map(_.trim)).flatMap(catalog.skill(_).toSeq)
-            .find(_.skillType == "text2sql")
+          val textSkill = namedSkills.find(_.skillType == "text2sql")
           val kbLink = params.get("knowledge_bases")
             .flatMap(kbName => catalog.kb(kbName.split(",").head.trim))
-            .orElse(params.get("skills").toSeq
-              .flatMap(_.split(",").map(_.trim)).flatMap(catalog.skill(_).toSeq)
-              .find(_.skillType == "knowledge_base")
+            .orElse(namedSkills.find(_.skillType == "knowledge_base")
               .flatMap(sk => sk.params.get("source").flatMap(catalog.kb(_))))
-          val df = (textSkill, kbLink) match {
-            case (Some(sk), _) =>
-              val allow = sk.params.get("tables").toSeq
-                .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
-              graft.ml.Agents.answerTextToSql(questions, "question",
-                allow.map(t => t -> catalog.resolve(t, Some(warehouse))))
-            case (_, Some(k)) if warehouse.exists(k.storage) =>
-              graft.ml.Agents.answerWithKb(questions, "question", warehouse.table(k.storage))
-            case _ => graft.ml.Agents.answer(questions, "question")
-          }
+          // ≥2 skills → ORDERED multi-skill dispatch in the declared
+          // `skills=` order, first-capable-answers (agent_skills
+          // association db.py:423 — one agent composes several skills)
+          def asSkill(sk: graft.catalog.Catalog.SkillEntity): Option[graft.ml.Agents.AgentSkill] =
+            sk.skillType match {
+              case "text2sql" =>
+                val allow = sk.params.get("tables").toSeq
+                  .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+                Some(graft.ml.Agents.TextToSqlSkill(
+                  allow.map(t => t -> catalog.resolve(t, Some(warehouse)))))
+              case "knowledge_base" =>
+                sk.params.get("source").flatMap(catalog.kb(_))
+                  .filter(k => warehouse.exists(k.storage))
+                  .map(k => graft.ml.Agents.KbSkill(warehouse.table(k.storage),
+                    sk.params.get("relevance").map(_.toDouble).getOrElse(0.0)))
+              case _ => None
+            }
+          val ordered = namedSkills.flatMap(asSkill(_).toSeq)
+          val df =
+            if (ordered.size >= 2)
+              graft.ml.Agents.answerMultiSkill(questions, "question", ordered)
+            else (textSkill, kbLink) match {
+              case (Some(sk), _) =>
+                val allow = sk.params.get("tables").toSeq
+                  .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+                graft.ml.Agents.answerTextToSql(questions, "question",
+                  allow.map(t => t -> catalog.resolve(t, Some(warehouse))))
+              case (_, Some(k)) if warehouse.exists(k.storage) =>
+                graft.ml.Agents.answerWithKb(questions, "question", warehouse.table(k.storage))
+              case _ => graft.ml.Agents.answer(questions, "question")
+            }
           val tv = s"__agent_$name"
           df.createOrReplaceTempView(tv)
           spark.sql(s"SELECT $sel FROM $tv")
@@ -1547,6 +1566,54 @@ final class Commands(
         ()
       })
     graft.incremental.Triggers.drain(q)
+  }
+
+  /** Chatbot transport stand-in: one poll of the bot's message channel
+    * (the reference chatbot_task.py loop — poll the messaging
+    * integration, answer each new message, post the reply). The channel
+    * is a `mem.<table>` DSv2 table with (message_id, session, content);
+    * delivery is the e13 keyset-diff protocol ([[graft.incremental
+    * .Triggers.pollExternal]]), so a message is answered exactly once
+    * across polls and restarts. Replies land in a warehouse reply table
+    * (message_id, session, batch, answer) — the queryable stand-in for
+    * the posted message. Each reply runs through the SAME multi-turn
+    * memory as ASK (last 3 turns stitch into the prompt), so a session's
+    * second poll answers in context. The per-message loop is
+    * conversation-sized by definition (a chat channel's delta is human
+    * traffic, not corpus scale) — same bound as the turn log itself.
+    *
+    * @return number of new messages answered this poll */
+  def pollChatbotChannel(bot: String): Long = {
+    val cb = catalog.chatbot(bot).getOrElse(
+      throw new NoSuchElementException(s"chatbot $bot does not exist"))
+    require(cb.isRunning, s"chatbot $bot is not running")
+    val tableName = cb.params.getOrElse("table", "messages")
+    val replyTable = cb.params.getOrElse("reply_table", s"${bot}_replies")
+    if (!warehouse.exists(replyTable))
+      warehouse.createTable(replyTable, StructType(Seq(
+        StructField("message_id", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("session", StringType, nullable = false),
+        StructField("batch", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("answer", StringType, nullable = false))))
+    graft.incremental.Triggers.pollExternal(spark,
+      () => spark.table(s"mem.$tableName"), "message_id",
+      s"${warehouse.dir}/.state/chatbot_$bot",
+      (delta, batchId) => {
+        import spark.implicits._
+        val replies = delta.select("message_id", "session", "content").collect()
+          .sortBy(_.getLong(0)).map { r =>
+            val (mid, session, message) = (r.getLong(0), r.getString(1), r.getString(2))
+            val history = catalog.chatHistory(bot, session)
+            catalog.appendChat(bot, session, "user", message)
+            val ctx = history.takeRight(3).map(_._3).mkString(" | ")
+            val prompt = if (ctx.isEmpty) message else s"$ctx || $message"
+            val answer = graft.functions.AiFunctions.llmLocal(prompt)
+            catalog.appendChat(bot, session, "assistant", answer)
+            (mid, session, batchId, answer)
+          }
+        warehouse.insertInto(replyTable,
+          replies.toSeq.toDF("message_id", "session", "batch", "answer"))
+      })
   }
 
   /** Multi-statement script execution (jobs hold SQL scripts,

@@ -85,6 +85,56 @@ class FederationSpec extends AnyFunSuite {
     assert(spark.table("mem.nullable").filter(col("v") === lit(null).cast(LongType)).count() === 0)
   }
 
+  test("whole-tree pushdown renders ONE dialect SQL statement with the pushed filters in it") {
+    SingleSourceJoinPushdown.ensure(spark)
+    MemTables.register("people", schema, rows)
+    val deptSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dept", StringType, nullable = false)))
+    MemTables.register("depts", deptSchema,
+      (1L to 40L).map(i => Row(i, if (i % 2 == 0) "eng" else "ops")))
+    MemTables.renderedSql.clear()
+
+    val df = spark.table("mem.people").filter(col("score") > 10.0)
+      .join(spark.table("mem.depts"), Seq("id"), "left")
+      .select(col("id"), col("name"), col("dept"))
+    val out = df.collect()
+
+    // correctness of the engine round trip, incl. LEFT null extension
+    assert(out.length === 80) // score > 10 ⇔ id > 20
+    assert(out.filter(_.isNullAt(2)).map(_.getLong(0)).min === 41L)
+
+    // the wire format: one statement, source dialect, filter re-expressed
+    val sql = MemTables.renderedSql.toSeq
+    assert(sql.size === 1, s"expected exactly one rendered statement, got $sql")
+    val s0 = sql.head
+    assert(s0.matches(
+      """SELECT t0\.`id` AS c0.*FROM \(SELECT .*FROM `people` WHERE .*\) t0 LEFT JOIN `depts` t1 ON t0\.`id` = t1\.`id`"""),
+      s"rendered SQL shape unexpected:\n$s0")
+    assert(s0.contains("`score` > 10.0"), s"pushed filter missing from render:\n$s0")
+    // no Join survives in the Spark plan — the source answered the tree
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "join should have been evaluated source-side")
+  }
+
+  test("SQL renderer: dialect quoting, literal escaping, filter round-trip") {
+    import org.apache.spark.sql.sources
+    import SqlRender.Dialect
+    assert(SqlRender.filterSql(sources.EqualTo("na`me", "O'Neil"), Dialect.spark)
+      === "`na``me` = 'O''Neil'")
+    assert(SqlRender.filterSql(sources.EqualTo("a", "x"), Dialect.ansi) === "\"a\" = 'x'")
+    assert(SqlRender.filterSql(
+      sources.And(sources.GreaterThanOrEqual("a", 5L), sources.In("b", Array("p", "q"))),
+      Dialect.ansi) === "(\"a\" >= 5 AND \"b\" IN ('p', 'q'))")
+    assert(SqlRender.filterSql(sources.IsNull("c"), Dialect.ansi) === "\"c\" IS NULL")
+    assert(SqlRender.filterSql(
+      sources.Not(sources.EqualNullSafe("d", null)), Dialect.ansi)
+      === "(NOT \"d\" IS NOT DISTINCT FROM NULL)")
+    // unrenderable syntax must throw — the rule treats that as "don't push"
+    intercept[UnsupportedOperationException](
+      SqlRender.filterSql(sources.StringContains("e", "z"), Dialect.ansi))
+  }
+
   test("cross-catalog join resolves both namespaces") {
     MemTables.register("dim", StructType(Seq(
       StructField("r_regionkey", LongType, nullable = false),

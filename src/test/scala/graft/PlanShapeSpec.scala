@@ -81,6 +81,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LocalRelation"), s"no source-side result:\n$plan")
   }
 
+  test("f10 three-way single-catalog tree (incl. LEFT) pushes whole; zero dim joins survive") {
+    graft.federation.MemTables.pushedJoins.clear()
+    graft.federation.MemTables.renderedSql.clear()
+    val df = SparkEntry.queries("f10_multiway_pushdown")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the dims tree had TWO joins (weight⋈label⟕note); both must be gone —
+    // only orders × LocalRelation remains
+    assert(plan.sliding(5).count(_ == "Join ") === 1,
+      s"multi-way dim tree not pushed whole:\n$plan")
+    assert(plan.contains("LocalRelation"), s"no source-side result:\n$plan")
+    assert(graft.federation.MemTables.pushedJoins.exists {
+      case (l, r) => Set(l, r) == Set("status_label", "priority_note")
+    }, "outer edge of the flattened tree was not recorded")
+    // and the wire format was ONE rendered statement covering all 3 tables
+    val sql = graft.federation.MemTables.renderedSql.toSeq
+    assert(sql.exists(s => s.contains("priority_weight") && s.contains("status_label") &&
+      s.contains("priority_note")), s"no single-statement render recorded: $sql")
+  }
+
   test("e08 as-of join is carry-forward, not a range join: one window, zero join nodes") {
     val plan = executedPlan("e08_asof_join")
     assert(!plan.contains("Join"), s"as-of should not plan any join node:\n$plan")

@@ -55,10 +55,61 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // remaining tables byte-copy (events carries TIMESTAMP(NANOS) that a
-    // read-rewrite would coerce)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+    // events: replica-decorrelated — NEW user ids per replica (sessions,
+    // funnels, cohorts scale linearly in users, as a real 10x product
+    // would; identical users would instead deepen every per-user window
+    // by 10x, which no growing product does), new event ids, timestamps
+    // unchanged (the temporal span of the rehearsal window is a property
+    // of the window, not the scale). Read through the schema-aware
+    // loader so a TIMESTAMP(NANOS) source normalizes once here.
+    val ev = graft.engine.Tables.table(spark, srcDir, "events")
+    val maxEv = ev.agg(max("event_id")).head.getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
+    ev.select(col("*"), rep)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+      .withColumn("user_id", col("user_id") + col("rep") * maxUser)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // TPC-H fact+dim tables: replica-disjoint key offsets, preserving
+    // every foreign key (order→lineitem, lineitem→part/supplier,
+    // order→customer). Each replica is a disjoint subgraph — node and
+    // edge counts scale linearly while per-order basket density stays
+    // fixed, which is exactly the g-pack's declared scaling model (part
+    // count grows with the data; the co-purchase graph stays sparse).
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    val maxCust = ord.agg(max("o_custkey")).head.getLong(0) + 1
+    val maxPart = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val maxSupp = li.agg(max("l_suppkey")).head.getLong(0) + 1
+
+    ord.select(col("*"), rep)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOrder)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * maxCust)
+      .drop("rep").repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    li.select(col("*"), rep)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOrder)
+      .withColumn("l_partkey", col("l_partkey") + col("rep") * maxPart)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * maxSupp)
+      .drop("rep").repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    def scaleDim(name: String, key: String, maxKey: Long): Unit =
+      spark.read.parquet(s"$srcDir/$name.parquet")
+        .select(col("*"), rep)
+        .withColumn(key, col(key) + col("rep") * maxKey)
+        .drop("rep").repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    scaleDim("customer", "c_custkey", maxCust)
+    scaleDim("supplier", "s_suppkey", maxSupp)
+    scaleDim("part", "p_partkey", maxPart)
+
+    // region/nation are constant-size reference tables at every SF
+    Seq("region", "nation").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
         java.nio.file.Paths.get(s"$outDir/$t.parquet"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans._
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.sources
@@ -21,10 +21,12 @@ import org.apache.spark.sql.types._
   * Runs in the `User Provided Optimizers` batch, AFTER V2 scan planning:
   * by then each mem-source leaf is a [[DataSourceV2ScanRelation]] whose
   * [[MemScan]] carries its provenance (table, pushed filters, pruned
-  * columns). A LEFT-DEEP TREE of joins (inner / left / right / full /
-  * cross) whose leaves are all scans of the SAME catalog is:
+  * columns). A TREE of joins — any shape, left-deep or bushy (a bushy
+  * right side renders as a parenthesized sub-join) — of inner / left /
+  * right / full / cross joins whose leaves are all scans of the SAME
+  * catalog is:
   *
-  *   1. flattened into (leaves, join edges),
+  *   1. flattened into a [[PushTree]],
   *   2. RENDERED to one SQL statement in the source's dialect —
   *      `SELECT … FROM t0 JOIN t1 ON … LEFT JOIN t2 ON …` with each
   *      leaf's pushed filters/pruning re-expressed as a subquery — the
@@ -44,9 +46,20 @@ import org.apache.spark.sql.types._
   * leaves, non-left-deep shapes) falls back to per-table fetch with
   * Spark executing the join — correct either way.
   */
-object SingleSourceJoinPushdown extends Rule[LogicalPlan] {
+/** A flattened same-catalog join tree, ready to render. */
+sealed trait PushTree
+object PushTree {
+  final case class LeafNode(scan: DataSourceV2ScanRelation,
+      prov: MemScanProvenance) extends PushTree
+  final case class JoinNode(left: PushTree, right: PushTree,
+      jt: JoinType, cond: Option[Expression]) extends PushTree
+  def leaves(t: PushTree): Seq[LeafNode] = t match {
+    case l: LeafNode => Seq(l)
+    case JoinNode(l, r, _, _) => leaves(l) ++ leaves(r)
+  }
+}
 
-  private case class Leaf(scan: DataSourceV2ScanRelation, prov: MemScanProvenance)
+object SingleSourceJoinPushdown extends Rule[LogicalPlan] {
 
   private val supportedTypes: Set[JoinType] =
     Set(Inner, Cross, LeftOuter, RightOuter, FullOuter)
@@ -54,71 +67,103 @@ object SingleSourceJoinPushdown extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // transformDown, not Up: the TOP of the largest pushable tree must
     // match first — bottom-up would materialize an inner two-leaf join
-    // before the three-leaf tree above it could be seen whole
+    // before the three-leaf tree above it could be seen whole.
+    // An Aggregate OVER a same-catalog join tree ships as one GROUP BY
+    // statement — the reference's "whole query to one integration" case
+    // (query_planner.py:787-807); at 100 TB only |groups| rows cross the
+    // wire. Single-leaf aggregates are already handled by the DSv2
+    // SupportsPushDownAggregates path and stay out of this rule.
+    case agg @ Aggregate(groups, aggs, child, _) =>
+      pushAggTree(agg, groups, aggs, child).getOrElse(agg)
+    // ORDER BY … LIMIT k over a same-catalog tree ships whole: the
+    // source returns the finished top-k (the join analog of the leaf
+    // SupportsPushDownTopN path — k rows cross the wire, not the join)
+    case lim @ GlobalLimit(Literal(n: Int, _),
+        LocalLimit(_, TopNShape(order, child))) =>
+      pushTopNTree(lim, order, n, child).getOrElse(lim)
     case j: Join => pushWholeTree(j).getOrElse(j)
   }
 
-  private def pushWholeTree(j: Join): Option[LogicalPlan] = flatten(j) match {
-    case Some((leaves, edges)) if leaves.size >= 2 && sameCatalog(leaves) =>
-      try {
-        val sql = SqlRender.renderJoin(j.output, leaves.map(l => (l.scan, l.prov)),
-          edges, SqlRender.Dialect.spark)
-        val rows = MemEngine.run(sql, leaves.map(_.prov.table).distinct)
-        val schema = StructType(j.output.map(a =>
+  /** Sort[true] optionally narrowed by an attribute-only Project (the
+    * optimizer places the final pruning ABOVE the sort when the sort key
+    * is not selected — `SELECT id ORDER BY score LIMIT k`). The sort key
+    * needs no place in the SELECT list: SQL orders by any input column. */
+  private object TopNShape {
+    def unapply(p: LogicalPlan): Option[(Seq[SortOrder], LogicalPlan)] = p match {
+      case Sort(order, true, child, _) => Some((order, child))
+      case Project(pl, Sort(order, true, child, _))
+          if pl.forall(_.isInstanceOf[AttributeReference]) => Some((order, child))
+      case _ => None
+    }
+  }
+
+  private def pushTopNTree(lim: LogicalPlan, order: Seq[SortOrder], n: Int,
+      child: LogicalPlan): Option[LogicalPlan] =
+    // the engine returns rows in ORDER BY order, and LocalRelation
+    // preserves row order — the observable ordering survives without a
+    // Sort node (which could not re-resolve a projected-away sort key)
+    pushTree(child, lim.output)(
+      SqlRender.renderTopN(lim.output, order, n, _, SqlRender.Dialect.spark))
+
+  private def pushAggTree(agg: Aggregate, groups: Seq[Expression],
+      aggs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] =
+    pushTree(child, agg.output)(
+      SqlRender.renderAggregate(groups, aggs, _, SqlRender.Dialect.spark))
+
+  private def pushWholeTree(j: Join): Option[LogicalPlan] =
+    pushTree(j, j.output)(
+      SqlRender.renderJoin(j.output, _, SqlRender.Dialect.spark))
+
+  /** Flatten, render, execute on the stand-in engine, and replace with a
+    * LocalRelation of the result. Any unrenderable corner is not an
+    * error — the subtree stays in Spark (per-table fetch), which is the
+    * reference's fallback too. */
+  private def pushTree(p: LogicalPlan, out: Seq[Attribute])(
+      render: PushTree => String): Option[LogicalPlan] = flatten(p) match {
+    case Some(tree) =>
+      val lvs = PushTree.leaves(tree)
+      if (lvs.size < 2 || !sameCatalog(lvs)) None
+      else try {
+        val sql = render(tree)
+        val rows = MemEngine.run(sql, lvs.map(_.prov.table).distinct)
+        val schema = StructType(out.map(a =>
           StructField(a.name, a.dataType, a.nullable)))
         val conv = CatalystTypeConverters.createToCatalystConverter(schema)
         MemTables.renderedSql += sql
-        leaves.map(_.prov.table).sliding(2).foreach {
+        lvs.map(_.prov.table).sliding(2).foreach {
           case Seq(a, b) => MemTables.pushedJoins += ((a, b))
           case _ =>
         }
-        Some(LocalRelation(j.output,
-          rows.map(r => conv(r).asInstanceOf[InternalRow])))
-      } catch {
-        // an unrenderable corner is not an error — the join stays in
-        // Spark (per-table fetch), which is the reference's fallback too
-        case NonFatal(_) => None
-      }
-    case _ => None
+        Some(LocalRelation(out, rows.map(r => conv(r).asInstanceOf[InternalRow])))
+      } catch { case NonFatal(_) => None }
+    case None => None
   }
 
-  /** Left-deep flattening: `Join(Join(Join(s0,s1),s2),s3)` →
-    * (Seq(s0..s3), edges) where edge i joins the accumulated prefix with
-    * leaf i+1 (the reference flattens the same way, plan_join.py:185).
-    * A non-leaf right side fails the match here; transformDown then
-    * descends and pushes the inner tree on its own. */
-  private def flatten(p: LogicalPlan)
-      : Option[(Seq[Leaf], Seq[(JoinType, Option[Expression])])] = p match {
+  /** Tree flattening (the reference flattens arbitrary join trees the
+    * same way, plan_join.py:185) — BOTH sides recurse, so bushy shapes
+    * push too; a bushy right side renders as a parenthesized sub-join. */
+  private def flatten(p: LogicalPlan): Option[PushTree] = p match {
     case Join(l, r, jt, cond, _) if supportedTypes.contains(jt) =>
-      for {
-        (ll, le) <- flatten(l)
-        rl <- asLeaf(r)
-      } yield (ll :+ rl, le :+ ((jt, cond)))
+      for { lt <- flatten(l); rt <- flatten(r) }
+        yield PushTree.JoinNode(lt, rt, jt, cond)
     // a USING join (and column pruning) leaves attribute-only Projects
     // between nested joins — transparent for flattening, the kept
     // attributes still resolve to their leaves by exprId
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       flatten(child)
-    case other => asLeaf(other).map(l => (Seq(l), Nil))
-  }
-
-  private def asLeaf(p: LogicalPlan): Option[Leaf] = p match {
     case s: DataSourceV2ScanRelation => s.scan match {
       // an aggregated/limited scan is already a complete answer in the
       // source — re-joining it inside a bigger pushed query would apply
       // the limit at the wrong point; leave those to Spark
       case m: MemScan => m.provenance
-        .filterNot(pv => pv.aggregated || pv.limited).map(Leaf(s, _))
+        .filterNot(pv => pv.aggregated || pv.limited)
+        .map(PushTree.LeafNode(s, _))
       case _ => None
     }
-    // column pruning may interpose an attribute-only Project between
-    // joins; it renames/compute nothing, so it is transparent here
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      asLeaf(child)
     case _ => None
   }
 
-  private def sameCatalog(leaves: Seq[Leaf]): Boolean = {
+  private def sameCatalog(leaves: Seq[PushTree.LeafNode]): Boolean = {
     val names = leaves.map(_.scan.relation.catalog.map(_.name()))
     names.forall(_.isDefined) && names.distinct.size == 1
   }
@@ -150,14 +195,13 @@ object SqlRender {
     val spark: Dialect = Dialect("`")
   }
 
-  def renderJoin(
-      out: Seq[Attribute],
-      leaves: Seq[(DataSourceV2ScanRelation, MemScanProvenance)],
-      edges: Seq[(JoinType, Option[Expression])],
-      d: Dialect): String = {
+  /** Shared rendering context for one pushed tree: attribute ownership,
+    * scalar-expression rendering, and the FROM clause. */
+  private final class Ctx(tree: PushTree, d: Dialect) {
+    private val leaves: Seq[PushTree.LeafNode] = PushTree.leaves(tree)
     // which leaf (→ alias tN) owns each attribute, by exprId
-    val owner: Map[ExprId, (Int, String)] = leaves.zipWithIndex.flatMap {
-      case ((scan, _), i) => scan.output.map(a => a.exprId -> ((i, a.name)))
+    private val owner: Map[ExprId, (Int, String)] = leaves.zipWithIndex.flatMap {
+      case (l, i) => l.scan.output.map(a => a.exprId -> ((i, a.name)))
     }.toMap
 
     def qual(a: Attribute): String = {
@@ -186,8 +230,9 @@ object SqlRender {
         throw new UnsupportedOperationException(s"unrenderable ON expression: $other")
     }
 
-    def leafSql(i: Int): String = {
-      val (_, pv) = leaves(i)
+    private def leafSql(l: PushTree.LeafNode): String = {
+      val i = leaves.indexWhere(_ eq l)
+      val pv = l.prov
       if (pv.filters.isEmpty && pv.columns == pv.allColumns) s"${d.q(pv.table)} t$i"
       else {
         // pushed filters + pruning re-expressed so the source still
@@ -200,24 +245,99 @@ object SqlRender {
       }
     }
 
-    val from = new StringBuilder(leafSql(0))
-    edges.zipWithIndex.foreach { case ((jt, cond), i) =>
-      val kw = jt match {
-        case Inner => if (cond.isDefined) "JOIN" else "CROSS JOIN"
-        case Cross => "CROSS JOIN"
-        case LeftOuter => "LEFT JOIN"
-        case RightOuter => "RIGHT JOIN"
-        case FullOuter => "FULL JOIN"
-        case other => throw new UnsupportedOperationException(s"join type $other")
-      }
-      from ++= s" $kw ${leafSql(i + 1)}"
-      cond.foreach(c => from ++= s" ON ${ex(c)}")
+    def fromClause(): String = renderTree(tree)
+
+    private def renderTree(t: PushTree): String = t match {
+      case l: PushTree.LeafNode => leafSql(l)
+      case PushTree.JoinNode(lt, rt, jt, cond) =>
+        val kw = jt match {
+          case Inner => if (cond.isDefined) "JOIN" else "CROSS JOIN"
+          case Cross => "CROSS JOIN"
+          case LeftOuter => "LEFT JOIN"
+          case RightOuter => "RIGHT JOIN"
+          case FullOuter => "FULL JOIN"
+          case other => throw new UnsupportedOperationException(s"join type $other")
+        }
+        // SQL joins are left-associative, so a left JoinNode renders
+        // flat; a bushy RIGHT side needs its own parentheses
+        val rhs = rt match {
+          case _: PushTree.JoinNode => s"(${renderTree(rt)})"
+          case _ => renderTree(rt)
+        }
+        s"${renderTree(lt)} $kw $rhs" + cond.fold("")(c => s" ON ${ex(c)}")
     }
+  }
+
+  def renderJoin(
+      out: Seq[Attribute],
+      tree: PushTree,
+      d: Dialect): String = {
+    val ctx = new Ctx(tree, d)
     // positional aliases c0..cN: the wire schema is the Join's output
     // order, independent of source-side column-name collisions
     val select = out.zipWithIndex
-      .map { case (a, k) => s"${qual(a)} AS c$k" }.mkString(", ")
-    s"SELECT $select FROM $from"
+      .map { case (a, k) => s"${ctx.qual(a)} AS c$k" }.mkString(", ")
+    s"SELECT $select FROM ${ctx.fromClause()}"
+  }
+
+  /** ORDER BY … LIMIT k over a join tree as one statement — the source
+    * does the sort and ships only k rows. */
+  def renderTopN(
+      out: Seq[Attribute],
+      order: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+      n: Int,
+      tree: PushTree,
+      d: Dialect): String = {
+    val ctx = new Ctx(tree, d)
+    val select = out.zipWithIndex
+      .map { case (a, k) => s"${ctx.qual(a)} AS c$k" }.mkString(", ")
+    val orderBy = order.map { so =>
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst}
+      val dir = if (so.direction == Ascending) "ASC" else "DESC"
+      val nulls = if (so.nullOrdering == NullsFirst) "NULLS FIRST" else "NULLS LAST"
+      s"${ctx.ex(so.child)} $dir $nulls"
+    }.mkString(", ")
+    s"SELECT $select FROM ${ctx.fromClause()} ORDER BY $orderBy LIMIT $n"
+  }
+
+  /** Whole aggregate-over-join as one GROUP BY statement — COUNT/SUM/
+    * MIN/MAX/AVG over grouped attributes; anything fancier (DISTINCT,
+    * FILTER, non-attribute groups) throws → the caller leaves the
+    * aggregate in Spark. */
+  def renderAggregate(
+      groups: Seq[Expression],
+      aggs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      tree: PushTree,
+      d: Dialect): String = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    val ctx = new Ctx(tree, d)
+    def aggSql(e: Expression): String = e match {
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(_, _))) => "COUNT(*)"
+          case Count(Seq(c)) => s"COUNT(${ctx.ex(c)})"
+          case s: Sum => s"SUM(${ctx.ex(s.child)})"
+          case m: Min => s"MIN(${ctx.ex(m.child)})"
+          case m: Max => s"MAX(${ctx.ex(m.child)})"
+          case a: Average => s"AVG(${ctx.ex(a.child)})"
+          case other =>
+            throw new UnsupportedOperationException(s"unrenderable aggregate: $other")
+        }
+      case other => ctx.ex(other)
+    }
+    val select = aggs.zipWithIndex.map { case (ne, k) =>
+      val body = ne match {
+        case a: AttributeReference => ctx.qual(a)
+        case al: Alias => aggSql(al.child)
+        case other =>
+          throw new UnsupportedOperationException(s"unrenderable select item: $other")
+      }
+      s"$body AS c$k"
+    }.mkString(", ")
+    val groupBy =
+      if (groups.isEmpty) ""
+      else " GROUP BY " + groups.map(ctx.ex).mkString(", ")
+    s"SELECT $select FROM ${ctx.fromClause()}$groupBy"
   }
 
   /** V1 pushed filters back to SQL (the column names are the source's). */

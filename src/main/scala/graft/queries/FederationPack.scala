@@ -212,6 +212,36 @@ object FederationPack extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // the WHOLE SELECT ships: GROUP BY over the three-way single-catalog
+    // join renders as one GROUP BY statement and the source returns
+    // finished groups — neither the join nor the aggregate survives in
+    // the Spark plan (query_planner.py:787-807 whole-query shipping; at
+    // 100 TB only |groups| rows cross the wire). COUNT(note) counts the
+    // outer join's non-null extensions source-side.
+    "f12_agg_over_pushed_join" -> ((s, dir) => {
+      memCatalog(s)
+      s.table("mem.priority_weight")
+        .join(s.table("mem.status_label"), "o_orderpriority")
+        .join(s.table("mem.priority_note"), Seq("o_orderpriority"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("weight")).as("w_sum"),
+          count(col("note")).as("n_note"), avg(col("weight")).as("w_avg"))
+        .orderBy(col("label"))
+    }),
+
+    // ORDER BY + LIMIT over the pushed join tree ships whole: the
+    // source sorts and returns k rows — the join, sort, and limit all
+    // leave the Spark plan (the join analog of f09's leaf TopN pushdown)
+    "f13_topn_over_pushed_join" -> ((s, dir) => {
+      memCatalog(s)
+      s.table("mem.priority_weight")
+        .join(s.table("mem.status_label"), "o_orderpriority")
+        .join(s.table("mem.priority_note"), Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("weight"), col("label"))
+        .orderBy(col("weight").desc, col("o_orderpriority"))
+        .limit(3)
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -312,6 +342,29 @@ object FederationPack extends QueryPack {
       JOIN lab USING (o_orderpriority)
       LEFT JOIN nt USING (o_orderpriority)
       ORDER BY w.o_orderpriority""",
+
+    "f12_agg_over_pushed_join" -> s"""
+      WITH lab AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'), ('3-MEDIUM', 'standard'),
+        ('4-NOT SPECIFIED', 'standard'), ('5-LOW', 'deferred')) AS l(o_orderpriority, label)),
+      nt AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'sla-4h'), ('2-HIGH', 'sla-24h'), ('5-LOW', 'batch'))
+        AS x(o_orderpriority, note))
+      SELECT label, COUNT(*) AS n, SUM(weight) AS w_sum,
+        COUNT(nt.note) AS n_note, AVG(weight) AS w_avg
+      FROM $oWeights
+      JOIN lab USING (o_orderpriority)
+      LEFT JOIN nt USING (o_orderpriority)
+      GROUP BY label ORDER BY label""",
+
+    "f13_topn_over_pushed_join" -> s"""
+      WITH lab AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'), ('3-MEDIUM', 'standard'),
+        ('4-NOT SPECIFIED', 'standard'), ('5-LOW', 'deferred')) AS l(o_orderpriority, label))
+      SELECT w.o_orderpriority, weight, label
+      FROM $oWeights
+      JOIN lab USING (o_orderpriority)
+      ORDER BY weight DESC, w.o_orderpriority LIMIT 3""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

@@ -117,6 +117,90 @@ class FederationSpec extends AnyFunSuite {
       "join should have been evaluated source-side")
   }
 
+  test("aggregate over a pushed join ships whole: GROUP BY in the render, no agg in the plan") {
+    SingleSourceJoinPushdown.ensure(spark)
+    MemTables.register("people", schema, rows)
+    MemTables.register("depts", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dept", StringType, nullable = false))),
+      (1L to 40L).map(i => Row(i, if (i % 2 == 0) "eng" else "ops")))
+    MemTables.renderedSql.clear()
+
+    val df = spark.table("mem.people")
+      .join(spark.table("mem.depts"), Seq("id"))
+      .groupBy(col("dept"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("total"))
+      .orderBy(col("dept"))
+    val out = df.collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("eng", 20L), ("ops", 20L)))
+
+    val sql = MemTables.renderedSql.toSeq
+    assert(sql.size === 1, s"expected one rendered statement, got $sql")
+    assert(sql.head.contains("COUNT(*)") && sql.head.contains("SUM(") &&
+      sql.head.contains("GROUP BY"), s"aggregate not in the render:\n${sql.head}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"join/aggregate survived in Spark — the source should have answered:\n$plan")
+  }
+
+  test("ORDER BY + LIMIT over a pushed join ships whole: k rows cross, no Spark sort of the join") {
+    SingleSourceJoinPushdown.ensure(spark)
+    MemTables.register("people", schema, rows)
+    MemTables.register("depts", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dept", StringType, nullable = false))),
+      (1L to 40L).map(i => Row(i, if (i % 2 == 0) "eng" else "ops")))
+    MemTables.renderedSql.clear()
+
+    val df = spark.table("mem.people")
+      .join(spark.table("mem.depts"), Seq("id"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(5)
+      .select(col("id"), col("dept"))
+    val out = df.collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(40L, 39L, 38L, 37L, 36L))
+
+    val sql = MemTables.renderedSql.toSeq
+    assert(sql.size === 1 && sql.head.contains("ORDER BY") && sql.head.contains("LIMIT 5"),
+      s"top-k not in the render: $sql\nplan:\n${df.queryExecution.optimizedPlan}")
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "join survived — the source should have answered the whole top-k")
+  }
+
+  test("bushy join tree pushes whole: right-side sub-join renders parenthesized") {
+    SingleSourceJoinPushdown.ensure(spark)
+    MemTables.register("people", schema, rows)
+    MemTables.register("depts", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dept", StringType, nullable = false))),
+      (1L to 40L).map(i => Row(i, if (i % 2 == 0) "eng" else "ops")))
+    MemTables.register("sites", StructType(Seq(
+      StructField("dept", StringType, nullable = false),
+      StructField("site", StringType, nullable = false))),
+      Seq(Row("eng", "sfo"), Row("ops", "nyc")))
+    MemTables.renderedSql.clear()
+
+    // people ⋈ (depts ⋈ sites): the right side is itself a join — the
+    // reference flattens arbitrary trees (plan_join.py:185); one
+    // statement must ship, with the sub-join parenthesized
+    val dimside = spark.table("mem.depts")
+      .join(spark.table("mem.sites"), Seq("dept"))
+    val df = spark.table("mem.people")
+      .join(dimside, Seq("id"))
+      .groupBy(col("site")).agg(count(lit(1)).as("n"))
+      .orderBy(col("site"))
+    val out = df.collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("nyc", 20L), ("sfo", 20L)))
+
+    val sql = MemTables.renderedSql.toSeq
+    assert(sql.size === 1, s"expected one statement for the bushy tree, got $sql")
+    assert(sql.head.contains("JOIN (") && sql.head.contains("GROUP BY"),
+      s"bushy right side not parenthesized in:\n${sql.head}")
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "bushy tree was not pushed whole")
+  }
+
   test("SQL renderer: dialect quoting, literal escaping, filter round-trip") {
     import org.apache.spark.sql.sources
     import SqlRender.Dialect

@@ -82,6 +82,16 @@ object InfoSchema {
       Seq(Row("utf8_general_ci", "utf8", 33L, "Yes", "Yes", 1L, "PAD SPACE"),
         Row("latin1_swedish_ci", "latin1", 8L, "Yes", "Yes", 1L, "PAD SPACE")))
 
+    providers("plugins") = const(
+      StructType(Seq(
+        StructField("plugin_name", StringType), StructField("plugin_version", StringType),
+        StructField("plugin_status", StringType), StructField("plugin_type", StringType),
+        StructField("plugin_library", StringType), StructField("plugin_license", StringType),
+        StructField("load_option", StringType))),
+      // the rows MySQL-protocol clients actually probe for
+      Seq(Row("InnoDB", "8.0", "ACTIVE", "STORAGE ENGINE", null, "GPL", "ON"),
+        Row("mysql_native_password", "1.0", "ACTIVE", "AUTHENTICATION", null, "GPL", "ON")))
+
     // EVENTS is LIVE: one row per scheduled job (the MySQL event
     // scheduler analog of CREATE JOB — system_tables.py:315-343)
     providers("events") = () => {

@@ -502,14 +502,20 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * source must be unique on the join key (a target row matching two
     * source rows would duplicate).
     *
-    * @param sets pairs of (target column, SQL expression text) */
+    * @param sets pairs of (target column, SQL expression text)
+    * @param deleteUnmatchedTarget `WHEN NOT MATCHED BY SOURCE THEN
+    *   DELETE` (the Delta full-sync form): target rows with no source
+    *   match are dropped instead of passed through — the same left join
+    *   carries the decision, no extra scan */
   def merge(name: String, tAlias: String, source: DataFrame, sAlias: String,
-      on: String, sets: Seq[(String, String)]): Unit = {
+      on: String, sets: Seq[(String, String)],
+      deleteUnmatchedTarget: Boolean = false): Unit = {
     val tgt = table(name)
     val schema = tgt.schema
     val marked = source.withColumn("__merge_src", lit(1))
-    val joined = tgt.as(tAlias).join(marked.as(sAlias), expr(on), "left")
+    val joined0 = tgt.as(tAlias).join(marked.as(sAlias), expr(on), "left")
     val matched = col("__merge_src").isNotNull
+    val joined = if (deleteUnmatchedTarget) joined0.filter(matched) else joined0
     val setMap = sets.toMap
     val outCols = schema.fields.map { f =>
       setMap.get(f.name) match {

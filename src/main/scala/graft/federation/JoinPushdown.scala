@@ -226,6 +226,10 @@ object SqlRender {
       case IsNotNull(c) => s"${ex(c)} IS NOT NULL"
       case In(v, list) if list.forall(_.isInstanceOf[Literal]) =>
         s"${ex(v)} IN (${list.map(ex).mkString(", ")})"
+      // the optimizer collapses post-join scalar projections (e.g. a
+      // COALESCE over an outer join's null extension) into the pushed
+      // node's result expressions — render the common ones
+      case Coalesce(children) => s"COALESCE(${children.map(ex).mkString(", ")})"
       case other =>
         throw new UnsupportedOperationException(s"unrenderable ON expression: $other")
     }

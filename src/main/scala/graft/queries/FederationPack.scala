@@ -242,6 +242,20 @@ object FederationPack extends QueryPack {
         .limit(3)
     }),
 
+    // DISTINCT over the pushed join rides the same whole-query path:
+    // Catalyst rewrites Distinct to a group-by-all-columns Aggregate,
+    // which renders as SELECT … GROUP BY — the dedup happens in the
+    // source, |distinct| rows cross the wire
+    "f14_distinct_over_pushed_join" -> ((s, dir) => {
+      memCatalog(s)
+      s.table("mem.priority_weight")
+        .join(s.table("mem.status_label"), "o_orderpriority")
+        .join(s.table("mem.priority_note"), Seq("o_orderpriority"), "left")
+        .select(col("label"), col("note")).distinct()
+        .select(col("label"), coalesce(col("note"), lit("none")).as("note"))
+        .orderBy(col("label"), col("note"))
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -365,6 +379,20 @@ object FederationPack extends QueryPack {
       FROM $oWeights
       JOIN lab USING (o_orderpriority)
       ORDER BY weight DESC, w.o_orderpriority LIMIT 3""",
+
+    "f14_distinct_over_pushed_join" -> s"""
+      WITH lab AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'), ('3-MEDIUM', 'standard'),
+        ('4-NOT SPECIFIED', 'standard'), ('5-LOW', 'deferred')) AS l(o_orderpriority, label)),
+      nt AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'sla-4h'), ('2-HIGH', 'sla-24h'), ('5-LOW', 'batch'))
+        AS x(o_orderpriority, note)),
+      d AS (SELECT DISTINCT label, nt.note
+        FROM $oWeights
+        JOIN lab USING (o_orderpriority)
+        LEFT JOIN nt USING (o_orderpriority))
+      SELECT label, COALESCE(note, 'none') AS note FROM d
+      ORDER BY label, note""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

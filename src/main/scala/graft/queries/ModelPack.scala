@@ -226,6 +226,54 @@ object ModelPack extends QueryPack {
         ORDER BY l_orderkey, l_linenumber, score""")
     }),
 
+    // split-conformal prediction intervals (Vovk et al. 2005; the
+    // distribution-free uncertainty wrapper production ML serves): fit
+    // OLS on a train split, take the ceil(0.9·n)-th smallest absolute
+    // calibration residual as the 90% interval half-width, report
+    // held-out coverage. Scale shape: the fit is ONE combinable
+    // decimal-sum aggregate; the quantile is a window over the
+    // CALIBRATION split only (a fraction of the data by construction —
+    // at 100 TB the calibration set is sampled, not the corpus); the
+    // coverage check is a broadcast of two scalars into a narrow map.
+    // Floats: sums stay DECIMAL-exact, a/b and residuals are doubles
+    // computed with the same parenthesization both engines; the
+    // quantile VALUE is order-stable because ties in the rounded
+    // residual all carry the same value.
+    "m32_conformal_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val train = li.filter(col("l_orderkey") <= 3000)
+      val fit = train.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x").cast(DecimalType(18, 4))).cast("double").as("sx"),
+          sum(col("y").cast(DecimalType(18, 4))).cast("double").as("sy"),
+          sum((col("x").cast(DecimalType(18, 4)) * col("y").cast(DecimalType(18, 4)))).cast("double").as("sxy"),
+          sum((col("x").cast(DecimalType(18, 4)) * col("x").cast(DecimalType(18, 4)))).cast("double").as("sxx"))
+        .withColumn("b", (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("a", (col("sy") - col("b") * col("sx")) / col("n"))
+        .select(col("a"), col("b"))
+      def resid(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(fit))
+          .withColumn("r", round(abs(col("y") - (col("a") + col("b") * col("x"))), 4))
+      val cal = resid(li.filter(col("l_orderkey") > 3000 && col("l_orderkey") <= 4500))
+      val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      val w = Window.orderBy(col("r"))
+      val q = cal.crossJoin(broadcast(nCal))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === ceil(lit(0.9) * col("n_cal")))
+        .select(col("n_cal"), col("r").as("q_hat"))
+      val test = resid(li.filter(col("l_orderkey") > 4500 && col("l_orderkey") <= 6000))
+      test.crossJoin(broadcast(q))
+        .agg(first(col("n_cal")).as("n_cal"), first(col("q_hat")).as("q_hat"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("covered"))
+        .select(col("n_cal"), round(col("q_hat"), 4).as("q_hat"), col("n_test"),
+          col("covered"),
+          round(col("covered").cast("double") / col("n_test"), 4).as("coverage"))
+    }),
+
     // rolling-origin backtest — the standard TS cross-validation
     // (Hyndman & Athanasopoulos, "Forecasting" §5.10): fold k holds out
     // the k-th-newest point of every series and forecasts it with the
@@ -1046,6 +1094,33 @@ object ModelPack extends QueryPack {
 
     // identical rank + frame windows; the error is exact decimal
     // |4·actual − Σ4|, doubles only at the final per-fold division
+    // same decimal-exact sums → same doubles → same quantile VALUE
+    // (ties in the rounded residual all carry the value, so tie order
+    // cannot change the selected q_hat)
+    "m32_conformal_intervals" -> """
+      WITH li AS (SELECT l_orderkey, l_quantity AS x, l_extendedprice AS y FROM lineitem),
+      fit0 AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        FROM li WHERE l_orderkey <= 3000),
+      fitb AS (SELECT *, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b FROM fit0),
+      fit AS (SELECT b, (sy - b*sx) / n AS a FROM fitb),
+      cal AS (SELECT ROUND(ABS(y - (a + b*x)), 4) AS r
+        FROM li, fit WHERE l_orderkey > 3000 AND l_orderkey <= 4500),
+      ncal AS (SELECT COUNT(*) AS n_cal FROM cal),
+      ranked AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM cal),
+      q AS (SELECT n_cal, r AS q_hat FROM ranked, ncal WHERE rn = CEIL(0.9 * n_cal)),
+      test AS (SELECT ROUND(ABS(y - (a + b*x)), 4) AS r
+        FROM li, fit WHERE l_orderkey > 4500 AND l_orderkey <= 6000)
+      SELECT CAST(q.n_cal AS BIGINT) AS n_cal, ROUND(q.q_hat, 4) AS q_hat,
+        CAST(COUNT(*) AS BIGINT) AS n_test,
+        CAST(SUM(CASE WHEN r <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+        ROUND(CAST(SUM(CASE WHEN r <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS coverage
+      FROM test, q GROUP BY q.n_cal, q.q_hat""",
+
     "m22_ts_backtest" -> """
       WITH ranked AS (
         SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

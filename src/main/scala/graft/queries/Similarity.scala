@@ -79,6 +79,30 @@ object Similarity extends QueryPack {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // hard-negative mining for contrastive training (the in-batch-
+    // negative upgrade every embedding-model pipeline runs): for each
+    // query vector, the top-k most-similar vectors with a DIFFERENT
+    // label — semantically close, semantically wrong, exactly what the
+    // loss needs. Scale shape = s02's: the query side is small and
+    // BROADCAST, the corpus side streams once; the label constraint
+    // rides the join condition so same-label rows never materialize.
+    // Ranking on the bit-stable native cosine, rounded after ranking.
+    "s09_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+      e.join(broadcast(q), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          cosineSim(col("v"), col("qv")).as("c"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("q_label"), col("rnk"),
+          col("vec_id").as("neg_id"), col("label").as("neg_label"),
+          round(col("c"), 4).as("cos_sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "s03_cosine_near_pairs" -> ((s, dir) => {
       // embedding-cosine near-dup: blocked on label (the natural join key
       // here; at scale the blocking key comes from LSH, see s04).
@@ -336,6 +360,18 @@ object Similarity extends QueryPack {
       ranked AS (SELECT q_id, vec_id, c,
         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk FROM scored)
       SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, ROUND(c, 4) AS cos_sim
+      FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    "s09_hard_negatives" -> s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      scored AS (
+        SELECT b.vec_id AS q_id, CAST(b.label AS INTEGER) AS q_label,
+               a.vec_id, CAST(a.label AS INTEGER) AS label, $cosExpr AS c
+        FROM e a JOIN e b ON b.vec_id < 10 AND a.label <> b.label),
+      ranked AS (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk FROM scored)
+      SELECT q_id, q_label, CAST(rnk AS INTEGER) AS rnk,
+        vec_id AS neg_id, label AS neg_label, ROUND(c, 4) AS cos_sim
       FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
 
     "s03_cosine_near_pairs" -> s"""

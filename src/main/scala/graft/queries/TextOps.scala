@@ -110,6 +110,41 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // training-mixture manifest (the static-mixing artifact a Pile-style
+    // corpus build emits): per-source token counts vs TARGET mixture
+    // weights → per-source sampling rates, normalized so the most
+    // upsampled source samples at 1.0 (no silent repetition). Scale
+    // shape: ONE combinable rollup of the corpus to |sources| rows; the
+    // two normalizers are aggregates OF THAT ROLLUP broadcast back —
+    // the corpus is scanned once, everything after is dimension-sized.
+    "t29_mixture_manifest" -> ((s, dir) => {
+      val stats = t(s, dir, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+        // deterministic target weights from the source id (stands in for
+        // the mixture config a pipeline would broadcast)
+        .withColumn("w", regexp_extract(col("source"), "\\d+", 0).cast("long") + 1)
+      val tot = stats.agg(sum(col("tokens")).cast("double").as("tot_toks"),
+        sum(col("w")).cast("double").as("tot_w"))
+      val scored = stats.crossJoin(broadcast(tot))
+        .withColumn("token_share", col("tokens").cast("double") / col("tot_toks"))
+        .withColumn("target_share", col("w").cast("double") / col("tot_w"))
+        .withColumn("raw_rate", col("target_share") / col("token_share"))
+      val mx = scored.agg(max(col("raw_rate")).as("mx"))
+      scored.crossJoin(broadcast(mx))
+        // expected_tokens derives from the ALREADY-ROUNDED rate: the 6dp
+        // round pins both engines to the identical double before the
+        // multiply, so the final 1dp round cannot straddle a boundary
+        .withColumn("rate", round(col("raw_rate") / col("mx"), 6))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(col("target_share"), 6).as("target_share"),
+          col("rate").as("sampling_rate"),
+          round(col("tokens") * col("rate"), 1).as("expected_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "t03_quality_score" -> ((s, dir) => {
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
       val stopArr = array(stopwords.map(lit): _*)
@@ -1160,6 +1195,27 @@ object TextOps extends QueryPack {
         CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
         CAST(LENGTH(text) AS INTEGER) AS n_chars
       FROM documents ORDER BY doc_id""",
+
+    "t29_mixture_manifest" -> """
+      WITH stats AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(LEN(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
+          CAST(regexp_extract(source, '\d+') AS BIGINT) + 1 AS w
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS tot_toks,
+                     CAST(SUM(w) AS DOUBLE) AS tot_w FROM stats),
+      scored AS (
+        SELECT s.*, CAST(s.tokens AS DOUBLE) / t.tot_toks AS token_share,
+               CAST(s.w AS DOUBLE) / t.tot_w AS target_share
+        FROM stats s, tot t),
+      sc2 AS (SELECT *, target_share / token_share AS raw_rate FROM scored),
+      mx AS (SELECT MAX(raw_rate) AS mx FROM sc2),
+      rated AS (SELECT *, ROUND(raw_rate / mx, 6) AS rate FROM sc2, mx)
+      SELECT source, n_docs, tokens,
+        ROUND(target_share, 6) AS target_share,
+        rate AS sampling_rate,
+        ROUND(tokens * rate, 1) AS expected_tokens
+      FROM rated ORDER BY source""",
 
     "t03_quality_score" -> """
       WITH base AS (

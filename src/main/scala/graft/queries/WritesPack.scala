@@ -255,6 +255,14 @@ object WritesPack extends QueryPack {
         ORDER BY kind, name""")
     }),
 
+    // information_schema.plugins (system_tables.py:383 PluginsTable):
+    // the rows MySQL-protocol clients probe before anything else
+    "i09_plugins" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""SELECT plugin_name, plugin_type, plugin_status, plugin_license
+        FROM information_schema.plugins ORDER BY plugin_name""")
+    }),
+
     // dynamic partition overwrite (Hive partitionOverwriteMode=dynamic):
     // refresh exactly the partitions the query produces — the daily-drop
     // re-ingest shape. Every untouched partition keeps its files
@@ -351,6 +359,29 @@ object WritesPack extends QueryPack {
             WHEN o_orderkey <= 100 THEN 'updated' ELSE 'inserted' END AS band,
           COUNT(*) AS n, ${Parity.oSum("o_totalprice")} AS total
         FROM mt7 GROUP BY 1 ORDER BY band""")
+    }),
+
+    // MERGE as a FULL SYNC (Delta's WHEN NOT MATCHED BY SOURCE THEN
+    // DELETE): one statement reconciles the target to the source —
+    // matched rows update, new rows insert, rows the source no longer
+    // has are deleted. All three paths ride the same two joins as plain
+    // MERGE (no extra scan for the delete side).
+    "w17_merge_full_sync" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE ms17 AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey <= 400""")
+      c.execute("""MERGE INTO ms17 t USING (
+          SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey > 200 AND o_orderkey <= 600) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      c.execute(s"""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+          ${Parity.oSum("o_totalprice")} AS total
+        FROM ms17 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
     // Incremental materialized view (jobs + `WHERE ts > LAST` composed
@@ -736,6 +767,13 @@ object WritesPack extends QueryPack {
       ) AS t(kind, name, detail, extra)
       ORDER BY kind, name""",
 
+    "i09_plugins" -> """
+      SELECT * FROM (VALUES
+        ('InnoDB', 'STORAGE ENGINE', 'ACTIVE', 'GPL'),
+        ('mysql_native_password', 'AUTHENTICATION', 'ACTIVE', 'GPL')
+      ) AS t(plugin_name, plugin_type, plugin_status, plugin_license)
+      ORDER BY plugin_name""",
+
     // post-state after replacing only the 'O' partition
     "w16_dynamic_overwrite" -> """
       WITH t AS (
@@ -892,6 +930,17 @@ object WritesPack extends QueryPack {
     // the merged table recomputed straight from orders: keys <= 100
     // existed, 51-150 got the +1000.00 source value (51-100 via MATCHED
     // update, 101-150 via NOT MATCHED insert)
+    // post-state of the full sync: exactly the source rows (201..600,
+    // doubled price) — matched updated, new inserted, stale deleted
+    "w17_merge_full_sync" -> s"""
+      WITH t AS (
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey > 200 AND o_orderkey <= 600)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        ${Parity.oSum("o_totalprice")} AS total
+      FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "w07_merge_upsert" -> s"""
       WITH merged AS (
         SELECT o_orderkey,

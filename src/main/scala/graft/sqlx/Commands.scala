@@ -111,7 +111,7 @@ final class Commands(
   private val UpdateStmt =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
   private val MergeStmt =
-    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(?:(\w+)|\((.+)\))(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(?:(\w+)|\((.+)\))(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*(WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*)?""".r
   private val DeleteStmt =
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.+?))?\s*""".r
   private val CloneStmt =
@@ -759,11 +759,13 @@ final class Commands(
           shardRows.map(n => s""","shard_rows":$n""").getOrElse("") + "}")
       import spark.implicits._
       Seq((path, fmt, rows, shards)).toDF("path", "format", "n_rows", "n_shards")
-    case MergeStmt(name, tAliasOpt, srcName, srcSub, sAliasOpt, onCond, setList) =>
+    case MergeStmt(name, tAliasOpt, srcName, srcSub, sAliasOpt, onCond, setList, bySourceDelete) =>
       // MERGE INTO <table> [t] USING <src> [s] ON cond
-      // WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT * —
-      // the upsert verb; the source side routes through run() so views,
-      // warehouse tables, and base tables all work as USING sources
+      // WHEN MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT *
+      // [WHEN NOT MATCHED BY SOURCE THEN DELETE] — the upsert verb (the
+      // last clause makes it a full sync); the source side routes
+      // through run() so views, warehouse tables, and base tables all
+      // work as USING sources
       require(warehouse.exists(name), s"table $name does not exist")
       val tAlias = Option(tAliasOpt).getOrElse(name)
       val source = if (srcName != null) run(s"SELECT * FROM $srcName") else run(srcSub)
@@ -775,7 +777,8 @@ final class Commands(
         (if (lhs.toLowerCase.startsWith(s"${tAlias.toLowerCase}."))
           lhs.substring(tAlias.length + 1) else lhs) -> kv(1).trim
       }
-      warehouse.merge(name, tAlias, source, sAlias, onCond, sets)
+      warehouse.merge(name, tAlias, source, sAlias, onCond, sets,
+        deleteUnmatchedTarget = bySourceDelete != null)
       ok(s"merged into $name")
 
     case UpdateStmt(name, assigns, where)

@@ -101,6 +101,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s.contains("priority_note")), s"no single-statement render recorded: $sql")
   }
 
+  test("f14 DISTINCT over pushed join: the dedup happens in the source, not Spark") {
+    val df = SparkEntry.queries("f14_distinct_over_pushed_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"distinct/join survived in Spark:\n$plan")
+  }
+
   test("e08 as-of join is carry-forward, not a range join: one window, zero join nodes") {
     val plan = executedPlan("e08_asof_join")
     assert(!plan.contains("Join"), s"as-of should not plan any join node:\n$plan")

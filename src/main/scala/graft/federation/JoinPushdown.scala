@@ -81,8 +81,25 @@ object SingleSourceJoinPushdown extends Rule[LogicalPlan] {
     case lim @ GlobalLimit(Literal(n: Int, _),
         LocalLimit(_, TopNShape(order, child))) =>
       pushTopNTree(lim, order, n, child).getOrElse(lim)
+    // IN / EXISTS subqueries arrive as semi/anti joins — they ship as
+    // correlated [NOT] EXISTS subqueries in the rendered statement
+    case j @ Join(_, _, LeftSemi | LeftAnti, _, _) =>
+      pushSemiTree(j).getOrElse(j)
     case j: Join => pushWholeTree(j).getOrElse(j)
   }
+
+  private def pushSemiTree(j: Join): Option[LogicalPlan] =
+    (flatten(j.left), flatten(j.right)) match {
+      case (Some(lt), Some(rt)) =>
+        val lvs = PushTree.leaves(lt) ++ PushTree.leaves(rt)
+        if (lvs.size < 2 || !sameCatalog(lvs)) None
+        else try {
+          val sql = SqlRender.renderSemi(j.output, lt, rt,
+            anti = j.joinType == LeftAnti, j.condition, SqlRender.Dialect.spark)
+          materialize(sql, lvs, j.output)
+        } catch { case NonFatal(_) => None }
+      case _ => None
+    }
 
   /** Sort[true] optionally narrowed by an attribute-only Project (the
     * optimizer places the final pruning ABOVE the sort when the sort key
@@ -123,20 +140,25 @@ object SingleSourceJoinPushdown extends Rule[LogicalPlan] {
     case Some(tree) =>
       val lvs = PushTree.leaves(tree)
       if (lvs.size < 2 || !sameCatalog(lvs)) None
-      else try {
-        val sql = render(tree)
-        val rows = MemEngine.run(sql, lvs.map(_.prov.table).distinct)
-        val schema = StructType(out.map(a =>
-          StructField(a.name, a.dataType, a.nullable)))
-        val conv = CatalystTypeConverters.createToCatalystConverter(schema)
-        MemTables.renderedSql += sql
-        lvs.map(_.prov.table).sliding(2).foreach {
-          case Seq(a, b) => MemTables.pushedJoins += ((a, b))
-          case _ =>
-        }
-        Some(LocalRelation(out, rows.map(r => conv(r).asInstanceOf[InternalRow])))
-      } catch { case NonFatal(_) => None }
+      else try materialize(render(tree), lvs, out)
+      catch { case NonFatal(_) => None }
     case None => None
+  }
+
+  /** Execute rendered SQL on the stand-in engine and wrap the result as
+    * the replacement LocalRelation; records the wire statement. */
+  private def materialize(sql: String, lvs: Seq[PushTree.LeafNode],
+      out: Seq[Attribute]): Option[LogicalPlan] = {
+    val rows = MemEngine.run(sql, lvs.map(_.prov.table).distinct)
+    val schema = StructType(out.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+    MemTables.renderedSql += sql
+    lvs.map(_.prov.table).sliding(2).foreach {
+      case Seq(a, b) => MemTables.pushedJoins += ((a, b))
+      case _ =>
+    }
+    Some(LocalRelation(out, rows.map(r => conv(r).asInstanceOf[InternalRow])))
   }
 
   /** Tree flattening (the reference flattens arbitrary join trees the
@@ -251,6 +273,9 @@ object SqlRender {
 
     def fromClause(): String = renderTree(tree)
 
+    /** render one side of the tree as a FROM fragment (for subqueries) */
+    def fragment(t: PushTree): String = renderTree(t)
+
     private def renderTree(t: PushTree): String = t match {
       case l: PushTree.LeafNode => leafSql(l)
       case PushTree.JoinNode(lt, rt, jt, cond) =>
@@ -282,6 +307,28 @@ object SqlRender {
     val select = out.zipWithIndex
       .map { case (a, k) => s"${ctx.qual(a)} AS c$k" }.mkString(", ")
     s"SELECT $select FROM ${ctx.fromClause()}"
+  }
+
+  /** Semi/anti join as a correlated [NOT] EXISTS subquery — the SQL a
+    * planner ships for IN / EXISTS predicates when both sides live in
+    * one source. The ON condition references the outer aliases from
+    * inside the subquery (standard correlation); anti's NOT EXISTS
+    * reproduces Spark's LeftAnti null semantics exactly (a null
+    * condition never satisfies, so the row is kept). */
+  def renderSemi(
+      out: Seq[Attribute],
+      ltree: PushTree,
+      rtree: PushTree,
+      anti: Boolean,
+      cond: Option[Expression],
+      d: Dialect): String = {
+    val ctx = new Ctx(PushTree.JoinNode(ltree, rtree, Inner, None), d)
+    val select = out.zipWithIndex
+      .map { case (a, k) => s"${ctx.qual(a)} AS c$k" }.mkString(", ")
+    val existsKw = if (anti) "NOT EXISTS" else "EXISTS"
+    val where = cond.fold("")(c => s" WHERE ${ctx.ex(c)}")
+    s"SELECT $select FROM ${ctx.fragment(ltree)} " +
+      s"WHERE $existsKw (SELECT 1 FROM ${ctx.fragment(rtree)}$where)"
   }
 
   /** ORDER BY … LIMIT k over a join tree as one statement — the source

@@ -256,6 +256,20 @@ object FederationPack extends QueryPack {
         .orderBy(col("label"), col("note"))
     }),
 
+    // semi + anti joins over one catalog ship as correlated EXISTS /
+    // NOT EXISTS subqueries — the IN/NOT-IN predicate shape planners
+    // send to the source instead of fetching both tables
+    "f15_semi_anti_pushdown" -> ((s, dir) => {
+      memCatalog(s)
+      val w = s.table("mem.priority_weight")
+      val n = s.table("mem.priority_note")
+      val semi = w.join(n, w("o_orderpriority") === n("o_orderpriority"), "left_semi")
+        .select(col("o_orderpriority"), col("weight"), lit("has_note").as("kind"))
+      val anti = w.join(n, w("o_orderpriority") === n("o_orderpriority"), "left_anti")
+        .select(col("o_orderpriority"), col("weight"), lit("no_note").as("kind"))
+      semi.unionByName(anti).orderBy(col("kind"), col("o_orderpriority"))
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -393,6 +407,19 @@ object FederationPack extends QueryPack {
         LEFT JOIN nt USING (o_orderpriority))
       SELECT label, COALESCE(note, 'none') AS note FROM d
       ORDER BY label, note""",
+
+    "f15_semi_anti_pushdown" -> s"""
+      WITH nt AS (SELECT * FROM (VALUES
+        ('1-URGENT', 'sla-4h'), ('2-HIGH', 'sla-24h'), ('5-LOW', 'batch'))
+        AS x(o_orderpriority, note))
+      SELECT o_orderpriority, weight, 'has_note' AS kind
+      FROM $oWeights
+      WHERE EXISTS (SELECT 1 FROM nt WHERE nt.o_orderpriority = w.o_orderpriority)
+      UNION ALL
+      SELECT o_orderpriority, weight, 'no_note' AS kind
+      FROM $oWeights
+      WHERE NOT EXISTS (SELECT 1 FROM nt WHERE nt.o_orderpriority = w.o_orderpriority)
+      ORDER BY kind, o_orderpriority""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

@@ -43,6 +43,19 @@ object KbPack extends QueryPack {
         .orderBy(col("relevance").desc, col("chunk_id"))
     }),
 
+    // faceted search (the vector-store sidebar every retrieval UI
+    // renders): top-100 semantic hits, then counts per metadata field —
+    // the facet rollup runs on the ALREADY-LIMITED result set, so its
+    // cost is O(limit), not corpus-sized, at any scale
+    "k19_kb_facets" -> ((s, dir) => {
+      val res = vectorSearch(kb(s, dir), QueryA, limit = 100)
+      val langF = res.groupBy(col("lang").as("value")).agg(count(lit(1)).as("n"))
+        .select(lit("lang").as("facet"), col("value"), col("n"))
+      val srcF = res.groupBy(col("source").as("value")).agg(count(lit(1)).as("n"))
+        .select(lit("source").as("facet"), col("value"), col("n"))
+      langF.unionByName(srcF).orderBy(col("facet"), col("value"))
+    }),
+
     "k03_kb_meta_threshold" -> ((s, dir) => {
       vectorSearch(kb(s, dir), QueryA,
         metaFilter = col("lang") === "en" && col("source").isin("src1", "src7", "src12"),
@@ -437,6 +450,16 @@ object KbPack extends QueryPack {
       scored AS (SELECT chunk_id, doc_id, ${oRel("q")} AS relevance FROM emb, qv)
       SELECT * FROM (SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 10)
       ORDER BY relevance DESC, chunk_id""",
+
+    "k19_kb_facets" -> s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      scored AS (SELECT chunk_id, lang, source, ${oRel("q")} AS relevance FROM emb, qv),
+      top AS (SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 100)
+      SELECT facet, value, n FROM (
+        SELECT 'lang' AS facet, lang AS value, COUNT(*) AS n FROM top GROUP BY lang
+        UNION ALL
+        SELECT 'source', source, COUNT(*) FROM top GROUP BY source)
+      ORDER BY facet, value""",
 
     "k03_kb_meta_threshold" -> s"""$oPrefix,
       qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),

@@ -226,6 +226,26 @@ object ModelPack extends QueryPack {
         ORDER BY l_orderkey, l_linenumber, score""")
     }),
 
+    // reliability diagram (calibration curve) over a model's scores:
+    // per score bin, the mean score vs the observed positive rate — the
+    // first chart anyone draws before trusting a scorer. One
+    // model-apply map + one combinable rollup to |bins| rows; the mean
+    // rides DECIMAL-exact sums of the 6dp-rounded score so bin means
+    // are order-independent.
+    "m33_reliability_diagram" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val scored = Predict.applyModel(t(s, dir, "lineitem"), scorer)
+        .withColumn("score", round(col("score"), 6))
+      scored.withColumn("bin", floor(col("score")).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("score").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_score"),
+          round(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("pos_rate"))
+        .orderBy(col("bin"))
+    }),
+
     // split-conformal prediction intervals (Vovk et al. 2005; the
     // distribution-free uncertainty wrapper production ML serves): fit
     // OLS on a train split, take the ceil(0.9·n)-th smallest absolute
@@ -1094,6 +1114,14 @@ object ModelPack extends QueryPack {
 
     // identical rank + frame windows; the error is exact decimal
     // |4·actual − Σ4|, doubles only at the final per-fold division
+    "m33_reliability_diagram" -> s"""
+      WITH scored AS (SELECT l_returnflag, $oScore AS score FROM lineitem),
+      b AS (SELECT l_returnflag, score, CAST(FLOOR(score) AS INTEGER) AS bin FROM scored)
+      SELECT bin, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+        ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+      FROM b GROUP BY bin ORDER BY bin""",
+
     // same decimal-exact sums → same doubles → same quantile VALUE
     // (ties in the rounded residual all carry the value, so tie order
     // cannot change the selected q_hat)

@@ -201,6 +201,28 @@ class FederationSpec extends AnyFunSuite {
       "bushy tree was not pushed whole")
   }
 
+  test("semi/anti joins ship as correlated [NOT] EXISTS subqueries") {
+    SingleSourceJoinPushdown.ensure(spark)
+    MemTables.register("people", schema, rows)
+    MemTables.register("depts", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dept", StringType, nullable = false))),
+      (1L to 40L).map(i => Row(i, if (i % 2 == 0) "eng" else "ops")))
+    MemTables.renderedSql.clear()
+
+    val p = spark.table("mem.people")
+    val dd = spark.table("mem.depts")
+    val semi = p.join(dd, p("id") === dd("id"), "left_semi")
+    val anti = p.join(dd, p("id") === dd("id"), "left_anti")
+    assert(semi.count() === 40 && anti.count() === 60)
+
+    val sql = MemTables.renderedSql.toSeq
+    assert(sql.exists(_.contains("WHERE EXISTS (SELECT 1 FROM")), s"semi not shipped: $sql")
+    assert(sql.exists(_.contains("WHERE NOT EXISTS (SELECT 1 FROM")), s"anti not shipped: $sql")
+    assert(!semi.queryExecution.executedPlan.toString.contains("Join"),
+      "semi join survived in Spark")
+  }
+
   test("SQL renderer: dialect quoting, literal escaping, filter round-trip") {
     import org.apache.spark.sql.sources
     import SqlRender.Dialect

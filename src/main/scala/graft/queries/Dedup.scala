@@ -158,6 +158,26 @@ object Dedup extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // dup-cluster size distribution (dedup observability beside d16's
+    // per-source rate): how many clusters of each size the near-dup
+    // graph contains — the report that catches a degenerate giant
+    // cluster (threshold too loose) before a dedup pass eats the
+    // corpus. Reuses d04's CC labels; the histogram is two combinable
+    // rollups over |clusters| rows, nothing corpus-sized after CC.
+    "d17_dup_cluster_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val nodes = docs.select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
+      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(nodes, pairs)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("n_clusters") * col("cluster_size"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // ---- benchmark decontamination: flag any training document that
     // shares a 13-token n-gram with the eval/benchmark set (the GPT-3
     // appendix-C contamination rule). The benchmark side is SMALL (eval
@@ -958,6 +978,42 @@ object Dedup extends QueryPack {
         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
       SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS dup_group
       FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // d04's CC chain + two rollups: per-cluster size, then the histogram
+    "d17_dup_cluster_sizes" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+        FROM documents),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT hv FROM toks),
+      votes AS (
+        SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) v
+        FROM hs CROSS JOIN range(0, 64) t(j) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+          bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f
+        FROM votes GROUP BY 1),
+      bands AS (SELECT doc_id, f, b, (f >> (b*16)) & 65535 bkey
+                FROM fp CROSS JOIN range(0, 4) t(b)),
+      pairs AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.f, y.f)) <= 8),
+      edges AS (SELECT doc_a a, doc_b b FROM pairs
+                UNION SELECT doc_b a, doc_a b FROM pairs),
+      nodes AS (
+        SELECT doc_id FROM documents
+        WHERE len(regexp_extract_all(lower(text), '\S+')) >= 1),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      comp AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+      sizes AS (SELECT lbl, COUNT(*) AS cluster_size FROM comp GROUP BY lbl)
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        COUNT(*) AS n_clusters,
+        CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
 
     // same min-per-hash first occurrence, same |sources| rollup
     "d16_source_dup_rate" -> """

@@ -109,6 +109,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"distinct/join survived in Spark:\n$plan")
   }
 
+  test("s09 hard negatives: query side broadcasts, corpus never sort-merges") {
+    val plan = executedPlan("s09_hard_negatives")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query side did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus side shuffled for a tiny query set:\n$plan")
+  }
+
+  test("t29 mixture manifest: one corpus rollup with map-side combine; normalizers broadcast") {
+    val plan = executedPlan("t29_mixture_manifest")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"per-source rollup not map-side combinable:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dimension-sized normalizer join degraded to a shuffle join:\n$plan")
+  }
+
   test("e08 as-of join is carry-forward, not a range join: one window, zero join nodes") {
     val plan = executedPlan("e08_asof_join")
     assert(!plan.contains("Join"), s"as-of should not plan any join node:\n$plan")

@@ -80,10 +80,19 @@ object ScaleUp {
     // count grows with the data; the co-purchase graph stays sparse).
     val ord = spark.read.parquet(s"$srcDir/orders.parquet")
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    // each offset comes from the DIMENSION's own key space, not the
+    // fact side's: TPC-H leaves ~1/3 of customers orderless, so the
+    // fact-side max can undershoot the dimension max and overlapping
+    // replica ranges would mint duplicate dimension keys (fan-out in
+    // every join). Fact FKs are a subset of the dimension range, so the
+    // dimension-derived offset preserves every FK too.
     val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
-    val maxCust = ord.agg(max("o_custkey")).head.getLong(0) + 1
-    val maxPart = li.agg(max("l_partkey")).head.getLong(0) + 1
-    val maxSupp = li.agg(max("l_suppkey")).head.getLong(0) + 1
+    val maxCust = spark.read.parquet(s"$srcDir/customer.parquet")
+      .agg(max("c_custkey")).head.getLong(0) + 1
+    val maxPart = spark.read.parquet(s"$srcDir/part.parquet")
+      .agg(max("p_partkey")).head.getLong(0) + 1
+    val maxSupp = spark.read.parquet(s"$srcDir/supplier.parquet")
+      .agg(max("s_suppkey")).head.getLong(0) + 1
 
     ord.select(col("*"), rep)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOrder)

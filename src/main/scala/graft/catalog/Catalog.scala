@@ -474,6 +474,16 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
   // (the MindsDB-side tables: mindsdb_tables.py MODELS :42, DATABASES
   // :141, JOBS :236, TRIGGERS :300, KNOWLEDGE_BASES :360, AGENTS :430)
 
+  /** Engine label for the models meta-table (the reference's MODELS rows
+    * carry the ml-engine used to train them, mindsdb_tables.py:42). */
+  private def engineOf(m: graft.ml.Model): String = m match {
+    case t: graft.ml.TimeSeries.TsModel => t.engine
+    case _: graft.ml.KMeans.KmModel => "kmeans"
+    case _: graft.ml.Anomaly.AnomalyModel => "anomaly"
+    case _: graft.ml.NaiveBayes.NbModel => "nb"
+    case _ => "fit"
+  }
+
   def metaModels(): DataFrame =
     frame(StructType(Seq(
       StructField("name", StringType, nullable = false),
@@ -481,11 +491,12 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       StructField("active", BooleanType, nullable = false),
       StructField("predict", StringType, nullable = false),
       StructField("features", StringType, nullable = false),
-      StructField("status", StringType, nullable = false))),
+      StructField("status", StringType, nullable = false),
+      StructField("engine", StringType, nullable = false))),
       models.toSeq.flatMap { case (n, e) =>
         e.versions.zipWithIndex.map { case ((m, _), i) =>
           Row(n, i + 1, i + 1 == e.active, m.outputSchema.fieldNames.mkString(","),
-            m.featureCols.mkString(","), "complete")
+            m.featureCols.mkString(","), "complete", engineOf(m))
         }
       }).orderBy("name", "version")
 

@@ -3,10 +3,10 @@ package graft.federation
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.sources
@@ -33,18 +33,23 @@ import org.apache.spark.sql.types._
   *      exact text a JDBC handler would ship over the wire
   *      ([[SqlRender]]; reference `utilities/render/sqlalchemy_render
   *      .py:112`), and
-  *   3. EXECUTED by the source's engine stand-in ([[MemEngine]]): an
-  *      isolated SparkSession playing the remote database, which plans
-  *      its own hash joins over the raw registry rows — no driver-side
-  *      nested loop anywhere.
+  *   3. replaced by a LAZY [[RenderedSqlScan]] — a DSv2 leaf carrying
+  *      the statement text. NOTHING executes at optimizer time: EXPLAIN
+  *      over a pushed plan shows the statement without running it. The
+  *      remote round trip happens at the first action, inside the
+  *      scan's `planInputPartitions` — the exact shape
+  *      `spark.read.jdbc(query)` takes — executed by the source's
+  *      engine stand-in ([[MemEngine]]): an isolated SparkSession
+  *      playing the remote database, which plans its own hash joins
+  *      over the raw registry rows. Result rows flow to the outer plan
+  *      through executor partitions, not a driver-side literal plan.
   *
-  * The result replaces the whole subtree as a [[LocalRelation]]: the
-  * joins disappear from the outer Spark plan entirely. At 100 TB the win
-  * is the reference's: against a remote warehouse the joined/filtered
+  * The joins disappear from the outer Spark plan entirely. At 100 TB the
+  * win is the reference's: against a remote warehouse the joined/filtered
   * result crosses the wire instead of N full tables. Anything the
   * renderer cannot express (exotic ON expressions, aggregated/limited
-  * leaves, non-left-deep shapes) falls back to per-table fetch with
-  * Spark executing the join — correct either way.
+  * leaves) falls back to per-table fetch with Spark executing the join —
+  * correct either way.
   */
 /** A flattened same-catalog join tree, ready to render. */
 sealed trait PushTree
@@ -92,11 +97,16 @@ object SingleSourceJoinPushdown extends Rule[LogicalPlan] {
     (flatten(j.left), flatten(j.right)) match {
       case (Some(lt), Some(rt)) =>
         val lvs = PushTree.leaves(lt) ++ PushTree.leaves(rt)
-        if (lvs.size < 2 || !sameCatalog(lvs)) None
+        if (lvs.size < 2 || !sameCatalog(lvs) || !engineServes(lvs)) None
         else try {
           val sql = SqlRender.renderSemi(j.output, lt, rt,
             anti = j.joinType == LeftAnti, j.condition, SqlRender.Dialect.spark)
-          materialize(sql, lvs, j.output)
+          // the semi's one join edge: outer-side tables × subquery tables
+          val edges = for {
+            a <- PushTree.leaves(lt).map(_.prov.table).distinct
+            b <- PushTree.leaves(rt).map(_.prov.table).distinct
+          } yield (a, b)
+          pushedScan(sql, lvs, edges, j.output)
         } catch { case NonFatal(_) => None }
       case _ => None
     }
@@ -131,39 +141,70 @@ object SingleSourceJoinPushdown extends Rule[LogicalPlan] {
     pushTree(j, j.output)(
       SqlRender.renderJoin(j.output, _, SqlRender.Dialect.spark))
 
-  /** Flatten, render, execute on the stand-in engine, and replace with a
-    * LocalRelation of the result. Any unrenderable corner is not an
-    * error — the subtree stays in Spark (per-table fetch), which is the
-    * reference's fallback too. */
+  /** Flatten, render, and replace with a lazy [[RenderedSqlScan]] over
+    * the statement. Any unrenderable corner is not an error — the
+    * subtree stays in Spark (per-table fetch), which is the reference's
+    * fallback too. */
   private def pushTree(p: LogicalPlan, out: Seq[Attribute])(
       render: PushTree => String): Option[LogicalPlan] = flatten(p) match {
     case Some(tree) =>
       val lvs = PushTree.leaves(tree)
-      if (lvs.size < 2 || !sameCatalog(lvs)) None
-      else try materialize(render(tree), lvs, out)
+      if (lvs.size < 2 || !sameCatalog(lvs) || !engineServes(lvs)) None
+      else try pushedScan(render(tree), lvs, joinEdges(tree), out)
       catch { case NonFatal(_) => None }
     case None => None
   }
 
-  /** Execute rendered SQL on the stand-in engine and wrap the result as
-    * the replacement LocalRelation; records the wire statement. */
-  private def materialize(sql: String, lvs: Seq[PushTree.LeafNode],
-      out: Seq[Attribute]): Option[LogicalPlan] = {
-    val rows = MemEngine.run(sql, lvs.map(_.prov.table).distinct)
-    val schema = StructType(out.map(a =>
-      StructField(a.name, a.dataType, a.nullable)))
-    val conv = CatalystTypeConverters.createToCatalystConverter(schema)
-    MemTables.renderedSql += sql
-    lvs.map(_.prov.table).sliding(2).foreach {
-      case Seq(a, b) => MemTables.pushedJoins += ((a, b))
-      case _ =>
-    }
-    Some(LocalRelation(out, rows.map(r => conv(r).asInstanceOf[InternalRow])))
+  /** Pure plan-time catalog check: only ship a statement whose every
+    * leaf the source's engine actually serves (a JDBC handler knows its
+    * own table catalog the same way). information_schema / mindsdb
+    * meta-tables reuse the same DSv2 `MemTable` machinery but are served
+    * live from session state, not the remote registry — joins over them
+    * stay in Spark (the old eager path failed into this fallback at
+    * optimize time; the lazy path must decide it up front). */
+  private def engineServes(lvs: Seq[PushTree.LeafNode]): Boolean =
+    lvs.forall(l => l.scan.relation.catalog.exists(_.isInstanceOf[MemCatalog]) &&
+      MemTables.registry.contains(l.prov.table))
+
+  /** The actual join edges of a pushed tree — for each [[PushTree
+    * .JoinNode]], every (left-subtree table × right-subtree table) pair:
+    * the pairs co-resident across that join boundary in the shipped
+    * statement. (Adjacent-leaf `sliding(2)` pairs would misstate bushy
+    * shapes: `people ⋈ (depts ⋈ sites)` never joins people to depts
+    * directly in leaf order.) */
+  private def joinEdges(tree: PushTree): Seq[(String, String)] = tree match {
+    case _: PushTree.LeafNode => Seq.empty
+    case PushTree.JoinNode(l, r, _, _) =>
+      val own = for {
+        a <- PushTree.leaves(l).map(_.prov.table).distinct
+        b <- PushTree.leaves(r).map(_.prov.table).distinct
+      } yield (a, b)
+      joinEdges(l) ++ joinEdges(r) ++ own
   }
 
-  /** Tree flattening (the reference flattens arbitrary join trees the
-    * same way, plan_join.py:185) — BOTH sides recurse, so bushy shapes
-    * push too; a bushy right side renders as a parenthesized sub-join. */
+  /** Replace the subtree with a LAZY [[RenderedSqlRelation]] leaf over
+    * the rendered statement. PURE at plan time: no remote execution, no
+    * recording — both happen at the first action, inside the physical
+    * node's `doExecute` (see [[RenderedSqlScanExec]]), so EXPLAIN and
+    * re-optimization never touch the source. The leaf reuses the
+    * subtree's own output attributes, so parent references resolve by
+    * exprId unchanged. */
+  private def pushedScan(sql: String, lvs: Seq[PushTree.LeafNode],
+      edges: Seq[(String, String)], out: Seq[Attribute]): Option[LogicalPlan] = {
+    // pure plan-time validation: PARSE (never execute) the rendered
+    // statement so a renderer corner-case surfaces here, where the
+    // enclosing try falls back to Spark-side execution — the safety the
+    // old execute-at-plan-time path had, without its side effects
+    SparkSession.active.sessionState.sqlParser.parsePlan(sql)
+    val attrs = out.map(_.toAttribute.asInstanceOf[AttributeReference])
+    Some(RenderedSqlRelation(sql, lvs.map(_.prov.table).distinct, edges, attrs))
+  }
+
+  /** Tree flattening — BOTH sides recurse, so bushy shapes push too; a
+    * bushy right side renders as a parenthesized sub-join. This goes
+    * BEYOND the reference, whose get_join_sequence only walks left-deep
+    * trees (plan_join.py:185 raises on a joined right side); parity is
+    * the left-deep subset. */
   private def flatten(p: LogicalPlan): Option[PushTree] = p match {
     case Join(l, r, jt, cond, _) if supportedTypes.contains(jt) =>
       for { lt <- flatten(l); rt <- flatten(r) }
@@ -191,11 +232,89 @@ object SingleSourceJoinPushdown extends Rule[LogicalPlan] {
   }
 
   /** Idempotently install on a session (the driver may hand a session we
-    * did not build). */
-  def ensure(spark: SparkSession): Unit =
+    * did not build): the pushdown rule plus the strategy that plans its
+    * [[RenderedSqlRelation]] leaves. */
+  def ensure(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.exists(_ eq this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
+    if (!spark.experimental.extraStrategies.exists(_ eq RenderedSqlStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RenderedSqlStrategy
+  }
+}
+
+/** A pushed statement as a LAZY leaf relation — the in-sandbox twin of
+  * `spark.read.jdbc(query)`'s JDBCRelation: the relation IS the rendered
+  * SQL text, and nothing executes until the first action reaches
+  * [[RenderedSqlScanExec.doExecute]]. EXPLAIN shows the statement
+  * without running it. The reference streams the same boundary as
+  * TableResponse chunks (integrations/libs/response.py).
+  *
+  * Why a custom leaf + [[RenderedSqlStrategy]] rather than a DSv2 scan:
+  * a DSv2 scan fetches either in `planInputPartitions` (which Spark
+  * calls at PLAN time — `supportsColumnar`/`outputPartitioning` probes —
+  * so EXPLAIN would execute the remote statement) or in the partition
+  * readers (which run on task slots; the stand-in engine is Spark in
+  * the SAME scheduler, so readers holding every slot starve the nested
+  * fetch job — a real JDBC reader blocks on a socket, not on cluster
+  * slots, so only the in-process stand-in deadlocks). `doExecute` is the
+  * one hook that is (a) driver-side with all task slots free, and
+  * (b) reached ONLY at action time, never by EXPLAIN. */
+case class RenderedSqlRelation(sql: String, tables: Seq[String],
+    joinEdges: Seq[(String, String)], output: Seq[Attribute])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def simpleString(maxFields: Int): String =
+    s"RenderedSqlScan ${tables.mkString(",")} [$sql]"
+  /** Remote-result size is unknown before execution — claim the default
+    * (large) size so the optimizer never auto-broadcasts it. */
+  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = conf.defaultSizeInBytes)
+}
+
+/** Plans [[RenderedSqlRelation]] → [[RenderedSqlScanExec]]; installed by
+  * [[SingleSourceJoinPushdown.ensure]]. */
+object RenderedSqlStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    plan match {
+      case r: RenderedSqlRelation =>
+        RenderedSqlScanExec(r.sql, r.tables, r.joinEdges, r.output) :: Nil
+      case _ => Nil
+    }
+}
+
+/** Executes a pushed statement at ACTION time: `doExecute` runs on the
+  * driver before any task launches (every slot free for the stand-in
+  * engine's own jobs), records the wire telemetry once, and hands the
+  * result out as `parallelize` partitions — rows stream to the outer
+  * plan through executor tasks, in contiguous slices, so partition
+  * concatenation preserves the statement's row order and a pushed
+  * ORDER BY … LIMIT survives collect() without a Spark-side Sort. At
+  * the real JDBC seam this node is replaced by `spark.read.jdbc`'s scan
+  * (per-partition range fetches inside the readers) — execution time
+  * either way, never optimizer time. */
+case class RenderedSqlScanExec(sql: String, tables: Seq[String],
+    joinEdges: Seq[(String, String)], output: Seq[Attribute])
+    extends org.apache.spark.sql.execution.LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"RenderedSqlScan ${tables.mkString(",")} [$sql]"
+  override protected def doExecute(): org.apache.spark.rdd.RDD[InternalRow] = {
+    val fetched = MemEngine.run(sql, tables)
+    MemTables.record(sql, joinEdges)
+    // a fully-pruned scan (schema ∅) renders as `SELECT 1 …`: drop the
+    // placeholder column, the row COUNT is the payload
+    val rows = if (output.isEmpty) fetched.map(_ => Row.empty) else fetched
+    val schema = StructType(output.map(a =>
+      StructField(a.name, a.dataType, a.nullable)))
+    val n = math.max(1, math.min(8, rows.length))
+    sparkContext.parallelize(rows, n).mapPartitions { it =>
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)
+      val proj = UnsafeProjection.create(schema)
+      it.map(r => proj(conv(r).asInstanceOf[InternalRow]))
+    }
+  }
 }
 
 /** Renders a pushed single-source subplan to SQL text — the scoped
@@ -297,16 +416,21 @@ object SqlRender {
     }
   }
 
+  /** Positional select list c0..cN: the wire schema is the plan output
+    * order, independent of source-side column-name collisions. A
+    * zero-column output (Catalyst prunes everything when the parent
+    * only counts rows) renders as the constant `1` — row multiplicity
+    * is the whole payload, and SQL has no empty select list. */
+  private def selectList(out: Seq[Attribute], qual: Attribute => String): String =
+    if (out.isEmpty) "1 AS c_one"
+    else out.zipWithIndex.map { case (a, k) => s"${qual(a)} AS c$k" }.mkString(", ")
+
   def renderJoin(
       out: Seq[Attribute],
       tree: PushTree,
       d: Dialect): String = {
     val ctx = new Ctx(tree, d)
-    // positional aliases c0..cN: the wire schema is the Join's output
-    // order, independent of source-side column-name collisions
-    val select = out.zipWithIndex
-      .map { case (a, k) => s"${ctx.qual(a)} AS c$k" }.mkString(", ")
-    s"SELECT $select FROM ${ctx.fromClause()}"
+    s"SELECT ${selectList(out, ctx.qual)} FROM ${ctx.fromClause()}"
   }
 
   /** Semi/anti join as a correlated [NOT] EXISTS subquery — the SQL a
@@ -323,8 +447,7 @@ object SqlRender {
       cond: Option[Expression],
       d: Dialect): String = {
     val ctx = new Ctx(PushTree.JoinNode(ltree, rtree, Inner, None), d)
-    val select = out.zipWithIndex
-      .map { case (a, k) => s"${ctx.qual(a)} AS c$k" }.mkString(", ")
+    val select = selectList(out, ctx.qual)
     val existsKw = if (anti) "NOT EXISTS" else "EXISTS"
     val where = cond.fold("")(c => s" WHERE ${ctx.ex(c)}")
     s"SELECT $select FROM ${ctx.fragment(ltree)} " +
@@ -340,8 +463,7 @@ object SqlRender {
       tree: PushTree,
       d: Dialect): String = {
     val ctx = new Ctx(tree, d)
-    val select = out.zipWithIndex
-      .map { case (a, k) => s"${ctx.qual(a)} AS c$k" }.mkString(", ")
+    val select = selectList(out, ctx.qual)
     val orderBy = order.map { so =>
       import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst}
       val dir = if (so.direction == Ascending) "ASC" else "DESC"
@@ -376,15 +498,17 @@ object SqlRender {
         }
       case other => ctx.ex(other)
     }
-    val select = aggs.zipWithIndex.map { case (ne, k) =>
-      val body = ne match {
-        case a: AttributeReference => ctx.qual(a)
-        case al: Alias => aggSql(al.child)
-        case other =>
-          throw new UnsupportedOperationException(s"unrenderable select item: $other")
-      }
-      s"$body AS c$k"
-    }.mkString(", ")
+    val select =
+      if (aggs.isEmpty) "1 AS c_one" // all columns pruned: rows-only payload
+      else aggs.zipWithIndex.map { case (ne, k) =>
+        val body = ne match {
+          case a: AttributeReference => ctx.qual(a)
+          case al: Alias => aggSql(al.child)
+          case other =>
+            throw new UnsupportedOperationException(s"unrenderable select item: $other")
+        }
+        s"$body AS c$k"
+      }.mkString(", ")
     val groupBy =
       if (groups.isEmpty) ""
       else " GROUP BY " + groups.map(ctx.ex).mkString(", ")

@@ -47,6 +47,23 @@ object MemTables {
 
   def register(name: String, schema: StructType, rows: Seq[Row]): Unit =
     registry(name) = (schema, rows)
+
+  /** Telemetry cap: the buffers are observability, not state — bounded
+    * so repeated executions in one long-lived session can't grow them
+    * without limit. */
+  private val MaxRecorded = 512
+
+  /** Record one pushed statement's wire telemetry — called at EXECUTION
+    * time from [[RenderedSqlScan.planInputPartitions]], never at plan
+    * time, so EXPLAIN/re-optimization leave the buffers untouched. */
+  def record(sql: String, edges: Seq[(String, String)]): Unit = synchronized {
+    renderedSql += sql
+    if (renderedSql.size > MaxRecorded)
+      renderedSql.remove(0, renderedSql.size - MaxRecorded)
+    pushedJoins ++= edges
+    if (pushedJoins.size > MaxRecorded)
+      pushedJoins.remove(0, pushedJoins.size - MaxRecorded)
+  }
 }
 
 class MemCatalog extends TableCatalog {

@@ -235,6 +235,25 @@ object Kb {
     * thresholding are engine-stable (see graft.queries.Parity). */
   def relevanceOf(dist: Column): Column = round(lit(1.0) / (lit(1.0) + dist), 4)
 
+  /** Two-phase sharded ranked top-k — the scale-safe replacement for one
+    * corpus-wide window per partition value: phase 1 ranks within
+    * (partition, `shards`-way hash shard of `shardKey`) so no single
+    * task ever holds a whole corpus slice per query; phase 2 ranks only
+    * the ≤ shards×k shard winners. Results are IDENTICAL to the flat
+    * window (any global top-k row is necessarily in its shard's top-k),
+    * the ordering must be total (tie-break on a unique key) for that
+    * equivalence to hold. Shared by k17 batch retrieval and
+    * [[evaluate]]. */
+  def shardedTopK(df: DataFrame, part: Column, order: Seq[Column], k: Int,
+      rankCol: String, shardKey: Column, shards: Int = 64): DataFrame = {
+    val w1 = Window.partitionBy(part, pmod(xxhash64(shardKey), lit(shards)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(part).orderBy(order: _*)
+    df.withColumn("__shard_rank", row_number().over(w1))
+      .filter(col("__shard_rank") <= k).drop("__shard_rank")
+      .withColumn(rankCol, row_number().over(w2)).filter(col(rankCol) <= k)
+  }
+
   /** Reranker contract (controller.py:446-487): given the query text and
     * an over-fetched result page, replace `relevance` with reranked
     * scores; results under [[filteringThreshold]] drop. The reference
@@ -597,17 +616,36 @@ object Kb {
     * (dcg at evaluate.py:417).
     *
     * Executes as ONE plan: queries broadcast against the chunk table,
-    * ranked per query by a window — no per-query loop.
+    * ranked per query by the two-phase sharded window ([[shardedTopK]])
+    * — no per-query loop, and no task ever holds corpus×queries rows.
     */
+  /** Deterministic EVALUATE-KB test-set generation — the reference
+    * generates a Q/A test set from sampled documents before scoring
+    * (knowledge_base/evaluate.py:82-520, LLM-backed there; here a
+    * deterministic keyword extractor behind the same shape, so the LLM
+    * generator drops in when egress unblocks): sample n chunks in
+    * md5(chunk_id) order (reproducible in any engine), take the first 3
+    * words longer than 4 chars as the query text, gold = the chunk's
+    * source doc. One narrow plan: sort + limit + per-row expressions. */
+  def generateTestSet(chunks: DataFrame, n: Int): DataFrame =
+    chunks
+      .orderBy(md5(col("chunk_id")), col("chunk_id"))
+      .limit(n)
+      .select(
+        col("chunk_id").as("query_id"),
+        array_join(
+          slice(filter(split(col("content"), " "), w => length(w) > 4), 1, 3),
+          " ").as("query_text"),
+        col("doc_id").as("gold_doc_id"))
+
   def evaluate(chunks: DataFrame, queries: DataFrame, k: Int = DefaultLimit): DataFrame = {
     val q = broadcast(queries
       .withColumn("qv", embed(col("query_text")))
       .select(col("query_id"), col("qv"), col("gold_doc_id")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("relevance").desc, col("chunk_id"))
-    val ranked = chunks.crossJoin(q)
+    val scored = chunks.crossJoin(q)
       .withColumn("relevance", relevanceOf(round(lit(1.0) - cosineSim(col("emb"), col("qv")), 4)))
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= k)
+    val ranked = shardedTopK(scored, col("query_id"),
+        Seq(col("relevance").desc, col("chunk_id")), k, "pos", col("chunk_id"))
       .withColumn("rel", when(col("doc_id") === col("gold_doc_id"), 1).otherwise(0))
     val perQuery = ranked.groupBy(col("query_id"))
       .agg(

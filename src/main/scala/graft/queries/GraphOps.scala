@@ -37,23 +37,54 @@ object GraphOps extends QueryPack {
   // so the lineitem scan happens ONCE for the whole pack.
 
   private val sharedGraphs =
-    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+    new scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
-  private def shared(key: String, dir: String)(build: => DataFrame): DataFrame =
+  /** Dataset fingerprint: names+mtimes+sizes of the parquet files the
+    * graphs derive from. A rewrite under the same dir changes the
+    * fingerprint, so a long-lived process never serves stale
+    * checkpointed edges (metadata-only stat calls, no data read). */
+  private def fingerprint(dir: String): String = {
+    val parts = Seq("lineitem.parquet", "orders.parquet").flatMap { n =>
+      val f = new java.io.File(s"$dir/$n")
+      val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+      files.map(x => s"${x.getName}:${x.lastModified}:${x.length}")
+    }
+    java.util.UUID.nameUUIDFromBytes(
+      parts.sorted.mkString("|").getBytes("UTF-8")).toString
+  }
+
+  /** Unpin a cached graph's checkpoint blocks on eviction. */
+  private def unpersistGraph(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def shared(key: String, s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
     sharedGraphs.synchronized {
-      sharedGraphs.getOrElseUpdate((dir, key), build.localCheckpoint())
+      val k = (dir, key, fingerprint(dir))
+      sharedGraphs.get(k).filter(_.sparkSession eq s).getOrElse {
+        // evict same-(dir,graph) entries with a stale fingerprint or a
+        // different owning session, releasing their pinned blocks
+        sharedGraphs.keys.filter(o => o._1 == dir && o._2 == key)
+          .foreach(o => sharedGraphs.remove(o).foreach(unpersistGraph))
+        val built = build.localCheckpoint()
+        sharedGraphs(k) = built
+        built
+      }
     }
 
   /** distinct (order, part) incidence — the basket matrix */
   private def basket(s: SparkSession, dir: String): DataFrame =
-    shared("basket", dir) {
+    shared("basket", s, dir) {
       t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
     }
 
   /** undirected distinct part co-purchase edges (u < v) */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    shared("und", dir) {
+    shared("und", s, dir) {
       val a = basket(s, dir).select(col("ok"), col("p").as("u"))
       val b = basket(s, dir).select(col("ok"), col("p").as("v"))
       a.join(b, Seq("ok")).filter(col("u") < col("v"))
@@ -64,7 +95,7 @@ object GraphOps extends QueryPack {
     * hash-partitioned on src (the superstep join key) at checkpoint
     * time so every PageRank iteration reuses the partitioning */
   private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
-    shared("bipartite", dir) {
+    shared("bipartite", s, dir) {
       val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))

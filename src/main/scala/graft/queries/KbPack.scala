@@ -98,7 +98,6 @@ object KbPack extends QueryPack {
     // question at 100 TB.
     "k17_kb_batch_search" -> ((s, dir) => {
       import graft.functions.VectorFunctions.cosineSim
-      import org.apache.spark.sql.expressions.Window
       val sp = s
       import sp.implicits._
       val qs = Seq((1L, QueryA), (2L, QueryB), (3L, QueryNeg)).toDF("query_id", "qtext")
@@ -106,12 +105,8 @@ object KbPack extends QueryPack {
       val scored = kb(s, dir).crossJoin(broadcast(qs))
         .withColumn("distance", round(lit(1.0) - cosineSim(col("emb"), col("qv")), 4))
         .withColumn("relevance", Kb.relevanceOf(col("distance")))
-      val w1 = Window.partitionBy(col("query_id"), pmod(xxhash64(col("chunk_id")), lit(64)))
-        .orderBy(col("relevance").desc, col("chunk_id"))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("relevance").desc, col("chunk_id"))
-      scored.withColumn("r1", row_number().over(w1)).filter(col("r1") <= 3)
-        .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 3)
+      Kb.shardedTopK(scored, col("query_id"),
+          Seq(col("relevance").desc, col("chunk_id")), 3, "rank", col("chunk_id"))
         .select(col("query_id"), col("rank"), col("chunk_id"), col("doc_id"), col("relevance"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -275,6 +270,17 @@ object KbPack extends QueryPack {
           col("text").substr(lit(1), lit(ChunkSize)).as("query_text"),
           col("doc_id").as("gold_doc_id"))
       Kb.evaluate(kb(s, dir), queries, k = 10)
+    }),
+
+    // EVALUATE KB with a GENERATED test set (evaluate.py:82-520 first
+    // builds Q/A pairs from sampled documents, then scores): the
+    // deterministic generator samples 8 chunks in md5 order, extracts a
+    // keyword query from each (gold = its source doc), and the same
+    // hit@k/NDCG scoring runs over them — generation + scoring in ONE
+    // plan, no driver loop
+    "k20_kb_evaluate_generated" -> ((s, dir) => {
+      val chunks = kb(s, dir)
+      Kb.evaluate(chunks, Kb.generateTestSet(chunks, 8), k = 10)
     }),
 
     // CREATE INDEX ON KNOWLEDGE_BASE through SQL: ingest, build the IVF
@@ -708,6 +714,36 @@ object KbPack extends QueryPack {
       nrel AS (SELECT query_id, COUNT(*) AS n_rel
         FROM chunks JOIN queries ON chunks.doc_id = queries.gold_doc_id
         GROUP BY query_id)
+      SELECT p.query_id, COALESCE(n.n_rel, 0) AS n_rel,
+        CAST(p.hit1 AS INTEGER) AS hit1, CAST(p.hit10 AS INTEGER) AS hit10,
+        CASE WHEN n.n_rel > 0 THEN ROUND(p.dcg / list_sum(list_transform(
+            generate_series(1, CAST(LEAST(n.n_rel, 10) AS INT)), i -> 1.0/log2(i + 1.0))), 4)
+          ELSE 0.0 END AS ndcg10
+      FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id
+      ORDER BY p.query_id""",
+
+    "k20_kb_evaluate_generated" -> s"""$oPrefix,
+      tests AS (SELECT chunk_id AS query_id,
+          array_to_string(list_slice(list_filter(string_split(content, ' '),
+            w -> length(w) > 4), 1, 3), ' ') AS query_text,
+          doc_id AS gold_doc_id
+        FROM chunks ORDER BY md5(chunk_id), chunk_id LIMIT 8),
+      qe AS (SELECT query_id, gold_doc_id, ${oEmbed("query_text")} AS q FROM tests),
+      ranked AS (SELECT qe.query_id, qe.gold_doc_id, emb.chunk_id, emb.doc_id,
+          ROW_NUMBER() OVER (PARTITION BY qe.query_id
+            ORDER BY ${oRel("q")} DESC, emb.chunk_id) AS pos
+        FROM emb, qe),
+      top AS (SELECT query_id,
+          CASE WHEN doc_id = gold_doc_id THEN 1 ELSE 0 END AS rel, pos
+        FROM ranked WHERE pos <= 10),
+      perq AS (SELECT query_id,
+          MAX(CASE WHEN pos = 1 THEN rel ELSE 0 END) AS hit1,
+          MAX(rel) AS hit10,
+          SUM(rel / log2(pos + 1.0)) AS dcg
+        FROM top GROUP BY query_id),
+      nrel AS (SELECT t.query_id, COUNT(*) AS n_rel
+        FROM chunks c JOIN tests t ON c.doc_id = t.gold_doc_id
+        GROUP BY t.query_id)
       SELECT p.query_id, COALESCE(n.n_rel, 0) AS n_rel,
         CAST(p.hit1 AS INTEGER) AS hit1, CAST(p.hit10 AS INTEGER) AS hit10,
         CASE WHEN n.n_rel > 0 THEN ROUND(p.dcg / list_sum(list_transform(

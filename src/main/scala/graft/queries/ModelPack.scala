@@ -163,6 +163,23 @@ object ModelPack extends QueryPack {
         .orderBy(col("o_custkey"), col("h"))
     }),
 
+    // `WHERE ts BETWEEN a AND b` on a TS model join — the reference's
+    // windowed-forecast plan (plan_join_ts.py:244-265): context = the
+    // last `window` rows strictly BEFORE the range start, forecasts
+    // post-filtered to the range, bounds inclusive
+    "m34_ts_between" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL ts34 FROM (SELECT * FROM orders)
+        PREDICT o_totalprice ORDER BY o_orderdate GROUP BY o_custkey
+        WINDOW 4 HORIZON 4
+        USING engine='mean', step_days=30, tie_break='o_orderkey'""")
+      c.execute("""SELECT o_custkey, h, forecast_date, forecast, n_ctx
+        FROM orders JOIN ts34
+        WHERE o_orderdate BETWEEN '1995-06-01' AND '1995-09-30'
+        ORDER BY o_custkey, h""")
+    }),
+
     // `> LATEST`: one step beyond each group's max seen timestamp
     "m04_ts_latest" -> ((s, dir) => {
       TimeSeries.latest(t(s, dir, "events"),
@@ -803,6 +820,27 @@ object ModelPack extends QueryPack {
         CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
         ROUND(base, 4) AS forecast, n_ctx
       FROM per, UNNEST(generate_series(1, 2)) AS t(h)
+      ORDER BY o_custkey, h""",
+
+    // same mean engine as m03, context restricted to history BEFORE the
+    // range start, forecasts kept only inside the inclusive window
+    "m34_ts_between" -> s"""
+      WITH ranked AS (
+        SELECT o_custkey, o_orderdate, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < '1995-06-01'),
+      per AS (
+        SELECT o_custkey, ${oAvg("o_totalprice")} AS base,
+          MAX(o_orderdate) AS last_ts, COUNT(*) AS n_ctx
+        FROM ranked WHERE rn <= 4 GROUP BY o_custkey),
+      fc AS (
+        SELECT o_custkey, CAST(h AS INTEGER) AS h,
+          CAST(CAST(last_ts AS DATE) + CAST(h*30 AS INTEGER) AS TIMESTAMP) AS forecast_date,
+          ROUND(base, 4) AS forecast, n_ctx
+        FROM per, UNNEST(generate_series(1, 4)) AS t(h))
+      SELECT * FROM fc
+      WHERE forecast_date BETWEEN '1995-06-01' AND '1995-09-30'
       ORDER BY o_custkey, h""",
 
     // the identical left fold (s1 = first value, then α·x + (1-α)·acc in

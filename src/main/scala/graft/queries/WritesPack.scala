@@ -706,6 +706,37 @@ object WritesPack extends QueryPack {
         FROM log.queries ORDER BY query_id""")
     }),
 
+    // the mindsdb.* meta-tables as REAL relations (mindsdb_tables.py:
+    // 42-430): models × ml_engines JOINed with a WHERE through Spark's
+    // multi-catalog resolution — what BI tools and scripts do, beyond
+    // the SHOW verbs
+    "c13_meta_tables_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE ML_ENGINE fit FROM fit USING runtime='native'")
+      c.execute("CREATE ML_ENGINE anomaly FROM anomaly")
+      c.execute("""CREATE MODEL mdl_c13a PREDICT score USING
+        features='l_quantity', weights='0.5', bias=1.0""")
+      c.execute("""CREATE MODEL mdl_c13b FROM (SELECT l_quantity, l_discount
+        FROM lineitem) PREDICT l_discount USING engine='anomaly',
+        features='l_discount'""")
+      c.execute("""SELECT m.name, m.engine, e.handler
+        FROM mindsdb.models m JOIN mindsdb.ml_engines e ON m.engine = e.name
+        WHERE m.active ORDER BY m.name""")
+    }),
+
+    // the live processlist (mindsdb.queries + KILL, mindsdb_tables.py:
+    // 430): per-statement lifecycle rows; the running SELECT itself is
+    // excluded by its state, completed rows are deterministic
+    "c14_query_processlist" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("CREATE TABLE wt_c14 AS SELECT * FROM region")
+      c.execute("SELECT COUNT(*) AS n FROM wt_c14")
+      try c.execute("DROP VIEW nope_c14")
+      catch { case _: Exception => () }
+      c.execute("""SELECT query_id, kind, state FROM mindsdb.queries
+        WHERE state <> 'running' ORDER BY query_id""")
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -971,6 +1002,21 @@ object WritesPack extends QueryPack {
         (CAST(3 AS BIGINT), 'DROP', 'DROP VIEW nope_c10',
           'error', 'requirement failed: view nope_c10 does not exist'))
         AS t(query_id, kind, statement, status, error)
+      ORDER BY query_id""",
+
+    "c13_meta_tables_sql" -> """
+      SELECT * FROM (VALUES
+        ('mdl_c13a', 'fit', 'fit'),
+        ('mdl_c13b', 'anomaly', 'anomaly'))
+        AS t(name, engine, handler)
+      ORDER BY name""",
+
+    "c14_query_processlist" -> """
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'CREATE', 'ok'),
+        (CAST(2 AS BIGINT), 'SELECT', 'ok'),
+        (CAST(3 AS BIGINT), 'DROP', 'error'))
+        AS t(query_id, kind, state)
       ORDER BY query_id""",
 
     "v01_view_expand" -> s"""

@@ -33,6 +33,12 @@ final class Commands(
   // `information_schema.<table>` resolves through a live DSv2 catalog
   // bound to this session's catalog/warehouse/jobs state
   graft.catalog.InfoSchema.bind(spark, catalog, warehouse, Some(jobs))
+  // `mindsdb.<table>` — the project meta-tables (models, databases,
+  // ml_engines, jobs, …, queries) as SELECT-able relations that
+  // JOIN/WHERE through Spark's multi-catalog path
+  // (datahub/datanodes/mindsdb_tables.py:42-430)
+  graft.catalog.MindsdbTables.bind(spark, catalog, jobs,
+    () => queriesFrame(), () => mvs.list())
 
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
@@ -130,6 +136,7 @@ final class Commands(
     """(?is)\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val TruncateStmt =
     """(?is)\s*TRUNCATE\s+TABLE\s+(\w+)\s*""".r
+  private val KillStmt = """(?is)\s*KILL\s+(?:QUERY\s+)?(\d+)\s*""".r
   private val LogHistoryQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.jobs_history\b\s*(.*)""".r
   private val LogQueriesQuery =
@@ -217,32 +224,101 @@ final class Commands(
     "version" -> "8.0.17-graft",
     "version_comment" -> "graft spark-native engine")
 
-  /** Executed-statement log backing `log.queries` — the reference's
-    * QUERIES meta table (mindsdb_tables.py:430): id, first-keyword kind,
-    * normalized text, ok/error status. Driver-side, metadata-sized. */
-  private val queryLog =
-    scala.collection.mutable.ArrayBuffer[(Long, String, String, String, String)]()
+  /** One statement's lifecycle row — the reference's QUERIES meta table
+    * / processlist entry (mindsdb_tables.py:430). Registered at START
+    * (state `running`, so KILL and `mindsdb.queries` see in-flight
+    * statements), finalized at completion. */
+  private final class QueryRec(
+      val id: Long, val kind: String, val statement: String,
+      val startedAt: java.sql.Timestamp) {
+    @volatile var state: String = "running"
+    @volatile var error: String = _
+    @volatile var finishedAt: java.sql.Timestamp = _
+  }
+
+  /** Executed-statement log backing `log.queries` and `mindsdb.queries`.
+    * Driver-side, metadata-sized; bounded so a long-lived session cannot
+    * grow it without limit. */
+  private val queryLog = scala.collection.mutable.LinkedHashMap[Long, QueryRec]()
+  private val MaxQueryLog = 1024
   private var queryCounter = 0L
+
+  /** Job-group tag for one statement — what `KILL <id>` cancels. */
+  private def jobGroupOf(id: Long) = s"graft-query-$id"
 
   /** Execute one statement; DDL returns a status frame, queries return
     * their result. Every statement — including ones dispatched
     * recursively (model-join data sides, job bodies) — records into
-    * [[queryLog]]; rows append at completion, so a nested statement
-    * logs before its parent. */
+    * [[queryLog]] at dispatch start and finalizes at completion, so a
+    * nested statement completes before its parent. While a statement
+    * runs, its Spark jobs carry the [[jobGroupOf]] tag (thread-local, so
+    * concurrent sessions don't cross), which is how KILL reaches a
+    * statement mid-flight via `cancelJobGroup`. */
   def execute(sql: String): DataFrame = {
-    queryCounter += 1
-    val id = queryCounter
     val norm = sql.trim.replaceAll("\\s+", " ")
     val kind = norm.split("\\s+", 2).head.toUpperCase
+    val rec = queryLog.synchronized {
+      queryCounter += 1
+      val r = new QueryRec(queryCounter, kind, norm,
+        new java.sql.Timestamp(System.currentTimeMillis()))
+      queryLog(r.id) = r
+      while (queryLog.size > MaxQueryLog) queryLog.remove(queryLog.head._1)
+      r
+    }
+    val sc = spark.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    sc.setJobGroup(jobGroupOf(rec.id), rec.statement.take(200),
+      interruptOnCancel = true)
     try {
       val out = dispatch(sql)
-      queryLog += ((id, kind, norm, "ok", null))
+      rec.finishedAt = new java.sql.Timestamp(System.currentTimeMillis())
+      if (rec.state == "running") rec.state = "ok"
       out
     } catch { case e: Throwable =>
-      queryLog += ((id, kind, norm, "error",
-        Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      rec.finishedAt = new java.sql.Timestamp(System.currentTimeMillis())
+      if (rec.state == "running") rec.state = "error"
+      rec.error = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
       throw e
+    } finally {
+      // restore the ENCLOSING statement's group (recursive dispatch), or
+      // clear it so the caller's later lazy actions aren't tagged
+      if (prevGroup != null) sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      else sc.clearJobGroup()
     }
+  }
+
+  /** `KILL <id>`: cancel a running statement's Spark jobs by its group
+    * tag and mark it killed (the reference serves KILL via the MySQL
+    * proxy against its running-queries table). Idempotent; returns
+    * whether a running statement was found. */
+  def kill(id: Long): Boolean = {
+    val found = queryLog.synchronized {
+      queryLog.get(id).filter(_.state == "running").map { r =>
+        r.state = "killed"; r
+      }
+    }
+    found.foreach(_ => spark.sparkContext.cancelJobGroup(jobGroupOf(id)))
+    found.isDefined
+  }
+
+  /** The full processlist frame behind `mindsdb.queries` — includes
+    * running statements (unlike the completed-only `log.queries` route,
+    * whose shape predates this table and is oracle-pinned). */
+  private def queriesFrame(): DataFrame = {
+    val rows = queryLog.synchronized {
+      queryLog.values.map(r => Row(r.id, r.kind, r.statement, r.state,
+        r.error, r.startedAt, r.finishedAt)).toSeq
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("query_id", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("statement", StringType, nullable = false),
+        StructField("state", StringType, nullable = false),
+        StructField("error", StringType),
+        StructField("started_at", org.apache.spark.sql.types.TimestampType, nullable = false),
+        StructField("finished_at", org.apache.spark.sql.types.TimestampType))))
   }
 
   /** `<table> FOR VERSION AS OF <n>` — time travel over the warehouse's
@@ -1084,6 +1160,13 @@ final class Commands(
       // USE: single-namespace engine — accepted for wire compatibility
       ok(s"using $db")
 
+    case KillStmt(id) =>
+      // KILL [QUERY] <id>: cancel the statement's tagged job group (the
+      // reference serves KILL via its MySQL proxy over the running-
+      // queries table, mindsdb_tables.py:430)
+      if (kill(id.toLong)) ok(s"query $id killed")
+      else ok(s"query $id is not running")
+
     case AskChatbot(bot, message, sessionO) =>
       // ASK <bot> '<message>' [SESSION '<id>'] — the chat turn flow the
       // reference runs off a polled channel (chatbot_task replays the
@@ -1145,10 +1228,13 @@ final class Commands(
 
     case LogQueriesQuery(sel, rest) =>
       // `SELECT … FROM log.queries` (QUERIES meta table,
-      // mindsdb_tables.py:430): the session's executed-statement log.
-      // The snapshot is taken before this statement completes, so the
-      // running query never lists itself.
-      val rows = queryLog.map(q => Row(q._1, q._2, q._3, q._4, q._5)).toSeq
+      // mindsdb_tables.py:430): the session's executed-statement log,
+      // completed statements only (so the running query never lists
+      // itself — `mindsdb.queries` is the live processlist view).
+      val rows = queryLog.synchronized {
+        queryLog.values.filter(_.state != "running")
+          .map(r => Row(r.id, r.kind, r.statement, r.state, r.error)).toSeq
+      }
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         StructType(Seq(
@@ -1340,9 +1426,32 @@ final class Commands(
       // recurses through execute(), not plain spark.sql: the reference
       // planner walks arbitrary join trees, so a nested model join
       // (chained predictors) must route the same way the top level did
-      val data = execute(if (tbl != null) s"SELECT * FROM $tbl" else sub)
       val model = Option(version).fold(catalog.model(modelName))(v =>
         catalog.model(modelName, v.toInt))
+      // `WHERE <ts> BETWEEN 'a' AND 'b'` on a TS model join is the
+      // reference's windowed-forecast spelling (plan_join_ts.py:244-265
+      // plans TWO fetches — the last `window` rows BEFORE the range as
+      // context, plus the range — then post-filters predictor output to
+      // the window, bounds inclusive). Here: the data side restricts to
+      // history strictly before the range start (the TS transform takes
+      // its per-group context window from that), and the BETWEEN
+      // predicate re-targets the forecast timestamps.
+      val tsBetween = model match {
+        case m: graft.ml.TimeSeries.TsModel =>
+          Option(rest).flatMap { r =>
+            ("(?is)\\b[\\w.]*" + java.util.regex.Pattern.quote(m.tsCol) +
+              "\\s+BETWEEN\\s+'([^']+)'\\s+AND\\s+'([^']+)'").r
+              .findFirstMatchIn(r).map(mm => (mm.group(1), mm.group(2)))
+          }
+        case _ => None
+      }
+      val rawData = execute(if (tbl != null) s"SELECT * FROM $tbl" else sub)
+      val data = (model, tsBetween) match {
+        case (m: graft.ml.TimeSeries.TsModel, Some((from, _))) =>
+          rawData.filter(org.apache.spark.sql.functions.col(m.tsCol) <
+            org.apache.spark.sql.functions.lit(from))
+        case _ => rawData
+      }
       val applied = graft.ml.Predict.applyModel(data, model)
       val tv = s"__model_join_$modelName"
       applied.createOrReplaceTempView(tv)
@@ -1351,9 +1460,16 @@ final class Commands(
       // transform already emits exclusively beyond-max forecast rows,
       // so the predicate neutralizes rather than failing to resolve
       val restAdj = Option(rest).map { r =>
-        if (model.isInstanceOf[graft.ml.TimeSeries.TsModel])
-          r.replaceAll("(?i)\\b[\\w.]+\\s*>\\s*LATEST\\b", "1 = 1")
-        else r
+        if (model.isInstanceOf[graft.ml.TimeSeries.TsModel]) {
+          val r1 = r.replaceAll("(?i)\\b[\\w.]+\\s*>\\s*LATEST\\b", "1 = 1")
+          tsBetween.fold(r1) { case (from, to) =>
+            r1.replaceAll(
+              "(?i)\\b[\\w.]+\\s+BETWEEN\\s+'" +
+                java.util.regex.Pattern.quote(from) + "'\\s+AND\\s+'" +
+                java.util.regex.Pattern.quote(to) + "'",
+              s"forecast_date BETWEEN '$from' AND '$to'")
+          }
+        } else r
       }
       spark.sql(s"SELECT $sel FROM $tv ${restAdj.getOrElse("")}")
 

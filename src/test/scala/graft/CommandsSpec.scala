@@ -1076,4 +1076,55 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.execute("SELECT * FROM ctl_src").count() === 25L)
     intercept[Exception](c.execute("CREATE TABLE ctl_bad LIKE no_such_table"))
   }
+
+  test("mindsdb.* meta-tables are SELECT-able relations, JOINable with WHERE") {
+    val c = fresh()
+    c.execute("CREATE ML_ENGINE fit FROM fit")
+    c.execute("""CREATE MODEL meta_m1 PREDICT score USING
+      features='l_quantity', weights='2.0', bias=0.0""")
+    c.execute("CREATE JOB meta_j1 AS (SELECT 1) EVERY 1 day")
+    val joined = c.execute("""SELECT m.name, e.handler
+      FROM mindsdb.models m JOIN mindsdb.ml_engines e ON m.engine = e.name
+      WHERE m.active""").collect()
+    assert(joined.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("meta_m1", "fit")))
+    assert(c.execute("SELECT name FROM mindsdb.jobs").first().getString(0) === "meta_j1")
+    // read-only namespace
+    intercept[Exception](c.execute("INSERT INTO mindsdb.models VALUES ('x')"))
+  }
+
+  test("KILL cancels a long-running statement via its tagged job group") {
+    val c = fresh()
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // a statement whose execution cannot finish in test time: a triple
+    // cartesian of lineitem (~6k rows → 2×10^11 combinations)
+    val fut = Future {
+      intercept[Exception] {
+        c.execute("""CREATE TABLE kill_never AS
+          SELECT COUNT(*) AS n
+          FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c""")
+      }
+    }
+    // wait for it to register as running, then KILL by id
+    val deadline = System.currentTimeMillis() + 30000
+    var id = -1L
+    while (id < 0 && System.currentTimeMillis() < deadline) {
+      val running = c.execute(
+        "SELECT query_id FROM mindsdb.queries WHERE state = 'running' AND kind = 'CREATE'")
+        .collect()
+      if (running.nonEmpty) id = running.head.getLong(0) else Thread.sleep(100)
+    }
+    assert(id > 0, "CTAS never registered as running")
+    c.execute(s"KILL $id")
+    // the statement's Spark jobs are cancelled and the thread unblocks
+    Await.result(fut, 60.seconds)
+    val st = c.execute(s"SELECT state FROM mindsdb.queries WHERE query_id = $id")
+      .first().getString(0)
+    assert(st === "killed")
+    // KILL of a completed id is a no-op answer, not an error
+    val again = c.execute(s"KILL $id").first().getString(1)
+    assert(again.contains("not running"))
+  }
 }

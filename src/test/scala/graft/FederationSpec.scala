@@ -117,6 +117,66 @@ class FederationSpec extends AnyFunSuite {
       "join should have been evaluated source-side")
   }
 
+  test("EXPLAIN over a pushed tree is pure: no remote execution, no telemetry") {
+    SingleSourceJoinPushdown.ensure(spark)
+    MemTables.register("people", schema, rows)
+    MemTables.register("depts", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dept", StringType, nullable = false))),
+      (1L to 40L).map(i => Row(i, if (i % 2 == 0) "eng" else "ops")))
+    MemTables.renderedSql.clear()
+    MemTables.pushedJoins.clear()
+
+    val df = spark.table("mem.people")
+      .join(spark.table("mem.depts"), Seq("id"))
+      .select(col("id"), col("name"), col("dept"))
+    // force every plan stage EXPLAIN walks — optimization included —
+    // without an action
+    df.explain(true)
+    df.queryExecution.optimizedPlan.toString
+    df.queryExecution.executedPlan.toString
+    assert(MemTables.renderedSql.isEmpty,
+      s"EXPLAIN executed the remote statement: ${MemTables.renderedSql}")
+    assert(MemTables.pushedJoins.isEmpty,
+      "EXPLAIN recorded join telemetry without executing")
+    // the pushed statement is visible in the plan TEXT (the scan node's
+    // description) even though nothing ran
+    assert(df.queryExecution.executedPlan.toString.contains("RenderedSqlScan"),
+      "plan does not show the rendered-sql scan node")
+    assert(df.queryExecution.executedPlan.toString.contains("[SELECT"),
+      "plan does not show the rendered statement text")
+
+    // first action: executes exactly once and records
+    df.collect()
+    assert(MemTables.renderedSql.size === 1,
+      s"expected one recorded statement, got ${MemTables.renderedSql}")
+  }
+
+  test("bushy-tree telemetry records true join edges, not adjacent leaves") {
+    SingleSourceJoinPushdown.ensure(spark)
+    MemTables.register("people", schema, rows)
+    MemTables.register("depts", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dept", StringType, nullable = false))),
+      (1L to 40L).map(i => Row(i, if (i % 2 == 0) "eng" else "ops")))
+    MemTables.register("sites", StructType(Seq(
+      StructField("dept", StringType, nullable = false),
+      StructField("site", StringType, nullable = false))),
+      Seq(Row("eng", "sfo"), Row("ops", "nyc")))
+    MemTables.pushedJoins.clear()
+
+    // people ⋈ (depts ⋈ sites): people joins the SUBTREE {depts,sites},
+    // never depts alone in leaf order
+    val dimside = spark.table("mem.depts").join(spark.table("mem.sites"), Seq("dept"))
+    val df = spark.table("mem.people").join(dimside, Seq("id"))
+      .select(col("id"), col("site"))
+    df.collect()
+    val edges = MemTables.pushedJoins.toSet
+    assert(edges.contains(("depts", "sites")), s"inner bushy edge missing: $edges")
+    assert(edges.contains(("people", "depts")) && edges.contains(("people", "sites")),
+      s"outer edge should span the whole right subtree: $edges")
+  }
+
   test("aggregate over a pushed join ships whole: GROUP BY in the render, no agg in the plan") {
     SingleSourceJoinPushdown.ensure(spark)
     MemTables.register("people", schema, rows)

@@ -75,10 +75,13 @@ class PlanShapeSpec extends AnyFunSuite {
       case (l, r) => Set(l, r) == Set("priority_weight", "status_label")
     }, "join was not pushed to the mem source")
     val plan = df.queryExecution.optimizedPlan.toString
-    // exactly ONE join survives: orders against the already-joined
-    // source-side result (a LocalRelation); the dim-dim join is gone
+    // exactly ONE join survives: orders against the pushed statement's
+    // lazy scan; the dim-dim join is gone
     assert(plan.sliding(5).count(_ == "Join ") === 1, s"dim join not pushed:\n$plan")
-    assert(plan.contains("LocalRelation"), s"no source-side result:\n$plan")
+    // the pushed query is a SCAN node (lazy, executor-partitioned), not
+    // a driver-side LocalRelation literal
+    assert(plan.contains("RenderedSqlScan"), s"no rendered-sql scan:\n$plan")
+    assert(!plan.contains("LocalRelation"), s"driver-side literal result:\n$plan")
   }
 
   test("f10 three-way single-catalog tree (incl. LEFT) pushes whole; zero dim joins survive") {
@@ -88,10 +91,11 @@ class PlanShapeSpec extends AnyFunSuite {
     df.collect()
     val plan = df.queryExecution.optimizedPlan.toString
     // the dims tree had TWO joins (weight⋈label⟕note); both must be gone —
-    // only orders × LocalRelation remains
+    // only orders × the pushed statement's scan remains
     assert(plan.sliding(5).count(_ == "Join ") === 1,
       s"multi-way dim tree not pushed whole:\n$plan")
-    assert(plan.contains("LocalRelation"), s"no source-side result:\n$plan")
+    assert(plan.contains("RenderedSqlScan"), s"no source-side scan:\n$plan")
+    assert(!plan.contains("LocalRelation"), s"driver-side literal result:\n$plan")
     assert(graft.federation.MemTables.pushedJoins.exists {
       case (l, r) => Set(l, r) == Set("status_label", "priority_note")
     }, "outer edge of the flattened tree was not recorded")
@@ -368,6 +372,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan("i05_histogram")
     assert(plan.contains("partial_"), s"bucket count not map-side combinable:\n$plan")
     assert(!plan.contains("Window"), s"histogram should not need a window:\n$plan")
+  }
+
+  test("k07 evaluate: two-phase sharded windows, never one corpus-wide window per query") {
+    val plan = executedPlan("k07_kb_evaluate")
+    val windows = plan.sliding("Window".length).count(_ == "Window")
+    assert(windows >= 2, s"expected the sharded two-phase window pair:\n$plan")
+    assert(plan.contains("pmod") && plan.contains("xxhash64"),
+      s"phase-1 window is not sharded — one task would hold the whole corpus per query:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in evaluate:\n$plan")
   }
 
   test("k17 batch retrieval: two-phase ranked windows, query table broadcasts") {

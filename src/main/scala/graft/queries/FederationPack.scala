@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.engine.Tables
-import graft.federation.{FileSource, MemCatalog, MemTables, PartitionedFetch}
+import graft.federation.{FileSource, JdbcDb, MemCatalog, MemTables, PartitionedFetch}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -270,6 +270,113 @@ object FederationPack extends QueryPack {
       semi.unionByName(anti).orderBy(col("kind"), col("o_orderpriority"))
     }),
 
+    // LIVE JDBC fetch: suppliers live in an embedded Derby database and
+    // arrive through spark.read.jdbc — the real remote-handler read path
+    // (postgres_handler.query :473), with the WHERE pushed into the
+    // engine as SQL (explain shows PushedFilters on the JDBC scan; only
+    // matching rows cross the JDBC boundary)
+    "f16_jdbc_fetch" -> ((s, dir) => {
+      val db = JdbcDb.seedFromParquet(s, dir, "supplier")
+      JdbcDb.ensureCatalog(s, db)
+      s.table("rdb.APP.SUPPLIER")
+        .filter(col("s_acctbal") > 5000.0)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // LIVE JDBC whole-join pushdown: supplier ⋈ nation both live in the
+    // Derby catalog, and Spark's DSv2 join pushdown (enabled by
+    // GraftDerbyDialect.supportsJoin) ships the JOIN as one statement —
+    // the Spark plan has ONE JDBC scan and zero join nodes (FederationSpec
+    // asserts). The aggregate stays in Spark on purpose (decimal-exact
+    // sum), isolating the join seam. At 100 TB: the joined row set
+    // crosses the wire once, not two tables.
+    "f17_jdbc_join_pushdown" -> ((s, dir) => {
+      val db = JdbcDb.seedFromParquet(s, dir, "supplier")
+      JdbcDb.seedFromParquet(s, dir, "nation")
+      JdbcDb.ensureCatalog(s, db)
+      s.table("rdb.APP.SUPPLIER")
+        .join(s.table("rdb.APP.NATION"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
+        .orderBy(col("n_name"))
+    }),
+
+    // LIVE JDBC aggregate pushdown: COUNT/MIN/MAX GROUP BY evaluate
+    // inside Derby (explain shows PushedAggregates/PushedGroupBy on the
+    // scan); |groups| rows cross the JDBC boundary. min/max/count are
+    // order-free, so engine-side evaluation is bit-identical to the
+    // oracle's.
+    "f18_jdbc_agg_pushdown" -> ((s, dir) => {
+      val db = JdbcDb.seedFromParquet(s, dir, "supplier")
+      JdbcDb.ensureCatalog(s, db)
+      s.table("rdb.APP.SUPPLIER")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), min(col("s_acctbal")).as("mn"),
+          max(col("s_acctbal")).as("mx"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // LIVE JDBC write-back + read-back: an aggregate computed from the
+    // warehouse lands in the remote database via df.write.jdbc
+    // (postgres_handler.insert :436) and is read back through the scan —
+    // the INSERT INTO remote_db.table SELECT … round trip.
+    "f19_jdbc_writeback" -> ((s, dir) => {
+      val db = JdbcDb.dbName(dir)
+      val summary = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      JdbcDb.createAndLoad(summary, db, "ORDERS_SUMMARY_F19")
+      JdbcDb.readTable(s, db, "ORDERS_SUMMARY_F19")
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // LIVE JDBC native_query passthrough (postgres_handler.native_query
+    // :306): a Derby-dialect statement — double-quoted identifiers,
+    // FETCH FIRST instead of LIMIT — executes verbatim in the engine;
+    // Spark only carries the finished top-k back.
+    "f20_jdbc_native_topk" -> ((s, dir) => {
+      val db = JdbcDb.seedFromParquet(s, dir, "supplier")
+      JdbcDb.seedFromParquet(s, dir, "nation")
+      JdbcDb.nativeQuery(s, db,
+        """SELECT n."n_name" AS "n_name", CAST(COUNT(*) AS BIGINT) AS "n", MAX(s."s_acctbal") AS "mx"
+          FROM APP.SUPPLIER s JOIN APP.NATION n
+            ON s."s_nationkey" = n."n_nationkey"
+          GROUP BY n."n_name"
+          ORDER BY 3 DESC, 1 FETCH FIRST 5 ROWS ONLY""")
+    }),
+
+    // LIVE JDBC top-k pushdown: ORDER BY … LIMIT ships as one Derby
+    // statement (`… ORDER BY "s_acctbal" DESC FETCH FIRST 6 ROWS ONLY`)
+    // through SupportsPushDownTopN + GraftDerbyDialect — k rows cross
+    // the JDBC boundary, not the table
+    "f21_jdbc_topn_pushdown" -> ((s, dir) => {
+      val db = JdbcDb.seedFromParquet(s, dir, "supplier")
+      JdbcDb.ensureCatalog(s, db)
+      s.table("rdb.APP.SUPPLIER")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .limit(6)
+    }),
+
+    // PARALLEL partitioned JDBC read — the 100 TB fetch path: N
+    // executors each issue their own range-predicated statement
+    // (`WHERE s_suppkey >= lo AND < hi`) against the remote engine
+    // concurrently, the exact spark.read.jdbc partitionColumn contract a
+    // networked warehouse uses (reference: fetch_dataframe_partition.py
+    // :27-200 batches on a track column; Spark's native form is range
+    // partitions). FederationSpec asserts the scan really has 4 input
+    // partitions.
+    "f22_jdbc_partitioned_read" -> ((s, dir) => {
+      val db = JdbcDb.seedFromParquet(s, dir, "supplier")
+      JdbcDb.partitionedRead(s, db, "SUPPLIER", "\"s_suppkey\"",
+        lower = 1L, upper = 10000L, numPartitions = 4)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -420,6 +527,36 @@ object FederationPack extends QueryPack {
       FROM $oWeights
       WHERE NOT EXISTS (SELECT 1 FROM nt WHERE nt.o_orderpriority = w.o_orderpriority)
       ORDER BY kind, o_orderpriority""",
+
+    "f16_jdbc_fetch" -> """
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      WHERE s_acctbal > 5000.0 ORDER BY s_suppkey""",
+
+    "f17_jdbc_join_pushdown" -> s"""
+      SELECT n_name, COUNT(*) AS n, ${oSum("s_acctbal")} AS total
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+
+    "f18_jdbc_agg_pushdown" -> """
+      SELECT s_nationkey, COUNT(*) AS n, MIN(s_acctbal) AS mn, MAX(s_acctbal) AS mx
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    "f19_jdbc_writeback" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "f20_jdbc_native_topk" -> """
+      SELECT n_name, COUNT(*) AS n, MAX(s_acctbal) AS mx
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY mx DESC, n_name LIMIT 5""",
+
+    "f21_jdbc_topn_pushdown" -> """
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      ORDER BY s_acctbal DESC, s_suppkey LIMIT 6""",
+
+    "f22_jdbc_partitioned_read" -> s"""
+      SELECT s_nationkey, COUNT(*) AS n, ${oSum("s_acctbal")} AS total
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

@@ -737,6 +737,19 @@ object WritesPack extends QueryPack {
         WHERE state <> 'running' ORDER BY query_id""")
     }),
 
+    // CREATE DATABASE … ENGINE='derby' binds a LIVE JDBC catalog: the
+    // reference's external-database lifecycle (command_executor.py:1260 →
+    // postgres_handler), with embedded Derby as the engine — the GROUP BY
+    // below executes INSIDE the remote database (aggregate pushdown)
+    "c15_jdbc_database_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      graft.federation.JdbcDb.seedFromParquet(s, dir, "nation")
+      c.execute("CREATE DATABASE extdb_c15 WITH ENGINE='derby', " +
+        s"PARAMETERS = database='${graft.federation.JdbcDb.dbName(dir)}'")
+      c.execute("""SELECT n_regionkey, COUNT(*) AS n
+        FROM extdb_c15.APP.NATION GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -1010,6 +1023,10 @@ object WritesPack extends QueryPack {
         ('mdl_c13b', 'anomaly', 'anomaly'))
         AS t(name, engine, handler)
       ORDER BY name""",
+
+    "c15_jdbc_database_sql" -> """
+      SELECT n_regionkey, COUNT(*) AS n FROM nation
+      GROUP BY n_regionkey ORDER BY n_regionkey""",
 
     "c14_query_processlist" -> """
       SELECT * FROM (VALUES

@@ -714,8 +714,16 @@ final class Commands(
       ok(s"index created on knowledge base $name ($nlist cells)")
 
     case CreateDatabase(name, engine, params) =>
-      catalog.createDatabase(name, engine.toLowerCase,
-        Option(params).map(parseUsing).getOrElse(Map.empty))
+      val p = Option(params).map(parseUsing).getOrElse(Map.empty)
+      catalog.createDatabase(name, engine.toLowerCase, p)
+      // a JDBC engine binds a LIVE catalog: `SELECT … FROM <name>.APP.<t>`
+      // resolves through Spark's JDBCTableCatalog with filter/agg/join/
+      // limit pushdown — the reference's CREATE DATABASE … WITH ENGINE=
+      // 'postgres' PARAMETERS={…} lifecycle (command_executor.py:1260),
+      // served in-sandbox by embedded Derby on the same code path
+      if (Set("derby", "jdbc").contains(engine.toLowerCase))
+        graft.federation.JdbcDb.ensureCatalog(spark,
+          p.getOrElse("database", name), catalog = name)
       ok(s"database $name created (engine $engine)")
     case DropDatabase(ifEx, name) =>
       if (catalog.listDatabases().contains(name)) {

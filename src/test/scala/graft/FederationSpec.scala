@@ -412,4 +412,87 @@ class FederationSpec extends AnyFunSuite {
     intercept[java.io.IOException] { FileSource.read(spark, "x.pdf") }
     intercept[java.io.IOException] { FileSource.read(spark, "x.xlsx") }
   }
+
+  // ---- live JDBC handler (embedded Derby) ----------------------------
+
+  test("JDBC handler: get_tables lists seeded tables; native DDL executes") {
+    val db = JdbcDb.seedFromParquet(spark, dir, "supplier")
+    JdbcDb.seedFromParquet(spark, dir, "nation")
+    val ts = JdbcDb.tables(db)
+    assert(ts.contains("SUPPLIER") && ts.contains("NATION"), s"tables: $ts")
+    // server-side DDL passthrough: an index the engine can use
+    JdbcDb.executeUpdate(db,
+      """CREATE INDEX supp_nk_idx ON APP.SUPPLIER ("s_nationkey")""")
+    JdbcDb.executeUpdate(db, "DROP INDEX supp_nk_idx")
+  }
+
+  test("JDBC filter pushdown: the WHERE reaches the engine as SQL") {
+    val df = graft.queries.FederationPack.queries("f16_jdbc_fetch")(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("s_acctbal > 5000.0"),
+      s"filter not pushed:\n$scan")
+  }
+
+  test("JDBC whole-query pushdown: join AND aggregate ship as one statement") {
+    val df = graft.queries.FederationPack.queries("f17_jdbc_join_pushdown")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the joined+aggregated statement executes inside Derby: the Spark
+    // plan keeps ONE JDBC scan and zero join/aggregate-input nodes
+    assert(plan.contains("PushedJoins"), s"join not pushed:\n$plan")
+    assert(plan.contains("PushedAggregates"), s"aggregate not pushed:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"a Spark-side join survived:\n$plan")
+  }
+
+  test("JDBC aggregate pushdown: finished groups cross the boundary") {
+    val df = graft.queries.FederationPack.queries("f18_jdbc_agg_pushdown")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") && plan.contains("PushedGroupByExpressions"),
+      s"aggregate not pushed:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"Spark re-aggregated:\n$plan")
+  }
+
+  test("JDBC limit pushdown: FETCH FIRST renders through the Derby dialect") {
+    val db = JdbcDb.seedFromParquet(spark, dir, "supplier")
+    JdbcDb.ensureCatalog(spark, db)
+    val df = spark.table("rdb.APP.SUPPLIER")
+      .select(col("s_suppkey"), col("s_name")).limit(4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit"), s"limit not pushed:\n$plan")
+    assert(df.count() === 4)
+  }
+
+  test("JDBC top-k pushdown: ORDER BY + LIMIT ship as one FETCH FIRST statement") {
+    val df = graft.queries.FederationPack.queries("f21_jdbc_topn_pushdown")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN") || plan.contains("PushedLimit"),
+      s"top-k not pushed:\n$plan")
+    assert(df.count() === 6)
+  }
+
+  test("JDBC partitioned read: N range-predicated partitions fetch in parallel") {
+    val db = JdbcDb.seedFromParquet(spark, dir, "supplier")
+    val df = JdbcDb.partitionedRead(spark, db, "SUPPLIER", "\"s_suppkey\"",
+      lower = 1L, upper = 100L, numPartitions = 4)
+    assert(df.rdd.getNumPartitions === 4, "expected 4 JDBC range partitions")
+    // stride predicates partition, never filter: every supplier row
+    // arrives exactly once even though upper < max(s_suppkey) elsewhere
+    assert(df.count() ===
+      Tables.table(spark, dir, "supplier").count())
+  }
+
+  test("JDBC write-back round trip preserves values and types") {
+    val db = JdbcDb.dbName(dir)
+    import spark.implicits._
+    val src = Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, "c", 0.0))
+      .toDF("id", "tag", "v")
+    JdbcDb.createAndLoad(src, db, "ROUNDTRIP_SPEC")
+    val back = JdbcDb.readTable(spark, db, "ROUNDTRIP_SPEC").orderBy("id")
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      Seq(("id", LongType), ("tag", StringType), ("v", DoubleType)))
+    assert(back.collect().toSeq === Seq(Row(1L, "a", 1.5), Row(2L, "b", -2.25), Row(3L, "c", 0.0)))
+    // append path (reference handler.insert)
+    JdbcDb.insert(Seq((4L, "d", 9.75)).toDF("id", "tag", "v"), db, "ROUNDTRIP_SPEC")
+    assert(JdbcDb.readTable(spark, db, "ROUNDTRIP_SPEC").count() === 4)
+  }
 }

@@ -178,6 +178,62 @@ object Dedup extends QueryPack {
         .orderBy(col("cluster_size"))
     }),
 
+    // ---- INCREMENTAL dedup: a new ingest batch (doc_id ≡ 0 mod 10
+    // plays the day's crawl) dedups against the ALREADY-INDEXED corpus
+    // without recomputing corpus² — the production shape for continuous
+    // ingestion (the same banded MinHash index d02 builds, queried
+    // instead of self-joined). Scale story: the corpus's band index
+    // stays partitioned in place; only the DELTA's bands broadcast, so
+    // the whole pass is one map-side join over the index + candidate-
+    // scale signature verification. At 100 TB the daily batch is GBs —
+    // broadcastable — while the corpus never moves.
+    "d18_incremental_dedup" -> ((s, dir) => {
+      val sig = shingled(s, dir).select(col("doc_id"),
+        graft.functions.VectorFunctions.minhashSig(
+          col("shingles"), hashA.toSeq, hashB.toSeq, Prime, md5Hash = true).as("sig"))
+      def bandsOf(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("sig"),
+          posexplode(array((0 until Bands).map(b =>
+            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)).as(Seq("band", "bkey")))
+      val corpus = bandsOf(sig.filter(col("doc_id") % 10 =!= 0))
+      val delta = bandsOf(sig.filter(col("doc_id") % 10 === 0))
+      val cands = corpus.as("c")
+        .join(broadcast(delta.as("d")),
+          col("c.band") === col("d.band") && col("c.bkey") === col("d.bkey"))
+        .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("dup_of"),
+          col("d.sig").as("sig_d"), col("c.sig").as("sig_c"))
+        .dropDuplicates("new_doc", "dup_of")
+      cands
+        .select(col("new_doc"), col("dup_of"),
+          (size(filter(zip_with(col("sig_d"), col("sig_c"), (a, b) => a === b), x => x))
+            .cast(DoubleType) / MinhashK).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("new_doc"), col("dup_of"))
+    }),
+
+    // ---- dedup QUALITY audit: precision/recall of the end-to-end
+    // MinHash+LSH detector (d02: banded candidates + signature estimate
+    // ≥ τ) against the exact trigram-Jaccard ground truth (d01). The
+    // tuning loop every production dedup needs — did shrinking bands/k
+    // cost recall? — expressed as ONE full-outer join of the two pair
+    // sets and a confusion-count rollup. At 100 TB both inputs are
+    // pair-scale (≪ corpus), so the audit costs what the detectors cost.
+    "d19_lsh_quality" -> ((s, dir) => {
+      val exact = queries("d01_jaccard_pairs")(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_e"))
+      val pred = queries("d02_minhash_lsh")(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("in_p"))
+      val conf = exact.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("in_e").isNotNull && col("in_p").isNotNull, 1L)
+            .otherwise(0L)).cast(LongType).as("tp"),
+          sum(when(col("in_e").isNull, 1L).otherwise(0L)).cast(LongType).as("fp"),
+          sum(when(col("in_p").isNull, 1L).otherwise(0L)).cast(LongType).as("fn"))
+      conf.select(col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast(DoubleType) / (col("tp") + col("fp")), 4).as("prec"),
+        round(col("tp").cast(DoubleType) / (col("tp") + col("fn")), 4).as("rec"))
+    }),
+
     // ---- benchmark decontamination: flag any training document that
     // shares a 13-token n-gram with the eval/benchmark set (the GPT-3
     // appendix-C contamination rule). The benchmark side is SMALL (eval
@@ -889,7 +945,12 @@ object Dedup extends QueryPack {
     // raw 4-value signature slices (Spark buckets on hash(slice, band) —
     // same collision classes); est_jaccard is an exact multiple of 1/32,
     // so no rounding is needed on either side.
-    "d02_minhash_lsh" -> {
+    "d02_minhash_lsh" -> d02OracleSql,
+
+    // Same MinHash replication as d02, split corpus (doc_id % 10 != 0)
+    // vs delta (doc_id % 10 == 0): the incremental shape is corpus-bands
+    // JOIN delta-bands instead of a self-join.
+    "d18_incremental_dedup" -> {
       val perms = hashA.zip(hashB).zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
         .mkString(", ")
@@ -908,15 +969,16 @@ object Dedup extends QueryPack {
       bands AS (SELECT doc_id, sig, b, sig[b*4+1 : b*4+4] bkey
                 FROM sigl CROSS JOIN range(0, ${Bands}) t(b)),
       cands AS (
-        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b, x.sig sa, y.sig sb
-        FROM bands x JOIN bands y
-          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-      SELECT doc_a, doc_b,
-        len(list_filter(range(1, ${MinhashK + 1}), i -> sa[i] = sb[i])) / ${MinhashK}.0
+        SELECT DISTINCT d.doc_id new_doc, c.doc_id dup_of, d.sig sd, c.sig sc
+        FROM bands c JOIN bands d
+          ON c.b = d.b AND c.bkey = d.bkey
+        WHERE c.doc_id % 10 <> 0 AND d.doc_id % 10 = 0)
+      SELECT new_doc, dup_of,
+        len(list_filter(range(1, ${MinhashK + 1}), i -> sd[i] = sc[i])) / ${MinhashK}.0
           AS est_jaccard
       FROM cands
-      WHERE len(list_filter(range(1, ${MinhashK + 1}), i -> sa[i] = sb[i])) / ${MinhashK}.0 >= 0.5
-      ORDER BY doc_a, doc_b"""
+      WHERE len(list_filter(range(1, ${MinhashK + 1}), i -> sd[i] = sc[i])) / ${MinhashK}.0 >= 0.5
+      ORDER BY new_doc, dup_of"""
     },
 
     // SimHash: h = first-64-bits-of-md5 (UBIGINT ≡ the signed-long bit
@@ -1168,7 +1230,61 @@ object Dedup extends QueryPack {
 
     // DuckDB computes the same trigram-shingle jaccard; integer
     // intersection/union + one double division = engine-exact.
-    "d01_jaccard_pairs" -> """
+    "d01_jaccard_pairs" -> d01OracleSql,
+
+    // precision/recall of the end-to-end MinHash detector (d02) against
+    // the exact trigram-Jaccard ground truth (d01): both pipelines are
+    // bit-reproduced in DuckDB above, so the confusion counts are exact
+    "d19_lsh_quality" -> s"""
+      WITH exact_pairs AS ($d01OracleSql),
+      pred_pairs AS ($d02OracleSql),
+      conf AS (
+        SELECT
+          CAST(SUM(CASE WHEN e.doc_a IS NOT NULL AND p.doc_a IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN e.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN p.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM exact_pairs e FULL OUTER JOIN pred_pairs p
+          ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b)
+      SELECT tp, fp, fn,
+        ROUND(CAST(tp AS DOUBLE) / (tp + fp), 4) AS prec,
+        ROUND(CAST(tp AS DOUBLE) / (tp + fn), 4) AS rec
+      FROM conf"""
+  )
+
+  /** d02's oracle, reusable as a CTE body (d19 audits it against d01). */
+  private lazy val d02OracleSql: String = {
+    val perms = hashA.zip(hashB).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(tl)-1),
+          i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) sl
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') tl FROM documents)
+        WHERE len(tl) >= 3),
+      toks AS (SELECT doc_id, unnest(sl) tok FROM sh),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT hv FROM toks),
+      perm(i, a, b) AS (VALUES $perms),
+      sig AS (SELECT doc_id, i, min((hv * a + b) % ${Prime}) m
+              FROM h CROSS JOIN perm GROUP BY 1, 2),
+      sigl AS (SELECT doc_id, list(m ORDER BY i) sig FROM sig GROUP BY 1),
+      bands AS (SELECT doc_id, sig, b, sig[b*4+1 : b*4+4] bkey
+                FROM sigl CROSS JOIN range(0, ${Bands}) t(b)),
+      cands AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b, x.sig sa, y.sig sb
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+        len(list_filter(range(1, ${MinhashK + 1}), i -> sa[i] = sb[i])) / ${MinhashK}.0
+          AS est_jaccard
+      FROM cands
+      WHERE len(list_filter(range(1, ${MinhashK + 1}), i -> sa[i] = sb[i])) / ${MinhashK}.0 >= 0.5
+      ORDER BY doc_a, doc_b"""
+  }
+
+  /** d01's oracle, reusable as a CTE body (d19 audits d02 against it). */
+  private lazy val d01OracleSql: String = """
       WITH sh AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(tl)-1),
           i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) sl
@@ -1185,5 +1301,4 @@ object Dedup extends QueryPack {
           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
         FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)
       WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
-  )
 }

@@ -168,6 +168,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"span dedup must stay equi-keyed:\n$plan")
   }
 
+  test("d18 incremental dedup: the delta's bands broadcast; the corpus index never shuffles to it") {
+    val plan = executedPlan("d18_incremental_dedup")
+    // production ingest shape: the day's batch (GBs) broadcasts against
+    // the in-place corpus band index (100 TB side) — a sort-merge here
+    // would reshuffle the whole corpus per ingest batch
+    assert(plan.contains("BroadcastHashJoin"), s"delta not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus band index must not shuffle against the delta:\n$plan")
+  }
+
   test("s06 quantized knn: scale scalar broadcasts, ranking is TakeOrdered") {
     val plan = executedPlan("s06_quantized_knn")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")

@@ -23,9 +23,9 @@ object Dedup extends QueryPack {
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
   /** doc_id + distinct word-trigram shingles (docs with >= 3 tokens). */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private def shingledOf(docs: DataFrame): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -35,6 +35,9 @@ object Dedup extends QueryPack {
             element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))
         )).as("shingles"))
   }
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledOf(t(s, dir, "documents"))
 
   // MinHash parameters: 32 permutations = 8 bands x 4 rows; universal
   // hashing h_i(x) = (a_i*x + b_i) mod p over xxhash64 shingle hashes.
@@ -47,6 +50,38 @@ object Dedup extends QueryPack {
   private val rng = new scala.util.Random(42)
   private val hashA: Array[Long] = Array.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong | 1L)
   private val hashB: Array[Long] = Array.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong)
+
+  /** (doc_id, sig, band, bkey) — the standing MinHash band index a corpus
+    * maintains for incremental dedup. `sig` rides along so candidate
+    * verification needs no join back to the corpus. */
+  def bandIndex(docs: DataFrame): DataFrame = {
+    val sig = shingledOf(docs).select(col("doc_id"),
+      graft.functions.VectorFunctions.minhashSig(
+        col("shingles"), hashA.toSeq, hashB.toSeq, Prime, md5Hash = true).as("sig"))
+    sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map(b =>
+        slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Dedup a new ingest batch against a standing [[bandIndex]]: the
+    * batch's bands BROADCAST (a day's crawl is GBs), the corpus index
+    * never moves, candidates verify at candidate scale by signature
+    * agreement. Returns (new_doc, dup_of, est_jaccard >= 0.5). Also the
+    * streaming-ingest shape: call per micro-batch from foreachBatch
+    * (StreamingSpec proves batch ≡ stream). */
+  def incrementalDedup(corpusBands: DataFrame, newDocs: DataFrame): DataFrame = {
+    val delta = bandIndex(newDocs)
+    corpusBands.as("c")
+      .join(broadcast(delta.as("d")),
+        col("c.band") === col("d.band") && col("c.bkey") === col("d.bkey"))
+      .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("dup_of"),
+        col("d.sig").as("sig_d"), col("c.sig").as("sig_c"))
+      .dropDuplicates("new_doc", "dup_of")
+      .select(col("new_doc"), col("dup_of"),
+        (size(filter(zip_with(col("sig_d"), col("sig_c"), (a, b) => a === b), x => x))
+          .cast(DoubleType) / MinhashK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -188,26 +223,9 @@ object Dedup extends QueryPack {
     // scale signature verification. At 100 TB the daily batch is GBs —
     // broadcastable — while the corpus never moves.
     "d18_incremental_dedup" -> ((s, dir) => {
-      val sig = shingled(s, dir).select(col("doc_id"),
-        graft.functions.VectorFunctions.minhashSig(
-          col("shingles"), hashA.toSeq, hashB.toSeq, Prime, md5Hash = true).as("sig"))
-      def bandsOf(df: DataFrame): DataFrame =
-        df.select(col("doc_id"), col("sig"),
-          posexplode(array((0 until Bands).map(b =>
-            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)).as(Seq("band", "bkey")))
-      val corpus = bandsOf(sig.filter(col("doc_id") % 10 =!= 0))
-      val delta = bandsOf(sig.filter(col("doc_id") % 10 === 0))
-      val cands = corpus.as("c")
-        .join(broadcast(delta.as("d")),
-          col("c.band") === col("d.band") && col("c.bkey") === col("d.bkey"))
-        .select(col("d.doc_id").as("new_doc"), col("c.doc_id").as("dup_of"),
-          col("d.sig").as("sig_d"), col("c.sig").as("sig_c"))
-        .dropDuplicates("new_doc", "dup_of")
-      cands
-        .select(col("new_doc"), col("dup_of"),
-          (size(filter(zip_with(col("sig_d"), col("sig_c"), (a, b) => a === b), x => x))
-            .cast(DoubleType) / MinhashK).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
+      val docs = t(s, dir, "documents")
+      incrementalDedup(bandIndex(docs.filter(col("doc_id") % 10 =!= 0)),
+        docs.filter(col("doc_id") % 10 === 0))
         .orderBy(col("new_doc"), col("dup_of"))
     }),
 

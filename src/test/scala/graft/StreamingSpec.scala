@@ -142,4 +142,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("event_id").distinct().count() === streamed.count())
     assert(streamed.select("event_id").exceptAll(batchIds).count() === 0)
   }
+
+  test("streaming incremental dedup (foreachBatch vs standing index) == batch d18") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the standing corpus index (built once, reused every micro-batch)
+    val corpusBands = graft.queries.Dedup
+      .bandIndex(docs.filter(col("doc_id") % 10 =!= 0)).cache()
+    // stage the delta (the day's crawl) as THREE files → three
+    // micro-batches with maxFilesPerTrigger=1
+    val d = java.nio.file.Files.createTempDirectory("docs_delta")
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    (0 until 3).foreach { i =>
+      delta.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/part_$i")
+      val f = new java.io.File(s"$d/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath, d.resolve(s"delta_$i.parquet"))
+    }
+    (0 until 3).foreach(i =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$d/part_$i")))
+    val results = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        results.synchronized {
+          results ++= graft.queries.Dedup
+            .incrementalDedup(corpusBands, batch).collect()
+        }; ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val batchResult = graft.queries.Dedup
+      .queries("d18_incremental_dedup")(spark, dir).collect()
+    assert(results.sortBy(r => (r.getLong(0), r.getLong(1))) ===
+      batchResult.toSeq.sortBy(r => (r.getLong(0), r.getLong(1))),
+      "streamed micro-batch dedup differs from the one-shot batch result")
+  }
 }

@@ -61,7 +61,9 @@ object AiFunctions {
     ("to_markdown", "varchar", "'# Document\\n\\n' || text"),
     ("doc_hash", "varchar", "md5(cast(x AS string))"),
     ("topk_pairs", "array<struct<key:bigint,payload:bigint>>",
-      "mergeable top-k aggregate: k (key, payload) pairs, key DESC"))
+      "mergeable top-k aggregate: k (key, payload) pairs, key DESC"),
+    ("hll_estimate", "double",
+      "mergeable HyperLogLog distinct-count aggregate (m=1024, md5 hash)"))
 
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -95,6 +97,13 @@ object AiFunctions {
       TopKPairs(
         Cast(es(0), org.apache.spark.sql.types.LongType),
         Cast(es(1), org.apache.spark.sql.types.LongType), k)
+    })
+
+    // mergeable HLL distinct estimate (functions/Hll.scala) on the SQL
+    // surface: hll_estimate(v) — values hash by their string form
+    add("hll_estimate", es => {
+      require(es.length == 1, "hll_estimate(v)")
+      HllSketch(Cast(es.head, StringType))
     })
   }
 }

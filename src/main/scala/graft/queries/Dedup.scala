@@ -252,6 +252,32 @@ object Dedup extends QueryPack {
         round(col("tp").cast(DoubleType) / (col("tp") + col("fn")), 4).as("rec"))
     }),
 
+    // ---- per-group HLL distinct counts through the custom mergeable
+    // aggregate (functions/Hll.scala, SQL-registered as hll_estimate):
+    // ONE 1 KiB register buffer per group that map-side combines and
+    // merges by elementwise max — "distinct users per segment" at 100 TB
+    // without d08's |groups|×1024-row bucket shuffle. The exact distinct
+    // rides along only to report rel_err (a sketch audit, like d19).
+    "d20_hll_groups" -> ((s, dir) => {
+      graft.functions.AiFunctions.register(s)
+      t(s, dir, "events").createOrReplaceTempView("events_d20")
+      t(s, dir, "orders").createOrReplaceTempView("orders_d20")
+      s.sql("""
+        SELECT grp, n_exact, ROUND(est, 4) AS hll_est,
+          ROUND(est / n_exact - 1.0, 4) AS rel_err
+        FROM (
+          SELECT CONCAT('events.', event_type) AS grp,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+            hll_estimate(user_id) AS est
+          FROM events_d20 GROUP BY event_type
+          UNION ALL
+          SELECT CONCAT('orders.', o_orderstatus) AS grp,
+            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+            hll_estimate(o_custkey) AS est
+          FROM orders_d20 GROUP BY o_orderstatus)
+        ORDER BY grp""")
+    }),
+
     // ---- benchmark decontamination: flag any training document that
     // shares a 13-token n-gram with the eval/benchmark set (the GPT-3
     // appendix-C contamination rule). The benchmark side is SMALL (eval
@@ -964,6 +990,43 @@ object Dedup extends QueryPack {
     // same collision classes); est_jaccard is an exact multiple of 1/32,
     // so no rounding is needed on either side.
     "d02_minhash_lsh" -> d02OracleSql,
+
+    // d08's per-bucket register math with a GROUP BY prepended: the
+    // custom aggregate's buffer is bit-identical to these grouped
+    // register maxima, and the estimate arithmetic runs the same IEEE
+    // sequence (doubles, left-to-right)
+    "d20_hll_groups" -> {
+      def one(table: String, grp: String, prefix: String, c: String) = s"""
+        SELECT '$prefix' || $grp AS grp, n_exact, nz,
+          CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+CAST(1.079 AS DOUBLE)/CAST(1024.0 AS DOUBLE))
+            * CAST(1048576.0 AS DOUBLE) * CAST(2251799813685248.0 AS DOUBLE)
+            / CAST(sum_int + (1024 - nz) * (1::BIGINT << 51) AS DOUBLE) AS raw
+        FROM (
+          SELECT $grp, SUM(nd) AS n_exact, COUNT(*) AS nz,
+            SUM(1::BIGINT << (51 - rnk)) AS sum_int
+          FROM (
+            SELECT $grp, h60 >> 50 AS bucket,
+              MAX(CASE WHEN (h60 & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                       ELSE 51 - length(bin(h60 & ((1::BIGINT << 50) - 1))) END) AS rnk,
+              COUNT(DISTINCT v) AS nd
+            FROM (SELECT $grp, CAST($c AS VARCHAR) AS v,
+                    ('0x'||substr(md5(CAST($c AS VARCHAR)),1,15))::BIGINT AS h60
+                  FROM $table)
+            GROUP BY 1, 2)
+          GROUP BY 1)"""
+      s"""
+      SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+        ROUND(est, 4) AS hll_est, ROUND(est / n_exact - 1.0, 4) AS rel_err
+      FROM (
+        SELECT grp, n_exact,
+          CASE WHEN raw <= 2560.0 AND nz < 1024
+               THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / (1024 - nz))
+               ELSE raw END AS est
+        FROM (${one("events", "event_type", "events.", "user_id")}
+              UNION ALL
+              ${one("orders", "o_orderstatus", "orders.", "o_custkey")}))
+      ORDER BY grp"""
+    },
 
     // Same MinHash replication as d02, split corpus (doc_id % 10 != 0)
     // vs delta (doc_id % 10 == 0): the incremental shape is corpus-bands

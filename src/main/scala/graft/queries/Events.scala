@@ -280,6 +280,44 @@ object Events extends QueryPack {
         FROM tb33_replies ORDER BY message_id""")
     }),
 
+    // ---- multi-touch attribution: credit each purchase to the
+    // campaign (props.k) of the user's touchpoints — last-touch within
+    // a 7-day lookback (the industry default), first-touch ever, and
+    // last-touch revenue. ONE user-partitioned ordered window does the
+    // carry-forward (last_camp and last_ts share the SAME not-null
+    // condition, so the pair cannot desync); the lookback compares
+    // timestamps with exact INTERVAL arithmetic. At 100 TB the only
+    // data-scale shuffle is the per-user timeline partition — skew is
+    // bounded by one user's activity — then a |campaigns| rollup.
+    "e34_attribution" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touched = t(s, dir, "events")
+        .withColumn("camp",
+          when(col("event_type").isin("click", "view"),
+            get_json_object(col("props"), "$.k").cast(LongType)))
+        .withColumn("last_camp", last(col("camp"), ignoreNulls = true).over(byUser))
+        .withColumn("last_ts",
+          last(when(col("camp").isNotNull, col("ts")), ignoreNulls = true).over(byUser))
+        .withColumn("first_camp", first(col("camp"), ignoreNulls = true).over(byUser))
+      val conv = touched
+        .filter(col("event_type") === "purchase" && col("last_camp").isNotNull)
+        .select(col("last_camp"), col("first_camp"), col("value"),
+          (col("ts") <= col("last_ts") + expr("INTERVAL 7 DAYS")).as("in_window"))
+      val byLast = conv.filter(col("in_window"))
+        .groupBy(col("last_camp").as("campaign"))
+        .agg(count(lit(1)).as("conv_last"), dsum(col("value")).as("rev_last"))
+      val byFirst = conv.groupBy(col("first_camp").as("campaign"))
+        .agg(count(lit(1)).as("conv_first"))
+      byLast.join(byFirst, Seq("campaign"), "full_outer")
+        .select(col("campaign"),
+          coalesce(col("conv_last"), lit(0L)).as("conv_last"),
+          coalesce(col("rev_last"), lit(0.0)).as("rev_last"),
+          coalesce(col("conv_first"), lit(0L)).as("conv_first"))
+        .orderBy(col("campaign"))
+    }),
+
     // Spark 4 VARIANT as the semi-structured column path (the
     // reference's JSON columns story): parse once into the binary
     // variant encoding, extract typed fields with variant_get — the
@@ -992,6 +1030,41 @@ object Events extends QueryPack {
       SELECT message_id, session, batch, answer FROM r0
       UNION ALL SELECT message_id, session, batch, answer FROM r1
       ORDER BY message_id""",
+
+    // same shared-condition carry-forward: last_camp/last_ts both ignore
+    // rows where camp IS NULL, so they always come from the same touch
+    "e34_attribution" -> s"""
+      WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value,
+          CASE WHEN event_type IN ('click', 'view')
+               THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END AS camp
+        FROM events),
+      w AS (
+        SELECT *,
+          last_value(camp IGNORE NULLS) OVER uw AS last_camp,
+          last_value(CASE WHEN camp IS NOT NULL THEN ts END IGNORE NULLS)
+            OVER uw AS last_ts,
+          first_value(camp IGNORE NULLS) OVER uw AS first_camp
+        FROM ev
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      conv AS (
+        SELECT last_camp, first_camp, value,
+          ts <= last_ts + INTERVAL 7 DAY AS in_window
+        FROM w WHERE event_type = 'purchase' AND last_camp IS NOT NULL),
+      by_last AS (
+        SELECT last_camp AS campaign, CAST(COUNT(*) AS BIGINT) AS conv_last,
+          ${oSum("value")} AS rev_last
+        FROM conv WHERE in_window GROUP BY 1),
+      by_first AS (
+        SELECT first_camp AS campaign, CAST(COUNT(*) AS BIGINT) AS conv_first
+        FROM conv GROUP BY 1)
+      SELECT campaign,
+        COALESCE(conv_last, 0) AS conv_last,
+        COALESCE(rev_last, 0.0) AS rev_last,
+        COALESCE(conv_first, 0) AS conv_first
+      FROM by_last FULL OUTER JOIN by_first USING (campaign)
+      ORDER BY campaign""",
 
     "e12_last_sql" -> """
       SELECT event_type, COUNT(*) AS n_new,

@@ -63,7 +63,11 @@ object AiFunctions {
     ("topk_pairs", "array<struct<key:bigint,payload:bigint>>",
       "mergeable top-k aggregate: k (key, payload) pairs, key DESC"),
     ("hll_estimate", "double",
-      "mergeable HyperLogLog distinct-count aggregate (m=1024, md5 hash)"))
+      "mergeable HyperLogLog distinct-count aggregate (m=1024, md5 hash)"),
+    ("hll_registers", "binary",
+      "storable HLL sketch: the raw 1 KiB register array for later union"),
+    ("hll_union_estimate", "double",
+      "distinct estimate from unioned stored hll_registers sketches"))
 
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -103,7 +107,18 @@ object AiFunctions {
     // surface: hll_estimate(v) — values hash by their string form
     add("hll_estimate", es => {
       require(es.length == 1, "hll_estimate(v)")
-      HllSketch(Cast(es.head, StringType))
+      graft.functions.HllSketch(Cast(es.head, StringType))
+    })
+    // the storable sketch lifecycle: hll_registers materializes the 1 KiB
+    // register array (write it to a daily sketch table); later rollups
+    // union stored sketches WITHOUT rescanning raw history
+    add("hll_registers", es => {
+      require(es.length == 1, "hll_registers(v)")
+      graft.functions.HllRegisters(Cast(es.head, StringType))
+    })
+    add("hll_union_estimate", es => {
+      require(es.length == 1, "hll_union_estimate(sketch BINARY)")
+      graft.functions.HllUnion(es.head)
     })
   }
 }

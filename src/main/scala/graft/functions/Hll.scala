@@ -100,11 +100,108 @@ case class HllSketch(
   override def prettyName: String = "hll_estimate"
 }
 
+/** [[HllSketch]] that evals to its raw 1 KiB register array instead of
+  * the estimate — the STORABLE form. A pipeline materializes per-window
+  * sketches (a daily `GROUP BY day` table), and later rollups union the
+  * stored registers with [[HllUnion]] instead of rescanning history:
+  * the incremental-analytics shape at 100 TB, where "distinct users this
+  * quarter" reads 90 KiB-scale sketch rows, not 90 days of raw events. */
+case class HllRegisters(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val inner = HllSketch(child)
+
+  override def createAggregationBuffer(): Array[Byte] =
+    inner.createAggregationBuffer()
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] =
+    inner.update(buf, row)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    inner.merge(a, b)
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): HllRegisters =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegisters =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllRegisters =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_registers"
+}
+
+/** Union of STORED [[HllRegisters]] sketches: input rows are binary
+  * register arrays; merging is elementwise max (set union of the
+  * underlying hash draws, so re-unioned overlaps never double-count);
+  * eval is the same estimate arithmetic as [[HllSketch]] — unioning
+  * stored daily sketches is bit-identical to sketching the raw union. */
+case class HllUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val M = 1024
+  private val estimator = HllSketch(child)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == M, s"hll_union_estimate: expected $M registers, got ${regs.length}")
+      var i = 0
+      while (i < M) { if (regs(i) > buf(i)) buf(i) = regs(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = estimator.eval(buf)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): HllUnion =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnion =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllUnion =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_union_estimate"
+}
+
 object Hll {
   /** Column API: HLL distinct estimate of `c` (hashed as its string
     * form, matching the d08 oracle convention). */
   def hllEstimate(c: Column): Column =
     GraftColumnBridge.column(
       HllSketch(Cast(GraftColumnBridge.expression(c), StringType))
+        .toAggregateExpression())
+
+  /** Column API: the storable 1 KiB register array for `c`. */
+  def hllRegisters(c: Column): Column =
+    GraftColumnBridge.column(
+      HllRegisters(Cast(GraftColumnBridge.expression(c), StringType))
+        .toAggregateExpression())
+
+  /** Column API: estimate from unioned stored register arrays. */
+  def hllUnionEstimate(sketch: Column): Column =
+    GraftColumnBridge.column(
+      HllUnion(GraftColumnBridge.expression(sketch))
         .toAggregateExpression())
 }

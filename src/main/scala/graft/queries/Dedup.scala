@@ -278,6 +278,37 @@ object Dedup extends QueryPack {
         ORDER BY grp""")
     }),
 
+    // ---- the SKETCH LIFECYCLE: per-day HLL register arrays materialize
+    // to a parquet sketch table (1 KiB binary per (day, type) — KB-scale
+    // rows standing in for 100 TB of raw history), then the rollup reads
+    // STORED sketches and unions registers. Overlap safety is the point:
+    // the same user active on many days/types counts once, because union
+    // is elementwise register max, not addition. "Distinct users this
+    // quarter" becomes a scan of 90 sketch rows.
+    "d21_hll_sketch_rollup" -> ((s, dir) => {
+      graft.functions.AiFunctions.register(s)
+      t(s, dir, "events").createOrReplaceTempView("events_d21")
+      val sketchDir = java.nio.file.Files
+        .createTempDirectory("graft_sketches").toString
+      s.sql("""
+        SELECT date_trunc('DAY', ts) AS day, event_type,
+          hll_registers(user_id) AS sketch
+        FROM events_d21 GROUP BY 1, 2""")
+        .write.mode("overwrite").parquet(sketchDir)
+      s.read.parquet(sketchDir).createOrReplaceTempView("sketches_d21")
+      s.sql("""
+        SELECT event_type, n_sketches, ROUND(est, 4) AS users_est
+        FROM (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketches,
+            hll_union_estimate(sketch) AS est
+          FROM sketches_d21 GROUP BY event_type
+          UNION ALL
+          SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+            hll_union_estimate(sketch)
+          FROM sketches_d21)
+        ORDER BY event_type""")
+    }),
+
     // ---- benchmark decontamination: flag any training document that
     // shares a 13-token n-gram with the eval/benchmark set (the GPT-3
     // appendix-C contamination rule). The benchmark side is SMALL (eval
@@ -1026,6 +1057,45 @@ object Dedup extends QueryPack {
               UNION ALL
               ${one("orders", "o_orderstatus", "orders.", "o_custkey")}))
       ORDER BY grp"""
+    },
+
+    // union-of-stored-sketches == sketch-of-raw-union: the oracle never
+    // sees the sketch table — it runs the register math straight over
+    // the raw rows each rollup group covers, which is exactly what the
+    // elementwise-max union must reproduce
+    "d21_hll_sketch_rollup" -> {
+      def est(grp: String, nSketches: String, filter: String) = s"""
+        SELECT $grp AS event_type, $nSketches AS n_sketches, nz,
+          CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE)+CAST(1.079 AS DOUBLE)/CAST(1024.0 AS DOUBLE))
+            * CAST(1048576.0 AS DOUBLE) * CAST(2251799813685248.0 AS DOUBLE)
+            / CAST(sum_int + (1024 - nz) * (1::BIGINT << 51) AS DOUBLE) AS raw
+        FROM (
+          SELECT ${if (grp == "'ALL'") "" else grp + ","} COUNT(*) AS nz,
+            SUM(1::BIGINT << (51 - rnk)) AS sum_int
+          FROM (
+            SELECT ${if (grp == "'ALL'") "" else grp + ","} h60 >> 50 AS bucket,
+              MAX(CASE WHEN (h60 & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                       ELSE 51 - length(bin(h60 & ((1::BIGINT << 50) - 1))) END) AS rnk
+            FROM (SELECT event_type, date_trunc('day', ts) AS day,
+                    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h60
+                  FROM events $filter)
+            GROUP BY ${if (grp == "'ALL'") "bucket" else grp + ", bucket"})
+          ${if (grp == "'ALL'") "" else "GROUP BY " + grp})"""
+      s"""
+      WITH per_type AS (
+        ${est("event_type",
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT event_type AS et, date_trunc('day', ts) FROM events) WHERE et = event_type)",
+          "")}),
+      all_row AS (
+        ${est("'ALL'",
+          "(SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT event_type, date_trunc('day', ts) FROM events))",
+          "")})
+      SELECT event_type, n_sketches,
+        ROUND(CASE WHEN raw <= 2560.0 AND nz < 1024
+                   THEN CAST(1024.0 AS DOUBLE) * ln(CAST(1024.0 AS DOUBLE) / (1024 - nz))
+                   ELSE raw END, 4) AS users_est
+      FROM (SELECT * FROM per_type UNION ALL SELECT * FROM all_row)
+      ORDER BY event_type"""
     },
 
     // Same MinHash replication as d02, split corpus (doc_id % 10 != 0)

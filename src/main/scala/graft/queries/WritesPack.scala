@@ -806,6 +806,8 @@ object WritesPack extends QueryPack {
         ('event', 'ev_i08b', 'HOURS', 'ENABLED'),
         ('routine', 'doc_hash', 'varchar', 'YES'),
         ('routine', 'hll_estimate', 'double', 'YES'),
+        ('routine', 'hll_registers', 'binary', 'YES'),
+        ('routine', 'hll_union_estimate', 'double', 'YES'),
         ('routine', 'llm', 'varchar', 'YES'),
         ('routine', 'to_markdown', 'varchar', 'YES'),
         ('routine', 'topk_pairs', 'array<struct<key:bigint,payload:bigint>>', 'YES')

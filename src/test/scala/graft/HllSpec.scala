@@ -49,6 +49,49 @@ class HllSpec extends AnyFunSuite {
     assert(once == withNulls, "nulls reached the registers")
   }
 
+  test("stored-sketch union == direct estimate, bit-for-bit (incl. overlaps)") {
+    import spark.implicits._
+    // three OVERLAPPING daily batches (each user active on two days)
+    val days = Seq(
+      (1 to 400).map(("d1", _)),
+      (200 to 600).map(("d2", _)),
+      (400 to 800).map(("d3", _))).flatten
+    val direct = days.toDF("day", "v")
+      .agg(graft.functions.Hll.hllEstimate($"v")).first().getDouble(0)
+    // sketch per day → write → read back → union the STORED registers
+    val tmp = java.nio.file.Files.createTempDirectory("hll_spec").toString
+    days.toDF("day", "v").groupBy($"day")
+      .agg(graft.functions.Hll.hllRegisters($"v").as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val viaStore = spark.read.parquet(tmp)
+      .agg(graft.functions.Hll.hllUnionEstimate($"sk")).first().getDouble(0)
+    assert(direct == viaStore,
+      s"stored-union $viaStore != direct $direct — overlap double-counted or registers corrupted")
+  }
+
+  test("SQL surface matches the Column API for all three hll functions") {
+    import spark.implicits._
+    graft.functions.AiFunctions.register(spark)
+    val df = (1 to 3000).map(i => (i % 4, i * 17)).toDF("g", "v")
+    df.createOrReplaceTempView("hll_sql_spec")
+    val sql = spark.sql(
+      "SELECT g, hll_estimate(v) AS e FROM hll_sql_spec GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val api = df.groupBy($"g").agg(graft.functions.Hll.hllEstimate($"v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(sql == api, "SQL-registered hll_estimate diverged from the Column API")
+    // sketch → union through SQL: shard-level sketches re-unioned per
+    // group must equal the direct per-group estimate
+    val unioned = spark.sql(
+      """SELECT g, hll_union_estimate(sk) AS u
+         FROM (SELECT g, hll_registers(v) AS sk
+               FROM hll_sql_spec GROUP BY g, v % 10)
+         GROUP BY g""")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(unioned == api,
+      "SQL hll_union_estimate over sharded hll_registers diverged from the direct estimate")
+  }
+
   test("plans as a partial ObjectHashAggregate, no distinct expansion") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 3, i)).toDF("g", "v")

@@ -25,7 +25,30 @@ import org.apache.spark.sql.types._
   */
 final class Catalog(val spark: SparkSession, val sfDir: String) {
 
-  private val views = scala.collection.mutable.LinkedHashMap[String, () => DataFrame]()
+  /** Object registry keyed CASE-INSENSITIVELY: the reference's parser
+    * lowercases unquoted identifiers, so `MyModel` and `mymodel` name
+    * the same object for every object kind
+    * (tests/unit/executor/test_lowercase.py pins this for views,
+    * projects, ml_engines, models, agents, KBs, jobs, chatbots,
+    * databases, and triggers). Keys store lowercase; listings therefore
+    * report the reference's canonical lowercase names. */
+  private[catalog] final class Registry[V] {
+    private val m = scala.collection.mutable.LinkedHashMap[String, V]()
+    private def k(n: String) = n.toLowerCase
+    def apply(n: String): V = m.getOrElse(k(n),
+      throw new NoSuchElementException(s"key not found: ${k(n)}"))
+    def get(n: String): Option[V] = m.get(k(n))
+    def update(n: String, v: V): Unit = m.update(k(n), v)
+    def remove(n: String): Option[V] = m.remove(k(n))
+    def contains(n: String): Boolean = m.contains(k(n))
+    def getOrElse(n: String, default: => V): V = m.getOrElse(k(n), default)
+    def getOrElseUpdate(n: String, v: => V): V = m.getOrElseUpdate(k(n), v)
+    def keys: Iterable[String] = m.keys
+    def values: Iterable[V] = m.values
+    def toSeq: Seq[(String, V)] = m.toSeq
+  }
+
+  private val views = new Registry[() => DataFrame]()
 
   /** One registered model: its versions (1-based), per-version fit stats
     * (for FINETUNE), the training thunk (for RETRAIN), and the active
@@ -36,17 +59,17 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       var spec: Option[Fit.FitSpec],
       var active: Int)
 
-  private val models = scala.collection.mutable.LinkedHashMap[String, ModelEntry]()
+  private val models = new Registry[ModelEntry]()
 
   import Catalog.{AgentEntity, ChatbotEntity, DbEntity, KbEntity, MlEngineEntity, TriggerEntity}
 
-  private val kbs = scala.collection.mutable.LinkedHashMap[String, KbEntity]()
-  private val agents = scala.collection.mutable.LinkedHashMap[String, AgentEntity]()
-  private val databases = scala.collection.mutable.LinkedHashMap[String, DbEntity]()
-  private val triggers = scala.collection.mutable.LinkedHashMap[String, TriggerEntity]()
-  private val chatbots = scala.collection.mutable.LinkedHashMap[String, ChatbotEntity]()
-  private val mlEngines = scala.collection.mutable.LinkedHashMap[String, MlEngineEntity]()
-  private val skills = scala.collection.mutable.LinkedHashMap[String, Catalog.SkillEntity]()
+  private val kbs = new Registry[KbEntity]()
+  private val agents = new Registry[AgentEntity]()
+  private val databases = new Registry[DbEntity]()
+  private val triggers = new Registry[TriggerEntity]()
+  private val chatbots = new Registry[ChatbotEntity]()
+  private val mlEngines = new Registry[MlEngineEntity]()
+  private val skills = new Registry[Catalog.SkillEntity]()
 
   // ------------------------------------------------------------ resolution
 

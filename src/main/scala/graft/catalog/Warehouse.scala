@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
 final class Warehouse(val spark: SparkSession, val dir: String) {
   Files.createDirectories(Paths.get(dir))
 
-  private def path(name: String) = s"$dir/$name"
+  // table names are CASE-INSENSITIVE (reference parser lowercases
+  // unquoted identifiers): every name-keyed artifact — the data dir,
+  // version snapshots, txn keys — normalizes through these two helpers
+  private def path(name: String) = s"$dir/${name.toLowerCase}"
 
   def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
 
@@ -148,7 +151,8 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   // the live version by one and freezes the pre-image as its number.
   // `.`-prefixed snapshot dirs are invisible to listTables()/recover().
 
-  private def versionDir(name: String, v: Int) = s"$dir/.$name" + s"__v$v"
+  private def versionDir(name: String, v: Int) =
+    s"$dir/.${name.toLowerCase}" + s"__v$v"
 
   /** Versions retained for `name`, oldest first. Sparse after VACUUM
     * RETAIN: only the newest k survive, numbering unchanged. */
@@ -217,8 +221,9 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   /** Record `name`'s pre-image version the first time a transaction
     * touches it (-1 = did not exist → rollback drops it). */
-  private def txnTouch(name: String): Unit =
+  private def txnTouch(rawName: String): Unit =
     txnTouched.foreach { m =>
+      val name = rawName.toLowerCase
       if (!m.contains(name) && !name.startsWith("__"))
         m(name) = if (exists(name)) versionMarker(name) else -1
     }

@@ -67,9 +67,11 @@ final class Jobs {
 
   def create(job: Job): Unit = {
     parseSchedule(job.schedule) // validate eagerly, like CREATE JOB does
-    jobs(job.name) = job
+    // job names are case-insensitive like every reference object name
+    // (tests/unit/executor/test_lowercase.py test_job_name_lowercase)
+    jobs(job.name.toLowerCase) = job.copy(name = job.name.toLowerCase)
   }
-  def drop(name: String): Unit = jobs.remove(name)
+  def drop(name: String): Unit = jobs.remove(name.toLowerCase)
   def list(): Seq[Job] = jobs.values.toSeq
 
   /** One scheduler tick (the daemon loop body): run every due job whose

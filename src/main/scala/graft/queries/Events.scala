@@ -211,6 +211,29 @@ object Events extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // `COALESCE(LAST, <default>)`: the reference's override of LAST's
+    // init-to-max (tests/unit/executor/test_base_queires.py
+    // test_last_coalesce) — the FIRST run returns rows past the given
+    // default instead of swallowing history; the watermark then advances
+    // from results, so the second run sees only what arrived since
+    "e35_last_coalesce_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE TABLE ev35 AS SELECT event_id, ts, event_type
+        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'""")
+      val q = """SELECT event_id, ts, event_type FROM ev35
+        WHERE ts > COALESCE(LAST, TIMESTAMP '2024-01-16 00:00:00')"""
+      val run1 = c.execute(q) // first run: rows in (Jan 16, Jan 20)
+      c.execute("""INSERT INTO ev35 SELECT event_id, ts, event_type
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'""")
+      val run2 = c.execute(q) // second run: only the new arrivals
+      def sum1(df: DataFrame, run: Int) = df
+        .groupBy(lit(run).cast(IntegerType).as("run"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("first_ts"))
+      sum1(run1, 1).unionByName(sum1(run2, 2))
+        .orderBy(col("run"), col("event_type"))
+    }),
+
     // external-source polling trigger end-to-end (subscribe() semantics,
     // dummy_data_handler.py:102): a DSv2 mem table grows between two
     // fires; each fire key-diffs the snapshot and the trigger SQL
@@ -1073,6 +1096,24 @@ object Events extends QueryPack {
       WHERE ts > (SELECT MAX(ts) FROM events
                   WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
       GROUP BY event_type ORDER BY event_type""",
+
+    // run 1 = (default, Jan 20); run 2 = past run 1's max ts, which is
+    // the last event before Jan 20 — i.e. everything from Jan 20 on
+    "e35_last_coalesce_sql" -> """
+      SELECT CAST(1 AS INTEGER) AS run, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(ts) AS TIMESTAMP) AS first_ts
+      FROM events
+      WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+        AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), event_type,
+        CAST(COUNT(*) AS BIGINT), CAST(MIN(ts) AS TIMESTAMP)
+      FROM events
+      WHERE ts > (SELECT MAX(ts) FROM events
+                  WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+      GROUP BY event_type
+      ORDER BY run, event_type""",
 
     "e11_stream_join" -> """
       WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts

@@ -100,6 +100,9 @@ final class Commands(
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*""".r
   private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
   private val SetStmt = """(?is)\s*SET\s+(?:SESSION\s+)?(@?@?)([\w.]+)\s*=\s*(.+?)\s*""".r
+  // any SET with a body; the match arm's guard requires >1 comma-split
+  // assignment, so single SETs (incl. SET ACTIVE) fall through
+  private val SetMulti = """(?is)\s*SET\s+(.+?)\s*""".r
   private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
   private val DescribeModel =
     """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)(?:\.(\d+))?(?:\.(\w+))?\s*""".r
@@ -143,6 +146,8 @@ final class Commands(
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+log\.queries\b\s*(.*)""".r
   private val LastQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+([\w.]+)\s*>\s*LAST\b\s*(.*)""".r
+  private val LastCoalesceQuery =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+WHERE\s+([\w.]+)\s*>\s*COALESCE\s*\(\s*LAST\s*,\s*(.+?)\s*\)\s*(.*)""".r
   private val KbQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val ModelJoin =
@@ -194,6 +199,22 @@ final class Commands(
   /** user variables: `SET @x = …` / `SELECT @x`
     * (interfaces/variables/variables_controller.py) */
   private val userVars = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  /** split a SET body on commas OUTSIDE single quotes: each part is one
+    * `[SESSION] [@[@]]name = value` assignment; an assignment whose value
+    * quotes a comma (`SET @a = 'x,y'`) stays whole. */
+  private def splitAssignments(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(p => p.nonEmpty && p.contains("="))
+  }
 
   /** `LAST` watermark store for incremental SQL, persisted beside the
     * warehouse (same `.state` area as trigger checkpoints) so job
@@ -399,7 +420,7 @@ final class Commands(
       })
       ok(s"view $name created")
     case DropView(ifEx, name) =>
-      if (catalog.listViews().contains(name)) { catalog.dropView(name); ok(s"view $name dropped") }
+      if (catalog.listViews().contains(name.toLowerCase)) { catalog.dropView(name); ok(s"view $name dropped") }
       else { require(ifEx != null, s"view $name does not exist"); ok(s"view $name does not exist") }
 
     case CreateMv(name, tsCol, body) =>
@@ -424,7 +445,7 @@ final class Commands(
       // the reference's TS DDL (`… PREDICT v ORDER BY ts [GROUP BY g]
       // WINDOW n HORIZON h`, sql_query.py:181-205): the settings store
       // on the model; applying = joining data against it
-      if (catalog.listModels().contains(name)) {
+      if (catalog.listModels().contains(name.toLowerCase)) {
         if (ifNot != null) return ok(s"model $name already exists")
         require(orReplace != null, s"model $name already exists")
         catalog.dropModel(name)
@@ -439,7 +460,7 @@ final class Commands(
       // CREATE [OR REPLACE] MODEL [IF NOT EXISTS]: replace retrains in
       // place, if-not-exists is a no-op on conflict, bare CREATE on an
       // existing name errors (reference model lifecycle)
-      if (catalog.listModels().contains(name)) {
+      if (catalog.listModels().contains(name.toLowerCase)) {
         if (ifNot != null) return ok(s"model $name already exists")
         require(orReplace != null, s"model $name already exists")
         catalog.dropModel(name)
@@ -522,7 +543,7 @@ final class Commands(
           ok(s"model $name trained (version 1)")
       }
     case CreateModel(orReplace, ifNot, name, target, feats, weights, bias) =>
-      if (catalog.listModels().contains(name)) {
+      if (catalog.listModels().contains(name.toLowerCase)) {
         if (ifNot != null) return ok(s"model $name already exists")
         require(orReplace != null, s"model $name already exists")
         catalog.dropModel(name)
@@ -635,7 +656,7 @@ final class Commands(
       // ALTER VIEW … AS (command_executor.py:633 → answer_alter_view):
       // redefinition replaces the stored query text, same late-binding
       // semantics as CREATE VIEW
-      require(catalog.listViews().contains(name), s"view $name does not exist")
+      require(catalog.listViews().contains(name.toLowerCase), s"view $name does not exist")
       run(body)
       catalog.createView(name, {
         registerBase()
@@ -726,7 +747,7 @@ final class Commands(
           p.getOrElse("database", name), catalog = name)
       ok(s"database $name created (engine $engine)")
     case DropDatabase(ifEx, name) =>
-      if (catalog.listDatabases().contains(name)) {
+      if (catalog.listDatabases().contains(name.toLowerCase)) {
         catalog.dropDatabase(name); ok(s"database $name dropped")
       } else {
         require(ifEx != null, s"database $name does not exist")
@@ -1029,7 +1050,7 @@ final class Commands(
       // DESCRIBE MODEL name[.version][.attribute] — attribute access per
       // the reference's describe_model (command_executor.py:931-966,
       // model_controller.describe_model): info / features / model
-      require(catalog.listModels().contains(name), s"model $name does not exist")
+      require(catalog.listModels().contains(name.toLowerCase), s"model $name does not exist")
       val m = Option(versionO).fold(catalog.model(name))(v => catalog.model(name, v.toInt))
       def two(rows: Seq[(String, String)]): DataFrame = kv("part", "value", rows)
       Option(attrO).map(_.toLowerCase) match {
@@ -1156,6 +1177,15 @@ final class Commands(
         throw new NoSuchElementException(s"no prepared statement $name")
       ok(s"statement $name deallocated")
 
+    case SetMulti(assignments) if splitAssignments(assignments).length > 1 =>
+      // multi-assignment SET (reference test_multy_set:
+      // `set @@var = ON, session var = 0`) — each comma-separated
+      // assignment routes through the single-SET path, SESSION scope
+      // keyword and all
+      val parts = splitAssignments(assignments)
+      parts.foreach(p => execute(s"SET ${p.trim}"))
+      ok(s"set ${parts.length} variables")
+
     case SetStmt(prefix, key, value) =>
       // SET: `@var` = user variables (variables_controller), bare or
       // `@@var` = server variables recorded for SHOW VARIABLES and passed
@@ -1255,6 +1285,24 @@ final class Commands(
       df.createOrReplaceTempView(tv)
       spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 
+    case LastCoalesceQuery(sel, table, tsCol, default, rest) =>
+      // `WHERE <ts> > COALESCE(LAST, <default>)` — the reference's
+      // coalesce override (test_last_coalesce): the FIRST run filters
+      // past the given default (it returns rows immediately instead of
+      // initializing to current-max), then the watermark advances from
+      // results exactly like plain LAST
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(sql.trim.toLowerCase.replaceAll("\\s+", " ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val inc = watermarks.applyLastDefault(
+        catalog.resolve(table, Some(warehouse)), tsCol, key,
+        firstRun = _.filter(expr(s"$tsCol > $default"))).localCheckpoint()
+      val tv = s"__lastc_$key"
+      inc.createOrReplaceTempView(tv)
+      val out = spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
+      watermarks.advance(inc, tsCol, key)
+      out
+
     case LastQuery(sel, table, tsCol, rest) =>
       // incremental `WHERE <ts> > LAST` (context_controller.py:293-344):
       // first sight of a query initializes the watermark to the current
@@ -1291,7 +1339,7 @@ final class Commands(
       } yield (warehouse.table(s"${k.storage}_cents"), nprobe.toInt)
       KbSql.run(spark, warehouse.table(k.storage), where, Option(lim).map(_.toInt), index)
 
-    case ObjQuery(sel, name, where) if catalog.listModels().contains(name) =>
+    case ObjQuery(sel, name, where) if catalog.listModels().contains(name.toLowerCase) =>
       // ApplyPredictorRowStep as SQL (steps.py:172): SELECT ... FROM
       // <model> WHERE feature = literal [AND ...] — predict one row from
       // the WHERE values
@@ -1425,7 +1473,7 @@ final class Commands(
       spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 
     case ModelJoin(sel, tbl, sub, modelName, version, rest)
-        if catalog.listModels().contains(modelName) =>
+        if catalog.listModels().contains(modelName.toLowerCase) =>
       // SELECT ... FROM <data> JOIN <model>[.<version>]: joining a model
       // applies it (plan_join.py:357-401 — the reference swaps the join
       // for an ApplyPredictor step over the data side; a `.N` suffix
@@ -1844,7 +1892,10 @@ final class Commands(
     * expansion terminates and self-reference reads the base table). */
   private def registerViews(before: Option[String]): Unit = {
     val names = catalog.listViews()
-    before.fold(names)(b => names.takeWhile(_ != b)).foreach { n =>
+    // listings report canonical lowercase names; the sentinel may carry
+    // the user's original case — compare case-insensitively, or the view
+    // being defined would register itself and expand forever
+    before.fold(names)(b => names.takeWhile(!_.equalsIgnoreCase(b))).foreach { n =>
       catalog.resolve(n, Some(warehouse)).createOrReplaceTempView(n)
     }
   }

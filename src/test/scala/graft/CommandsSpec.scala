@@ -14,6 +14,36 @@ class CommandsSpec extends AnyFunSuite {
   private def fresh(): Commands =
     new Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
 
+  test("object names are case-insensitive across kinds (reference lowercases identifiers)") {
+    val c = fresh()
+    // view: created MixedCase, read lowercase, dropped UPPER
+    c.execute("CREATE VIEW BigOrders AS SELECT * FROM orders WHERE o_totalprice > 100000")
+    assert(c.execute("SELECT count(*) AS n FROM bigorders").first().getLong(0) > 0)
+    assert(c.catalog.listViews() === Seq("bigorders"),
+      "listing must report the canonical lowercase name")
+    c.execute("DROP VIEW BIGORDERS")
+    assert(c.catalog.listViews().isEmpty)
+    // warehouse table: CTAS MixedCase, INSERT lowercase, SELECT UPPER
+    c.execute("CREATE TABLE CaseTbl AS SELECT 1 AS a")
+    c.execute("INSERT INTO casetbl VALUES (2)")
+    assert(c.execute("SELECT count(*) AS n FROM CASETBL").first().getLong(0) === 2L)
+    c.execute("DROP TABLE CaseTbl")
+    // database + ml_engine + job round-trip through different cases
+    c.execute("CREATE DATABASE CaseDb WITH ENGINE='mem'")
+    assert(c.catalog.listDatabases().contains("casedb"))
+    c.execute("DROP DATABASE CASEDB")
+    c.execute("CREATE JOB CaseJob AS (SELECT 1) EVERY 1 hour")
+    c.execute("DROP JOB casejob")
+  }
+
+  test("multi-assignment SET routes each part; quoted commas stay whole") {
+    val c = fresh()
+    c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")
+    assert(c.execute("SELECT @@autocommit AS v").first().getString(0) === "ON")
+    assert(c.execute("SELECT @@sql_select_limit AS v").first().getString(0) === "5")
+    assert(c.execute("SELECT @u AS v").first().getString(0) === "a,b")
+  }
+
   test("CREATE VIEW / query through it / DROP VIEW") {
     val c = fresh()
     c.execute("CREATE VIEW big_orders AS SELECT * FROM orders WHERE o_totalprice > 100000")

@@ -560,13 +560,20 @@ object SqlRender {
   * plans its own hash joins; swapping it for a real connection is the
   * one seam left when egress unblocks. */
 object MemEngine {
-  def run(sql: String, tables: Seq[String]): Seq[Row] = {
+  def run(sql: String, tables: Seq[String]): Seq[Row] =
+    runWithSchema(sql, tables)._2
+
+  /** Same execution, returning the result schema too (the native_query
+    * route needs it to rebuild a typed DataFrame from the row batch). */
+  def runWithSchema(sql: String, tables: Seq[String])
+      : (org.apache.spark.sql.types.StructType, Seq[Row]) = {
     val engine = SparkSession.active.newSession()
     tables.foreach { t =>
       val (schema, rows) = MemTables.registry.getOrElse(t,
         throw new IllegalStateException(s"mem table $t not registered"))
       engine.createDataFrame(rows.asJava, schema).createOrReplaceTempView(t)
     }
-    engine.sql(sql).collect().toSeq
+    val df = engine.sql(sql)
+    (df.schema, df.collect().toSeq)
   }
 }

@@ -377,6 +377,22 @@ object FederationPack extends QueryPack {
         .orderBy(col("s_nationkey"))
     }),
 
+    // the reference's raw-SQL-in-FROM syntax on the statement surface:
+    // `SELECT … FROM <db> (<native sql>) ORDER BY …` — the inner Derby-
+    // dialect statement executes verbatim in the live engine and only
+    // its finished result enters the Spark plan (sql_query.py routes
+    // this to FetchDataframeStep over a native query)
+    "f23_native_from_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      JdbcDb.seedFromParquet(s, dir, "nation")
+      c.execute("CREATE DATABASE extdb_f23 WITH ENGINE='derby', " +
+        s"PARAMETERS = database='${JdbcDb.dbName(dir)}'")
+      c.execute("""SELECT n_regionkey, n FROM extdb_f23 (
+        SELECT t."n_regionkey" AS "n_regionkey", CAST(COUNT(*) AS BIGINT) AS "n"
+        FROM APP.NATION t GROUP BY t."n_regionkey") ORDER BY n_regionkey""")
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -557,6 +573,10 @@ object FederationPack extends QueryPack {
     "f22_jdbc_partitioned_read" -> s"""
       SELECT s_nationkey, COUNT(*) AS n, ${oSum("s_acctbal")} AS total
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    "f23_native_from_sql" -> """
+      SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

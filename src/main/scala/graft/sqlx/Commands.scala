@@ -103,6 +103,14 @@ final class Commands(
   // any SET with a body; the match arm's guard requires >1 comma-split
   // assignment, so single SETs (incl. SET ACTIVE) fall through
   private val SetMulti = """(?is)\s*SET\s+(.+?)\s*""".r
+  // `SELECT … FROM <db> (<native sql>) [alias] [clauses]` — the
+  // reference's raw-SQL-in-FROM passthrough (planner FetchDataframeStep
+  // over a native query; tests test_subselect_1row_aggregate). The lazy
+  // inner + anchored tail finds the true closing paren even when the
+  // native statement nests parens; only registered databases match (the
+  // arm's guard), so `FROM range(10)` still reaches Catalyst.
+  private val NativeFromQuery =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s*\(\s*(.+?)\s*\)\s*(?:(?:AS\s+)?(\w+)\s*)?((?:WHERE|GROUP|ORDER|LIMIT|HAVING)\b.*)?""".r
   private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
   private val DescribeModel =
     """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)(?:\.(\d+))?(?:\.(\w+))?\s*""".r
@@ -412,7 +420,18 @@ final class Commands(
       // stays non-recursive: while expanding view v, only views created
       // BEFORE v are registered, so `FROM v` inside v's body resolves to
       // the base/warehouse table.
-      run(body)
+      val probe = run(body)
+      // the reference REFUSES a view whose output has ambiguous column
+      // names (test_view_duplicated_cols — e.g. `SELECT *` over a join
+      // where both sides carry `id`): every later reference to that
+      // column would be unresolvable, so fail at CREATE, loudly
+      locally {
+        val dups = probe.columns.map(_.toLowerCase)
+          .groupBy(identity).collect { case (c, hits) if hits.length > 1 => c }
+        require(dups.isEmpty,
+          s"view $name has duplicated column(s): ${dups.mkString(", ")} — " +
+            "alias them in the view body")
+      }
       catalog.createView(name, {
         registerBase()
         registerViews(before = Some(name))
@@ -1176,6 +1195,32 @@ final class Commands(
       if (prepared.remove(name).isEmpty)
         throw new NoSuchElementException(s"no prepared statement $name")
       ok(s"statement $name deallocated")
+
+    case NativeFromQuery(sel, db, inner, aliasO, restO)
+        if catalog.database(db).isDefined =>
+      // raw-SQL passthrough: the inner statement executes VERBATIM in the
+      // bound engine (live JDBC for derby/jdbc, the isolated-session
+      // stand-in for mem) and only its result enters the Spark plan —
+      // exactly the reference's `SELECT … FROM pg (select …)` route
+      val ent = catalog.database(db).get
+      val result = ent.engine match {
+        case "derby" | "jdbc" =>
+          graft.federation.JdbcDb.nativeQuery(spark,
+            ent.params.getOrElse("database", db), inner)
+        case "mem" =>
+          val tables = graft.federation.MemTables.registry.keys.toSeq
+            .filter(t => inner.toLowerCase.contains(t.toLowerCase))
+          val (schema, rows) = graft.federation.MemEngine
+            .runWithSchema(inner, tables)
+          spark.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+        case other => throw new IllegalArgumentException(
+          s"database $db (engine $other) does not accept native queries")
+      }
+      val tv = Option(aliasO).getOrElse(
+        "__native_" + Integer.toHexString(sql.hashCode))
+      result.createOrReplaceTempView(tv)
+      spark.sql(s"SELECT $sel FROM $tv ${Option(restO).getOrElse("")}")
 
     case SetMulti(assignments) if splitAssignments(assignments).length > 1 =>
       // multi-assignment SET (reference test_multy_set:

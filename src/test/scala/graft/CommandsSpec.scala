@@ -36,6 +36,17 @@ class CommandsSpec extends AnyFunSuite {
     c.execute("DROP JOB casejob")
   }
 
+  test("CREATE VIEW with ambiguous output columns is refused at CREATE") {
+    val c = fresh()
+    val e = intercept[IllegalArgumentException] {
+      c.execute("""CREATE VIEW dup_v AS
+        SELECT * FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey,
+          LATERAL (SELECT n.n_name AS r_name) x""")
+    }
+    assert(e.getMessage.contains("duplicated column"))
+    assert(c.catalog.listViews().isEmpty, "the refused view must not register")
+  }
+
   test("multi-assignment SET routes each part; quoted commas stay whole") {
     val c = fresh()
     c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")

@@ -538,6 +538,23 @@ object ModelPack extends QueryPack {
     // training query and activates the new version. The oracle recomputes
     // the same regression independently in DuckDB (regr_slope/intercept)
     // and checks both the predictions and the version bookkeeping.
+    // model column MAPPING through the join's ON clause (reference
+    // test_model_column_maping): the data table's `qty` feeds the
+    // model's `l_quantity` feature via `ON m.l_quantity = t.qty` — no
+    // renaming in the data, the mapping lives in the join condition
+    "m35_model_column_mapping" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE MODEL price_m35 FROM
+        (SELECT l_quantity, l_extendedprice FROM lineitem)
+        PREDICT l_extendedprice USING features='l_quantity', score_column='pred'""")
+      c.execute("""CREATE TABLE grid_m35 AS
+        SELECT CAST(id*10 AS DOUBLE) AS qty FROM range(1, 4)""")
+      c.execute("""SELECT qty, ROUND(pred, 6) AS pred
+        FROM grid_m35 t JOIN price_m35 m ON m.l_quantity = t.qty
+        ORDER BY qty""")
+    }),
+
     "m06_retrain_version" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s,
         new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
@@ -1294,6 +1311,16 @@ object ModelPack extends QueryPack {
       FROM lineitem, fit
       WHERE l_quantity >= 48
       ORDER BY l_orderkey, l_linenumber""",
+
+    "m35_model_column_mapping" -> """
+      WITH fit AS (
+        SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS w,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS b
+        FROM lineitem)
+      SELECT CAST(q*10 AS DOUBLE) AS qty,
+        ROUND(b + w * (q*10), 6) AS pred
+      FROM fit, UNNEST(generate_series(1, 3)) AS t(q)
+      ORDER BY qty""",
 
     "m06_retrain_version" -> """
       WITH fit AS (

@@ -159,7 +159,7 @@ final class Commands(
   private val KbQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val ModelJoin =
-    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))\s+JOIN\s+(\w+)(?:\.(\d+))?\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))(?:\s+(?:AS\s+)?(\w+))?\s+JOIN\s+(\w+)(?:\.(\d+))?(?:\s+(?:AS\s+)?(\w+))?(?:\s+ON\s+(.+?))?\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
   private val AsofJoinStmt =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?\s+ASOF\s+(?:LEFT\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
   private val AsofCond = """(?is)\s*([\w.]+)\s*(=|>=|<=)\s*([\w.]+)\s*""".r
@@ -1517,7 +1517,7 @@ final class Commands(
       joined.createOrReplaceTempView(tv)
       spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 
-    case ModelJoin(sel, tbl, sub, modelName, version, rest)
+    case ModelJoin(sel, tbl, sub, dataAlias, modelName, version, modelAlias, onCond, rest)
         if catalog.listModels().contains(modelName.toLowerCase) =>
       // SELECT ... FROM <data> JOIN <model>[.<version>]: joining a model
       // applies it (plan_join.py:357-401 — the reference swaps the join
@@ -1553,7 +1553,32 @@ final class Commands(
             org.apache.spark.sql.functions.lit(from))
         case _ => rawData
       }
-      val applied = graft.ml.Predict.applyModel(data, model)
+      // model column MAPPING from the join's ON clause (reference
+      // test_model_column_maping; apply_predictor maps input columns
+      // through join conditions): `JOIN pred m ON m.input = t.a` feeds
+      // the data's `a` to the model's `input` feature. The side
+      // qualified by the model's alias/name names the FEATURE; the
+      // mapped column is ADDED, so the original stays selectable.
+      val mapped = Option(onCond).fold(data) { cond =>
+        val mAlias = Option(modelAlias).getOrElse(modelName).toLowerCase
+        cond.split("(?i)\\s+AND\\s+").foldLeft(data) { (df, pair) =>
+          pair.split("=") match {
+            case Array(l, r) =>
+              def part(s: String): (Option[String], String) = {
+                val p = s.trim.split("\\.")
+                if (p.length == 2) (Some(p(0).toLowerCase), p(1)) else (None, p(0))
+              }
+              val (lq, lc) = part(l); val (rq, rc) = part(r)
+              val (feature, dataCol) =
+                if (lq.contains(mAlias) || lq.contains(modelName.toLowerCase)) (lc, rc)
+                else if (rq.contains(mAlias) || rq.contains(modelName.toLowerCase)) (rc, lc)
+                else (lc, rc)
+              df.withColumn(feature, org.apache.spark.sql.functions.col(dataCol))
+            case _ => df
+          }
+        }
+      }
+      val applied = graft.ml.Predict.applyModel(mapped, model)
       val tv = s"__model_join_$modelName"
       applied.createOrReplaceTempView(tv)
       // `WHERE <ts> > LATEST` on a TS model join is the reference's

@@ -159,7 +159,7 @@ final class Commands(
   private val KbQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+WHERE\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*""".r
   private val ModelJoin =
-    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))(?:\s+(?:AS\s+)?(\w+))?\s+JOIN\s+(\w+)(?:\.(\d+))?(?:\s+(?:AS\s+)?(\w+))?(?:\s+ON\s+(.+?))?\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:(\w+)|\((.+)\))(?:\s+(?:AS\s+)?(\w+))?\s+JOIN\s+(\w+)(?:\.(\d+))?(?:\s+(?:AS\s+)?(\w+))?(?:\s+ON\s+(.+?))?(?:\s+USING\s+partition_size\s*=\s*(\d+))?\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
   private val AsofJoinStmt =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?\s+ASOF\s+(?:LEFT\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s*((?:WHERE|GROUP|ORDER|LIMIT).*)?""".r
   private val AsofCond = """(?is)\s*([\w.]+)\s*(=|>=|<=)\s*([\w.]+)\s*""".r
@@ -1517,7 +1517,8 @@ final class Commands(
       joined.createOrReplaceTempView(tv)
       spark.sql(s"SELECT $sel FROM $tv ${Option(rest).getOrElse("")}")
 
-    case ModelJoin(sel, tbl, sub, dataAlias, modelName, version, modelAlias, onCond, rest)
+    case ModelJoin(sel, tbl, sub, dataAlias, modelName, version, modelAlias,
+        onCond, partitionSize, rest)
         if catalog.listModels().contains(modelName.toLowerCase) =>
       // SELECT ... FROM <data> JOIN <model>[.<version>]: joining a model
       // applies it (plan_join.py:357-401 — the reference swaps the join
@@ -1578,7 +1579,15 @@ final class Commands(
           }
         }
       }
-      val applied = graft.ml.Predict.applyModel(mapped, model)
+      // `USING partition_size=N` (reference test_predict_partition:
+      // ApplyPredictorStep batches the data side N rows at a time) —
+      // Spark-side, batch size IS partition size: repartition so each
+      // task's batch holds at most N rows, then predict per partition
+      val batched = Option(partitionSize).fold(mapped) { n =>
+        val rows = mapped.count()
+        mapped.repartition(math.max(1, math.ceil(rows.toDouble / n.toLong).toInt))
+      }
+      val applied = graft.ml.Predict.applyModel(batched, model)
       val tv = s"__model_join_$modelName"
       applied.createOrReplaceTempView(tv)
       // `WHERE <ts> > LATEST` on a TS model join is the reference's

@@ -47,6 +47,18 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.catalog.listViews().isEmpty, "the refused view must not register")
   }
 
+  test("model join honors USING partition_size=N (batched prediction)") {
+    val c = fresh()
+    c.execute("""CREATE MODEL ps_model FROM
+      (SELECT l_quantity, l_extendedprice FROM lineitem)
+      PREDICT l_extendedprice USING features='l_quantity', score_column='pred'""")
+    c.execute("CREATE TABLE ps_grid AS SELECT CAST(id AS DOUBLE) AS l_quantity FROM range(0, 6)")
+    val out = c.execute(
+      "SELECT l_quantity, pred FROM ps_grid JOIN ps_model USING partition_size=2")
+    assert(out.count() === 6, "all rows must survive batching")
+    assert(out.rdd.getNumPartitions === 3, "6 rows / batch 2 = 3 partitions")
+  }
+
   test("multi-assignment SET routes each part; quoted commas stay whole") {
     val c = fresh()
     c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")

@@ -56,7 +56,15 @@ object FileSource {
     case "json" => spark.read.json(path)
     case "txt" => spark.read.text(path)
     case "parquet" => spark.read.parquet(path)
-    case "xlsx" => readXlsx(spark, path)
+    case "xlsx" =>
+      // multipage workbook: the bare name lists its PAGES (reference
+      // files handler; test_multipage) — address one as files.<f>.<page>
+      val pages = xlsxSheets(path)
+      if (pages.length > 1)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(pages.map(Row(_)), 1),
+          StructType(Seq(StructField("page", StringType))))
+      else readXlsx(spark, path)
     case "pdf" => readPdf(spark, path)
   }
 
@@ -232,8 +240,35 @@ object FileSource {
     * DOUBLE, the rest stay STRING (the reference delegates the same
     * inference to pandas.read_excel). Handles shared strings, inline
     * strings, booleans and blank cells. */
-  def readXlsx(spark: SparkSession, path: String): DataFrame = {
-    val (header, cells) = parseXlsx(path)
+  def readXlsx(spark: SparkSession, path: String): DataFrame =
+    readXlsx(spark, path, None)
+
+  /** Sheet (page) names of a workbook, in workbook order — the
+    * reference's multipage surface (`SELECT * FROM files.<f>` on a
+    * multi-sheet workbook lists pages; file_reader.get_pages :255). */
+  def xlsxSheets(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      Option(zf.getEntry("xl/workbook.xml")).map { e =>
+        val els = dom(zf.getInputStream(e).readAllBytes())
+          .getElementsByTagName("sheet")
+        (0 until els.getLength).map(i =>
+          els.item(i).asInstanceOf[org.w3c.dom.Element].getAttribute("name"))
+      }.getOrElse {
+        // no workbook part: fall back to worksheet entry names
+        zf.entries().asScala.map(_.getName)
+          .filter(n => n.startsWith("xl/worksheets/") && n.endsWith(".xml"))
+          .toSeq.sorted.map(_.stripPrefix("xl/worksheets/").stripSuffix(".xml"))
+      }
+    } finally zf.close()
+  }
+
+  /** Multipage read: `sheet = Some(name)` reads that page
+    * (file_reader.py:374-381 — pandas read_excel(sheet_name=...));
+    * None reads the first page. */
+  def readXlsx(spark: SparkSession, path: String, sheet: Option[String]): DataFrame = {
+    val (header, cells) = parseXlsx(path, sheet)
     require(header.nonEmpty, s"empty worksheet in $path")
     val n = header.length
     val padded = cells.map(r => r.padTo(n, None).take(n))
@@ -250,8 +285,10 @@ object FileSource {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** zip + XML parse → (header, data rows as Option[String] cells). */
-  private def parseXlsx(path: String): (Seq[String], Seq[Seq[Option[String]]]) = {
+  /** zip + XML parse → (header, data rows as Option[String] cells).
+    * `sheetName` picks a page by its workbook name; None = first page. */
+  private def parseXlsx(path: String, sheetName: Option[String] = None)
+      : (Seq[String], Seq[Seq[Option[String]]]) = {
     import scala.jdk.CollectionConverters._
     val zf = new java.util.zip.ZipFile(path)
     try {
@@ -262,10 +299,46 @@ object FileSource {
           val els = dom(b).getElementsByTagName("si")
           (0 until els.getLength).map(i => textOfTs(els.item(i)))
         }.getOrElse(IndexedSeq.empty)
-      val sheet = zf.entries().asScala.map(_.getName)
+      val entries = zf.entries().asScala.map(_.getName)
         .filter(e => e.startsWith("xl/worksheets/") && e.endsWith(".xml"))
-        .toSeq.sorted.headOption
-        .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
+        .toSeq.sorted
+      val sheet = sheetName match {
+        case None => entries.headOption
+          .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
+        case Some(want) =>
+          // workbook.xml name → r:id, rels r:id → worksheet target
+          val target = for {
+            wb <- bytes("xl/workbook.xml")
+            rid <- {
+              val els = dom(wb).getElementsByTagName("sheet")
+              (0 until els.getLength).map(_i =>
+                els.item(_i).asInstanceOf[org.w3c.dom.Element])
+                .find(_.getAttribute("name").equalsIgnoreCase(want))
+                .map(e => Option(e.getAttribute("r:id")).filter(_.nonEmpty)
+                  .getOrElse(e.getAttribute("id")))
+            }
+            rels <- bytes("xl/_rels/workbook.xml.rels")
+            t <- {
+              val els = dom(rels).getElementsByTagName("Relationship")
+              (0 until els.getLength).map(_i =>
+                els.item(_i).asInstanceOf[org.w3c.dom.Element])
+                .find(_.getAttribute("Id") == rid)
+                .map(_.getAttribute("Target").stripPrefix("/xl/").stripPrefix("./"))
+            }
+          } yield "xl/" + t
+          target.orElse(
+            // rels missing (minimal writers): match by entry order of the
+            // workbook's sheet list
+            bytes("xl/workbook.xml").flatMap { wb =>
+              val els = dom(wb).getElementsByTagName("sheet")
+              val names = (0 until els.getLength).map(_i =>
+                els.item(_i).asInstanceOf[org.w3c.dom.Element].getAttribute("name"))
+              val idx = names.indexWhere(_.equalsIgnoreCase(want))
+              if (idx >= 0 && idx < entries.length) Some(entries(idx)) else None
+            })
+            .getOrElse(throw new IllegalArgumentException(
+              s"no sheet '$want' in $path (pages: ${xlsxSheets(path).mkString(", ")})"))
+      }
       val rowEls = dom(bytes(sheet).get).getElementsByTagName("row")
       val all = (0 until rowEls.getLength).map { i =>
         val row = rowEls.item(i).asInstanceOf[org.w3c.dom.Element]
@@ -319,7 +392,13 @@ object FileSource {
 
   /** Minimal .xlsx writer (round-trip support for the reader): numbers as
     * numeric cells, everything else as inline strings. */
-  def writeXlsx(path: String, header: Seq[String], rows: Seq[Seq[Any]]): Unit = {
+  def writeXlsx(path: String, header: Seq[String], rows: Seq[Seq[Any]]): Unit =
+    writeXlsxPages(path, Seq(("Sheet1", header, rows)))
+
+  /** Multipage writer: one (name, header, rows) per sheet — produces the
+    * workbook.xml + rels mapping the multipage reader resolves. */
+  def writeXlsxPages(path: String,
+      pages: Seq[(String, Seq[String], Seq[Seq[Any]])]): Unit = {
     def colRef(i: Int): String = {
       var n = i + 1; val sb = new StringBuilder
       while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
@@ -331,8 +410,8 @@ object FileSource {
       case n: Number => s"""<c r="$ref"><v>$n</v></c>"""
       case other => s"""<c r="$ref" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
     }
-    val allRows = header +: rows
-    val sheetXml = {
+    def sheetXml(header: Seq[String], rows: Seq[Seq[Any]]): String = {
+      val allRows = header +: rows
       val sb = new StringBuilder(
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
@@ -343,6 +422,7 @@ object FileSource {
       }
       sb.append("</sheetData></worksheet>").toString
     }
+    val idx = pages.indices.map(_ + 1)
     val parts = Seq(
       "[Content_Types].xml" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -350,7 +430,7 @@ object FileSource {
          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
          """<Default Extension="xml" ContentType="application/xml"/>""" +
          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
-         """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+         idx.map(i => s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
          """</Types>"""),
       "_rels/.rels" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -360,13 +440,19 @@ object FileSource {
       "xl/workbook.xml" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
-         """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+         "<sheets>" +
+         pages.zip(idx).map { case ((nm, _, _), i) =>
+           s"""<sheet name="${esc(nm)}" sheetId="$i" r:id="rId$i"/>"""
+         }.mkString +
+         "</sheets></workbook>"),
       "xl/_rels/workbook.xml.rels" ->
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
-         """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
-         """</Relationships>"""),
-      "xl/worksheets/sheet1.xml" -> sheetXml)
+         idx.map(i => s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
+         """</Relationships>""")) ++
+      pages.zip(idx).map { case ((_, h, r), i) =>
+        s"xl/worksheets/sheet$i.xml" -> sheetXml(h, r)
+      }
     val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(Paths.get(path)))
     try parts.foreach { case (name, content) =>
       out.putNextEntry(new java.util.zip.ZipEntry(name))

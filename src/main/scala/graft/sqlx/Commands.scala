@@ -1659,15 +1659,26 @@ final class Commands(
         substitute(inlineCtes(w.child), defs)
       case p => p
     }
-    def fileRel(p: LogicalPlan): Option[(String, String)] = p match {
+    def fileRel(p: LogicalPlan): Option[(String, String, Option[String])] = p match {
       case SubqueryAlias(id, u: UnresolvedRelation)
           if u.multipartIdentifier.size == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("files") =>
-        Some((u.multipartIdentifier(1), id.name))
+        Some((u.multipartIdentifier(1), id.name, None))
       case u: UnresolvedRelation
           if u.multipartIdentifier.size == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("files") =>
-        Some((u.multipartIdentifier(1), u.multipartIdentifier(1)))
+        Some((u.multipartIdentifier(1), u.multipartIdentifier(1), None))
+      // files.<name>.<page> — one page of a multipage workbook
+      // (reference test_multipage: `select * from files.test.<sheet>`)
+      case SubqueryAlias(id, u: UnresolvedRelation)
+          if u.multipartIdentifier.size == 3 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("files") =>
+        Some((u.multipartIdentifier(1), id.name, Some(u.multipartIdentifier(2))))
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 3 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("files") =>
+        Some((u.multipartIdentifier(1), u.multipartIdentifier(2),
+          Some(u.multipartIdentifier(2))))
       case _ => None
     }
     val inlined = inlineCtes(parsed)
@@ -1715,7 +1726,7 @@ final class Commands(
       // area, format-sniffed by FileSource (csv/json/parquet/xlsx/pdf/
       // txt) into a DISTRIBUTED scan, never a driver-side read
       case rel if fileRel(rel).isDefined =>
-        val (name, alias) = fileRel(rel).get
+        val (name, alias, page) = fileRel(rel).get
         val dirPath = java.nio.file.Paths.get(s"${warehouse.dir}/.files")
         val candidates =
           if (!java.nio.file.Files.isDirectory(dirPath)) Seq.empty
@@ -1730,7 +1741,12 @@ final class Commands(
             finally s.close()
           }
         require(candidates.nonEmpty, s"file $name not found in files storage")
-        val df = graft.federation.FileSource.read(spark, candidates.head.toString)
+        val df = page match {
+          case Some(p) => graft.federation.FileSource
+            .readXlsx(spark, candidates.head.toString, Some(p))
+          case None =>
+            graft.federation.FileSource.read(spark, candidates.head.toString)
+        }
         SubqueryAlias(alias, df.queryExecution.analyzed)
     }
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, rewritten)

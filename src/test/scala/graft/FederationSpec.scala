@@ -379,6 +379,29 @@ class FederationSpec extends AnyFunSuite {
     assert(r.getString(0) === "rich" && r.getString(1) === "true")
   }
 
+  test("multipage workbook: bare name lists pages; files.<f>.<page> reads one (reference test_multipage)") {
+    import graft.federation.FileSource
+    val tmp = java.nio.file.Files.createTempDirectory("xlsx_pages").toString
+    FileSource.writeXlsxPages(s"$tmp/book.xlsx", Seq(
+      ("Alpha", Seq("a", "b", "c", "d"), Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8))),
+      ("Beta", Seq("x", "y"), Seq(Seq("u", "v")))))
+    // bare read → the page list, like the reference's files handler
+    val pages = FileSource.read(spark, s"$tmp/book.xlsx")
+      .collect().map(_.getString(0)).toSeq
+    assert(pages === Seq("Alpha", "Beta"))
+    // page addressing through the SQL namespace
+    val c = new graft.sqlx.Commands(spark,
+      new graft.catalog.Catalog(spark, dir), graft.catalog.Warehouse.temp(spark))
+    val filesDir = java.nio.file.Paths.get(s"${c.warehouse.dir}/.files")
+    java.nio.file.Files.createDirectories(filesDir)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$tmp/book.xlsx"),
+      filesDir.resolve("book.xlsx"))
+    assert(c.execute("SELECT * FROM files.book").collect()
+      .map(_.getString(0)).toSeq === Seq("Alpha", "Beta"))
+    assert(c.execute("SELECT * FROM files.book.Alpha").columns.length === 4)
+    assert(c.execute("SELECT * FROM files.book.Beta").columns.toSeq === Seq("x", "y"))
+  }
+
   test("pdf reader: Flate stream, escapes, nested parens, line structure") {
     import graft.federation.FileSource
     val tmp = java.nio.file.Files.createTempDirectory("pdf_spec").toString

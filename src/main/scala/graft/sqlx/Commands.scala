@@ -6,7 +6,7 @@ import graft.kb.Kb
 import graft.ml.{Fit, LinearModel}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, count, expr, lit}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Statement router for the MindsDB-style DDL surface (SURVEY §2.13;
   * reference `ExecuteCommands.execute_command` dispatch,
@@ -92,7 +92,7 @@ final class Commands(
   private val InsertOverwriteStmt =
     """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
   private val ShowStmt =
-    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|SKILLS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS)\s*(?:LIKE\s+'([^']*)')?\s*""".r
+    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|SKILLS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS|PROCESSLIST)\s*(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
@@ -1033,6 +1033,25 @@ final class Commands(
         case "COLLATION" => kv("collation", "charset",
           Seq("binary" -> "binary", "utf8mb4_general_ci" -> "utf8mb4"))
         case "WARNINGS" => kv("level", "message", Nil)
+        case "PROCESSLIST" =>
+          // the MySQL-proxy processlist over the same statement log that
+          // backs mindsdb.queries and KILL (mysql proxy answers SHOW
+          // [FULL] PROCESSLIST; mindsdb_tables.py:430)
+          val rows = queryLog.synchronized {
+            queryLog.values.toSeq.map(r => Row(
+              r.id, "mindsdb", "localhost", "mindsdb", r.kind,
+              ((Option(r.finishedAt).map(_.getTime)
+                .getOrElse(System.currentTimeMillis()) -
+                r.startedAt.getTime) / 1000).toInt,
+              r.state, r.statement.take(100)))
+          }
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            StructType(Seq(
+              StructField("Id", LongType), StructField("User", StringType),
+              StructField("Host", StringType), StructField("db", StringType),
+              StructField("Command", StringType), StructField("Time", IntegerType),
+              StructField("State", StringType), StructField("Info", StringType))))
       })
     case ShowColumns(name) =>
       val fields = catalog.resolve(name, Some(warehouse)).schema.fields

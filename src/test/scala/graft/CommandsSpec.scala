@@ -59,6 +59,16 @@ class CommandsSpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions === 3, "6 rows / batch 2 = 3 partitions")
   }
 
+  test("SHOW PROCESSLIST reports the statement log incl. the running statement") {
+    val c = fresh()
+    c.execute("SELECT count(*) AS n FROM region")
+    val pl = c.execute("SHOW FULL PROCESSLIST").collect()
+    assert(pl.length >= 2, "expects at least the SELECT and the SHOW itself")
+    assert(pl.exists(r => r.getString(4) == "SELECT" && r.getString(6) == "ok"))
+    // the SHOW statement itself is in-flight while it answers
+    assert(pl.exists(r => r.getString(4) == "SHOW" && r.getString(6) == "running"))
+  }
+
   test("multi-assignment SET routes each part; quoted commas stay whole") {
     val c = fresh()
     c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")

@@ -957,10 +957,27 @@ final class Commands(
 
     case InsertStmt(name, colList, body) => catalog.kb(name) match {
       case Some(k) =>
-        // INSERT INTO <kb> SELECT ... = chunk + embed ingest
-        // (controller.py:680-740; partitioned auto-rewrite aside)
-        val src = run(stripParens(body))
-        val contentCol = k.params.getOrElse("content_columns", "text")
+        // INSERT INTO <kb> [(id, content, meta…)] SELECT|VALUES … =
+        // chunk + embed ingest (controller.py:680-740); a column list
+        // names the VALUES columns — `content` is the content column and
+        // everything else rides along as metadata
+        // (test_select_allowed_columns inserts ad-hoc metadata this way)
+        val src0 =
+          if (colList != null)
+            run(s"SELECT * FROM (${stripParens(body)}) AS __ins($colList)")
+          else run(stripParens(body))
+        // reference insert contract: `id` names the document, `content`
+        // the text, anything else is metadata; the chunker keys on
+        // doc_id and derives its own `content`, so both get mapped
+        val src1 =
+          if (src0.columns.contains("doc_id") || !src0.columns.contains("id")) src0
+          else src0.withColumnRenamed("id", "doc_id")
+        val cc0 = k.params.getOrElse("content_columns",
+          if (src1.columns.contains("content")) "content" else "text")
+        val (src, contentCol) =
+          if (cc0 == "content")
+            (src1.withColumnRenamed("content", "__kb_content_src"), "__kb_content_src")
+          else (src1, cc0)
         // preprocessor selection (preprocessing_config — text chunking is
         // the default; contextual and JSON chunkers opt in per KB)
         val chunks = k.params.get("preprocessor") match {

@@ -69,6 +69,21 @@ class CommandsSpec extends AnyFunSuite {
     assert(pl.exists(r => r.getString(4) == "SHOW" && r.getString(6) == "running"))
   }
 
+  test("KB column-list VALUES insert: id/content map, extras become searchable metadata") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE kbcols")
+    c.execute("INSERT INTO kbcols (id, content, col1) VALUES " +
+      "(1, 'alpha beta gamma', 'val1'), (2, 'delta epsilon zeta', 'val2')")
+    val hit = c.execute("SELECT * FROM kbcols WHERE col1 = 'val1'")
+    assert(hit.count() === 1)
+    assert(hit.first().getAs[String]("content").startsWith("alpha"))
+    assert(c.execute("SELECT * FROM kbcols WHERE col1 = 'nope'").count() === 0)
+    // unknown metadata column errors loudly (reference raises ValueError)
+    intercept[Exception] {
+      c.execute("SELECT * FROM kbcols WHERE col9 = 'x'").collect()
+    }
+  }
+
   test("multi-assignment SET routes each part; quoted commas stay whole") {
     val c = fresh()
     c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")

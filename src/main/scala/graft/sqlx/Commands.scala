@@ -970,8 +970,18 @@ final class Commands(
         // the text, anything else is metadata; the chunker keys on
         // doc_id and derives its own `content`, so both get mapped
         val src1 =
-          if (src0.columns.contains("doc_id") || !src0.columns.contains("id")) src0
-          else src0.withColumnRenamed("id", "doc_id")
+          if (src0.columns.contains("doc_id")) src0
+          else if (src0.columns.contains("id"))
+            src0.withColumnRenamed("id", "doc_id")
+          else {
+            // no id at all: the reference derives a deterministic 16-char
+            // md5-of-content document id (knowledge_base/utils.py
+            // generate_document_id) — same content, same id, idempotent
+            val cc = k.params.getOrElse("content_columns",
+              if (src0.columns.contains("content")) "content" else "text")
+            src0.withColumn("doc_id",
+              expr(s"substring(md5(cast($cc AS STRING)), 1, 16)"))
+          }
         val cc0 = k.params.getOrElse("content_columns",
           if (src1.columns.contains("content")) "content" else "text")
         val (src, contentCol) =

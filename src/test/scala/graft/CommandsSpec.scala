@@ -84,6 +84,21 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("KB insert without id derives the reference's deterministic md5-16 doc id") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE kbnoid")
+    c.execute("INSERT INTO kbnoid (content) VALUES ('stable content here')")
+    c.execute("INSERT INTO kbnoid (content) VALUES ('stable content here')")
+    val ids = c.execute("SELECT * FROM kbnoid WHERE content LIKE '%stable%'")
+      .select("doc_id").collect().map(_.getString(0)).distinct
+    // same content → same generated id (generate_document_id: md5[:16])
+    assert(ids.length === 1 && ids.head.length === 16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("stable content here".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(ids.head === md)
+  }
+
   test("multi-assignment SET routes each part; quoted commas stay whole") {
     val c = fresh()
     c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")

@@ -328,16 +328,24 @@ object Events extends QueryPack {
         .filter(col("event_type") === "purchase" && col("last_camp").isNotNull)
         .select(col("last_camp"), col("first_camp"), col("value"),
           (col("ts") <= col("last_ts") + expr("INTERVAL 7 DAYS")).as("in_window"))
-      val byLast = conv.filter(col("in_window"))
-        .groupBy(col("last_camp").as("campaign"))
-        .agg(count(lit(1)).as("conv_last"), dsum(col("value")).as("rev_last"))
-      val byFirst = conv.groupBy(col("first_camp").as("campaign"))
-        .agg(count(lit(1)).as("conv_first"))
-      byLast.join(byFirst, Seq("campaign"), "full_outer")
-        .select(col("campaign"),
-          coalesce(col("conv_last"), lit(0L)).as("conv_last"),
-          coalesce(col("rev_last"), lit(0.0)).as("rev_last"),
-          coalesce(col("conv_first"), lit(0L)).as("conv_first"))
+      // ONE pass: unpivot each purchase into its credit rows (last-touch
+      // only when in the lookback window; first-touch always), then a
+      // single |campaigns| rollup — the two-groupings + full-outer-join
+      // spelling consumed the windowed timeline twice (two exchanges of
+      // the event corpus; PlanShapeSpec pins this to one)
+      val lastCredit = struct(lit("last").as("kind"),
+        col("last_camp").as("campaign"), col("value").as("v"))
+      val firstCredit = struct(lit("first").as("kind"),
+        col("first_camp").as("campaign"), lit(null).cast(DoubleType).as("v"))
+      conv
+        .select(explode(when(col("in_window"), array(lastCredit, firstCredit))
+          .otherwise(array(firstCredit))).as("c"))
+        .select(col("c.kind"), col("c.campaign"), col("c.v"))
+        .groupBy(col("campaign"))
+        .agg(
+          sum(when(col("kind") === "last", 1L).otherwise(0L)).as("conv_last"),
+          coalesce(dsum(when(col("kind") === "last", col("v"))), lit(0.0)).as("rev_last"),
+          sum(when(col("kind") === "first", 1L).otherwise(0L)).as("conv_first"))
         .orderBy(col("campaign"))
     }),
 

@@ -168,6 +168,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"span dedup must stay equi-keyed:\n$plan")
   }
 
+  test("e34 attribution: all three carry-forward windows share ONE user-timeline exchange") {
+    val plan = executedPlan("e34_attribution")
+    // last_camp/last_ts/first_camp use the same partition+order, so
+    // Catalyst must plan a single Window over a single hashpartitioning
+    // exchange of the timeline — N windows over N exchanges would scan
+    // the event corpus repeatedly at 100 TB
+    assert(plan.contains("Window"), s"no window in attribution plan:\n$plan")
+    val exchanges = plan.split("\n").count(_.contains("hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"expected ONE user_id exchange for the timeline, found $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in attribution:\n$plan")
+  }
+
   test("d18 incremental dedup: the delta's bands broadcast; the corpus index never shuffles to it") {
     val plan = executedPlan("d18_incremental_dedup")
     // production ingest shape: the day's batch (GBs) broadcasts against

@@ -650,8 +650,6 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     * linear scale). Returns (filesBefore, filesAfter). */
   def optimizeZorder(name: String, cols: Seq[String], targetFiles: Int = 8): (Int, Int) = {
     require(bucketSpec(name).isEmpty, "ZORDER of a bucketed table is not supported")
-    require(partitionColumn(name).isEmpty,
-      "ZORDER of a hive-partitioned table is not supported (zorder within partitions TBD)")
     require(cols.nonEmpty && cols.size <= 4, "ZORDER BY takes 1-4 columns")
     snapshot(name)
     def parquetFiles(p: java.nio.file.Path): Int = {
@@ -659,34 +657,56 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count().toInt
       finally s.close()
     }
-    val before = parquetFiles(Paths.get(path(name)))
-    val df = table(name)
-    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
-    // one pass: min/max per zorder column (numeric scale anchors)
-    val statsRow = df.agg(
-      min(col(cols.head).cast("double")).as(s"mn0"),
-      (cols.zipWithIndex.tail.map { case (c, i) => min(col(c).cast("double")).as(s"mn$i") } ++
-        cols.zipWithIndex.map { case (c, i) => max(col(c).cast("double")).as(s"mx$i") }): _*)
-      .first()
-    val bits = 16
-    // per-column 16-bit bucket, then bit-interleave into the z-value
-    val z = (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
-      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
-        val mn = if (statsRow.isNullAt(j)) 0.0 else statsRow.getDouble(j)
-        val mx = if (statsRow.isNullAt(cols.size + j)) 0.0
-                 else statsRow.getDouble(cols.size + j)
-        val scaled =
-          if (mx == mn) lit(0L)
-          else least(lit(65535L), greatest(lit(0L),
-            ((col(c).cast("double") - mn) / (mx - mn) * 65535.0).cast("long")))
-        a.bitwiseOR(shiftleft(shiftright(scaled, bit).bitwiseAND(lit(1L)),
-          bit * cols.size + j))
+    // z-sort one frame: a stats pass anchors each column's 16-bit
+    // bucket scale, a map-side bit-interleave computes the Morton key,
+    // ONE range repartition clusters (the partitioner samples — no
+    // global sort materializes on one node)
+    def zsorted(df: org.apache.spark.sql.DataFrame, files: Int): org.apache.spark.sql.DataFrame = {
+      cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+      val statsRow = df.agg(
+        min(col(cols.head).cast("double")).as(s"mn0"),
+        (cols.zipWithIndex.tail.map { case (c, i) => min(col(c).cast("double")).as(s"mn$i") } ++
+          cols.zipWithIndex.map { case (c, i) => max(col(c).cast("double")).as(s"mx$i") }): _*)
+        .first()
+      val bits = 16
+      val z = (0 until bits).foldLeft(lit(0L)) { (acc, bit) =>
+        cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+          val mn = if (statsRow.isNullAt(j)) 0.0 else statsRow.getDouble(j)
+          val mx = if (statsRow.isNullAt(cols.size + j)) 0.0
+                   else statsRow.getDouble(cols.size + j)
+          val scaled =
+            if (mx == mn) lit(0L)
+            else least(lit(65535L), greatest(lit(0L),
+              ((col(c).cast("double") - mn) / (mx - mn) * 65535.0).cast("long")))
+          a.bitwiseOR(shiftleft(shiftright(scaled, bit).bitwiseAND(lit(1L)),
+            bit * cols.size + j))
+        }
       }
+      df.withColumn("__z", z)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
     }
-    rewrite(name, df.withColumn("__z", z)
-      .repartitionByRange(targetFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z"))
+    val before = parquetFiles(Paths.get(path(name)))
+    partitionColumn(name) match {
+      case Some(pc) =>
+        // hive-partitioned: zorder WITHIN each partition directory so
+        // partition pruning composes with z-clustered file skipping
+        // (Delta's OPTIMIZE ZORDER does the same per-partition rewrite);
+        // stats re-anchor per partition, so each dir's curve stretches
+        // over its own value range
+        require(!cols.contains(pc),
+          s"zorder columns must not include the partition column $pc")
+        listDir(Paths.get(path(name)))
+          .filter(p => p.getFileName.toString.contains("=") && Files.isDirectory(p))
+          .foreach { pdir =>
+            val part = spark.read.option("basePath", path(name))
+              .parquet(pdir.toString).drop(pc)
+            rewriteDir(pdir, zsorted(part, targetFiles))
+          }
+      case None =>
+        rewrite(name, zsorted(table(name), targetFiles))
+    }
     (before, parquetFiles(Paths.get(path(name))))
   }
 

@@ -292,6 +292,40 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](wh.optimizeZorder("zo", Seq("nope")))
   }
 
+  test("ZORDER within hive partitions: pruning composes, partition layout survives") {
+    val wh = Warehouse.temp(spark)
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    wh.createTableAs("zp", orders, partitionBy = Seq("o_orderstatus"))
+    wh.optimizeZorder("zp", Seq("o_custkey", "o_totalprice"), targetFiles = 4)
+    // partition directories survive the rewrite
+    val pdirs = java.nio.file.Files.list(java.nio.file.Paths.get(wh.dir, "zp"))
+      .toArray.map(_.toString).filter(_.contains("o_orderstatus="))
+    assert(pdirs.length >= 2, s"partition dirs lost: ${pdirs.toSeq}")
+    // within ONE partition, a selective probe on either zorder dim
+    // overlaps only a minority of that partition's files
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(pdirs.head))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.length === 4, s"expected 4 z-files per partition, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_custkey"), max("o_custkey"), min("o_totalprice"), max("o_totalprice"))
+        .first()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    val custHits = ranges.count { case (mn, mx, _, _) => mx >= 100L && mn <= 140L }
+    val priceHits = ranges.count { case (_, _, mn, mx) => mx >= 50000.0 && mn <= 60000.0 }
+    assert(custHits < files.length && priceHits < files.length,
+      s"z-probe hit every file in the partition ($custHits, $priceHits of ${files.length})")
+    // content preserved, partition column still readable
+    assert(wh.table("zp").count() === orders.count())
+    assert(wh.table("zp").select("o_orderstatus").distinct().count() === pdirs.length.toLong)
+    // the partition column cannot be a zorder dimension
+    intercept[IllegalArgumentException](
+      wh.optimizeZorder("zp", Seq("o_orderstatus", "o_custkey")))
+  }
+
   test("schema evolution: ADD/RENAME/DROP COLUMN are metadata-only and compose") {
     val wh = Warehouse.temp(spark)
     val nation = Tables.table(spark, dir, "nation")

@@ -121,6 +121,9 @@ final class Commands(
     """(?is)\s*OPTIMIZE\s+(?:TABLE\s+)?(\w+)\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s*(?:INTO\s+(\d+)\s+FILES?)?\s*""".r
   private val VacuumStmt =
     """(?is)\s*VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS?)?\s*""".r
+  private val DescribeKb =
+    """(?is)\s*DESCRIBE\s+KNOWLEDGE[_ ]BASE\s+(\w+)\s*""".r
+  private val DescribeAgent = """(?is)\s*DESCRIBE\s+AGENT\s+(\w+)\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val ExportStmt =
@@ -982,8 +985,16 @@ final class Commands(
             src0.withColumn("doc_id",
               expr(s"substring(md5(cast($cc AS STRING)), 1, 16)"))
           }
-        val cc0 = k.params.getOrElse("content_columns",
-          if (src1.columns.contains("content")) "content" else "text")
+        val cc0 = k.params.get("content_columns") match {
+          // the generic `content` name always works on insert even when
+          // the KB declares another content column (the reference's
+          // _adapt_column_names maps it, controller.py:758)
+          case Some(cc) if src1.columns.contains(cc) => cc
+          case Some(_) if src1.columns.contains("content") => "content"
+          case Some(cc) => cc // fail loudly downstream with the real name
+          case None =>
+            if (src1.columns.contains("content")) "content" else "text"
+        }
         val (src, contentCol) =
           if (cc0 == "content")
             (src1.withColumnRenamed("content", "__kb_content_src"), "__kb_content_src")
@@ -1185,6 +1196,23 @@ final class Commands(
     case VacuumStmt(name, retainO) =>
       val dropped = warehouse.vacuum(name, Option(retainO).map(_.toInt).getOrElse(0))
       ok(s"vacuumed $name: $dropped snapshot(s) removed")
+    case DescribeKb(name) =>
+      // DESCRIBE KNOWLEDGE_BASE (kb_controller describe): params plus
+      // the ingest-time corpus stats and storage location
+      val k = catalog.kb(name).getOrElse(
+        throw new NoSuchElementException(s"knowledge base $name does not exist"))
+      val base = Seq(
+        "name" -> k.name, "storage_table" -> k.storage,
+        "n_chunks" -> k.stats.map(_._1.toString).getOrElse("0"),
+        "avg_chunk_len" -> k.stats.map(s => f"${s._2}%.2f").getOrElse("0"))
+      kv("param", "value", base ++ k.params.toSeq.sortBy(_._1))
+
+    case DescribeAgent(name) =>
+      val a = catalog.agent(name).getOrElse(
+        throw new NoSuchElementException(s"agent $name does not exist"))
+      kv("param", "value",
+        Seq("name" -> a.name, "model" -> a.model) ++ a.params.toSeq.sortBy(_._1))
+
     case DescribeStmt(name) => catalog.describe(name, Some(warehouse))
     case AnalyzeStmt(name) =>
       // data-catalog statistics (interfaces/data_catalog/, base.py:178-341):

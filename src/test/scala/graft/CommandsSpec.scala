@@ -99,6 +99,20 @@ class CommandsSpec extends AnyFunSuite {
     assert(ids.head === md)
   }
 
+  test("DESCRIBE KNOWLEDGE_BASE and DESCRIBE AGENT report params and stats") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE kdesc USING content_columns='text'")
+    c.execute("INSERT INTO kdesc (id, content) VALUES (1, 'hello world')")
+    val kb = c.execute("DESCRIBE KNOWLEDGE_BASE kdesc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kb("name") === "kdesc" && kb("storage_table") === "__kb_kdesc")
+    assert(kb("n_chunks").toLong >= 1L)
+    c.execute("CREATE AGENT adesc USING model='default', mode='rag'")
+    val ag = c.execute("DESCRIBE AGENT adesc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ag("name") === "adesc" && ag("model") === "default" && ag("mode") === "rag")
+  }
+
   test("multi-assignment SET routes each part; quoted commas stay whole") {
     val c = fresh()
     c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")

@@ -185,6 +185,40 @@ case class HllUnion(
   override def prettyName: String = "hll_union_estimate"
 }
 
+/** [[HllUnion]] that evals back to the merged REGISTERS instead of the
+  * estimate — the incremental-maintenance form: a sketch table folds new
+  * per-window sketches into stored ones (merge = elementwise max) without
+  * ever leaving register space, so maintenance never loses precision. */
+case class HllUnionRegisters(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val inner = HllUnion(child)
+
+  override def createAggregationBuffer(): Array[Byte] =
+    inner.createAggregationBuffer()
+  override def update(buf: Array[Byte], row: InternalRow): Array[Byte] =
+    inner.update(buf, row)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    inner.merge(a, b)
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): HllUnionRegisters =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnionRegisters =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllUnionRegisters =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_union_registers"
+}
+
 object Hll {
   /** Column API: HLL distinct estimate of `c` (hashed as its string
     * form, matching the d08 oracle convention). */
@@ -203,5 +237,12 @@ object Hll {
   def hllUnionEstimate(sketch: Column): Column =
     GraftColumnBridge.column(
       HllUnion(GraftColumnBridge.expression(sketch))
+        .toAggregateExpression())
+
+  /** Column API: merged registers from stored register arrays (the
+    * incremental sketch-table maintenance aggregate). */
+  def hllUnionRegisters(sketch: Column): Column =
+    GraftColumnBridge.column(
+      HllUnionRegisters(GraftColumnBridge.expression(sketch))
         .toAggregateExpression())
 }

@@ -143,6 +143,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("event_id").exceptAll(batchIds).count() === 0)
   }
 
+  test("streaming HLL sketch maintenance: per-batch register merge == one-shot estimate") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hll
+    // events arrive as three micro-batches; each batch folds into a
+    // per-day sketch table (merge = hll_union over old + new registers);
+    // at the end, the maintained table's union must BIT-match sketching
+    // all events at once — the incremental-analytics contract
+    val ev = Tables.table(spark, dir, "events").select(
+      date_trunc("day", col("ts")).as("day"), col("user_id"), col("event_id"))
+    val d = java.nio.file.Files.createTempDirectory("ev_sketch_stream")
+    (0 until 3).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(s"$d/part_$i")
+      val f = new java.io.File(s"$d/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath, d.resolve(s"ev_$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$d/part_$i"))
+    }
+    var sketchTable: org.apache.spark.sql.DataFrame = null
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val newSketches = batch.groupBy(col("day"))
+          .agg(Hll.hllRegisters(col("user_id")).as("sk"))
+        sketchTable = Option(sketchTable).fold(newSketches) { prev =>
+          // fold the batch's sketches into the stored ones WITHOUT
+          // leaving register space (merge = elementwise max)
+          prev.unionByName(newSketches)
+            .groupBy(col("day"))
+            .agg(Hll.hllUnionRegisters(col("sk")).as("sk"))
+        }
+        sketchTable = sketchTable.localCheckpoint()
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val streamed = sketchTable
+      .agg(Hll.hllUnionEstimate(col("sk"))).first().getDouble(0)
+    val direct = ev.agg(Hll.hllEstimate(col("user_id"))).first().getDouble(0)
+    assert(streamed == direct,
+      s"incrementally maintained sketches ($streamed) != one-shot estimate ($direct)")
+  }
+
   test("streaming incremental dedup (foreachBatch vs standing index) == batch d18") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

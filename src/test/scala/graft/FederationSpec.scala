@@ -504,6 +504,24 @@ class FederationSpec extends AnyFunSuite {
       Tables.table(spark, dir, "supplier").count())
   }
 
+  test("remote DDL/DML through the live JDBC catalog: CREATE TABLE, INSERT, SELECT, DROP") {
+    val db = JdbcDb.seedFromParquet(spark, dir, "supplier")
+    JdbcDb.ensureCatalog(spark, db)
+    val c = new graft.sqlx.Commands(spark,
+      new graft.catalog.Catalog(spark, dir), graft.catalog.Warehouse.temp(spark))
+    // the reference's `create table pg.table1 (a DATE, b INTEGER)` shape
+    // (test_create_empty_table): dotted names fall through the warehouse
+    // DDL routes to Catalyst, which drives Derby via JDBCTableCatalog
+    c.execute("DROP TABLE IF EXISTS rdb.APP.REMOTE_T")
+    c.execute("CREATE TABLE rdb.APP.REMOTE_T (a INT, b STRING)")
+    c.execute("INSERT INTO rdb.APP.REMOTE_T VALUES (1, 'x'), (2, 'y')")
+    assert(c.execute("SELECT count(*) AS n FROM rdb.APP.REMOTE_T").first().getLong(0) === 2L)
+    // the table exists in the ENGINE, not just Spark's view of it
+    assert(JdbcDb.tables(db).contains("REMOTE_T"))
+    c.execute("DROP TABLE rdb.APP.REMOTE_T")
+    assert(!JdbcDb.tables(db).contains("REMOTE_T"))
+  }
+
   test("JDBC write-back round trip preserves values and types") {
     val db = JdbcDb.dbName(dir)
     import spark.implicits._

@@ -309,6 +309,47 @@ object Dedup extends QueryPack {
         ORDER BY event_type""")
     }),
 
+    // ---- entity resolution / fuzzy record linkage, SymSpell-style:
+    // a dirty mirror of the customer table (one digit DELETED from each
+    // name, position = c_custkey mod 9) links back to the master via
+    // DELETION-NEIGHBORHOOD blocking (Garbe's symmetric delete): each
+    // master name emits its 9 drop-one-digit variants, the dirty name IS
+    // such a variant, so candidate generation is one equi-join on the
+    // variant key — never name×name. Levenshtein verifies at candidate
+    // scale; best match = (lev, custkey) min with a deterministic
+    // tie-break; the report groups by ambiguity (candidate count), the
+    // signal a production linkage pipeline monitors. At 100 TB: variants
+    // are 9× the master (generated in the scan stage), the join is
+    // hash-partitioned on short keys, and nothing quadratic exists.
+    "d22_entity_resolution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      // dirty side: drop the digit at (c_custkey % 9) of the 9-digit tail
+      val p = (col("c_custkey") % 9).cast("int") // 0-based digit position
+      val dirty = cust.select(col("c_custkey").as("dirty_key"),
+        concat(substring(col("c_name"), lit(1), p + 9),
+          col("c_name").substr(p + 11, lit(9))).as("dirty_name"))
+      // master side: all 9 deletion variants per name
+      val variants = cust
+        .select(col("c_custkey").as("master_key"), col("c_name"),
+          explode(sequence(lit(0), lit(8))).as("i"))
+        .select(col("master_key"), col("c_name"),
+          concat(substring(col("c_name"), lit(1), col("i") + 9),
+            col("c_name").substr(col("i") + 11, lit(9))).as("vkey"))
+      val cands = dirty.join(variants, col("dirty_name") === col("vkey"))
+        .select(col("dirty_key"), col("dirty_name"), col("master_key"), col("c_name"))
+        .dropDuplicates("dirty_key", "master_key")
+        .filter(levenshtein(col("dirty_name"), col("c_name")) === 1)
+      val best = cands
+        .groupBy(col("dirty_key"))
+        .agg(count(lit(1)).as("n_candidates"), min(col("master_key")).as("best_match"))
+      best
+        .groupBy(col("n_candidates"))
+        .agg(count(lit(1)).as("n_dirty"),
+          sum(when(col("best_match") === col("dirty_key"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .orderBy(col("n_candidates"))
+    }),
+
     // ---- benchmark decontamination: flag any training document that
     // shares a 13-token n-gram with the eval/benchmark set (the GPT-3
     // appendix-C contamination rule). The benchmark side is SMALL (eval
@@ -1097,6 +1138,31 @@ object Dedup extends QueryPack {
       FROM (SELECT * FROM per_type UNION ALL SELECT * FROM all_row)
       ORDER BY event_type"""
     },
+
+    // same deletion-variant construction in SQL: string slicing is
+    // byte-identical, levenshtein is the same DP distance in both engines
+    "d22_entity_resolution" -> """
+      WITH dirty AS (
+        SELECT c_custkey AS dirty_key,
+          c_name[1 : 9 + (c_custkey % 9)] || c_name[11 + (c_custkey % 9) :]
+            AS dirty_name
+        FROM customer),
+      variants AS (
+        SELECT c_custkey AS master_key, c_name,
+          c_name[1 : 9 + i] || c_name[11 + i :] AS vkey
+        FROM customer CROSS JOIN range(0, 9) t(i)),
+      cands AS (
+        SELECT DISTINCT dirty_key, dirty_name, master_key, c_name
+        FROM dirty JOIN variants ON dirty_name = vkey
+        WHERE levenshtein(dirty_name, c_name) = 1),
+      best AS (
+        SELECT dirty_key, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+          MIN(master_key) AS best_match
+        FROM cands GROUP BY dirty_key)
+      SELECT n_candidates, CAST(COUNT(*) AS BIGINT) AS n_dirty,
+        CAST(SUM(CASE WHEN best_match = dirty_key THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_correct
+      FROM best GROUP BY n_candidates ORDER BY n_candidates""",
 
     // Same MinHash replication as d02, split corpus (doc_id % 10 != 0)
     // vs delta (doc_id % 10 == 0): the incremental shape is corpus-bands

@@ -191,6 +191,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus band index must not shuffle against the delta:\n$plan")
   }
 
+  test("d22 entity resolution: deletion-neighborhood blocking is an equi-join, never name x name") {
+    val plan = executedPlan("d22_entity_resolution")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"fuzzy linkage went quadratic:\n$plan")
+    assert(plan.contains("Join"), s"no join in linkage plan:\n$plan")
+  }
+
   test("s06 quantized knn: scale scalar broadcasts, ranking is TakeOrdered") {
     val plan = executedPlan("s06_quantized_knn")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")

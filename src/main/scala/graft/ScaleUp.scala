@@ -107,14 +107,26 @@ object ScaleUp {
       .drop("rep").repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
-    def scaleDim(name: String, key: String, maxKey: Long): Unit =
-      spark.read.parquet(s"$srcDir/$name.parquet")
+    // replicas must be DISJOINT in every identifying column, not just
+    // the key: TPC-H entity names encode the key ('Customer#000000042'),
+    // so a replica keeping the source name would collide with its
+    // original — name-keyed operators (entity resolution's deletion-
+    // neighborhood join, any name groupBy) then measure replica-count
+    // fan-out instead of data scaling. Rewrite the name from the
+    // OFFSET key, same format.
+    def scaleDim(name: String, key: String, maxKey: Long,
+        nameCol: Option[(String, String)] = None): Unit = {
+      val base = spark.read.parquet(s"$srcDir/$name.parquet")
         .select(col("*"), rep)
         .withColumn(key, col(key) + col("rep") * maxKey)
-        .drop("rep").repartition(8)
+      val renamed = nameCol.fold(base) { case (c, prefix) =>
+        base.withColumn(c, concat(lit(prefix), lpad(col(key), 9, "0")))
+      }
+      renamed.drop("rep").repartition(8)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    scaleDim("customer", "c_custkey", maxCust)
-    scaleDim("supplier", "s_suppkey", maxSupp)
+    }
+    scaleDim("customer", "c_custkey", maxCust, Some(("c_name", "Customer#")))
+    scaleDim("supplier", "s_suppkey", maxSupp, Some(("s_name", "Supplier#")))
     scaleDim("part", "p_partkey", maxPart)
 
     // region/nation are constant-size reference tables at every SF

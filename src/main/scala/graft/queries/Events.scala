@@ -349,6 +349,30 @@ object Events extends QueryPack {
         .orderBy(col("campaign"))
     }),
 
+    // ---- conversion lag: how long after the last touch do purchases
+    // land? Same carry-forward timeline as e34, then an exact integer
+    // day-bucket histogram per lag with revenue — the report that sizes
+    // attribution lookback windows (is 7 days enough?). One user
+    // partition + one |lags| rollup.
+    "e36_conversion_lag" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touched = t(s, dir, "events")
+        .withColumn("camp",
+          when(col("event_type").isin("click", "view"),
+            get_json_object(col("props"), "$.k").cast(LongType)))
+        .withColumn("last_ts",
+          last(when(col("camp").isNotNull, col("ts")), ignoreNulls = true).over(byUser))
+      touched
+        .filter(col("event_type") === "purchase" && col("last_ts").isNotNull)
+        .select(floor((unix_micros(col("ts")) - unix_micros(col("last_ts")))
+          / lit(86400000000L)).as("lag_days"), col("value"))
+        .groupBy(col("lag_days"))
+        .agg(count(lit(1)).as("n_conversions"), dsum(col("value")).as("revenue"))
+        .orderBy(col("lag_days"))
+    }),
+
     // Spark 4 VARIANT as the semi-structured column path (the
     // reference's JSON columns story): parse once into the binary
     // variant encoding, extract typed fields with variant_get — the
@@ -1104,6 +1128,27 @@ object Events extends QueryPack {
       WHERE ts > (SELECT MAX(ts) FROM events
                   WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
       GROUP BY event_type ORDER BY event_type""",
+
+    // integer-microsecond lag arithmetic on both sides — epoch_us diff,
+    // floor-divided by a day of microseconds, exact at every boundary
+    "e36_conversion_lag" -> s"""
+      WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value,
+          CASE WHEN event_type IN ('click', 'view')
+               THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END AS camp
+        FROM events),
+      w AS (
+        SELECT *,
+          last_value(CASE WHEN camp IS NOT NULL THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ts
+        FROM ev)
+      SELECT CAST(FLOOR((epoch_us(ts) - epoch_us(last_ts)) / 86400000000) AS BIGINT)
+          AS lag_days,
+        CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        ${oSum("value")} AS revenue
+      FROM w WHERE event_type = 'purchase' AND last_ts IS NOT NULL
+      GROUP BY 1 ORDER BY 1""",
 
     // run 1 = (default, Jan 20); run 2 = past run 1's max ts, which is
     // the last event before Jan 20 — i.e. everything from Jan 20 on

@@ -1759,6 +1759,8 @@ final class Commands(
     val needsRewrite = inlined.collectFirst {
       case Join(l, r, _, _, _) if modelRel(r).isDefined || modelRel(l).isDefined => ()
       case Filter(_, rel) if kbRel(rel).isDefined => ()
+      case Filter(_, Join(l, r, _, _, _))
+          if kbRel(l).isDefined || kbRel(r).isDefined => ()
       case rel if fileRel(rel).isDefined => ()
     }.isDefined
     if (!needsRewrite) return run(sql)
@@ -1795,6 +1797,55 @@ final class Commands(
         } yield (warehouse.table(s"${k.storage}_cents"), nprobe.toInt)
         val out = KbSql.runParsed(spark, warehouse.table(k.storage), cond, None, index)
         SubqueryAlias(alias, out.queryExecution.analyzed)
+
+      // JOIN a KB against a table (reference test_join_kb_table:
+      // `FROM kb k JOIN t ON t.x = k.id WHERE k.content = '…'`): the
+      // WHERE sits above the Join, so split its conjuncts — those
+      // naming the KB's alias (or the KB-only columns content/
+      // relevance/search params) drive the semantic search, the rest
+      // stay as a post-join filter; the searched result replaces the
+      // KB leaf with an extra `id` alias for the reference's public
+      // column name
+      case Filter(cond, Join(l, r, jt, jcond, hint))
+          if kbRel(l).isDefined || kbRel(r).isDefined =>
+        val kbOnLeft = kbRel(l).isDefined
+        val (name, alias) = kbRel(if (kbOnLeft) l else r).get
+        val k = catalog.kb(name).get
+        def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+            conjuncts(a) ++ conjuncts(b)
+          case other => Seq(other)
+        }
+        val kbOwn = Set("content", "relevance", "id", "chunk_id",
+          "chunk_content", "doc_id", "distance",
+          "hybrid_search", "hybrid_search_alpha", "reranking")
+        val (kbConds, rest) = conjuncts(cond).partition { c =>
+          val attrs = c.collect {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u }
+          attrs.nonEmpty && attrs.forall(u =>
+            (u.nameParts.size > 1 && u.nameParts.head.equalsIgnoreCase(alias)) ||
+              (u.nameParts.size == 1 && kbOwn(u.nameParts.head.toLowerCase)))
+        }
+        require(kbConds.nonEmpty,
+          s"KB join needs at least one search condition on $alias")
+        val searchCond = kbConds.reduce(
+          org.apache.spark.sql.catalyst.expressions.And(_, _))
+        val index = for {
+          nprobe <- k.params.get("ivf_nprobe")
+          if warehouse.exists(s"${k.storage}_cents")
+        } yield (warehouse.table(s"${k.storage}_cents"), nprobe.toInt)
+        val searched = KbSql
+          .runParsed(spark, warehouse.table(k.storage), searchCond, None, index)
+          .withColumn("id", org.apache.spark.sql.functions.col("doc_id"))
+        val kbPlan: LogicalPlan =
+          SubqueryAlias(alias, searched.queryExecution.analyzed)
+        val joined =
+          if (kbOnLeft) Join(kbPlan, r, jt, jcond, hint)
+          else Join(l, kbPlan, jt, jcond, hint)
+        rest.reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And(_, _))
+          .fold(joined: LogicalPlan)(f => Filter(f, joined))
       // `FROM files.<name>` — the reference's files integration as a SQL
       // namespace: the name resolves against the warehouse `.files`
       // area, format-sniffed by FileSource (csv/json/parquet/xlsx/pdf/

@@ -41,11 +41,24 @@ object KbSql {
     runParsed(spark, chunks,
       spark.sessionState.sqlParser.parseExpression(where), limit, ivfIndex)
 
+  /** Canonicalize attribute names: strip table/alias qualifiers (the
+    * chunk frame has no qualifiers) and map the reference's public
+    * column names onto the chunk schema — `id` is the document id,
+    * `chunk_content` the chunk text (executor.py result contract). */
+  private def canon(e: Expression): Expression = e.transformUp {
+    case u: UnresolvedAttribute =>
+      u.nameParts.last.toLowerCase match {
+        case "id" => UnresolvedAttribute(Seq("doc_id"))
+        case "chunk_content" => UnresolvedAttribute(Seq("content"))
+        case _ => UnresolvedAttribute(Seq(u.nameParts.last))
+      }
+  }
+
   /** Same, for a WHERE tree already parsed by the statement router (the
     * one-parse route hands the Filter condition over directly). */
   def runParsed(spark: SparkSession, chunks: DataFrame, where: Expression,
       limit: Option[Int], ivfIndex: Option[(DataFrame, Int)] = None): DataFrame = {
-    val top = flattenAnd(where)
+    val top = flattenAnd(canon(where))
     val (paramExprs, condExprs) = top.partition(isParam)
     val p = toParams(paramExprs)
     val k = limit.getOrElse(Kb.DefaultLimit)

@@ -113,6 +113,29 @@ class CommandsSpec extends AnyFunSuite {
     assert(ag("name") === "adesc" && ag("model") === "default" && ag("mode") === "rag")
   }
 
+  test("KB joins a table; id operators =, !=, IN, NOT IN work (reference test_join_kb_table)") {
+    val c = fresh()
+    c.execute("CREATE TABLE ral_t AS SELECT * FROM VALUES " +
+      "(1000, 'green beige', 'beige verdastro'), (1004, 'golden yellow', 'giallo oro'), " +
+      "(9016, 'traffic white', 'bianco traffico'), (9023, 'perl dark grey', 'grigio scuro perla') " +
+      "AS t(ral, english, italian)")
+    c.execute("CREATE KNOWLEDGE BASE kb_ral")
+    c.execute("INSERT INTO kb_ral SELECT ral AS id, english AS content FROM ral_t")
+    // KB ⋈ table with the search condition in the outer WHERE
+    val j = c.execute("""SELECT t.italian, k.id, t.ral FROM kb_ral k
+      JOIN ral_t t ON t.ral = k.id
+      WHERE k.content = 'white' LIMIT 2""").collect()
+    assert(j.length === 2)
+    assert(j.forall(r =>
+      r.get(1).asInstanceOf[Number].longValue === r.get(2).asInstanceOf[Number].longValue),
+      "joined ids must match the table's keys")
+    // id operators route as metadata conditions with the public name
+    assert(c.execute("SELECT * FROM kb_ral WHERE id = '1000'").count() === 1)
+    assert(c.execute("SELECT * FROM kb_ral WHERE id != '1000'").count() === 3)
+    assert(c.execute("SELECT * FROM kb_ral WHERE id IN ('1000', '1004')").count() === 2)
+    assert(c.execute("SELECT * FROM kb_ral WHERE id NOT IN ('1000', '1004')").count() === 2)
+  }
+
   test("multi-assignment SET routes each part; quoted commas stay whole") {
     val c = fresh()
     c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")

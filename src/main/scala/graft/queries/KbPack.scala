@@ -230,6 +230,22 @@ object KbPack extends QueryPack {
         SELECT chunk_id, doc_id, relevance FROM hits ORDER BY chunk_id""")
     }),
 
+    // KB ⋈ table on the statement surface (reference test_join_kb_table:
+    // `FROM kb k JOIN t ON t.x = k.id WHERE k.content = …`): the
+    // search conditions split out of the WHERE, the semantic top-k
+    // replaces the KB leaf, and the table joins the |k| result — so the
+    // join cost is k×table-lookup, never corpus×table
+    "k21_kb_join_sql" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE KNOWLEDGE BASE kbj USING content_columns='text'")
+      c.execute("INSERT INTO kbj SELECT doc_id, text, lang, source FROM documents")
+      c.execute(s"""SELECT d.lang, d.source, k.chunk_id, k.id, k.relevance
+        FROM kbj k JOIN documents d ON d.doc_id = k.id
+        WHERE k.content = '$QueryA' AND k.relevance > 0.6
+        ORDER BY k.relevance DESC, k.chunk_id""")
+    }),
+
     // k05's hybrid blend as pure SQL: mode switches ride in the WHERE
     // clause as params (controller.py:286-342)
     "k12_kb_hybrid_sql" -> ((s, dir) => {
@@ -617,6 +633,15 @@ object KbPack extends QueryPack {
         FROM emb, qv WHERE lang = 'en')
       SELECT * FROM (SELECT * FROM scored ORDER BY relevance DESC, chunk_id LIMIT 10)
       ORDER BY chunk_id""",
+
+    "k21_kb_join_sql" -> s"""$oPrefix,
+      qv AS (SELECT ${oEmbed(sq(QueryA))} AS q),
+      scored AS (SELECT chunk_id, doc_id, ${oRel("q")} AS relevance FROM emb, qv),
+      top AS (SELECT * FROM (SELECT * FROM scored WHERE relevance > 0.6
+        ORDER BY relevance DESC, chunk_id LIMIT 10))
+      SELECT d.lang, d.source, t.chunk_id, t.doc_id AS id, t.relevance
+      FROM top t JOIN documents d ON d.doc_id = t.doc_id
+      ORDER BY t.relevance DESC, t.chunk_id""",
 
     "k12_kb_hybrid_sql" -> {
       val qn = QueryA.trim.toLowerCase.split("\\s+").distinct.length

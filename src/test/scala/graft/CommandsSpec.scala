@@ -136,6 +136,24 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.execute("SELECT * FROM kb_ral WHERE id NOT IN ('1000', '1004')").count() === 2)
   }
 
+  test("native-FROM route never hijacks Catalyst table-valued or derived-table FROMs") {
+    val c = fresh()
+    // `range(10)` is a TVF, not a database — must reach Catalyst
+    assert(c.execute("SELECT count(*) AS n FROM range(10)").first().getLong(0) === 10L)
+    // derived table with column aliases
+    assert(c.execute("SELECT a FROM (VALUES (7)) AS t(a)").first().getInt(0) === 7)
+    // a registered database named like a function still routes native SQL
+    c.execute("CREATE DATABASE memnat ENGINE 'mem'")
+    val msgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    graft.federation.MemTables.register("memnat_t", msgSchema,
+      Seq(org.apache.spark.sql.Row(1L), org.apache.spark.sql.Row(2L)))
+    val out = c.execute(
+      "SELECT s AS total FROM memnat (SELECT SUM(v) AS s FROM memnat_t)")
+    assert(out.first().getLong(0) === 3L)
+  }
+
   test("multi-assignment SET routes each part; quoted commas stay whole") {
     val c = fresh()
     c.execute("SET @@autocommit = ON, SESSION sql_select_limit = 5, @u = 'a,b'")

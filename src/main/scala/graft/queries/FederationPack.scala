@@ -393,6 +393,35 @@ object FederationPack extends QueryPack {
         FROM APP.NATION t GROUP BY t."n_regionkey") ORDER BY n_regionkey""")
     }),
 
+    // multipage workbook through the SQL namespace (reference
+    // test_multipage): page 1 holds regions, page 2 nations; the bare
+    // name lists pages, `files.<f>.<page>` reads one — UNION'd so one
+    // oracle pins both behaviors
+    "f24_multipage_xlsx" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      val filesDir = java.nio.file.Paths.get(s"${c.warehouse.dir}/.files")
+      java.nio.file.Files.createDirectories(filesDir)
+      def lv(r: Row, i: Int): Long = r.get(i).asInstanceOf[Number].longValue
+      val regions = t(s, dir, "region").orderBy(col("r_regionkey"))
+        .collect().map(r => Seq[Any](lv(r, 0), r.getString(1)))
+      val nations = t(s, dir, "nation").orderBy(col("n_nationkey"))
+        .collect().map(r => Seq[Any](lv(r, 0), r.getString(1), lv(r, 2)))
+      FileSource.writeXlsxPages(filesDir.resolve("geo.xlsx").toString, Seq(
+        ("Regions", Seq("r_regionkey", "r_name"), regions.toSeq),
+        ("Nations", Seq("n_nationkey", "n_name", "n_regionkey"), nations.toSeq)))
+      c.execute("""
+        SELECT 'page' AS kind, page AS name, CAST(-1 AS BIGINT) AS key
+        FROM files.geo
+        UNION ALL
+        SELECT 'nation', n_name, CAST(n_nationkey AS BIGINT)
+        FROM files.geo.Nations WHERE n_regionkey = 2
+        UNION ALL
+        SELECT 'region', r_name, CAST(r_regionkey AS BIGINT)
+        FROM files.geo.Regions
+        ORDER BY kind, key, name""")
+    }),
+
     // file sources: csv + json round trips through format sniffing
     "f03_file_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
@@ -577,6 +606,16 @@ object FederationPack extends QueryPack {
     "f23_native_from_sql" -> """
       SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "f24_multipage_xlsx" -> """
+      SELECT 'page' AS kind, name, CAST(-1 AS BIGINT) AS key
+      FROM (VALUES ('Regions'), ('Nations')) t(name)
+      UNION ALL
+      SELECT 'nation', n_name, CAST(n_nationkey AS BIGINT)
+      FROM nation WHERE n_regionkey = 2
+      UNION ALL
+      SELECT 'region', r_name, CAST(r_regionkey AS BIGINT) FROM region
+      ORDER BY kind, key, name""",
 
     "f03_file_roundtrip" -> s"""
       WITH base AS (

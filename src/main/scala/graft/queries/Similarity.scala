@@ -121,6 +121,23 @@ object Similarity extends QueryPack {
       annTopK(s, emb(s, dir), col("vec_id") < 20, k = 3)
         .orderBy(col("q_id"), col("rnk"))),
 
+    // ---- ANN QUALITY audit: recall@5 of the IVF index (s05) against
+    // the exact brute-force top-5 (s02 — same queries, same k). The
+    // tuning loop every vector index needs (nProbe/nCent vs recall),
+    // closing the measured-quality set: LSH dedup has d19, sketches have
+    // d21's bit-exactness, ANN gets this. Costs what the two retrievals
+    // cost; the audit join is |queries|×k rows.
+    "s10_ann_recall" -> ((s, dir) => {
+      val exact = queries("s02_knn_batch")(s, dir).select(col("q_id"), col("vec_id"))
+      val approx = queries("s05_ann_ivf")(s, dir)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast(DoubleType) / 5)
+          .as("recall_at_5"))
+        .orderBy(col("q_id"))
+    }),
+
     "s05_ann_ivf" -> ((s, dir) =>
       ivfTopK(emb(s, dir), col("vec_id") < 10, k = 5, nCent = 8, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))),
@@ -412,6 +429,43 @@ object Similarity extends QueryPack {
         FROM scored)
       SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, ROUND(c, 4) AS cos_sim
       FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk"""
+    },
+
+    // the exact arm re-states s02's ranking, the approximate arm s05's
+    // probe pipeline; recall joins the two k-sized sets
+    "s10_ann_recall" -> {
+      def cosOf(x: String, y: String) =
+        s"""list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])) /
+           (sqrt(list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$x[i]))) *
+            sqrt(list_sum(list_transform(range(1, len($y)+1), i -> $y[i]*$y[i]))))"""
+      s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      scored AS (SELECT b.vec_id AS q_id, a.vec_id, $cosExpr AS c
+        FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id),
+      exact AS (SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      cscored AS (
+        SELECT e.vec_id, e.v, e.vec_id < 10 AS is_q, c.cent_id,
+          ROUND(${cosOf("e.v", "c.cv")}, 4) AS cc
+        FROM e CROSS JOIN cents c),
+      cranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS crk
+        FROM cscored),
+      assigned AS (SELECT vec_id, v, cent_id AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS q_id, v AS qv, cent_id AS cell FROM cranked WHERE is_q AND crk <= 2),
+      cands AS (SELECT DISTINCT p.q_id, a.vec_id, ROUND(${cosOf("a.v", "p.qv")}, 4) AS c
+        FROM probes p JOIN assigned a USING (cell) WHERE a.vec_id <> p.q_id),
+      approx AS (SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rnk
+        FROM cands) WHERE rnk <= 5)
+      SELECT x.q_id,
+        CAST(SUM(CASE WHEN a2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5
+          AS recall_at_5
+      FROM exact x LEFT JOIN approx a2 ON x.q_id = a2.q_id AND x.vec_id = a2.vec_id
+      GROUP BY x.q_id ORDER BY x.q_id"""
     },
 
     "s05_ann_ivf" -> {

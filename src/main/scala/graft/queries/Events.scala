@@ -349,6 +349,39 @@ object Events extends QueryPack {
         .orderBy(col("campaign"))
     }),
 
+    // ---- assist analysis: per campaign, conversions it CLOSED
+    // (last touch) vs conversions it only ASSISTED (first touch of a
+    // journey another campaign closed) — the report that keeps
+    // last-touch attribution from starving upper-funnel campaigns. Same
+    // one-pass credit unpivot as e34.
+    "e37_campaign_assists" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touched = t(s, dir, "events")
+        .withColumn("camp",
+          when(col("event_type").isin("click", "view"),
+            get_json_object(col("props"), "$.k").cast(LongType)))
+        .withColumn("last_camp", last(col("camp"), ignoreNulls = true).over(byUser))
+        .withColumn("first_camp", first(col("camp"), ignoreNulls = true).over(byUser))
+      val conv = touched
+        .filter(col("event_type") === "purchase" && col("last_camp").isNotNull)
+        .select(col("last_camp"), col("first_camp"))
+      val closeCredit = struct(lit("close").as("kind"),
+        col("last_camp").as("campaign"))
+      val assistCredit = struct(lit("assist").as("kind"),
+        col("first_camp").as("campaign"))
+      conv
+        .select(explode(when(col("first_camp") =!= col("last_camp"),
+          array(closeCredit, assistCredit)).otherwise(array(closeCredit))).as("c"))
+        .select(col("c.kind"), col("c.campaign"))
+        .groupBy(col("campaign"))
+        .agg(
+          sum(when(col("kind") === "close", 1L).otherwise(0L)).as("n_closed"),
+          sum(when(col("kind") === "assist", 1L).otherwise(0L)).as("n_assisted"))
+        .orderBy(col("campaign"))
+    }),
+
     // ---- conversion lag: how long after the last touch do purchases
     // land? Same carry-forward timeline as e34, then an exact integer
     // day-bucket histogram per lag with revenue — the report that sizes
@@ -1128,6 +1161,30 @@ object Events extends QueryPack {
       WHERE ts > (SELECT MAX(ts) FROM events
                   WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
       GROUP BY event_type ORDER BY event_type""",
+
+    "e37_campaign_assists" -> s"""
+      WITH ev AS (
+        SELECT event_id, ts, user_id, event_type,
+          CASE WHEN event_type IN ('click', 'view')
+               THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END AS camp
+        FROM events),
+      w AS (
+        SELECT *,
+          last_value(camp IGNORE NULLS) OVER uw AS last_camp,
+          first_value(camp IGNORE NULLS) OVER uw AS first_camp
+        FROM ev
+        WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      conv AS (SELECT last_camp, first_camp FROM w
+        WHERE event_type = 'purchase' AND last_camp IS NOT NULL)
+      SELECT campaign,
+        CAST(SUM(CASE WHEN kind = 'close' THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+        CAST(SUM(CASE WHEN kind = 'assist' THEN 1 ELSE 0 END) AS BIGINT) AS n_assisted
+      FROM (
+        SELECT 'close' AS kind, last_camp AS campaign FROM conv
+        UNION ALL
+        SELECT 'assist', first_camp FROM conv WHERE first_camp <> last_camp)
+      GROUP BY campaign ORDER BY campaign""",
 
     // integer-microsecond lag arithmetic on both sides — epoch_us diff,
     // floor-divided by a day of microseconds, exact at every boundary

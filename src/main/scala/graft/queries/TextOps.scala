@@ -180,6 +180,33 @@ object TextOps extends QueryPack {
         .orderBy(col("keep_doc_id"))
     }),
 
+    // ---- per-source TOKEN BUDGET: the capacity report a pipeline owner
+    // reads before mixing sources — raw docs/tokens per source and what
+    // survives exact dedup, with the duplicated-token rate. First
+    // occurrence is d07's map-side-combinable min(struct) per content
+    // hash (never a window over hot hashes); two combinable rollups +
+    // one |sources| join.
+    "t30_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        md5(col("text")).as("h"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast(LongType).as("ntok"))
+      val raw = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      val kept = d
+        .groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("source"), col("ntok"))).as("keep"))
+        .select(col("keep.source").as("source"), col("keep.ntok").as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique_docs"), sum(col("ntok")).as("n_unique_tokens"))
+      raw.join(kept, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_unique_docs"), col("n_unique_tokens"),
+          round(lit(1.0) - col("n_unique_tokens").cast(DoubleType) / col("n_tokens"), 4)
+            .as("dup_token_rate"))
+        .orderBy(col("source"))
+    }),
+
     "t07_winnowing" -> ((s, dir) => {
       // MOSS-style winnowing fingerprint: 5-gram polynomial rolling hash
       // (base 31, exact in 64-bit — no modulus needed at this k) → min
@@ -1240,6 +1267,27 @@ object TextOps extends QueryPack {
     "t05_exact_dedup" -> """
       SELECT MD5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_doc_id""",
+
+    // first occurrence by min doc_id per content hash, same as the Spark
+    // min(struct) — doc_id leads the struct, so min picks it
+    "t30_token_budget" -> """
+      WITH d AS (
+        SELECT source, doc_id, MD5(text) AS h,
+          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+        FROM documents),
+      raw AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+      firsts AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+      kept AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+          CAST(SUM(d.ntok) AS BIGINT) AS n_unique_tokens
+        FROM d JOIN firsts f ON d.doc_id = f.keep_id
+        GROUP BY d.source)
+      SELECT source, n_docs, n_tokens, n_unique_docs, n_unique_tokens,
+        ROUND(1.0 - CAST(n_unique_tokens AS DOUBLE) / n_tokens, 4) AS dup_token_rate
+      FROM raw JOIN kept USING (source) ORDER BY source""",
 
     "t07_winnowing" -> """
       WITH grams AS (

@@ -309,6 +309,32 @@ object Dedup extends QueryPack {
         ORDER BY event_type""")
     }),
 
+    // ---- threshold tuning table: the distribution of estimated Jaccard
+    // over ALL banded candidates (no τ filter) — the curve an operator
+    // reads to place the dedup threshold (where does candidate mass thin
+    // out?). est values are exact multiples of 1/32, so the histogram
+    // needs no binning. Candidate-scale input, |distinct estimates| rows.
+    "d23_threshold_sweep" -> ((s, dir) => {
+      val sig = shingled(s, dir).select(col("doc_id"),
+        graft.functions.VectorFunctions.minhashSig(
+          col("shingles"), hashA.toSeq, hashB.toSeq, Prime, md5Hash = true).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until Bands).map(b =>
+          slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)).as(Seq("band", "bkey")))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sig").as("sa"), col("y.sig").as("sb"))
+        .dropDuplicates("a", "b")
+        .select((size(filter(zip_with(col("sa"), col("sb"), (p, q) => p === q), x => x))
+          .cast(DoubleType) / MinhashK).as("est_jaccard"))
+        .groupBy(col("est_jaccard"))
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+        .orderBy(col("est_jaccard"))
+    }),
+
     // ---- entity resolution / fuzzy record linkage, SymSpell-style:
     // a dirty mirror of the customer table (one digit DELETED from each
     // name, position = c_custkey mod 9) links back to the master via
@@ -1137,6 +1163,36 @@ object Dedup extends QueryPack {
                    ELSE raw END, 4) AS users_est
       FROM (SELECT * FROM per_type UNION ALL SELECT * FROM all_row)
       ORDER BY event_type"""
+    },
+
+    // d02's candidate generation without the τ filter, rolled up by the
+    // exact 1/32-multiple estimate
+    "d23_threshold_sweep" -> {
+      val perms = hashA.zip(hashB).zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(tl)-1),
+          i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) sl
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') tl FROM documents)
+        WHERE len(tl) >= 3),
+      toks AS (SELECT doc_id, unnest(sl) tok FROM sh),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT hv FROM toks),
+      perm(i, a, b) AS (VALUES $perms),
+      sig AS (SELECT doc_id, i, min((hv * a + b) % ${Prime}) m
+              FROM h CROSS JOIN perm GROUP BY 1, 2),
+      sigl AS (SELECT doc_id, list(m ORDER BY i) sig FROM sig GROUP BY 1),
+      bands AS (SELECT doc_id, sig, b, sig[b*4+1 : b*4+4] bkey
+                FROM sigl CROSS JOIN range(0, ${Bands}) t(b)),
+      cands AS (
+        SELECT DISTINCT x.doc_id a, y.doc_id b, x.sig sa, y.sig sb
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT len(list_filter(range(1, ${MinhashK + 1}), i -> sa[i] = sb[i])) / ${MinhashK}.0
+          AS est_jaccard,
+        CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+      FROM cands GROUP BY 1 ORDER BY 1"""
     },
 
     // same deletion-variant construction in SQL: string slicing is

@@ -161,6 +161,45 @@ object GraphOps extends QueryPack {
     // O(sqrt(|E|)) — the hub that would explode a naive neighbor join
     // carries almost no oriented edges. Three equi-joins, all
     // hash-partitioned on node ids; no windows, no cross products.
+    // ---- APPROXIMATE triangles, DOULION (Tsourakakis 2009): keep each
+    // edge with probability p = 1/2 by a DETERMINISTIC md5 edge hash
+    // (both engines draw the identical sample), run the same
+    // compact-forward count on the sampled graph, scale by 1/p³ = 8.
+    // The production answer to g02's answer-bound cost: wedge work drops
+    // ~p² and the estimate is unbiased with published variance — the
+    // tunable-cost path when the exact count is a 100 TB-scale join.
+    "g06_triangle_doulion" -> ((s, dir) => {
+      val und = copurchaseEdges(s, dir)
+      val sampled = und.filter(
+        conv(substring(md5(concat(col("u"), lit("_"), col("v"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0)
+      val deg = sampled.select(col("u").as("node"))
+        .union(sampled.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val du = deg.select(col("node").as("u"), col("deg").as("du"))
+      val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+      val oriented = sampled.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"))
+      val e1 = oriented.select(col("src"), col("dst").as("x"))
+      val e2 = oriented.select(col("src"), col("dst").as("y"))
+      val wedges = e1.join(e2, Seq("src")).filter(col("x") < col("y"))
+      val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+        .union(oriented.select(col("dst").as("x"), col("src").as("y")))
+        .distinct()
+      val nTri = wedges.join(closing, Seq("x", "y")).agg(count(lit(1)).as("n"))
+      val nEdges = und.agg(count(lit(1)).as("n_edges"))
+      val nSampled = sampled.agg(count(lit(1)).as("n_sampled"))
+      nEdges.crossJoin(nSampled).crossJoin(nTri)
+        .select(col("n_edges"), col("n_sampled"),
+          col("n").as("n_tri_sampled"), (col("n") * 8).as("est_triangles"))
+    }),
+
     "g02_triangle_count" -> ((s, dir) => {
       // the SHARED materialized edge list; `oriented` itself stays
       // unpersisted deliberately: it feeds three consumers, but measured
@@ -335,6 +374,44 @@ object GraphOps extends QueryPack {
     // identical compact-forward construction: same orientation, same
     // wedge/closing joins — the count is combinatorially exact, so the
     // two engines must agree row-for-row
+    // same md5 edge sample, same oriented count, same ×8 scaling
+    "g06_triangle_doulion" -> """
+      WITH und AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey),
+      sampled AS MATERIALIZED (
+        SELECT u, v FROM und
+        WHERE ('0x' || substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 8))::BIGINT % 2 = 0),
+      deg AS MATERIALIZED (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT u AS node FROM sampled UNION ALL SELECT v AS node FROM sampled)
+        GROUP BY node),
+      oriented AS MATERIALIZED (
+        SELECT
+          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+               THEN u ELSE v END AS src,
+          CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+               THEN v ELSE u END AS dst
+        FROM sampled
+        JOIN deg du ON du.node = sampled.u
+        JOIN deg dv ON dv.node = sampled.v),
+      wedges AS (
+        SELECT e1.src, e1.dst AS x, e2.dst AS y
+        FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+        WHERE e1.dst < e2.dst),
+      closing AS MATERIALIZED (
+        SELECT src AS x, dst AS y FROM oriented
+        UNION
+        SELECT dst AS x, src AS y FROM oriented),
+      tri AS (SELECT COUNT(*) AS n FROM wedges w
+        JOIN closing c ON c.x = w.x AND c.y = w.y)
+      SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+        CAST((SELECT COUNT(*) FROM sampled) AS BIGINT) AS n_sampled,
+        CAST(n AS BIGINT) AS n_tri_sampled,
+        CAST(n * 8 AS BIGINT) AS est_triangles
+      FROM tri""",
+
     "g02_triangle_count" -> """
       WITH und AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

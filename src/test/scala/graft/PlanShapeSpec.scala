@@ -191,6 +191,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus band index must not shuffle against the delta:\n$plan")
   }
 
+  test("g06 doulion: sampling filters the edge list before any join; equi-joins only") {
+    val plan = executedPlan("g06_triangle_doulion")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in sampled triangle count:\n$plan")
+    // the md5 sample must prune edges at the SOURCE of the wedge
+    // pipeline — degrees, orientation, and wedges all run on the sample
+    assert(plan.contains("pmod") || plan.contains("% 2") || plan.contains("conv("),
+      s"edge-sampling filter missing from the plan:\n$plan")
+  }
+
   test("d22 entity resolution: deletion-neighborhood blocking is an equi-join, never name x name") {
     val plan = executedPlan("d22_entity_resolution")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

@@ -204,4 +204,29 @@ class PropertySpec extends AnyFunSuite {
     val base = preds(train.coalesce(1), score.coalesce(1))
     assert(preds(train.repartition(11), score.repartition(13)) === base)
   }
+
+  test("hll estimate: partition-invariant, monotone in distincts, inside 5 sigma over random draws") {
+    import spark.implicits._
+    def est(vs: Seq[Long], parts: Int): Double =
+      vs.toDF("v").repartition(parts)
+        .agg(graft.functions.Hll.hllEstimate($"v")).first().getDouble(0)
+    // seeds drive deterministic value sets (no Gen needed for data —
+    // Spark work stays off the ScalaCheck shrinker's hot path)
+    val cases = Seq((1L, 700), (2L, 3000), (3L, 9000))
+    cases.foreach { case (seed, n) =>
+      val rng = new scala.util.Random(seed)
+      val vs = Seq.fill(n * 2)(rng.nextLong() % (n / 2)).distinct // dups + cap
+      val nd = vs.length
+      val e1 = est(vs, 1)
+      assert(e1 === est(vs, 7) && e1 === est(vs, 23),
+        s"seed $seed: estimate moved with partitioning")
+      // 5 sigma at m=1024 (sigma = 3.25%): a deterministic draw must land inside
+      assert(math.abs(e1 / nd - 1.0) < 5 * 0.0325,
+        s"seed $seed: est $e1 vs exact $nd out of 5 sigma")
+      // adding NEW values never lowers the register maxima
+      val more = vs ++ Seq.tabulate(500)(i => 1000000000L + i)
+      assert(est(more, 7) >= e1,
+        s"seed $seed: estimate decreased after adding distincts")
+    }
+  }
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * rejoined on them — hits stay correct under any repartitioning or
   * reordering of a content-equal input (see Predict.applyModel).
   */
-final class PredictionCache(dir: String) {
+final class PredictionCache(dir: String, maxSize: Int = 64) {
   Files.createDirectories(Paths.get(dir))
 
   @volatile var hits: Long = 0
@@ -41,6 +41,38 @@ final class PredictionCache(dir: String) {
     } else { misses += 1; None }
   }
 
-  def put(model: Model, input: DataFrame, preds: DataFrame): Unit =
+  def put(model: Model, input: DataFrame, preds: DataFrame): Unit = {
     preds.write.mode("overwrite").parquet(path(model, input))
+    evict()
+  }
+
+  /** Bounded like the reference's FileCache (utilities/cache.py
+    * max_size): keep the `maxSize` most recently WRITTEN entries, drop
+    * the rest oldest-first. An unbounded prediction cache in a
+    * long-lived service grows without limit — the reference caps it and
+    * so does this. Reads don't refresh recency (write-ordered eviction,
+    * matching FileCache). */
+  private def evict(): Unit = {
+    val s = Files.list(Paths.get(dir))
+    val entries =
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(Files.isDirectory(_))
+      finally s.close()
+    entries.sortBy(p => Files.getLastModifiedTime(p).toMillis)
+      .dropRight(maxSize)
+      .foreach { p =>
+        val w = Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally w.close()
+      }
+  }
+
+  /** cached entry count (for specs and capacity monitoring). */
+  def size: Int = {
+    val s = Files.list(Paths.get(dir))
+    try s.toArray.count(p =>
+      Files.isDirectory(p.asInstanceOf[java.nio.file.Path]))
+    finally s.close()
+  }
 }

@@ -48,6 +48,29 @@ class MlSpec extends AnyFunSuite {
     assert(cache.misses === 2)
   }
 
+  test("prediction cache is bounded: writing past max_size evicts oldest-first (reference FileCache)") {
+    val tmp = java.nio.file.Files.createTempDirectory("predcache_lru").toString
+    val cache = new PredictionCache(tmp, maxSize = 2)
+    val data = Tables.table(spark, dir, "lineitem")
+    val inputs = Seq(
+      data.filter(col("l_quantity") === 48),
+      data.filter(col("l_quantity") === 49),
+      data.filter(col("l_quantity") === 50))
+    inputs.foreach { in =>
+      Predict.applyModel(in, model, Some(cache)).count()
+      Thread.sleep(1100) // mtime granularity: make write order unambiguous
+    }
+    assert(cache.size === 2, s"cache holds ${cache.size} entries, expected max_size=2")
+    // the FIRST entry was evicted: re-applying it misses again
+    val missesBefore = cache.misses
+    Predict.applyModel(inputs.head, model, Some(cache)).count()
+    assert(cache.misses === missesBefore + 1, "evicted entry must miss")
+    // the NEWEST entry survived: re-applying it hits
+    val hitsBefore = cache.hits
+    Predict.applyModel(inputs.last, model, Some(cache)).count()
+    assert(cache.hits === hitsBefore + 1, "newest entry must still hit")
+  }
+
   test("prediction cache hit stays correct when the input is repartitioned between put and get") {
     val tmp = java.nio.file.Files.createTempDirectory("predcache_rp").toString
     val cache = new PredictionCache(tmp)

@@ -188,12 +188,60 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
   def listSkills(): Seq[String] = skills.keys.toSeq
 
   /** ALTER KNOWLEDGE BASE (command_executor.py:1455-1468 answer_alter_kb
-    * → kb_controller.update): merge new params into the entity. */
+    * → kb_controller.update; nested-param contract proven by
+    * tests/unit/executor/test_knowledge_base.py test_alter_kb): plain
+    * params overwrite; the `embedding_model` / `reranking_model` dicts
+    * MERGE key-by-key when the provider stays the same, are REPLACED
+    * wholesale when the provider changes, and `reranking_model = false`
+    * clears the dict. Changing the embedding model or provider of a KB
+    * with existing vectors is refused — stored embeddings would no
+    * longer be comparable. */
   def updateKb(name: String, params: Map[String, String]): Unit = {
     val cur = kbs.getOrElse(name,
       throw new NoSuchElementException(s"knowledge base $name does not exist"))
-    kbs(name) = cur.copy(params = cur.params ++ params)
+    val merged = params.foldLeft(cur.params) { case (acc, (k, v)) =>
+      k match {
+        case "reranking_model" if v.trim.equalsIgnoreCase("false") =>
+          acc + (k -> "{}")
+        case "embedding_model" if v.trim.equalsIgnoreCase("false") =>
+          throw new IllegalArgumentException(
+            "embedding_model cannot be disabled on a knowledge base")
+        case "embedding_model" | "reranking_model" =>
+          val old = parseModelDict(acc.getOrElse(k, "{}"))
+          val nw = parseModelDict(v)
+          def changes(key: String) =
+            nw.get(key).exists(x => old.nonEmpty && !old.get(key).contains(x))
+          if (k == "embedding_model" && (changes("provider") || changes("model_name")))
+            throw new IllegalArgumentException(
+              "embedding model of an existing knowledge base cannot be changed")
+          // different reranking provider: the old params no longer apply
+          val out = if (k == "reranking_model" && changes("provider")) nw
+                    else old ++ nw
+          acc + (k -> renderModelDict(out))
+        case _ => acc + (k -> v)
+      }
+    }
+    kbs(name) = cur.copy(params = merged)
   }
+
+  /** `{'provider': 'x', 'api_key': 'y'}` → Map — the USING-dict shape the
+    * reference passes for KB model params. */
+  private def parseModelDict(s: String): Map[String, String] =
+    s.trim.stripPrefix("{").stripSuffix("}").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+        kv.split(":", 2) match {
+          case Array(k2, v2) =>
+            Some(k2.trim.stripPrefix("'").stripSuffix("'").stripPrefix("\"")
+              .stripSuffix("\"").toLowerCase ->
+              v2.trim.stripPrefix("'").stripSuffix("'").stripPrefix("\"")
+                .stripSuffix("\""))
+          case _ => None
+        }
+      }.toMap
+
+  private def renderModelDict(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"'$k': '$v'" }
+      .mkString("{", ", ", "}")
 
   // ------------------------------------------------- chatbots / ml engines
 

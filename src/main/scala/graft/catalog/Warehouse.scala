@@ -495,6 +495,36 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     }
   }
 
+  /** UPDATE name SET col = expr-over-source FROM source WHERE on — the
+    * reference's UPDATE … FROM (SELECT …) form (planner plan steps for
+    * update_step, proven by tests/unit/executor/test_executor.py
+    * test_update_from_select: SET references the subquery's alias,
+    * WHERE is the target↔source match condition). Semantically MERGE's
+    * WHEN MATCHED UPDATE with no insert side: matched target rows take
+    * the assignments, unmatched pass through unchanged. One left join +
+    * copy-on-write swap — shuffles on the match key (AQE-splittable),
+    * never a per-row driver loop, so it carries to the 100 TB shape.
+    * Same cardinality contract as MERGE: source unique on the key. */
+  def updateFrom(name: String, tAlias: String, source: DataFrame,
+      sAlias: String, on: String, sets: Seq[(String, String)]): Unit = {
+    val tgt = table(name)
+    val schema = tgt.schema
+    val marked = source.withColumn("__upd_src", lit(1))
+    val joined = tgt.as(tAlias).join(marked.as(sAlias), expr(on), "left")
+    val matched = col("__upd_src").isNotNull
+    val setMap = sets.toMap
+    val outCols = schema.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(rhs) =>
+          when(matched, expr(rhs).cast(f.dataType))
+            .otherwise(col(s"$tAlias.${f.name}")).as(f.name)
+        case None => col(s"$tAlias.${f.name}").as(f.name)
+      }
+    }
+    replace(name, joined.select(outCols.toSeq: _*),
+      partitionBy = partitionColumn(name).toSeq)
+  }
+
   /** MERGE INTO name USING source ON cond — the upsert verb the
     * reference's INSERT/UPDATE/DELETE trio lacks. Matched target rows
     * take the SET assignments (expressions over both aliases), unmatched
@@ -534,6 +564,17 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
     val result = joined.select(outCols.toSeq: _*).unionByName(inserts)
     replace(name, result, partitionBy = partitionColumn(name).toSeq)
+  }
+
+  /** DELETE every row whose `keyCol` appears in `keys` — the anti-join
+    * delete behind KB document replace (re-ingest drops a doc's old
+    * chunks, test_duplicated_ids). The key set stays distributed: a
+    * key-only left_anti, never an IN-list collected to the driver. */
+  def deleteMatching(name: String, keys: DataFrame, keyCol: String): Unit = {
+    snapshot(name)
+    rewrite(name,
+      table(name).join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti"),
+      partitionBy = partitionColumn(name).toSeq)
   }
 
   /** DELETE FROM name WHERE cond (DeleteStep); partition-pruned like

@@ -213,6 +213,16 @@ object Kb {
   def skipExisting(incoming: DataFrame, existing: DataFrame): DataFrame =
     incoming.join(existing.select("chunk_id"), Seq("chunk_id"), "left_anti")
 
+  /** Default re-ingest semantics (controller.py insert path, proven by
+    * tests/unit/executor/test_knowledge_base.py test_duplicated_ids):
+    * re-inserting a document id REPLACES all its stored chunks — the old
+    * chunking disappears entirely, even when the new content yields
+    * fewer chunks. Key-only left_anti on doc_id (no payload shuffle of
+    * the incoming side), then a union — never a per-doc loop. */
+  def replaceDocs(existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing.join(incoming.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(incoming)
+
   /** Upsert diff (vectordatabase_handler.py:295-443): classify incoming
     * chunks vs the stored table by chunk_id + content hash. Returns the
     * incoming rows tagged `_op` in {insert, update, unchanged}. */

@@ -246,6 +246,23 @@ object KbPack extends QueryPack {
         ORDER BY k.relevance DESC, k.chunk_id""")
     }),
 
+    // re-ingest REPLACES a document's stored chunks (controller.py insert
+    // path, test_duplicated_ids): docs < 100 are re-inserted with
+    // truncated 1-chunk content — their old multi-chunk layout must
+    // disappear entirely; docs >= 100 keep theirs. The drop is one
+    // anti-join delete (Warehouse.deleteMatching), never an id loop.
+    "k22_kb_reingest_replace" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("CREATE KNOWLEDGE BASE kbrr USING content_columns='text'")
+      c.execute("INSERT INTO kbrr SELECT doc_id, text, lang, source FROM documents")
+      c.execute("""INSERT INTO kbrr SELECT doc_id, substr(text, 1, 50) AS text,
+        lang, source FROM documents WHERE doc_id < 100""")
+      c.execute("""SELECT doc_id < 100 AS reingested, COUNT(*) AS n_chunks,
+        COUNT(DISTINCT doc_id) AS n_docs
+        FROM kbrr GROUP BY doc_id < 100 ORDER BY reingested""")
+    }),
+
     // k05's hybrid blend as pure SQL: mode switches ride in the WHERE
     // clause as params (controller.py:286-342)
     "k12_kb_hybrid_sql" -> ((s, dir) => {
@@ -642,6 +659,17 @@ object KbPack extends QueryPack {
       SELECT d.lang, d.source, t.chunk_id, t.doc_id AS id, t.relevance
       FROM top t JOIN documents d ON d.doc_id = t.doc_id
       ORDER BY t.relevance DESC, t.chunk_id""",
+
+    // replaced docs (< 100, truncated to ≤ 50 chars) contribute exactly
+    // one chunk each; untouched docs keep their original chunking
+    "k22_kb_reingest_replace" -> s"""${oPrefixWhere("WHERE doc_id >= 100")}
+      SELECT reingested, n_chunks, n_docs FROM (
+        SELECT FALSE AS reingested, COUNT(*) AS n_chunks,
+          COUNT(DISTINCT doc_id) AS n_docs FROM chunks
+        UNION ALL
+        SELECT TRUE AS reingested, COUNT(*) AS n_chunks,
+          COUNT(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 100)
+      ORDER BY reingested""",
 
     "k12_kb_hybrid_sql" -> {
       val qn = QueryA.trim.toLowerCase.split("\\s+").distinct.length

@@ -384,6 +384,25 @@ object WritesPack extends QueryPack {
         FROM ms17 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
 
+    // UPDATE … FROM (SELECT …) — the reference's join-update form
+    // (tests/unit/executor/test_executor.py test_update_from_select: SET
+    // references the subquery alias, WHERE is the target↔source match).
+    // Runs through the SQL route so the parse + the left-join
+    // copy-on-write rewrite are both on the oracle path.
+    "w18_update_from_select" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("""CREATE TABLE uf18 AS
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""")
+      c.execute("""UPDATE uf18 SET o_totalprice = df.item_total FROM (
+          SELECT l_orderkey,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS item_total
+          FROM lineitem GROUP BY l_orderkey) AS df
+        WHERE uf18.o_orderkey = df.l_orderkey""")
+      c.execute(s"""SELECT o_orderstatus, COUNT(*) AS n,
+          ${Parity.oSum("o_totalprice")} AS total
+        FROM uf18 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
     // Incremental materialized view (jobs + `WHERE ts > LAST` composed
     // into one engine object, jobs_controller.py:104 +
     // context_controller.py:293-344): CREATE runs the initial full
@@ -979,6 +998,17 @@ object WritesPack extends QueryPack {
     // update, 101-150 via NOT MATCHED insert)
     // post-state of the full sync: exactly the source rows (201..600,
     // doubled price) — matched updated, new inserted, stale deleted
+    // final state: orders with lineitems take the per-order lineitem
+    // total; orders without keep o_totalprice
+    "w18_update_from_select" -> s"""
+      WITH src AS (SELECT l_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS item_total
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        ${oSum("CASE WHEN src.l_orderkey IS NOT NULL THEN src.item_total ELSE o_totalprice END")} AS total
+      FROM orders LEFT JOIN src ON orders.o_orderkey = src.l_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "w17_merge_full_sync" -> s"""
       WITH t AS (
         SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus

@@ -130,6 +130,8 @@ final class Commands(
     """(?is)\s*EXPORT\s+(?:TABLE\s+(\w+)|\((.+)\))\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?(?:\s+SHARD\s+ROWS\s+(\d+))?\s*""".r
   private val UpdateStmt =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
+  private val UpdateFromStmt =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+FROM\s+\((.+)\)\s+(?:AS\s+)?(\w+)\s+WHERE\s+(.+?)\s*""".r
   private val MergeStmt =
     """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+(?:(\w+)|\((.+)\))(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*(WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*)?""".r
   private val DeleteStmt =
@@ -908,6 +910,24 @@ final class Commands(
         deleteUnmatchedTarget = bySourceDelete != null)
       ok(s"merged into $name")
 
+    case UpdateFromStmt(name, assigns, srcSub, sAlias, where)
+        if !name.equalsIgnoreCase("AGENT") =>
+      // UPDATE <tbl> SET a = df.x, … FROM (<subquery>) AS df WHERE <match
+      // cond> (test_update_from_select — the subquery may join a model;
+      // the model-aware route handles that). Matched rows take the SETs,
+      // others pass through — MERGE's matched side without the insert side.
+      require(warehouse.exists(name), s"table $name does not exist")
+      val source = modelAwareRun(srcSub)
+      val sets = splitTop(assigns, ',').map { a =>
+        val kv = a.split("=", 2)
+        require(kv.length == 2, s"bad assignment: $a")
+        val lhs = kv(0).trim
+        (if (lhs.toLowerCase.startsWith(s"${name.toLowerCase}."))
+          lhs.substring(name.length + 1) else lhs) -> kv(1).trim
+      }
+      warehouse.updateFrom(name, name, source, sAlias, where, sets)
+      ok(s"updated $name")
+
     case UpdateStmt(name, assigns, where)
         if !name.equalsIgnoreCase("AGENT") && catalog.kb(name).isDefined =>
       // UPDATE <kb> SET … WHERE cond — chunk-level update; updating
@@ -1019,8 +1039,16 @@ final class Commands(
           if (warehouse.exists(s"${k.storage}_cents"))
             Kb.ivfAssign(toWrite, warehouse.table(s"${k.storage}_cents"))
           else toWrite
-        if (warehouse.exists(k.storage)) warehouse.insertInto(k.storage, withCells)
-        else warehouse.createTableAs(k.storage, withCells)
+        if (warehouse.exists(k.storage)) {
+          // default re-ingest contract (test_duplicated_ids): an id that
+          // already exists REPLACES all its stored chunks — drop them
+          // with one anti-join delete before the append. kb_skip_existing
+          // inverts the preference (stored wins) and already filtered the
+          // incoming side above, so nothing to drop here.
+          if (!k.params.get("kb_skip_existing").exists(_.toBoolean))
+            warehouse.deleteMatching(k.storage, withCells.select("doc_id"), "doc_id")
+          warehouse.insertInto(k.storage, withCells)
+        } else warehouse.createTableAs(k.storage, withCells)
         // index-build-time corpus stats: one aggregation per ingest, so
         // BM25 search never pays a full-corpus scan per query
         catalog.setKbStats(name, Kb.corpusStats(warehouse.table(k.storage)))
@@ -1765,24 +1793,50 @@ final class Commands(
     }.isDefined
     if (!needsRewrite) return run(sql)
     registerRelations()
+    // `JOIN model m ON m.feature = t.col` maps the data column onto the
+    // model's input feature (test_model_column_maping) — the ON clause is
+    // a column mapping, not a filter; the mapped column is ADDED so the
+    // original stays selectable
+    def mapOnCond(data: DataFrame, c: org.apache.spark.sql.catalyst.expressions.Expression,
+        modelName: String, alias: String): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq}
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UAttr}
+      def conj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case CAnd(a, b) => conj(a) ++ conj(b)
+        case x => Seq(x)
+      }
+      val names = Set(alias.toLowerCase, modelName.toLowerCase)
+      conj(c).foldLeft(data) {
+        case (df, CEq(l: UAttr, r: UAttr)) =>
+          def qual(u: UAttr) =
+            if (u.nameParts.size > 1) Some(u.nameParts.head.toLowerCase) else None
+          val (feature, dataCol) =
+            if (qual(l).exists(names)) (l.nameParts.last, r.nameParts.last)
+            else if (qual(r).exists(names)) (r.nameParts.last, l.nameParts.last)
+            else (l.nameParts.last, r.nameParts.last)
+          df.withColumn(feature, org.apache.spark.sql.functions.col(dataCol))
+        case (df, _) => df
+      }
+    }
     val rewritten = inlined.transformUp {
       // joining a model applies it over the data side — EITHER side, the
       // way the reference planner picks whichever relation is a
       // predictor (plan_join.py:357-380); the alias scopes both the
       // data columns and the model outputs
-      case Join(left, right, Inner | Cross, None, _)
+      case Join(left, right, Inner | Cross, cond, _)
           if modelRel(right).isDefined && modelRel(left).isEmpty =>
         val (m, alias) = modelRel(right).get
-        val applied = graft.ml.Predict.applyModel(
-          org.apache.spark.sql.GraftColumnBridge.ofRows(spark, left),
-          catalog.model(m))
+        val data0 = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, left)
+        val data = cond.fold(data0)(mapOnCond(data0, _, m, alias))
+        val applied = graft.ml.Predict.applyModel(data, catalog.model(m))
         SubqueryAlias(alias, applied.queryExecution.analyzed)
-      case Join(left, right, Inner | Cross, None, _)
+      case Join(left, right, Inner | Cross, cond, _)
           if modelRel(left).isDefined && modelRel(right).isEmpty =>
         val (m, alias) = modelRel(left).get
-        val applied = graft.ml.Predict.applyModel(
-          org.apache.spark.sql.GraftColumnBridge.ofRows(spark, right),
-          catalog.model(m))
+        val data0 = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, right)
+        val data = cond.fold(data0)(mapOnCond(data0, _, m, alias))
+        val applied = graft.ml.Predict.applyModel(data, catalog.model(m))
         SubqueryAlias(alias, applied.queryExecution.analyzed)
       // `FROM <kb> WHERE <cond>` anywhere in the tree — aliased or
       // CTE-nested — runs the knowledge-base search semantics, not a
@@ -2038,8 +2092,8 @@ final class Commands(
           if (c == q) quote = None
         case None => c match {
           case '\'' | '"' => quote = Some(c); cur.append(c)
-          case '(' => depth += 1; cur.append(c)
-          case ')' => depth = math.max(0, depth - 1); cur.append(c)
+          case '(' | '{' | '[' => depth += 1; cur.append(c)
+          case ')' | '}' | ']' => depth = math.max(0, depth - 1); cur.append(c)
           case `sep` if depth == 0 =>
             if (cur.toString.trim.nonEmpty) out += cur.toString.trim
             cur.clear()

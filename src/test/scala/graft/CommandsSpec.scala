@@ -555,6 +555,77 @@ class CommandsSpec extends AnyFunSuite {
       === Map("content_columns" -> "text", "chunk_size" -> "300"))
   }
 
+  test("ALTER KB model dicts: same-provider merge, provider-change replace, false clears, embedding change refused (test_alter_kb)") {
+    val c = fresh()
+    c.execute("""CREATE KNOWLEDGE BASE nkb USING
+      embedding_model = {'provider': 'bedrock', 'model_name': 'dummy_model', 'api_key': 'embed-key-1'},
+      reranking_model = {'provider': 'openai', 'model_name': 'gpt-3', 'api_key': 'rerank-key-1'}""")
+    c.execute("""ALTER KNOWLEDGE BASE nkb USING
+      reranking_model = {'api_key': 'rerank-key-2'},
+      embedding_model = {'api_key': 'embed-key-2'},
+      id_column = 'my_id'""")
+    val p = c.catalog.kb("nkb").get.params
+    assert(p("id_column") === "my_id")
+    // same provider: key-by-key merge, untouched keys survive
+    assert(p("reranking_model").contains("'model_name': 'gpt-3'"))
+    assert(p("reranking_model").contains("'api_key': 'rerank-key-2'"))
+    assert(p("embedding_model").contains("'api_key': 'embed-key-2'"))
+    assert(p("embedding_model").contains("'model_name': 'dummy_model'"))
+    // the embedding model of an existing KB cannot change
+    intercept[IllegalArgumentException] {
+      c.execute("ALTER KNOWLEDGE BASE nkb USING embedding_model = {'model_name': 'my_model'}")
+    }
+    intercept[IllegalArgumentException] {
+      c.execute("ALTER KNOWLEDGE BASE nkb USING embedding_model = {'provider': 'ollama'}")
+    }
+    // different reranking provider: params replaced, old api_key gone
+    c.execute("ALTER KNOWLEDGE BASE nkb USING reranking_model = {'provider': 'ollama', 'model_name': 'mistral'}")
+    val p2 = c.catalog.kb("nkb").get.params
+    assert(p2("reranking_model").contains("'provider': 'ollama'"))
+    assert(!p2("reranking_model").contains("api_key"))
+    // disable: config cleared
+    c.execute("ALTER KNOWLEDGE BASE nkb USING reranking_model = false")
+    assert(c.catalog.kb("nkb").get.params("reranking_model") === "{}")
+  }
+
+  test("UPDATE … FROM (SELECT …) with a model join updates matched rows only (test_update_from_select)") {
+    val c = fresh()
+    c.execute("""CREATE MODEL uf_model FROM
+      (SELECT l_quantity, l_extendedprice FROM lineitem)
+      PREDICT l_extendedprice USING features='l_quantity', score_column='pred'""")
+    c.execute("CREATE TABLE uf_t AS SELECT CAST(id AS DOUBLE) AS qty, CAST(0.0 AS DOUBLE) AS price FROM range(0, 8)")
+    // reference shape: the subquery joins a model; its output columns are
+    // addressed through the model alias / unqualified (test_update_from_select
+    // selects model.a, model.p from the joined result)
+    c.execute("""UPDATE uf_t SET price = df.pred FROM (
+        SELECT qty, m.pred AS pred
+        FROM (SELECT CAST(id AS DOUBLE) AS l_quantity, CAST(id AS DOUBLE) AS qty
+              FROM range(0, 4)) t
+        JOIN uf_model m ON m.l_quantity = t.l_quantity) AS df
+      WHERE uf_t.qty = df.qty""")
+    val rows = c.execute("SELECT qty, price FROM uf_t ORDER BY qty").collect()
+    assert(rows.length === 8)
+    // matched rows (qty < 4) took the model's prediction, others kept 0.0
+    assert(rows.filter(_.getDouble(0) < 4).forall(_.getDouble(1) !== 0.0))
+    assert(rows.filter(_.getDouble(0) >= 4).forall(_.getDouble(1) === 0.0))
+  }
+
+  test("KB re-insert of an existing id replaces its chunks (test_duplicated_ids)") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE dkb USING content_columns='content'")
+    // long content chunks into > 1 chunk
+    c.execute(s"INSERT INTO dkb (id, content) VALUES (1, '${"my content " * 30}')")
+    c.execute("INSERT INTO dkb (id, content) VALUES (2, 'content2')")
+    def n(id: Int) = c.execute(s"SELECT count(*) AS n FROM dkb WHERE id = $id")
+      .first().getLong(0)
+    assert(n(1) > 1, "long doc must be chunked")
+    assert(n(2) === 1)
+    // re-insert id 1 with short content: old chunks must disappear
+    c.execute("INSERT INTO dkb (id, content) VALUES (1, 'content')")
+    assert(n(1) === 1, "re-ingest must replace all previous chunks of the id")
+    assert(n(2) === 1, "other ids untouched")
+  }
+
   test("SET ACTIVE pins a model version; bad version rejected") {
     val c = fresh()
     c.execute("""CREATE MODEL sam FROM (

@@ -57,7 +57,10 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       var versions: Vector[(graft.ml.Model, Option[Fit.Stats])],
       var trainer: Option[() => (graft.ml.Model, Option[Fit.Stats])],
       var spec: Option[Fit.FitSpec],
-      var active: Int)
+      var active: Int,
+      /** raw CREATE MODEL … USING params — surfaced (masked) as the
+        * models meta-table's training_options */
+      var using: Map[String, String] = Map.empty)
 
   private val models = new Registry[ModelEntry]()
 
@@ -90,8 +93,10 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
   def createModel(m: graft.ml.Model,
       stats: Option[Fit.Stats] = None,
       trainer: Option[() => (graft.ml.Model, Option[Fit.Stats])] = None,
-      spec: Option[Fit.FitSpec] = None): Unit =
-    models(m.name) = new ModelEntry(Vector((m, stats)), trainer, spec, active = 1)
+      spec: Option[Fit.FitSpec] = None,
+      using: Map[String, String] = Map.empty): Unit =
+    models(m.name) = new ModelEntry(Vector((m, stats)), trainer, spec,
+      active = 1, using = using)
 
   def model(name: String): graft.ml.Model = {
     val e = models(name); e.versions(e.active - 1)._1
@@ -555,6 +560,18 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
     case _ => "fit"
   }
 
+  /** Secret masking (test_hide_secrets; the reference hides credential
+    * values in every meta-table until `SET show_secrets = true`). The
+    * flag is session state: the SET handler flips it here so every
+    * meta-frame built afterwards reflects it. */
+  @volatile var showSecrets: Boolean = false
+  private val SecretKeys =
+    Set("password", "api_key", "secret", "token", "access_key")
+  private def maskVal(k: String, v: String): String =
+    if (!showSecrets && SecretKeys.contains(k.toLowerCase)) "******" else v
+  private def renderParams(params: Map[String, String]): String =
+    params.toSeq.sorted.map { case (a, b) => s"$a=${maskVal(a, b)}" }.mkString(",")
+
   def metaModels(): DataFrame =
     frame(StructType(Seq(
       StructField("name", StringType, nullable = false),
@@ -563,11 +580,13 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       StructField("predict", StringType, nullable = false),
       StructField("features", StringType, nullable = false),
       StructField("status", StringType, nullable = false),
-      StructField("engine", StringType, nullable = false))),
+      StructField("engine", StringType, nullable = false),
+      StructField("training_options", StringType, nullable = false))),
       models.toSeq.flatMap { case (n, e) =>
         e.versions.zipWithIndex.map { case ((m, _), i) =>
           Row(n, i + 1, i + 1 == e.active, m.outputSchema.fieldNames.mkString(","),
-            m.featureCols.mkString(","), "complete", engineOf(m))
+            m.featureCols.mkString(","), "complete", engineOf(m),
+            renderParams(e.using))
         }
       }).orderBy("name", "version")
 
@@ -575,11 +594,13 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
     frame(StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("engine", StringType, nullable = false),
-      StructField("type", StringType, nullable = false))),
-      Seq(Row("information_schema", "information_schema", "system"),
-        Row("graft", "graft", "project")) ++
+      StructField("type", StringType, nullable = false),
+      StructField("connection_data", StringType, nullable = false))),
+      Seq(Row("information_schema", "information_schema", "system", ""),
+        Row("graft", "graft", "project", "")) ++
         databases.values.map(d => Row(d.name, d.engine,
-          if (d.engine == "mindsdb") "project" else "data")).toSeq)
+          if (d.engine == "mindsdb") "project" else "data",
+          renderParams(d.params))).toSeq)
       .orderBy("name")
 
   /** Projects = the default project plus every mindsdb-engine database
@@ -650,7 +671,7 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       StructField("handler", StringType, nullable = false),
       StructField("connection_data", StringType, nullable = false))),
       mlEngines.values.map(e => Row(e.name, e.handler,
-        e.params.toSeq.sorted.map { case (a, b) => s"$a=$b" }.mkString(","))).toSeq)
+        renderParams(e.params))).toSeq)
       .orderBy("name")
 
   def metaViews(): DataFrame =

@@ -182,15 +182,7 @@ object Dedup extends QueryPack {
     // cluster). Min-label propagation to fixpoint; the oracle walks the
     // same graph with a recursive CTE.
     "d04_dup_groups" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val nodes = docs.select(col("doc_id"), toks.as("tk"))
-        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
-      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
-        .select(col("doc_a"), col("doc_b"))
-      connectedComponents(nodes, pairs)
-        .select(col("id").as("doc_id"), col("lbl").as("dup_group"))
-        .orderBy(col("doc_id"))
+      ccLabels(s, dir).orderBy(col("doc_id"))
     }),
 
     // dup-cluster size distribution (dedup observability beside d16's
@@ -200,14 +192,8 @@ object Dedup extends QueryPack {
     // corpus. Reuses d04's CC labels; the histogram is two combinable
     // rollups over |clusters| rows, nothing corpus-sized after CC.
     "d17_dup_cluster_sizes" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val nodes = docs.select(col("doc_id"), toks.as("tk"))
-        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
-      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
-        .select(col("doc_a"), col("doc_b"))
-      connectedComponents(nodes, pairs)
-        .groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      ccLabels(s, dir)
+        .groupBy(col("dup_group")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .withColumn("n_docs", col("n_clusters") * col("cluster_size"))
         .orderBy(col("cluster_size"))
@@ -643,13 +629,7 @@ object Dedup extends QueryPack {
     // corpus². Emits keep/drop per doc: the actionable dedup verdict.
     "d09_dup_representative" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val nodes = docs.select(col("doc_id"), toks.as("tk"))
-        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
-      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
-        .select(col("doc_a"), col("doc_b"))
-      val comps = connectedComponents(nodes, pairs)
-        .select(col("id").as("doc_id"), col("lbl").as("dup_group"))
+      val comps = ccLabels(s, dir)
         .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       val reps = comps.groupBy(col("dup_group"))
         .agg(min(struct((-col("n_chars")).as("negq"), col("doc_id"))).as("best"))
@@ -729,16 +709,9 @@ object Dedup extends QueryPack {
     // — and n_leaky_groups (groups spanning >1 split) is emitted as the
     // checkable invariant: it must be 0.
     "d10_leakage_safe_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val nodes = docs.select(col("doc_id"), toks.as("tk"))
-        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
-      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
-        .select(col("doc_a"), col("doc_b"))
       val u = conv(substring(md5(col("dup_group").cast("string")), 1, 15), 16, 10)
         .cast(LongType) % 10
-      val assigned = connectedComponents(nodes, pairs)
-        .select(col("id").as("doc_id"), col("lbl").as("dup_group"))
+      val assigned = ccLabels(s, dir)
         .withColumn("split", when(u < 8, "train").when(u === 8, "val").otherwise("test"))
       val leaky = assigned.groupBy(col("dup_group"))
         .agg(count_distinct(col("split")).as("n_splits"))
@@ -820,6 +793,26 @@ object Dedup extends QueryPack {
     * @param nodes DataFrame(id: long)
     * @param pairs DataFrame(doc_a, doc_b) undirected edges
     */
+  /** Shared near-dup component labels (doc_id, dup_group) — d04, d09,
+    * d10 and d17 all consume the SAME simhash-banded connected
+    * components; a production pipeline materializes the labels once per
+    * corpus snapshot and every downstream step (representative pick,
+    * split assignment, cluster histogram) reads the derived table. Same
+    * cache contract as the g-pack's shared edge lists
+    * ([[graft.engine.SharedFrames]]): fingerprint-keyed on the documents
+    * parquet, evicted+unpersisted on staleness, session-scoped. */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    graft.engine.SharedFrames.shared("dedup_cc", s, dir, Seq("documents.parquet")) {
+      val docs = t(s, dir, "documents")
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val nodes = docs.select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 1).select(col("doc_id").as("id"))
+      val pairs = simhashPairs(docs, maxHamming = 8, md5Hash = true)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(nodes, pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("dup_group"))
+    }
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

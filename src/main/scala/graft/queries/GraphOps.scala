@@ -36,44 +36,10 @@ object GraphOps extends QueryPack {
   // incidence) feeds both the co-purchase edge list and g04's counts,
   // so the lineitem scan happens ONCE for the whole pack.
 
-  private val sharedGraphs =
-    new scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
-
-  /** Dataset fingerprint: names+mtimes+sizes of the parquet files the
-    * graphs derive from. A rewrite under the same dir changes the
-    * fingerprint, so a long-lived process never serves stale
-    * checkpointed edges (metadata-only stat calls, no data read). */
-  private def fingerprint(dir: String): String = {
-    val parts = Seq("lineitem.parquet", "orders.parquet").flatMap { n =>
-      val f = new java.io.File(s"$dir/$n")
-      val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
-      files.map(x => s"${x.getName}:${x.lastModified}:${x.length}")
-    }
-    java.util.UUID.nameUUIDFromBytes(
-      parts.sorted.mkString("|").getBytes("UTF-8")).toString
-  }
-
-  /** Unpin a cached graph's checkpoint blocks on eviction. */
-  private def unpersistGraph(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    } catch { case scala.util.control.NonFatal(_) => () }
-
   private def shared(key: String, s: SparkSession, dir: String)(
       build: => DataFrame): DataFrame =
-    sharedGraphs.synchronized {
-      val k = (dir, key, fingerprint(dir))
-      sharedGraphs.get(k).filter(_.sparkSession eq s).getOrElse {
-        // evict same-(dir,graph) entries with a stale fingerprint or a
-        // different owning session, releasing their pinned blocks
-        sharedGraphs.keys.filter(o => o._1 == dir && o._2 == key)
-          .foreach(o => sharedGraphs.remove(o).foreach(unpersistGraph))
-        val built = build.localCheckpoint()
-        sharedGraphs(k) = built
-        built
-      }
-    }
+    graft.engine.SharedFrames.shared(key, s, dir,
+      Seq("lineitem.parquet", "orders.parquet"))(build)
 
   /** distinct (order, part) incidence — the basket matrix */
   private def basket(s: SparkSession, dir: String): DataFrame =

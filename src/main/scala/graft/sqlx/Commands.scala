@@ -130,6 +130,8 @@ final class Commands(
     """(?is)\s*EXPORT\s+(?:TABLE\s+(\w+)|\((.+)\))\s+TO\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?(?:\s+SHARD\s+ROWS\s+(\d+))?\s*""".r
   private val UpdateStmt =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
+  private val UpdateNoWhere =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*""".r
   private val UpdateFromStmt =
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+FROM\s+\((.+)\)\s+(?:AS\s+)?(\w+)\s+WHERE\s+(.+?)\s*""".r
   private val MergeStmt =
@@ -478,7 +480,7 @@ final class Commands(
       val tsParams = parseUsing(Option(using).getOrElse(""))
       catalog.createModel(graft.ml.TimeSeries.TsModel(name, target, tsCol,
         Option(groupCol), window.toInt, horizon.toInt,
-        tsParams.getOrElse("engine", "mean"), tsParams))
+        tsParams.getOrElse("engine", "mean"), tsParams), using = tsParams)
       ok(s"model $name created")
     case CreateModelFit(orReplace, ifNot, name, trainSql, target, using) =>
       // CREATE [OR REPLACE] MODEL [IF NOT EXISTS]: replace retrains in
@@ -504,7 +506,7 @@ final class Commands(
             (m: graft.ml.Model, Option.empty[Fit.Stats])
           }
           val (m, st) = trainer()
-          catalog.createModel(m, st, Some(trainer), None)
+          catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case Some("anomaly") =>
           // anomaly-detection engine: per-group z-scores of the feature;
@@ -519,7 +521,7 @@ final class Commands(
             (m: graft.ml.Model, Option.empty[Fit.Stats])
           }
           val (m, st) = trainer()
-          catalog.createModel(m, st, Some(trainer), None)
+          catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case Some("ridge") =>
           // regularized-regression engine: OLS's additive sufficient
@@ -538,7 +540,7 @@ final class Commands(
             (m: graft.ml.Model, Option(st))
           }
           val (m, st) = trainer()
-          catalog.createModel(m, st, Some(trainer), None)
+          catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case Some("naive_bayes") =>
           // classification engine: CREATE MODEL … PREDICT <label> USING
@@ -551,7 +553,7 @@ final class Commands(
             (m: graft.ml.Model, Option.empty[Fit.Stats])
           }
           val (m, st) = trainer()
-          catalog.createModel(m, st, Some(trainer), None)
+          catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case _ =>
           val features = p.getOrElse("features",
@@ -563,7 +565,7 @@ final class Commands(
             (m: graft.ml.Model, Option(st))
           }
           val (m, st) = trainer()
-          catalog.createModel(m, st, Some(trainer), Some(spec))
+          catalog.createModel(m, st, Some(trainer), Some(spec), using = p)
           ok(s"model $name trained (version 1)")
       }
     case CreateModel(orReplace, ifNot, name, target, feats, weights, bias) =>
@@ -953,8 +955,24 @@ final class Commands(
         require(kv.length == 2, s"bad assignment: $a")
         kv(0).trim -> expr(kv(1).trim)
       }.toMap
+      // MySQL affected-rows contract: the count of rows matching the
+      // predicate — a column-pruned scan of the predicate columns only
+      val affected = warehouse.table(name).filter(expr(where)).count()
       warehouse.update(name, m, expr(where))
-      ok(s"updated $name")
+      ok(s"updated $name", affected)
+    case UpdateNoWhere(name, assigns)
+        if !Set("AGENT", "SKILL", "CHATBOT", "MODEL").contains(name.toUpperCase) &&
+          warehouse.exists(name) =>
+      // WHERE-less UPDATE touches every row (MySQL semantics,
+      // test_affected_rows updates the whole table)
+      val m = splitTop(assigns, ',').map { a =>
+        val kv = a.split("=", 2)
+        require(kv.length == 2, s"bad assignment: $a")
+        kv(0).trim -> expr(kv(1).trim)
+      }.toMap
+      val affected = tableRows(name)
+      warehouse.update(name, m, lit(true))
+      ok(s"updated $name", affected)
     case DeleteStmt(name, where) => catalog.kb(name) match {
       case Some(k) =>
         // DELETE FROM <kb> [WHERE cond] — chunk-level delete against the
@@ -965,10 +983,12 @@ final class Commands(
         warehouse.delete(k.storage, Option(where).map(expr).getOrElse(lit(true)))
         ok(s"deleted from knowledge base $name")
       case None =>
-        // DELETE FROM <warehouse table> [WHERE cond] (delete_step.py)
+        // DELETE FROM <warehouse table> [WHERE cond] (delete_step.py);
+        // affected = before − after, two footer-metadata counts
         require(warehouse.exists(name), s"table $name does not exist")
+        val before = tableRows(name)
         warehouse.delete(name, Option(where).map(expr).getOrElse(lit(true)))
-        ok(s"deleted from $name")
+        ok(s"deleted from $name", before - tableRows(name))
     }
 
     // dynamic partition overwrite (Hive/Delta partitionOverwriteMode=
@@ -1059,8 +1079,9 @@ final class Commands(
           if (colList != null)
             run(s"SELECT * FROM (${stripParens(body)}) AS __ins($colList)")
           else run(stripParens(body))
+        val before = tableRows(name)
         warehouse.insertInto(name, df)
-        ok(s"inserted into $name")
+        ok(s"inserted into $name", tableRows(name) - before)
     }
 
     case ShowStmt(what, like) =>
@@ -1339,7 +1360,13 @@ final class Commands(
       // through to the session conf
       val v = value.stripPrefix("'").stripSuffix("'")
       if (prefix == "@") userVars(key.toLowerCase) = v
-      else { vars(key.toLowerCase) = v; spark.conf.set(key, v) }
+      else {
+        vars(key.toLowerCase) = v; spark.conf.set(key, v)
+        // `SET show_secrets = true` reveals credential values in every
+        // meta-table (test_hide_secrets)
+        if (key.equalsIgnoreCase("show_secrets"))
+          catalog.showSecrets = v.toBoolean
+      }
       ok(s"set $prefix$key")
     case UseStmt(db) =>
       // USE: single-namespace engine — accepted for wire compatibility
@@ -1936,8 +1963,20 @@ final class Commands(
   def parseUsing(s: String): Map[String, String] =
     splitTop(s, ',').flatMap { item =>
       item.split("=", 2) match {
-        case Array(k, v) =>
-          Some(k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'"))
+        case Array(k, v0) =>
+          val v = v0.trim
+          // `USING a=1 b=2` (missing comma) must error loudly, not parse
+          // b=2 into a's value (reference test_wrong_using raises
+          // "Syntax error"); a value that is ONE quoted string or ONE
+          // braced dict may contain anything
+          val wholeQuoted = v.matches("""(?s)'[^']*'""") ||
+            v.matches("""(?s)"[^"]*"""") ||
+            (v.startsWith("{") && v.endsWith("}")) ||
+            (v.startsWith("[") && v.endsWith("]"))
+          if (!wholeQuoted && v.matches("""(?s).*\s+\S+\s*=.*"""))
+            throw new IllegalArgumentException(
+              s"Syntax error in USING near '${item.trim}': missing comma between assignments?")
+          Some(k.trim.toLowerCase -> v.stripPrefix("'").stripSuffix("'"))
         case _ => None
       }
     }.toMap
@@ -2178,6 +2217,21 @@ final class Commands(
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("ok", msg)), 1),
       StructType(Seq(StructField("status", StringType), StructField("message", StringType))))
+
+  /** DML acknowledgement carrying the MySQL-contract affected-row count
+    * (reference ExecuteAnswer.affected_rows, test_affected_rows). */
+  private def ok(msg: String, affected: Long): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("ok", msg, affected)), 1),
+      StructType(Seq(StructField("status", StringType),
+        StructField("message", StringType),
+        StructField("affected_rows", LongType))))
+
+  /** Row count of a warehouse table — parquet footer metadata only (a
+    * count(*) over an unfiltered scan never reads data pages), so the
+    * before/after diffs backing INSERT/DELETE affected_rows stay cheap
+    * at any scale. */
+  private def tableRows(name: String): Long = warehouse.table(name).count()
 
   private def kv(k: String, v: String, pairs: Seq[(String, String)]): DataFrame =
     spark.createDataFrame(

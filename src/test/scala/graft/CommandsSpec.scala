@@ -626,6 +626,57 @@ class CommandsSpec extends AnyFunSuite {
     assert(n(2) === 1, "other ids untouched")
   }
 
+  test("secrets are masked in meta-tables until SET show_secrets=true (test_hide_secrets)") {
+    val c = fresh()
+    c.execute("CREATE ML_ENGINE ml_sec FROM fit USING api_key='123456'")
+    c.execute("CREATE DATABASE db_sec WITH ENGINE='pg', PARAMETERS = host='h1', password='hunter2'")
+    c.execute("""CREATE MODEL mdl_sec FROM (SELECT l_quantity, l_extendedprice FROM lineitem)
+      PREDICT l_extendedprice USING features='l_quantity', api_key='654321'""")
+    def engRow() = c.execute(
+      "SELECT connection_data FROM mindsdb.ml_engines WHERE name = 'ml_sec'").first().getString(0)
+    def dbRow() = c.execute(
+      "SELECT connection_data FROM mindsdb.databases WHERE name = 'db_sec'").first().getString(0)
+    def mdlRow() = c.execute(
+      "SELECT training_options FROM mindsdb.models WHERE name = 'mdl_sec'").first().getString(0)
+    assert(engRow() === "api_key=******")
+    assert(dbRow() === "host=h1,password=******")
+    assert(mdlRow().contains("api_key=******"))
+    assert(!mdlRow().contains("654321"))
+    // reveal, then hide again
+    c.execute("SET show_secrets = true")
+    assert(engRow() === "api_key=123456")
+    assert(dbRow() === "host=h1,password=hunter2")
+    assert(mdlRow().contains("api_key=654321"))
+    c.execute("SET show_secrets = false")
+    assert(engRow() === "api_key=******")
+  }
+
+  test("DML acks carry affected_rows: insert / update / delete (test_affected_rows)") {
+    val c = fresh()
+    c.execute("CREATE TABLE ar_t AS SELECT CAST(id AS BIGINT) AS a FROM range(0, 3)")
+    def affected(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("affected_rows").first().getLong(0)
+    assert(affected(c.execute("DELETE FROM ar_t WHERE a = 2")) === 1L)
+    assert(affected(c.execute("INSERT INTO ar_t VALUES (3), (4)")) === 2L)
+    // WHERE-less update touches every row (MySQL semantics): 0,1,3,4
+    assert(affected(c.execute("UPDATE ar_t SET a = 0")) === 4L)
+    assert(affected(c.execute("UPDATE ar_t SET a = 9 WHERE a = 0")) === 4L)
+    assert(c.execute("SELECT count(*) AS n FROM ar_t WHERE a = 9").first().getLong(0) === 4L)
+  }
+
+  test("USING with a missing comma errors loudly (test_wrong_using)") {
+    val c = fresh()
+    val e = intercept[IllegalArgumentException] {
+      c.execute("""CREATE MODEL bad_using FROM (SELECT l_quantity, l_extendedprice FROM lineitem)
+        PREDICT l_extendedprice USING features='l_quantity' api_key='x'""")
+    }
+    assert(e.getMessage.toLowerCase.contains("syntax error"))
+    // quoted and braced values may still contain '=' and spaces
+    val p = c.parseUsing("prompt='a = b c = d', cfg={'x': '1'}, n=2")
+    assert(p("prompt") === "a = b c = d")
+    assert(p("n") === "2")
+  }
+
   test("SET ACTIVE pins a model version; bad version rejected") {
     val c = fresh()
     c.execute("""CREATE MODEL sam FROM (

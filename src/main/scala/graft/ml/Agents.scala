@@ -20,8 +20,17 @@ object Agents {
 
   /** Apply an agent to a question column: adds `answer`. */
   def answer(questions: DataFrame, questionCol: String,
-      complete: Column => Column = AiFunctions.llm): DataFrame =
-    questions.withColumn("answer", complete(col(questionCol)))
+      complete: Column => Column = AiFunctions.llm,
+      promptTemplate: Option[String] = None): DataFrame =
+    questions.withColumn("answer",
+      complete(withTemplate(col(questionCol), promptTemplate)))
+
+  /** `prompt_template` participates in the completion prompt (the
+    * reference sends it as the system message; the deterministic stand-in
+    * prefixes it, so a template change visibly changes the answer —
+    * test_agent_new_syntax asserts the template reaches the LLM call). */
+  private def withTemplate(prompt: Column, template: Option[String]): Column =
+    template.fold(prompt)(t => concat(lit(t), lit(" :: "), prompt))
 
   /** Retrieval-augmented agent: each distinct question retrieves its
     * top-1 chunk from a linked knowledge base (the k02 scan shape —
@@ -45,7 +54,8 @@ object Agents {
     */
   def answerTextToSql(questions: DataFrame, questionCol: String,
       tables: Seq[(String, DataFrame)],
-      complete: Column => Column = AiFunctions.llm): DataFrame = {
+      complete: Column => Column = AiFunctions.llm,
+      promptTemplate: Option[String] = None): DataFrame = {
     val profile = tables.map { case (n, df) =>
       df.groupBy().agg(count(lit(1)).as("__n")).select(lit(n).as("__t"), col("__n"))
     }.reduce(_.union(_))
@@ -58,7 +68,7 @@ object Agents {
       .withColumn("answer",
         when(col("__t").isNotNull,
           concat(col("__t"), lit(" has "), col("__n").cast("string"), lit(" rows")))
-        .otherwise(complete(col(questionCol))))
+        .otherwise(complete(withTemplate(col(questionCol), promptTemplate))))
       .drop("__t", "__n")
   }
 
@@ -126,7 +136,8 @@ object Agents {
   }
 
   def answerWithKb(questions: DataFrame, questionCol: String, chunks: DataFrame,
-      complete: Column => Column = AiFunctions.llm): DataFrame = {
+      complete: Column => Column = AiFunctions.llm,
+      promptTemplate: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qs = questions.select(col(questionCol).as("__q")).distinct()
       .withColumn("__q_emb", graft.kb.Kb.embed(col("__q")))
@@ -138,7 +149,9 @@ object Agents {
       .select(col("__q"), col("content").as("__ctx"))
     questions.join(broadcast(top1), questions(questionCol) === col("__q"), "left")
       .withColumn("answer",
-        complete(concat(col(questionCol), lit(" ctx: "), coalesce(col("__ctx"), lit("")))))
+        complete(withTemplate(
+          concat(col(questionCol), lit(" ctx: "), coalesce(col("__ctx"), lit(""))),
+          promptTemplate)))
       .drop("__q", "__ctx")
   }
 }

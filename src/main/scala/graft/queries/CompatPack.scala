@@ -137,6 +137,23 @@ object CompatPack extends QueryPack {
       c.execute("SELECT question, answer FROM aga WHERE question = 'what is a shuffle'")
     }),
 
+    // "new syntax" agent (test_agent_new_syntax): model/data dicts +
+    // prompt_template; data={tables:[…]} is the exposure allowlist — a
+    // question naming an exposed table answers from it, one naming an
+    // unexposed table falls back to plain (templated) completion, so the
+    // unexposed object's contents never reach the answer
+    "a06_agent_data_exposure" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE AGENT agx USING
+        model = {'provider': 'openai', 'model_name': 'gpt-42', 'api_key': 'k'},
+        data = {'tables': ['region', 'nation']},
+        prompt_template = 'sys'""")
+      val q1 = c.execute("SELECT question, answer FROM agx WHERE question = 'how many rows in region'")
+      val q2 = c.execute("SELECT question, answer FROM agx WHERE question = 'how many rows in orders'")
+      q1.unionByName(q2).orderBy(col("question"))
+    }),
+
     // agent completes each question row into an `answer` column
     "a01_agent_table" -> ((s, dir) => {
       val questions = t(s, dir, "documents").filter(col("doc_id") < 5)
@@ -231,6 +248,17 @@ object CompatPack extends QueryPack {
     "a01_agent_table" -> s"""
       SELECT doc_id, 'what is ' || substr(text, 1, 20) AS question,
         ${oLlm("'what is ' || substr(text, 1, 20)")} AS answer
-      FROM documents WHERE doc_id < 5 ORDER BY doc_id"""
+      FROM documents WHERE doc_id < 5 ORDER BY doc_id""",
+
+    // exposed table → row-count answer from the live table; unexposed →
+    // templated completion (prompt = 'sys :: ' || question)
+    "a06_agent_data_exposure" -> s"""
+      SELECT question, answer FROM (
+        SELECT 'how many rows in region' AS question,
+          'region has ' || (SELECT COUNT(*) FROM region) || ' rows' AS answer
+        UNION ALL
+        SELECT 'how many rows in orders' AS question,
+          ${oLlm("'sys :: how many rows in orders'")} AS answer)
+      ORDER BY question"""
   )
 }

@@ -72,7 +72,10 @@ final class Commands(
     """(?is)\s*EVALUATE\s+(\w+)\s+FROM\s*\((.+)\)\s*(?:USING\s+(.+?))?\s*""".r
   private val CreateAgent =
     """(?is)\s*CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+USING\s+(.+?)\s*""".r
-  private val UpdateAgent = """(?is)\s*UPDATE\s+AGENT\s+(\w+)\s+USING\s+(.+?)\s*""".r
+  // UPDATE AGENT and ALTER AGENT are the same verb (the reference accepts
+  // both spellings; test_agent_new_syntax uses ALTER)
+  private val UpdateAgent =
+    """(?is)\s*(?:UPDATE|ALTER)\s+AGENT\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val DropAgent = """(?is)\s*DROP\s+AGENT\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateSkill =
     """(?is)\s*CREATE\s+SKILL\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+USING\s+(.+?)\s*""".r
@@ -632,11 +635,12 @@ final class Commands(
         p.get("n_decimals").map(_.toInt).getOrElse(3))
 
     case CreateAgent(name, using) =>
-      val p = parseUsing(using)
+      val p = agentParams(parseUsing(using))
       catalog.createAgent(name, p.getOrElse("model", "default"), p - "model")
       ok(s"agent $name created")
     case UpdateAgent(name, using) =>
-      catalog.updateAgent(name, parseUsing(using)); ok(s"agent $name updated")
+      catalog.updateAgent(name, agentParams(parseUsing(using)))
+      ok(s"agent $name updated")
     case DropAgent(ifEx, name) =>
       if (catalog.agent(name).isDefined) { catalog.dropAgent(name); ok(s"agent $name dropped") }
       else { require(ifEx != null, s"agent $name does not exist"); ok(s"agent $name does not exist") }
@@ -1005,10 +1009,14 @@ final class Commands(
         // names the VALUES columns — `content` is the content column and
         // everything else rides along as metadata
         // (test_select_allowed_columns inserts ad-hoc metadata this way)
-        val src0 =
+        val src0a =
           if (colList != null)
             run(s"SELECT * FROM (${stripParens(body)}) AS __ins($colList)")
           else run(stripParens(body))
+        // source column names map case-insensitively (the reference
+        // lowercases identifiers; test_kb_uppercase_source_columns
+        // ingests SELECT ID, CONTENT …)
+        val src0 = src0a.toDF(src0a.columns.map(_.toLowerCase): _*)
         // reference insert contract: `id` names the document, `content`
         // the text, anything else is metadata; the chunker keys on
         // doc_id and derives its own `content`, so both get mapped
@@ -1567,6 +1575,14 @@ final class Commands(
               case _ => None
             }
           val ordered = namedSkills.flatMap(asSkill(_).toSeq)
+          // "new syntax" exposure allowlist (test_agent_new_syntax):
+          // data={tables:[…]} exposes tables the same way a text2sql
+          // skill's allowlist does — objects NOT listed stay invisible
+          // to the agent (the reference answers "`x` not found" when the
+          // LLM strays outside the exposed set)
+          val dataTables = params.get("tables").toSeq
+            .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+          val template = params.get("prompt_template")
           val df =
             if (ordered.size >= 2)
               graft.ml.Agents.answerMultiSkill(questions, "question", ordered)
@@ -1576,9 +1592,23 @@ final class Commands(
                   .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
                 graft.ml.Agents.answerTextToSql(questions, "question",
                   allow.map(t => t -> catalog.resolve(t, Some(warehouse))))
+              case (_, Some(k)) if warehouse.exists(k.storage) && dataTables.nonEmpty =>
+                // KB + table exposure on one agent: ordered dispatch,
+                // retrieval first (the reference's planner explores the
+                // exposed set in declared order)
+                graft.ml.Agents.answerMultiSkill(questions, "question", Seq(
+                  graft.ml.Agents.KbSkill(warehouse.table(k.storage)),
+                  graft.ml.Agents.TextToSqlSkill(
+                    dataTables.map(t => t -> catalog.resolve(t, Some(warehouse))))))
               case (_, Some(k)) if warehouse.exists(k.storage) =>
-                graft.ml.Agents.answerWithKb(questions, "question", warehouse.table(k.storage))
-              case _ => graft.ml.Agents.answer(questions, "question")
+                graft.ml.Agents.answerWithKb(questions, "question",
+                  warehouse.table(k.storage), promptTemplate = template)
+              case _ if dataTables.nonEmpty =>
+                graft.ml.Agents.answerTextToSql(questions, "question",
+                  dataTables.map(t => t -> catalog.resolve(t, Some(warehouse))),
+                  promptTemplate = template)
+              case _ =>
+                graft.ml.Agents.answer(questions, "question", promptTemplate = template)
             }
           val tv = s"__agent_$name"
           df.createOrReplaceTempView(tv)
@@ -1960,6 +1990,49 @@ final class Commands(
 
   /** `key = value [, key = value …]` (USING / PARAMETERS clauses). Values
     * may be 'quoted', numeric, or bare words; keys lowercase. */
+  /** Agent "new syntax" params (tests/unit/executor/test_agent.py
+    * test_agent_new_syntax): `model = {provider, model_name, api_key}`
+    * flattens into the agent's model + model_* params, and
+    * `data = {"knowledge_bases": [...], "tables": [...]}` flattens into
+    * the exposure allowlists the query route enforces. ALTER AGENT with
+    * a new dict REPLACES the flattened keys wholesale (param overwrite),
+    * exactly the reference's replace-on-alter contract. */
+  private def agentParams(p0: Map[String, String]): Map[String, String] = {
+    val withModel = p0.get("model").filter(_.trim.startsWith("{")).map { md =>
+      val d = parseFlatDict(md)
+      (p0 - "model") ++
+        d.get("model_name").map("model" -> _) ++
+        d.get("provider").map("model_provider" -> _) ++
+        d.get("api_key").map("model_api_key" -> _)
+    }.getOrElse(p0)
+    withModel.get("data").filter(_.trim.startsWith("{")).map { dd =>
+      val d = parseFlatDict(dd)
+      (withModel - "data") ++
+        d.get("knowledge_bases").map("knowledge_bases" -> _) ++
+        d.get("tables").map("tables" -> _)
+    }.getOrElse(withModel)
+  }
+
+  /** `{'k': 'v', "k2": ["a", "b"]}` → Map(k -> v, k2 -> "a,b"): the
+    * USING-dict shape; list values flatten comma-separated. */
+  private[sqlx] def parseFlatDict(s: String): Map[String, String] = {
+    def unq(x: String) = x.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
+    splitTop(s.trim.stripPrefix("{").stripSuffix("}"), ',').flatMap { kv =>
+      kv.split(":", 2) match {
+        case Array(k, v0) =>
+          val v = v0.trim
+          val value =
+            if (v.startsWith("[") && v.endsWith("]"))
+              splitTop(v.stripPrefix("[").stripSuffix("]"), ',')
+                .map(unq).filter(_.nonEmpty).mkString(",")
+            else unq(v)
+          Some(unq(k).toLowerCase -> value)
+        case _ => None
+      }
+    }.toMap
+  }
+
   def parseUsing(s: String): Map[String, String] =
     splitTop(s, ',').flatMap { item =>
       item.split("=", 2) match {

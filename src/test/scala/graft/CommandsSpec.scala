@@ -610,6 +610,15 @@ class CommandsSpec extends AnyFunSuite {
     assert(rows.filter(_.getDouble(0) >= 4).forall(_.getDouble(1) === 0.0))
   }
 
+  test("KB insert maps uppercase source columns (test_kb_uppercase_source_columns)") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE ukb USING content_columns='content'")
+    c.execute("""INSERT INTO ukb SELECT doc_id AS ID, substr(text, 1, 30) AS CONTENT
+      FROM documents WHERE doc_id < 5""")
+    val rows = c.execute("SELECT count(*) AS n FROM ukb GROUP BY doc_id").collect()
+    assert(rows.length === 5)
+  }
+
   test("KB re-insert of an existing id replaces its chunks (test_duplicated_ids)") {
     val c = fresh()
     c.execute("CREATE KNOWLEDGE BASE dkb USING content_columns='content'")
@@ -649,6 +658,37 @@ class CommandsSpec extends AnyFunSuite {
     assert(mdlRow().contains("api_key=654321"))
     c.execute("SET show_secrets = false")
     assert(engRow() === "api_key=******")
+  }
+
+  test("agent new syntax: model/data dicts, exposure allowlist, ALTER replaces (test_agent_new_syntax)") {
+    val c = fresh()
+    c.execute("CREATE TABLE ag_t1 AS SELECT * FROM region")
+    c.execute("CREATE TABLE ag_t2 AS SELECT * FROM nation")
+    c.execute("""CREATE AGENT my_agent USING
+      model = {'provider': 'openai', 'model_name': 'gpt-42', 'api_key': '-secret-'},
+      data = {'knowledge_bases': [], 'tables': ['ag_t1']},
+      prompt_template = 'instruction 42'""")
+    val a = c.catalog.agent("my_agent").get
+    assert(a.model === "gpt-42")
+    assert(a.params("tables") === "ag_t1")
+    assert(a.params("model_api_key") === "-secret-")
+    // exposed table answers; unexposed table does NOT
+    def ask(q: String) = c.execute(s"SELECT answer FROM my_agent WHERE question = '$q'")
+      .first().getString(0)
+    assert(ask("how many rows in ag_t1") === "ag_t1 has 5 rows")
+    assert(!ask("how many rows in ag_t2").contains("ag_t2 has"),
+      "unexposed table must stay invisible to the agent")
+    // prompt_template participates in the completion prompt
+    assert(ask("hello there").toUpperCase.contains("INSTRUCTION 42"))
+    // ALTER AGENT replaces the exposure wholesale
+    c.execute("""ALTER AGENT my_agent USING
+      model = {'provider': 'openai', 'model_name': 'gpt-18', 'api_key': '-almost-'},
+      data = {'tables': ['ag_t2']}""")
+    val a2 = c.catalog.agent("my_agent").get
+    assert(a2.model === "gpt-18")
+    assert(a2.params("tables") === "ag_t2")
+    assert(ask("how many rows in ag_t2") === "ag_t2 has 25 rows")
+    assert(!ask("how many rows in ag_t1").contains("ag_t1 has"))
   }
 
   test("DML acks carry affected_rows: insert / update / delete (test_affected_rows)") {

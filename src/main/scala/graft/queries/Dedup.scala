@@ -321,6 +321,53 @@ object Dedup extends QueryPack {
         .orderBy(col("est_jaccard"))
     }),
 
+    // ---- mergeable QUANTILE sketch (log-histogram, the DDSketch idea —
+    // Masson et al., VLDB 2019 — in engine-exact integer arithmetic):
+    // value → octave (integer log2 via the binary-string length) → 16
+    // linear sub-buckets per octave; the sketch is (group, bucket,
+    // count) rows. Counts SUM under merge, so the shuffle per group is
+    // O(|buckets|) regardless of corpus size — the quantile analog of
+    // d08's HLL and d12's CMS, completing the sketch trio every 100 TB
+    // pipeline carries. Relative error is bounded by the sub-bucket
+    // width (≤ 1/16 per octave). The EXACT per-source quantile runs
+    // alongside purely to report the sketch's error — at scale that
+    // sort-based branch is the one you drop (same contract as d08).
+    "d24_logq_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_d24")
+      s.sql(logqQuantileSql("docs_d24", sparkQ))
+    }),
+
+    // ---- the STORED quantile-sketch lifecycle (the d21 shape for
+    // quantiles): sketch each ingest half separately, PERSIST the
+    // (group, bucket, count) rows to a parquet sketch table, then roll
+    // the stored halves up by summing counts — the merged quantiles must
+    // be IDENTICAL to sketching the whole corpus at once (count addition
+    // is associative; nothing else in the sketch is data-dependent).
+    // This is what lets a 100 TB pipeline keep per-day sketch rows and
+    // answer any-window quantiles without touching raw data again.
+    "d25_logq_sketch_rollup" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("docs_d25")
+      val sketchDir = java.nio.file.Files
+        .createTempDirectory("graft_sketches_q").toString
+      s.sql(s"""
+        WITH vals AS (SELECT source, doc_id % 2 AS half, CAST(n_chars AS BIGINT) AS v
+          FROM docs_d25 WHERE n_chars >= 1),
+        k AS (SELECT source, half, v, ${sparkPow2("length(bin(v)) - 1")} AS p,
+          length(bin(v)) - 1 AS oct FROM vals)
+        SELECT source, half, oct * 16 + ((v - p) * 16) DIV p AS bkt,
+          COUNT(*) AS cnt
+        FROM k GROUP BY source, half, bkt""")
+        .write.mode("overwrite").parquet(sketchDir)
+      s.read.parquet(sketchDir).createOrReplaceTempView("qsketch_d25")
+      s.sql(s"""
+        WITH merged AS (SELECT source, bkt, SUM(cnt) AS cnt
+          FROM qsketch_d25 GROUP BY source, bkt),
+        ${logqFromSketchSql("merged", sparkQ)}
+        SELECT source, CAST(n AS BIGINT) AS n_docs, p50, p90, p99,
+          CAST(2 AS BIGINT) AS n_parts_merged
+        FROM q ORDER BY source""")
+    }),
+
     // ---- entity resolution / fuzzy record linkage, SymSpell-style:
     // a dirty mirror of the customer table (one digit DELETED from each
     // name, position = c_custkey mod 9) links back to the master via
@@ -883,7 +930,75 @@ object Dedup extends QueryPack {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------- log-quantile sketch
+  // One SQL template, two engine spellings (bitshift / integer division
+  // differ; every other token is shared), so Spark and the oracle compute
+  // bit-identical integer arithmetic — the same parity discipline as the
+  // KB oracle prefix.
+  private final case class QEng(pow2: String => String, idiv: (String, String) => String)
+  private val sparkQ = QEng(
+    x => s"shiftleft(CAST(1 AS BIGINT), CAST(($x) AS INT))",
+    (a, b) => s"(($a) DIV ($b))")
+  private val duckQ = QEng(
+    x => s"(CAST(1 AS BIGINT) << CAST(($x) AS INT))",
+    (a, b) => s"(($a) // ($b))")
+  private def sparkPow2(x: String): String = sparkQ.pow2(x)
+
+  /** vals/k/sk CTEs: value → (octave via binary-string length, 16 linear
+    * sub-buckets) → (source, bkt, cnt) sketch rows. */
+  private def logqBuildSql(table: String, e: QEng): String = s"""
+    vals AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM $table WHERE n_chars >= 1),
+    k AS (SELECT source, v, length(bin(v)) - 1 AS oct,
+        ${e.pow2("length(bin(v)) - 1")} AS p FROM vals),
+    sk AS (SELECT source, oct * 16 + ${e.idiv("(v - p) * 16", "p")} AS bkt,
+        COUNT(*) AS cnt
+      FROM k GROUP BY 1, 2)"""
+
+  /** lows/tot/cum/q CTEs: sketch rows → per-source p50/p90/p99 (bucket
+    * lower bounds at the ceil(q·n) rank; all-integer). */
+  private def logqFromSketchSql(rel: String, e: QEng): String = s"""
+    lows AS (SELECT source, bkt, cnt,
+        ${e.pow2(e.idiv("bkt", "16"))} +
+        ${e.idiv(s"(bkt % 16) * ${e.pow2(e.idiv("bkt", "16"))}", "16")} AS low
+      FROM $rel),
+    tot AS (SELECT source, SUM(cnt) AS n FROM $rel GROUP BY source),
+    cum AS (SELECT source, bkt, low,
+        SUM(cnt) OVER (PARTITION BY source ORDER BY bkt) AS c FROM lows),
+    q AS (SELECT cum.source, MAX(tot.n) AS n,
+        MIN(CASE WHEN cum.c >= ${e.idiv("tot.n + 1", "2")} THEN cum.low END) AS p50,
+        MIN(CASE WHEN cum.c >= ${e.idiv("9 * tot.n + 9", "10")} THEN cum.low END) AS p90,
+        MIN(CASE WHEN cum.c >= ${e.idiv("99 * tot.n + 99", "100")} THEN cum.low END) AS p99
+      FROM cum JOIN tot ON cum.source = tot.source GROUP BY cum.source)"""
+
+  /** d24 full statement: sketch quantiles + the exact-rank audit. */
+  private def logqQuantileSql(table: String, e: QEng): String = s"""
+    WITH ${logqBuildSql(table, e)},
+    ${logqFromSketchSql("sk", e)},
+    ex AS (SELECT source, v,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn FROM vals),
+    exq AS (SELECT ex.source,
+        MIN(CASE WHEN ex.rn = ${e.idiv("tot.n + 1", "2")} THEN ex.v END) AS p50_exact,
+        MIN(CASE WHEN ex.rn = ${e.idiv("9 * tot.n + 9", "10")} THEN ex.v END) AS p90_exact,
+        MIN(CASE WHEN ex.rn = ${e.idiv("99 * tot.n + 99", "100")} THEN ex.v END) AS p99_exact
+      FROM ex JOIN tot ON ex.source = tot.source GROUP BY ex.source)
+    SELECT q.source, CAST(q.n AS BIGINT) AS n_docs, q.p50, q.p90, q.p99,
+      exq.p50_exact, exq.p90_exact, exq.p99_exact,
+      ROUND(ABS(q.p99 - exq.p99_exact) / exq.p99_exact, 4) AS p99_rel_err
+    FROM q JOIN exq ON q.source = exq.source ORDER BY q.source"""
+
   def oracles: Map[String, String] = Map(
+
+    "d24_logq_quantiles" -> logqQuantileSql("documents", duckQ),
+
+    // merge-of-stored-halves ≡ whole-corpus sketch (count addition is
+    // associative), so the oracle sketches the whole corpus directly
+    "d25_logq_sketch_rollup" -> s"""
+      WITH ${logqBuildSql("documents", duckQ)},
+      merged AS (SELECT source, bkt, cnt FROM sk),
+      ${logqFromSketchSql("merged", duckQ)}
+      SELECT source, CAST(n AS BIGINT) AS n_docs, p50, p90, p99,
+        CAST(2 AS BIGINT) AS n_parts_merged
+      FROM q ORDER BY source""",
     // same simhash candidate CTE as d03/d04, byte==codepoint after the
     // ASCII normalization, same floor-spelled ratio
     "d11_edit_distance_pairs" -> """

@@ -115,11 +115,13 @@ object Agents {
       case (KbSkill(chunks, minRel), i) =>
         val qs = questions.select(col(questionCol).as(s"__q_$i")).distinct()
           .withColumn("__qe", graft.kb.Kb.embed(col(s"__q_$i")))
-        val w = Window.partitionBy(col(s"__q_$i")).orderBy(col(s"__d_$i"), col("chunk_id"))
-        val top1 = chunks.crossJoin(broadcast(qs))
+        // two-phase sharded ranking (the k17 shape): no task ever holds
+        // the whole chunk corpus for one question
+        val scored = chunks.crossJoin(broadcast(qs))
           .withColumn(s"__d_$i", round(lit(1.0) -
             graft.functions.VectorFunctions.cosineSim(col("emb"), col("__qe")), 4))
-          .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+        val top1 = graft.kb.Kb.shardedTopK(scored, col(s"__q_$i"),
+            Seq(col(s"__d_$i"), col("chunk_id")), 1, "__rk", col("chunk_id"))
           .select(col(s"__q_$i"), col("content").as(s"__ctx_$i"),
             round(lit(1.0) / (lit(1.0) + col(s"__d_$i")), 4).as(s"__rel_$i"))
         df = df.join(broadcast(top1), df(questionCol) === col(s"__q_$i"), "left")
@@ -138,14 +140,15 @@ object Agents {
   def answerWithKb(questions: DataFrame, questionCol: String, chunks: DataFrame,
       complete: Column => Column = AiFunctions.llm,
       promptTemplate: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qs = questions.select(col(questionCol).as("__q")).distinct()
       .withColumn("__q_emb", graft.kb.Kb.embed(col("__q")))
-    val w = Window.partitionBy(col("__q")).orderBy(col("__dist"), col("chunk_id"))
-    val top1 = chunks.crossJoin(broadcast(qs))
+    // two-phase sharded ranking (the k17 shape): no task ever holds the
+    // whole chunk corpus for one question
+    val scored = chunks.crossJoin(broadcast(qs))
       .withColumn("__dist", round(lit(1.0) -
         graft.functions.VectorFunctions.cosineSim(col("emb"), col("__q_emb")), 4))
-      .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+    val top1 = graft.kb.Kb.shardedTopK(scored, col("__q"),
+        Seq(col("__dist"), col("chunk_id")), 1, "__rk", col("chunk_id"))
       .select(col("__q"), col("content").as("__ctx"))
     questions.join(broadcast(top1), questions(questionCol) === col("__q"), "left")
       .withColumn("answer",

@@ -94,8 +94,13 @@ final class Commands(
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\))?\s*(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
   private val InsertOverwriteStmt =
     """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(\(?\s*(?:SELECT|VALUES|WITH).+)""".r
+  // the MySQL service-request surface (integration flow test_mysql_api
+  // test_service_requests): SESSION/GLOBAL modifiers, SCHEMAS as an
+  // alias for DATABASES, [FULL] TABLES FROM|IN <db>, FUNCTION/PROCEDURE
+  // STATUS, and a WHERE tail filtering the meta frame (show models where
+  // name = '...')
   private val ShowStmt =
-    """(?is)\s*SHOW\s+(?:FULL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|SKILLS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS|PROCESSLIST)\s*(?:LIKE\s+'([^']*)')?\s*""".r
+    """(?is)\s*SHOW\s+(?:FULL\s+)?(?:SESSION\s+|GLOBAL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|SCHEMAS|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|SKILLS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|FUNCTION\s+STATUS|PROCEDURE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS|PROCESSLIST)\s*(?:(?:FROM|IN)\s+\w+)?\s*(?:LIKE\s+'([^']*)')?\s*(?:WHERE\s+(.+?))?\s*""".r
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
@@ -115,8 +120,12 @@ final class Commands(
   private val NativeFromQuery =
     """(?is)\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s*\(\s*(.+?)\s*\)\s*(?:(?:AS\s+)?(\w+)\s*)?((?:WHERE|GROUP|ORDER|LIMIT|HAVING)\b.*)?""".r
   private val UseStmt = """(?is)\s*USE\s+(\w+)\s*""".r
+  // MODEL keyword optional and a project qualifier accepted: the MySQL
+  // flow issues `describe mindsdb.<predictor>.<attr>` (test_mysql_api
+  // test_describe_predictor_attrs); non-model names fall through to the
+  // plain DESCRIBE route via the match guard
   private val DescribeModel =
-    """(?is)\s*DESCRIBE\s+MODEL\s+(\w+)(?:\.(\d+))?(?:\.(\w+))?\s*""".r
+    """(?is)\s*DESCRIBE\s+(?:MODEL\s+)?(?:MINDSDB\.|GRAFT\.)?(\w+)(?:\.(\d+))?(?:\.(\w+))?\s*""".r
   private val DescribeHistory = """(?is)\s*DESCRIBE\s+HISTORY\s+(\w+)\s*""".r
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+(?:TABLE\s+)?(\w+)\s*(?:INTO\s+(\d+)\s+FILES?)?\s*""".r
@@ -1092,10 +1101,12 @@ final class Commands(
         ok(s"inserted into $name", tableRows(name) - before)
     }
 
-    case ShowStmt(what, like) =>
-      val likeFilter: DataFrame => DataFrame = df =>
-        Option(like).fold(df)(p => df.filter(
+    case ShowStmt(what, like, whereTail) =>
+      val likeFilter: DataFrame => DataFrame = df => {
+        val liked = Option(like).fold(df)(p => df.filter(
           col(df.columns.head).rlike(likeToRegex(p))))
+        Option(whereTail).fold(liked)(w => liked.filter(expr(w)))
+      }
       // each SHOW returns its meta-table schema (mindsdb_tables.py:42-430),
       // not an ad-hoc one-column list
       likeFilter(what.toUpperCase.replace('_', ' ').replaceAll("\\s+", " ") match {
@@ -1105,7 +1116,7 @@ final class Commands(
           mvs.list().map(_ -> "materialized"))
         case "MODELS" => catalog.metaModels()
         case "JOBS" => catalog.metaJobs(jobs)
-        case "DATABASES" => catalog.metaDatabases()
+        case "DATABASES" | "SCHEMAS" => catalog.metaDatabases()
         case "PROJECTS" => catalog.metaProjects()
         case "KNOWLEDGE BASES" => catalog.metaKnowledgeBases()
         case "AGENTS" => catalog.metaAgents()
@@ -1128,6 +1139,8 @@ final class Commands(
         case "COLLATION" => kv("collation", "charset",
           Seq("binary" -> "binary", "utf8mb4_general_ci" -> "utf8mb4"))
         case "WARNINGS" => kv("level", "message", Nil)
+        // stored routines: none exist — empty frames with the MySQL shape
+        case "FUNCTION STATUS" | "PROCEDURE STATUS" => kv("db", "name", Nil)
         case "PROCESSLIST" =>
           // the MySQL-proxy processlist over the same statement log that
           // backs mindsdb.queries and KILL (mysql proxy answers SHOW
@@ -1179,11 +1192,11 @@ final class Commands(
         }.getOrElse("")
       kv("tbl", "create_stmt", Seq(name -> stmt))
 
-    case DescribeModel(name, versionO, attrO) =>
-      // DESCRIBE MODEL name[.version][.attribute] — attribute access per
-      // the reference's describe_model (command_executor.py:931-966,
-      // model_controller.describe_model): info / features / model
-      require(catalog.listModels().contains(name.toLowerCase), s"model $name does not exist")
+    case DescribeModel(name, versionO, attrO)
+        if catalog.listModels().contains(name.toLowerCase) =>
+      // DESCRIBE [MODEL] [project.]name[.version][.attribute] — attribute
+      // access per the reference's describe_model (command_executor.py:
+      // 931-966, model_controller.describe_model): info / features / model
       val m = Option(versionO).fold(catalog.model(name))(v => catalog.model(name, v.toInt))
       def two(rows: Seq[(String, String)]): DataFrame = kv("part", "value", rows)
       Option(attrO).map(_.toLowerCase) match {

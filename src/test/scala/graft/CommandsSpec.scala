@@ -635,6 +635,27 @@ class CommandsSpec extends AnyFunSuite {
     assert(n(2) === 1, "other ids untouched")
   }
 
+  test("MySQL service-request SHOW variants all answer (test_service_requests)") {
+    val c = fresh()
+    val stmts = Seq(
+      "show databases", "show schemas", "show tables", "show tables from mindsdb",
+      "show tables in mindsdb", "show full tables from mindsdb",
+      "show full tables in mindsdb", "show variables", "show session status",
+      "show global variables", "show engines", "show warnings", "show charset",
+      "show collation", "show models",
+      "show function status where db = 'mindsdb'",
+      "show procedure status where db = 'mindsdb'")
+    stmts.foreach(s => c.execute(s).collect()) // none may throw
+    // SHOW ... WHERE filters the meta frame
+    c.execute("""CREATE MODEL wm_show PREDICT s USING
+      features='l_quantity', weights='1.0', bias=0.0""")
+    assert(c.execute("show models where name = 'wm_show'").count() === 1)
+    assert(c.execute("show models where name = 'nope'").count() === 0)
+    // describe <project>.<model>.<attr> (test_describe_predictor_attrs)
+    assert(c.execute("describe mindsdb.wm_show.features").count() > 0)
+    assert(c.execute("describe wm_show.info").count() > 0)
+  }
+
   test("secrets are masked in meta-tables until SET show_secrets=true (test_hide_secrets)") {
     val c = fresh()
     c.execute("CREATE ML_ENGINE ml_sec FROM fit USING api_key='123456'")

@@ -423,6 +423,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in evaluate:\n$plan")
   }
 
+  test("a03 agent retrieval: sharded two-phase ranking, never one corpus-wide window per question") {
+    val plan = executedPlan("a03_agent_rag")
+    val windows = plan.sliding("Window".length).count(_ == "Window")
+    assert(windows >= 2, s"expected the sharded two-phase window pair:\n$plan")
+    assert(plan.contains("pmod") && plan.contains("xxhash64"),
+      s"phase-1 window is not sharded — one task would hold the whole corpus per question:\n$plan")
+  }
+
   test("k17 batch retrieval: two-phase ranked windows, query table broadcasts") {
     val plan = executedPlan("k17_kb_batch_search")
     val windows = plan.sliding("Window".length).count(_ == "Window")

@@ -935,8 +935,8 @@ object Dedup extends QueryPack {
   // differ; every other token is shared), so Spark and the oracle compute
   // bit-identical integer arithmetic — the same parity discipline as the
   // KB oracle prefix.
-  private final case class QEng(pow2: String => String, idiv: (String, String) => String)
-  private val sparkQ = QEng(
+  private[graft] final case class QEng(pow2: String => String, idiv: (String, String) => String)
+  private[graft] val sparkQ = QEng(
     x => s"shiftleft(CAST(1 AS BIGINT), CAST(($x) AS INT))",
     (a, b) => s"(($a) DIV ($b))")
   private val duckQ = QEng(
@@ -946,7 +946,7 @@ object Dedup extends QueryPack {
 
   /** vals/k/sk CTEs: value → (octave via binary-string length, 16 linear
     * sub-buckets) → (source, bkt, cnt) sketch rows. */
-  private def logqBuildSql(table: String, e: QEng): String = s"""
+  private[graft] def logqBuildSql(table: String, e: QEng): String = s"""
     vals AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM $table WHERE n_chars >= 1),
     k AS (SELECT source, v, length(bin(v)) - 1 AS oct,
         ${e.pow2("length(bin(v)) - 1")} AS p FROM vals),
@@ -956,7 +956,7 @@ object Dedup extends QueryPack {
 
   /** lows/tot/cum/q CTEs: sketch rows → per-source p50/p90/p99 (bucket
     * lower bounds at the ceil(q·n) rank; all-integer). */
-  private def logqFromSketchSql(rel: String, e: QEng): String = s"""
+  private[graft] def logqFromSketchSql(rel: String, e: QEng): String = s"""
     lows AS (SELECT source, bkt, cnt,
         ${e.pow2(e.idiv("bkt", "16"))} +
         ${e.idiv(s"(bkt % 16) * ${e.pow2(e.idiv("bkt", "16"))}", "16")} AS low
@@ -971,7 +971,7 @@ object Dedup extends QueryPack {
       FROM cum JOIN tot ON cum.source = tot.source GROUP BY cum.source)"""
 
   /** d24 full statement: sketch quantiles + the exact-rank audit. */
-  private def logqQuantileSql(table: String, e: QEng): String = s"""
+  private[graft] def logqQuantileSql(table: String, e: QEng): String = s"""
     WITH ${logqBuildSql(table, e)},
     ${logqFromSketchSql("sk", e)},
     ex AS (SELECT source, v,

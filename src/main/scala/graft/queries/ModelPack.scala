@@ -498,11 +498,21 @@ object ModelPack extends QueryPack {
       val slopes = a.join(b, col("d1") < col("d2"))
         .select(round((col("v2") - col("v1")).cast(DoubleType) /
           (col("d2") - col("d1")), 6).as("slope"))
-      val n = slopes.count()
+      // median WITHOUT a global row_number over all O(days²) pairs (a
+      // single-task sort of millions of rows, and a second full join
+      // pass for the count): collapse to per-value counts first — the
+      // heavy pair join aggregates map-side into |distinct slopes| rows
+      // (6dp-rounded, bounded), computed ONCE for both the total and the
+      // cumulative walk; the remaining window orders value-count rows
+      // only
+      val sc = slopes.groupBy(col("slope")).agg(count(lit(1)).as("c")).persist()
+      val n = sc.agg(sum(col("c"))).first().getLong(0)
       val w = Window.orderBy(col("slope"))
-      slopes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === math.floor((n - 1) * 0.5).toLong + 1)
+      val out = sc.withColumn("cum", sum(col("c")).over(w))
+        .filter(col("cum") >= math.floor((n - 1) * 0.5).toLong + 1)
+        .orderBy(col("slope")).limit(1)
         .select(col("slope").as("theil_sen_slope"), lit(n).as("n_pairs"))
+      out
     }),
 
     "m20_anomaly_sql" -> ((s, dir) => {

@@ -229,4 +229,43 @@ class PropertySpec extends AnyFunSuite {
         s"seed $seed: estimate decreased after adding distincts")
     }
   }
+
+  test("log-quantile sketch: estimate within one sub-bucket of exact; stored rollup ≡ whole sketch") {
+    import graft.queries.Dedup
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    // skewed positives across several octaves, 4 groups
+    val rows = Seq.fill(6000)(("s" + rng.nextInt(4),
+      math.max(1, (math.exp(rng.nextDouble() * 11)).toInt)))
+    rows.toDF("source", "n_chars").createOrReplaceTempView("pq_docs")
+    val got = s.sql(Dedup.logqQuantileSql("pq_docs", Dedup.sparkQ)).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      for (i <- Seq((2, 5), (3, 6), (4, 7))) {
+        val (est, exact) = (r.getLong(i._1), r.getLong(i._2))
+        // the estimate is the bucket LOWER bound: exact lies in the same
+        // sub-bucket, whose relative width is ≤ 1/16 (+1 for int floor)
+        assert(est <= exact && exact <= est + est / 16 + 1,
+          s"quantile outside the sub-bucket bound: est=$est exact=$exact row=$r")
+      }
+    }
+    // stored-rollup identity: sketch random halves separately, sum the
+    // (group, bucket) counts, extract quantiles — must equal the whole
+    rows.zipWithIndex.map { case ((g, v), i) => (g, v, i % 2) }
+      .toDF("source", "n_chars", "half").createOrReplaceTempView("pq_halves")
+    val merged = s.sql(s"""
+      WITH h0 AS (SELECT source, n_chars FROM pq_halves WHERE half = 0),
+      h1 AS (SELECT source, n_chars FROM pq_halves WHERE half = 1),
+      ${Dedup.logqBuildSql("h0", Dedup.sparkQ).replace("vals", "vals0").replace("sk AS", "sk0 AS").replace("k AS", "k0 AS").replace("FROM k ", "FROM k0 ")},
+      ${Dedup.logqBuildSql("h1", Dedup.sparkQ).replace("vals", "vals1").replace("sk AS", "sk1 AS").replace("k AS", "k1 AS").replace("FROM k ", "FROM k1 ")},
+      m AS (SELECT source, bkt, SUM(cnt) AS cnt FROM
+        (SELECT * FROM sk0 UNION ALL SELECT * FROM sk1) GROUP BY source, bkt),
+      ${Dedup.logqFromSketchSql("m", Dedup.sparkQ)}
+      SELECT source, p50, p90, p99 FROM q ORDER BY source""").collect()
+    val whole = got.sortBy(_.getString(0))
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val roll = merged.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(whole.toSeq === roll.toSeq, "stored rollup diverged from the whole-corpus sketch")
+  }
 }

@@ -216,6 +216,41 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) over the DECODED pixels — the
+    * classic near-duplicate image fingerprint (threshold each cell of a
+    * fixed 8×8 crop against the integer mean; equal-hash images are
+    * visual duplicates). All-integer so the closed-form oracle
+    * reproduces it bit-for-bit; emitted as the 64-char bit string (no
+    * 64-bit sign traps, groupable directly). Batched mapPartitions like
+    * every decode stage — embarrassingly parallel, no shuffle before
+    * the final hash groupBy. */
+  def decodePngAhash(df: DataFrame, idCol: String, pngCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("ahash", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType), col(pngCol)).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val raster = img.getRaster
+          val px = Array.tabulate(8, 8)((y, x) => raster.getSample(x, y, 0))
+          val mean = px.flatten.map(_.toLong).sum / 64
+          val bits = new StringBuilder(64)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { bits.append(if (px(y)(x) > mean) '1' else '0'); x += 1 }
+            y += 1
+          }
+          Row(r.getLong(0), bits.toString)
+        }
+      }
+    }(enc)
+  }
+
   // ------------------------------------------- real WAV codec (javax.sound)
 
   /** Deterministic PCM test signal: n = 64 + id%64 sixteen-bit samples,

@@ -2,10 +2,10 @@ package graft.queries
 
 import graft.engine.Tables
 import graft.functions.VectorFunctions.simhash64
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Near-duplicate detection for training-data pipelines: exact n-gram
   * Jaccard (inverted-index join — the oracle-checkable ground truth),
@@ -319,6 +319,27 @@ object Dedup extends QueryPack {
         .groupBy(col("est_jaccard"))
         .agg(count(lit(1)).as("n_candidate_pairs"))
         .orderBy(col("est_jaccard"))
+    }),
+
+    // ---- LSH parameter PLANNER (the design-time companion to d23's
+    // measured sweep): for every (bands, rows) factorization of the
+    // 32-hash signature, the banding detection probability
+    // 1 − (1 − s^r)^b over a similarity grid — the S-curve table an
+    // operator reads to pick the banding for a target τ BEFORE paying a
+    // corpus pass (Leskovec/Rajaraman/Ullman ch.3). Pure closed form:
+    // |factorizations|×|grid| rows, zero data scanned; probabilities
+    // computed ONCE in exact BigInt rationals (no float pow — engines
+    // disagree in the last ulp of pow) and emitted as literals.
+    "d26_lsh_planner" -> ((s, dir) => {
+      val rows = lshPlannerRows.map { case (b, r, sTenths, p) =>
+        Row(b.toLong, r.toLong, sTenths / 10.0, p) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("bands", LongType, nullable = false),
+          StructField("rows_per_band", LongType, nullable = false),
+          StructField("similarity", DoubleType, nullable = false),
+          StructField("p_detect", DoubleType, nullable = false))))
+        .orderBy(col("bands"), col("similarity"))
     }),
 
     // ---- mergeable QUANTILE sketch (log-histogram, the DDSketch idea —
@@ -930,6 +951,26 @@ object Dedup extends QueryPack {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The d26 planner table, exact: p = 1 − (1 − (i/10)^r)^b as a BigInt
+    * rational over den = 10^(r·b) = 10^32, rounded HALF_UP to 6dp once
+    * here — both the Spark frame and the DuckDB oracle read these same
+    * literals, so no engine ever evaluates a float pow. */
+  private[graft] lazy val lshPlannerRows: Seq[(Int, Int, Int, Double)] = {
+    val k = MinhashK
+    for {
+      r <- Seq(1, 2, 4, 8, 16, 32)
+      b = k / r
+      i <- 1 to 9
+    } yield {
+      val den = BigInt(10).pow(k)
+      val miss = (BigInt(10).pow(r) - BigInt(i).pow(r)).pow(b) *
+        BigInt(10).pow(k - r * b)
+      val p = BigDecimal(den - miss, java.math.MathContext.UNLIMITED) /
+        BigDecimal(den)
+      (b, r, i, p.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   // ------------------------------------------------- log-quantile sketch
   // One SQL template, two engine spellings (bitshift / integer division
   // differ; every other token is shared), so Spark and the oracle compute
@@ -989,6 +1030,16 @@ object Dedup extends QueryPack {
   def oracles: Map[String, String] = Map(
 
     "d24_logq_quantiles" -> logqQuantileSql("documents", duckQ),
+
+    "d26_lsh_planner" -> {
+      val values = lshPlannerRows.map { case (b, r, i, p) =>
+        s"($b, $r, ${i / 10.0}, $p)" }.mkString(", ")
+      s"""SELECT CAST(bands AS BIGINT) AS bands,
+        CAST(rows_per_band AS BIGINT) AS rows_per_band,
+        similarity, p_detect
+      FROM (VALUES $values) AS t(bands, rows_per_band, similarity, p_detect)
+      ORDER BY bands, similarity"""
+    },
 
     // merge-of-stored-halves ≡ whole-corpus sketch (count addition is
     // associative), so the oracle sketches the whole corpus directly

@@ -84,6 +84,20 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // perceptual near-dup IMAGE dedup: average-hash over the DECODED
+    // pixels of real PNGs (8×8 crop thresholded at the integer mean —
+    // the classic aHash fingerprint), then dup groups by hash equality.
+    // The histogram of group sizes is the image-side analog of d17's
+    // cluster-size report; the oracle recomputes every hash closed-form
+    // from the pattern, so a match proves decode + hash end to end.
+    "x07_image_ahash_dedup" -> ((s, dir) => {
+      val ids = Tables.table(s, dir, "documents").select(col("doc_id"))
+      decodePngAhash(encodePngGray(ids, "doc_id"), "doc_id", "png")
+        .groupBy(col("ahash")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))
+    }),
+
     // batched mapPartitions decode + per-format aggregate
     "x02_image_features" -> ((s, dir) => {
       decodeFeatures(imgs(s, dir), "doc_id", "img")
@@ -131,6 +145,24 @@ object MultimodalPack extends QueryPack {
         CAST(FLOOR(data_size * 1000.0 / CAST(sample_rate * channels * (bits // 8) AS DOUBLE)) AS BIGINT) AS duration_ms,
         CAST(44 AS INTEGER) AS n_bytes
       FROM f ORDER BY doc_id""",
+
+    // every hash recomputed closed-form from the pattern formula — the
+    // Spark side read its pixels from REAL decoded PNGs
+    "x07_image_ahash_dedup" -> """
+      WITH cells AS (
+        SELECT d.doc_id, y.y * 8 + x.x AS pos,
+          (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS p
+        FROM documents d, (SELECT range AS x FROM range(0, 8)) x,
+          (SELECT range AS y FROM range(0, 8)) y),
+      m AS (SELECT doc_id, SUM(p) // 64 AS mean FROM cells GROUP BY doc_id),
+      bits AS (SELECT c.doc_id,
+          string_agg(CASE WHEN c.p > m.mean THEN '1' ELSE '0' END, ''
+            ORDER BY c.pos) AS ahash
+        FROM cells c JOIN m ON c.doc_id = m.doc_id GROUP BY c.doc_id),
+      g AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM bits GROUP BY ahash)
+      SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM g GROUP BY group_size ORDER BY group_size""",
 
     // closed-form recomputation of the decoded-pixel stats: the Spark
     // side reads them from REAL decoded PNGs, so equality proves the

@@ -185,6 +185,56 @@ class StreamingSpec extends AnyFunSuite {
       s"incrementally maintained sketches ($streamed) != one-shot estimate ($direct)")
   }
 
+  test("streaming quantile-sketch maintenance: per-batch count merge == one-shot sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Dedup
+    // documents arrive as micro-batches; each batch's (source, bucket)
+    // counts ADD into the stored sketch (the d25 lifecycle, maintained
+    // under streaming ingest); the final quantiles must equal sketching
+    // the whole corpus at once — count addition is associative, so the
+    // identity is exact, not approximate
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val d = java.nio.file.Files.createTempDirectory("doc_qsketch_stream")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        .write.parquet(s"$d/part_$i")
+      val f = new java.io.File(s"$d/part_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(f.toPath, d.resolve(s"doc_$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$d/part_$i"))
+    }
+    var sketch: org.apache.spark.sql.DataFrame = null
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.createOrReplaceTempView("qs_batch")
+        // the batch frame lives in the micro-batch's own session
+        val newSk = batch.sparkSession.sql(
+          s"WITH ${Dedup.logqBuildSql("qs_batch", Dedup.sparkQ)} SELECT * FROM sk")
+        sketch = Option(sketch).fold(newSk) { prev =>
+          prev.unionByName(newSk).groupBy(col("source"), col("bkt"))
+            .agg(sum(col("cnt")).as("cnt"))
+        }
+        sketch = sketch.localCheckpoint()
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    sketch.createOrReplaceTempView("qs_maintained")
+    // the maintained frame lives in the last micro-batch's session clone
+    val streamed = sketch.sparkSession.sql(s"""
+      WITH m AS (SELECT source, bkt, cnt FROM qs_maintained),
+      ${Dedup.logqFromSketchSql("m", Dedup.sparkQ)}
+      SELECT source, p50, p90, p99 FROM q ORDER BY source""").collect().toSeq
+    docs.createOrReplaceTempView("qs_all")
+    val direct = spark.sql(s"""
+      WITH ${Dedup.logqBuildSql("qs_all", Dedup.sparkQ)},
+      ${Dedup.logqFromSketchSql("sk", Dedup.sparkQ)}
+      SELECT source, p50, p90, p99 FROM q ORDER BY source""").collect().toSeq
+    assert(streamed === direct,
+      "incrementally maintained quantile sketch diverged from the one-shot sketch")
+  }
+
   test("streaming incremental dedup (foreachBatch vs standing index) == batch d18") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -121,16 +121,20 @@ object InfoSchema {
 
     // ROUTINES: the session-registered SQL functions (AiFunctions +
     // custom aggregates), i.e. what a BI tool may call in queries
-    providers("routines") = const(
-      StructType(Seq(
-        StructField("specific_name", StringType), StructField("routine_catalog", StringType),
-        StructField("routine_schema", StringType), StructField("routine_name", StringType),
-        StructField("routine_type", StringType), StructField("data_type", StringType),
-        StructField("routine_body", StringType), StructField("routine_definition", StringType),
-        StructField("is_deterministic", StringType), StructField("sql_data_access", StringType))),
-      graft.functions.AiFunctions.routineRows.map { case (n, t, defn) =>
-        Row(n, "def", "graft", n, "FUNCTION", t, "EXTERNAL", defn, "YES", "NO SQL")
-      })
+    val routinesSchema = StructType(Seq(
+      StructField("specific_name", StringType), StructField("routine_catalog", StringType),
+      StructField("routine_schema", StringType), StructField("routine_name", StringType),
+      StructField("routine_type", StringType), StructField("data_type", StringType),
+      StructField("routine_body", StringType), StructField("routine_definition", StringType),
+      StructField("is_deterministic", StringType), StructField("sql_data_access", StringType)))
+    // rebuilt per read: CREATE FUNCTION appends to userRoutines live
+    providers("routines") = () => spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        graft.functions.AiFunctions.routineRows.map { case (n, t, defn) =>
+          Row(n, "def", "graft", n, "FUNCTION", t, "EXTERNAL", defn, "YES", "NO SQL")
+        } ++ graft.functions.AiFunctions.userRoutines.map { case (n, t, defn) =>
+          Row(n, "def", "graft", n, "FUNCTION", t, "SQL", defn, "YES", "CONTAINS SQL")
+        }, 1), routinesSchema)
 
     spark.conf.set(s"spark.sql.catalog.$CatalogName", classOf[InfoSchemaCatalog].getName)
   }

@@ -69,6 +69,19 @@ object AiFunctions {
     ("hll_union_estimate", "double",
       "distinct estimate from unioned stored hll_registers sketches"))
 
+  /** SQL-defined functions created at runtime (CREATE FUNCTION … RETURN
+    * expr — Spark 4's SQL scalar UDFs), name → (return type, body);
+    * surfaced through information_schema.routines beside the built-ins.
+    * OR REPLACE overwrites by key. */
+  private val userRoutineMap =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  def addUserRoutine(name: String, typ: String, body: String): Unit =
+    userRoutineMap(name.toLowerCase) = (typ, body)
+  def dropUserRoutine(name: String): Unit =
+    userRoutineMap.remove(name.toLowerCase)
+  def userRoutines: Seq[(String, String, String)] =
+    userRoutineMap.toSeq.sortBy(_._1).map { case (n, (t, b)) => (n, t, b) }
+
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.{BinaryType, StringType}

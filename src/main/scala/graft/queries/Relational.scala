@@ -444,6 +444,24 @@ object Relational extends QueryPack {
 
     // lateral column aliases (Spark 3.4+/DuckDB: a SELECT item referencing
     // an alias defined earlier in the same list) — pure projection rewrite
+    // SQL-defined scalar functions (CREATE FUNCTION … RETURN expr —
+    // Spark 4 SQL UDFs, the in-engine sibling of the reference's BYOM
+    // surface; the body inlines into whole-stage codegen, so calling one
+    // costs the same as writing the expression): two functions compose
+    // in one aggregation, surfaced in information_schema.routines
+    "q66_sql_udf" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      c.execute("""CREATE OR REPLACE FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)""")
+      c.execute("""CREATE OR REPLACE FUNCTION price_band(p DOUBLE) RETURNS STRING
+        RETURN CASE WHEN p < 20000 THEN 'low' WHEN p < 40000 THEN 'mid' ELSE 'high' END""")
+      c.execute(s"""SELECT price_band(l_extendedprice) AS band,
+          COUNT(*) AS n,
+          ${Parity.oSum("disc_price(l_extendedprice, l_discount)")} AS revenue
+        FROM lineitem GROUP BY band ORDER BY band""")
+    }),
+
     "q65_lateral_alias" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -1125,6 +1143,15 @@ object Relational extends QueryPack {
         CAST(s_suppkey AS BIGINT) AS s_suppkey,
         CAST(cents AS DOUBLE) / 100 AS revenue
       FROM rk WHERE rn <= 3 ORDER BY s_nationkey, rank""",
+
+    // the oracle inlines the function bodies — equality proves the SQL
+    // UDF route computes exactly its declared expression
+    "q66_sql_udf" -> s"""
+      SELECT CASE WHEN l_extendedprice < 20000 THEN 'low'
+          WHEN l_extendedprice < 40000 THEN 'mid' ELSE 'high' END AS band,
+        COUNT(*) AS n,
+        ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+      FROM lineitem GROUP BY band ORDER BY band""",
 
     "q65_lateral_alias" -> """
       SELECT o_orderkey,

@@ -70,6 +70,10 @@ final class Commands(
     """(?is)\s*EVALUATE\s+KNOWLEDGE[_ ]BASE\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val EvaluateMetric =
     """(?is)\s*EVALUATE\s+(\w+)\s+FROM\s*\((.+)\)\s*(?:USING\s+(.+?))?\s*""".r
+  private val CreateFunction =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s+RETURNS\s+([\w()<>, ]+?)\s+RETURN\s+(.+?)\s*""".r
+  private val DropFunction =
+    """(?is)\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateAgent =
     """(?is)\s*CREATE\s+AGENT\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+USING\s+(.+?)\s*""".r
   // UPDATE AGENT and ALTER AGENT are the same verb (the reference accepts
@@ -642,6 +646,26 @@ final class Commands(
       val p = Option(using).map(parseUsing).getOrElse(Map.empty)
       graft.ml.Metrics.evaluate(run(dataSql), metric,
         p.get("n_decimals").map(_.toInt).getOrElse(3))
+
+    case CreateFunction(orReplace, name, args, retType, body) =>
+      // CREATE [OR REPLACE] FUNCTION name(args) RETURNS type RETURN expr
+      // — a SQL-defined scalar function (the in-engine sibling of the
+      // reference's BYOM UDF surface; SQL-body UDFs stay inside
+      // whole-stage codegen, unlike external ones). Registered as a
+      // Spark SQL UDF and surfaced through information_schema.routines.
+      require(orReplace != null ||
+        !graft.functions.AiFunctions.userRoutines.exists(_._1 == name.toLowerCase),
+        s"function $name already exists")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name($args) " +
+        s"RETURNS $retType RETURN $body")
+      graft.functions.AiFunctions.addUserRoutine(
+        name.toLowerCase, retType.trim.toLowerCase, body.trim)
+      ok(s"function $name created")
+    case DropFunction(ifEx, name) =>
+      try spark.sql(s"DROP TEMPORARY FUNCTION $name")
+      catch { case e: Exception => if (ifEx == null) throw e }
+      graft.functions.AiFunctions.dropUserRoutine(name)
+      ok(s"function $name dropped")
 
     case CreateAgent(name, using) =>
       val p = agentParams(parseUsing(using))

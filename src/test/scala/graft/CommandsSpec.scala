@@ -635,6 +635,24 @@ class CommandsSpec extends AnyFunSuite {
     assert(n(2) === 1, "other ids untouched")
   }
 
+  test("CREATE FUNCTION registers a SQL UDF, lists in routines, bare re-create errors, DROP removes") {
+    val c = fresh()
+    c.execute("CREATE FUNCTION cf_sq(x BIGINT) RETURNS BIGINT RETURN x * x")
+    assert(c.execute("SELECT cf_sq(7) AS v").first().getLong(0) === 49L)
+    assert(c.execute("""SELECT routine_definition FROM information_schema.routines
+      WHERE routine_name = 'cf_sq'""").first().getString(0) === "x * x")
+    intercept[IllegalArgumentException] {
+      c.execute("CREATE FUNCTION cf_sq(x BIGINT) RETURNS BIGINT RETURN x + 1")
+    }
+    // OR REPLACE swaps the body
+    c.execute("CREATE OR REPLACE FUNCTION cf_sq(x BIGINT) RETURNS BIGINT RETURN x + 1")
+    assert(c.execute("SELECT cf_sq(7) AS v").first().getLong(0) === 8L)
+    c.execute("DROP FUNCTION cf_sq")
+    assert(c.execute("""SELECT count(*) AS n FROM information_schema.routines
+      WHERE routine_name = 'cf_sq'""").first().getLong(0) === 0L)
+    c.execute("DROP FUNCTION IF EXISTS cf_sq") // no-op, no error
+  }
+
   test("MySQL service-request SHOW variants all answer (test_service_requests)") {
     val c = fresh()
     val stmts = Seq(

@@ -38,6 +38,24 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       .filterNot(n => n.endsWith("__tmp") || n.endsWith("__old") || n.startsWith("."))
       .sorted
 
+  /** Exact row count from the parquet FOOTERS — a driver-side metadata
+    * walk, no Spark job (spark count(*) still scans without
+    * aggregatePushdown). Backs the DML affected_rows diffs, so an
+    * INSERT/DELETE ack costs milliseconds regardless of table size. */
+  def rowCount(name: String): Long = {
+    recover(name)
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } else 0L
+    walk(new java.io.File(path(name)))
+  }
+
   def table(name: String): DataFrame = {
     recover(name)
     val evo = evoLog(name)

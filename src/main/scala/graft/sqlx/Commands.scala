@@ -2337,11 +2337,12 @@ final class Commands(
         StructField("message", StringType),
         StructField("affected_rows", LongType))))
 
-  /** Row count of a warehouse table — parquet footer metadata only (a
-    * count(*) over an unfiltered scan never reads data pages), so the
-    * before/after diffs backing INSERT/DELETE affected_rows stay cheap
-    * at any scale. */
-  private def tableRows(name: String): Long = warehouse.table(name).count()
+  /** Row count of a warehouse table — a driver-side parquet-footer walk
+    * (Warehouse.rowCount), NOT a Spark job, so the before/after diffs
+    * backing INSERT/DELETE affected_rows cost milliseconds at any scale
+    * (an extra count job per DML statement measurably slowed
+    * trigger-protocol queries). */
+  private def tableRows(name: String): Long = warehouse.rowCount(name)
 
   private def kv(k: String, v: String, pairs: Seq[(String, String)]): DataFrame =
     spark.createDataFrame(

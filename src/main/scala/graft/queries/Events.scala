@@ -352,6 +352,33 @@ object Events extends QueryPack {
     // ---- assist analysis: per campaign, conversions it CLOSED
     // (last touch) vs conversions it only ASSISTED (first touch of a
     // journey another campaign closed) — the report that keeps
+    // exponential-decay engagement score (the feature-store recency
+    // weighting behind churn/LTV features): each event contributes
+    // value · 2^(−age_days/7), ages anchored to the corpus max day. The
+    // decay weights come from a ≤367-row BROADCAST lookup precomputed
+    // once in exact decimals (never a per-row float pow — engines
+    // disagree in pow's last ulp), so the whole op is one broadcast
+    // join + a map-side-combinable decimal sum per user — no window, no
+    // shuffle beyond the user rollup. 100 TB shape: the lookup is
+    // constant-size at any corpus.
+    "e38_decay_engagement" -> ((s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val mx = ev.agg(max(col("day")).as("mx"))
+      val decay = decayRows.toDF("age", "w")
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age", datediff(col("mx"), col("day")))
+        .join(broadcast(decay), Seq("age"))
+        .groupBy(col("user_id"))
+        .agg(Parity.dsum2(col("value"), col("w")).as("eng"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), round(col("eng"), 4).as("engagement"),
+          col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // last-touch attribution from starving upper-funnel campaigns. Same
     // one-pass credit unpivot as e34.
     "e37_campaign_assists" -> ((s, dir) => {
@@ -834,7 +861,26 @@ object Events extends QueryPack {
     })
   )
 
+  /** e38's decay lookup: 2^(−age/7) at 4dp, one literal table shared
+    * verbatim by the Spark frame and the oracle VALUES list — no engine
+    * evaluates a float pow per row. */
+  private lazy val decayRows: Seq[(Int, Double)] =
+    (0 to 366).map(a => a -> BigDecimal(math.pow(0.5, a / 7.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
   def oracles: Map[String, String] = Map(
+
+    "e38_decay_engagement" -> {
+      val values = decayRows.map { case (a, w) => s"($a, $w)" }.mkString(", ")
+      s"""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+      d AS (SELECT * FROM (VALUES $values) AS v(age, w))
+      SELECT user_id,
+        ROUND(${Parity.oSum2("value", "w")}, 4) AS engagement,
+        COUNT(*) AS n_events
+      FROM events CROSS JOIN mx
+      JOIN d ON datediff('day', CAST(ts AS DATE), mx.m) = d.age
+      GROUP BY user_id ORDER BY user_id"""
+    },
     // typed json_extract is DuckDB's native equivalent of variant_get
     "e14_variant_props" -> """
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -231,18 +231,20 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
 
   /** `{'provider': 'x', 'api_key': 'y'}` → Map — the USING-dict shape the
     * reference passes for KB model params. */
-  private def parseModelDict(s: String): Map[String, String] =
-    s.trim.stripPrefix("{").stripSuffix("}").split(",").toSeq
-      .map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+  private def parseModelDict(s: String): Map[String, String] = {
+    def unq(x: String) = x.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
+    // quote/nesting-aware tokenizer shared with the SQL router: a naive
+    // split(",") would corrupt values containing commas
+    graft.sqlx.Commands.splitTop(
+        s.trim.stripPrefix("{").stripSuffix("}"), ',')
+      .flatMap { kv =>
         kv.split(":", 2) match {
-          case Array(k2, v2) =>
-            Some(k2.trim.stripPrefix("'").stripSuffix("'").stripPrefix("\"")
-              .stripSuffix("\"").toLowerCase ->
-              v2.trim.stripPrefix("'").stripSuffix("'").stripPrefix("\"")
-                .stripSuffix("\""))
+          case Array(k2, v2) => Some(unq(k2).toLowerCase -> unq(v2))
           case _ => None
         }
       }.toMap
+  }
 
   private def renderModelDict(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"'$k': '$v'" }

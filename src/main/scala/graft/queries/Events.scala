@@ -368,9 +368,13 @@ object Events extends QueryPack {
         .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
       val mx = ev.agg(max(col("day")).as("mx"))
       val decay = decayRows.toDF("age", "w")
+      // LEFT join: events older than the 366-day lookup horizon decay to
+      // weight 0 but still count in n_events — an inner join would drop
+      // them (and users with only old events) from the output entirely
       ev.crossJoin(broadcast(mx))
         .withColumn("age", datediff(col("mx"), col("day")))
-        .join(broadcast(decay), Seq("age"))
+        .join(broadcast(decay), Seq("age"), "left")
+        .withColumn("w", coalesce(col("w"), lit(0.0)))
         .groupBy(col("user_id"))
         .agg(Parity.dsum2(col("value"), col("w")).as("eng"),
           count(lit(1)).as("n_events"))
@@ -875,10 +879,10 @@ object Events extends QueryPack {
       s"""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
       d AS (SELECT * FROM (VALUES $values) AS v(age, w))
       SELECT user_id,
-        ROUND(${Parity.oSum2("value", "w")}, 4) AS engagement,
+        ROUND(${Parity.oSum2("value", "COALESCE(d.w, 0)")}, 4) AS engagement,
         COUNT(*) AS n_events
       FROM events CROSS JOIN mx
-      JOIN d ON datediff('day', CAST(ts AS DATE), mx.m) = d.age
+      LEFT JOIN d ON datediff('day', CAST(ts AS DATE), mx.m) = d.age
       GROUP BY user_id ORDER BY user_id"""
     },
     // typed json_extract is DuckDB's native equivalent of variant_get

@@ -508,11 +508,14 @@ object ModelPack extends QueryPack {
       val sc = slopes.groupBy(col("slope")).agg(count(lit(1)).as("c")).persist()
       val n = sc.agg(sum(col("c"))).first().getLong(0)
       val w = Window.orderBy(col("slope"))
-      val out = sc.withColumn("cum", sum(col("c")).over(w))
+      // collect the single median row, THEN unpersist — returning a lazy
+      // frame over sc would leak its cached blocks for the session
+      val med = sc.withColumn("cum", sum(col("c")).over(w))
         .filter(col("cum") >= math.floor((n - 1) * 0.5).toLong + 1)
-        .orderBy(col("slope")).limit(1)
-        .select(col("slope").as("theil_sen_slope"), lit(n).as("n_pairs"))
-      out
+        .orderBy(col("slope")).limit(1).first().getDouble(0)
+      sc.unpersist()
+      val sp = s; import sp.implicits._
+      Seq((med, n)).toDF("theil_sen_slope", "n_pairs")
     }),
 
     "m20_anomaly_sql" -> ((s, dir) => {

@@ -24,6 +24,37 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * exists as a Scala API (Kb, Fit, Jobs, Triggers, Agents, MemCatalog) —
   * this layer is the user-facing SQL spelling.
   */
+object Commands {
+  /** Top-level split on `sep`, respecting quotes and (){}[] nesting —
+    * the one dict/list tokenizer shared by the SQL router and the
+    * catalog's model-param parser (a naive split(",") corrupts values
+    * containing commas, e.g. model_name = 'a,b'). */
+  private[graft] def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Option[Char] = None
+    var depth = 0
+    s.foreach { c =>
+      quote match {
+        case Some(q) =>
+          cur.append(c)
+          if (c == q) quote = None
+        case None => c match {
+          case '\'' | '"' => quote = Some(c); cur.append(c)
+          case '(' | '{' | '[' => depth += 1; cur.append(c)
+          case ')' | '}' | ']' => depth = math.max(0, depth - 1); cur.append(c)
+          case `sep` if depth == 0 =>
+            if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+            cur.clear()
+          case _ => cur.append(c)
+        }
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+}
+
 final class Commands(
     val spark: SparkSession,
     val catalog: Catalog,
@@ -950,7 +981,7 @@ final class Commands(
       ok(s"merged into $name")
 
     case UpdateFromStmt(name, assigns, srcSub, sAlias, where)
-        if !name.equalsIgnoreCase("AGENT") =>
+        if !name.equalsIgnoreCase("AGENT") && cleanSetList(assigns) =>
       // UPDATE <tbl> SET a = df.x, … FROM (<subquery>) AS df WHERE <match
       // cond> (test_update_from_select — the subquery may join a model;
       // the model-aware route handles that). Matched rows take the SETs,
@@ -1106,9 +1137,19 @@ final class Commands(
           // with one anti-join delete before the append. kb_skip_existing
           // inverts the preference (stored wins) and already filtered the
           // incoming side above, so nothing to drop here.
-          if (!k.params.get("kb_skip_existing").exists(_.toBoolean))
-            warehouse.deleteMatching(k.storage, withCells.select("doc_id"), "doc_id")
-          warehouse.insertInto(k.storage, withCells)
+          if (!k.params.get("kb_skip_existing").exists(_.toBoolean)) {
+            // materialize the chunk/embedding plan ONCE (it is reused for
+            // the overlap probe and the append), and skip the
+            // copy-on-write rewrite entirely when no incoming doc_id is
+            // already stored — the common append-only ingest path
+            val cells = withCells.localCheckpoint()
+            val overlaps = !warehouse.table(k.storage).select("doc_id")
+              .join(cells.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+              .isEmpty
+            if (overlaps)
+              warehouse.deleteMatching(k.storage, cells.select("doc_id"), "doc_id")
+            warehouse.insertInto(k.storage, cells)
+          } else warehouse.insertInto(k.storage, withCells)
         } else warehouse.createTableAs(k.storage, withCells)
         // index-build-time corpus stats: one aggregation per ingest, so
         // BM25 search never pays a full-corpus scan per query
@@ -2229,29 +2270,27 @@ final class Commands(
   /** Split on `sep` outside single/double quotes AND outside parens
     * (an assignment like `x = concat(a, ',')` must stay whole); trims,
     * drops empties. */
-  private def splitTop(s: String, sep: Char): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var quote: Option[Char] = None
+  private def splitTop(s: String, sep: Char): Seq[String] =
+    Commands.splitTop(s, sep)
+
+  /** True when `s` is a plausible SET list: balanced parens and no
+    * top-level WHERE keyword. Guards the UPDATE…FROM route against
+    * over-matching a plain UPDATE whose WHERE clause contains a
+    * parenthesized subquery with FROM inside (e.g. `UPDATE t SET a = 1
+    * WHERE x IN (SELECT b FROM (…) z WHERE c > 1)`), which would
+    * otherwise capture `a = 1 WHERE x IN (SELECT b` as the SET list. */
+  private def cleanSetList(s: String): Boolean = {
+    val noQuotes = s.replaceAll("'[^']*'", "''").replaceAll("\"[^\"]*\"", "\"\"")
+    val top = new StringBuilder
     var depth = 0
-    s.foreach { c =>
-      quote match {
-        case Some(q) =>
-          cur.append(c)
-          if (c == q) quote = None
-        case None => c match {
-          case '\'' | '"' => quote = Some(c); cur.append(c)
-          case '(' | '{' | '[' => depth += 1; cur.append(c)
-          case ')' | '}' | ']' => depth = math.max(0, depth - 1); cur.append(c)
-          case `sep` if depth == 0 =>
-            if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-            cur.clear()
-          case _ => cur.append(c)
-        }
-      }
+    var balanced = true
+    noQuotes.foreach {
+      case '(' => depth += 1
+      case ')' => depth -= 1; if (depth < 0) balanced = false
+      case c => if (depth == 0) top.append(c)
     }
-    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-    out.result()
+    balanced && depth == 0 &&
+      !top.toString.toUpperCase.matches("(?s).*\\bWHERE\\b.*")
   }
 
   /** Parameterized execution — the prepared-statement surface

@@ -769,6 +769,53 @@ object WritesPack extends QueryPack {
         FROM extdb_c15.APP.NATION GROUP BY n_regionkey ORDER BY n_regionkey""")
     }),
 
+    // the MySQL wire-protocol entry point END-TO-END: a live loopback
+    // socket server (the reference's primary interface —
+    // mysql_proxy.py:594), a raw-packet client handshake, COM_QUERY over
+    // the text protocol, and the decoded result re-typed into a frame.
+    // Every value in this result crossed the wire as MySQL packets.
+    "c16_mysql_wire" -> ((s, dir) => {
+      val srv = new graft.server.MysqlServer(s, dir).start()
+      try {
+        val cl = new graft.server.MysqlClient("127.0.0.1", srv.boundPort)
+        try {
+          val Right(rs) = cl.query(
+            """SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+               FROM lineitem GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus"""): @unchecked
+          val sp = s; import sp.implicits._
+          rs.rows.map(r => (r(0), r(1), r(2).toLong, r(3).toDouble))
+            .toDF("l_returnflag", "l_linestatus", "n", "sum_qty")
+        } finally cl.close()
+      } finally srv.stop()
+    }),
+
+    // the binary prepared-statement protocol END-TO-END: COM_STMT_PREPARE
+    // + COM_STMT_EXECUTE with typed params (double + string), binary
+    // result rows decoded back — the reference's planner/query_prepare.py
+    // surface over the socket
+    "c18_mysql_stmt" -> ((s, dir) => {
+      val srv = new graft.server.MysqlServer(s, dir).start()
+      try {
+        val cl = new graft.server.MysqlClient("127.0.0.1", srv.boundPort)
+        try {
+          val id = cl.prepare(
+            """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+               FROM orders WHERE o_totalprice > ? AND o_orderpriority = ?
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+          val Right(rs) = cl.executePrepared(id,
+            Seq(100000.0, "1-URGENT")): @unchecked
+          cl.closeStatement(id)
+          val sp = s; import sp.implicits._
+          rs.rows.map(r => (r(0), r(1).toLong, r(2).toDouble))
+            .toDF("o_orderstatus", "n", "total")
+        } finally cl.close()
+      } finally srv.stop()
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -1060,6 +1107,19 @@ object WritesPack extends QueryPack {
     "c15_jdbc_database_sql" -> """
       SELECT n_regionkey, COUNT(*) AS n FROM nation
       GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "c16_mysql_wire" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "c18_mysql_stmt" -> """
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders WHERE o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "c14_query_processlist" -> """
       SELECT * FROM (VALUES

@@ -1,0 +1,204 @@
+package graft.server
+
+import java.net.Socket
+import MysqlWire._
+
+/** Minimal MySQL protocol client — the in-repo counterpart of
+  * [[MysqlServer]], used by the socket specs and the c16/c18 gated
+  * queries so the wire path is exercised end-to-end (raw packets, no
+  * JDBC driver — the sandbox classpath has none for MySQL).
+  *
+  * Speaks HandshakeResponse41, COM_QUERY with text result sets, and the
+  * binary prepared-statement protocol (COM_STMT_PREPARE/EXECUTE/CLOSE)
+  * with typed parameters including NULLs.
+  */
+object MysqlClient {
+  /** Decoded result set: all values as text-protocol strings (binary rows
+    * are rendered back to the same text forms for comparability). */
+  final case class ResultSet(columns: Seq[String], types: Seq[Int],
+                             rows: Seq[Seq[String]])
+  final case class Ok(affectedRows: Long, info: String)
+}
+
+final class MysqlClient(host: String, port: Int,
+                        user: String = "mindsdb", database: String = "mindsdb") {
+
+  import MysqlClient.{Ok, ResultSet}
+
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val io = new PacketIo(
+    new java.io.BufferedInputStream(sock.getInputStream),
+    new java.io.BufferedOutputStream(sock.getOutputStream))
+  connect()
+
+  private def connect(): Unit = {
+    val greeting = new ByteReader(io.read())
+    require(greeting.u8() == 0x0a, "unexpected protocol version")
+    greeting.nulTerminated() // server version
+    greeting.u32() // connection id
+    greeting.bytes(8); greeting.u8() // salt part 1 + filler
+    val capsLow = greeting.u16()
+    greeting.u8(); greeting.u16() // charset, status
+    val capsHigh = greeting.u16()
+    val serverCaps = capsLow.toLong | (capsHigh.toLong << 16)
+    require((serverCaps & CLIENT_PROTOCOL_41) != 0, "server is not protocol 4.1")
+    val clientCaps = CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION |
+      CLIENT_PLUGIN_AUTH | CLIENT_CONNECT_WITH_DB | CLIENT_LONG_PASSWORD
+    val resp = new ByteWriter()
+      .u32(clientCaps).u32(16777216L).u8(CHARSET_UTF8)
+      .raw(new Array[Byte](23))
+      .nulTerminated(user)
+      .u8(0) // empty auth response (server accepts any)
+      .nulTerminated(database)
+      .nulTerminated("mysql_native_password")
+      .result()
+    io.write(resp)
+    io.flush()
+    val answer = io.read()
+    require((answer(0) & 0xff) == 0x00,
+      s"handshake rejected: ${describeErr(answer)}")
+  }
+
+  private def describeErr(p: Array[Byte]): String = {
+    val r = new ByteReader(p)
+    r.u8() // 0xff
+    val code = r.u16()
+    r.u8(); r.bytes(5) // '#', sqlstate
+    s"[$code] ${new String(r.rest(), "UTF-8")}"
+  }
+
+  private def command(body: Array[Byte]): Unit = {
+    io.resetSeq()
+    io.write(body)
+    io.flush()
+  }
+
+  def ping(): Boolean = {
+    command(Array(COM_PING.toByte))
+    (io.read()(0) & 0xff) == 0x00
+  }
+
+  def query(sql: String): Either[Ok, ResultSet] = {
+    command(Array(COM_QUERY.toByte) ++ sql.getBytes("UTF-8"))
+    readQueryResponse(binary = false)
+  }
+
+  def prepare(sql: String): Long = {
+    command(Array(COM_STMT_PREPARE.toByte) ++ sql.getBytes("UTF-8"))
+    val first = io.read()
+    if ((first(0) & 0xff) == 0xff) throw new RuntimeException(describeErr(first))
+    val r = new ByteReader(first)
+    r.u8()
+    val id = r.u32()
+    val nCols = r.u16()
+    val nParams = r.u16()
+    // drain param definitions + EOF, column definitions + EOF
+    if (nParams > 0) { (0 until nParams).foreach(_ => io.read()); io.read() }
+    if (nCols > 0) { (0 until nCols).foreach(_ => io.read()); io.read() }
+    id
+  }
+
+  /** Execute a prepared statement with typed params (Long, Int, Double,
+    * String, java.sql.Date, java.sql.Timestamp, null). */
+  def executePrepared(id: Long, params: Seq[Any]): Either[Ok, ResultSet] = {
+    val w = new ByteWriter()
+      .u8(COM_STMT_EXECUTE).u32(id).u8(0).u32(1L)
+    if (params.nonEmpty) {
+      val bitmap = new Array[Byte]((params.length + 7) / 8)
+      params.zipWithIndex.foreach { case (p, i) =>
+        if (p == null) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+      }
+      w.raw(bitmap).u8(1)
+      params.foreach { p => w.u8(typeOf(p)); w.u8(0) }
+      params.foreach {
+        case null => ()
+        case v: Long => w.u64(v)
+        case v: Int => w.u32(v.toLong)
+        case v: Double => w.u64(java.lang.Double.doubleToLongBits(v))
+        case v: String => w.lenencString(v)
+        case d: java.sql.Date =>
+          val ld = d.toLocalDate
+          w.u8(4).u16(ld.getYear).u8(ld.getMonthValue).u8(ld.getDayOfMonth)
+        case t: java.sql.Timestamp =>
+          val ldt = java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+          w.u8(11).u16(ldt.getYear).u8(ldt.getMonthValue).u8(ldt.getDayOfMonth)
+            .u8(ldt.getHour).u8(ldt.getMinute).u8(ldt.getSecond)
+            .u32((ldt.getNano / 1000).toLong)
+        case other => w.lenencString(other.toString)
+      }
+    }
+    command(w.result())
+    readQueryResponse(binary = true)
+  }
+
+  private def typeOf(p: Any): Int = p match {
+    case null => TYPE_NULL
+    case _: Long => TYPE_LONGLONG
+    case _: Int => TYPE_LONG
+    case _: Double => TYPE_DOUBLE
+    case _: java.sql.Date => TYPE_DATE
+    case _: java.sql.Timestamp => TYPE_DATETIME
+    case _ => TYPE_VAR_STRING
+  }
+
+  def closeStatement(id: Long): Unit =
+    command(new ByteWriter().u8(COM_STMT_CLOSE).u32(id).result())
+
+  private def readQueryResponse(binary: Boolean): Either[Ok, ResultSet] = {
+    val first = io.read()
+    (first(0) & 0xff) match {
+      case 0x00 =>
+        val r = new ByteReader(first)
+        r.u8()
+        val affected = r.lenencInt()
+        r.lenencInt() // last insert id
+        r.u16(); r.u16() // status, warnings
+        val info = if (r.remaining > 0) new String(r.rest(), "UTF-8") else ""
+        Left(Ok(affected, info))
+      case 0xff => throw new RuntimeException(describeErr(first))
+      case _ =>
+        val nCols = new ByteReader(first).lenencInt().toInt
+        val defs = (0 until nCols).map { _ =>
+          val d = new ByteReader(io.read())
+          d.lenencString(); d.lenencString(); d.lenencString(); d.lenencString()
+          val name = d.lenencString()
+          d.lenencString() // org_name
+          d.u8(); d.u16(); d.u32() // fixed-len marker, charset, length
+          val tpe = d.u8()
+          (name, tpe)
+        }
+        io.read() // EOF after column definitions
+        val rows = Seq.newBuilder[Seq[String]]
+        var done = false
+        while (!done) {
+          val p = io.read()
+          if ((p(0) & 0xff) == 0xfe && p.length < 9) done = true
+          else rows += (if (binary) decodeBinaryRow(p, defs.map(_._2))
+                        else decodeTextRow(p, nCols))
+        }
+        Right(ResultSet(defs.map(_._1), defs.map(_._2), rows.result()))
+    }
+  }
+
+  private def decodeTextRow(p: Array[Byte], nCols: Int): Seq[String] = {
+    val r = new ByteReader(p)
+    (0 until nCols).map(_ => r.lenencString())
+  }
+
+  private def decodeBinaryRow(p: Array[Byte], types: Seq[Int]): Seq[String] = {
+    val r = new ByteReader(p)
+    r.u8() // 0x00 header
+    val bitmap = r.bytes((types.length + 9) / 8)
+    def isNull(i: Int) = { val bit = i + 2; (bitmap(bit / 8) & (1 << (bit % 8))) != 0 }
+    types.zipWithIndex.map { case (t, i) =>
+      if (isNull(i)) null
+      else MysqlServer.textOf(MysqlServer.readBinaryValue(r, t))
+    }
+  }
+
+  def close(): Unit = {
+    try command(Array(COM_QUIT.toByte)) catch { case _: Throwable => }
+    try sock.close() catch { case _: Throwable => }
+  }
+}

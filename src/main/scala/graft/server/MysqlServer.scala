@@ -1,0 +1,427 @@
+package graft.server
+
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.sqlx.Commands
+import graft.catalog.{Catalog, Warehouse}
+import MysqlWire._
+
+/** MySQL wire-protocol entry point — the reference's primary interface
+  * (mindsdb/api/mysql/mysql_proxy/mysql_proxy.py:594 `MysqlProxy.handle`;
+  * every tests/integration/flows/test_mysql_api.py case connects this
+  * way), re-expressed as a loopback socket server over the existing
+  * [[Commands]] router.
+  *
+  * Semantics mirrored from the reference:
+  *  - handshake accepts any credentials (check_auth in the default
+  *    no-password config always succeeds — mysql_proxy.py:141-285);
+  *  - each connection gets its own session ([[Commands]] instance) over
+  *    the SHARED catalog + warehouse, so DDL persists across reconnects
+  *    exactly like server-side state;
+  *  - COM_QUERY routes to Commands.execute; a status/message acknowledge
+  *    frame becomes an OK packet carrying affected_rows, anything else
+  *    streams as a text result set (chunked 1000 rows per flush like the
+  *    reference's send_table_packets, via toLocalIterator — the server
+  *    never materializes the full result);
+  *  - COM_STMT_PREPARE/EXECUTE implement the binary protocol over the
+  *    `?`-positional parameterized route (planner/query_prepare.py);
+  *  - COM_PING/INIT_DB/STMT_RESET/SET_OPTION → OK, COM_FIELD_LIST → OK,
+  *    COM_DEBUG → EOF, COM_QUIT closes (mysql_proxy.py:620-700).
+  */
+final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
+
+  private val catalog = new Catalog(spark, sfDir)
+  private val warehouse = Warehouse.temp(spark)
+  private val listener = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+  private val running = new AtomicBoolean(false)
+  private val connCounter = new AtomicInteger(0)
+  private var acceptThread: Thread = _
+
+  def boundPort: Int = listener.getLocalPort
+
+  def start(): MysqlServer = {
+    running.set(true)
+    acceptThread = new Thread(() => {
+      while (running.get()) {
+        try {
+          val sock = listener.accept()
+          val t = new Thread(() => handle(sock), s"mysql-conn-${connCounter.incrementAndGet()}")
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case _: Throwable if !running.get() => // closed during stop()
+          case e: Throwable => System.err.println(s"[mysql-server] accept: $e")
+        }
+      }
+    }, "mysql-accept")
+    acceptThread.setDaemon(true)
+    acceptThread.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    try listener.close() catch { case _: Throwable => }
+  }
+
+  // ------------------------------------------------------------------
+
+  private def handle(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val io = new PacketIo(new java.io.BufferedInputStream(sock.getInputStream),
+      new java.io.BufferedOutputStream(sock.getOutputStream))
+    val session = new Commands(spark, catalog, warehouse)
+    val stmtIds = new AtomicLong(0)
+    val prepared = mutable.Map.empty[Long, (String, Int)] // id -> (sql, nParams)
+    try {
+      if (!handshake(io)) return
+      var open = true
+      while (open) {
+        io.resetSeq()
+        val body = io.read()
+        if (body == null || body.isEmpty) open = false
+        else {
+          val r = new ByteReader(body)
+          r.u8() match {
+            case COM_QUIT => open = false
+            case COM_QUERY =>
+              val sql = new String(body, 1, body.length - 1, "UTF-8")
+              respond(io, session, sql)
+            case COM_INIT_DB | COM_STMT_RESET | COM_SET_OPTION | COM_FIELD_LIST =>
+              io.write(okPacket()); io.flush()
+            case COM_PING => io.write(okPacket()); io.flush()
+            case COM_DEBUG => io.write(eofPacket()); io.flush()
+            case COM_STMT_PREPARE =>
+              val sql = new String(body, 1, body.length - 1, "UTF-8")
+              stmtPrepare(io, prepared, stmtIds, sql)
+            case COM_STMT_EXECUTE =>
+              stmtExecute(io, session, prepared, r)
+            case COM_STMT_CLOSE =>
+              prepared.remove(r.u32()) // no response by protocol
+            case other =>
+              io.write(errPacket(1047, "08S01", s"unknown command $other"))
+              io.flush()
+          }
+        }
+      }
+    } catch {
+      case _: java.io.EOFException => // client went away
+      case e: Throwable =>
+        try {
+          io.write(errPacket(1064, "42000", Option(e.getMessage).getOrElse(e.toString)))
+          io.flush()
+        } catch { case _: Throwable => }
+    } finally {
+      try sock.close() catch { case _: Throwable => }
+    }
+  }
+
+  /** Protocol-v10 greeting → HandshakeResponse41 → OK. Credentials are
+    * accepted unconditionally (reference default config). */
+  private def handshake(io: PacketIo): Boolean = {
+    val salt = new Array[Byte](20)
+    new java.util.Random(0x6d696e6473L).nextBytes(salt) // deterministic, unused for auth
+    salt.indices.foreach(i => if (salt(i) == 0) salt(i) = 1) // no NULs in auth data
+    val caps = ServerCapabilities
+    val greeting = new ByteWriter()
+      .u8(0x0a).nulTerminated("8.0.17-graft")
+      .u32(connCounter.get().toLong)
+      .raw(java.util.Arrays.copyOfRange(salt, 0, 8)).u8(0)
+      .u16((caps & 0xffff).toInt)
+      .u8(CHARSET_UTF8).u16(0x0002)
+      .u16(((caps >> 16) & 0xffff).toInt)
+      .u8(21) // auth-plugin-data length (20 + NUL)
+      .raw(new Array[Byte](10))
+      .raw(java.util.Arrays.copyOfRange(salt, 8, 20)).u8(0)
+      .nulTerminated("mysql_native_password")
+      .result()
+    io.write(greeting)
+    io.flush()
+    val resp = io.read()
+    if (resp == null || resp.isEmpty) { io.write(okPacket()); io.flush(); return false }
+    val r = new ByteReader(resp)
+    val clientCaps = r.u32()
+    if ((clientCaps & CLIENT_SSL) != 0 && resp.length < 36) {
+      // bare SSLRequest: TLS is not terminated here (reference requires a
+      // cert_path config for it; out of scope for the loopback server)
+      io.write(errPacket(1045, "28000", "SSL connections are not supported"))
+      io.flush()
+      return false
+    }
+    // username parse is best-effort — auth always succeeds
+    try {
+      r.u32() // max packet size
+      r.u8() // charset
+      r.skip(23)
+      r.nulTerminated() // username
+    } catch { case _: Throwable => }
+    io.write(okPacket())
+    io.flush()
+    true
+  }
+
+  /** True when the frame is the router's DML/DDL acknowledge shape —
+    * sent on the wire as a protocol OK packet, like the reference's
+    * RESPONSE_TYPE.OK path. */
+  private def isOkShape(df: DataFrame): Boolean = {
+    val names = df.schema.fieldNames.toSeq
+    names == Seq("status", "message") ||
+      names == Seq("status", "message", "affected_rows")
+  }
+
+  private def respond(io: PacketIo, session: Commands, sql: String): Unit =
+    try {
+      val df = session.execute(sql)
+      if (isOkShape(df)) {
+        val row = df.collect().headOption
+        val affected = row.filter(_.length > 2).map(_.getLong(2)).getOrElse(0L)
+        val msg = row.map(_.getString(1)).getOrElse("")
+        io.write(okPacket(affectedRows = affected, info = msg))
+        io.flush()
+      } else sendTextResultSet(io, df)
+    } catch {
+      case e: Throwable =>
+        io.write(errPacket(1064, "42000",
+          Option(e.getMessage).getOrElse(e.toString).take(2000)))
+        io.flush()
+    }
+
+  /** Column defs + EOF, then rows chunked 1000 per flush (the reference's
+    * send_table_packets chunk_size), sourced from toLocalIterator so only
+    * one partition is resident driver-side at a time. */
+  private def sendTextResultSet(io: PacketIo, df: DataFrame): Unit = {
+    val fields = df.schema.fields
+    io.write(new ByteWriter().lenencInt(fields.length.toLong).result())
+    fields.foreach(f =>
+      io.write(columnDefinition("mindsdb", "", f.name, f.dataType, f.nullable)))
+    io.write(eofPacket())
+    val it = df.toLocalIterator()
+    var inChunk = 0
+    while (it.hasNext) {
+      io.write(textRow(it.next(), fields))
+      inChunk += 1
+      if (inChunk == 1000) { io.flush(); inChunk = 0 }
+    }
+    io.write(eofPacket())
+    io.flush()
+  }
+
+  private def textRow(row: Row, fields: Array[StructField]): Array[Byte] = {
+    val w = new ByteWriter()
+    var i = 0
+    while (i < fields.length) {
+      if (row.isNullAt(i)) w.nullMarker()
+      else row.get(i) match {
+        case b: Array[Byte] => w.lenencBytes(b)
+        case v => w.lenencString(MysqlServer.textOf(v))
+      }
+      i += 1
+    }
+    w.result()
+  }
+
+  // ------------------------------------------------------------------
+  // binary protocol (COM_STMT_*)
+  // ------------------------------------------------------------------
+
+  private def stmtPrepare(io: PacketIo, prepared: mutable.Map[Long, (String, Int)],
+                          ids: AtomicLong, sql: String): Unit = {
+    val nParams = MysqlServer.countPlaceholders(sql)
+    val id = ids.incrementAndGet()
+    prepared(id) = (sql, nParams)
+    // COM_STMT_PREPARE_OK with num_columns=0: column metadata is deferred
+    // to execute time (legal per protocol; the repo's own client and the
+    // common connectors re-read metadata from the execute response)
+    io.write(new ByteWriter().u8(0x00).u32(id).u16(0).u16(nParams)
+      .u8(0).u16(0).result())
+    if (nParams > 0) {
+      (1 to nParams).foreach(i =>
+        io.write(columnDefinition("", "", s"?$i", StringType, nullable = true)))
+      io.write(eofPacket())
+    }
+    io.flush()
+  }
+
+  private def stmtExecute(io: PacketIo, session: Commands,
+                          prepared: mutable.Map[Long, (String, Int)],
+                          r: ByteReader): Unit =
+    try {
+      val id = r.u32()
+      val (sql, nParams) = prepared.getOrElse(id,
+        throw new IllegalStateException(s"unknown statement id $id"))
+      r.u8() // flags
+      r.u32() // iteration count (always 1)
+      val params: Seq[Any] =
+        if (nParams == 0) Seq.empty
+        else {
+          val nullBitmap = r.bytes((nParams + 7) / 8)
+          def isNull(i: Int) = (nullBitmap(i / 8) & (1 << (i % 8))) != 0
+          val newBound = r.u8()
+          val types = new Array[Int](nParams)
+          if (newBound == 1) {
+            var i = 0
+            while (i < nParams) { types(i) = r.u8(); r.u8(); i += 1 } // type + sign
+          }
+          (0 until nParams).map { i =>
+            if (isNull(i)) null else MysqlServer.readBinaryValue(r, types(i))
+          }
+        }
+      val df =
+        if (params.isEmpty) session.execute(sql)
+        else session.executePositional(sql, params)
+      if (isOkShape(df)) {
+        val row = df.collect().headOption
+        val affected = row.filter(_.length > 2).map(_.getLong(2)).getOrElse(0L)
+        io.write(okPacket(affectedRows = affected))
+        io.flush()
+      } else sendBinaryResultSet(io, df)
+    } catch {
+      case e: Throwable =>
+        io.write(errPacket(1064, "42000",
+          Option(e.getMessage).getOrElse(e.toString).take(2000)))
+        io.flush()
+    }
+
+  private def sendBinaryResultSet(io: PacketIo, df: DataFrame): Unit = {
+    val fields = df.schema.fields
+    io.write(new ByteWriter().lenencInt(fields.length.toLong).result())
+    fields.foreach(f =>
+      io.write(columnDefinition("mindsdb", "", f.name, f.dataType, f.nullable)))
+    io.write(eofPacket())
+    val it = df.toLocalIterator()
+    var inChunk = 0
+    while (it.hasNext) {
+      io.write(MysqlServer.binaryRow(it.next(), fields))
+      inChunk += 1
+      if (inChunk == 1000) { io.flush(); inChunk = 0 }
+    }
+    io.write(eofPacket())
+    io.flush()
+  }
+}
+
+object MysqlServer {
+
+  /** Text-protocol rendering: MySQL conventions (1/0 booleans, plain
+    * decimal strings, `yyyy-MM-dd HH:mm:ss[.ffffff]` datetimes in the
+    * session zone — the engine runs UTC). */
+  def textOf(v: Any): String = v match {
+    case b: Boolean => if (b) "1" else "0"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.bigDecimal.toPlainString
+    case t: java.sql.Timestamp => timestampText(t.toInstant)
+    case t: java.time.Instant => timestampText(t)
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case t: java.time.LocalDateTime =>
+      timestampText(t.atZone(java.time.ZoneOffset.UTC).toInstant)
+    case s: collection.Seq[_] => s.map(x => if (x == null) "NULL" else textOf(x)).mkString("[", ",", "]")
+    case m: collection.Map[_, _] =>
+      m.map { case (k, x) => s"${textOf(k)}:${if (x == null) "NULL" else textOf(x)}" }.mkString("{", ",", "}")
+    case r: Row => (0 until r.length).map(i => if (r.isNullAt(i)) "NULL" else textOf(r.get(i))).mkString("{", ",", "}")
+    case other => other.toString
+  }
+
+  private def timestampText(i: java.time.Instant): String = {
+    val ldt = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val micros = ldt.getNano / 1000
+    if (micros == 0) base else f"$base.$micros%06d"
+  }
+
+  /** `?` placeholders outside quoted strings/comments. */
+  def countPlaceholders(sql: String): Int = {
+    var n = 0; var i = 0; var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '?') n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Decode one binary-protocol parameter value. */
+  def readBinaryValue(r: MysqlWire.ByteReader, tpe: Int): Any = tpe match {
+    case TYPE_TINY => r.u8().toByte
+    case TYPE_SHORT => r.u16().toShort
+    case TYPE_LONG => r.u32().toInt
+    case TYPE_LONGLONG => r.u64()
+    case TYPE_FLOAT => java.lang.Float.intBitsToFloat(r.u32().toInt)
+    case TYPE_DOUBLE => java.lang.Double.longBitsToDouble(r.u64())
+    case TYPE_DATE | TYPE_DATETIME =>
+      val len = r.u8()
+      if (len == 0) java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
+      else {
+        val y = r.u16(); val mo = r.u8(); val d = r.u8()
+        if (len == 4) java.sql.Date.valueOf(f"$y%04d-$mo%02d-$d%02d")
+        else {
+          val h = r.u8(); val mi = r.u8(); val s = r.u8()
+          val micro = if (len >= 11) r.u32() else 0L
+          java.sql.Timestamp.from(java.time.LocalDateTime
+            .of(y, mo, d, h, mi, s, (micro * 1000).toInt)
+            .toInstant(java.time.ZoneOffset.UTC))
+        }
+      }
+    case TYPE_NULL => null
+    case _ => new String(r.lenencBytes(), "UTF-8") // VAR_STRING/BLOB/NEWDECIMAL
+  }
+
+  /** Binary-protocol row: 0x00 header, NULL bitmap (offset 2), values. */
+  def binaryRow(row: Row, fields: Array[StructField]): Array[Byte] = {
+    val w = new MysqlWire.ByteWriter().u8(0x00)
+    val bitmap = new Array[Byte]((fields.length + 9) / 8)
+    var i = 0
+    while (i < fields.length) {
+      if (row.isNullAt(i)) {
+        val bit = i + 2
+        bitmap(bit / 8) = (bitmap(bit / 8) | (1 << (bit % 8))).toByte
+      }
+      i += 1
+    }
+    w.raw(bitmap)
+    i = 0
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) writeBinaryValue(w, fields(i).dataType, row.get(i))
+      i += 1
+    }
+    w.result()
+  }
+
+  private def writeBinaryValue(w: MysqlWire.ByteWriter, dt: DataType, v: Any): Unit =
+    dt match {
+      case BooleanType => w.u8(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ByteType => w.u8(v.asInstanceOf[Byte].toInt)
+      case ShortType => w.u16(v.asInstanceOf[Short].toInt)
+      case IntegerType => w.u32(v.asInstanceOf[Int].toLong)
+      case LongType => w.u64(v.asInstanceOf[Long])
+      case FloatType => w.u32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong & 0xffffffffL)
+      case DoubleType => w.u64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+      case DateType =>
+        val ld = v match {
+          case d: java.sql.Date => d.toLocalDate
+          case d: java.time.LocalDate => d
+        }
+        w.u8(4).u16(ld.getYear).u8(ld.getMonthValue).u8(ld.getDayOfMonth)
+      case TimestampType | TimestampNTZType =>
+        val ldt = v match {
+          case t: java.sql.Timestamp =>
+            java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+          case t: java.time.Instant =>
+            java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
+          case t: java.time.LocalDateTime => t
+        }
+        val micros = ldt.getNano / 1000
+        w.u8(11).u16(ldt.getYear).u8(ldt.getMonthValue).u8(ldt.getDayOfMonth)
+          .u8(ldt.getHour).u8(ldt.getMinute).u8(ldt.getSecond).u32(micros.toLong)
+      case BinaryType => w.lenencBytes(v.asInstanceOf[Array[Byte]])
+      case _ => w.lenencString(textOf(v))
+    }
+}

@@ -2301,6 +2301,14 @@ final class Commands(
     spark.sql(sql, params)
   }
 
+  /** Positional `?` binding — the binary-protocol prepared-statement
+    * surface (COM_STMT_EXECUTE): typed params bind server-side onto the
+    * same parameterized route EXECUTE…USING takes. */
+  def executePositional(sql: String, args: Seq[Any]): DataFrame = {
+    registerRelations()
+    spark.sql(sql, args.toArray[Any])
+  }
+
   /** Run a SELECT with catalog resolution: every known relation
     * (base table, warehouse table, view, KB chunk store) is registered
     * as a temp view first, so views shadow tables exactly as in

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.server.{MysqlClient, MysqlServer}
+
+/** MySQL wire-protocol entry point: raw-socket handshake, COM_QUERY text
+  * result sets, OK/ERR framing, and the binary prepared-statement
+  * protocol — end-to-end against a live loopback server. */
+class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("server-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  private var server: MysqlServer = _
+
+  override def beforeAll(): Unit = {
+    server = new MysqlServer(spark, dir).start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  private def client() = new MysqlClient("127.0.0.1", server.boundPort)
+
+  test("handshake completes and COM_PING answers OK") {
+    val c = client()
+    assert(c.ping())
+    c.close()
+  }
+
+  test("raw handshake packet is a well-formed protocol-v10 greeting") {
+    val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+    val in = new java.io.DataInputStream(sock.getInputStream)
+    val len = in.read() | (in.read() << 8) | (in.read() << 16)
+    val seq = in.read()
+    assert(seq === 0, "greeting is sequence 0")
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    assert(body(0) === 0x0a, "protocol version 10")
+    val verEnd = body.indexOf(0, 1)
+    val version = new String(body, 1, verEnd - 1, "UTF-8")
+    assert(version.contains("graft"))
+    // capability lower bytes must include PROTOCOL_41 (0x0200)
+    val capsLow = (body(verEnd + 14) & 0xff) | ((body(verEnd + 15) & 0xff) << 8)
+    assert((capsLow & 0x0200) !== 0, "CLIENT_PROTOCOL_41 advertised")
+    sock.close()
+  }
+
+  test("SHOW DATABASES over the socket decodes to the catalog list") {
+    val c = client()
+    val Right(rs) = c.query("SHOW DATABASES"): @unchecked
+    assert(rs.columns.nonEmpty)
+    val names = rs.rows.map(_.head)
+    assert(names.contains("graft"), "the project database must be listed")
+    assert(names.contains("information_schema"))
+    c.close()
+  }
+
+  test("SELECT with typed columns round-trips values and NULLs") {
+    val c = client()
+    val Right(rs) = c.query(
+      """SELECT CAST(1 AS BIGINT) AS i, CAST(2.5 AS DOUBLE) AS d,
+         'text' AS s, CAST(NULL AS STRING) AS missing,
+         DATE '2024-03-01' AS dt,
+         TIMESTAMP '2024-03-01 12:30:45' AS ts,
+         true AS b"""): @unchecked
+    assert(rs.columns === Seq("i", "d", "s", "missing", "dt", "ts", "b"))
+    val row = rs.rows.head
+    assert(row(0) === "1")
+    assert(row(1) === "2.5")
+    assert(row(2) === "text")
+    assert(row(3) === null, "NULL must arrive as the 0xfb marker")
+    assert(row(4) === "2024-03-01")
+    assert(row(5) === "2024-03-01 12:30:45")
+    assert(row(6) === "1", "booleans render as 1/0 like MySQL")
+    c.close()
+  }
+
+  test("aggregate over a base table matches the in-process result") {
+    val c = client()
+    val Right(rs) = c.query(
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"): @unchecked
+    val direct = graft.engine.Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag").count().orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rs.rows.map(r => (r(0), r(1).toLong)) === direct.toSeq)
+    c.close()
+  }
+
+  test("model join SELECT works through the socket (the reference's flagship flow)") {
+    val c = client()
+    val Left(ok) = c.query(
+      """CREATE MODEL wire_model FROM (SELECT l_quantity, l_extendedprice FROM lineitem)
+         PREDICT l_extendedprice USING features='l_quantity', score_column='pred'"""): @unchecked
+    assert(ok.info.nonEmpty)
+    val Right(rs) = c.query(
+      """SELECT l_quantity, pred FROM
+         (SELECT l_quantity FROM lineitem LIMIT 5) t JOIN wire_model m"""): @unchecked
+    assert(rs.columns === Seq("l_quantity", "pred"))
+    assert(rs.rows.size === 5)
+    assert(rs.rows.forall(_(1).toDouble > 0.0))
+    c.query("DROP MODEL wire_model")
+    c.close()
+  }
+
+  test("DML answers an OK packet with affected_rows") {
+    val c = client()
+    c.query("CREATE TABLE wire_dml AS SELECT id AS v FROM range(0, 10)")
+    val Left(ok) = c.query("UPDATE wire_dml SET v = 0 WHERE v >= 7"): @unchecked
+    assert(ok.affectedRows === 3, "MySQL affected-rows contract over the wire")
+    c.query("DROP TABLE wire_dml")
+    c.close()
+  }
+
+  test("errors come back as ERR packets, and the session survives them") {
+    val c = client()
+    val e = intercept[RuntimeException](c.query("SELECT * FROM no_such_table_xyz"))
+    assert(e.getMessage.contains("[1064]"))
+    // connection still usable after the error
+    val Right(rs) = c.query("SELECT 1 AS one"): @unchecked
+    assert(rs.rows.head.head === "1")
+    c.close()
+  }
+
+  test("server-side state persists across reconnects (shared warehouse)") {
+    val c1 = client()
+    c1.query("CREATE TABLE wire_persist AS SELECT 42 AS answer")
+    c1.close()
+    val c2 = client()
+    val Right(rs) = c2.query("SELECT answer FROM wire_persist"): @unchecked
+    assert(rs.rows.head.head === "42")
+    c2.query("DROP TABLE wire_persist")
+    c2.close()
+  }
+
+  test("binary protocol: prepare/execute round-trips typed params incl. NULL") {
+    val c = client()
+    val id = c.prepare(
+      "SELECT ? AS p_long, ? AS p_double, ? AS p_string, ? AS p_null")
+    val Right(rs) = c.executePrepared(id,
+      Seq(7L, 2.25, "bound", null)): @unchecked
+    assert(rs.columns === Seq("p_long", "p_double", "p_string", "p_null"))
+    val row = rs.rows.head
+    assert(row(0) === "7")
+    assert(row(1) === "2.25")
+    assert(row(2) === "bound")
+    assert(row(3) === null)
+    c.closeStatement(id)
+    c.close()
+  }
+
+  test("binary protocol: params filter a real table") {
+    val c = client()
+    val id = c.prepare(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?")
+    val Right(rs) = c.executePrepared(id, Seq(100000.0, "F")): @unchecked
+    val expected = graft.engine.Tables.table(spark, dir, "orders")
+      .filter("o_totalprice > 100000 AND o_orderstatus = 'F'").count()
+    assert(rs.rows.head.head.toLong === expected)
+    // re-execute with different params reuses the statement
+    val Right(rs2) = c.executePrepared(id, Seq(0.0, "F")): @unchecked
+    val expected2 = graft.engine.Tables.table(spark, dir, "orders")
+      .filter("o_orderstatus = 'F'").count()
+    assert(rs2.rows.head.head.toLong === expected2)
+    c.closeStatement(id)
+    c.close()
+  }
+
+  test("binary protocol: date/timestamp params bind with their types") {
+    val c = client()
+    val id = c.prepare("SELECT ? AS d, ? AS ts")
+    val Right(rs) = c.executePrepared(id, Seq(
+      java.sql.Date.valueOf("2024-06-15"),
+      java.sql.Timestamp.valueOf("2024-06-15 08:30:00"))): @unchecked
+    assert(rs.rows.head(0) === "2024-06-15")
+    assert(rs.rows.head(1) === "2024-06-15 08:30:00")
+    c.closeStatement(id)
+    c.close()
+  }
+
+  test("concurrent connections run independent sessions") {
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        val c = client()
+        val Right(rs) = c.query(
+          s"SELECT COUNT(*) AS n FROM nation WHERE n_regionkey < $i"): @unchecked
+        results.add(rs.rows.head.head.toLong)
+        c.close()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(results.size === 4)
+    val nation = graft.engine.Tables.table(spark, dir, "nation")
+    val expected = (1 to 4).map(i => nation.filter(s"n_regionkey < $i").count()).toSet
+    assert(results.toArray.map(_.asInstanceOf[Long]).toSet === expected)
+  }
+}

@@ -816,6 +816,39 @@ object WritesPack extends QueryPack {
       } finally srv.stop()
     }),
 
+    // the HTTP REST entry point END-TO-END: a live JDK HttpServer, a
+    // real POST /api/sql/query request, and the reference's JSON table
+    // envelope (sql.py:39-130 / sql_answer.py dump_http_response) parsed
+    // back into a frame — every value crossed HTTP as JSON
+    "c17_http_sql" -> ((s, dir) => {
+      val api = new graft.server.HttpApi(s, dir).start()
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        val sql = """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        val resp = http.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${api.boundPort}/api/sql/query"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              graft.server.Json.write(graft.server.Json.obj(
+                "query" -> graft.server.Json.str(sql))))).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"http ${resp.statusCode()}")
+        val env = graft.server.Json.parse(resp.body())
+        require(env("type").asString == "table", resp.body().take(200))
+        val rows = env("data").asArray.map { r =>
+          val a = r.asArray
+          (a(0).asString,
+            a(1).asInstanceOf[graft.server.Json.Num].n.toLong,
+            a(2).asInstanceOf[graft.server.Json.Num].n)
+        }
+        val sp = s; import sp.implicits._
+        rows.toDF("c_mktsegment", "n", "total_bal")
+      } finally api.stop()
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -1120,6 +1153,11 @@ object WritesPack extends QueryPack {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM orders WHERE o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "c17_http_sql" -> """
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "c14_query_processlist" -> """
       SELECT * FROM (VALUES

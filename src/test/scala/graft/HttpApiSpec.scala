@@ -1,0 +1,171 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.server.{HttpApi, Json}
+
+/** HTTP REST entry point: POST /api/sql/query envelopes (table/ok/error),
+  * jsonlines/SSE streaming, and the MCP JSON-RPC query tool — real HTTP
+  * requests against a live loopback server. */
+class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.engine.Session.build("http-spec")
+  val dir = "/root/testdata/sf0.001"
+
+  private var api: HttpApi = _
+  private val http = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    api = new HttpApi(spark, dir).start()
+  }
+
+  override def afterAll(): Unit = if (api != null) api.stop()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def sqlQuery(sql: String): Json.Value = {
+    val resp = post("/api/sql/query",
+      Json.write(Json.obj("query" -> Json.str(sql))))
+    assert(resp.statusCode() === 200)
+    Json.parse(resp.body())
+  }
+
+  test("SELECT returns the table envelope with typed JSON values") {
+    val env = sqlQuery(
+      """SELECT n_regionkey, COUNT(*) AS n FROM nation
+         GROUP BY n_regionkey ORDER BY n_regionkey""")
+    assert(env("type").asString === "table")
+    assert(env("column_names").asArray.map(_.asString) === Seq("n_regionkey", "n"))
+    val data = env("data").asArray
+    assert(data.size === 5)
+    // numbers arrive as JSON numbers, not strings
+    assert(data.head.asArray.head.isInstanceOf[Json.Num])
+    val counts = data.map(_.asArray(1) match { case Json.Num(n, _) => n.toLong; case v => fail(s"$v") })
+    assert(counts.sum === 25)
+  }
+
+  test("DDL/DML returns the ok envelope with affected_rows") {
+    val env = sqlQuery("CREATE TABLE http_t1 AS SELECT id FROM range(0, 5)")
+    assert(env("type").asString === "ok")
+    val env2 = sqlQuery("INSERT INTO http_t1 VALUES (99)")
+    assert(env2("type").asString === "ok")
+    assert(env2("affected_rows") === Json.num(1L))
+    sqlQuery("DROP TABLE http_t1")
+  }
+
+  test("a bad query returns the error envelope (HTTP 200, like the reference)") {
+    val env = sqlQuery("SELECT * FROM definitely_missing_table")
+    assert(env("type").asString === "error")
+    assert(env("error_message").asString.nonEmpty)
+    assert(env("error_code") === Json.num(0L))
+  }
+
+  test("missing query field is a 400 with Wrong arguments") {
+    val resp = post("/api/sql/query", """{"not_query": 1}""")
+    assert(resp.statusCode() === 400)
+    assert(Json.parse(resp.body())("error_message").asString.toLowerCase
+      .contains("wrong arguments"))
+  }
+
+  test("invalid response_format is a 400") {
+    val resp = post("/api/sql/query",
+      """{"query": "SELECT 1", "response_format": "msgpack"}""")
+    assert(resp.statusCode() === 400)
+  }
+
+  test("NULLs, dates and doubles serialize JSON-safe") {
+    val env = sqlQuery(
+      """SELECT CAST(NULL AS STRING) AS missing, DATE '2024-01-31' AS d,
+         CAST(2.5 AS DOUBLE) AS x, true AS b""")
+    val row = env("data").asArray.head.asArray
+    assert(row(0) === Json.Null)
+    assert(row(1).asString === "2024-01-31")
+    assert(row(2) === Json.num(2.5))
+    assert(row(3) === Json.Bool(true))
+  }
+
+  test("jsonlines format streams a header line then row arrays") {
+    val resp = post("/api/sql/query", Json.write(Json.obj(
+      "query" -> Json.str("SELECT r_regionkey FROM region ORDER BY r_regionkey"),
+      "response_format" -> Json.str("jsonlines"))))
+    assert(resp.statusCode() === 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("")
+      .contains("jsonlines"))
+    val lines = resp.body().trim.split("\n").toSeq
+    val header = Json.parse(lines.head)
+    assert(header("type").asString === "table")
+    assert(header("column_names").asArray.map(_.asString) === Seq("r_regionkey"))
+    assert(lines.tail.map(l => Json.parse(l).asArray.head) ===
+      (0 to 4).map(i => Json.num(i.toLong)))
+  }
+
+  test("sse format prefixes every line with data:") {
+    val resp = post("/api/sql/query", Json.write(Json.obj(
+      "query" -> Json.str("SELECT 1 AS one"),
+      "response_format" -> Json.str("sse"))))
+    assert(resp.headers().firstValue("Content-Type").orElse("")
+      .contains("text/event-stream"))
+    assert(resp.body().linesIterator.forall(l => l.isEmpty || l.startsWith("data: ")))
+  }
+
+  test("GET /api/status reports the server") {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${api.boundPort}/api/status")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() === 200)
+    assert(Json.parse(resp.body())("mindsdb_version").asString.nonEmpty)
+  }
+
+  // ---------------------------------------------------------- MCP
+
+  private def rpc(method: String, params: Json.Value = Json.obj()): Json.Value = {
+    val resp = post("/mcp", Json.write(Json.obj(
+      "jsonrpc" -> Json.str("2.0"), "id" -> Json.num(1L),
+      "method" -> Json.str(method), "params" -> params)))
+    assert(resp.statusCode() === 200)
+    Json.parse(resp.body())
+  }
+
+  test("MCP initialize + tools/list expose the query tool") {
+    val init = rpc("initialize")
+    assert(init("result")("serverInfo")("name").asString === "graft")
+    val tools = rpc("tools/list")("result")("tools").asArray
+    assert(tools.map(_("name").asString) === Seq("query"))
+    assert(tools.head("inputSchema")("required").asArray.map(_.asString) === Seq("query"))
+  }
+
+  test("MCP tools/call query runs SQL and wraps the table envelope") {
+    val res = rpc("tools/call", Json.obj(
+      "name" -> Json.str("query"),
+      "arguments" -> Json.obj("query" ->
+        Json.str("SELECT COUNT(*) AS n FROM region"))))
+    assert(res("result")("isError") === Json.Bool(false))
+    val text = res("result")("content").asArray.head("text").asString
+    val env = Json.parse(text)
+    assert(env("type").asString === "table")
+    assert(env("data").asArray.head.asArray.head === Json.num(5L))
+  }
+
+  test("MCP tools/call with a broken query sets isError") {
+    val res = rpc("tools/call", Json.obj(
+      "name" -> Json.str("query"),
+      "arguments" -> Json.obj("query" -> Json.str("SELECT * FROM nope_mcp"))))
+    assert(res("result")("isError") === Json.Bool(true))
+  }
+
+  test("MCP unknown method returns a JSON-RPC error") {
+    val res = rpc("prompts/list")
+    assert(res("error")("code") === Json.num(-32601L))
+  }
+}

@@ -47,7 +47,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only a ~2KB stdout tail (and sbt appends its own
+    // [success] line after us), so a 300-query JSON line gets truncated
+    // and fails the driver's parse. Persist the full per-query JSON to a
+    // file, echo it for humans, and make the FINAL stdout line a compact
+    // JSON that always fits the tail: total + the slowest queries.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson)
+    println(fullJson)
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"$outFile","slowest":$slowest}""")
   }
 }

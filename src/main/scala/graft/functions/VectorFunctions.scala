@@ -84,6 +84,40 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Euclidean (L2) distance over double arrays — pgvector's `<->`
+  * operator (reference vectordatabase_handler.py:51); same sequential
+  * fold so the oracle's list_sum spelling matches bit-for-bit. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    var ss = 0.0; var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { val d = x(i) - y(i); ss += d * d; i += 1 }
+    math.sqrt(ss)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss"); val d = ctx.freshName("d")
+      s"""
+        double[] $x = $a.toDoubleArray();
+        double[] $y = $b.toDoubleArray();
+        int $n = Math.min($x.length, $y.length);
+        double $ss = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = $x[$i] - $y[$i]; $ss += $d * $d;
+        }
+        ${ev.value} = Math.sqrt($ss);
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Cross-engine md5-derived token hashes: the first 4/8 digest bytes as
   * an unsigned 32-bit / raw 64-bit value — bit-identical to DuckDB's
   * `('0x' || substr(md5(s), 1, 8|16))::BIGINT|UBIGINT`, which is what
@@ -406,11 +440,16 @@ object VectorFunctions {
   def md5SpanHashes(c: Column, k: Int): Column =
     GraftColumnBridge.column(Md5SpanHashes(ex(c), k))
 
-  /** SQL registration: cosine_sim / dot_product / simhash64 usable in spark.sql. */
+  def l2Distance(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2Distance(ex(a), ex(b)))
+
+  /** SQL registration: cosine_sim / dot_product / vec_l2 / simhash64
+    * usable in spark.sql (the targets of the pgvector operator sugar). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_l2", es => L2Distance(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
   }
 }

@@ -121,6 +121,24 @@ object Similarity extends QueryPack {
       annTopK(s, emb(s, dir), col("vec_id") < 20, k = 3)
         .orderBy(col("q_id"), col("rnk"))),
 
+    // pgvector's operator spellings `<->` / `<#>` / `<=>`
+    // (vectordatabase_handler.py:51-54) as SQL-level syntax through the
+    // router, rewritten to the same codegen'd native distance
+    // expressions the functional spelling uses — one scan, three
+    // distances, no shuffle before the top-k
+    "s11_pgvector_ops" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s,
+        new graft.catalog.Catalog(s, dir), graft.catalog.Warehouse.temp(s))
+      val lit = queryVecLiteral(s, dir)
+      c.execute(s"""
+        SELECT vec_id, label,
+          ROUND(CAST(embedding AS ARRAY<DOUBLE>) <-> '$lit', 4) AS l2,
+          ROUND(CAST(embedding AS ARRAY<DOUBLE>) <#> '$lit', 4) AS nip,
+          ROUND(CAST(embedding AS ARRAY<DOUBLE>) <=> '$lit', 4) AS cos_d
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY l2, vec_id LIMIT 20""")
+    }),
+
     // ---- ANN QUALITY audit: recall@5 of the IVF index (s05) against
     // the exact brute-force top-5 (s02 — same queries, same k). The
     // tuning loop every vector index needs (nProbe/nCent vs recall),
@@ -282,6 +300,12 @@ object Similarity extends QueryPack {
     Seq.fill(16)(Seq.fill(64)(r.nextGaussian()))
   }
 
+  /** Vector 0 as a pgvector-style `[…]` literal (shortest-round-trip
+    * doubles, so both engines parse back identical bits). */
+  private def queryVecLiteral(s: SparkSession, dir: String): String =
+    emb(s, dir).filter(col("vec_id") === 0).select(col("v"))
+      .first().getSeq[Double](0).map(_.toString).mkString("[", ",", "]")
+
   private val cosExpr =
     """list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
        (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))) *
@@ -308,6 +332,26 @@ object Similarity extends QueryPack {
         GROUP BY cell)"""
 
   def oracles: Map[String, String] = Map(
+
+    // functional spelling of the three pgvector operators; the Spark
+    // side ran the operator sugar through the router — identical folds,
+    // identical bits
+    "s11_pgvector_ops" -> """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id, e.label,
+          ROUND(sqrt(list_sum(list_transform(range(1, len(e.v)+1),
+            i -> (e.v[i]-q.qv[i])*(e.v[i]-q.qv[i])))), 4) AS l2,
+          ROUND(-list_sum(list_transform(range(1, len(e.v)+1),
+            i -> e.v[i]*q.qv[i])), 4) AS nip,
+          ROUND(1.0 - list_sum(list_transform(range(1, len(e.v)+1),
+              i -> e.v[i]*q.qv[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))), 4) AS cos_d
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0)
+      SELECT * FROM scored ORDER BY l2, vec_id LIMIT 20""",
+
     // the same unrolled Lloyd rounds as s07; the SQL lifecycle must land
     // every vector in the identical cell
     "m15_kmeans_sql" -> s"""

@@ -70,6 +70,9 @@ final class Commands(
   // (datahub/datanodes/mindsdb_tables.py:42-430)
   graft.catalog.MindsdbTables.bind(spark, catalog, jobs,
     () => queriesFrame(), () => mvs.list())
+  // cosine_sim / dot_product / vec_l2 in spark.sql — the targets of the
+  // pgvector operator rewrite (idempotent temp-function registration)
+  graft.functions.VectorFunctions.register(spark)
 
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
@@ -463,8 +466,115 @@ final class Commands(
       }
     }
 
+  /** pgvector distance-operator sugar (reference
+    * vectordatabase_handler.py:51-54): `a <-> b` → L2 distance,
+    * `a <#> b` → negative inner product, `a <=> b` → cosine distance —
+    * each rewritten to the codegen'd native expressions. `<=>` doubles
+    * as SQL null-safe equality, so it only takes the vector meaning when
+    * one operand is a pgvector `'[…]'` literal; `<->`/`<#>` have no SQL
+    * meaning and always rewrite. Operands may be (qualified)
+    * identifiers, function calls, parenthesized expressions, or `'[…]'`
+    * vector literals (which become typed array constructors). */
+  private def rewriteVectorOps(sql: String): String = {
+    if (!sql.contains("<->") && !sql.contains("<#>") && !sql.contains("<=>")) return sql
+    def isIdentChar(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '.'
+    // find next operator at or after `from`, outside string literals
+    def findOp(s: String, from: Int): Option[(Int, String)] = {
+      var i = 0; var inStr = false
+      while (i < s.length - 2) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (c == '\'') inStr = true
+        else if (i >= from && c == '<' && i + 2 < s.length && s.charAt(i + 2) == '>' &&
+                 (s.charAt(i + 1) == '-' || s.charAt(i + 1) == '#' || s.charAt(i + 1) == '='))
+          return Some((i, s.substring(i, i + 3)))
+        i += 1
+      }
+      None
+    }
+    // left operand: [start, end) scanning backward from the operator
+    def leftOperand(s: String, opIdx: Int): Int = {
+      var j = opIdx - 1
+      while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+      if (j < 0) return opIdx
+      s.charAt(j) match {
+        case '\'' =>
+          var k = j - 1
+          while (k >= 0 && s.charAt(k) != '\'') k -= 1
+          k
+        case ')' =>
+          var depth = 0; var k = j
+          while (k >= 0 && { val c = s.charAt(k)
+            if (c == ')') depth += 1 else if (c == '(') depth -= 1; depth != 0 }) k -= 1
+          k -= 1 // include a preceding function name if present
+          while (k >= 0 && isIdentChar(s.charAt(k))) k -= 1
+          k + 1
+        case _ =>
+          var k = j
+          while (k >= 0 && isIdentChar(s.charAt(k))) k -= 1
+          k + 1
+      }
+    }
+    // right operand: (start, end] scanning forward from after the operator
+    def rightOperand(s: String, afterOp: Int): Int = {
+      var j = afterOp
+      while (j < s.length && s.charAt(j).isWhitespace) j += 1
+      if (j >= s.length) return afterOp
+      s.charAt(j) match {
+        case '\'' =>
+          var k = j + 1
+          while (k < s.length && s.charAt(k) != '\'') k += 1
+          k + 1
+        case '(' =>
+          var depth = 0; var k = j
+          while (k < s.length && { val c = s.charAt(k)
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1; depth != 0 }) k += 1
+          k + 1
+        case _ =>
+          var k = j
+          while (k < s.length && isIdentChar(s.charAt(k))) k += 1
+          if (k < s.length && s.charAt(k) == '(') { // function call
+            var depth = 0
+            while (k < s.length && { val c = s.charAt(k)
+              if (c == '(') depth += 1 else if (c == ')') depth -= 1; depth != 0 }) k += 1
+            k += 1
+          }
+          k
+      }
+    }
+    val VecLit = """(?s)\s*'\s*\[(.*)\]\s*'\s*""".r
+    def operandSql(raw: String): (String, Boolean) = raw match {
+      case VecLit(items) =>
+        (s"CAST(array($items) AS ARRAY<DOUBLE>)", true)
+      case other => (other.trim, false)
+    }
+    var s = sql
+    var searchFrom = 0
+    var found = findOp(s, searchFrom)
+    while (found.isDefined) {
+      val (idx, op) = found.get
+      val lStart = leftOperand(s, idx)
+      val rEnd = rightOperand(s, idx + 3)
+      val (l, lIsVec) = operandSql(s.substring(lStart, idx))
+      val (r, rIsVec) = operandSql(s.substring(idx + 3, rEnd))
+      if (op == "<=>" && !lIsVec && !rIsVec) {
+        searchFrom = idx + 3 // genuine null-safe equality: leave it alone
+      } else {
+        val call = op match {
+          case "<->" => s"vec_l2($l, $r)"
+          case "<#>" => s"(- dot_product($l, $r))"
+          case _ => s"(1.0 - cosine_sim($l, $r))"
+        }
+        s = s.substring(0, lStart) + call + s.substring(rEnd)
+        searchFrom = lStart + call.length
+      }
+      found = findOp(s, searchFrom)
+    }
+    s
+  }
+
   private def dispatch(sql0: String): DataFrame = {
-    val sql = rewriteQualify(rewriteTimeTravel(sql0)); sql match {
+    val sql = rewriteQualify(rewriteTimeTravel(rewriteVectorOps(sql0))); sql match {
     case CreateView(name, body) =>
       // validate the body now (spark.sql analyzes eagerly), but store the
       // SQL TEXT and re-expand at every resolution: a view over a

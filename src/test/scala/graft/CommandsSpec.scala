@@ -14,6 +14,29 @@ class CommandsSpec extends AnyFunSuite {
   private def fresh(): Commands =
     new Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
 
+  test("pgvector operators rewrite to native distances; <=> keeps null-safe equality") {
+    val c = fresh()
+    // operator sugar over vector literals and parenthesized expressions
+    val r = c.execute(
+      """SELECT ROUND('[3.0,0.0]' <-> '[0.0,4.0]', 4) AS l2,
+         ROUND('[1.0,2.0]' <#> '[3.0,4.0]', 4) AS nip,
+         ROUND('[1.0,0.0]' <=> '[0.0,1.0]', 4) AS cos_d""").first()
+    assert(r.getDouble(0) === 5.0)
+    assert(r.getDouble(1) === -11.0)
+    assert(r.getDouble(2) === 1.0)
+    // <=> with non-vector operands must stay SQL null-safe equality
+    val eq = c.execute(
+      "SELECT 1 <=> 1 AS a, NULL <=> NULL AS b, 1 <=> NULL AS c").first()
+    assert(eq.getBoolean(0) === true)
+    assert(eq.getBoolean(1) === true)
+    assert(eq.getBoolean(2) === false)
+    // column operands against a literal, through a real table scan
+    val top = c.execute(
+      """SELECT vec_id FROM embeddings
+         ORDER BY CAST(embedding AS ARRAY<DOUBLE>) <-> '[0.0]' LIMIT 3""")
+    assert(top.count() === 3)
+  }
+
   test("object names are case-insensitive across kinds (reference lowercases identifiers)") {
     val c = fresh()
     // view: created MixedCase, read lowercase, dropped UPPER

@@ -648,6 +648,46 @@ object Kb {
           " ").as("query_text"),
         col("doc_id").as("gold_doc_id"))
 
+  /** The reference's remaining retrieval metrics beside hit@k/NDCG
+    * (knowledge_base/evaluate.py:330-470 mean_mrr /
+    * avg_first_relevant_position, :499-560 EvaluateDocID's
+    * total_found / accurate_in_top_10 / cumulative recall curve): one
+    * summary row over the same one-plan ranked retrieval as [[evaluate]].
+    * Positions are 0-based like the reference's doc_position;
+    * reciprocal ranks are rounded to 4dp and summed as exact decimals so
+    * the mean is order-insensitive across partitions. */
+  def evaluateRetrievalSummary(chunks: DataFrame, queries: DataFrame,
+                               k: Int = 20): DataFrame = {
+    val q = broadcast(queries
+      .withColumn("qv", embed(col("query_text")))
+      .select(col("query_id"), col("qv"), col("gold_doc_id")))
+    val scored = chunks.crossJoin(q)
+      .withColumn("relevance", relevanceOf(round(lit(1.0) - cosineSim(col("emb"), col("qv")), 4)))
+    val ranked = shardedTopK(scored, col("query_id"),
+        Seq(col("relevance").desc, col("chunk_id")), k, "pos", col("chunk_id"))
+      .withColumn("rel", when(col("doc_id") === col("gold_doc_id"), 1).otherwise(0))
+    val perQuery = ranked.groupBy(col("query_id"))
+      .agg(min(when(col("rel") === 1, col("pos"))).as("first_pos")) // 1-based, null = not found
+      .withColumn("rr", round(when(col("first_pos").isNotNull,
+        lit(1.0) / col("first_pos")).otherwise(0.0), 4))
+    perQuery.agg(
+      count(lit(1)).as("total_questions"),
+      sum(when(col("first_pos").isNotNull, 1L).otherwise(0L)).as("total_found"),
+      sum(when(col("first_pos") <= 10, 1L).otherwise(0L)).as("accurate_in_top_10"),
+      round(sum(when(col("first_pos").isNotNull, col("first_pos") - 1))
+          .cast("double") /
+        sum(when(col("first_pos").isNotNull, 1L).otherwise(0L)), 4)
+        .as("avg_first_relevant_position"),
+      round(sum(col("rr").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast("double") / count(lit(1)), 4).as("mean_mrr"),
+      round(sum(when(col("first_pos") <= 1, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+        .as("recall_at_1"),
+      round(sum(when(col("first_pos") <= 5, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+        .as("recall_at_5"),
+      round(sum(when(col("first_pos") <= 10, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+        .as("recall_at_10"))
+  }
+
   def evaluate(chunks: DataFrame, queries: DataFrame, k: Int = DefaultLimit): DataFrame = {
     val q = broadcast(queries
       .withColumn("qv", embed(col("query_text")))

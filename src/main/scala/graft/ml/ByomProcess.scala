@@ -1,0 +1,164 @@
+package graft.ml
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import graft.server.Json
+import Json.{Arr, Num, Obj, Str, Value}
+
+/** BYOM out-of-process execution seam — the reference runs user-supplied
+  * engine code in separate processes (integrations/libs/ml_exec_base.py
+  * learn_process/predict_process dispatching through
+  * process_cache.py), so an engine crash can never take the server
+  * down. This is that boundary re-expressed for the JVM: the engine
+  * lives in a FORKED java process speaking a line-delimited JSON
+  * create/predict protocol over stdin/stdout; the parent session holds
+  * only the pipe.
+  *
+  * Contract per request line:
+  *   {"op":"create","rows":[[x,y],…]}           → {"ok":true}
+  *   {"op":"predict","rows":[[x],…]}            → {"ok":true,"preds":[…]}
+  *   {"op":"ping"}                              → {"ok":true}
+  * Any engine failure answers {"ok":false,"error":…} — the process stays
+  * up; a killed process is detected on next use and respawned with its
+  * trained state re-created from the retained training payload (the
+  * reference equivalently re-enqueues onto a fresh worker).
+  */
+object ByomWorker {
+  /** Child main: a tiny OLS engine behind the protocol. Deliberately
+    * NO SparkSession — the child is plain JVM, like the reference's
+    * spawned learn/predict processes are plain python. */
+  def main(args: Array[String]): Unit = {
+    val in = new BufferedReader(new InputStreamReader(System.in, "UTF-8"))
+    val out = new PrintWriter(new java.io.OutputStreamWriter(System.out, "UTF-8"), true)
+    var slope = 0.0
+    var intercept = 0.0
+    var line = in.readLine()
+    while (line != null) {
+      val resp: Value =
+        try {
+          val req = Json.parse(line)
+          req("op").asString match {
+            case "ping" => Json.obj("ok" -> Json.Bool(true))
+            case "create" =>
+              val rows = req("rows").asArray.map(_.asArray.map {
+                case Num(n, _) => n
+                case v => sys.error(s"non-numeric $v")
+              })
+              require(rows.nonEmpty, "empty training set")
+              val n = rows.length.toDouble
+              val mx = rows.map(_(0)).sum / n
+              val my = rows.map(_(1)).sum / n
+              val sxx = rows.map(r => (r(0) - mx) * (r(0) - mx)).sum
+              val sxy = rows.map(r => (r(0) - mx) * (r(1) - my)).sum
+              slope = if (sxx == 0) 0.0 else sxy / sxx
+              intercept = my - slope * mx
+              Json.obj("ok" -> Json.Bool(true),
+                "slope" -> Json.num(slope), "intercept" -> Json.num(intercept))
+            case "predict" =>
+              val xs = req("rows").asArray.map(_.asArray.head match {
+                case Num(x, _) => x
+                case v => sys.error(s"non-numeric $v")
+              })
+              Json.obj("ok" -> Json.Bool(true),
+                "preds" -> Arr(xs.map(x => Json.num(slope * x + intercept))))
+            case "crash" => sys.exit(42) // test hook: die hard mid-protocol
+            case other =>
+              Json.obj("ok" -> Json.Bool(false), "error" -> Str(s"unknown op $other"))
+          }
+        } catch {
+          case e: Throwable => Json.obj("ok" -> Json.Bool(false),
+            "error" -> Str(Option(e.getMessage).getOrElse(e.toString)))
+        }
+      out.println(Json.write(resp))
+      line = in.readLine()
+    }
+  }
+}
+
+/** Parent-side handle: forks the worker JVM, speaks the protocol, and
+  * transparently respawns (re-creating trained state) when the child has
+  * died — the session survives any engine crash. */
+final class ByomProcessEngine {
+  private var proc: Process = _
+  private var toChild: PrintWriter = _
+  private var fromChild: BufferedReader = _
+  private var trainingPayload: Option[String] = None
+  @volatile var respawnCount: Int = 0
+
+  private def spawn(): Unit = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val pb = new ProcessBuilder(javaBin, "-Xmx256m", "-cp",
+      System.getProperty("java.class.path"), "graft.ml.ByomWorker")
+    pb.redirectErrorStream(false)
+    proc = pb.start()
+    toChild = new PrintWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"), true)
+    fromChild = new BufferedReader(
+      new InputStreamReader(proc.getInputStream, "UTF-8"))
+  }
+
+  private def ensureAlive(): Unit = {
+    if (proc == null || !proc.isAlive) {
+      if (proc != null) respawnCount += 1
+      spawn()
+      // re-create trained state in the fresh worker, like the reference
+      // re-dispatching onto a new process from the model registry
+      trainingPayload.foreach { p =>
+        toChild.println(p)
+        fromChild.readLine()
+      }
+    }
+  }
+
+  private def call(reqJson: String): Value = synchronized {
+    ensureAlive()
+    toChild.println(reqJson)
+    val line = fromChild.readLine()
+    if (line == null) { // child died mid-call: one respawn + retry
+      ensureAlive()
+      toChild.println(reqJson)
+      val retry = fromChild.readLine()
+      require(retry != null, "BYOM worker died twice in a row")
+      Json.parse(retry)
+    } else Json.parse(line)
+  }
+
+  def pid: Long = proc.pid()
+  def isAlive: Boolean = proc != null && proc.isAlive
+
+  def create(rows: Seq[(Double, Double)]): Unit = {
+    val req = Json.write(Json.obj("op" -> Str("create"),
+      "rows" -> Arr(rows.map { case (x, y) =>
+        Arr(Seq(Json.num(x), Json.num(y))) })))
+    trainingPayload = Some(req)
+    val resp = call(req)
+    require(resp("ok") == Json.Bool(true),
+      s"create failed: ${resp.get("error").getOrElse(Json.Null)}")
+  }
+
+  def predict(xs: Seq[Double]): Seq[Double] = {
+    val resp = call(Json.write(Json.obj("op" -> Str("predict"),
+      "rows" -> Arr(xs.map(x => Arr(Seq(Json.num(x))))))))
+    require(resp("ok") == Json.Bool(true),
+      s"predict failed: ${resp.get("error").getOrElse(Json.Null)}")
+    resp("preds").asArray.map { case Num(n, _) => n; case v => sys.error(s"$v") }
+  }
+
+  /** Ask the worker to hard-exit mid-protocol (test hook). */
+  def injectCrash(): Unit = synchronized {
+    ensureAlive()
+    toChild.println(Json.write(Json.obj("op" -> Str("crash"))))
+    proc.waitFor()
+  }
+
+  def kill(): Unit = synchronized {
+    if (proc != null) { proc.destroyForcibly(); proc.waitFor() }
+  }
+
+  def close(): Unit = synchronized {
+    if (proc != null) {
+      try toChild.close() catch { case _: Throwable => }
+      proc.destroyForcibly()
+    }
+  }
+}

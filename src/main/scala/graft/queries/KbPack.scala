@@ -305,6 +305,20 @@ object KbPack extends QueryPack {
       Kb.evaluate(kb(s, dir), queries, k = 10)
     }),
 
+    // EVALUATE KB metric breadth (evaluate.py:330-470 + :499-560): the
+    // summary row with mean MRR, doc-id hit-rate breakdown
+    // (total_found / accurate_in_top_10), average first-relevant
+    // position, and the cumulative recall curve at 1/5/10 — same
+    // one-plan ranked retrieval, hand-computable on the deterministic
+    // test set
+    "k23_kb_evaluate_metrics" -> ((s, dir) => {
+      val queries = docs(s, dir).filter(col("doc_id") < 12)
+        .select(col("doc_id").as("query_id"),
+          col("text").substr(lit(1), lit(ChunkSize)).as("query_text"),
+          col("doc_id").as("gold_doc_id"))
+      Kb.evaluateRetrievalSummary(kb(s, dir), queries, k = 20)
+    }),
+
     // EVALUATE KB with a GENERATED test set (evaluate.py:82-520 first
     // builds Q/A pairs from sampled documents, then scores): the
     // deterministic generator samples 8 chunks in md5 order, extracts a
@@ -774,6 +788,34 @@ object KbPack extends QueryPack {
           ELSE 0.0 END AS ndcg10
       FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id
       ORDER BY p.query_id""",
+
+    "k23_kb_evaluate_metrics" -> s"""$oPrefix,
+      queries AS (SELECT doc_id AS query_id, substr(text, 1, $ChunkSize) AS query_text,
+          doc_id AS gold_doc_id FROM documents WHERE doc_id < 12),
+      qe AS (SELECT query_id, gold_doc_id, ${oEmbed("query_text")} AS q FROM queries),
+      ranked AS (SELECT query_id, gold_doc_id, chunk_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ${oRel("q")} DESC, chunk_id) AS pos
+        FROM emb, qe),
+      top AS (SELECT query_id,
+          CASE WHEN doc_id = gold_doc_id THEN 1 ELSE 0 END AS rel, pos
+        FROM ranked WHERE pos <= 20),
+      perq AS (SELECT query_id,
+          MIN(CASE WHEN rel = 1 THEN pos END) AS first_pos
+        FROM top GROUP BY query_id),
+      rrq AS (SELECT query_id, first_pos,
+          ROUND(CASE WHEN first_pos IS NOT NULL THEN 1.0 / first_pos ELSE 0.0 END, 4) AS rr
+        FROM perq)
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_questions,
+        CAST(SUM(CASE WHEN first_pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_found,
+        CAST(SUM(CASE WHEN first_pos <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS accurate_in_top_10,
+        ROUND(CAST(SUM(CASE WHEN first_pos IS NOT NULL THEN first_pos - 1 END) AS DOUBLE)
+          / SUM(CASE WHEN first_pos IS NOT NULL THEN 1 ELSE 0 END), 4)
+          AS avg_first_relevant_position,
+        ROUND(CAST(SUM(CAST(rr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_mrr,
+        ROUND(SUM(CASE WHEN first_pos <= 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS recall_at_1,
+        ROUND(SUM(CASE WHEN first_pos <= 5 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS recall_at_5,
+        ROUND(SUM(CASE WHEN first_pos <= 10 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS recall_at_10
+      FROM rrq""",
 
     "k20_kb_evaluate_generated" -> s"""$oPrefix,
       tests AS (SELECT chunk_id AS query_id,

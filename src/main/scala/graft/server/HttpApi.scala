@@ -40,6 +40,9 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
   server.createContext("/api/sql/query", (ex: HttpExchange) => handleSql(ex))
   server.createContext("/api/status", (ex: HttpExchange) => handleStatus(ex))
   server.createContext("/mcp", (ex: HttpExchange) => handleMcp(ex))
+  server.createContext("/api/databases", (ex: HttpExchange) => handleDatabases(ex))
+  server.createContext("/api/projects", (ex: HttpExchange) => handleProjects(ex))
+  server.createContext("/a2a", (ex: HttpExchange) => handleA2a(ex))
   // daemon worker threads so an un-stopped server can never pin the JVM
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r, "http-api"); t.setDaemon(true); t })
@@ -201,6 +204,208 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
         try reply(ex, 500, write(obj("jsonrpc" -> str("2.0"), "id" -> Null,
           "error" -> obj("code" -> num(-32700L),
             "message" -> str(Option(e.getMessage).getOrElse(e.toString))))))
+        catch { case _: Throwable => }
+    }
+
+  // ------------------------------------------------------------------
+  // CRUD namespaces (api/http/namespaces/databases.py, models.py,
+  // knowledge_bases.py, projects.py — the most-used of the reference's
+  // 22 CRUD modules), each a thin REST shape over the SQL router
+  // ------------------------------------------------------------------
+
+  /** DataFrame → list of {column: value} records (the reference's
+    * to_dict("records") response shape). */
+  private def records(df: DataFrame): Arr = {
+    val fields = df.schema.fields
+    Arr(df.collect().toSeq.map { row =>
+      Obj(fields.zipWithIndex.map { case (f, i) =>
+        f.name -> (if (row.isNullAt(i)) Null else valueJson(row.get(i), f.dataType))
+      }.toMap)
+    })
+  }
+
+  private def crudError(ex: HttpExchange, status: Int, msg: String): Unit =
+    reply(ex, status, write(obj("title" -> str("Error"), "detail" -> str(msg))))
+
+  /** Path segments after the context prefix, e.g.
+    * /api/databases/db1/tables → Seq(db1, tables). */
+  private def tail(ex: HttpExchange, prefix: String): Seq[String] =
+    ex.getRequestURI.getPath.stripPrefix(prefix)
+      .split("/").toSeq.filter(_.nonEmpty)
+
+  private def sqlIdent(s: String): String = {
+    require(s.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid identifier: $s")
+    s
+  }
+
+  private def handleDatabases(ex: HttpExchange): Unit =
+    try {
+      val parts = tail(ex, "/api/databases")
+      (ex.getRequestMethod, parts) match {
+        case ("GET", Seq()) =>
+          reply(ex, 200, write(records(session().execute("SHOW DATABASES"))))
+        case ("POST", Seq()) =>
+          val body = Json.parse(readBody(ex))
+          body.get("database") match {
+            case None =>
+              crudError(ex, 400, "Must provide \"database\" parameter in POST body")
+            case Some(db) =>
+              (db.get("name"), db.get("engine")) match {
+                case (None, _) => crudError(ex, 400, "Missing \"name\" field for database")
+                case (_, None) => crudError(ex, 400,
+                  "Missing \"engine\" field for database. If you want to create a project instead, use the /api/projects endpoint.")
+                case (Some(Str(name)), Some(Str(engine))) =>
+                  val params = db.get("parameters").map(_.asObject).getOrElse(Map.empty)
+                    .collect { case (k, Str(v)) => s"$k='${v.replace("'", "''")}'"
+                               case (k, Num(_, raw)) => s"$k='$raw'" }
+                  val withClause =
+                    if (params.isEmpty) "" else s", PARAMETERS = ${params.mkString(", ")}"
+                  session().execute(
+                    s"CREATE DATABASE ${sqlIdent(name)} WITH ENGINE='$engine'$withClause")
+                  reply(ex, 201, write(obj("name" -> str(name), "engine" -> str(engine))))
+                case _ => crudError(ex, 400, "name and engine must be strings")
+              }
+          }
+        case ("DELETE", Seq(name)) =>
+          session().execute(s"DROP DATABASE ${sqlIdent(name)}")
+          reply(ex, 204, "")
+        case ("GET", Seq(_, "tables")) =>
+          reply(ex, 200, write(records(session().execute("SHOW TABLES"))))
+        case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  private def handleProjects(ex: HttpExchange): Unit =
+    try {
+      val parts = tail(ex, "/api/projects")
+      (ex.getRequestMethod, parts) match {
+        case ("GET", Seq()) =>
+          reply(ex, 200, write(records(session().execute("SHOW PROJECTS"))))
+        case ("GET", Seq(p)) =>
+          val found = session().execute("SHOW PROJECTS").collect()
+            .exists(_.getString(0).equalsIgnoreCase(p))
+          if (found) reply(ex, 200, write(obj("name" -> str(p))))
+          else crudError(ex, 404, s"Project name $p does not exist")
+        case ("GET", Seq(_, "models")) =>
+          reply(ex, 200, write(records(session().execute("SHOW MODELS"))))
+        case ("POST", Seq(_, "models")) =>
+          val body = Json.parse(readBody(ex))
+          body.get("query") match {
+            case Some(Str(q)) if q.trim.toUpperCase.startsWith("CREATE") =>
+              session().execute(q)
+              reply(ex, 201, write(obj("status" -> str("complete"))))
+            case Some(Str(q)) =>
+              crudError(ex, 400, s"SQL CREATE statement is invalid: $q")
+            case _ => crudError(ex, 400, "Missing \"query\" SQL statement")
+          }
+        case ("DELETE", Seq(_, "models", m)) =>
+          session().execute(s"DROP MODEL ${sqlIdent(m)}")
+          reply(ex, 204, "")
+        case ("GET", Seq(_, "models", m, "describe")) =>
+          reply(ex, 200, write(records(session().execute(s"DESCRIBE MODEL ${sqlIdent(m)}"))))
+        case ("POST", Seq(_, "models", m, "predict")) =>
+          val body = Json.parse(readBody(ex))
+          val data = body("data").asArray.map(_.asObject)
+          require(data.nonEmpty, "empty data")
+          val cols = data.head.keys.toSeq.sorted
+          val schema = StructType(cols.map { c =>
+            StructField(c, data.head(c) match {
+              case Num(_, _) => DoubleType
+              case Bool(_) => BooleanType
+              case _ => StringType
+            })
+          })
+          val rows = data.map { rec =>
+            Row.fromSeq(cols.map(c => rec.get(c) match {
+              case Some(Num(n, _)) => n
+              case Some(Bool(b)) => b
+              case Some(Str(s)) => s
+              case _ => null
+            }))
+          }
+          val df = spark.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+          val view = s"__http_predict_${Math.abs(m.hashCode)}"
+          df.createOrReplaceTempView(view)
+          val preds = session().execute(s"SELECT * FROM $view JOIN ${sqlIdent(m)}")
+          reply(ex, 200, write(records(preds)))
+        case ("GET", Seq(_, "knowledge_bases")) =>
+          reply(ex, 200, write(records(session().execute("SHOW KNOWLEDGE_BASES"))))
+        case ("POST", Seq(_, "knowledge_bases")) =>
+          val body = Json.parse(readBody(ex))
+          body.get("knowledge_base").flatMap(_.get("name")) match {
+            case Some(Str(name)) =>
+              session().execute(s"CREATE KNOWLEDGE BASE ${sqlIdent(name)}")
+              reply(ex, 201, write(obj("name" -> str(name))))
+            case _ => crudError(ex, 400, "Missing \"knowledge_base\".\"name\"")
+          }
+        case ("DELETE", Seq(_, "knowledge_bases", k)) =>
+          session().execute(s"DROP KNOWLEDGE BASE ${sqlIdent(k)}")
+          reply(ex, 204, "")
+        case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  // ------------------------------------------------------------------
+  // A2A (api/a2a/README.md protocol shape): JSON-RPC tasks/send answers
+  // synchronously; tasks/sendSubscribe streams SSE chunks ending in
+  // {"is_task_complete": true}. The agent comes from
+  // params.message.metadata.agentName and answers through the
+  // agents-as-tables SQL route.
+  // ------------------------------------------------------------------
+
+  private def handleA2a(ex: HttpExchange): Unit =
+    try {
+      val req = Json.parse(readBody(ex))
+      val id = req.get("id").getOrElse(Null)
+      val params = req.get("params").getOrElse(obj())
+      val msg = params.get("message").getOrElse(obj())
+      val agent = msg.get("metadata")
+        .flatMap(md => md.get("agentName").orElse(md.get("agent_name")))
+        .collect { case Str(s) => s }
+      val text = msg.get("parts").map(_.asArray).getOrElse(Seq.empty)
+        .flatMap(_.get("text")).collectFirst { case Str(t) => t }
+      def rpc(result: Value): String =
+        write(obj("jsonrpc" -> str("2.0"), "id" -> id, "result" -> result))
+      req.get("method").collect { case Str(m) => m } match {
+        case Some(m) if m == "tasks/send" || m == "tasks/sendSubscribe" =>
+          if (agent.isEmpty || text.isEmpty) {
+            reply(ex, 200, write(obj("jsonrpc" -> str("2.0"), "id" -> id,
+              "error" -> obj("code" -> num(-32602L), "message" ->
+                str("message.metadata.agentName and a text part are required")))))
+          } else {
+            val q = text.get.replace("'", "''")
+            val answer = session().execute(
+              s"SELECT answer FROM ${sqlIdent(agent.get)} WHERE question = '$q'")
+              .collect().headOption.map(_.getString(0)).getOrElse("")
+            if (m == "tasks/send") {
+              reply(ex, 200, rpc(obj(
+                "id" -> params.get("id").getOrElse(Null),
+                "status" -> obj("state" -> str("completed")),
+                "artifacts" -> arr(obj("parts" -> arr(obj(
+                  "type" -> str("text"), "text" -> str(answer))))))))
+            } else {
+              val lines = Seq(
+                write(obj("is_task_complete" -> Bool(false),
+                  "content" -> str("working"), "metadata" -> obj())),
+                write(obj("is_task_complete" -> Bool(true),
+                  "content" -> str(answer), "metadata" -> obj())))
+              reply(ex, 200, lines.map(l => s"data: $l\n").mkString,
+                "text/event-stream")
+            }
+          }
+        case other =>
+          reply(ex, 200, write(obj("jsonrpc" -> str("2.0"), "id" -> id,
+            "error" -> obj("code" -> num(-32601L),
+              "message" -> str(s"method not found: ${other.getOrElse("?")}")))))
+      }
+    } catch {
+      case e: Throwable =>
+        try crudError(ex, 500, Option(e.getMessage).getOrElse(e.toString))
         catch { case _: Throwable => }
     }
 

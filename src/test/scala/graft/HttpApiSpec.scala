@@ -168,4 +168,115 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = rpc("prompts/list")
     assert(res("error")("code") === Json.num(-32601L))
   }
+
+  // ------------------------------------------------- CRUD namespaces
+
+  private def get(path: String): HttpResponse[String] =
+    http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  private def delete(path: String): HttpResponse[String] =
+    http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+
+  test("databases CRUD: list, create with parameters, delete") {
+    val before = Json.parse(get("/api/databases").body()).asArray
+    assert(before.exists(_("name").asString == "graft"))
+    val resp = post("/api/databases",
+      """{"database": {"name": "httpdb", "engine": "mem"}}""")
+    assert(resp.statusCode() === 201)
+    val after = Json.parse(get("/api/databases").body()).asArray
+    assert(after.exists(_("name").asString == "httpdb"))
+    assert(delete("/api/databases/httpdb").statusCode() === 204)
+    val gone = Json.parse(get("/api/databases").body()).asArray
+    assert(!gone.exists(_("name").asString == "httpdb"))
+  }
+
+  test("databases POST validates name/engine like the reference") {
+    assert(post("/api/databases", """{"nope": 1}""").statusCode() === 400)
+    val noEngine = post("/api/databases", """{"database": {"name": "x1"}}""")
+    assert(noEngine.statusCode() === 400)
+    assert(Json.parse(noEngine.body())("detail").asString.contains("engine"))
+  }
+
+  test("projects list + model lifecycle over REST") {
+    val projects = Json.parse(get("/api/projects").body()).asArray
+    assert(projects.exists(_("name").asString == "graft"))
+    assert(get("/api/projects/no_such_project_x").statusCode() === 404)
+    // train via POST {query}, predict via POST {data}, then delete
+    val create = post("/api/projects/graft/models", Json.write(Json.obj(
+      "query" -> Json.str(
+        """CREATE MODEL http_model FROM (SELECT l_quantity, l_extendedprice
+           FROM lineitem) PREDICT l_extendedprice
+           USING features='l_quantity', score_column='prediction'"""))))
+    assert(create.statusCode() === 201)
+    val models = Json.parse(get("/api/projects/graft/models").body()).asArray
+    assert(models.exists(_("name").asString == "http_model"))
+    val preds = post("/api/projects/graft/models/http_model/predict",
+      """{"data": [{"l_quantity": 1.0}, {"l_quantity": 5.0}]}""")
+    assert(preds.statusCode() === 200)
+    val rows = Json.parse(preds.body()).asArray
+    assert(rows.size === 2)
+    assert(rows.forall(_.get("prediction").exists(_.isInstanceOf[Json.Num])))
+    assert(delete("/api/projects/graft/models/http_model").statusCode() === 204)
+    val bad = post("/api/projects/graft/models", """{"query": "SELECT 1"}""")
+    assert(bad.statusCode() === 400)
+  }
+
+  test("knowledge-base CRUD over REST") {
+    val create = post("/api/projects/graft/knowledge_bases",
+      """{"knowledge_base": {"name": "http_kb"}}""")
+    assert(create.statusCode() === 201)
+    val kbs = Json.parse(get("/api/projects/graft/knowledge_bases").body()).asArray
+    assert(kbs.exists(_("name").asString == "http_kb"))
+    assert(delete("/api/projects/graft/knowledge_bases/http_kb").statusCode() === 204)
+  }
+
+  // ------------------------------------------------- A2A
+
+  test("a2a tasks/send answers through an agent") {
+    sqlQuery("CREATE AGENT a2a_agent USING model='default'")
+    val resp = post("/a2a", Json.write(Json.obj(
+      "jsonrpc" -> Json.str("2.0"), "id" -> Json.str("req-1"),
+      "method" -> Json.str("tasks/send"),
+      "params" -> Json.obj(
+        "id" -> Json.str("task-1"),
+        "message" -> Json.obj(
+          "role" -> Json.str("user"),
+          "parts" -> Json.arr(Json.obj("type" -> Json.str("text"),
+            "text" -> Json.str("what is a shuffle"))),
+          "metadata" -> Json.obj("agentName" -> Json.str("a2a_agent")))))))
+    assert(resp.statusCode() === 200)
+    val result = Json.parse(resp.body())("result")
+    assert(result("status")("state").asString === "completed")
+    val answer = result("artifacts").asArray.head("parts").asArray.head("text").asString
+    assert(answer.nonEmpty)
+  }
+
+  test("a2a tasks/sendSubscribe streams SSE ending with is_task_complete") {
+    val resp = post("/a2a", Json.write(Json.obj(
+      "jsonrpc" -> Json.str("2.0"), "id" -> Json.str("req-2"),
+      "method" -> Json.str("tasks/sendSubscribe"),
+      "params" -> Json.obj(
+        "message" -> Json.obj(
+          "parts" -> Json.arr(Json.obj("text" -> Json.str("what is a join"))),
+          "metadata" -> Json.obj("agent_name" -> Json.str("a2a_agent")))))))
+    assert(resp.headers().firstValue("Content-Type").orElse("")
+      .contains("text/event-stream"))
+    val lines = resp.body().trim.linesIterator.filter(_.startsWith("data: ")).toSeq
+    val last = Json.parse(lines.last.stripPrefix("data: "))
+    assert(last("is_task_complete") === Json.Bool(true))
+    assert(last("content").asString.nonEmpty)
+  }
+
+  test("a2a without an agent name is a JSON-RPC param error") {
+    val resp = post("/a2a", Json.write(Json.obj(
+      "jsonrpc" -> Json.str("2.0"), "id" -> Json.num(9L),
+      "method" -> Json.str("tasks/send"),
+      "params" -> Json.obj("message" -> Json.obj(
+        "parts" -> Json.arr(Json.obj("text" -> Json.str("hi"))))))))
+    assert(Json.parse(resp.body())("error")("code") === Json.num(-32602L))
+  }
 }

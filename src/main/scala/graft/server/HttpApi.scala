@@ -43,6 +43,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
   server.createContext("/api/databases", (ex: HttpExchange) => handleDatabases(ex))
   server.createContext("/api/projects", (ex: HttpExchange) => handleProjects(ex))
   server.createContext("/a2a", (ex: HttpExchange) => handleA2a(ex))
+  server.createContext("/api/files", (ex: HttpExchange) => handleFiles(ex))
   // daemon worker threads so an un-stopped server can never pin the JVM
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r, "http-api"); t.setDaemon(true); t })
@@ -344,6 +345,46 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
         case ("DELETE", Seq(_, "knowledge_bases", k)) =>
           session().execute(s"DROP KNOWLEDGE BASE ${sqlIdent(k)}")
           reply(ex, 204, "")
+        case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** Files namespace (api/http/namespaces/file.py `put_file`): an
+    * uploaded file lands in the warehouse `.files` area and is
+    * immediately queryable as `files.<name>` (format-sniffed distributed
+    * scan). The reference accepts multipart form-data; this server takes
+    * the file as the raw PUT body with the extension carried by the
+    * path — the storage contract and SQL namespace are identical. */
+  private def handleFiles(ex: HttpExchange): Unit =
+    try {
+      val parts = tail(ex, "/api/files")
+      val filesDir = java.nio.file.Paths.get(s"${warehouse.dir}/.files")
+      (ex.getRequestMethod, parts) match {
+        case ("GET", Seq()) =>
+          val names =
+            if (!java.nio.file.Files.isDirectory(filesDir)) Seq.empty[String]
+            else {
+              val s = java.nio.file.Files.list(filesDir)
+              try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]
+                .getFileName.toString).sorted
+              finally s.close()
+            }
+          reply(ex, 200, write(Arr(names.map(n =>
+            obj("name" -> str(n.replaceAll("\\.[^.]+$", "")), "file" -> str(n))))))
+        case ("PUT", Seq(name)) =>
+          require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"), s"bad file name: $name")
+          java.nio.file.Files.createDirectories(filesDir)
+          val bytes = ex.getRequestBody.readAllBytes()
+          require(bytes.nonEmpty, "empty file body")
+          java.nio.file.Files.write(filesDir.resolve(name), bytes)
+          reply(ex, 201, write(obj("name" -> str(name))))
+        case ("DELETE", Seq(name)) =>
+          require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"), s"bad file name: $name")
+          val deleted = java.nio.file.Files.deleteIfExists(filesDir.resolve(name))
+          if (deleted) reply(ex, 204, "")
+          else crudError(ex, 404, s"file $name not found")
         case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
       }
     } catch {

@@ -234,6 +234,23 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delete("/api/projects/graft/knowledge_bases/http_kb").statusCode() === 204)
   }
 
+  test("file upload is immediately queryable as files.<name>") {
+    val csv = "city,pop\nparis,2100000\nlyon,520000\n"
+    val up = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${api.boundPort}/api/files/cities.csv"))
+        .PUT(HttpRequest.BodyPublishers.ofString(csv)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(up.statusCode() === 201)
+    val listed = Json.parse(get("/api/files").body()).asArray
+    assert(listed.exists(_("file").asString == "cities.csv"))
+    val env = sqlQuery("SELECT city, pop FROM files.cities ORDER BY pop DESC")
+    assert(env("type").asString === "table")
+    assert(env("data").asArray.head.asArray.head.asString === "paris")
+    assert(delete("/api/files/cities.csv").statusCode() === 204)
+    assert(delete("/api/files/cities.csv").statusCode() === 404)
+  }
+
   // ------------------------------------------------- A2A
 
   test("a2a tasks/send answers through an agent") {

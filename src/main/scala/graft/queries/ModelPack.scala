@@ -489,10 +489,21 @@ object ModelPack extends QueryPack {
     // the median uses q61's literal rank formula on the 6dp-rounded
     // slopes so both engines select the identical element.
     "m31_theilsen_trend" -> ((s, dir) => {
-      val daily = t(s, dir, "orders")
+      // the daily rollup is |days| rows (dimension-sized, ~2.4k at
+      // sf0.1): materialize it ONCE driver-side so the corpus is
+      // scanned+aggregated a single time instead of once per join
+      // branch, and the pair join runs over two local frames
+      val dailyRows = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("v"))
-        .withColumn("d", datediff(col("day"), lit("1992-01-01")).cast(LongType))
+        .select(datediff(col("day"), lit("1992-01-01")).cast(LongType).as("d"),
+          col("v"))
+        .collect().toSeq
+      val daily = s.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(dailyRows).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("d", LongType),
+          org.apache.spark.sql.types.StructField("v", LongType))))
       val a = daily.select(col("d").as("d1"), col("v").as("v1"))
       val b = daily.select(col("d").as("d2"), col("v").as("v2"))
       val slopes = a.join(b, col("d1") < col("d2"))
@@ -505,17 +516,18 @@ object ModelPack extends QueryPack {
       // (6dp-rounded, bounded), computed ONCE for both the total and the
       // cumulative walk; the remaining window orders value-count rows
       // only
-      val sc = slopes.groupBy(col("slope")).agg(count(lit(1)).as("c")).persist()
-      val n = sc.agg(sum(col("c"))).first().getLong(0)
+      val sc = slopes.groupBy(col("slope")).agg(count(lit(1)).as("c"))
       val w = Window.orderBy(col("slope"))
-      // collect the single median row, THEN unpersist — returning a lazy
-      // frame over sc would leak its cached blocks for the session
-      val med = sc.withColumn("cum", sum(col("c")).over(w))
-        .filter(col("cum") >= math.floor((n - 1) * 0.5).toLong + 1)
-        .orderBy(col("slope")).limit(1).first().getDouble(0)
-      sc.unpersist()
-      val sp = s; import sp.implicits._
-      Seq((med, n)).toDF("theil_sen_slope", "n_pairs")
+      // ONE pass, no persist: the total pair count rides along as a
+      // whole-frame window sum, so the median rank threshold is a
+      // per-row expression instead of a separate materializing
+      // aggregation (a persist here either leaks cached blocks for the
+      // session or, unpersisted, pays the pair join twice)
+      sc.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(1))))
+        .filter(col("cum") >= floor((col("n") - 1) * 0.5) + 1)
+        .orderBy(col("slope")).limit(1)
+        .select(col("slope").as("theil_sen_slope"), col("n").as("n_pairs"))
     }),
 
     "m20_anomaly_sql" -> ((s, dir) => {

@@ -145,6 +145,72 @@ final class MysqlClient(host: String, port: Int,
   def closeStatement(id: Long): Unit =
     command(new ByteWriter().u8(COM_STMT_CLOSE).u32(id).result())
 
+  /** Open a read-only cursor (CURSOR_TYPE_READ_ONLY execute): the server
+    * answers column definitions only, EOF flagged CURSOR_EXISTS; rows
+    * come through [[fetch]]. Returns (column names, column types). */
+  def executePreparedCursor(id: Long, params: Seq[Any]): (Seq[String], Seq[Int]) = {
+    val w = new ByteWriter()
+      .u8(COM_STMT_EXECUTE).u32(id).u8(CURSOR_TYPE_READ_ONLY).u32(1L)
+    if (params.nonEmpty) {
+      val bitmap = new Array[Byte]((params.length + 7) / 8)
+      params.zipWithIndex.foreach { case (p, i) =>
+        if (p == null) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+      }
+      w.raw(bitmap).u8(1)
+      params.foreach { p => w.u8(typeOf(p)); w.u8(0) }
+      params.foreach {
+        case null => ()
+        case v: Long => w.u64(v)
+        case v: Double => w.u64(java.lang.Double.doubleToLongBits(v))
+        case v: String => w.lenencString(v)
+        case other => w.lenencString(other.toString)
+      }
+    }
+    command(w.result())
+    val first = io.read()
+    if ((first(0) & 0xff) == 0xff) throw new RuntimeException(describeErr(first))
+    val nCols = new ByteReader(first).lenencInt().toInt
+    val defs = (0 until nCols).map { _ =>
+      val d = new ByteReader(io.read())
+      d.lenencString(); d.lenencString(); d.lenencString(); d.lenencString()
+      val name = d.lenencString()
+      d.lenencString()
+      d.u8(); d.u16(); d.u32()
+      val tpe = d.u8()
+      (name, tpe)
+    }
+    val eof = new ByteReader(io.read())
+    eof.u8(); eof.u16() // 0xfe, warnings
+    require((eof.u16() & SERVER_STATUS_CURSOR_EXISTS) != 0,
+      "server did not open a cursor")
+    cursorTypes(id) = defs.map(_._2)
+    (defs.map(_._1), defs.map(_._2))
+  }
+
+  private val cursorTypes = scala.collection.mutable.Map.empty[Long, Seq[Int]]
+
+  /** Fetch up to n rows from an open cursor; returns (rows, done). */
+  def fetch(id: Long, n: Int): (Seq[Seq[String]], Boolean) = {
+    val types = cursorTypes.getOrElse(id,
+      throw new IllegalStateException(s"no cursor opened for $id"))
+    command(new ByteWriter().u8(COM_STMT_FETCH).u32(id).u32(n.toLong).result())
+    val rows = Seq.newBuilder[Seq[String]]
+    var done = false
+    var ended = false
+    while (!ended) {
+      val p = io.read()
+      if ((p(0) & 0xff) == 0xff) throw new RuntimeException(describeErr(p))
+      if ((p(0) & 0xff) == 0xfe && p.length < 9) {
+        val e = new ByteReader(p)
+        e.u8(); e.u16()
+        done = (e.u16() & SERVER_STATUS_LAST_ROW_SENT) != 0
+        ended = true
+      } else rows += decodeBinaryRow(p, types)
+    }
+    if (done) cursorTypes.remove(id)
+    (rows.result(), done)
+  }
+
   private def readQueryResponse(binary: Boolean): Either[Ok, ResultSet] = {
     val first = io.read()
     (first(0) & 0xff) match {

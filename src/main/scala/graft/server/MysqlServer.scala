@@ -78,6 +78,8 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
     val session = new Commands(spark, catalog, warehouse)
     val stmtIds = new AtomicLong(0)
     val prepared = mutable.Map.empty[Long, (String, Int)] // id -> (sql, nParams)
+    // open read-only cursors: id -> (remaining rows, fields)
+    val cursors = mutable.Map.empty[Long, (Iterator[Row], Array[StructField])]
     try {
       if (!handshake(io)) return
       var open = true
@@ -100,9 +102,13 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
               val sql = new String(body, 1, body.length - 1, "UTF-8")
               stmtPrepare(io, prepared, stmtIds, sql)
             case COM_STMT_EXECUTE =>
-              stmtExecute(io, session, prepared, r)
+              stmtExecute(io, session, prepared, cursors, r)
+            case COM_STMT_FETCH =>
+              stmtFetch(io, cursors, r)
             case COM_STMT_CLOSE =>
-              prepared.remove(r.u32()) // no response by protocol
+              val id = r.u32() // no response by protocol
+              prepared.remove(id)
+              cursors.remove(id)
             case other =>
               io.write(errPacket(1047, "08S01", s"unknown command $other"))
               io.flush()
@@ -249,12 +255,13 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
 
   private def stmtExecute(io: PacketIo, session: Commands,
                           prepared: mutable.Map[Long, (String, Int)],
+                          cursors: mutable.Map[Long, (Iterator[Row], Array[StructField])],
                           r: ByteReader): Unit =
     try {
       val id = r.u32()
       val (sql, nParams) = prepared.getOrElse(id,
         throw new IllegalStateException(s"unknown statement id $id"))
-      r.u8() // flags
+      val flags = r.u8()
       r.u32() // iteration count (always 1)
       val params: Seq[Any] =
         if (nParams == 0) Seq.empty
@@ -279,7 +286,47 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
         val affected = row.filter(_.length > 2).map(_.getLong(2)).getOrElse(0L)
         io.write(okPacket(affectedRows = affected))
         io.flush()
+      } else if ((flags & CURSOR_TYPE_READ_ONLY) != 0) {
+        // cursor open (mysql_proxy.py answer_stmt_execute cursor branch):
+        // only column definitions go out now, EOF carries CURSOR_EXISTS;
+        // rows flow through COM_STMT_FETCH in client-sized batches
+        val fields = df.schema.fields
+        cursors(id) = (scala.jdk.CollectionConverters
+          .IteratorHasAsScala(df.toLocalIterator()).asScala, fields)
+        io.write(new ByteWriter().lenencInt(fields.length.toLong).result())
+        fields.foreach(f =>
+          io.write(columnDefinition("mindsdb", "", f.name, f.dataType, f.nullable)))
+        io.write(eofPacket(0x0002 | SERVER_STATUS_CURSOR_EXISTS))
+        io.flush()
       } else sendBinaryResultSet(io, df)
+    } catch {
+      case e: Throwable =>
+        io.write(errPacket(1064, "42000",
+          Option(e.getMessage).getOrElse(e.toString).take(2000)))
+        io.flush()
+    }
+
+  /** COM_STMT_FETCH (mysql_proxy.py answer_stmt_fetch): the requested
+    * row count in binary format, then EOF — flagged LAST_ROW_SENT when
+    * the cursor is exhausted. */
+  private def stmtFetch(io: PacketIo,
+                        cursors: mutable.Map[Long, (Iterator[Row], Array[StructField])],
+                        r: ByteReader): Unit =
+    try {
+      val id = r.u32()
+      val n = r.u32()
+      val (it, fields) = cursors.getOrElse(id,
+        throw new IllegalStateException(s"no open cursor for statement $id"))
+      var sent = 0L
+      while (sent < n && it.hasNext) {
+        io.write(MysqlServer.binaryRow(it.next(), fields))
+        sent += 1
+      }
+      val done = !it.hasNext
+      if (done) cursors.remove(id)
+      io.write(eofPacket(0x0002 |
+        (if (done) SERVER_STATUS_LAST_ROW_SENT else SERVER_STATUS_CURSOR_EXISTS)))
+      io.flush()
     } catch {
       case e: Throwable =>
         io.write(errPacket(1064, "42000",

@@ -52,6 +52,12 @@ object MysqlWire {
   val COM_STMT_CLOSE = 0x19
   val COM_STMT_RESET = 0x1a
   val COM_SET_OPTION = 0x1b
+  val COM_STMT_FETCH = 0x1c
+
+  // cursor status flags (EXECUTE with CURSOR_TYPE_READ_ONLY)
+  val CURSOR_TYPE_READ_ONLY = 0x01
+  val SERVER_STATUS_CURSOR_EXISTS = 0x0040
+  val SERVER_STATUS_LAST_ROW_SENT = 0x0080
 
   // ---- column types (protocol::ColumnType) ----
   val TYPE_TINY = 0x01

@@ -180,6 +180,37 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("binary protocol: read-only cursor streams rows via COM_STMT_FETCH") {
+    val c = client()
+    val id = c.prepare(
+      "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < ? ORDER BY n_nationkey")
+    val (cols, _) = c.executePreparedCursor(id, Seq(3L))
+    assert(cols === Seq("n_nationkey", "n_name"))
+    // drain in batches of 4; the EOF of the last batch flags LAST_ROW_SENT
+    var all = Seq.empty[Seq[String]]
+    var done = false
+    var batches = 0
+    while (!done) {
+      val (rows, d) = c.fetch(id, 4)
+      all ++= rows
+      done = d
+      batches += 1
+      assert(rows.size <= 4)
+    }
+    val expected = graft.engine.Tables.table(spark, dir, "nation")
+      .filter("n_regionkey < 3").count()
+    assert(all.size.toLong === expected)
+    assert(batches >= 2, "rows must arrive across multiple fetches")
+    assert(all.map(_.head.toLong) === all.map(_.head.toLong).sorted)
+    c.closeStatement(id)
+    // a fetch after close is an ERR, and the connection survives it
+    val e = intercept[RuntimeException](c.fetch(id, 1))
+    assert(e.getMessage.contains("no cursor") || e.getMessage.contains("[1064]"))
+    val Right(rs) = c.query("SELECT 1 AS ok_after"): @unchecked
+    assert(rs.rows.head.head === "1")
+    c.close()
+  }
+
   test("concurrent connections run independent sessions") {
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val threads = (1 to 4).map { i =>

@@ -20,8 +20,13 @@ object KbPack extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  // the chunk+embedding store is the derived table a production engine
+  // materializes once per corpus snapshot (exactly the g-pack edge-list /
+  // d-pack CC contract): fingerprint-keyed, rebuilt when documents.parquet
+  // changes, shared by every k-query instead of re-chunking per query
   private def kb(s: SparkSession, dir: String): DataFrame =
-    Kb.ingest(docs(s, dir))
+    graft.engine.SharedFrames.shared("kb_chunks", s, dir,
+      Seq("documents.parquet"))(Kb.ingest(docs(s, dir)))
 
   // query strings drawn from the corpus vocabulary (keyword arm needs overlap)
   private val QueryA = "table scan filter join"

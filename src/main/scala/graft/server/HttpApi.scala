@@ -88,11 +88,8 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
             reply(ex, 400, write(errorEnvelope("Invalid stream format")))
             return
           }
-          runSql(sql) match {
-            case env @ Obj(_) if format == "default" =>
-              reply(ex, 200, write(env))
-            case env => streamRows(ex, env, sse = format == "sse")
-          }
+          if (format == "default") reply(ex, 200, write(runSql(sql)))
+          else streamSql(ex, sql, sse = format == "sse")
         case _ =>
           // reference: missing/invalid "query" → HTTP 400 "Wrong arguments"
           reply(ex, 400, write(errorEnvelope(
@@ -133,20 +130,50 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
       "error_message" -> str(msg), "context" -> obj())
 
   /** jsonlines / SSE: header line with column_names, then one JSON array
-    * per row — matching stream_http_response_jsonlines. Errors/OK dump
-    * their single envelope as the only line. */
-  private def streamRows(ex: HttpExchange, env: Obj, sse: Boolean): Unit = {
+    * per row, written INCREMENTALLY from toLocalIterator over a chunked
+    * response — matching stream_http_response_jsonlines, and the reason
+    * the streaming formats exist: the full result never materializes
+    * server-side (only one partition is resident at a time). Errors/OK
+    * dump their single envelope as the only line. */
+  private def streamSql(ex: HttpExchange, sql: String, sse: Boolean): Unit = {
     val mime = if (sse) "text/event-stream" else "application/jsonlines"
     def line(s: String): String = if (sse) s"data: $s\n" else s + "\n"
-    val out = new StringBuilder
-    env.fields("type") match {
-      case Str("table") =>
-        out.append(line(write(obj("type" -> str("table"),
-          "column_names" -> env.fields("column_names")))))
-        env.fields("data").asArray.foreach(row => out.append(line(write(row))))
-      case _ => out.append(line(write(env)))
+    val dfOrEnv =
+      try {
+        val df = session().execute(sql)
+        val names = df.schema.fieldNames.toSeq
+        if (names == Seq("status", "message") ||
+            names == Seq("status", "message", "affected_rows")) {
+          val row = df.collect().headOption
+          val affected = row.filter(_.length > 2).map(_.getLong(2)).getOrElse(0L)
+          Left(obj("type" -> str("ok"), "affected_rows" -> num(affected),
+            "context" -> obj()))
+        } else Right(df)
+      } catch {
+        case e: Throwable =>
+          Left(errorEnvelope(Option(e.getMessage).getOrElse(e.toString)))
+      }
+    ex.getResponseHeaders.set("Content-Type", mime)
+    ex.sendResponseHeaders(200, 0) // chunked transfer
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(ex.getResponseBody, "UTF-8"))
+    try dfOrEnv match {
+      case Left(env) => out.write(line(write(env)))
+      case Right(df) =>
+        val fields = df.schema.fields
+        out.write(line(write(obj("type" -> str("table"),
+          "column_names" -> Arr(fields.map(f => str(f.name)).toSeq)))))
+        val it = df.toLocalIterator()
+        var n = 0
+        while (it.hasNext) {
+          out.write(line(write(rowJson(it.next(), fields))))
+          n += 1
+          if (n % 1000 == 0) out.flush()
+        }
+    } finally {
+      try out.close() catch { case _: Throwable => }
+      ex.close()
     }
-    reply(ex, 200, out.toString, mime)
   }
 
   // ------------------------------------------------------------------

@@ -211,6 +211,33 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("a row larger than 16MB crosses the wire via continuation frames") {
+    val c = client()
+    // 17 MB string: the row packet exceeds the 0xffffff frame limit, so
+    // the server must split it and the client must reassemble
+    val Right(rs) = c.query(
+      "SELECT repeat('ab', 8500000) AS big, 7 AS tail_col"): @unchecked
+    val big = rs.rows.head.head
+    assert(big.length === 17000000)
+    assert(big.startsWith("ababab") && big.endsWith("ab"))
+    assert(rs.rows.head(1) === "7", "framing must stay aligned after the big value")
+    // connection still in sync for the next command
+    val Right(rs2) = c.query("SELECT 42 AS after_big"): @unchecked
+    assert(rs2.rows.head.head === "42")
+    c.close()
+  }
+
+  test("utf-8 multibyte values and empty result sets round-trip") {
+    val c = client()
+    val Right(rs) = c.query("SELECT 'héllo wörld — ügly ¥€$' AS s"): @unchecked
+    assert(rs.rows.head.head === "héllo wörld — ügly ¥€$")
+    val Right(empty) = c.query(
+      "SELECT r_name FROM region WHERE r_regionkey > 999"): @unchecked
+    assert(empty.columns === Seq("r_name"))
+    assert(empty.rows.isEmpty)
+    c.close()
+  }
+
   test("concurrent connections run independent sessions") {
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val threads = (1 to 4).map { i =>

@@ -100,8 +100,12 @@ final class MysqlClient(host: String, port: Int,
   }
 
   /** Execute a prepared statement with typed params (Long, Int, Double,
-    * String, java.sql.Date, java.sql.Timestamp, null). */
-  def executePrepared(id: Long, params: Seq[Any]): Either[Ok, ResultSet] = {
+    * String, java.sql.Date, java.sql.Timestamp, null). With
+    * `rebind = false` the types block is omitted (new_params_bound_flag
+    * 0) and the server must reuse the types it cached from the first
+    * execute — the protocol's steady-state re-execute shape. */
+  def executePrepared(id: Long, params: Seq[Any],
+                      rebind: Boolean = true): Either[Ok, ResultSet] = {
     val w = new ByteWriter()
       .u8(COM_STMT_EXECUTE).u32(id).u8(0).u32(1L)
     if (params.nonEmpty) {
@@ -109,8 +113,8 @@ final class MysqlClient(host: String, port: Int,
       params.zipWithIndex.foreach { case (p, i) =>
         if (p == null) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
       }
-      w.raw(bitmap).u8(1)
-      params.foreach { p => w.u8(typeOf(p)); w.u8(0) }
+      w.raw(bitmap).u8(if (rebind) 1 else 0)
+      if (rebind) params.foreach { p => w.u8(typeOf(p)); w.u8(0) }
       params.foreach {
         case null => ()
         case v: Long => w.u64(v)

@@ -80,6 +80,9 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
     val prepared = mutable.Map.empty[Long, (String, Int)] // id -> (sql, nParams)
     // open read-only cursors: id -> (remaining rows, fields)
     val cursors = mutable.Map.empty[Long, (Iterator[Row], Array[StructField])]
+    // param types cached from the first EXECUTE: a client re-executing
+    // with new_params_bound_flag=0 sends values only (protocol contract)
+    val stmtTypes = mutable.Map.empty[Long, Array[Int]]
     try {
       if (!handshake(io)) return
       var open = true
@@ -102,13 +105,14 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
               val sql = new String(body, 1, body.length - 1, "UTF-8")
               stmtPrepare(io, prepared, stmtIds, sql)
             case COM_STMT_EXECUTE =>
-              stmtExecute(io, session, prepared, cursors, r)
+              stmtExecute(io, session, prepared, cursors, stmtTypes, r)
             case COM_STMT_FETCH =>
               stmtFetch(io, cursors, r)
             case COM_STMT_CLOSE =>
               val id = r.u32() // no response by protocol
               prepared.remove(id)
               cursors.remove(id)
+              stmtTypes.remove(id)
             case other =>
               io.write(errPacket(1047, "08S01", s"unknown command $other"))
               io.flush()
@@ -256,6 +260,7 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
   private def stmtExecute(io: PacketIo, session: Commands,
                           prepared: mutable.Map[Long, (String, Int)],
                           cursors: mutable.Map[Long, (Iterator[Row], Array[StructField])],
+                          stmtTypes: mutable.Map[Long, Array[Int]],
                           r: ByteReader): Unit =
     try {
       val id = r.u32()
@@ -269,11 +274,15 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
           val nullBitmap = r.bytes((nParams + 7) / 8)
           def isNull(i: Int) = (nullBitmap(i / 8) & (1 << (i % 8))) != 0
           val newBound = r.u8()
-          val types = new Array[Int](nParams)
-          if (newBound == 1) {
-            var i = 0
-            while (i < nParams) { types(i) = r.u8(); r.u8(); i += 1 } // type + sign
-          }
+          val types: Array[Int] =
+            if (newBound == 1) {
+              val ts = new Array[Int](nParams)
+              var i = 0
+              while (i < nParams) { ts(i) = r.u8(); r.u8(); i += 1 } // type + sign
+              stmtTypes(id) = ts // cache for re-executes with flag=0
+              ts
+            } else stmtTypes.getOrElse(id, throw new IllegalStateException(
+              "re-execute without bound types and no cached types for statement"))
           (0 until nParams).map { i =>
             if (isNull(i)) null else MysqlServer.readBinaryValue(r, types(i))
           }

@@ -44,6 +44,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
+  test("s11 pgvector operators stay a scan -> project -> top-k plan") {
+    val plan = executedPlan("s11_pgvector_ops")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"operator rewrite must not lose the top-k shape:\n$plan")
+    // all three rewritten distances are native codegen'd expressions
+    assert(plan.contains("l2distance") || plan.contains("L2Distance"),
+      s"<-> did not lower to the native expression:\n$plan")
+    assert(!plan.contains("Window"), "no window in a top-k distance scan")
+  }
+
+  test("m31 is a single pass: no persist, no InMemoryRelation") {
+    val df = SparkEntry.queries("m31_theilsen_trend")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"),
+      s"m31 must not rely on cached intermediate state:\n$plan")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
+      !plan.contains("InMemoryRelation"),
+      "the r10 persist leak must stay fixed")
+  }
+
+  test("k07 evaluate reads the shared chunk store (checkpointed RDD scan)") {
+    val df = SparkEntry.queries("k07_kb_evaluate")(spark, dir)
+    df.collect()
+    val logical = df.queryExecution.analyzed.toString
+    // the shared store serves as a materialized LogicalRDD, so the
+    // chunk+embed pipeline is absent from every consumer's plan
+    assert(logical.contains("LogicalRDD") || logical.contains("ExistingRDD"),
+      s"k07 is re-deriving the chunk store instead of sharing it:\n${logical.take(2000)}")
+  }
+
   test("k02 semantic search is scan -> project -> top-k (no shuffle before TakeOrdered)") {
     val plan = executedPlan("k02_kb_semantic_search")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -164,6 +164,11 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected2 = graft.engine.Tables.table(spark, dir, "orders")
       .filter("o_orderstatus = 'F'").count()
     assert(rs2.rows.head.head.toLong === expected2)
+    // steady-state re-execute: new_params_bound_flag=0 sends values
+    // only — the server must decode them with its cached types
+    val Right(rs3) = c.executePrepared(id, Seq(100000.0, "F"),
+      rebind = false): @unchecked
+    assert(rs3.rows.head.head.toLong === expected)
     c.closeStatement(id)
     c.close()
   }

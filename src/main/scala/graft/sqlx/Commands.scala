@@ -142,6 +142,8 @@ final class Commands(
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
+  private val ShowKeys =
+    """(?is)\s*SHOW\s+(?:KEYS|INDEX|INDEXES)\s+(?:FROM|IN)\s+`?(?:\w+`?\.`?)?(\w+)`?\s*""".r
   private val AnalyzeStmt =
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*""".r
   private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
@@ -307,6 +309,7 @@ final class Commands(
     "character_set_results" -> "utf8mb4",
     "max_allowed_packet" -> "16777216",
     "sql_mode" -> "ONLY_FULL_GROUP_BY,STRICT_TRANS_TABLES,NO_ZERO_IN_DATE,NO_ZERO_DATE,ERROR_FOR_DIVISION_BY_ZERO,NO_ENGINE_SUBSTITUTION",
+    "auto_increment_increment" -> "1",
     "version" -> "8.0.17-graft",
     "version_comment" -> "graft spark-native engine")
 
@@ -573,8 +576,32 @@ final class Commands(
     s
   }
 
+  /** MySQL-client handshake functions in table-less SELECTs
+    * (`select version()`, `select session_user`, `select database()`,
+    * `connection_id()` — reference test_select_without_table; the proxy
+    * answers these itself): rewritten to the server's literals so any
+    * client library's connection probe succeeds. Only applies when the
+    * statement has no FROM — inside real queries Spark's own functions
+    * keep their meaning. */
+  private def rewriteHandshakeFns(sql: String): String = {
+    if (!sql.matches("(?is)\\s*SELECT\\b.*") || topLevelKeyword(sql, "FROM") >= 0)
+      return sql
+    var s2 = sql
+    def rep(pat: String, v: String): Unit = { s2 = s2.replaceAll(pat, v) }
+    rep("(?i)\\bversion\\s*\\(\\s*\\)(?!\\s+AS)",
+      "'8.0.17-graft' AS `version()`")
+    rep("(?i)\\b(?:database|schema)\\s*\\(\\s*\\)(?!\\s+AS)",
+      "'graft' AS `database()`")
+    rep("(?i)\\bconnection_id\\s*\\(\\s*\\)(?!\\s+AS)",
+      "1 AS `connection_id()`")
+    rep("(?i)\\b(?:session_user|system_user)(?:\\s*\\(\\s*\\))?(?!\\s+AS)(?!\\s*\\()",
+      "CAST(NULL AS STRING) AS `session_user`")
+    s2
+  }
+
   private def dispatch(sql0: String): DataFrame = {
-    val sql = rewriteQualify(rewriteTimeTravel(rewriteVectorOps(sql0))); sql match {
+    val sql = rewriteQualify(rewriteTimeTravel(rewriteVectorOps(
+      rewriteHandshakeFns(sql0)))); sql match {
     case CreateView(name, body) =>
       // validate the body now (spark.sql analyzes eagerly), but store the
       // SQL TEXT and re-expand at every resolution: a view over a
@@ -1336,6 +1363,22 @@ final class Commands(
               StructField("Command", StringType), StructField("Time", IntegerType),
               StructField("State", StringType), StructField("Info", StringType))))
       })
+    case ShowKeys(name) =>
+      // SHOW KEYS/INDEX FROM t (reference test_mysql_queries: clients
+      // issue it against meta tables) — rows only for layouts that carry
+      // an index-like structure (bucket spec); plain tables answer empty
+      val rows = warehouse.bucketSpec(name) match {
+        case Some((cols, n)) => cols.zipWithIndex.map { case (c0, i) =>
+          Row(name, 1, s"bucket_$n", i + 1, c0, null)
+        }
+        case None => Seq.empty[Row]
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("table", StringType), StructField("non_unique", IntegerType),
+          StructField("key_name", StringType), StructField("seq_in_index", IntegerType),
+          StructField("column_name", StringType), StructField("cardinality", LongType))))
     case ShowColumns(name) =>
       val fields = catalog.resolve(name, Some(warehouse)).schema.fields
       spark.createDataFrame(
@@ -1480,9 +1523,12 @@ final class Commands(
       // as MySQL does for unrecognized session vars.
       val items = splitTop(list, ',').map { item =>
         val parts = item.split("(?i)\\s+AS\\s+", 2).map(_.trim)
-        val name = parts(0).stripPrefix("@@")
+        // `@@session.x` / `@@global.x` address the same variable table
+        // (reference SERVER_VARIABLES lists both spellings)
+        val name = parts(0).stripPrefix("@@").toLowerCase
+          .stripPrefix("session.").stripPrefix("global.")
         val alias = if (parts.length == 2) parts(1) else parts(0)
-        (alias, vars.get(name.toLowerCase).orNull)
+        (alias, vars.get(name).orNull)
       }
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(Row(items.map(_._2): _*)), 1),

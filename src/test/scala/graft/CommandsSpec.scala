@@ -14,6 +14,67 @@ class CommandsSpec extends AnyFunSuite {
   private def fresh(): Commands =
     new Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
 
+  test("MySQL client handshake queries: SHOW KEYS, @@session vars, table-less functions") {
+    val c = fresh()
+    // test_select_without_table: the proxy answers these itself
+    val v = c.execute("SELECT version()").first()
+    assert(v.getString(0) === "8.0.17-graft")
+    val su = c.execute("SELECT session_user").first()
+    assert(su.isNullAt(0), "session_user answers NULL like the reference")
+    assert(c.execute("SELECT database()").first().getString(0) === "graft")
+    assert(c.execute("SELECT 1").first().get(0).toString === "1")
+    // inside a real query, version() keeps Spark's meaning
+    assert(c.execute("SELECT version() AS sv FROM region LIMIT 1")
+      .first().getString(0) !== "8.0.17-graft")
+    // test_system_vars: @@session./@@global. prefixes resolve
+    val sv = c.execute(
+      "SELECT @@session.auto_increment_increment, @@character_set_client").first()
+    assert(sv.getString(0) === "1")
+    assert(sv.getString(1).startsWith("utf8"))
+    // test_mysql_queries: SHOW KEYS answers (rows only for bucketed layouts)
+    assert(c.execute("SHOW KEYS FROM region").count() === 0)
+    c.execute("CREATE TABLE keyed_t CLUSTERED BY (r_regionkey) INTO 4 BUCKETS AS SELECT * FROM region")
+    val keys = c.execute("SHOW INDEX FROM keyed_t").collect()
+    assert(keys.length === 1 && keys(0).getString(4) === "r_regionkey")
+    c.execute("DROP TABLE keyed_t")
+    c.execute("SHOW FULL TABLES FROM files")
+    c.execute("SHOW FULL COLUMNS FROM region")
+  }
+
+  test("tableau-header query shapes: backticked space aliases + global HAVING over a model join") {
+    // reference test_predictor_tableau_header / _alias: BI tools emit
+    // subqueries aliased with backticked names containing spaces, and a
+    // HAVING with no GROUP BY over the aggregate
+    val c = fresh()
+    c.execute("""CREATE MODEL tab_model FROM
+      (SELECT l_quantity, l_extendedprice FROM lineitem)
+      PREDICT l_extendedprice USING features='l_quantity', score_column='p'""")
+    val r = c.execute("""
+      SELECT
+        SUM(1) AS `cnt__0B4A4E8BD11C48FF_ok`,
+        sum(`Custom SQL Query`.`l_quantity`) AS `sum_height_ok`,
+        max(`Custom SQL Query`.`p`) AS `sum_length1_ok`
+      FROM (
+        SELECT l_quantity, p
+        FROM (SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3) source
+        JOIN tab_model AS res
+      ) `Custom SQL Query`
+      HAVING (COUNT(1) > 0)""").first()
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(2) > 0.0, "max prediction must come from the model join")
+    // alias variant: the same source column under two aliases
+    val r2 = c.execute("""
+      SELECT max(a1) AS a1, min(a2) AS a2
+      FROM (
+        SELECT l_quantity AS a1, l_quantity AS a2
+        FROM (SELECT l_quantity FROM lineitem LIMIT 5) source
+        JOIN tab_model AS res
+      ) t1
+      HAVING (COUNT(1) > 0)""").first()
+    assert(r2.getDouble(0) >= r2.getDouble(1))
+    c.execute("DROP MODEL tab_model")
+  }
+
   test("pgvector operators rewrite to native distances; <=> keeps null-safe equality") {
     val c = fresh()
     // operator sugar over vector literals and parenthesized expressions

@@ -599,6 +599,72 @@ final class Commands(
     s2
   }
 
+  /** Execute `inner` VERBATIM in database `db`'s engine and return the
+    * result as a frame (the native-passthrough primitive shared by the
+    * top-level and nested `db (select …)` routes). */
+  private def runNativeQuery(db: String, inner: String): DataFrame = {
+    val ent = catalog.database(db).get
+    ent.engine match {
+      case "derby" | "jdbc" =>
+        graft.federation.JdbcDb.nativeQuery(spark,
+          ent.params.getOrElse("database", db), inner)
+      case "mem" =>
+        val tables = graft.federation.MemTables.registry.keys.toSeq
+          .filter(t => inner.toLowerCase.contains(t.toLowerCase))
+        val (schema, rows) = graft.federation.MemEngine
+          .runWithSchema(inner, tables)
+        spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      case other => throw new IllegalArgumentException(
+        s"database $db (engine $other) does not accept native queries")
+    }
+  }
+
+  /** Balanced parens outside quotes — the guard that keeps the lazy/
+    * greedy regex captures of the native-query route from accepting a
+    * NESTED native call (which the rewrite route handles instead). */
+  private def parenBalanced(s: String): Boolean = {
+    var depth = 0
+    var ok = true
+    s.replaceAll("'[^']*'", "''").foreach {
+      case '(' => depth += 1
+      case ')' => depth -= 1; if (depth < 0) ok = false
+      case _ =>
+    }
+    ok && depth == 0
+  }
+
+  /** First `db ( select … )` occurrence where `db` is a registered
+    * database: (start, openParenIdx). None when absent. */
+  private def nativeSubqueryAt(s: String): Option[(Int, Int)] =
+    """(?is)\b(\w+)\s*\(""".r.findAllMatchIn(s).collectFirst {
+      case m if catalog.database(m.group(1)).isDefined &&
+        s.substring(m.end).dropWhile(_.isWhitespace)
+          .take(6).equalsIgnoreCase("select") =>
+        (m.start, m.end - 1)
+    }
+
+  private def rewriteNativeSubqueries(sql: String): String = {
+    var s = sql
+    var at = nativeSubqueryAt(s)
+    while (at.isDefined) {
+      val (start, open) = at.get
+      var depth = 0
+      var i = open
+      while (i < s.length && { val c = s.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        depth != 0 }) i += 1
+      require(i < s.length, s"unbalanced native subquery in: $sql")
+      val db = s.substring(start, open).trim
+      val inner = s.substring(open + 1, i)
+      val tv = "__native_" + Integer.toHexString(inner.hashCode)
+      runNativeQuery(db, inner).createOrReplaceTempView(tv)
+      s = s.substring(0, start) + tv + s.substring(i + 1)
+      at = nativeSubqueryAt(s)
+    }
+    s
+  }
+
   private def dispatch(sql0: String): DataFrame = {
     val sql = rewriteQualify(rewriteTimeTravel(rewriteVectorOps(
       rewriteHandshakeFns(sql0)))); sql match {
@@ -1562,30 +1628,25 @@ final class Commands(
       ok(s"statement $name deallocated")
 
     case NativeFromQuery(sel, db, inner, aliasO, restO)
-        if catalog.database(db).isDefined =>
+        if catalog.database(db).isDefined && parenBalanced(inner) &&
+          parenBalanced(sel) =>
       // raw-SQL passthrough: the inner statement executes VERBATIM in the
       // bound engine (live JDBC for derby/jdbc, the isolated-session
       // stand-in for mem) and only its result enters the Spark plan —
       // exactly the reference's `SELECT … FROM pg (select …)` route
-      val ent = catalog.database(db).get
-      val result = ent.engine match {
-        case "derby" | "jdbc" =>
-          graft.federation.JdbcDb.nativeQuery(spark,
-            ent.params.getOrElse("database", db), inner)
-        case "mem" =>
-          val tables = graft.federation.MemTables.registry.keys.toSeq
-            .filter(t => inner.toLowerCase.contains(t.toLowerCase))
-          val (schema, rows) = graft.federation.MemEngine
-            .runWithSchema(inner, tables)
-          spark.createDataFrame(
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
-        case other => throw new IllegalArgumentException(
-          s"database $db (engine $other) does not accept native queries")
-      }
+      val result = runNativeQuery(db, inner)
       val tv = Option(aliasO).getOrElse(
         "__native_" + Integer.toHexString(sql.hashCode))
       result.createOrReplaceTempView(tv)
       spark.sql(s"SELECT $sel FROM $tv ${Option(restO).getOrElse("")}")
+
+    case sel if nativeSubqueryAt(sel).isDefined =>
+      // a native call NESTED inside a larger statement (reference
+      // test_subselect_1row_aggregate: `select count(*) from (select *
+      // from pg (select …))`): execute each `db (inner)` occurrence
+      // verbatim in its engine, splice the registered result view into
+      // the text, and dispatch the rewritten statement normally
+      dispatch(rewriteNativeSubqueries(sel))
 
     case SetMulti(assignments) if splitAssignments(assignments).length > 1 =>
       // multi-assignment SET (reference test_multy_set:

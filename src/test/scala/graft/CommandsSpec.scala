@@ -14,6 +14,23 @@ class CommandsSpec extends AnyFunSuite {
   private def fresh(): Commands =
     new Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
 
+  test("native query nested inside a subselect (test_subselect_1row_aggregate)") {
+    val c = fresh()
+    c.execute("CREATE DATABASE nq_db WITH ENGINE='mem'")
+    val r = c.execute(
+      """SELECT COUNT(*) AS result FROM (
+           SELECT * FROM nq_db (select 'content' AS c)
+         ) t""").first()
+    assert(r.getLong(0) === 1L)
+    // two nested native calls in one statement
+    val r2 = c.execute(
+      """SELECT a.c1, b.c2 FROM
+           (SELECT * FROM nq_db (select 1 AS c1)) a
+           CROSS JOIN (SELECT * FROM nq_db (select 2 AS c2)) b""").first()
+    assert((r2.get(0).toString, r2.get(1).toString) === (("1", "2")))
+    c.execute("DROP DATABASE nq_db")
+  }
+
   test("MySQL client handshake queries: SHOW KEYS, @@session vars, table-less functions") {
     val c = fresh()
     // test_select_without_table: the proxy answers these itself

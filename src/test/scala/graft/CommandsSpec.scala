@@ -14,6 +14,24 @@ class CommandsSpec extends AnyFunSuite {
   private def fresh(): Commands =
     new Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
 
+  test("two models join in one query (test_complex_queries multi-model shape)") {
+    val c = fresh()
+    c.execute("""CREATE MODEL mm1 FROM (SELECT l_quantity, l_extendedprice FROM lineitem)
+      PREDICT l_extendedprice USING features='l_quantity', score_column='p1'""")
+    c.execute("""CREATE MODEL mm2 FROM (SELECT l_quantity, l_tax FROM lineitem)
+      PREDICT l_tax USING features='l_quantity', score_column='p2'""")
+    val r = c.execute("""
+      SELECT l_quantity, p1, p2 FROM
+        (SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 4) t
+        JOIN mm1 m1
+        JOIN mm2 m2""")
+    assert(r.count() === 4)
+    assert(r.columns.toSeq === Seq("l_quantity", "p1", "p2"))
+    assert(r.collect().forall(row => !row.isNullAt(1) && !row.isNullAt(2)))
+    c.execute("DROP MODEL mm1")
+    c.execute("DROP MODEL mm2")
+  }
+
   test("native query nested inside a subselect (test_subselect_1row_aggregate)") {
     val c = fresh()
     c.execute("CREATE DATABASE nq_db WITH ENGINE='mem'")

@@ -14,6 +14,20 @@ class CommandsSpec extends AnyFunSuite {
   private def fresh(): Commands =
     new Commands(spark, new Catalog(spark, dir), Warehouse.temp(spark))
 
+  test("KB metadata columns from inserts filter and validate (test_select_allowed_columns)") {
+    val c = fresh()
+    c.execute("CREATE KNOWLEDGE BASE kbcols USING content_columns='content'")
+    c.execute("INSERT INTO kbcols (doc_id, content, col1) VALUES (1, 'first content words', 'val1')")
+    val hit = c.execute("SELECT * FROM kbcols WHERE content = 'first' AND col1 = 'val1'")
+    assert(hit.count() >= 1)
+    val miss = c.execute("SELECT * FROM kbcols WHERE content = 'first' AND col1 = 'no such'")
+    assert(miss.count() === 0)
+    // a column never ingested must error, not silently return rows
+    assertThrows[Exception](
+      c.execute("SELECT * FROM kbcols WHERE content = 'first' AND col9 = 'x'").collect())
+    c.execute("DROP KNOWLEDGE BASE kbcols")
+  }
+
   test("two models join in one query (test_complex_queries multi-model shape)") {
     val c = fresh()
     c.execute("""CREATE MODEL mm1 FROM (SELECT l_quantity, l_extendedprice FROM lineitem)

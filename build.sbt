@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout instead of
+// through sbt's logger: the logger prefixes every line with "[info] " and
+// appends its own "[success] Total time" line after the program exits,
+// which breaks consumers that parse the LAST stdout line as JSON
+// (graft.Bench's compact artifact — see BENCH parse failures r08-r11).
+// Combined with `sbt -error`, the bench's final JSON line is the literal
+// last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

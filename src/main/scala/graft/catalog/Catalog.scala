@@ -85,8 +85,14 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
   // ---------------------------------------------------------------- views
 
   def createView(name: String, df: => DataFrame): Unit = views(name) = () => df
-  def dropView(name: String): Unit = views.remove(name)
+  def dropView(name: String): Unit = { views.remove(name); viewSqls.remove(name) }
   def listViews(): Seq[String] = views.keys.toSeq
+  /** source text of a SQL-defined view (REST views namespace returns the
+    * stored query verbatim, views.py get_view); programmatically created
+    * views have none. */
+  private val viewSqls = new Registry[String]()
+  def recordViewSql(name: String, sql: String): Unit = viewSqls(name) = sql
+  def viewSql(name: String): Option[String] = viewSqls.get(name)
 
   // --------------------------------------------------------------- models
 
@@ -619,8 +625,16 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
     frame(StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("schedule", StringType, nullable = false),
-      StructField("active", BooleanType, nullable = false))),
-      jobs.list().map(j => Row(j.name, j.schedule, j.active)))
+      StructField("active", BooleanType, nullable = false),
+      StructField("query", StringType, nullable = false),
+      StructField("if_query", StringType),
+      StructField("next_run_at", TimestampType),
+      StructField("last_run_at", TimestampType))),
+      jobs.list().map(j => Row(j.name, j.schedule, j.active,
+        j.queryText, if (j.ifQueryText.isEmpty) null else j.ifQueryText,
+        if (j.nextRun == java.time.Instant.EPOCH) null
+        else java.sql.Timestamp.from(j.nextRun),
+        jobs.lastRunAt(j.name).map(java.sql.Timestamp.from).orNull)))
       .orderBy("name")
 
   def metaKnowledgeBases(): DataFrame =

@@ -54,30 +54,46 @@ object Jobs {
       task: () => Unit,
       ifCondition: () => Boolean = () => true,
       start: Option[Instant] = None,
-      end: Option[Instant] = None) {
+      end: Option[Instant] = None,
+      /** source texts for the REST/meta surface (jobs_controller.get
+        * returns query/if_query verbatim); empty for programmatic jobs. */
+      queryText: String = "",
+      ifQueryText: String = "") {
     var nextRun: Instant = start.getOrElse(Instant.EPOCH)
     var active: Boolean = true
+    /** assigned by [[Jobs.create]]; the reference's integer record id. */
+    var id: Long = 0L
   }
 }
 
 final class Jobs {
   import Jobs._
   private val jobs = mutable.LinkedHashMap[String, Job]()
+  private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
   val history: mutable.ArrayBuffer[JobRun] = mutable.ArrayBuffer.empty
 
-  def create(job: Job): Unit = {
+  def create(job: Job): Unit = synchronized {
     parseSchedule(job.schedule) // validate eagerly, like CREATE JOB does
     // job names are case-insensitive like every reference object name
     // (tests/unit/executor/test_lowercase.py test_job_name_lowercase)
-    jobs(job.name.toLowerCase) = job.copy(name = job.name.toLowerCase)
+    val j = job.copy(name = job.name.toLowerCase)
+    j.id = ids.incrementAndGet()
+    jobs(j.name) = j
   }
-  def drop(name: String): Unit = jobs.remove(name.toLowerCase)
-  def list(): Seq[Job] = jobs.values.toSeq
+  def drop(name: String): Unit = synchronized { jobs.remove(name.toLowerCase) }
+  def list(): Seq[Job] = synchronized { jobs.values.toSeq }
+  def get(name: String): Option[Job] = synchronized { jobs.get(name.toLowerCase) }
+  /** last completed run instant, from history (REST `last_run_at`). */
+  def lastRunAt(name: String): Option[Instant] = synchronized {
+    history.reverseIterator.find(_.job == name.toLowerCase).map(_.at)
+  }
 
   /** One scheduler tick (the daemon loop body): run every due job whose
     * IF condition holds, record history, advance next_run. A job past
-    * its end date deactivates (jobs_controller deletion semantics). */
-  def tick(now: Instant): Seq[JobRun] = {
+    * its end date deactivates (jobs_controller deletion semantics).
+    * Synchronized against create/drop — the daemon thread and SQL
+    * sessions share this instance. */
+  def tick(now: Instant): Seq[JobRun] = synchronized {
     val ran = jobs.values.toSeq.filter(j => j.active && !j.nextRun.isAfter(now)).map { j =>
       val run =
         if (j.end.exists(_.isBefore(now))) { j.active = false; JobRun(j.name, now, ok = true, Some("expired")) }
@@ -93,5 +109,48 @@ final class Jobs {
     }
     history ++= ran.filter(r => r.error.forall(_ != "expired"))
     ran
+  }
+}
+
+/** In-process scheduler daemon (reference interfaces/jobs/scheduler.py:
+  * a ~30 s polling loop calling check_timetable). The clock is injected
+  * so specs advance time deterministically; [[kick]] forces one
+  * immediate tick and blocks until it completes, so tests never sleep.
+  * The thread is a daemon: an un-stopped scheduler can't pin the JVM
+  * (same rule as the server pools — see verify-skill gotchas).
+  */
+final class JobsDaemon(jobs: Jobs,
+    clock: () => Instant = () => Instant.now(),
+    periodMillis: Long = 30000L) {
+  private val wake =
+    new java.util.concurrent.LinkedBlockingQueue[java.util.concurrent.CountDownLatch]()
+  @volatile private var running = false
+  private val thread = new Thread(() => {
+    while (running) {
+      val latch =
+        try wake.poll(periodMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: InterruptedException => null }
+      if (running) {
+        try jobs.tick(clock())
+        catch { case e: Throwable => System.err.println(s"[jobs-daemon] tick: $e") }
+      }
+      if (latch != null) latch.countDown()
+    }
+  }, "graft-jobs-daemon")
+  thread.setDaemon(true)
+
+  def start(): JobsDaemon = { running = true; thread.start(); this }
+  def stop(): Unit = {
+    running = false
+    wake.offer(new java.util.concurrent.CountDownLatch(0)) // unblock poll
+    thread.interrupt()
+  }
+  /** Force one tick ON THE DAEMON THREAD and wait for it — the spec hook
+    * and the on-demand trigger (reference scheduler wakes early when a
+    * job is created). */
+  def kick(): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    wake.put(latch)
+    latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
   }
 }

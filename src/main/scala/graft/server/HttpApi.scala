@@ -27,15 +27,27 @@ import Json._
   * Built on the JDK's HttpServer — no framework, zero egress; all state
   * lives in the shared catalog/warehouse exactly like [[MysqlServer]].
   */
-final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
+object HttpApi {
+  /** Request-unique suffix for predict input views (see handleProjects). */
+  private val predictSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
+final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
+                    maxTableRows: Int = 100000) {
 
   private val catalog = new Catalog(spark, sfDir)
   private val warehouse = Warehouse.temp(spark)
+  // ONE Jobs store across requests (the reference's jobs_controller is
+  // server-global): a job created over REST or SQL must survive into the
+  // next request, and the scheduler daemon ticks it between requests
+  private val jobs = new graft.incremental.Jobs
+  private val jobsDaemon = new graft.incremental.JobsDaemon(jobs)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 50)
   // one Commands per request would lose PREPARE state; the reference's
   // FakeMysqlProxy is also constructed per request but shares the
-  // server-side controllers — our shared catalog/warehouse is that seam
-  private def session() = new Commands(spark, catalog, warehouse)
+  // server-side controllers — our shared catalog/warehouse/jobs is that
+  // seam
+  private def session() = new Commands(spark, catalog, warehouse, jobs)
 
   server.createContext("/api/sql/query", (ex: HttpExchange) => handleSql(ex))
   server.createContext("/api/status", (ex: HttpExchange) => handleStatus(ex))
@@ -44,14 +56,18 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
   server.createContext("/api/projects", (ex: HttpExchange) => handleProjects(ex))
   server.createContext("/a2a", (ex: HttpExchange) => handleA2a(ex))
   server.createContext("/api/files", (ex: HttpExchange) => handleFiles(ex))
+  // OpenAI-compatible chat endpoint over an agent (the reference's
+  // litellm server, api/litellm/start.py: model = agent name)
+  server.createContext("/v1/chat/completions", (ex: HttpExchange) => handleChatCompletions(ex))
+  server.createContext("/chat/completions", (ex: HttpExchange) => handleChatCompletions(ex))
   // daemon worker threads so an un-stopped server can never pin the JVM
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r, "http-api"); t.setDaemon(true); t })
   server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
-  def start(): HttpApi = { server.start(); this }
-  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+  def start(): HttpApi = { server.start(); jobsDaemon.start(); this }
+  def stop(): Unit = { jobsDaemon.stop(); server.stop(0); pool.shutdownNow() }
 
   // ------------------------------------------------------------------
 
@@ -102,7 +118,13 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
         catch { case _: Throwable => }
     }
 
-  /** Execute and build the single-piece envelope. */
+  /** Execute and build the single-piece envelope. The table envelope is
+    * driver-materialized BY CONTRACT (the reference's to_lists()), so it
+    * carries a row cap: a result past the cap answers with an error
+    * steering the client to the streaming formats instead of OOMing the
+    * server on an accidental `SELECT * FROM lineitem` — the analog of
+    * the reference's max-packet guard. limit(cap+1) keeps the probe
+    * itself bounded (Catalyst plans a GlobalLimit, never a full collect). */
   private def runSql(sql: String): Obj =
     try {
       val df = session().execute(sql)
@@ -115,11 +137,17 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
           "context" -> obj())
       } else {
         val fields = df.schema.fields
-        val data = df.collect().toSeq.map(r => rowJson(r, fields))
-        obj("type" -> str("table"),
-          "data" -> Arr(data),
-          "column_names" -> Arr(fields.map(f => str(f.name)).toSeq),
-          "context" -> obj())
+        val capped = df.limit(maxTableRows + 1).collect().toSeq
+        if (capped.length > maxTableRows)
+          errorEnvelope(s"Result exceeds $maxTableRows rows; re-run with " +
+            "\"response_format\": \"jsonlines\" or \"sse\" to stream large results.")
+        else {
+          val data = capped.map(r => rowJson(r, fields))
+          obj("type" -> str("table"),
+            "data" -> Arr(data),
+            "column_names" -> Arr(fields.map(f => str(f.name)).toSeq),
+            "context" -> obj())
+        }
       }
     } catch {
       case e: Throwable => errorEnvelope(Option(e.getMessage).getOrElse(e.toString))
@@ -283,13 +311,15 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
                 case (_, None) => crudError(ex, 400,
                   "Missing \"engine\" field for database. If you want to create a project instead, use the /api/projects endpoint.")
                 case (Some(Str(name)), Some(Str(engine))) =>
+                  // engine + parameter keys are attacker-controlled JSON:
+                  // keys must be bare identifiers, values escape quotes
                   val params = db.get("parameters").map(_.asObject).getOrElse(Map.empty)
-                    .collect { case (k, Str(v)) => s"$k='${v.replace("'", "''")}'"
-                               case (k, Num(_, raw)) => s"$k='$raw'" }
+                    .collect { case (k, Str(v)) => s"${sqlIdent(k)}='${v.replace("'", "''")}'"
+                               case (k, Num(_, raw)) => s"${sqlIdent(k)}='$raw'" }
                   val withClause =
                     if (params.isEmpty) "" else s", PARAMETERS = ${params.mkString(", ")}"
                   session().execute(
-                    s"CREATE DATABASE ${sqlIdent(name)} WITH ENGINE='$engine'$withClause")
+                    s"CREATE DATABASE ${sqlIdent(name)} WITH ENGINE='${engine.replace("'", "''")}'$withClause")
                   reply(ex, 201, write(obj("name" -> str(name), "engine" -> str(engine))))
                 case _ => crudError(ex, 400, "name and engine must be strings")
               }
@@ -297,11 +327,18 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
         case ("DELETE", Seq(name)) =>
           session().execute(s"DROP DATABASE ${sqlIdent(name)}")
           reply(ex, 204, "")
-        case ("GET", Seq(_, "tables")) =>
-          reply(ex, 200, write(records(session().execute("SHOW TABLES"))))
+        case ("GET", Seq(db, "tables")) =>
+          // scope to the named database like the reference's per-db
+          // listing; an unknown database is a 404, not the global list
+          val known = session().execute("SHOW DATABASES").collect()
+            .exists(_.getString(0).equalsIgnoreCase(db))
+          if (!known) crudError(ex, 404, s"Database name $db does not exist")
+          else reply(ex, 200,
+            write(records(session().execute(s"SHOW TABLES FROM ${sqlIdent(db)}"))))
         case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
       }
     } catch {
+      case e: scala.util.control.ControlThrowable => throw e // non-local return after reply
       case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
     }
 
@@ -355,10 +392,194 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
           }
           val df = spark.createDataFrame(
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
-          val view = s"__http_predict_${Math.abs(m.hashCode)}"
+          // unique per request: concurrent predicts on the same model
+          // over the shared SparkSession must not overwrite each other's
+          // input view between registration and execution
+          val view = s"__http_predict_${HttpApi.predictSeq.incrementAndGet()}"
           df.createOrReplaceTempView(view)
-          val preds = session().execute(s"SELECT * FROM $view JOIN ${sqlIdent(m)}")
-          reply(ex, 200, write(records(preds)))
+          try {
+            val preds = session().execute(s"SELECT * FROM $view JOIN ${sqlIdent(m)}")
+            reply(ex, 200, write(records(preds)))
+          } finally spark.catalog.dropTempView(view)
+        // ---------------- agents namespace (api/http/namespaces/agents.py)
+        case ("GET", Seq(_, "agents")) =>
+          reply(ex, 200, write(Arr(listAgents().map(agentJson))))
+        case ("POST", Seq(_, "agents")) =>
+          val body = Json.parse(readBody(ex))
+          body.get("agent") match {
+            case None => crudError(ex, 400, "Must provide \"agent\" parameter in POST body")
+            case Some(agent) =>
+              agentName(agent) match {
+                case None => crudError(ex, 400, "Missing \"name\" field for agent")
+                case Some(name) if catalog.agent(name).isDefined =>
+                  crudError(ex, 409, s"Agent with name $name already exists. Please choose a different one.")
+                case Some(name) =>
+                  catalog.createAgent(sqlIdent(name), agentModel(agent), agentExtraParams(agent))
+                  reply(ex, 201, write(agentJson(catalog.agent(name).get)))
+              }
+          }
+        case ("GET", Seq(_, "agents", a)) =>
+          catalog.agent(a) match {
+            case Some(ent) => reply(ex, 200, write(agentJson(ent)))
+            case None => crudError(ex, 404, s"Agent with name $a does not exist")
+          }
+        case ("PUT", Seq(_, "agents", a)) =>
+          val body = Json.parse(readBody(ex))
+          body.get("agent") match {
+            case None => crudError(ex, 400, "Must provide \"agent\" parameter in PUT body")
+            case Some(_) if catalog.agent(a).isEmpty =>
+              // reference: PUT cannot create (agents.py "Creation is not allowed")
+              crudError(ex, 400, "Creation of an agent using the PUT method is not allowed.")
+            case Some(agent) =>
+              catalog.updateAgent(a,
+                agentExtraParams(agent) ++ Map("model" -> agentModel(agent)))
+              reply(ex, 200, write(agentJson(catalog.agent(a).get)))
+          }
+        case ("DELETE", Seq(_, "agents", a)) =>
+          if (catalog.agent(a).isEmpty)
+            crudError(ex, 404, s"Agent with name $a does not exist")
+          else { catalog.dropAgent(a); reply(ex, 204, "") }
+        case ("POST", Seq(_, "agents", a, "completions")) =>
+          if (catalog.agent(a).isEmpty)
+            crudError(ex, 404, s"Agent with name $a does not exist")
+          else {
+            val messages = Json.parse(readBody(ex)).get("messages").map(_.asArray)
+            messages match {
+              case None => crudError(ex, 400, "Must provide \"messages\" parameter in POST body")
+              case Some(ms) =>
+                val answer = askAgent(a, lastUserContent(ms))
+                reply(ex, 200, write(obj("message" -> obj(
+                  "content" -> str(answer), "role" -> str("assistant")))))
+            }
+          }
+        case ("POST", Seq(_, "agents", a, "completions", "stream")) =>
+          if (catalog.agent(a).isEmpty)
+            crudError(ex, 404, s"Agent with name $a does not exist")
+          else {
+            val ms = Json.parse(readBody(ex)).get("messages").map(_.asArray)
+              .getOrElse { crudError(ex, 400, "Must provide \"messages\" parameter in POST body"); return }
+            val answer = askAgent(a, lastUserContent(ms))
+            // the reference streams per-chunk agent events; the
+            // deterministic stand-in streams the completed answer as one
+            // output chunk after a started event
+            val lines = Seq(
+              write(obj("type" -> str("start"), "agent" -> str(a))),
+              write(obj("type" -> str("output"), "content" -> str(answer))),
+              write(obj("type" -> str("end"))))
+            reply(ex, 200, lines.map(l => s"data: $l\n").mkString, "text/event-stream")
+          }
+
+        // ---------------- jobs namespace (api/http/namespaces/jobs.py)
+        case ("GET", Seq(p, "jobs")) =>
+          reply(ex, 200, write(Arr(jobs.list().map(j => jobJson(j, p)))))
+        case ("POST", Seq(p, "jobs")) =>
+          val body = Json.parse(readBody(ex))
+          body.get("job") match {
+            case None => crudError(ex, 400, "Must provide \"job\" parameter in POST body")
+            case Some(job) =>
+              val name = job.get("name").collect { case Str(s) => s }
+                .getOrElse { crudError(ex, 400, "Missing \"name\" field for job"); return }
+              val query = job.get("query").collect { case Str(s) => s }
+                .getOrElse { crudError(ex, 400, "Missing \"query\" field for job"); return }
+              val sched = job.get("schedule_str").collect { case Str(s) => s }
+                .map(_.toLowerCase.stripPrefix("every").trim).getOrElse("1 day")
+              def dateClause(k: String, kw: String) = job.get(k)
+                .collect { case Str(s) => s" $kw '$s'" }.getOrElse("")
+              val ifClause = job.get("if_query")
+                .collect { case Str(s) => s" IF ($s)" }.getOrElse("")
+              session().execute(
+                s"CREATE JOB ${sqlIdent(name)} AS ($query) EVERY $sched" +
+                dateClause("start_at", "START") + dateClause("end_at", "END") + ifClause)
+              reply(ex, 200, write(jobJson(jobs.get(name).get, p)))
+          }
+        case ("GET", Seq(p, "jobs", j)) =>
+          jobs.get(j) match {
+            case Some(job) => reply(ex, 200, write(jobJson(job, p)))
+            case None => crudError(ex, 404, s"Job with name $j does not exist")
+          }
+        case ("DELETE", Seq(_, "jobs", j)) =>
+          if (jobs.get(j).isEmpty) crudError(ex, 404, s"Job with name $j does not exist")
+          else { jobs.drop(j); reply(ex, 204, "") }
+        case ("GET", Seq(_, "jobs", j, "history")) =>
+          if (jobs.get(j).isEmpty && !jobs.history.exists(_.job == j.toLowerCase))
+            crudError(ex, 404, s"Job with name $j does not exist")
+          else reply(ex, 200, write(Arr(
+            jobs.history.filter(_.job == j.toLowerCase).toSeq.map(r => obj(
+              "name" -> str(r.job),
+              "run_at" -> str(MysqlServer.textOf(java.sql.Timestamp.from(r.at))),
+              "ok" -> Bool(r.ok),
+              "error" -> r.error.map(str).getOrElse(Null))))))
+
+        // ---------------- views namespace (api/http/namespaces/views.py)
+        case ("GET", Seq(_, "views")) =>
+          reply(ex, 200, write(Arr(
+            catalog.listViews().sorted.map(viewJson))))
+        case ("POST", Seq(_, "views")) =>
+          val view = Json.parse(readBody(ex)).get("view")
+            .getOrElse { crudError(ex, 400, "Must provide \"view\" parameter in POST body"); return }
+          val name = view.get("name").collect { case Str(s) => s }
+            .getOrElse { crudError(ex, 400, "Missing \"name\" field for view"); return }
+          val query = view.get("query").collect { case Str(s) => s }
+            .getOrElse { crudError(ex, 400, "Missing \"query\" field for view"); return }
+          if (catalog.listViews().contains(name.toLowerCase))
+            crudError(ex, 409, s"View with name $name already exists.")
+          else {
+            session().execute(s"CREATE VIEW ${sqlIdent(name)} AS $query")
+            reply(ex, 201, write(viewJson(name.toLowerCase)))
+          }
+        case ("GET", Seq(_, "views", v)) =>
+          if (!catalog.listViews().contains(v.toLowerCase))
+            crudError(ex, 404, s"View with name $v does not exist")
+          else reply(ex, 200, write(viewJson(v.toLowerCase)))
+        case ("PUT", Seq(_, "views", v)) =>
+          val view = Json.parse(readBody(ex)).get("view")
+            .getOrElse { crudError(ex, 400, "Must provide \"view\" parameter in PUT body"); return }
+          val query = view.get("query").collect { case Str(s) => s }
+          val exists = catalog.listViews().contains(v.toLowerCase)
+          if (!exists && query.isEmpty)
+            crudError(ex, 400, "Missing \"query\" field for new view")
+          else {
+            // PUT updates, or creates when absent (views.py put: 201)
+            query.foreach(q =>
+              session().execute(s"CREATE OR REPLACE VIEW ${sqlIdent(v)} AS $q"))
+            reply(ex, if (exists) 200 else 201, write(viewJson(v.toLowerCase)))
+          }
+        case ("DELETE", Seq(_, "views", v)) =>
+          if (!catalog.listViews().contains(v.toLowerCase))
+            crudError(ex, 404, s"View with name $v does not exist")
+          else { session().execute(s"DROP VIEW ${sqlIdent(v)}"); reply(ex, 204, "") }
+
+        // ---------------- chatbots namespace (api/http/namespaces/chatbots.py)
+        case ("GET", Seq(_, "chatbots")) =>
+          reply(ex, 200, write(records(session().execute("SHOW CHATBOTS"))))
+        case ("POST", Seq(_, "chatbots")) =>
+          val bot = Json.parse(readBody(ex)).get("chatbot")
+            .getOrElse { crudError(ex, 400, "Must provide \"chatbot\" parameter in POST body"); return }
+          val name = bot.get("name").collect { case Str(s) => s }
+            .getOrElse { crudError(ex, 400, "Missing \"name\" field for chatbot"); return }
+          if (catalog.chatbot(name).isDefined)
+            crudError(ex, 409, s"Chatbot with name $name already exists.")
+          else {
+            val db = bot.get("database_name").orElse(bot.get("database"))
+              .collect { case Str(s) => s }
+              .getOrElse { crudError(ex, 400, "Missing \"database_name\" field for chatbot"); return }
+            val engine = bot.get("agent_name").collect { case Str(s) => s"agent='${sqlIdent(s)}'" }
+              .orElse(bot.get("model_name").collect { case Str(s) => s"model='${sqlIdent(s)}'" })
+              .getOrElse { crudError(ex, 400, "Missing \"agent_name\" or \"model_name\" field for chatbot"); return }
+            session().execute(
+              s"CREATE CHATBOT ${sqlIdent(name)} USING database='${sqlIdent(db)}', $engine")
+            reply(ex, 201, write(chatbotJson(catalog.chatbot(name).get)))
+          }
+        case ("GET", Seq(_, "chatbots", b)) =>
+          catalog.chatbot(b) match {
+            case Some(ent) => reply(ex, 200, write(chatbotJson(ent)))
+            case None => crudError(ex, 404, s"Chatbot with name $b does not exist")
+          }
+        case ("DELETE", Seq(_, "chatbots", b)) =>
+          if (catalog.chatbot(b).isEmpty)
+            crudError(ex, 404, s"Chatbot with name $b does not exist")
+          else { session().execute(s"DROP CHATBOT ${sqlIdent(b)}"); reply(ex, 204, "") }
+
         case ("GET", Seq(_, "knowledge_bases")) =>
           reply(ex, 200, write(records(session().execute("SHOW KNOWLEDGE_BASES"))))
         case ("POST", Seq(_, "knowledge_bases")) =>
@@ -375,6 +596,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
         case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
       }
     } catch {
+      case e: scala.util.control.ControlThrowable => throw e // non-local return after reply
       case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
     }
 
@@ -415,8 +637,168 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
         case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
       }
     } catch {
+      case e: scala.util.control.ControlThrowable => throw e // non-local return after reply
       case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
     }
+
+  // ------------------------------------------------------------------
+  // agents / jobs / views / chatbots helpers + the OpenAI-compatible
+  // chat endpoint
+  // ------------------------------------------------------------------
+
+  /** Route one question through the agents-as-tables SQL path — the
+    * single completion seam shared by A2A, the agents namespace, and
+    * /v1/chat/completions (reference: agents_controller.get_completion). */
+  private def askAgent(agent: String, question: String): String = {
+    val q = question.replace("'", "''")
+    session().execute(
+      s"SELECT answer FROM ${sqlIdent(agent)} WHERE question = '$q'")
+      .collect().headOption.map(_.getString(0)).getOrElse("")
+  }
+
+  /** Content of the last user-role message (OpenAI messages contract);
+    * falls back to the last message of any role. */
+  private def lastUserContent(messages: Seq[Value]): String = {
+    val texts = messages.flatMap { m =>
+      val role = m.get("role").collect { case Str(r) => r }.getOrElse("user")
+      m.get("content").collect { case Str(c) => (role, c) }
+    }
+    texts.reverseIterator.collectFirst { case ("user", c) => c }
+      .orElse(texts.lastOption.map(_._2)).getOrElse("")
+  }
+
+  private def agentName(agent: Value): Option[String] =
+    agent.get("name").collect { case Str(s) => s }
+
+  /** model from the REST body: `model` (string or {model_name,...} dict)
+    * or flat `model_name` (agents.py create_agent). */
+  private def agentModel(agent: Value): String =
+    agent.get("model").flatMap {
+      case Str(s) => Some(s)
+      case o: Obj => o.get("model_name").collect { case Str(s) => s }
+      case _ => None
+    }.orElse(agent.get("model_name").collect { case Str(s) => s })
+      .getOrElse("default")
+
+  /** params/data/prompt_template flattened into the catalog's string
+    * param map (non-string JSON values keep their JSON spelling). */
+  private def agentExtraParams(agent: Value): Map[String, String] = {
+    def flat(v: Value): String = v match {
+      case Str(s) => s
+      case other => write(other)
+    }
+    val base = agent.get("params").collect { case Obj(fs) => fs }
+      .getOrElse(Map.empty).map { case (k, v) => k -> flat(v) }
+    base ++
+      agent.get("prompt_template").collect { case Str(s) => "prompt_template" -> s } ++
+      agent.get("data").map(d => "data" -> flat(d))
+  }
+
+  private def agentJson(name: String): Value =
+    catalog.agent(name).map(agentJson).getOrElse(Null)
+
+  private def agentJson(ent: Catalog.AgentEntity): Value =
+    obj("name" -> str(ent.name), "model_name" -> str(ent.model),
+      "params" -> Obj(ent.params.map { case (k, v) => k -> str(v) }))
+
+  private def listAgents(): Seq[Catalog.AgentEntity] =
+    catalog.listAgents().sorted.flatMap(catalog.agent)
+
+  private def jobJson(j: graft.incremental.Jobs.Job, project: String): Value = {
+    def ts(i: Option[java.time.Instant]): Value = i match {
+      case Some(t) if t != java.time.Instant.EPOCH =>
+        str(MysqlServer.textOf(java.sql.Timestamp.from(t)))
+      case _ => Null
+    }
+    obj("id" -> num(j.id), "name" -> str(j.name), "project" -> str(project),
+      "start_at" -> ts(j.start), "end_at" -> ts(j.end),
+      "next_run_at" -> ts(Some(j.nextRun)),
+      "last_run_at" -> ts(jobs.lastRunAt(j.name)),
+      "schedule_str" -> str(j.schedule),
+      "query" -> str(j.queryText),
+      "if_query" -> (if (j.ifQueryText.isEmpty) Null else str(j.ifQueryText)))
+  }
+
+  private def viewJson(name: String): Value =
+    obj("id" -> num((name.hashCode.toLong & 0x7fffffffL)),
+      "name" -> str(name),
+      "query" -> str(catalog.viewSql(name).getOrElse("")))
+
+  private def chatbotJson(ent: Catalog.ChatbotEntity): Value =
+    obj("name" -> str(ent.name), "database" -> str(ent.database),
+      "model_name" -> ent.model.map(str).getOrElse(Null),
+      "agent_name" -> ent.agent.map(str).getOrElse(Null),
+      "is_running" -> Bool(ent.isRunning))
+
+  /** OpenAI-compatible `/v1/chat/completions` over an agent (the
+    * reference's litellm server, api/litellm/start.py: `model` names the
+    * agent, optionally project-qualified). Non-stream answers one
+    * chat.completion object; `stream: true` answers SSE
+    * chat.completion.chunk deltas ending with `data: [DONE]` — the
+    * standard contract every OpenAI-client library speaks. */
+  private def handleChatCompletions(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") {
+        reply(ex, 405, write(openAiError("use POST"))); return
+      }
+      val body = Json.parse(readBody(ex))
+      val model = body.get("model").collect { case Str(s) => s }.getOrElse("")
+      // accept "project.agent" (litellm model naming) — the catalog is
+      // project-flat, the last segment is the agent
+      val agent = model.split("\\.").last
+      val messages = body.get("messages").map(_.asArray).getOrElse(Seq.empty)
+      if (model.isEmpty || messages.isEmpty) {
+        reply(ex, 400, write(openAiError("\"model\" and \"messages\" are required")))
+        return
+      }
+      if (catalog.agent(agent).isEmpty) {
+        reply(ex, 404, write(openAiError(s"The model '$model' does not exist")))
+        return
+      }
+      val question = lastUserContent(messages)
+      val answer = askAgent(agent, question)
+      val created = System.currentTimeMillis() / 1000
+      val id = s"chatcmpl-${HttpApi.predictSeq.incrementAndGet()}"
+      def tokens(s: String): Long = s.split("\\s+").count(_.nonEmpty).toLong
+      val stream = body.get("stream").contains(Bool(true))
+      if (!stream) {
+        reply(ex, 200, write(obj(
+          "id" -> str(id), "object" -> str("chat.completion"),
+          "created" -> num(created), "model" -> str(model),
+          "choices" -> arr(obj(
+            "index" -> num(0L),
+            "message" -> obj("role" -> str("assistant"), "content" -> str(answer)),
+            "finish_reason" -> str("stop"))),
+          "usage" -> obj(
+            "prompt_tokens" -> num(tokens(question)),
+            "completion_tokens" -> num(tokens(answer)),
+            "total_tokens" -> num(tokens(question) + tokens(answer))))))
+      } else {
+        def chunk(delta: Obj, finish: Value): String =
+          write(obj("id" -> str(id), "object" -> str("chat.completion.chunk"),
+            "created" -> num(created), "model" -> str(model),
+            "choices" -> arr(obj("index" -> num(0L), "delta" -> delta,
+              "finish_reason" -> finish))))
+        // deterministic chunking: the role delta, the answer split into
+        // whitespace-preserving pieces, the stop delta, then [DONE]
+        val pieces = answer.split("(?<= )").toSeq.filter(_.nonEmpty)
+        val lines =
+          Seq(chunk(obj("role" -> str("assistant")), Null)) ++
+          pieces.map(p => chunk(obj("content" -> str(p)), Null)) ++
+          Seq(chunk(obj(), str("stop")), "[DONE]")
+        reply(ex, 200, lines.map(l => s"data: $l\n\n").mkString, "text/event-stream")
+      }
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable =>
+        try reply(ex, 500, write(openAiError(
+          Option(e.getMessage).getOrElse(e.toString))))
+        catch { case _: Throwable => }
+    }
+
+  private def openAiError(msg: String): Obj =
+    obj("error" -> obj("message" -> str(msg),
+      "type" -> str("invalid_request_error"), "code" -> Null))
 
   // ------------------------------------------------------------------
   // A2A (api/a2a/README.md protocol shape): JSON-RPC tasks/send answers
@@ -446,10 +828,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0) {
               "error" -> obj("code" -> num(-32602L), "message" ->
                 str("message.metadata.agentName and a text part are required")))))
           } else {
-            val q = text.get.replace("'", "''")
-            val answer = session().execute(
-              s"SELECT answer FROM ${sqlIdent(agent.get)} WHERE question = '$q'")
-              .collect().headOption.map(_.getString(0)).getOrElse("")
+            val answer = askAgent(agent.get, text.get)
             if (m == "tasks/send") {
               reply(ex, 200, rpc(obj(
                 "id" -> params.get("id").getOrElse(Null),

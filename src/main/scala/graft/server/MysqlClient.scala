@@ -108,32 +108,40 @@ final class MysqlClient(host: String, port: Int,
                       rebind: Boolean = true): Either[Ok, ResultSet] = {
     val w = new ByteWriter()
       .u8(COM_STMT_EXECUTE).u32(id).u8(0).u32(1L)
-    if (params.nonEmpty) {
-      val bitmap = new Array[Byte]((params.length + 7) / 8)
-      params.zipWithIndex.foreach { case (p, i) =>
-        if (p == null) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
-      }
-      w.raw(bitmap).u8(if (rebind) 1 else 0)
-      if (rebind) params.foreach { p => w.u8(typeOf(p)); w.u8(0) }
-      params.foreach {
-        case null => ()
-        case v: Long => w.u64(v)
-        case v: Int => w.u32(v.toLong)
-        case v: Double => w.u64(java.lang.Double.doubleToLongBits(v))
-        case v: String => w.lenencString(v)
-        case d: java.sql.Date =>
-          val ld = d.toLocalDate
-          w.u8(4).u16(ld.getYear).u8(ld.getMonthValue).u8(ld.getDayOfMonth)
-        case t: java.sql.Timestamp =>
-          val ldt = java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
-          w.u8(11).u16(ldt.getYear).u8(ldt.getMonthValue).u8(ldt.getDayOfMonth)
-            .u8(ldt.getHour).u8(ldt.getMinute).u8(ldt.getSecond)
-            .u32((ldt.getNano / 1000).toLong)
-        case other => w.lenencString(other.toString)
-      }
-    }
+    writeParams(w, params, rebind)
     command(w.result())
     readQueryResponse(binary = true)
+  }
+
+  /** Shared binary-protocol parameter block: NULL bitmap, optional types
+    * block, then values. ONE encoder for both the plain and the cursor
+    * execute so the declared type (typeOf) and the written encoding can
+    * never disagree — a divergence desyncs the server's fixed-width
+    * reads for every following param. */
+  private def writeParams(w: ByteWriter, params: Seq[Any], rebind: Boolean): Unit = {
+    if (params.isEmpty) return
+    val bitmap = new Array[Byte]((params.length + 7) / 8)
+    params.zipWithIndex.foreach { case (p, i) =>
+      if (p == null) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+    }
+    w.raw(bitmap).u8(if (rebind) 1 else 0)
+    if (rebind) params.foreach { p => w.u8(typeOf(p)); w.u8(0) }
+    params.foreach {
+      case null => ()
+      case v: Long => w.u64(v)
+      case v: Int => w.u32(v.toLong)
+      case v: Double => w.u64(java.lang.Double.doubleToLongBits(v))
+      case v: String => w.lenencString(v)
+      case d: java.sql.Date =>
+        val ld = d.toLocalDate
+        w.u8(4).u16(ld.getYear).u8(ld.getMonthValue).u8(ld.getDayOfMonth)
+      case t: java.sql.Timestamp =>
+        val ldt = java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+        w.u8(11).u16(ldt.getYear).u8(ldt.getMonthValue).u8(ldt.getDayOfMonth)
+          .u8(ldt.getHour).u8(ldt.getMinute).u8(ldt.getSecond)
+          .u32((ldt.getNano / 1000).toLong)
+      case other => w.lenencString(other.toString)
+    }
   }
 
   private def typeOf(p: Any): Int = p match {
@@ -155,21 +163,7 @@ final class MysqlClient(host: String, port: Int,
   def executePreparedCursor(id: Long, params: Seq[Any]): (Seq[String], Seq[Int]) = {
     val w = new ByteWriter()
       .u8(COM_STMT_EXECUTE).u32(id).u8(CURSOR_TYPE_READ_ONLY).u32(1L)
-    if (params.nonEmpty) {
-      val bitmap = new Array[Byte]((params.length + 7) / 8)
-      params.zipWithIndex.foreach { case (p, i) =>
-        if (p == null) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
-      }
-      w.raw(bitmap).u8(1)
-      params.foreach { p => w.u8(typeOf(p)); w.u8(0) }
-      params.foreach {
-        case null => ()
-        case v: Long => w.u64(v)
-        case v: Double => w.u64(java.lang.Double.doubleToLongBits(v))
-        case v: String => w.lenencString(v)
-        case other => w.lenencString(other.toString)
-      }
-    }
+    writeParams(w, params, rebind = true)
     command(w.result())
     val first = io.read()
     if ((first(0) & 0xff) == 0xff) throw new RuntimeException(describeErr(first))

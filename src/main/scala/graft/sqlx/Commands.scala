@@ -94,7 +94,7 @@ final class Commands(
     """(?is)\s*FINETUNE\s+(?:MODEL\s+)?(\w+)\s+FROM\s+\((.+)\)\s*""".r
   private val DropModel = """(?is)\s*DROP\s+MODEL\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val CreateJob =
-    """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s*\(\s*(.+?)\s*\)\s+EVERY\s+([\w ]+?)(?:\s+START\s+'([^']+)')?(?:\s+END\s+'([^']+)')?\s*""".r
+    """(?is)\s*CREATE\s+JOB\s+(\w+)\s+AS\s*\(\s*(.+?)\s*\)\s+EVERY\s+([\w ]+?)(?:\s+START\s+'([^']+)')?(?:\s+END\s+'([^']+)')?(?:\s+IF\s*\(\s*(.+?)\s*\))?\s*""".r
   private val DropJob = """(?is)\s*DROP\s+JOB\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*""".r
   private val CreateKb =
     """(?is)\s*CREATE\s+KNOWLEDGE\s+BASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:USING\s+(.+?))?\s*""".r
@@ -586,17 +586,42 @@ final class Commands(
   private def rewriteHandshakeFns(sql: String): String = {
     if (!sql.matches("(?is)\\s*SELECT\\b.*") || topLevelKeyword(sql, "FROM") >= 0)
       return sql
-    var s2 = sql
-    def rep(pat: String, v: String): Unit = { s2 = s2.replaceAll(pat, v) }
-    rep("(?i)\\bversion\\s*\\(\\s*\\)(?!\\s+AS)",
-      "'8.0.17-graft' AS `version()`")
-    rep("(?i)\\b(?:database|schema)\\s*\\(\\s*\\)(?!\\s+AS)",
-      "'graft' AS `database()`")
-    rep("(?i)\\bconnection_id\\s*\\(\\s*\\)(?!\\s+AS)",
-      "1 AS `connection_id()`")
-    rep("(?i)\\b(?:session_user|system_user)(?:\\s*\\(\\s*\\))?(?!\\s+AS)(?!\\s*\\()",
-      "CAST(NULL AS STRING) AS `session_user`")
-    s2
+    // (bare-call pattern, replacement literal, default alias). The AS
+    // alias is only valid when the call IS the whole select item —
+    // injecting it inside a larger expression (`upper(version())`)
+    // produces unparseable SQL, so nested occurrences get the bare
+    // literal and keep their enclosing expression's own aliasing.
+    val fns = Seq(
+      ("""version\s*\(\s*\)""", "'8.0.17-graft'", "version()"),
+      ("""(?:database|schema)\s*\(\s*\)""", "'graft'", "database()"),
+      ("""connection_id\s*\(\s*\)""", "1", "connection_id()"),
+      ("""(?:session_user|system_user)(?:\s*\(\s*\))?""",
+        "CAST(NULL AS STRING)", "session_user"))
+    val m = "(?is)^(\\s*SELECT\\s+)(.*)$".r.findFirstMatchIn(sql).get
+    val prefix = m.group(1)
+    val rest = m.group(2)
+    // WHERE/LIMIT/ORDER tails stay outside the select-list rewrite
+    val tailIdx = Seq("WHERE", "LIMIT", "ORDER")
+      .map(k => topLevelKeyword(rest, k)).filter(_ >= 0)
+      .minOption
+    val (list, tailStr) = tailIdx match {
+      case Some(i) => (rest.substring(0, i), " " + rest.substring(i))
+      case None => (rest, "")
+    }
+    val items = splitTop(list, ',').map { item =>
+      fns.collectFirst {
+        case (pat, lit, alias) if item.matches("(?is)" + pat) =>
+          s"$lit AS `$alias`"
+      }.getOrElse {
+        // nested: bare literal; skip occurrences the user aliased
+        // themselves (`version() AS v` keeps Spark's own function, the
+        // pre-round-12 behavior)
+        fns.foldLeft(item) { case (acc, (pat, lit, _)) =>
+          acc.replaceAll("(?i)\\b" + pat + "(?!\\s+AS)(?!\\s*\\()", lit)
+        }
+      }
+    }
+    prefix + items.mkString(", ") + tailStr
   }
 
   /** Execute `inner` VERBATIM in database `db`'s engine and return the
@@ -694,6 +719,7 @@ final class Commands(
         registerViews(before = Some(name))
         spark.sql(body)
       })
+      catalog.recordViewSql(name, body.trim)
       ok(s"view $name created")
     case DropView(ifEx, name) =>
       if (catalog.listViews().contains(name.toLowerCase)) { catalog.dropView(name); ok(s"view $name dropped") }
@@ -838,7 +864,7 @@ final class Commands(
     case DropModel(name) =>
       catalog.dropModel(name); ok(s"model $name dropped")
 
-    case CreateJob(name, body, schedule, startAt, endAt) =>
+    case CreateJob(name, body, schedule, startAt, endAt, ifQuery) =>
       // START/END bound the job's execution window (jobs_controller.py
       // start_at/end_at: first run not before START, deactivate past END)
       def ts(s: String): java.time.Instant =
@@ -848,9 +874,16 @@ final class Commands(
       // execute), NOT bare spark.sql: the reference's primary use of a
       // job body is incremental `WHERE ts > LAST`, and multi-statement
       // bodies separated by ';' are legal (jobs_controller query lists)
+      //
+      // IF (query): the job body runs only when the gate query returns
+      // rows (jobs executor: `if_query_str` rows gate each call)
       jobs.create(Jobs.Job(name, s"every $schedule",
         () => { executeScript(body).count(); () },
-        start = Option(startAt).map(ts), end = Option(endAt).map(ts)))
+        ifCondition = Option(ifQuery)
+          .map(q => () => execute(q).limit(1).count() > 0)
+          .getOrElse(() => true),
+        start = Option(startAt).map(ts), end = Option(endAt).map(ts),
+        queryText = body, ifQueryText = Option(ifQuery).getOrElse("")))
       ok(s"job $name created")
     case DropJob(ifEx, name) =>
       if (jobs.list().exists(_.name == name)) { jobs.drop(name); ok(s"job $name dropped") }

@@ -90,6 +90,41 @@ class CommandsSpec extends AnyFunSuite {
     c.execute("SHOW FULL COLUMNS FROM region")
   }
 
+  test("handshake functions nested inside expressions rewrite to bare literals") {
+    val c = fresh()
+    // ADVICE r11: `upper(version())` must stay parseable — the AS alias
+    // only applies when the call IS the whole select item
+    assert(c.execute("SELECT upper(version())").first().getString(0)
+      === "8.0.17-GRAFT")
+    assert(c.execute("SELECT concat(database(), '/', version()) AS loc").first()
+      .getString(0) === "graft/8.0.17-graft")
+    // mixed list: one bare item keeps its canonical alias, the nested
+    // occurrence inlines
+    val r = c.execute("SELECT version(), upper(database()) AS up").first()
+    assert(r.getString(0) === "8.0.17-graft" && r.getString(1) === "GRAFT")
+    // user-aliased bare calls keep Spark's own function (pre-r12 contract)
+    assert(c.execute("SELECT version() AS sv").first().getString(0)
+      !== "8.0.17-graft")
+  }
+
+  test("CREATE JOB ... IF (query): the gate must return rows for the body to run") {
+    val c = fresh()
+    c.execute("CREATE TABLE ifjob_t AS SELECT id FROM range(0, 1)")
+    c.execute("""CREATE JOB gated AS (INSERT INTO ifjob_t VALUES (99))
+      EVERY 1 day IF (SELECT * FROM ifjob_t WHERE id = 12345)""")
+    // gate empty → skipped (history records the skip, body not run)
+    c.jobs.tick(java.time.Instant.now())
+    assert(c.execute("SELECT COUNT(*) AS n FROM ifjob_t WHERE id = 99")
+      .first().getLong(0) === 0)
+    // make the gate pass → next due tick runs the body
+    c.execute("INSERT INTO ifjob_t VALUES (12345)")
+    c.jobs.tick(java.time.Instant.now().plusSeconds(90000))
+    assert(c.execute("SELECT COUNT(*) AS n FROM ifjob_t WHERE id = 99")
+      .first().getLong(0) === 1)
+    c.execute("DROP JOB gated")
+    c.execute("DROP TABLE ifjob_t")
+  }
+
   test("tableau-header query shapes: backticked space aliases + global HAVING over a model join") {
     // reference test_predictor_tableau_header / _alias: BI tools emit
     // subqueries aliased with backticked names containing spaces, and a

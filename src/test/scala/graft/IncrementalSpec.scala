@@ -122,6 +122,43 @@ class IncrementalSpec extends AnyFunSuite {
     assert(jobs.history.count(_.error.contains("skipped-if")) === 1)
   }
 
+  test("scheduler daemon: injected clock, a LAST job runs twice with advancing state, no sleeps") {
+    // the reference runs a ~30 s polling daemon (interfaces/jobs/
+    // scheduler.py); here the clock is injected and kick() forces a tick
+    // ON the daemon thread and waits — deterministic, zero Thread.sleep
+    val c = new graft.sqlx.Commands(spark,
+      new graft.catalog.Catalog(spark, dir), graft.catalog.Warehouse.temp(spark))
+    c.execute("""CREATE TABLE dlast AS
+      SELECT * FROM (VALUES (1, TIMESTAMP '2024-01-01 00:00:00')) AS t(id, ts)""")
+    val body = "SELECT id FROM dlast WHERE ts > LAST"
+    c.execute(s"CREATE JOB djob AS ($body) EVERY 1 day")
+    val t0 = Instant.parse("2026-01-01T00:00:00Z")
+    val clock = new java.util.concurrent.atomic.AtomicReference(t0)
+    val daemon = new graft.incremental.JobsDaemon(c.jobs, () => clock.get(),
+      periodMillis = 3600000L) // period far beyond the test: only kick() ticks
+    daemon.start()
+    try {
+      daemon.kick() // tick 1: due (fresh job), LAST initializes at row 1
+      assert(c.jobs.history.size === 1 && c.jobs.history.head.ok)
+      val next1 = c.jobs.get("djob").get.nextRun
+      assert(next1 === t0.plus(java.time.Duration.ofDays(1)))
+      c.execute("INSERT INTO dlast SELECT 2, TIMESTAMP '2024-01-02 00:00:00'")
+      daemon.kick() // clock unchanged → not due, no run
+      assert(c.jobs.history.size === 1)
+      clock.set(t0.plus(java.time.Duration.ofDays(1)))
+      daemon.kick() // tick 2: due again, ingests row 2, advances the watermark
+      assert(c.jobs.history.size === 2 && c.jobs.history.forall(_.ok))
+      assert(c.jobs.get("djob").get.nextRun.isAfter(next1))
+      // the SAME query text now sees nothing: the job's second run
+      // advanced the LAST watermark past row 2
+      assert(c.execute(body).count() === 0)
+      // meta surface carries the schedule state
+      val meta = c.execute(
+        "SELECT name, next_run_at, last_run_at FROM mindsdb.jobs").first()
+      assert(meta.getString(0) === "djob" && !meta.isNullAt(1) && !meta.isNullAt(2))
+    } finally daemon.stop()
+  }
+
   test("job that throws records a failed run and keeps scheduling") {
     val jobs = new Jobs
     jobs.create(Jobs.Job("bad", "every 1 min", () => throw new RuntimeException("boom")))

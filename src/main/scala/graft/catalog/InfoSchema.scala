@@ -22,15 +22,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * any data scale.
   */
 object InfoSchema {
-  /** table name → live frame producer; (re)bound by [[graft.sqlx.Commands]]. */
+  /** table name → live frame producer; process-wide FALLBACK (last bind
+    * wins). Sessions resolve through [[lookup]], which prefers the
+    * THREAD-LOCAL binding set at [[graft.sqlx.Commands]] construction —
+    * concurrent sessions over different catalogs (tenant isolation, one
+    * per server connection/request) must each see THEIR OWN meta-tables,
+    * and DSv2 loadTable runs at analysis time on the session's thread. */
   val providers: TrieMap[String, () => DataFrame] = TrieMap.empty
+  private val localProviders =
+    new ThreadLocal[scala.collection.Map[String, () => DataFrame]]
+
+  private[catalog] def lookup(name: String): Option[() => DataFrame] =
+    Option(localProviders.get).flatMap(_.get(name)).orElse(providers.get(name))
+  private[catalog] def boundNames: Iterable[String] =
+    Option(localProviders.get).map(_.keys).getOrElse(providers.keys)
+
+  /** Re-assert a session's binding on the current thread — called at
+    * every Commands.execute so two sessions over different tenants can
+    * interleave on one thread. */
+  def setLocal(m: scala.collection.Map[String, () => DataFrame]): Unit =
+    localProviders.set(m)
 
   val CatalogName = "information_schema"
 
   /** Bind the info-schema tables to a session's catalog state and
     * register the DSv2 catalog under `information_schema`. */
   def bind(spark: org.apache.spark.sql.SparkSession, cat: Catalog, wh: Warehouse,
-      jobs: Option[graft.incremental.Jobs] = None): Unit = {
+      jobs: Option[graft.incremental.Jobs] = None)
+      : scala.collection.Map[String, () => DataFrame] = {
+    // shadow the object field: assignments below land in THIS session's
+    // map, merged into the global fallback at the end
+    val providers = TrieMap.empty[String, () => DataFrame]
     providers("tables") = () => cat.infoTables(Some(wh))
     providers("columns") = () => {
       val names = graft.engine.Tables.names ++
@@ -136,7 +158,10 @@ object InfoSchema {
           Row(n, "def", "graft", n, "FUNCTION", t, "SQL", defn, "YES", "CONTAINS SQL")
         }, 1), routinesSchema)
 
+    InfoSchema.providers ++= providers // process-wide fallback
+    localProviders.set(providers) // tenant-correct for this session's thread
     spark.conf.set(s"spark.sql.catalog.$CatalogName", classOf[InfoSchemaCatalog].getName)
+    providers
   }
 }
 
@@ -147,10 +172,10 @@ class InfoSchemaCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    InfoSchema.providers.keys.map(n => Identifier.of(namespace, n)).toArray
+    InfoSchema.boundNames.map(n => Identifier.of(namespace, n)).toArray
 
   override def loadTable(ident: Identifier): Table =
-    InfoSchema.providers.get(ident.name().toLowerCase) match {
+    InfoSchema.lookup(ident.name().toLowerCase) match {
       case Some(thunk) =>
         val df = thunk()
         new graft.federation.MemTable(ident.name(), df.schema, df.collect().toSeq)

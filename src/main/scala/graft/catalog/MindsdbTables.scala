@@ -24,8 +24,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * so the driver-side materialization is trivially small at any scale.
   */
 object MindsdbTables {
-  /** table name → live frame producer; (re)bound by [[graft.sqlx.Commands]]. */
+  /** table name → live frame producer; process-wide FALLBACK (last bind
+    * wins). Sessions resolve through [[lookup]], which prefers the
+    * THREAD-LOCAL binding set at [[graft.sqlx.Commands]] construction —
+    * concurrent sessions over different catalogs (tenant isolation) must
+    * each see their own meta-tables; see [[InfoSchema]] for the
+    * analysis-thread reasoning. */
   val providers: TrieMap[String, () => DataFrame] = TrieMap.empty
+  private val localProviders =
+    new ThreadLocal[scala.collection.Map[String, () => DataFrame]]
+
+  private[catalog] def lookup(name: String): Option[() => DataFrame] =
+    Option(localProviders.get).flatMap(_.get(name)).orElse(providers.get(name))
+  private[catalog] def boundNames: Iterable[String] =
+    Option(localProviders.get).map(_.keys).getOrElse(providers.keys)
+
+  /** Re-assert a session's binding on the current thread (see
+    * [[InfoSchema.setLocal]]). */
+  def setLocal(m: scala.collection.Map[String, () => DataFrame]): Unit =
+    localProviders.set(m)
 
   val CatalogName = "mindsdb"
 
@@ -34,7 +51,11 @@ object MindsdbTables {
   def bind(spark: org.apache.spark.sql.SparkSession, cat: Catalog,
       jobs: graft.incremental.Jobs,
       queries: () => DataFrame,
-      mviews: () => Seq[String]): Unit = {
+      mviews: () => Seq[String])
+      : scala.collection.Map[String, () => DataFrame] = {
+    // shadow the object field: assignments land in THIS session's map,
+    // merged into the global fallback at the end
+    val providers = TrieMap.empty[String, () => DataFrame]
     providers("models") = () => cat.metaModels()
     providers("databases") = () => cat.metaDatabases()
     providers("projects") = () => cat.metaProjects()
@@ -76,8 +97,11 @@ object MindsdbTables {
           StructField("type", StringType, nullable = false))))
     }
 
+    MindsdbTables.providers ++= providers // process-wide fallback
+    localProviders.set(providers) // tenant-correct for this session's thread
     spark.conf.set(s"spark.sql.catalog.$CatalogName",
       classOf[MindsdbCatalog].getName)
+    providers
   }
 }
 
@@ -88,10 +112,10 @@ class MindsdbCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    MindsdbTables.providers.keys.map(n => Identifier.of(namespace, n)).toArray
+    MindsdbTables.boundNames.map(n => Identifier.of(namespace, n)).toArray
 
   override def loadTable(ident: Identifier): Table =
-    MindsdbTables.providers.get(ident.name().toLowerCase) match {
+    MindsdbTables.lookup(ident.name().toLowerCase) match {
       case Some(thunk) =>
         val df = thunk()
         new graft.federation.MemTable(ident.name(), df.schema, df.collect().toSeq)

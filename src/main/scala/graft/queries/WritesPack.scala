@@ -849,6 +849,77 @@ object WritesPack extends QueryPack {
       } finally api.stop()
     }),
 
+    // OpenAI-compatible /v1/chat/completions end-to-end: the litellm
+    // entry point (api/litellm/start.py: model = agent name) over a
+    // text2sql-skilled agent — the completion's grounding aggregate
+    // (row count of the named table) hash-matches the oracle, proving
+    // the HTTP envelope, the agent dispatch, and the skill's real
+    // aggregation in one pass
+    "c19_chat_completions" -> ((s, dir) => {
+      val api = new graft.server.HttpApi(s, dir).start()
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        def post(path: String, body: String) = http.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${api.boundPort}$path"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        def sql(q: String): Unit = {
+          val r = post("/api/sql/query", graft.server.Json.write(
+            graft.server.Json.obj("query" -> graft.server.Json.str(q))))
+          require(r.statusCode() == 200, r.body().take(200))
+        }
+        sql("""CREATE SKILL sk_c19 USING type='text2sql',
+          database='graft', tables='orders,customer'""")
+        sql("CREATE AGENT chat_c19 USING model='default', skills='sk_c19'")
+        val question = "how many rows are in customer?"
+        val resp = post("/v1/chat/completions", graft.server.Json.write(
+          graft.server.Json.obj(
+            "model" -> graft.server.Json.str("chat_c19"),
+            "messages" -> graft.server.Json.arr(graft.server.Json.obj(
+              "role" -> graft.server.Json.str("user"),
+              "content" -> graft.server.Json.str(question))))))
+        require(resp.statusCode() == 200, resp.body().take(200))
+        val env = graft.server.Json.parse(resp.body())
+        val choice = env("choices").asArray.head
+        val sp = s; import sp.implicits._
+        Seq((question,
+          choice("message")("content").asString,
+          choice("finish_reason").asString,
+          env("object").asString))
+          .toDF("question", "answer", "finish_reason", "obj")
+      } finally api.stop()
+    }),
+
+    // Tenant isolation (company boundary): same-named databases created
+    // under two tenants, each tenant's mindsdb.databases listing scoped
+    // to its own catalog — the reference's company_id independence
+    // (test_company_independent.py), here by per-tenant catalog triples
+    // with execute-time meta-table rebinding
+    "c20_tenant_isolation" -> ((s, dir) => {
+      val tenants = new graft.catalog.Tenants(s, dir,
+        graft.catalog.Tenants.State(new Catalog(s, dir),
+          Warehouse.temp(s), new graft.incremental.Jobs))
+      val a = tenants.of("acme")
+      val b = tenants.of("globex")
+      val ca = new graft.sqlx.Commands(s, a.catalog, a.warehouse, a.jobs)
+      val cb = new graft.sqlx.Commands(s, b.catalog, b.warehouse, b.jobs)
+      ca.execute("CREATE DATABASE conn_shared WITH ENGINE='mem'")
+      ca.execute("CREATE DATABASE conn_acme WITH ENGINE='mem'")
+      cb.execute("CREATE DATABASE conn_shared WITH ENGINE='mem'")
+      cb.execute("CREATE DATABASE conn_globex WITH ENGINE='mem'")
+      import org.apache.spark.sql.functions.lit
+      val da = ca.execute(
+        "SELECT name, engine FROM mindsdb.databases WHERE name LIKE 'conn_%'")
+      val db2 = cb.execute(
+        "SELECT name, engine FROM mindsdb.databases WHERE name LIKE 'conn_%'")
+      da.withColumn("tenant", lit("acme"))
+        .unionAll(db2.withColumn("tenant", lit("globex")))
+        .select("tenant", "name", "engine")
+        .orderBy("tenant", "name")
+    }),
+
     // information_schema.columns through SQL, covering a warehouse table
     "c04_info_columns_sql" -> ((s, dir) => {
       val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
@@ -1153,6 +1224,18 @@ object WritesPack extends QueryPack {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       FROM orders WHERE o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "c19_chat_completions" -> """
+      SELECT 'how many rows are in customer?' AS question,
+        'customer has ' || (SELECT COUNT(*) FROM customer) || ' rows' AS answer,
+        'stop' AS finish_reason, 'chat.completion' AS obj""",
+
+    "c20_tenant_isolation" -> """
+      SELECT * FROM (VALUES
+        ('acme', 'conn_acme', 'mem'), ('acme', 'conn_shared', 'mem'),
+        ('globex', 'conn_globex', 'mem'), ('globex', 'conn_shared', 'mem'))
+        AS t(tenant, name, engine)
+      ORDER BY tenant, name""",
 
     "c17_http_sql" -> """
       SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,

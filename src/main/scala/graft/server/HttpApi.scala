@@ -42,24 +42,45 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   // next request, and the scheduler daemon ticks it between requests
   private val jobs = new graft.incremental.Jobs
   private val jobsDaemon = new graft.incremental.JobsDaemon(jobs)
+  // per-tenant namespaces keyed by the `company-id` request header (the
+  // reference's HTTP middleware reads the same header into ctx.company_id;
+  // no header → the shared default state, single-tenant path unchanged)
+  private val tenants = new graft.catalog.Tenants(spark, sfDir,
+    graft.catalog.Tenants.State(catalog, warehouse, jobs))
+  private val currentTenant = new ThreadLocal[String]
+  private def tenantState(): graft.catalog.Tenants.State = {
+    val id = Option(currentTenant.get).getOrElse("")
+    if (id.trim.isEmpty) tenants.default else tenants.of(id)
+  }
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 50)
   // one Commands per request would lose PREPARE state; the reference's
   // FakeMysqlProxy is also constructed per request but shares the
   // server-side controllers — our shared catalog/warehouse/jobs is that
-  // seam
-  private def session() = new Commands(spark, catalog, warehouse, jobs)
+  // seam (or the tenant's triple when the request carries company-id)
+  private def session() = {
+    val st = tenantState()
+    new Commands(spark, st.catalog, st.warehouse, st.jobs)
+  }
 
-  server.createContext("/api/sql/query", (ex: HttpExchange) => handleSql(ex))
-  server.createContext("/api/status", (ex: HttpExchange) => handleStatus(ex))
-  server.createContext("/mcp", (ex: HttpExchange) => handleMcp(ex))
-  server.createContext("/api/databases", (ex: HttpExchange) => handleDatabases(ex))
-  server.createContext("/api/projects", (ex: HttpExchange) => handleProjects(ex))
-  server.createContext("/a2a", (ex: HttpExchange) => handleA2a(ex))
-  server.createContext("/api/files", (ex: HttpExchange) => handleFiles(ex))
+  /** every route reads the tenant header before its handler runs and
+    * clears it after — the pool thread is reused across tenants. */
+  private def route(path: String)(h: HttpExchange => Unit): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      currentTenant.set(Option(ex.getRequestHeaders.getFirst("company-id")).getOrElse(""))
+      try h(ex) finally currentTenant.remove()
+    })
+
+  route("/api/sql/query")(handleSql)
+  route("/api/status")(handleStatus)
+  route("/mcp")(handleMcp)
+  route("/api/databases")(handleDatabases)
+  route("/api/projects")(handleProjects)
+  route("/a2a")(handleA2a)
+  route("/api/files")(handleFiles)
   // OpenAI-compatible chat endpoint over an agent (the reference's
   // litellm server, api/litellm/start.py: model = agent name)
-  server.createContext("/v1/chat/completions", (ex: HttpExchange) => handleChatCompletions(ex))
-  server.createContext("/chat/completions", (ex: HttpExchange) => handleChatCompletions(ex))
+  route("/v1/chat/completions")(handleChatCompletions)
+  route("/chat/completions")(handleChatCompletions)
   // daemon worker threads so an un-stopped server can never pin the JVM
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
     (r: Runnable) => { val t = new Thread(r, "http-api"); t.setDaemon(true); t })
@@ -411,15 +432,15 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
             case Some(agent) =>
               agentName(agent) match {
                 case None => crudError(ex, 400, "Missing \"name\" field for agent")
-                case Some(name) if catalog.agent(name).isDefined =>
+                case Some(name) if tenantState().catalog.agent(name).isDefined =>
                   crudError(ex, 409, s"Agent with name $name already exists. Please choose a different one.")
                 case Some(name) =>
-                  catalog.createAgent(sqlIdent(name), agentModel(agent), agentExtraParams(agent))
-                  reply(ex, 201, write(agentJson(catalog.agent(name).get)))
+                  tenantState().catalog.createAgent(sqlIdent(name), agentModel(agent), agentExtraParams(agent))
+                  reply(ex, 201, write(agentJson(tenantState().catalog.agent(name).get)))
               }
           }
         case ("GET", Seq(_, "agents", a)) =>
-          catalog.agent(a) match {
+          tenantState().catalog.agent(a) match {
             case Some(ent) => reply(ex, 200, write(agentJson(ent)))
             case None => crudError(ex, 404, s"Agent with name $a does not exist")
           }
@@ -427,20 +448,20 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
           val body = Json.parse(readBody(ex))
           body.get("agent") match {
             case None => crudError(ex, 400, "Must provide \"agent\" parameter in PUT body")
-            case Some(_) if catalog.agent(a).isEmpty =>
+            case Some(_) if tenantState().catalog.agent(a).isEmpty =>
               // reference: PUT cannot create (agents.py "Creation is not allowed")
               crudError(ex, 400, "Creation of an agent using the PUT method is not allowed.")
             case Some(agent) =>
-              catalog.updateAgent(a,
+              tenantState().catalog.updateAgent(a,
                 agentExtraParams(agent) ++ Map("model" -> agentModel(agent)))
-              reply(ex, 200, write(agentJson(catalog.agent(a).get)))
+              reply(ex, 200, write(agentJson(tenantState().catalog.agent(a).get)))
           }
         case ("DELETE", Seq(_, "agents", a)) =>
-          if (catalog.agent(a).isEmpty)
+          if (tenantState().catalog.agent(a).isEmpty)
             crudError(ex, 404, s"Agent with name $a does not exist")
-          else { catalog.dropAgent(a); reply(ex, 204, "") }
+          else { tenantState().catalog.dropAgent(a); reply(ex, 204, "") }
         case ("POST", Seq(_, "agents", a, "completions")) =>
-          if (catalog.agent(a).isEmpty)
+          if (tenantState().catalog.agent(a).isEmpty)
             crudError(ex, 404, s"Agent with name $a does not exist")
           else {
             val messages = Json.parse(readBody(ex)).get("messages").map(_.asArray)
@@ -453,7 +474,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
             }
           }
         case ("POST", Seq(_, "agents", a, "completions", "stream")) =>
-          if (catalog.agent(a).isEmpty)
+          if (tenantState().catalog.agent(a).isEmpty)
             crudError(ex, 404, s"Agent with name $a does not exist")
           else {
             val ms = Json.parse(readBody(ex)).get("messages").map(_.asArray)
@@ -471,7 +492,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
 
         // ---------------- jobs namespace (api/http/namespaces/jobs.py)
         case ("GET", Seq(p, "jobs")) =>
-          reply(ex, 200, write(Arr(jobs.list().map(j => jobJson(j, p)))))
+          reply(ex, 200, write(Arr(tenantState().jobs.list().map(j => jobJson(j, p)))))
         case ("POST", Seq(p, "jobs")) =>
           val body = Json.parse(readBody(ex))
           body.get("job") match {
@@ -490,21 +511,21 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
               session().execute(
                 s"CREATE JOB ${sqlIdent(name)} AS ($query) EVERY $sched" +
                 dateClause("start_at", "START") + dateClause("end_at", "END") + ifClause)
-              reply(ex, 200, write(jobJson(jobs.get(name).get, p)))
+              reply(ex, 200, write(jobJson(tenantState().jobs.get(name).get, p)))
           }
         case ("GET", Seq(p, "jobs", j)) =>
-          jobs.get(j) match {
+          tenantState().jobs.get(j) match {
             case Some(job) => reply(ex, 200, write(jobJson(job, p)))
             case None => crudError(ex, 404, s"Job with name $j does not exist")
           }
         case ("DELETE", Seq(_, "jobs", j)) =>
-          if (jobs.get(j).isEmpty) crudError(ex, 404, s"Job with name $j does not exist")
-          else { jobs.drop(j); reply(ex, 204, "") }
+          if (tenantState().jobs.get(j).isEmpty) crudError(ex, 404, s"Job with name $j does not exist")
+          else { tenantState().jobs.drop(j); reply(ex, 204, "") }
         case ("GET", Seq(_, "jobs", j, "history")) =>
-          if (jobs.get(j).isEmpty && !jobs.history.exists(_.job == j.toLowerCase))
+          if (tenantState().jobs.get(j).isEmpty && !tenantState().jobs.history.exists(_.job == j.toLowerCase))
             crudError(ex, 404, s"Job with name $j does not exist")
           else reply(ex, 200, write(Arr(
-            jobs.history.filter(_.job == j.toLowerCase).toSeq.map(r => obj(
+            tenantState().jobs.history.filter(_.job == j.toLowerCase).toSeq.map(r => obj(
               "name" -> str(r.job),
               "run_at" -> str(MysqlServer.textOf(java.sql.Timestamp.from(r.at))),
               "ok" -> Bool(r.ok),
@@ -513,7 +534,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
         // ---------------- views namespace (api/http/namespaces/views.py)
         case ("GET", Seq(_, "views")) =>
           reply(ex, 200, write(Arr(
-            catalog.listViews().sorted.map(viewJson))))
+            tenantState().catalog.listViews().sorted.map(viewJson))))
         case ("POST", Seq(_, "views")) =>
           val view = Json.parse(readBody(ex)).get("view")
             .getOrElse { crudError(ex, 400, "Must provide \"view\" parameter in POST body"); return }
@@ -521,21 +542,21 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
             .getOrElse { crudError(ex, 400, "Missing \"name\" field for view"); return }
           val query = view.get("query").collect { case Str(s) => s }
             .getOrElse { crudError(ex, 400, "Missing \"query\" field for view"); return }
-          if (catalog.listViews().contains(name.toLowerCase))
+          if (tenantState().catalog.listViews().contains(name.toLowerCase))
             crudError(ex, 409, s"View with name $name already exists.")
           else {
             session().execute(s"CREATE VIEW ${sqlIdent(name)} AS $query")
             reply(ex, 201, write(viewJson(name.toLowerCase)))
           }
         case ("GET", Seq(_, "views", v)) =>
-          if (!catalog.listViews().contains(v.toLowerCase))
+          if (!tenantState().catalog.listViews().contains(v.toLowerCase))
             crudError(ex, 404, s"View with name $v does not exist")
           else reply(ex, 200, write(viewJson(v.toLowerCase)))
         case ("PUT", Seq(_, "views", v)) =>
           val view = Json.parse(readBody(ex)).get("view")
             .getOrElse { crudError(ex, 400, "Must provide \"view\" parameter in PUT body"); return }
           val query = view.get("query").collect { case Str(s) => s }
-          val exists = catalog.listViews().contains(v.toLowerCase)
+          val exists = tenantState().catalog.listViews().contains(v.toLowerCase)
           if (!exists && query.isEmpty)
             crudError(ex, 400, "Missing \"query\" field for new view")
           else {
@@ -545,7 +566,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
             reply(ex, if (exists) 200 else 201, write(viewJson(v.toLowerCase)))
           }
         case ("DELETE", Seq(_, "views", v)) =>
-          if (!catalog.listViews().contains(v.toLowerCase))
+          if (!tenantState().catalog.listViews().contains(v.toLowerCase))
             crudError(ex, 404, s"View with name $v does not exist")
           else { session().execute(s"DROP VIEW ${sqlIdent(v)}"); reply(ex, 204, "") }
 
@@ -557,7 +578,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
             .getOrElse { crudError(ex, 400, "Must provide \"chatbot\" parameter in POST body"); return }
           val name = bot.get("name").collect { case Str(s) => s }
             .getOrElse { crudError(ex, 400, "Missing \"name\" field for chatbot"); return }
-          if (catalog.chatbot(name).isDefined)
+          if (tenantState().catalog.chatbot(name).isDefined)
             crudError(ex, 409, s"Chatbot with name $name already exists.")
           else {
             val db = bot.get("database_name").orElse(bot.get("database"))
@@ -568,15 +589,15 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
               .getOrElse { crudError(ex, 400, "Missing \"agent_name\" or \"model_name\" field for chatbot"); return }
             session().execute(
               s"CREATE CHATBOT ${sqlIdent(name)} USING database='${sqlIdent(db)}', $engine")
-            reply(ex, 201, write(chatbotJson(catalog.chatbot(name).get)))
+            reply(ex, 201, write(chatbotJson(tenantState().catalog.chatbot(name).get)))
           }
         case ("GET", Seq(_, "chatbots", b)) =>
-          catalog.chatbot(b) match {
+          tenantState().catalog.chatbot(b) match {
             case Some(ent) => reply(ex, 200, write(chatbotJson(ent)))
             case None => crudError(ex, 404, s"Chatbot with name $b does not exist")
           }
         case ("DELETE", Seq(_, "chatbots", b)) =>
-          if (catalog.chatbot(b).isEmpty)
+          if (tenantState().catalog.chatbot(b).isEmpty)
             crudError(ex, 404, s"Chatbot with name $b does not exist")
           else { session().execute(s"DROP CHATBOT ${sqlIdent(b)}"); reply(ex, 204, "") }
 
@@ -609,7 +630,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   private def handleFiles(ex: HttpExchange): Unit =
     try {
       val parts = tail(ex, "/api/files")
-      val filesDir = java.nio.file.Paths.get(s"${warehouse.dir}/.files")
+      val filesDir = java.nio.file.Paths.get(s"${tenantState().warehouse.dir}/.files")
       (ex.getRequestMethod, parts) match {
         case ("GET", Seq()) =>
           val names =
@@ -695,14 +716,14 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   }
 
   private def agentJson(name: String): Value =
-    catalog.agent(name).map(agentJson).getOrElse(Null)
+    tenantState().catalog.agent(name).map(agentJson).getOrElse(Null)
 
   private def agentJson(ent: Catalog.AgentEntity): Value =
     obj("name" -> str(ent.name), "model_name" -> str(ent.model),
       "params" -> Obj(ent.params.map { case (k, v) => k -> str(v) }))
 
   private def listAgents(): Seq[Catalog.AgentEntity] =
-    catalog.listAgents().sorted.flatMap(catalog.agent)
+    tenantState().catalog.listAgents().sorted.flatMap(tenantState().catalog.agent)
 
   private def jobJson(j: graft.incremental.Jobs.Job, project: String): Value = {
     def ts(i: Option[java.time.Instant]): Value = i match {
@@ -713,7 +734,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
     obj("id" -> num(j.id), "name" -> str(j.name), "project" -> str(project),
       "start_at" -> ts(j.start), "end_at" -> ts(j.end),
       "next_run_at" -> ts(Some(j.nextRun)),
-      "last_run_at" -> ts(jobs.lastRunAt(j.name)),
+      "last_run_at" -> ts(tenantState().jobs.lastRunAt(j.name)),
       "schedule_str" -> str(j.schedule),
       "query" -> str(j.queryText),
       "if_query" -> (if (j.ifQueryText.isEmpty) Null else str(j.ifQueryText)))
@@ -722,7 +743,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   private def viewJson(name: String): Value =
     obj("id" -> num((name.hashCode.toLong & 0x7fffffffL)),
       "name" -> str(name),
-      "query" -> str(catalog.viewSql(name).getOrElse("")))
+      "query" -> str(tenantState().catalog.viewSql(name).getOrElse("")))
 
   private def chatbotJson(ent: Catalog.ChatbotEntity): Value =
     obj("name" -> str(ent.name), "database" -> str(ent.database),
@@ -751,7 +772,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
         reply(ex, 400, write(openAiError("\"model\" and \"messages\" are required")))
         return
       }
-      if (catalog.agent(agent).isEmpty) {
+      if (tenantState().catalog.agent(agent).isEmpty) {
         reply(ex, 404, write(openAiError(s"The model '$model' does not exist")))
         return
       }

@@ -21,7 +21,9 @@ object MysqlClient {
 }
 
 final class MysqlClient(host: String, port: Int,
-                        user: String = "mindsdb", database: String = "mindsdb") {
+                        user: String = "mindsdb", database: String = "mindsdb",
+                        password: String = "",
+                        charset: Int = MysqlWire.CHARSET_UTF8) {
 
   import MysqlClient.{Ok, ResultSet}
 
@@ -37,19 +39,27 @@ final class MysqlClient(host: String, port: Int,
     require(greeting.u8() == 0x0a, "unexpected protocol version")
     greeting.nulTerminated() // server version
     greeting.u32() // connection id
-    greeting.bytes(8); greeting.u8() // salt part 1 + filler
+    val salt1 = greeting.bytes(8); greeting.u8() // salt part 1 + filler
     val capsLow = greeting.u16()
     greeting.u8(); greeting.u16() // charset, status
     val capsHigh = greeting.u16()
+    greeting.u8() // auth-plugin-data length
+    greeting.bytes(10) // reserved
+    val salt2 = greeting.bytes(12) // salt part 2 (before the trailing NUL)
+    val salt = salt1 ++ salt2
     val serverCaps = capsLow.toLong | (capsHigh.toLong << 16)
     require((serverCaps & CLIENT_PROTOCOL_41) != 0, "server is not protocol 4.1")
     val clientCaps = CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION |
       CLIENT_PLUGIN_AUTH | CLIENT_CONNECT_WITH_DB | CLIENT_LONG_PASSWORD
+    // mysql_native_password scramble over the 20-byte nonce; empty
+    // password sends an empty auth response (both the reference's
+    // default and ours accept it)
+    val auth = MysqlServer.nativePasswordScramble(password, salt)
     val resp = new ByteWriter()
-      .u32(clientCaps).u32(16777216L).u8(CHARSET_UTF8)
+      .u32(clientCaps).u32(16777216L).u8(charset)
       .raw(new Array[Byte](23))
       .nulTerminated(user)
-      .u8(0) // empty auth response (server accepts any)
+      .u8(auth.length).raw(auth)
       .nulTerminated(database)
       .nulTerminated("mysql_native_password")
       .result()

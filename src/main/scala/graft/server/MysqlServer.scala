@@ -33,10 +33,23 @@ import MysqlWire._
   *  - COM_PING/INIT_DB/STMT_RESET/SET_OPTION → OK, COM_FIELD_LIST → OK,
   *    COM_DEBUG → EOF, COM_QUIT closes (mysql_proxy.py:620-700).
   */
-final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
+final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
+    /** configured credentials (reference config["auth"], middleware.py
+      * check_auth:168). An EMPTY password keeps the reference's default
+      * accept-any behavior; a configured password requires the username
+      * to match and the auth response to be either the
+      * mysql_native_password scramble or the plaintext. */
+    authUser: String = "mindsdb",
+    authPassword: String = "") {
 
   private val catalog = new Catalog(spark, sfDir)
   private val warehouse = Warehouse.temp(spark)
+  // server-global jobs (the reference's jobs_controller scope): a job
+  // created on one connection survives into the next
+  private val serverJobs = new graft.incremental.Jobs
+  // per-tenant namespaces; "" is this shared default state
+  private val tenants = new graft.catalog.Tenants(spark, sfDir,
+    graft.catalog.Tenants.State(catalog, warehouse, serverJobs))
   private val listener = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
   private val running = new AtomicBoolean(false)
   private val connCounter = new AtomicInteger(0)
@@ -75,7 +88,7 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
     sock.setTcpNoDelay(true)
     val io = new PacketIo(new java.io.BufferedInputStream(sock.getInputStream),
       new java.io.BufferedOutputStream(sock.getOutputStream))
-    val session = new Commands(spark, catalog, warehouse)
+    var session = new Commands(spark, catalog, warehouse, serverJobs)
     val stmtIds = new AtomicLong(0)
     val prepared = mutable.Map.empty[Long, (String, Int)] // id -> (sql, nParams)
     // open read-only cursors: id -> (remaining rows, fields)
@@ -84,7 +97,15 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
     // with new_params_bound_flag=0 sends values only (protocol contract)
     val stmtTypes = mutable.Map.empty[Long, Array[Int]]
     try {
-      if (!handshake(io)) return
+      val clientCharset = handshake(io)
+      if (clientCharset < 0) return
+      // charset negotiation: the HandshakeResponse41 charset byte drives
+      // the session's character_set_* triple, same as a SET NAMES issued
+      // by the client (connectors read @@character_set_client back)
+      MysqlServer.charsetName(clientCharset).foreach { n =>
+        try session.execute(s"SET NAMES $n")
+        catch { case _: Throwable => }
+      }
       var open = true
       while (open) {
         io.resetSeq()
@@ -96,7 +117,19 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
             case COM_QUIT => open = false
             case COM_QUERY =>
               val sql = new String(body, 1, body.length - 1, "UTF-8")
-              respond(io, session, sql)
+              graft.catalog.Tenants.switchStatement(sql) match {
+                case Some(id) =>
+                  // SET tenant='x': swap this connection onto the
+                  // tenant's catalog/warehouse/jobs (company_id analog);
+                  // constructing the session rebinds this thread's
+                  // meta-table providers to the tenant's frames
+                  val st = tenants.of(id)
+                  session = new Commands(spark, st.catalog, st.warehouse, st.jobs)
+                  io.write(okPacket(info =
+                    s"tenant ${if (id.trim.isEmpty) "default" else id.trim.toLowerCase}"))
+                  io.flush()
+                case None => respond(io, session, sql)
+              }
             case COM_INIT_DB | COM_STMT_RESET | COM_SET_OPTION | COM_FIELD_LIST =>
               io.write(okPacket()); io.flush()
             case COM_PING => io.write(okPacket()); io.flush()
@@ -131,11 +164,14 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
     }
   }
 
-  /** Protocol-v10 greeting → HandshakeResponse41 → OK. Credentials are
-    * accepted unconditionally (reference default config). */
-  private def handshake(io: PacketIo): Boolean = {
+  /** Protocol-v10 greeting → HandshakeResponse41 → OK/ERR. With the
+    * default empty password, credentials are accepted unconditionally
+    * (reference default config); with a configured password the
+    * mysql_native_password scramble (or plaintext) is verified —
+    * mysql_proxy.py:141-285 + middleware.py check_auth. */
+  private def handshake(io: PacketIo): Int = {
     val salt = new Array[Byte](20)
-    new java.util.Random(0x6d696e6473L).nextBytes(salt) // deterministic, unused for auth
+    new java.util.Random().nextBytes(salt) // per-connection nonce
     salt.indices.foreach(i => if (salt(i) == 0) salt(i) = 1) // no NULs in auth data
     val caps = ServerCapabilities
     val greeting = new ByteWriter()
@@ -153,7 +189,7 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
     io.write(greeting)
     io.flush()
     val resp = io.read()
-    if (resp == null || resp.isEmpty) { io.write(okPacket()); io.flush(); return false }
+    if (resp == null || resp.isEmpty) { io.write(okPacket()); io.flush(); return -1 }
     val r = new ByteReader(resp)
     val clientCaps = r.u32()
     if ((clientCaps & CLIENT_SSL) != 0 && resp.length < 36) {
@@ -161,18 +197,37 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
       // cert_path config for it; out of scope for the loopback server)
       io.write(errPacket(1045, "28000", "SSL connections are not supported"))
       io.flush()
-      return false
+      return -1
     }
-    // username parse is best-effort — auth always succeeds
+    // parse username + auth response; with no configured password the
+    // parse stays best-effort and auth always succeeds
+    var username = ""
+    var authResponse = Array.emptyByteArray
+    var clientCharset = 0
     try {
       r.u32() // max packet size
-      r.u8() // charset
+      clientCharset = r.u8() // charset
       r.skip(23)
-      r.nulTerminated() // username
+      username = r.nulTerminated()
+      authResponse =
+        if ((clientCaps & CLIENT_PLUGIN_AUTH_LENENC) != 0) r.lenencBytes()
+        else if ((clientCaps & CLIENT_SECURE_CONNECTION) != 0) r.bytes(r.u8())
+        else r.nulTerminated().getBytes("UTF-8")
     } catch { case _: Throwable => }
+    if (authPassword.nonEmpty) {
+      val expected = MysqlServer.nativePasswordScramble(authPassword, salt)
+      val okUser = username == authUser
+      val okPass = java.util.Arrays.equals(authResponse, expected) ||
+        java.util.Arrays.equals(authResponse, authPassword.getBytes("UTF-8"))
+      if (!okUser || !okPass) {
+        io.write(errPacket(1045, "28000", s"Access denied for user $username"))
+        io.flush()
+        return -1
+      }
+    }
     io.write(okPacket())
     io.flush()
-    true
+    clientCharset
   }
 
   /** True when the frame is the router's DML/DDL acknowledge shape —
@@ -362,6 +417,34 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0) {
 }
 
 object MysqlServer {
+
+  /** Client-charset ids → SET NAMES charset (the handful every real
+    * connector sends; unknown ids negotiate nothing and keep the
+    * session default). */
+  def charsetName(id: Int): Option[String] = id match {
+    case 8 | 5 => Some("latin1")
+    case 33 => Some("utf8")
+    case 45 | 46 | 224 | 255 => Some("utf8mb4")
+    case 63 => Some("binary")
+    case _ => None
+  }
+
+  /** mysql_native_password scramble (the public protocol algorithm,
+    * mirrored by the reference's external_libs/mysql_scramble.py:45):
+    * SHA1(password) XOR SHA1(salt20 ++ SHA1(SHA1(password))). */
+  def nativePasswordScramble(password: String, salt: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+    val stage1 = sha.digest(password.getBytes("UTF-8"))
+    sha.reset()
+    val stage2 = sha.digest(stage1)
+    sha.reset()
+    sha.update(salt, 0, 20)
+    sha.update(stage2)
+    val result = sha.digest()
+    result.indices.foreach(i => result(i) = (result(i) ^ stage1(i)).toByte)
+    result
+  }
 
   /** Text-protocol rendering: MySQL conventions (1/0 booleans, plain
     * decimal strings, `yyyy-MM-dd HH:mm:ss[.ffffff]` datetimes in the

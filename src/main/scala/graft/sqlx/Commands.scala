@@ -25,6 +25,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * this layer is the user-facing SQL spelling.
   */
 object Commands {
+  /** Every relation name any session has registered as a temp view.
+    * Temp views are SparkSession-global while catalogs/warehouses are
+    * per-session (and per-tenant), so before a statement resolves, names
+    * managed by OTHER sessions but absent from this one must be dropped
+    * — otherwise tenant A's warehouse table lingers as a resolvable view
+    * inside tenant B (cross-tenant leak). */
+  private[sqlx] val managedRelations =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Serializes register-relations + analysis: the temp-view namespace
+    * is shared across sessions, so the registration of THIS statement's
+    * world and its (eager, ms-scale) analysis form one atomic window —
+    * without it, a concurrent session's registration of a same-named
+    * relation could swap the view mid-resolve. Execution is unaffected:
+    * the analyzed plan is already bound to its files. */
+  private[sqlx] val analysisLock = new Object
+
   /** Top-level split on `sep`, respecting quotes and (){}[] nesting —
     * the one dict/list tokenizer shared by the SQL router and the
     * catalog's model-param parser (a naive split(",") corrupts values
@@ -62,13 +79,16 @@ final class Commands(
     val jobs: Jobs = new Jobs) {
 
   // `information_schema.<table>` resolves through a live DSv2 catalog
-  // bound to this session's catalog/warehouse/jobs state
-  graft.catalog.InfoSchema.bind(spark, catalog, warehouse, Some(jobs))
+  // bound to this session's catalog/warehouse/jobs state; the returned
+  // maps re-assert the binding at every execute (tenant sessions may
+  // interleave on one thread — see InfoSchema.setLocal)
+  private val infoBinding =
+    graft.catalog.InfoSchema.bind(spark, catalog, warehouse, Some(jobs))
   // `mindsdb.<table>` — the project meta-tables (models, databases,
   // ml_engines, jobs, …, queries) as SELECT-able relations that
   // JOIN/WHERE through Spark's multi-catalog path
   // (datahub/datanodes/mindsdb_tables.py:42-430)
-  graft.catalog.MindsdbTables.bind(spark, catalog, jobs,
+  private val mindsdbBinding = graft.catalog.MindsdbTables.bind(spark, catalog, jobs,
     () => queriesFrame(), () => mvs.list())
   // cosine_sim / dot_product / vec_l2 in spark.sql — the targets of the
   // pgvector operator rewrite (idempotent temp-function registration)
@@ -148,6 +168,8 @@ final class Commands(
     """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*""".r
   private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
   private val SetStmt = """(?is)\s*SET\s+(?:SESSION\s+)?(@?@?)([\w.]+)\s*=\s*(.+?)\s*""".r
+  private val SetNames =
+    """(?is)\s*SET\s+NAMES\s+'?(\w+)'?(?:\s+COLLATE\s+'?\w+'?)?\s*""".r
   // any SET with a body; the match arm's guard requires >1 comma-split
   // assignment, so single SETs (incl. SET ACTIVE) fall through
   private val SetMulti = """(?is)\s*SET\s+(.+?)\s*""".r
@@ -344,6 +366,11 @@ final class Commands(
     * concurrent sessions don't cross), which is how KILL reaches a
     * statement mid-flight via `cancelJobGroup`. */
   def execute(sql: String): DataFrame = {
+    // this session's meta-table frames become the thread's binding for
+    // the statement (analysis resolves information_schema./mindsdb.*
+    // through it) — cheap ThreadLocal set, correct under interleaving
+    graft.catalog.InfoSchema.setLocal(infoBinding)
+    graft.catalog.MindsdbTables.setLocal(mindsdbBinding)
     val norm = sql.trim.replaceAll("\\s+", " ")
     val kind = norm.split("\\s+", 2).head.toUpperCase
     val rec = queryLog.synchronized {
@@ -1425,7 +1452,16 @@ final class Commands(
         case "TRIGGERS" => catalog.metaTriggers()
         case "VARIABLES" => kv("variable_name", "value", vars.toSeq)
         case "STATUS" => kv("variable_name", "value",
-          Seq("Uptime" -> "0", "Threads_connected" -> "1", "Queries" -> "0"))
+          // the variables BI clients and JDBC connectors actually probe
+          // (SHOW [GLOBAL|SESSION] STATUS [LIKE …]); values are honest
+          // constants for a single-process engine
+          Seq("Uptime" -> "0", "Threads_connected" -> "1",
+            "Threads_running" -> "1", "Queries" -> "0",
+            "Questions" -> "0", "Slow_queries" -> "0",
+            "Opened_tables" -> "0", "Open_tables" -> "0",
+            "Flush_commands" -> "1", "Max_used_connections" -> "1",
+            "Ssl_cipher" -> "", "Ssl_version" -> "",
+            "Com_select" -> "0", "Connections" -> "1"))
         case "ENGINES" => kv("engine", "support",
           Seq("graft-spark" -> "DEFAULT"))
         case "CHATBOTS" => catalog.metaChatbots()
@@ -1689,6 +1725,14 @@ final class Commands(
       val parts = splitAssignments(assignments)
       parts.foreach(p => execute(s"SET ${p.trim}"))
       ok(s"set ${parts.length} variables")
+
+    case SetNames(cs) =>
+      // SET NAMES <charset> [COLLATE …]: the client-charset triple moves
+      // together (MySQL semantics; issued by every connector after the
+      // handshake and by the wire server's charset negotiation)
+      Seq("character_set_client", "character_set_connection",
+        "character_set_results").foreach(k => vars(k) = cs.toLowerCase)
+      ok(s"set names ${cs.toLowerCase}")
 
     case SetStmt(prefix, key, value) =>
       // SET: `@var` = user variables (variables_controller), bare or
@@ -2563,14 +2607,23 @@ final class Commands(
     * (base table, warehouse table, view, KB chunk store) is registered
     * as a temp view first, so views shadow tables exactly as in
     * [[Catalog.resolve]]. */
-  private def run(sql: String): DataFrame = {
+  private def run(sql: String): DataFrame = Commands.analysisLock.synchronized {
     registerRelations()
     spark.sql(sql)
   }
 
   private def registerRelations(): Unit = {
+    // drop temp views registered by OTHER sessions for names this
+    // session does not own — see Commands.managedRelations
+    val mine = (graft.engine.Tables.names ++
+      warehouse.listTables().filterNot(_.startsWith("__kb_")) ++
+      catalog.listKbs() ++ mvs.list() ++ catalog.listViews()).toSet
+    Commands.managedRelations.forEach { n =>
+      if (!mine.contains(n)) { try spark.catalog.dropTempView(n) catch { case _: Throwable => } }
+    }
     registerBase()
     registerViews(before = None)
+    mine.foreach(Commands.managedRelations.add)
   }
 
   /** Register every non-view relation: base tables, warehouse tables, and

@@ -90,6 +90,48 @@ class CommandsSpec extends AnyFunSuite {
     c.execute("SHOW FULL COLUMNS FROM region")
   }
 
+  test("tenant isolation: same-named objects under two tenants never cross-resolve") {
+    // the reference threads company_id through every controller
+    // (test_company_independent.py); here each tenant owns a
+    // catalog/warehouse/jobs triple and the meta-table providers rebind
+    // per statement, so two sessions interleaved on ONE thread stay apart
+    val tenants = new graft.catalog.Tenants(spark, dir,
+      graft.catalog.Tenants.State(new Catalog(spark, dir),
+        Warehouse.temp(spark), new graft.incremental.Jobs))
+    val a = tenants.of("acme")
+    val b = tenants.of("globex")
+    val ca = new Commands(spark, a.catalog, a.warehouse, a.jobs)
+    val cb = new Commands(spark, b.catalog, b.warehouse, b.jobs)
+    // same-named warehouse table, different content per tenant
+    ca.execute("CREATE TABLE ten_t AS SELECT * FROM region")
+    // before B creates its own, A's table must NOT leak into B
+    intercept[Exception] { cb.execute("SELECT * FROM ten_t").collect() }
+    cb.execute("CREATE TABLE ten_t AS SELECT * FROM nation")
+    assert(ca.execute("SELECT COUNT(*) AS n FROM ten_t").first().getLong(0) === 5)
+    assert(cb.execute("SELECT COUNT(*) AS n FROM ten_t").first().getLong(0) === 25)
+    // same-named agents with different models; meta-tables interleave
+    // correctly on one thread (the execute-time provider rebind)
+    ca.execute("CREATE AGENT ten_agent USING model='model_a'")
+    cb.execute("CREATE AGENT ten_agent USING model='model_b'")
+    assert(ca.execute("SELECT model_name FROM mindsdb.agents WHERE name='ten_agent'")
+      .first().getString(0) === "model_a")
+    assert(cb.execute("SELECT model_name FROM mindsdb.agents WHERE name='ten_agent'")
+      .first().getString(0) === "model_b")
+    // databases + jobs are tenant-scoped too
+    ca.execute("CREATE DATABASE ten_db WITH ENGINE='mem'")
+    assert(cb.execute("SELECT name FROM mindsdb.databases WHERE name='ten_db'")
+      .count() === 0)
+    ca.execute("CREATE JOB ten_job AS (SELECT 1) EVERY 1 day")
+    assert(cb.execute("SHOW JOBS").collect().map(_.getString(0)).toSeq
+      .forall(_ != "ten_job"))
+    // the default tenant sees none of either
+    val cd = new Commands(spark, tenants.default.catalog,
+      tenants.default.warehouse, tenants.default.jobs)
+    assert(cd.execute("SELECT COUNT(*) AS n FROM mindsdb.agents WHERE name='ten_agent'")
+      .first().getLong(0) === 0)
+    intercept[Exception] { cd.execute("SELECT * FROM ten_t").collect() }
+  }
+
   test("handshake functions nested inside expressions rewrite to bare literals") {
     val c = fresh()
     // ADVICE r11: `upper(version())` must stay parseable — the AS alias

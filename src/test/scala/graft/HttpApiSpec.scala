@@ -532,6 +532,37 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sqlQuery("DROP AGENT oai_stream_agent")
   }
 
+  test("company-id header scopes every route to its tenant") {
+    def tenantPost(tenant: String, path: String, body: String): HttpResponse[String] =
+      http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+          .header("Content-Type", "application/json")
+          .header("company-id", tenant)
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def tenantSql(tenant: String, sql: String): Json.Value =
+      Json.parse(tenantPost(tenant, "/api/sql/query",
+        Json.write(Json.obj("query" -> Json.str(sql)))).body())
+    // same-named agent under two tenants, different models
+    assert(tenantPost("acme", "/api/projects/graft/agents",
+      """{"agent": {"name": "hdr_agent", "model_name": "acme_m"}}""").statusCode() === 201)
+    assert(tenantPost("globex", "/api/projects/graft/agents",
+      """{"agent": {"name": "hdr_agent", "model_name": "globex_m"}}""").statusCode() === 201)
+    val ma = tenantSql("acme",
+      "SELECT model_name FROM mindsdb.agents WHERE name='hdr_agent'")
+    assert(ma("data").asArray.head.asArray.head.asString === "acme_m")
+    val mb = tenantSql("globex",
+      "SELECT model_name FROM mindsdb.agents WHERE name='hdr_agent'")
+    assert(mb("data").asArray.head.asArray.head.asString === "globex_m")
+    // warehouse isolation through SQL with the header
+    tenantSql("acme", "CREATE TABLE hdr_t AS SELECT * FROM region")
+    val leak = tenantSql("globex", "SELECT COUNT(*) AS n FROM hdr_t")
+    assert(leak("type").asString === "error")
+    // the un-headered default tenant sees neither agent
+    val none = sqlQuery("SELECT COUNT(*) AS n FROM mindsdb.agents WHERE name='hdr_agent'")
+    assert(none("data").asArray.head.asArray.head === Json.num(0L))
+  }
+
   test("chat/completions error envelopes: unknown model 404, bad args 400") {
     val missing = post("/v1/chat/completions",
       """{"model": "no_such_agent_x", "messages": [{"role": "user", "content": "hi"}]}""")

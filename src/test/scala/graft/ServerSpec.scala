@@ -243,6 +243,90 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("auth: configured password verifies the mysql_native_password scramble") {
+    // a password-configured server (reference: config["auth"] +
+    // mysql_proxy.py:141-285 / middleware.py check_auth) — the spec's
+    // shared server stays in the accept-any default, proven by every
+    // other test here
+    val authed = new MysqlServer(spark, dir,
+      authUser = "alice", authPassword = "s3cret").start()
+    try {
+      // correct credentials connect and query
+      val good = new MysqlClient("127.0.0.1", authed.boundPort,
+        user = "alice", password = "s3cret")
+      val Right(rs) = good.query("SELECT 1 AS one"): @unchecked
+      assert(rs.rows.head.head === "1")
+      good.close()
+      // wrong password → ERR 1045 Access denied
+      val wrongPass = intercept[Exception] {
+        new MysqlClient("127.0.0.1", authed.boundPort,
+          user = "alice", password = "wrong")
+      }
+      assert(wrongPass.getMessage.contains("1045") &&
+        wrongPass.getMessage.contains("Access denied"))
+      // right password, wrong user → denied too (username must match)
+      val wrongUser = intercept[Exception] {
+        new MysqlClient("127.0.0.1", authed.boundPort,
+          user = "bob", password = "s3cret")
+      }
+      assert(wrongUser.getMessage.contains("Access denied"))
+      // empty auth response against a configured password → denied
+      val noPass = intercept[Exception] {
+        new MysqlClient("127.0.0.1", authed.boundPort, user = "alice")
+      }
+      assert(noPass.getMessage.contains("Access denied"))
+    } finally authed.stop()
+  }
+
+  test("charset negotiation: the handshake charset byte sets the session triple") {
+    // utf8mb4 (id 45) client
+    val c = new MysqlClient("127.0.0.1", server.boundPort, charset = 45)
+    val Right(cs) = c.query("SELECT @@character_set_client AS cs"): @unchecked
+    assert(cs.rows.head.head === "utf8mb4")
+    // SET NAMES moves the whole triple
+    c.query("SET NAMES latin1")
+    val Right(all) = c.query(
+      "SHOW VARIABLES LIKE 'character_set_c%'"): @unchecked
+    assert(all.rows.forall(_(1) === "latin1"))
+    c.close()
+  }
+
+  test("SHOW STATUS answers the connector probe set, LIKE-filterable") {
+    val c = client()
+    val Right(ssl) = c.query("SHOW STATUS LIKE 'Ssl_cipher'"): @unchecked
+    assert(ssl.rows.map(_.head) === Seq("Ssl_cipher"))
+    val Right(global) = c.query(
+      "SHOW GLOBAL STATUS LIKE 'Threads_%'"): @unchecked
+    assert(global.rows.map(_.head).toSet ===
+      Set("Threads_connected", "Threads_running"))
+    val Right(up) = c.query("SHOW SESSION STATUS LIKE 'Uptime'"): @unchecked
+    assert(up.rows.size === 1)
+    c.close()
+  }
+
+  test("SET tenant swaps the connection onto an isolated namespace") {
+    val c1 = client()
+    c1.query("SET tenant = 'acme'")
+    c1.query("CREATE TABLE wire_ten AS SELECT * FROM region")
+    c1.query("CREATE AGENT wire_agent USING model='acme_model'")
+    c1.close()
+    // a second connection under a DIFFERENT tenant sees none of it
+    val c2 = client()
+    c2.query("SET tenant = 'globex'")
+    val err = intercept[Exception] { c2.query("SELECT * FROM wire_ten") }
+    assert(err.getMessage.toLowerCase.contains("wire_ten"))
+    val Right(agents) = c2.query(
+      "SELECT COUNT(*) AS n FROM mindsdb.agents WHERE name='wire_agent'"): @unchecked
+    assert(agents.rows.head.head === "0")
+    // back on acme (third connection): state persisted
+    val c3 = client()
+    c3.query("SET tenant = 'acme'")
+    val Right(n) = c3.query("SELECT COUNT(*) AS n FROM wire_ten"): @unchecked
+    assert(n.rows.head.head === "5")
+    c3.close()
+    c2.close()
+  }
+
   test("concurrent connections run independent sessions") {
     val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val threads = (1 to 4).map { i =>

@@ -33,10 +33,18 @@ object HttpApi {
 }
 
 final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
-                    maxTableRows: Int = 100000) {
+                    maxTableRows: Int = 100000,
+                    /** HTTP auth config (reference config["auth"]:
+                      * http_auth_enabled + username/password,
+                      * namespaces/default.py LoginRoute). None keeps the
+                      * reference's default open access. */
+                    httpAuth: Option[(String, String)] = None) {
 
   private val catalog = new Catalog(spark, sfDir)
   private val warehouse = Warehouse.temp(spark)
+  // llm/to_markdown/doc_hash scalar stubs — the webhook completion path
+  // for model-backed chatbots calls llm() directly (idempotent)
+  graft.functions.AiFunctions.register(spark)
   // ONE Jobs store across requests (the reference's jobs_controller is
   // server-global): a job created over REST or SQL must survive into the
   // next request, and the scheduler daemon ticks it between requests
@@ -62,16 +70,48 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
     new Commands(spark, st.catalog, st.warehouse, st.jobs)
   }
 
+  // live session tokens (cookie value == bearer token value; the
+  // reference's SESSION_OR_TOKEN mode accepts either spelling)
+  private val authTokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def bearerOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer ").trim)
+      .filter(_.nonEmpty)
+
+  private def cookieOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Cookie")).flatMap(
+      _.split(";").map(_.trim).collectFirst {
+        case c if c.startsWith("session=") => c.stripPrefix("session=")
+      })
+
+  private def authorized(ex: HttpExchange): Boolean = httpAuth.isEmpty ||
+    (bearerOf(ex) ++ cookieOf(ex)).exists(authTokens.contains)
+
   /** every route reads the tenant header before its handler runs and
-    * clears it after — the pool thread is reused across tenants. */
-  private def route(path: String)(h: HttpExchange => Unit): Unit =
+    * clears it after — the pool thread is reused across tenants. When
+    * auth is configured, routes other than login/logout/status require a
+    * live session cookie or bearer token (initialize.py before_request). */
+  private def route(path: String, open: Boolean = false)(h: HttpExchange => Unit): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       currentTenant.set(Option(ex.getRequestHeaders.getFirst("company-id")).getOrElse(""))
-      try h(ex) finally currentTenant.remove()
+      try {
+        if (!open && !authorized(ex))
+          reply(ex, 401, write(obj("title" -> str("Unauthorized"),
+            "detail" -> str("Authorization required"))))
+        else h(ex)
+      } finally currentTenant.remove()
     })
 
+  route("/api/login", open = true)(handleLogin)
+  route("/api/logout", open = true)(handleLogout)
   route("/api/sql/query")(handleSql)
-  route("/api/status")(handleStatus)
+  route("/api/status", open = true)(handleStatus)
+  route("/api/config")(handleConfig)
+  route("/api/handlers")(handleHandlers)
+  route("/api/tree")(handleTree)
+  route("/api/tab")(handleTabs)
+  route("/api/webhooks/chatbots")(handleChatbotWebhook)
   route("/mcp")(handleMcp)
   route("/api/databases")(handleDatabases)
   route("/api/projects")(handleProjects)
@@ -107,7 +147,287 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   private def handleStatus(ex: HttpExchange): Unit =
     reply(ex, 200, write(obj(
       "mindsdb_version" -> str("graft-spark"),
-      "environment" -> str("local"))))
+      "environment" -> str("local"),
+      "auth" -> obj(
+        "confirmed" -> Bool(authorized(ex)),
+        "required" -> Bool(httpAuth.isDefined),
+        "provider" -> str("local")))))
+
+  /** POST /api/login {username, password} → session cookie + bearer
+    * token (namespaces/default.py LoginRoute, SESSION_OR_TOKEN mode:
+    * the response carries the token AND Set-Cookie installs the
+    * session). Wrong shape → 400; wrong credentials → 401. */
+  private def handleLogin(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") {
+        reply(ex, 405, write(obj("title" -> str("Error"), "detail" -> str("use POST"))))
+        return
+      }
+      val body = Json.parse(readBody(ex))
+      val username = body.get("username").collect { case Str(s) => s }.getOrElse("")
+      val password = body.get("password").collect { case Str(s) => s }.getOrElse("")
+      if (username.isEmpty || password.isEmpty) {
+        reply(ex, 400, write(obj("title" -> str("Error in username or password"),
+          "detail" -> str("Username and password should be string"))))
+        return
+      }
+      httpAuth match {
+        case Some((u, p)) if u == username && p == password =>
+          val token = java.util.UUID.randomUUID().toString.replace("-", "")
+          authTokens.add(token)
+          ex.getResponseHeaders.add("Set-Cookie", s"session=$token; HttpOnly; Path=/")
+          reply(ex, 200, write(obj("token" -> str(token))))
+        case Some(_) =>
+          reply(ex, 401, write(obj("title" -> str("Forbidden"),
+            "detail" -> str("Invalid username or password"))))
+        case None =>
+          // auth disabled: login is a no-op success (open server)
+          reply(ex, 200, write(obj()))
+      }
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable =>
+        try reply(ex, 400, write(obj("title" -> str("Error"),
+          "detail" -> str(Option(e.getMessage).getOrElse(e.toString)))))
+        catch { case _: Throwable => }
+    }
+
+  /** POST /api/logout: revokes the cookie session and/or bearer token
+    * (default.py LogoutRoute). */
+  private def handleLogout(ex: HttpExchange): Unit = {
+    (bearerOf(ex) ++ cookieOf(ex)).foreach(authTokens.remove)
+    ex.getResponseHeaders.add("Set-Cookie", "session=; Max-Age=0; Path=/")
+    reply(ex, 200, "\"\"")
+  }
+
+  /** server config the UI/SDK reads and the PUT-updatable slice of it
+    * (namespaces/config.py GetConfig: auth + default_* models; unknown
+    * argument names are a 400). */
+  private val mutableConfig =
+    new java.util.concurrent.ConcurrentHashMap[String, Value]()
+
+  private def handleConfig(ex: HttpExchange): Unit =
+    try {
+      ex.getRequestMethod match {
+        case "GET" =>
+          val defaults = Seq("default_llm", "default_embedding_model",
+            "default_reranking_model").flatMap(k =>
+            Option(mutableConfig.get(k)).map(k -> _))
+          reply(ex, 200, write(Obj(Map(
+            "auth" -> obj("http_auth_enabled" -> Bool(httpAuth.isDefined)),
+            "api" -> obj("http" -> obj("running" -> Bool(true)))) ++ defaults)))
+        case "PUT" =>
+          val data = Json.parse(readBody(ex)).asObject
+          val allowed = Set("auth", "default_llm", "default_embedding_model",
+            "default_reranking_model", "knowledge_bases")
+          val unknown = data.keys.filterNot(allowed)
+          if (unknown.nonEmpty)
+            crudError(ex, 400, s"Unknown arguments: ${unknown.mkString(", ")}")
+          else {
+            data.foreach { case (k, v) => mutableConfig.put(k, v) }
+            reply(ex, 200, write(obj()))
+          }
+        case other => crudError(ex, 405, s"unsupported $other /api/config")
+      }
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** GET /api/tree[/<db>]: the object tree the editor UI renders
+    * (namespaces/tree.py — root lists databases, a leaf lists the
+    * database's tables; projects list their models and views). */
+  private def handleTree(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") {
+        crudError(ex, 405, s"unsupported ${ex.getRequestMethod} /api/tree"); return
+      }
+      val parts = tail(ex, "/api/tree")
+      val dbs = session().execute(
+        "SELECT name, engine, type FROM mindsdb.databases").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      parts match {
+        case Seq() =>
+          reply(ex, 200, write(Arr(dbs.toSeq.map { case (n, e, t) =>
+            obj("name" -> str(n), "class" -> str("db"), "type" -> str(t),
+              "engine" -> str(e),
+              "deletable" -> Bool(t == "data"),
+              "visible" -> Bool(n != "information_schema"))
+          })))
+        case Seq(db) =>
+          dbs.find(_._1.equalsIgnoreCase(db)) match {
+            case None => crudError(ex, 400, s"There is no element with name '$db'")
+            case Some((_, _, "project")) =>
+              val cat = tenantState().catalog
+              val models = session().execute("SHOW MODELS").collect()
+                .map(_.getString(0)).distinct.toSeq.map(m =>
+                  obj("name" -> str(m), "class" -> str("table"),
+                    "type" -> str("model"), "deletable" -> Bool(true)))
+              val views = cat.listViews().sorted.map(v =>
+                obj("name" -> str(v), "class" -> str("table"),
+                  "type" -> str("view"), "deletable" -> Bool(true)))
+              reply(ex, 200, write(Arr(models ++ views)))
+            case Some((name, _, _)) =>
+              val tables = session().execute(
+                s"SHOW TABLES FROM ${sqlIdent(name)}").collect()
+                .map(_.getString(0)).toSeq.map(t =>
+                  obj("name" -> str(t), "class" -> str("table"),
+                    "type" -> str("table"), "deletable" -> Bool(false)))
+              reply(ex, 200, write(Arr(tables)))
+          }
+        case _ => crudError(ex, 405, "unsupported tree path")
+      }
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** Editor tabs (namespaces/tab.py "new" mode): an in-memory
+    * id-keyed store of {index, name, content}; POST/PUT answer
+    * {tab_meta, tabs_meta} like the reference's tabs_controller. */
+  private val tabsStore =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Long, String, String)]()
+  private val tabSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def tabMeta(id: Long): Obj = {
+    val (index, name, _) = tabsStore.get(id)
+    obj("id" -> num(id), "index" -> num(index), "name" -> str(name))
+  }
+  private def tabsMeta(): Arr = {
+    import scala.jdk.CollectionConverters._
+    Arr(tabsStore.keySet.asScala.toSeq.sorted.map(tabMeta))
+  }
+
+  private def handleTabs(ex: HttpExchange): Unit =
+    try {
+      val parts = tail(ex, "/api/tab")
+      def fields(v: Value): Option[(Option[Long], Option[String], Option[String])] = {
+        val keys = v.asObject.keySet
+        if (keys.isEmpty || (keys -- Set("index", "name", "content")).nonEmpty) None
+        else Some((
+          v.get("index").collect { case Num(n, _) => n.toLong },
+          v.get("name").collect { case Str(s) => s },
+          v.get("content").collect { case Str(s) => s }))
+      }
+      (ex.getRequestMethod, parts) match {
+        case ("GET", Seq()) =>
+          import scala.jdk.CollectionConverters._
+          reply(ex, 200, write(Arr(tabsStore.keySet.asScala.toSeq.sorted.map { id =>
+            val (index, name, content) = tabsStore.get(id)
+            obj("id" -> num(id), "index" -> num(index), "name" -> str(name),
+              "content" -> str(content))
+          })))
+        case ("POST", Seq()) =>
+          fields(Json.parse(readBody(ex))) match {
+            case None => crudError(ex, 400, "Invalid parameters")
+            case Some((index, name, content)) =>
+              val id = tabSeq.incrementAndGet()
+              tabsStore.put(id, (index.getOrElse(id), name.getOrElse(s"Tab $id"),
+                content.getOrElse("")))
+              reply(ex, 200, write(obj(
+                "tab_meta" -> tabMeta(id), "tabs_meta" -> tabsMeta())))
+          }
+        case ("GET", Seq(id)) =>
+          Option(tabsStore.get(id.toLong)) match {
+            case None => crudError(ex, 404, "The tab does not exist")
+            case Some((index, name, content)) =>
+              reply(ex, 200, write(obj("id" -> num(id.toLong),
+                "index" -> num(index), "name" -> str(name),
+                "content" -> str(content))))
+          }
+        case ("PUT", Seq(id)) =>
+          if (!tabsStore.containsKey(id.toLong))
+            crudError(ex, 404, "The tab does not exist")
+          else fields(Json.parse(readBody(ex))) match {
+            case None => crudError(ex, 400, "Invalid parameters")
+            case Some((index, name, content)) =>
+              val (i0, n0, c0) = tabsStore.get(id.toLong)
+              tabsStore.put(id.toLong,
+                (index.getOrElse(i0), name.getOrElse(n0), content.getOrElse(c0)))
+              reply(ex, 200, write(obj(
+                "tab_meta" -> tabMeta(id.toLong), "tabs_meta" -> tabsMeta())))
+          }
+        case ("DELETE", Seq(id)) =>
+          if (tabsStore.remove(id.toLong) == null)
+            crudError(ex, 404, "The tab does not exist")
+          else reply(ex, 200, "\"\"")
+        case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} /api/tab")
+      }
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** POST /api/webhooks/chatbots/<token>: the inbound message receiver
+    * (namespaces/webhooks.py → chatbot_controller.on_webhook). The token
+    * is the chatbot's `webhook_token` param; the message text completes
+    * through the bot's agent (or the plain llm stub for model-backed
+    * bots) and the per-(token, chat_id) history is kept server-side like
+    * the reference's chat_bot_memory. */
+  private val webhookMemory =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.util.ArrayList[(String, String)]]()
+
+  private def handleChatbotWebhook(ex: HttpExchange): Unit =
+    try {
+      val parts = tail(ex, "/api/webhooks/chatbots")
+      (ex.getRequestMethod, parts) match {
+        case ("POST", Seq(token)) =>
+          val cat = tenantState().catalog
+          val bot = cat.listChatbots().flatMap(cat.chatbot)
+            .find(_.params.get("webhook_token").contains(token))
+          bot match {
+            case None => crudError(ex, 404, s"No chatbot registered for webhook token $token")
+            case Some(ent) =>
+              val body = Json.parse(readBody(ex))
+              val text = body.get("text")
+                .orElse(body.get("message").flatMap(_.get("text")))
+                .collect { case Str(s) => s }
+              val chatId = body.get("chat_id").collect {
+                case Str(s) => s; case Num(_, raw) => raw
+              }.getOrElse("default")
+              text match {
+                case None => crudError(ex, 400, "Missing message text")
+                case Some(t) =>
+                  val answer = ent.agent match {
+                    case Some(agent) => askAgent(agent, t)
+                    case None =>
+                      val q = t.replace("'", "''")
+                      session().execute(s"SELECT llm('$q') AS answer")
+                        .collect().head.getString(0)
+                  }
+                  val hist = webhookMemory.computeIfAbsent((token, chatId),
+                    _ => new java.util.ArrayList[(String, String)]())
+                  hist.synchronized {
+                    hist.add(("user", t)); hist.add(("assistant", answer))
+                  }
+                  reply(ex, 200, write(obj("success" -> Bool(true),
+                    "answer" -> str(answer),
+                    "chat_id" -> str(chatId),
+                    "history_length" -> num(hist.size.toLong))))
+              }
+          }
+        case _ => crudError(ex, 405,
+          s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** GET /api/handlers: the installed engine handlers
+    * (namespaces/handlers.py GET /; rows from the same registry the
+    * mindsdb.handlers meta-table serves). */
+  private def handleHandlers(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") {
+        crudError(ex, 405, s"unsupported ${ex.getRequestMethod} /api/handlers"); return
+      }
+      reply(ex, 200, write(records(
+        session().execute("SELECT name, type, import_success FROM mindsdb.handlers"))))
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
 
   private def handleSql(ex: HttpExchange): Unit =
     try {

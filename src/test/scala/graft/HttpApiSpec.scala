@@ -563,6 +563,153 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none("data").asArray.head.asArray.head === Json.num(0L))
   }
 
+  test("HTTP auth: login issues a session, routes gate on it, logout revokes") {
+    val authed = new HttpApi(spark, dir, httpAuth = Some(("admin", "pw123"))).start()
+    try {
+      def p(path: String, body: String, hdrs: (String, String)*): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${authed.boundPort}$path"))
+          .header("Content-Type", "application/json")
+        hdrs.foreach { case (k, v) => b.header(k, v) }
+        http.send(b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      // unauthenticated query → 401
+      val denied = p("/api/sql/query", """{"query": "SELECT 1"}""")
+      assert(denied.statusCode() === 401)
+      // status stays open and reports auth required / unconfirmed
+      val st = Json.parse(http.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${authed.boundPort}/api/status")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+      assert(st("auth")("required") === Json.Bool(true))
+      assert(st("auth")("confirmed") === Json.Bool(false))
+      // bad shapes and bad credentials (default.py LoginRoute contract)
+      assert(p("/api/login", """{"username": "admin"}""").statusCode() === 400)
+      assert(p("/api/login",
+        """{"username": "admin", "password": "nope"}""").statusCode() === 401)
+      // good login → token; bearer authorizes queries
+      val login = p("/api/login", """{"username": "admin", "password": "pw123"}""")
+      assert(login.statusCode() === 200)
+      val token = Json.parse(login.body())("token").asString
+      assert(token.nonEmpty)
+      assert(login.headers().firstValue("Set-Cookie").orElse("").contains("session="))
+      val ok = p("/api/sql/query", """{"query": "SELECT 1 AS one"}""",
+        "Authorization" -> s"Bearer $token")
+      assert(Json.parse(ok.body())("type").asString === "table")
+      // cookie spelling authorizes too
+      val okCookie = p("/api/sql/query", """{"query": "SELECT 1 AS one"}""",
+        "Cookie" -> s"session=$token")
+      assert(Json.parse(okCookie.body())("type").asString === "table")
+      // logout revokes the token
+      assert(p("/api/logout", "", "Authorization" -> s"Bearer $token")
+        .statusCode() === 200)
+      assert(p("/api/sql/query", """{"query": "SELECT 1"}""",
+        "Authorization" -> s"Bearer $token").statusCode() === 401)
+    } finally authed.stop()
+  }
+
+  test("config and handlers namespaces") {
+    // GET config reports auth off for the open spec server
+    val conf = Json.parse(get("/api/config").body())
+    assert(conf("auth")("http_auth_enabled") === Json.Bool(false))
+    // PUT validates argument names, stores the defaults slice
+    val put = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${api.boundPort}/api/config"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"default_llm": "stub-llm"}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() === 200)
+    assert(Json.parse(get("/api/config").body())("default_llm").asString === "stub-llm")
+    val bad = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${api.boundPort}/api/config"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"nope": 1}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(bad.statusCode() === 400)
+    // handlers listing mirrors the mindsdb.handlers meta-table
+    val handlers = Json.parse(get("/api/handlers").body()).asArray
+    assert(handlers.map(_("name").asString).toSet === Set("fit", "files", "mem"))
+    assert(handlers.forall(_("import_success") === Json.Bool(true)))
+  }
+
+  test("tree namespace: root lists databases, leaves list tables/models/views") {
+    sqlQuery("CREATE DATABASE tree_db WITH ENGINE='mem'")
+    sqlQuery("CREATE VIEW tree_view AS SELECT r_name FROM region")
+    try {
+      val root = Json.parse(get("/api/tree").body()).asArray
+      assert(root.exists(n => n("name").asString == "graft" &&
+        n("type").asString == "project"))
+      assert(root.exists(n => n("name").asString == "tree_db" &&
+        n("class").asString == "db"))
+      val proj = Json.parse(get("/api/tree/graft").body()).asArray
+      assert(proj.exists(n => n("name").asString == "tree_view" &&
+        n("type").asString == "view"))
+      assert(get("/api/tree/no_such_db_zz").statusCode() === 400)
+    } finally {
+      sqlQuery("DROP VIEW tree_view")
+      sqlQuery("DROP DATABASE tree_db")
+    }
+  }
+
+  test("tab namespace: editor tabs CRUD with meta envelopes") {
+    val created = post("/api/tab",
+      """{"name": "query 1", "content": "SELECT 1"}""")
+    assert(created.statusCode() === 200)
+    val id = Json.parse(created.body())("tab_meta")("id")
+      .asInstanceOf[Json.Num].n.toLong
+    // invalid field set → 400 (tab.py _is_request_valid)
+    assert(post("/api/tab", """{"nope": 1}""").statusCode() === 400)
+    val one = Json.parse(get(s"/api/tab/$id").body())
+    assert(one("name").asString === "query 1" &&
+      one("content").asString === "SELECT 1")
+    val put = http.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${api.boundPort}/api/tab/$id"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString(
+          """{"content": "SELECT 2"}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(put.statusCode() === 200)
+    assert(Json.parse(get(s"/api/tab/$id").body())("content").asString === "SELECT 2")
+    assert(Json.parse(get("/api/tab").body()).asArray
+      .exists(_("id") === Json.num(id)))
+    assert(delete(s"/api/tab/$id").statusCode() === 200)
+    assert(get(s"/api/tab/$id").statusCode() === 404)
+  }
+
+  test("chatbot webhook: token routes a message through the bot and keeps history") {
+    sqlQuery("CREATE DATABASE hook_conn WITH ENGINE='mem'")
+    sqlQuery("CREATE AGENT hook_agent USING model='default'")
+    sqlQuery("""CREATE CHATBOT hook_bot USING database='hook_conn',
+      agent='hook_agent', webhook_token='tok123'""")
+    try {
+      val r1 = post("/api/webhooks/chatbots/tok123",
+        """{"text": "what is a partition", "chat_id": "c1"}""")
+      assert(r1.statusCode() === 200, r1.body())
+      val env1 = Json.parse(r1.body())
+      assert(env1("success") === Json.Bool(true))
+      assert(env1("answer").asString.nonEmpty)
+      assert(env1("history_length") === Json.num(2L))
+      // same chat grows its memory; a different chat starts fresh
+      val r2 = Json.parse(post("/api/webhooks/chatbots/tok123",
+        """{"text": "and a shuffle?", "chat_id": "c1"}""").body())
+      assert(r2("history_length") === Json.num(4L))
+      val r3 = Json.parse(post("/api/webhooks/chatbots/tok123",
+        """{"message": {"text": "hello"}, "chat_id": "c2"}""").body())
+      assert(r3("history_length") === Json.num(2L))
+      // unknown token → 404
+      assert(post("/api/webhooks/chatbots/badtok",
+        """{"text": "x"}""").statusCode() === 404)
+    } finally {
+      sqlQuery("DROP CHATBOT hook_bot")
+      sqlQuery("DROP AGENT hook_agent")
+      sqlQuery("DROP DATABASE hook_conn")
+    }
+  }
+
   test("chat/completions error envelopes: unknown model 404, bad args 400") {
     val missing = post("/v1/chat/completions",
       """{"model": "no_such_agent_x", "messages": [{"role": "user", "content": "hi"}]}""")

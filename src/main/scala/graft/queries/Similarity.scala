@@ -271,6 +271,36 @@ object Similarity extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // ---- IVF-PQ: the production composition (FAISS's default index
+    // family) — the IVF coarse quantizer prunes the corpus to the probed
+    // inverted lists, PQ's ADC ranks ONLY those candidates from 16-byte
+    // codes. At 100 TB the scan cost is nProbe/nCent of the corpus and
+    // the ranking cost is a LUT-sum per surviving candidate; no float
+    // vector math touches a candidate anywhere. Shares ivfCells with s05
+    // and pqIndex with s12, so the oracle composes the two proven CTE
+    // pyramids unchanged.
+    "s14_ivf_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (assigned, probes) = ivfCells(e, col("vec_id") < 10, nCent = 8, nProbe = 2)
+      val cands = probes.select(col("q_id"), col("cell"))
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val (codes, lutOf) = pqIndex(e)
+      val lut = lutOf(col("vec_id") < 10)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id"))
+      cands.join(codes, Seq("vec_id"))
+        .join(lut, Seq("q_id", "sub", "cent_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(DoubleType).as("est"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rnk"),
+          round(col("est"), 4).as("est_d2"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "s06_quantized_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       val scale = broadcast(e.agg(
@@ -306,6 +336,22 @@ object Similarity extends QueryPack {
     * all of it; the codebook scan is a narrow map either way.
     */
   def ivfTopK(e: DataFrame, isQuery: Column, k: Int, nCent: Int, nProbe: Int): DataFrame = {
+    val (assigned, probes) = ivfCells(e, isQuery, nCent, nProbe)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cosineSim(col("v"), col("qv")), 4).as("c"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk"), col("c").as("cos_sim"))
+  }
+
+  /** The IVF coarse structure alone — (inverted lists `(vec_id, v,
+    * cell)`, query probes `(q_id, qv, cell)`) — shared by the flat IVF
+    * ranking (s05) and the IVF-PQ composition (s14). */
+  def ivfCells(e: DataFrame, isQuery: Column, nCent: Int, nProbe: Int)
+      : (DataFrame, DataFrame) = {
     val cents = broadcast(e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
@@ -320,14 +366,7 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
     val probes = ranked.filter(col("is_q") && col("crk") <= nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id").as("cell"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
-    probes.join(assigned, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(cosineSim(col("v"), col("qv")), 4).as("c"))
-      .dropDuplicates("q_id", "vec_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id"), col("rnk"), col("c").as("cos_sim"))
+    (assigned, probes)
   }
 
   /** PQ index pieces: per-vector subspace codes and the per-query ADC
@@ -716,6 +755,50 @@ object Similarity extends QueryPack {
           AS recall_at_5
       FROM exact x LEFT JOIN approx a2 ON x.q_id = a2.q_id AND x.vec_id = a2.vec_id
       GROUP BY x.q_id ORDER BY x.q_id""",
+
+    // the s05 coarse pyramid feeding the s12 ADC pyramid, candidates
+    // restricted to probed cells
+    "s14_ivf_pq" -> {
+      def cosOf(x: String, y: String) =
+        s"""list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])) /
+           (sqrt(list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$x[i]))) *
+            sqrt(list_sum(list_transform(range(1, len($y)+1), i -> $y[i]*$y[i]))))"""
+      s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      cscored AS (
+        SELECT e.vec_id, e.v, e.vec_id < 10 AS is_q, c.cent_id,
+          ROUND(${cosOf("e.v", "c.cv")}, 4) AS cc
+        FROM e CROSS JOIN cents c),
+      cranked AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS crk FROM cscored),
+      assigned AS (SELECT vec_id, cent_id AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS q_id, cent_id AS cell
+        FROM cranked WHERE is_q AND crk <= 2),
+      cands AS (SELECT p.q_id, a.vec_id
+        FROM probes p JOIN assigned a USING (cell) WHERE a.vec_id <> p.q_id),
+      subs AS (SELECT vec_id, j AS sub, list_slice(v, j*4+1, j*4+4) AS sv
+        FROM e CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS j)),
+      cb AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < 16),
+      enc AS (SELECT s.vec_id, s.sub, c.cent_id, $pqD2 AS cd2
+        FROM subs s JOIN cb c USING (sub)),
+      codes AS (SELECT vec_id, sub, cent_id FROM (
+        SELECT enc.*, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, sub ORDER BY cd2 ASC, cent_id) AS rk FROM enc)
+        WHERE rk = 1),
+      lut AS (SELECT s.vec_id AS q_id, s.sub, c.cent_id, $pqD2 AS qd2
+        FROM subs s JOIN cb c USING (sub) WHERE s.vec_id < 10),
+      est AS (SELECT cn.q_id, cn.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,4))) AS DOUBLE) AS est
+        FROM cands cn JOIN codes cd ON cd.vec_id = cn.vec_id
+        JOIN lut l ON l.q_id = cn.q_id AND l.sub = cd.sub AND l.cent_id = cd.cent_id
+        GROUP BY cn.q_id, cn.vec_id),
+      topk AS (SELECT q_id, vec_id, est,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id) AS rnk
+        FROM est)
+      SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, ROUND(est, 4) AS est_d2
+      FROM topk WHERE rnk <= 5 ORDER BY q_id, rnk"""
+    },
 
     "s06_quantized_knn" -> """
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -710,6 +710,45 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concurrent requests from different tenants never cross-contaminate") {
+    // 4 tenants × parallel agent-create + meta-read cycles over the
+    // 8-thread pool: the execute-time ThreadLocal rebinding must keep
+    // every response inside its own tenant even when pool threads are
+    // reused across tenants mid-flight
+    def tenantSql(tenant: String, sql: String): Json.Value = {
+      val resp = http.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${api.boundPort}/api/sql/query"))
+          .header("Content-Type", "application/json")
+          .header("company-id", tenant)
+          .POST(HttpRequest.BodyPublishers.ofString(
+            Json.write(Json.obj("query" -> Json.str(sql))))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      Json.parse(resp.body())
+    }
+    val tenants = Seq("par_a", "par_b", "par_c", "par_d")
+    tenants.foreach(t =>
+      tenantSql(t, s"CREATE AGENT par_agent USING model='model_$t'"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 16).map { i =>
+      val t = tenants(i % 4)
+      new Thread(() => {
+        try {
+          (1 to 5).foreach { _ =>
+            val env = tenantSql(t,
+              "SELECT model_name FROM mindsdb.agents WHERE name='par_agent'")
+            val got = env("data").asArray.head.asArray.head.asString
+            if (got != s"model_$t") errors.add(s"tenant $t saw $got")
+          }
+        } catch { case e: Throwable => errors.add(s"$t: $e") }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, errors.toArray.mkString("; "))
+    tenants.foreach(t => tenantSql(t, "DROP AGENT par_agent"))
+  }
+
   test("chat/completions error envelopes: unknown model 404, bad args 400") {
     val missing = post("/v1/chat/completions",
       """{"model": "no_such_agent_x", "messages": [{"role": "user", "content": "hi"}]}""")

@@ -665,6 +665,44 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
                 case _ => crudError(ex, 400, "name and engine must be strings")
               }
           }
+        case ("GET", Seq(name)) =>
+          val row = session().execute(
+            "SELECT name, engine, type FROM mindsdb.databases").collect()
+            .find(_.getString(0).equalsIgnoreCase(name))
+          row match {
+            case Some(r) => reply(ex, 200, write(obj(
+              "name" -> str(r.getString(0)), "engine" -> str(r.getString(1)),
+              "type" -> str(r.getString(2)))))
+            case None => crudError(ex, 404, s"Database $name does not exist")
+          }
+        case ("PUT", Seq(name)) =>
+          // update-or-create (databases.py put): parameters modify an
+          // existing connection; a new name needs an engine
+          val body = Json.parse(readBody(ex))
+          val db = body.get("database")
+            .getOrElse { crudError(ex, 400, "Must provide \"database\" parameter in PUT body"); return }
+          val params = db.get("parameters").map(_.asObject).getOrElse(Map.empty)
+            .collect { case (k, Str(v)) => s"${sqlIdent(k)}='${v.replace("'", "''")}'"
+                       case (k, Num(_, raw)) => s"${sqlIdent(k)}='$raw'" }
+          val exists = session().execute("SHOW DATABASES").collect()
+            .exists(_.getString(0).equalsIgnoreCase(name))
+          if (!exists) {
+            db.get("engine") match {
+              case Some(Str(engine)) =>
+                val withClause =
+                  if (params.isEmpty) "" else s", PARAMETERS = ${params.mkString(", ")}"
+                session().execute(s"CREATE DATABASE ${sqlIdent(name)} WITH " +
+                  s"ENGINE='${engine.replace("'", "''")}'$withClause")
+                reply(ex, 201, write(obj("name" -> str(name), "engine" -> str(engine))))
+              case _ => crudError(ex, 400,
+                "Missing \"engine\" field for new database. If you want to create a project instead, use the POST /api/projects endpoint.")
+            }
+          } else {
+            if (params.nonEmpty)
+              session().execute(
+                s"ALTER DATABASE ${sqlIdent(name)} PARAMETERS = ${params.mkString(", ")}")
+            reply(ex, 200, write(obj("name" -> str(name))))
+          }
         case ("DELETE", Seq(name)) =>
           session().execute(s"DROP DATABASE ${sqlIdent(name)}")
           reply(ex, 204, "")

@@ -167,6 +167,25 @@ final class MysqlClient(host: String, port: Int,
   def closeStatement(id: Long): Unit =
     command(new ByteWriter().u8(COM_STMT_CLOSE).u32(id).result())
 
+  /** COM_FIELD_LIST: the legacy per-table column listing (NUL-terminated
+    * table name, empty wildcard) → column names. */
+  def fieldList(table: String): Seq[String] = {
+    command(Array(COM_FIELD_LIST.toByte) ++ table.getBytes("UTF-8") :+ 0.toByte)
+    val names = Seq.newBuilder[String]
+    var done = false
+    while (!done) {
+      val p = io.read()
+      if ((p(0) & 0xff) == 0xff) throw new RuntimeException(describeErr(p))
+      if ((p(0) & 0xff) == 0xfe && p.length < 9) done = true
+      else {
+        val d = new ByteReader(p)
+        d.lenencString(); d.lenencString(); d.lenencString(); d.lenencString()
+        names += d.lenencString()
+      }
+    }
+    names.result()
+  }
+
   /** Open a read-only cursor (CURSOR_TYPE_READ_ONLY execute): the server
     * answers column definitions only, EOF flagged CURSOR_EXISTS; rows
     * come through [[fetch]]. Returns (column names, column types). */

@@ -30,8 +30,9 @@ import MysqlWire._
   *    never materializes the full result);
   *  - COM_STMT_PREPARE/EXECUTE implement the binary protocol over the
   *    `?`-positional parameterized route (planner/query_prepare.py);
-  *  - COM_PING/INIT_DB/STMT_RESET/SET_OPTION → OK, COM_FIELD_LIST → OK,
-  *    COM_DEBUG → EOF, COM_QUIT closes (mysql_proxy.py:620-700).
+  *  - COM_PING/INIT_DB/STMT_RESET/SET_OPTION → OK, COM_FIELD_LIST →
+  *    column definitions + EOF, COM_DEBUG → EOF, COM_QUIT closes
+  *    (mysql_proxy.py:620-700).
   */
 final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
     /** configured credentials (reference config["auth"], middleware.py
@@ -130,7 +131,25 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
                   io.flush()
                 case None => respond(io, session, sql)
               }
-            case COM_INIT_DB | COM_STMT_RESET | COM_SET_OPTION | COM_FIELD_LIST =>
+            case COM_FIELD_LIST =>
+              // legacy metadata command (mysql CLI tab-completion, old
+              // connectors): table name NUL-terminated, optional field
+              // wildcard; answer is column definitions + EOF
+              val rest = new String(body, 1, body.length - 1, "UTF-8")
+              val table = rest.takeWhile(c => c != '\u0000' && c != ' ')
+              try {
+                val fields = session.execute(s"SELECT * FROM $table LIMIT 0")
+                  .schema.fields
+                fields.foreach(f => io.write(
+                  columnDefinition("mindsdb", table, f.name, f.dataType, f.nullable)))
+                io.write(eofPacket())
+              } catch {
+                case e: Throwable =>
+                  io.write(errPacket(1146, "42S02",
+                    Option(e.getMessage).getOrElse(e.toString).take(500)))
+              }
+              io.flush()
+            case COM_INIT_DB | COM_STMT_RESET | COM_SET_OPTION =>
               io.write(okPacket()); io.flush()
             case COM_PING => io.write(okPacket()); io.flush()
             case COM_DEBUG => io.write(eofPacket()); io.flush()

@@ -194,6 +194,31 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gone.exists(_("name").asString == "httpdb"))
   }
 
+  test("databases GET-one and PUT update-or-create") {
+    def put(path: String, body: String): HttpResponse[String] =
+      http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+          .header("Content-Type", "application/json")
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    // PUT on a missing name without an engine → 400; with one → 201
+    assert(put("/api/databases/putdb", """{"database": {}}""").statusCode() === 400)
+    assert(put("/api/databases/putdb",
+      """{"database": {"engine": "mem", "parameters": {"host": "h1"}}}""")
+      .statusCode() === 201)
+    try {
+      val one = Json.parse(get("/api/databases/putdb").body())
+      assert(one("engine").asString === "mem")
+      assert(get("/api/databases/no_db_here").statusCode() === 404)
+      // PUT on an existing name updates parameters (200)
+      assert(put("/api/databases/putdb",
+        """{"database": {"parameters": {"host": "h2"}}}""").statusCode() === 200)
+      val params = sqlQuery(
+        "SELECT connection_data FROM mindsdb.databases WHERE name='putdb'")
+      assert(params("data").asArray.head.asArray.head.asString.contains("host=h2"))
+    } finally assert(delete("/api/databases/putdb").statusCode() === 204)
+  }
+
   test("databases POST validates name/engine like the reference") {
     assert(post("/api/databases", """{"nope": 1}""").statusCode() === 400)
     val noEngine = post("/api/databases", """{"database": {"name": "x1"}}""")

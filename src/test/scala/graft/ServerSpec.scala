@@ -304,6 +304,17 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("COM_FIELD_LIST answers column definitions for a table") {
+    val c = client()
+    assert(c.fieldList("region") === Seq("r_regionkey", "r_name"))
+    assert(c.fieldList("nation") === Seq("n_nationkey", "n_name", "n_regionkey"))
+    val err = intercept[RuntimeException] { c.fieldList("no_such_table_qq") }
+    assert(err.getMessage.contains("1146"))
+    // the session survives the error (same connection keeps answering)
+    assert(c.ping())
+    c.close()
+  }
+
   test("SET tenant swaps the connection onto an isolated namespace") {
     val c1 = client()
     c1.query("SET tenant = 'acme'")

@@ -301,6 +301,44 @@ object Similarity extends QueryPack {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ---- STORED index lifecycle (the d25 sketch-lifecycle analog for
+    // ANN): the IVF cells and PQ codes persist to parquet at build time
+    // — 16 bytes + one cell id per vector — and the query phase reads
+    // ONLY the stored artifacts plus the query vectors; no re-encoding,
+    // no touch of the raw corpus embeddings. This is the production
+    // separation: index build is one batch job, queries are served from
+    // the compact index. Result ≡ s14 (same oracle SQL), which is the
+    // round-trip proof.
+    "s15_pq_stored" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("pq_idx").toString
+      // build phase: persist cells + codes
+      val (assigned, probesLive) = ivfCells(e, col("vec_id") < 10, nCent = 8, nProbe = 2)
+      assigned.select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$tmp/cells")
+      val (codes, lutOf) = pqIndex(e)
+      codes.write.mode("overwrite").parquet(s"$tmp/codes")
+      // query phase: stored cells + stored codes + live query LUT only
+      val cells2 = s.read.parquet(s"$tmp/cells")
+      val codes2 = s.read.parquet(s"$tmp/codes")
+      val lut = lutOf(col("vec_id") < 10)
+      val cands = probesLive.select(col("q_id"), col("cell"))
+        .join(cells2, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id"))
+      cands.join(codes2, Seq("vec_id"))
+        .join(lut, Seq("q_id", "sub", "cent_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(DoubleType).as("est"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rnk"),
+          round(col("est"), 4).as("est_d2"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     "s06_quantized_knn" -> ((s, dir) => {
       val e = emb(s, dir)
       val scale = broadcast(e.agg(
@@ -485,6 +523,50 @@ object Similarity extends QueryPack {
   private val pqD2 =
     """ROUND(list_sum(list_transform(range(1, 5),
        i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), 4)"""
+
+  /** the IVF-PQ composition replicated in SQL — shared by s14 (in-
+    * memory) and s15 (stored-index round-trip): one oracle, two routes. */
+  private lazy val ivfPqSql: String = {
+      def cosOf(x: String, y: String) =
+        s"""list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])) /
+           (sqrt(list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$x[i]))) *
+            sqrt(list_sum(list_transform(range(1, len($y)+1), i -> $y[i]*$y[i]))))"""
+      s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      cscored AS (
+        SELECT e.vec_id, e.v, e.vec_id < 10 AS is_q, c.cent_id,
+          ROUND(${cosOf("e.v", "c.cv")}, 4) AS cc
+        FROM e CROSS JOIN cents c),
+      cranked AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS crk FROM cscored),
+      assigned AS (SELECT vec_id, cent_id AS cell FROM cranked WHERE crk = 1),
+      probes AS (SELECT vec_id AS q_id, cent_id AS cell
+        FROM cranked WHERE is_q AND crk <= 2),
+      cands AS (SELECT p.q_id, a.vec_id
+        FROM probes p JOIN assigned a USING (cell) WHERE a.vec_id <> p.q_id),
+      subs AS (SELECT vec_id, j AS sub, list_slice(v, j*4+1, j*4+4) AS sv
+        FROM e CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS j)),
+      cb AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < 16),
+      enc AS (SELECT s.vec_id, s.sub, c.cent_id, $pqD2 AS cd2
+        FROM subs s JOIN cb c USING (sub)),
+      codes AS (SELECT vec_id, sub, cent_id FROM (
+        SELECT enc.*, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, sub ORDER BY cd2 ASC, cent_id) AS rk FROM enc)
+        WHERE rk = 1),
+      lut AS (SELECT s.vec_id AS q_id, s.sub, c.cent_id, $pqD2 AS qd2
+        FROM subs s JOIN cb c USING (sub) WHERE s.vec_id < 10),
+      est AS (SELECT cn.q_id, cn.vec_id,
+          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,4))) AS DOUBLE) AS est
+        FROM cands cn JOIN codes cd ON cd.vec_id = cn.vec_id
+        JOIN lut l ON l.q_id = cn.q_id AND l.sub = cd.sub AND l.cent_id = cd.cent_id
+        GROUP BY cn.q_id, cn.vec_id),
+      topk AS (SELECT q_id, vec_id, est,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id) AS rnk
+        FROM est)
+      SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, ROUND(est, 4) AS est_d2
+      FROM topk WHERE rnk <= 5 ORDER BY q_id, rnk"""
+    }
 
   def oracles: Map[String, String] = Map(
 
@@ -758,48 +840,13 @@ object Similarity extends QueryPack {
 
     // the s05 coarse pyramid feeding the s12 ADC pyramid, candidates
     // restricted to probed cells
-    "s14_ivf_pq" -> {
-      def cosOf(x: String, y: String) =
-        s"""list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])) /
-           (sqrt(list_sum(list_transform(range(1, len($x)+1), i -> $x[i]*$x[i]))) *
-            sqrt(list_sum(list_transform(range(1, len($y)+1), i -> $y[i]*$y[i]))))"""
-      s"""
-      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
-      cscored AS (
-        SELECT e.vec_id, e.v, e.vec_id < 10 AS is_q, c.cent_id,
-          ROUND(${cosOf("e.v", "c.cv")}, 4) AS cc
-        FROM e CROSS JOIN cents c),
-      cranked AS (SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY vec_id ORDER BY cc DESC, cent_id) AS crk FROM cscored),
-      assigned AS (SELECT vec_id, cent_id AS cell FROM cranked WHERE crk = 1),
-      probes AS (SELECT vec_id AS q_id, cent_id AS cell
-        FROM cranked WHERE is_q AND crk <= 2),
-      cands AS (SELECT p.q_id, a.vec_id
-        FROM probes p JOIN assigned a USING (cell) WHERE a.vec_id <> p.q_id),
-      subs AS (SELECT vec_id, j AS sub, list_slice(v, j*4+1, j*4+4) AS sv
-        FROM e CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15]) AS j)),
-      cb AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < 16),
-      enc AS (SELECT s.vec_id, s.sub, c.cent_id, $pqD2 AS cd2
-        FROM subs s JOIN cb c USING (sub)),
-      codes AS (SELECT vec_id, sub, cent_id FROM (
-        SELECT enc.*, ROW_NUMBER() OVER (
-          PARTITION BY vec_id, sub ORDER BY cd2 ASC, cent_id) AS rk FROM enc)
-        WHERE rk = 1),
-      lut AS (SELECT s.vec_id AS q_id, s.sub, c.cent_id, $pqD2 AS qd2
-        FROM subs s JOIN cb c USING (sub) WHERE s.vec_id < 10),
-      est AS (SELECT cn.q_id, cn.vec_id,
-          CAST(SUM(CAST(l.qd2 AS DECIMAL(18,4))) AS DOUBLE) AS est
-        FROM cands cn JOIN codes cd ON cd.vec_id = cn.vec_id
-        JOIN lut l ON l.q_id = cn.q_id AND l.sub = cd.sub AND l.cent_id = cd.cent_id
-        GROUP BY cn.q_id, cn.vec_id),
-      topk AS (SELECT q_id, vec_id, est,
-          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id) AS rnk
-        FROM est)
-      SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, ROUND(est, 4) AS est_d2
-      FROM topk WHERE rnk <= 5 ORDER BY q_id, rnk"""
-    },
+    "s14_ivf_pq" -> ivfPqSql,
 
+    // the stored-index round-trip must answer exactly what the in-memory
+    // composition answers — one oracle, two routes
+    "s15_pq_stored" -> ivfPqSql,
+
+    
     "s06_quantized_knn" -> """
       WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       s AS (SELECT MAX(GREATEST(ABS(list_max(v)), ABS(list_min(v)))) s FROM e),

@@ -23,7 +23,12 @@ object MysqlClient {
 final class MysqlClient(host: String, port: Int,
                         user: String = "mindsdb", database: String = "mindsdb",
                         password: String = "",
-                        charset: Int = MysqlWire.CHARSET_UTF8) {
+                        charset: Int = MysqlWire.CHARSET_UTF8,
+                        /** the auth plugin the client CLAIMS (MySQL 8
+                          * connectors claim caching_sha2_password); a
+                          * non-native claim exercises the server's
+                          * AuthSwitchRequest redirect. */
+                        authPlugin: String = "mysql_native_password") {
 
   import MysqlClient.{Ok, ResultSet}
 
@@ -54,18 +59,34 @@ final class MysqlClient(host: String, port: Int,
     // mysql_native_password scramble over the 20-byte nonce; empty
     // password sends an empty auth response (both the reference's
     // default and ours accept it)
-    val auth = MysqlServer.nativePasswordScramble(password, salt)
+    val auth =
+      if (authPlugin == "mysql_native_password")
+        MysqlServer.nativePasswordScramble(password, salt)
+      else Array.emptyByteArray // foreign plugin: expect an auth switch
     val resp = new ByteWriter()
       .u32(clientCaps).u32(16777216L).u8(charset)
       .raw(new Array[Byte](23))
       .nulTerminated(user)
       .u8(auth.length).raw(auth)
       .nulTerminated(database)
-      .nulTerminated("mysql_native_password")
+      .nulTerminated(authPlugin)
       .result()
     io.write(resp)
     io.flush()
-    val answer = io.read()
+    var answer = io.read()
+    if ((answer(0) & 0xff) == 0xfe && answer.length > 1) {
+      // AuthSwitchRequest: plugin name + fresh nonce; answer the
+      // requested plugin's raw scramble
+      val sw = new ByteReader(answer)
+      sw.u8()
+      val plugin = sw.nulTerminated()
+      require(plugin == "mysql_native_password", s"unsupported switch: $plugin")
+      val nonce = sw.bytes(math.min(20, sw.remaining))
+      val scr = MysqlServer.nativePasswordScramble(password, nonce)
+      io.write(if (scr.isEmpty) Array(0.toByte) else scr)
+      io.flush()
+      answer = io.read()
+    }
     require((answer(0) & 0xff) == 0x00,
       s"handshake rejected: ${describeErr(answer)}")
   }

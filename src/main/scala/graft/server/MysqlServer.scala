@@ -223,6 +223,7 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
     var username = ""
     var authResponse = Array.emptyByteArray
     var clientCharset = 0
+    var clientPlugin = "mysql_native_password"
     try {
       r.u32() // max packet size
       clientCharset = r.u8() // charset
@@ -232,7 +233,23 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
         if ((clientCaps & CLIENT_PLUGIN_AUTH_LENENC) != 0) r.lenencBytes()
         else if ((clientCaps & CLIENT_SECURE_CONNECTION) != 0) r.bytes(r.u8())
         else r.nulTerminated().getBytes("UTF-8")
+      if ((clientCaps & CLIENT_CONNECT_WITH_DB) != 0) r.nulTerminated() // database
+      if ((clientCaps & CLIENT_PLUGIN_AUTH) != 0) clientPlugin = r.nulTerminated()
     } catch { case _: Throwable => }
+    // client speaks a different auth plugin (MySQL 8 connectors default
+    // to caching_sha2_password): AuthSwitchRequest redirects it to
+    // mysql_native_password with the same nonce — mysql_proxy.py
+    // switch_auth; the client re-scrambles and answers raw bytes
+    if (authPassword.nonEmpty && clientPlugin != "mysql_native_password") {
+      io.write(new ByteWriter().u8(0xfe)
+        .nulTerminated("mysql_native_password")
+        .raw(salt).u8(0).result())
+      io.flush()
+      authResponse = try io.read() catch { case _: Throwable => Array.emptyByteArray }
+      // a one-NUL response means "empty password" (reference switch_out)
+      if (authResponse.length == 1 && authResponse(0) == 0)
+        authResponse = Array.emptyByteArray
+    }
     if (authPassword.nonEmpty) {
       val expected = MysqlServer.nativePasswordScramble(authPassword, salt)
       val okUser = username == authUser

@@ -278,6 +278,28 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally authed.stop()
   }
 
+  test("auth switch: a caching_sha2 client is redirected to native password") {
+    // MySQL 8 connectors claim caching_sha2_password; the server answers
+    // AuthSwitchRequest (mysql_proxy.py switch_auth) and verifies the
+    // re-scrambled response
+    val authed = new MysqlServer(spark, dir,
+      authUser = "alice", authPassword = "s3cret").start()
+    try {
+      val good = new MysqlClient("127.0.0.1", authed.boundPort,
+        user = "alice", password = "s3cret",
+        authPlugin = "caching_sha2_password")
+      val Right(rs) = good.query("SELECT 2 AS two"): @unchecked
+      assert(rs.rows.head.head === "2")
+      good.close()
+      val bad = intercept[Exception] {
+        new MysqlClient("127.0.0.1", authed.boundPort,
+          user = "alice", password = "wrong",
+          authPlugin = "caching_sha2_password")
+      }
+      assert(bad.getMessage.contains("Access denied"))
+    } finally authed.stop()
+  }
+
   test("charset negotiation: the handshake charset byte sets the session triple") {
     // utf8mb4 (id 45) client
     val c = new MysqlClient("127.0.0.1", server.boundPort, charset = 45)

@@ -87,27 +87,51 @@ final class Jobs {
   def lastRunAt(name: String): Option[Instant] = synchronized {
     history.reverseIterator.find(_.job == name.toLowerCase).map(_.at)
   }
+  /** snapshot of one job's run history (REST history route) — the
+    * daemon appends concurrently, so readers MUST come through here. */
+  def historyOf(name: String): Seq[JobRun] = synchronized {
+    history.filter(_.job == name.toLowerCase).toSeq
+  }
+  def hasHistory(name: String): Boolean = synchronized {
+    history.exists(_.job == name.toLowerCase)
+  }
+
+  /** Serializes ticks WITHOUT holding the Jobs monitor: a job's task/IF
+    * runs SQL, which takes Commands.analysisLock, while meta-table
+    * queries hold analysisLock and call the synchronized list()/
+    * lastRunAt() here — holding the monitor across task execution would
+    * be an AB-BA deadlock (daemon: Jobs→analysisLock; session:
+    * analysisLock→Jobs). Tasks therefore run lock-free between short
+    * monitor-held state reads/writes. */
+  private val tickLock = new Object
 
   /** One scheduler tick (the daemon loop body): run every due job whose
     * IF condition holds, record history, advance next_run. A job past
-    * its end date deactivates (jobs_controller deletion semantics).
-    * Synchronized against create/drop — the daemon thread and SQL
-    * sessions share this instance. */
-  def tick(now: Instant): Seq[JobRun] = synchronized {
-    val ran = jobs.values.toSeq.filter(j => j.active && !j.nextRun.isAfter(now)).map { j =>
+    * its end date deactivates (jobs_controller deletion semantics). */
+  def tick(now: Instant): Seq[JobRun] = tickLock.synchronized {
+    val due = synchronized {
+      jobs.values.toSeq.filter(j => j.active && !j.nextRun.isAfter(now))
+    }
+    val ran = due.map { j =>
+      // task/ifCondition run OUTSIDE the Jobs monitor (see tickLock)
       val run =
-        if (j.end.exists(_.isBefore(now))) { j.active = false; JobRun(j.name, now, ok = true, Some("expired")) }
+        if (j.end.exists(_.isBefore(now))) {
+          synchronized { j.active = false }
+          JobRun(j.name, now, ok = true, Some("expired"))
+        }
         else if (!j.ifCondition()) JobRun(j.name, now, ok = true, Some("skipped-if"))
         else try { j.task(); JobRun(j.name, now, ok = true, None) }
         catch { case e: Exception => JobRun(j.name, now, ok = false, Some(e.getMessage)) }
-      // schedule strictly beyond `now` even after missed ticks
-      while (!j.nextRun.isAfter(now)) {
-        j.nextRun = nextDate(j.schedule,
-          if (j.nextRun == Instant.EPOCH) now else j.nextRun)
+      synchronized {
+        // schedule strictly beyond `now` even after missed ticks
+        while (!j.nextRun.isAfter(now)) {
+          j.nextRun = nextDate(j.schedule,
+            if (j.nextRun == Instant.EPOCH) now else j.nextRun)
+        }
       }
       run
     }
-    history ++= ran.filter(r => r.error.forall(_ != "expired"))
+    synchronized { history ++= ran.filter(r => r.error.forall(_ != "expired")) }
     ran
   }
 }

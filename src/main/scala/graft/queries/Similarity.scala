@@ -204,19 +204,20 @@ object Similarity extends QueryPack {
 
     // ---- Product quantization (PQ) with asymmetric distance — THE
     // standard large-scale embedding compression (FAISS IVF-PQ): the
-    // 64-dim vector splits into m=4 subvectors of 16 dims, each encoded
-    // as its nearest of ks=8 per-subspace centroids, so a vector stores
-    // as 4 bytes instead of 256. Query time is table-lookup only: the
-    // query precomputes its 4×8 subspace-distance table (ADC), and a
-    // candidate's estimated distance is the sum of 4 looked-up entries —
-    // no float vector math per candidate. Scale shape: the codebook and
-    // the per-query LUT are BROADCAST scalars (32 rows each); encoding is
-    // a narrow per-vector map; ranking sums 4 DECIMAL-cast rounded
-    // entries per candidate (order-independent → hash-exact) and
+    // 64-dim vector splits into m=16 subvectors of 4 dims, each encoded
+    // as its nearest of ks=16 per-subspace centroids, so a vector stores
+    // as 16 bytes instead of 256. Query time is table-lookup only: the
+    // query precomputes its 16×16 subspace-distance table (ADC), and a
+    // candidate's estimated distance is the sum of 16 looked-up entries
+    // — no float vector math per candidate. Scale shape: the codebook
+    // and the per-query LUT are BROADCAST scalars (256 rows each);
+    // encoding is a narrow per-vector map; ranking sums 16 DECIMAL-cast
+    // rounded entries per candidate (order-independent → hash-exact) and
     // TakeOrdereds. Codebooks are stand-ins from the corpus head, same
     // convention as ivfTopK (s07 supplies the trained path).
     "s12_pq_topk" -> ((s, dir) => {
       val e = emb(s, dir)
+      // geometry (m=16 subspaces × 4 dims, ks=16) lives in pqIndex
       val (codes, lutOf) = pqIndex(e)
       val lut = lutOf(col("vec_id") === 0)
       codes.filter(col("vec_id") =!= 0)
@@ -311,7 +312,10 @@ object Similarity extends QueryPack {
     // round-trip proof.
     "s15_pq_stored" -> ((s, dir) => {
       val e = emb(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("pq_idx").toString
+      // ONE stable per-JVM location, overwritten per run — a fresh
+      // createTempDirectory per invocation would leak parquet garbage
+      // across the bench's 4+ runs of this query
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_pq_idx"
       // build phase: persist cells + codes
       val (assigned, probesLive) = ivfCells(e, col("vec_id") < 10, nCent = 8, nProbe = 2)
       assigned.select(col("vec_id"), col("cell"))
@@ -518,7 +522,7 @@ object Similarity extends QueryPack {
           GROUP BY cell, i)
         GROUP BY cell)"""
 
-  /** 16-dim subspace squared L2 between subs alias `s` and codebook
+  /** 4-dim subspace squared L2 between subs alias `s` and codebook
     * alias `c`, rounded like the Spark side (pqIndex.d2). */
   private val pqD2 =
     """ROUND(list_sum(list_transform(range(1, 5),

@@ -289,13 +289,16 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
     new java.util.concurrent.ConcurrentHashMap[Long, (Long, String, String)]()
   private val tabSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def tabMeta(id: Long): Obj = {
-    val (index, name, _) = tabsStore.get(id)
-    obj("id" -> num(id), "index" -> num(index), "name" -> str(name))
+  private def tabMeta(id: Long): Obj = Option(tabsStore.get(id)) match {
+    // a concurrent DELETE between snapshot and read leaves just the id
+    case Some((index, name, _)) =>
+      obj("id" -> num(id), "index" -> num(index), "name" -> str(name))
+    case None => obj("id" -> num(id))
   }
   private def tabsMeta(): Arr = {
     import scala.jdk.CollectionConverters._
-    Arr(tabsStore.keySet.asScala.toSeq.sorted.map(tabMeta))
+    Arr(tabsStore.keySet.asScala.toSeq.sorted
+      .filter(tabsStore.containsKey(_)).map(tabMeta))
   }
 
   private def handleTabs(ex: HttpExchange): Unit =
@@ -845,7 +848,9 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
               write(obj("type" -> str("start"), "agent" -> str(a))),
               write(obj("type" -> str("output"), "content" -> str(answer))),
               write(obj("type" -> str("end"))))
-            reply(ex, 200, lines.map(l => s"data: $l\n").mkString, "text/event-stream")
+            // blank line terminates each SSE event — without it a
+            // spec-compliant EventSource never dispatches anything
+            reply(ex, 200, lines.map(l => s"data: $l\n\n").mkString, "text/event-stream")
           }
 
         // ---------------- jobs namespace (api/http/namespaces/jobs.py)
@@ -880,10 +885,12 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
           if (tenantState().jobs.get(j).isEmpty) crudError(ex, 404, s"Job with name $j does not exist")
           else { tenantState().jobs.drop(j); reply(ex, 204, "") }
         case ("GET", Seq(_, "jobs", j, "history")) =>
-          if (tenantState().jobs.get(j).isEmpty && !tenantState().jobs.history.exists(_.job == j.toLowerCase))
+          // reads go through Jobs' synchronized snapshot accessors — the
+          // daemon thread appends to history concurrently
+          if (tenantState().jobs.get(j).isEmpty && !tenantState().jobs.hasHistory(j))
             crudError(ex, 404, s"Job with name $j does not exist")
           else reply(ex, 200, write(Arr(
-            tenantState().jobs.history.filter(_.job == j.toLowerCase).toSeq.map(r => obj(
+            tenantState().jobs.historyOf(j).map(r => obj(
               "name" -> str(r.job),
               "run_at" -> str(MysqlServer.textOf(java.sql.Timestamp.from(r.at))),
               "ok" -> Bool(r.ok),
@@ -1220,7 +1227,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
                   "content" -> str("working"), "metadata" -> obj())),
                 write(obj("is_task_complete" -> Bool(true),
                   "content" -> str(answer), "metadata" -> obj())))
-              reply(ex, 200, lines.map(l => s"data: $l\n").mkString,
+              reply(ex, 200, lines.map(l => s"data: $l\n\n").mkString,
                 "text/event-stream")
             }
           }

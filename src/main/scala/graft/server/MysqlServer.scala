@@ -103,10 +103,12 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
       // charset negotiation: the HandshakeResponse41 charset byte drives
       // the session's character_set_* triple, same as a SET NAMES issued
       // by the client (connectors read @@character_set_client back)
-      MysqlServer.charsetName(clientCharset).foreach { n =>
-        try session.execute(s"SET NAMES $n")
-        catch { case _: Throwable => }
-      }
+      def applyCharset(to: Commands): Unit =
+        MysqlServer.charsetName(clientCharset).foreach { n =>
+          try to.execute(s"SET NAMES $n")
+          catch { case _: Throwable => }
+        }
+      applyCharset(session)
       var open = true
       while (open) {
         io.resetSeq()
@@ -126,6 +128,10 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
                   // meta-table providers to the tenant's frames
                   val st = tenants.of(id)
                   session = new Commands(spark, st.catalog, st.warehouse, st.jobs)
+                  // the fresh session must keep the negotiated charset —
+                  // connectors re-probe @@character_set_client after any
+                  // statement and would see the default otherwise
+                  applyCharset(session)
                   io.write(okPacket(info =
                     s"tenant ${if (id.trim.isEmpty) "default" else id.trim.toLowerCase}"))
                   io.flush()

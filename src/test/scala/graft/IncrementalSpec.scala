@@ -159,6 +159,41 @@ class IncrementalSpec extends AnyFunSuite {
     } finally daemon.stop()
   }
 
+  test("no deadlock: ticking job SQL concurrent with mindsdb.jobs meta reads") {
+    // the AB-BA hazard: a ticking job's SQL body takes
+    // Commands.analysisLock while a meta-table query holds analysisLock
+    // and reads the synchronized Jobs state — tick must NOT hold the
+    // Jobs monitor across task execution (Jobs.tickLock doc)
+    val cat = new graft.catalog.Catalog(spark, dir)
+    val wh = graft.catalog.Warehouse.temp(spark)
+    val c1 = new graft.sqlx.Commands(spark, cat, wh)
+    c1.execute("CREATE TABLE ddlk_t AS SELECT id FROM range(0, 3)")
+    c1.execute("CREATE JOB ddlk_job AS (SELECT COUNT(*) AS n FROM ddlk_t) EVERY 1 day")
+    val c2 = new graft.sqlx.Commands(spark, cat, wh, c1.jobs) // same Jobs store
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val base = Instant.parse("2026-02-01T00:00:00Z")
+    val ticker = new Thread(() => {
+      try (1 to 5).foreach(i =>
+        c1.jobs.tick(base.plusSeconds(i.toLong * 90000)))
+      catch { case e: Throwable => errors.add(s"tick: $e") }
+    })
+    val reader = new Thread(() => {
+      try (1 to 10).foreach { _ =>
+        c2.execute("SELECT COUNT(*) AS n FROM mindsdb.jobs").collect()
+        c2.execute("SELECT name FROM log.jobs_history").collect()
+      } catch { case e: Throwable => errors.add(s"read: $e") }
+    })
+    ticker.start(); reader.start()
+    ticker.join(60000); reader.join(60000)
+    assert(!ticker.isAlive && !reader.isAlive,
+      "deadlock: tick and meta-read did not finish inside 60s")
+    assert(errors.isEmpty, errors.toArray.mkString("; "))
+    assert(c1.jobs.historyOf("ddlk_job").size === 5)
+    assert(c1.jobs.historyOf("ddlk_job").forall(_.ok))
+    c1.execute("DROP JOB ddlk_job")
+    c1.execute("DROP TABLE ddlk_t")
+  }
+
   test("job that throws records a failed run and keeps scheduling") {
     val jobs = new Jobs
     jobs.create(Jobs.Job("bad", "every 1 min", () => throw new RuntimeException("boom")))

@@ -145,26 +145,118 @@ object Multimodal {
     * writes — no colorspace conversion, so 8-bit gray round-trips
     * losslessly. Runs distributed as mapPartitions; output is
     * (id, png: binary). */
+  /** Rasterize one id's pattern and encode through the JDK PNG codec —
+    * the per-frame primitive shared by still images and video frames. */
+  private def renderPng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def encodePngGray(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType), StructField("png", BinaryType)))
     val enc = RowEncoder.encoderFor(outSchema)
     df.select(col(idCol).cast(LongType)).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), renderPng(r.getLong(0))) }
+    }(enc)
+  }
+
+  // --------------------------------------------- video frame sampling
+
+  /** frames per video (3..6) and the pattern id of frame k — the
+    * closed-form contract the oracle recomputes. */
+  def frameCount(id: Long): Int = 3 + (id % 4).toInt
+  def framePatternId(id: Long, k: Int): Long = id * 7 + k * 3L
+
+  /** Deterministic multi-frame "video": the synthMp4 ftyp header (24
+    * bytes) followed by LENGTH-PREFIXED REAL PNG frames. The container
+    * is a stand-in (no codec ships in this sandbox) but every byte of
+    * plumbing is real: big-endian framing, per-frame codec payloads,
+    * distributed assembly. */
+  def encodeVideoFrames(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("video", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType)).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val (w, h) = pngDims(id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
-          y += 1
-        }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        def be4(v: Int): Unit = {
+          bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
+          bos.write((v >>> 8) & 0xff); bos.write(v & 0xff)
+        }
+        be4(24)
+        bos.write("ftyp".getBytes("US-ASCII"))
+        bos.write((if (id % 2 == 0) "isom" else "mp42").getBytes("US-ASCII"))
+        be4((512 + id % 256).toInt)
+        bos.write("iso2avc1".getBytes("US-ASCII"))
+        (0 until frameCount(id)).foreach { k =>
+          val png = renderPng(framePatternId(id, k))
+          be4(png.length)
+          bos.write(png)
+        }
         Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Walk the container and DECODE every `every`-th frame (the classic
+    * frame-sampling step a video-training pipeline runs before feature
+    * extraction): skip the ftyp header, follow the length prefixes,
+    * decode only sampled frames through the real PNG codec, and emit
+    * exact integer stats per sampled frame. Runs distributed as
+    * mapPartitions — one task never holds more than its own videos; the
+    * non-sampled frames are SKIPPED by offset arithmetic, never decoded
+    * (at 100 TB that skip is the point of sampling). */
+  def sampleVideoFrames(df: DataFrame, idCol: String, videoCol: String,
+      every: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("sum_px", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast(LongType), col(videoCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        def be4(off: Int): Int =
+          ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+            ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        var off = be4(0) // header box size
+        var k = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (off + 4 <= bytes.length) {
+          val len = be4(off); off += 4
+          if (k % every == 0) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, off, len))
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            out += Row(id, k, w, h, sum)
+          }
+          off += len
+          k += 1
+        }
+        out
       }
     }(enc)
   }

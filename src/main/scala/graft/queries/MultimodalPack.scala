@@ -98,6 +98,21 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("group_size"))
     }),
 
+    // video frame-sampling end to end: deterministic multi-frame
+    // containers (ftyp header + length-prefixed REAL PNG frames) are
+    // assembled distributed, then every 2nd frame is DECODED through
+    // the real codec — non-sampled frames skip by offset arithmetic,
+    // never decoding (the whole point of sampling at scale). The oracle
+    // recomputes every sampled frame's dims + pixel sum closed-form, so
+    // a hash match proves container walk + sampling + decode together.
+    "x08_video_frame_sample" -> ((s, dir) => {
+      val ids = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      sampleVideoFrames(encodeVideoFrames(ids, "doc_id"), "doc_id", "video",
+        every = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // batched mapPartitions decode + per-format aggregate
     "x02_image_features" -> ((s, dir) => {
       decodeFeatures(imgs(s, dir), "doc_id", "img")
@@ -167,6 +182,30 @@ object MultimodalPack extends QueryPack {
     // closed-form recomputation of the decoded-pixel stats: the Spark
     // side reads them from REAL decoded PNGs, so equality proves the
     // JDK codec round-trip is sample-exact
+    // sampled frames only (k % 2 = 0 of 3 + id%4 frames), pattern id
+    // fid = doc_id*7 + k*3 — the closed-form contract of
+    // Multimodal.framePatternId
+    "x08_video_frame_sample" -> """
+      WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+      f AS (
+        SELECT v.doc_id, k.range AS k, v.doc_id * 7 + k.range * 3 AS fid
+        FROM v JOIN (SELECT range FROM range(0, 8)) k
+          ON k.range < 3 + v.doc_id % 4 AND k.range % 2 = 0),
+      dims AS (
+        SELECT doc_id, k, fid,
+          8 + 2 * (fid % 5) AS w, 8 + 2 * ((fid * 3) % 5) AS h
+        FROM f),
+      px AS (
+        SELECT d.doc_id, d.k, d.w, d.h,
+          (d.fid * 31 + x.x * 7 + y.y * 13) % 256 AS p
+        FROM dims d
+        JOIN (SELECT range AS x FROM range(0, 16)) x ON x.x < d.w
+        JOIN (SELECT range AS y FROM range(0, 16)) y ON y.y < d.h)
+      SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+        CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+        CAST(SUM(p) AS BIGINT) AS sum_px
+      FROM px GROUP BY doc_id, k ORDER BY doc_id, frame_idx""",
+
     "x05_png_roundtrip" -> """
       WITH dims AS (
         SELECT doc_id,

@@ -37,6 +37,9 @@ final class Tenants(spark: SparkSession, sfDir: String,
 
   def default: Tenants.State = defaultState
   def list(): Seq[String] = states.keys.toSeq.sorted
+  /** every live tenant triple (default included) — the jobs daemon
+    * ticks all of them, the reference scheduler's all-companies pass. */
+  def allStates(): Seq[Tenants.State] = states.values.toSeq
 }
 
 object Tenants {

@@ -71,6 +71,11 @@ final class Jobs {
   private val jobs = mutable.LinkedHashMap[String, Job]()
   private val ids = new java.util.concurrent.atomic.AtomicLong(0L)
   val history: mutable.ArrayBuffer[JobRun] = mutable.ArrayBuffer.empty
+  /** retention bound: a long-lived server with a frequent job must not
+    * grow history (and the linear lastRunAt/historyOf scans over it)
+    * without bound — the reference stores runs in a DB table, this
+    * in-memory store keeps the newest runs per job. */
+  private val maxRunsPerJob = 200
 
   def create(job: Job): Unit = synchronized {
     parseSchedule(job.schedule) // validate eagerly, like CREATE JOB does
@@ -131,7 +136,16 @@ final class Jobs {
       }
       run
     }
-    synchronized { history ++= ran.filter(r => r.error.forall(_ != "expired")) }
+    synchronized {
+      history ++= ran.filter(r => r.error.forall(_ != "expired"))
+      // amortized compaction: only when past 2× the budget, keep the
+      // newest maxRunsPerJob runs per job (order otherwise preserved)
+      if (history.length > 2 * maxRunsPerJob * math.max(1, jobs.size)) {
+        val keep = history.zipWithIndex.groupBy(_._1.job).valuesIterator
+          .flatMap(_.takeRight(maxRunsPerJob)).toArray.sortBy(_._2).map(_._1)
+        history.clear(); history ++= keep
+      }
+    }
     ran
   }
 }
@@ -143,9 +157,14 @@ final class Jobs {
   * The thread is a daemon: an un-stopped scheduler can't pin the JVM
   * (same rule as the server pools — see verify-skill gotchas).
   */
-final class JobsDaemon(jobs: Jobs,
+final class JobsDaemon(stores: () => Seq[Jobs],
     clock: () => Instant = () => Instant.now(),
     periodMillis: Long = 30000L) {
+
+  /** single-store daemon (the pre-tenancy shape; specs use this). */
+  def this(jobs: Jobs, clock: () => Instant, periodMillis: Long) =
+    this(() => Seq(jobs), clock, periodMillis)
+  def this(jobs: Jobs) = this(() => Seq(jobs))
   private val wake =
     new java.util.concurrent.LinkedBlockingQueue[java.util.concurrent.CountDownLatch]()
   @volatile private var running = false
@@ -155,8 +174,13 @@ final class JobsDaemon(jobs: Jobs,
         try wake.poll(periodMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch { case _: InterruptedException => null }
       if (running) {
-        try jobs.tick(clock())
-        catch { case e: Throwable => System.err.println(s"[jobs-daemon] tick: $e") }
+        // every store ticks (the reference scheduler checks ALL
+        // companies' jobs each pass — a tenant-created job must run
+        // even though only the default store existed at daemon start)
+        stores().foreach { js =>
+          try js.tick(clock())
+          catch { case e: Throwable => System.err.println(s"[jobs-daemon] tick: $e") }
+        }
       }
       if (latch != null) latch.countDown()
     }

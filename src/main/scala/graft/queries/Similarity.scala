@@ -43,15 +43,20 @@ object Similarity extends QueryPack {
     }),
 
     "s02_knn_batch" -> ((s, dir) => {
-      // knn-join: 10 query vectors against all, top-5 each.
+      // knn-join: 10 query vectors against all, top-5 each. The ranking
+      // is SHARDED two-phase (Kb.shardedTopK): a flat
+      // Window.partitionBy(q_id) would pin one task per query holding
+      // the WHOLE corpus's scores — the exact single-partition shape AQE
+      // cannot split at 100 TB. Phase 1 ranks within (q_id, 64-way
+      // vec_id shard); phase 2 ranks only the ≤64×5 shard winners.
+      // Ordering is total (c DESC, vec_id), so results are identical.
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
-      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), cosineSim(col("v"), col("qv")).as("c"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      graft.kb.Kb.shardedTopK(scored, col("q_id"),
+          Seq(col("c").desc, col("vec_id")), k = 5, "rnk", col("vec_id"))
         .select(col("q_id"), col("vec_id"), col("rnk"), round(col("c"), 4).as("cos_sim"))
         .orderBy(col("q_id"), col("rnk"))
     }),
@@ -91,12 +96,12 @@ object Similarity extends QueryPack {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
-      e.join(broadcast(q), col("label") =!= col("q_label"))
+      val scored = e.join(broadcast(q), col("label") =!= col("q_label"))
         .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
           cosineSim(col("v"), col("qv")).as("c"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      // sharded two-phase top-k (see s02): no corpus-sized window task
+      graft.kb.Kb.shardedTopK(scored, col("q_id"),
+          Seq(col("c").desc, col("vec_id")), k = 5, "rnk", col("vec_id"))
         .select(col("q_id"), col("q_label"), col("rnk"),
           col("vec_id").as("neg_id"), col("label").as("neg_label"),
           round(col("c"), 4).as("cos_sim"))
@@ -289,14 +294,16 @@ object Similarity extends QueryPack {
         .select(col("q_id"), col("vec_id"))
       val (codes, lutOf) = pqIndex(e)
       val lut = lutOf(col("vec_id") < 10)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id"))
-      cands.join(codes, Seq("vec_id"))
+      val est = cands.join(codes, Seq("vec_id"))
         .join(lut, Seq("q_id", "sub", "cent_id"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
           .cast(DoubleType).as("est"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      // sharded two-phase top-k (see s02): even the IVF-pruned candidate
+      // set is ~nProbe/nCent of the corpus per query — still a
+      // corpus-fraction-sized single window task at scale
+      graft.kb.Kb.shardedTopK(est, col("q_id"),
+          Seq(col("est").asc, col("vec_id")), k = 5, "rnk", col("vec_id"))
         .select(col("q_id"), col("vec_id"), col("rnk"),
           round(col("est"), 4).as("est_d2"))
         .orderBy(col("q_id"), col("rnk"))
@@ -330,14 +337,14 @@ object Similarity extends QueryPack {
         .join(cells2, Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id"))
-      cands.join(codes2, Seq("vec_id"))
+      val est = cands.join(codes2, Seq("vec_id"))
         .join(lut, Seq("q_id", "sub", "cent_id"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(sum(col("qd2").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
           .cast(DoubleType).as("est"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      // sharded two-phase top-k (see s14) over the stored-index route
+      graft.kb.Kb.shardedTopK(est, col("q_id"),
+          Seq(col("est").asc, col("vec_id")), k = 5, "rnk", col("vec_id"))
         .select(col("q_id"), col("vec_id"), col("rnk"),
           round(col("est"), 4).as("est_d2"))
         .orderBy(col("q_id"), col("rnk"))
@@ -379,13 +386,14 @@ object Similarity extends QueryPack {
     */
   def ivfTopK(e: DataFrame, isQuery: Column, k: Int, nCent: Int, nProbe: Int): DataFrame = {
     val (assigned, probes) = ivfCells(e, isQuery, nCent, nProbe)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
-    probes.join(assigned, Seq("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), round(cosineSim(col("v"), col("qv")), 4).as("c"))
       .dropDuplicates("q_id", "vec_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // sharded two-phase top-k (see s02): the probed inverted lists are
+    // still a corpus fraction per query — never one window task
+    graft.kb.Kb.shardedTopK(scored, col("q_id"),
+        Seq(col("c").desc, col("vec_id")), k, "rnk", col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("rnk"), col("c").as("cos_sim"))
   }
 
@@ -475,13 +483,14 @@ object Similarity extends QueryPack {
         shiftrightunsigned(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)).as(Seq("band", "bkey")))
     val q = banded.filter(col("is_q"))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("bkey"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
-    q.join(banded, Seq("band", "bkey"))
+    val scored = q.join(banded, Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosineSim(col("v"), col("qv")).as("c"))
       .dropDuplicates("q_id", "vec_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // sharded two-phase top-k (see s02): LSH candidate lists grow with
+    // the corpus — ranking them must not collapse to one task per query
+    graft.kb.Kb.shardedTopK(scored, col("q_id"),
+        Seq(col("c").desc, col("vec_id")), k, "rnk", col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("rnk"), round(col("c"), 4).as("cos_sim"))
   }
 

@@ -49,12 +49,16 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   // server-global): a job created over REST or SQL must survive into the
   // next request, and the scheduler daemon ticks it between requests
   private val jobs = new graft.incremental.Jobs
-  private val jobsDaemon = new graft.incremental.JobsDaemon(jobs)
   // per-tenant namespaces keyed by the `company-id` request header (the
   // reference's HTTP middleware reads the same header into ctx.company_id;
   // no header → the shared default state, single-tenant path unchanged)
   private val tenants = new graft.catalog.Tenants(spark, sfDir,
     graft.catalog.Tenants.State(catalog, warehouse, jobs))
+  // ONE daemon ticking EVERY tenant's jobs store (the reference
+  // scheduler checks all companies each pass) — a job created under a
+  // company-id header must execute, not merely list
+  private val jobsDaemon =
+    new graft.incremental.JobsDaemon(() => tenants.allStates().map(_.jobs))
   private val currentTenant = new ThreadLocal[String]
   private def tenantState(): graft.catalog.Tenants.State = {
     val id = Option(currentTenant.get).getOrElse("")
@@ -111,7 +115,11 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   route("/api/handlers")(handleHandlers)
   route("/api/tree")(handleTree)
   route("/api/tab")(handleTabs)
-  route("/api/webhooks/chatbots")(handleChatbotWebhook)
+  // OPEN like the reference (webhooks_ns is excluded from
+  // protected_namespaces): external chat platforms cannot carry a
+  // session cookie — the per-chatbot webhook token in the path IS the
+  // authentication
+  route("/api/webhooks/chatbots", open = true)(handleChatbotWebhook)
   route("/mcp")(handleMcp)
   route("/api/databases")(handleDatabases)
   route("/api/projects")(handleProjects)
@@ -315,10 +323,13 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
       (ex.getRequestMethod, parts) match {
         case ("GET", Seq()) =>
           import scala.jdk.CollectionConverters._
-          reply(ex, 200, write(Arr(tabsStore.keySet.asScala.toSeq.sorted.map { id =>
-            val (index, name, content) = tabsStore.get(id)
-            obj("id" -> num(id), "index" -> num(index), "name" -> str(name),
-              "content" -> str(content))
+          // Option-guarded: a concurrent DELETE between the keySet
+          // snapshot and the read must drop the row, not NPE the listing
+          reply(ex, 200, write(Arr(tabsStore.keySet.asScala.toSeq.sorted.flatMap { id =>
+            Option(tabsStore.get(id)).map { case (index, name, content) =>
+              obj("id" -> num(id), "index" -> num(index), "name" -> str(name),
+                "content" -> str(content))
+            }
           })))
         case ("POST", Seq()) =>
           fields(Json.parse(readBody(ex))) match {
@@ -394,7 +405,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
                   val answer = ent.agent match {
                     case Some(agent) => askAgent(agent, t)
                     case None =>
-                      val q = t.replace("'", "''")
+                      val q = sqlStr(t)
                       session().execute(s"SELECT llm('$q') AS answer")
                         .collect().head.getString(0)
                   }
@@ -637,6 +648,16 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
     require(s.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid identifier: $s")
     s
   }
+
+  /** Escape untrusted text for splicing into a single-quoted SQL
+    * literal. Backslashes double FIRST — Spark's default parser honors
+    * backslash escapes, so escaping only quotes would let a trailing
+    * `\'` in the input neutralize the escape and break out of the
+    * string (injection from webhook senders). Quotes then double (`''`),
+    * the spelling both Spark and the router's quote-toggling scanners
+    * parse as a literal quote. */
+  private def sqlStr(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   private def handleDatabases(ex: HttpExchange): Unit =
     try {
@@ -1036,7 +1057,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
     * single completion seam shared by A2A, the agents namespace, and
     * /v1/chat/completions (reference: agents_controller.get_completion). */
   private def askAgent(agent: String, question: String): String = {
-    val q = question.replace("'", "''")
+    val q = sqlStr(question)
     session().execute(
       s"SELECT answer FROM ${sqlIdent(agent)} WHERE question = '$q'")
       .collect().headOption.map(_.getString(0)).getOrElse("")

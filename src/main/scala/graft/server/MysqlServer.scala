@@ -51,6 +51,11 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
   // per-tenant namespaces; "" is this shared default state
   private val tenants = new graft.catalog.Tenants(spark, sfDir,
     graft.catalog.Tenants.State(catalog, warehouse, serverJobs))
+  // the wire server runs its own scheduler pass over every tenant's
+  // store — a CREATE JOB over the MySQL protocol must execute, same as
+  // over REST (reference scheduler is process-global, not per-API)
+  private val jobsDaemon =
+    new graft.incremental.JobsDaemon(() => tenants.allStates().map(_.jobs))
   private val listener = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
   private val running = new AtomicBoolean(false)
   private val connCounter = new AtomicInteger(0)
@@ -75,11 +80,13 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
     }, "mysql-accept")
     acceptThread.setDaemon(true)
     acceptThread.start()
+    jobsDaemon.start()
     this
   }
 
   def stop(): Unit = {
     running.set(false)
+    jobsDaemon.stop()
     try listener.close() catch { case _: Throwable => }
   }
 

@@ -1910,9 +1910,14 @@ final class Commands(
     case ObjQuery(sel, name, where) if catalog.agent(name).isDefined =>
       // agent-as-table as SQL (sql_query.py:150-161): SELECT ... FROM
       // <agent> WHERE question = '...' completes the question
-      val q = """(?is)\s*question\s*=\s*'([^']*)'\s*""".r
+      // the literal accepts '' quote-doubling and backslash escapes
+      // (the spellings HttpApi.sqlStr emits and MySQL clients send);
+      // both unescape before the text reaches the completion
+      val q = """(?is)\s*question\s*=\s*'((?:[^'\\]|\\.|'')*)'\s*""".r
       where match {
-        case q(text) =>
+        case q(raw) =>
+          val text = raw.replace("''", "'")
+            .replaceAll("""\\(.)""", "$1")
           val questions = spark.range(1).select(lit(text).as("question"))
           // an agent linked to a knowledge base answers retrieval-
           // augmented (agents data={knowledge_bases:[…]}); others

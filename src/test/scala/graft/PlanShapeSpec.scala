@@ -474,6 +474,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"phase-1 window is not sharded — one task would hold the whole corpus per question:\n$plan")
   }
 
+  // the whole s-pack per-query top-k family ranks through the SAME
+  // two-phase sharded shape as k07/k17 — a flat
+  // Window.partitionBy(q_id) pins one task per query holding the whole
+  // corpus(-fraction) score list, the one shape AQE cannot split
+  for (q <- Seq("s02_knn_batch", "s04_ann_lsh", "s05_ann_ivf",
+      "s09_hard_negatives", "s14_ivf_pq", "s15_pq_stored"))
+    test(s"$q ranks via sharded two-phase top-k, never one corpus window per query") {
+      // structural check (plan STRINGS truncate wide projections, which
+      // would hide the pmod shard key): the optimized logical plan must
+      // hold ≥2 Window operators (the two phases) and a pmod(xxhash64)
+      // shard expression feeding phase 1
+      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val windows = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.size >= 2, s"expected the sharded two-phase window pair:\n$lp")
+      val hasShard = lp.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Pmod])))
+      assert(hasShard,
+        s"phase-1 window is not sharded — one task would hold a corpus slice per query:\n$lp")
+    }
+
   test("k17 batch retrieval: two-phase ranked windows, query table broadcasts") {
     val plan = executedPlan("k17_kb_batch_search")
     val windows = plan.sliding("Window".length).count(_ == "Window")

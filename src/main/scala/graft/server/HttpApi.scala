@@ -1215,6 +1215,13 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   // agents-as-tables SQL route.
   // ------------------------------------------------------------------
 
+  // A2A task store (reference InMemoryTaskManager, common/server/
+  // task_manager.py:84-88): tasks persist from tasks/send so tasks/get,
+  // tasks/cancel, and the push-notification config routes can serve the
+  // lifecycle; process-scoped like the reference's in-memory manager
+  private val a2aTasks = new java.util.concurrent.ConcurrentHashMap[String, Obj]()
+  private val a2aPush = new java.util.concurrent.ConcurrentHashMap[String, Value]()
+
   private def handleA2a(ex: HttpExchange): Unit =
     try {
       val req = Json.parse(readBody(ex))
@@ -1236,6 +1243,17 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
                 str("message.metadata.agentName and a text part are required")))))
           } else {
             val answer = askAgent(agent.get, text.get)
+            // persist the completed task (upsert_task + update_store):
+            // history holds the inbound message, artifacts the answer
+            val taskId = params.get("id").collect { case Str(s) => s }
+              .getOrElse(java.util.UUID.randomUUID().toString)
+            a2aTasks.put(taskId, obj(
+              "id" -> str(taskId),
+              "sessionId" -> params.get("sessionId").getOrElse(Null),
+              "status" -> obj("state" -> str("completed")),
+              "artifacts" -> arr(obj("parts" -> arr(obj(
+                "type" -> str("text"), "text" -> str(answer))))),
+              "history" -> arr(msg)))
             if (m == "tasks/send") {
               reply(ex, 200, rpc(obj(
                 "id" -> params.get("id").getOrElse(Null),
@@ -1252,6 +1270,48 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
                 "text/event-stream")
             }
           }
+        // ---- task lifecycle (task_manager.py:43-67, 94-105) ----
+        case Some("tasks/get") =>
+          val tid = params.get("id").collect { case Str(s) => s }
+          tid.flatMap(t => Option(a2aTasks.get(t))) match {
+            case None => reply(ex, 200, rpcError(id, -32001, "Task not found"))
+            case Some(task) =>
+              // append_task_history: last historyLength messages, or []
+              // when absent/non-positive (task_manager.py:234-240)
+              val hist = task.get("history").map(_.asArray).getOrElse(Seq.empty)
+              val hl = params.get("historyLength").collect { case Num(n, _) => n.toInt }
+              val trimmed = hl.filter(_ > 0).map(hist.takeRight).getOrElse(Seq.empty)
+              reply(ex, 200, rpc(Obj(task.fields + ("history" -> Arr(trimmed)))))
+          }
+        case Some("tasks/cancel") =>
+          val tid = params.get("id").collect { case Str(s) => s }
+          tid.flatMap(t => Option(a2aTasks.get(t))) match {
+            case None => reply(ex, 200, rpcError(id, -32001, "Task not found"))
+            // completed synchronous tasks are never cancelable — the
+            // reference's InMemoryTaskManager answers the same for every
+            // stored task (task_manager.py:104-112)
+            case Some(_) =>
+              reply(ex, 200, rpcError(id, -32002, "Task cannot be canceled"))
+          }
+        case Some("tasks/pushNotification/set") =>
+          val tid = params.get("id").collect { case Str(s) => s }
+          val cfg = params.get("pushNotificationConfig")
+          if (tid.exists(a2aTasks.containsKey) && cfg.isDefined) {
+            a2aPush.put(tid.get, cfg.get)
+            reply(ex, 200, rpc(obj("id" -> str(tid.get),
+              "pushNotificationConfig" -> cfg.get)))
+          } else reply(ex, 200, rpcError(id, -32603,
+            "An error occurred while setting push notification info"))
+        case Some("tasks/pushNotification/get") =>
+          val tid = params.get("id").collect { case Str(s) => s }
+          tid.flatMap(t => Option(a2aPush.get(t))) match {
+            case Some(cfg) => reply(ex, 200, rpc(obj("id" -> str(tid.get),
+              "pushNotificationConfig" -> cfg)))
+            case None => reply(ex, 200, rpcError(id, -32603,
+              "An error occurred while getting push notification info"))
+          }
+        case Some("tasks/resubscribe") =>
+          reply(ex, 200, rpcError(id, -32004, "This operation is not supported"))
         case other =>
           reply(ex, 200, write(obj("jsonrpc" -> str("2.0"), "id" -> id,
             "error" -> obj("code" -> num(-32601L),
@@ -1262,6 +1322,11 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
         try crudError(ex, 500, Option(e.getMessage).getOrElse(e.toString))
         catch { case _: Throwable => }
     }
+
+  /** JSON-RPC error envelope (common/types.py error classes). */
+  private def rpcError(id: Value, code: Long, message: String): String =
+    write(obj("jsonrpc" -> str("2.0"), "id" -> id,
+      "error" -> obj("code" -> num(code), "message" -> str(message))))
 
   // ------------------------------------------------------------------
 

@@ -28,13 +28,19 @@ final class MysqlClient(host: String, port: Int,
                           * connectors claim caching_sha2_password); a
                           * non-native claim exercises the server's
                           * AuthSwitchRequest redirect. */
-                        authPlugin: String = "mysql_native_password") {
+                        authPlugin: String = "mysql_native_password",
+                        /** send an SSLRequest after the greeting and
+                          * upgrade to TLS before the HandshakeResponse
+                          * (MySQL --ssl-mode=REQUIRED); the self-signed
+                          * server cert is trusted unconditionally, like
+                          * a client with --ssl-verify off. */
+                        useTls: Boolean = false) {
 
   import MysqlClient.{Ok, ResultSet}
 
-  private val sock = new Socket(host, port)
+  private var sock: Socket = new Socket(host, port)
   sock.setTcpNoDelay(true)
-  private val io = new PacketIo(
+  private var io = new PacketIo(
     new java.io.BufferedInputStream(sock.getInputStream),
     new java.io.BufferedOutputStream(sock.getOutputStream))
   connect()
@@ -54,8 +60,35 @@ final class MysqlClient(host: String, port: Int,
     val salt = salt1 ++ salt2
     val serverCaps = capsLow.toLong | (capsHigh.toLong << 16)
     require((serverCaps & CLIENT_PROTOCOL_41) != 0, "server is not protocol 4.1")
-    val clientCaps = CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION |
+    var clientCaps = CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION |
       CLIENT_PLUGIN_AUTH | CLIENT_CONNECT_WITH_DB | CLIENT_LONG_PASSWORD
+    if (useTls) {
+      require((serverCaps & CLIENT_SSL) != 0, "server does not offer TLS")
+      clientCaps |= CLIENT_SSL
+      // SSLRequest: the capability prefix alone (32-byte payload), then
+      // the socket upgrades and the real HandshakeResponse goes over TLS
+      io.write(new ByteWriter()
+        .u32(clientCaps).u32(16777216L).u8(charset)
+        .raw(new Array[Byte](23)).result())
+      io.flush()
+      val expectSeq = io.seq // write() already advanced past SSLRequest
+      val trustAll = new javax.net.ssl.X509TrustManager {
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLSv1.2")
+      ctx.init(null, Array[javax.net.ssl.TrustManager](trustAll), null)
+      val ssl = ctx.getSocketFactory.createSocket(sock, host, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(true)
+      ssl.startHandshake()
+      sock = ssl
+      io = new PacketIo(
+        new java.io.BufferedInputStream(ssl.getInputStream),
+        new java.io.BufferedOutputStream(ssl.getOutputStream))
+      io.seq = expectSeq
+    }
     // mysql_native_password scramble over the 20-byte nonce; empty
     // password sends an empty auth response (both the reference's
     // default and ours accept it)
@@ -74,6 +107,14 @@ final class MysqlClient(host: String, port: Int,
     io.write(resp)
     io.flush()
     var answer = io.read()
+    if (answer.length == 1 && (answer(0) & 0xff) == 0x04) {
+      // caching_sha2 full authentication (server FastAuthFail over
+      // TLS): answer the PLAINTEXT password, NUL-terminated — only
+      // ever sent on an encrypted channel
+      io.write(new ByteWriter().nulTerminated(password).result())
+      io.flush()
+      answer = io.read()
+    }
     if ((answer(0) & 0xff) == 0xfe && answer.length > 1) {
       // AuthSwitchRequest: plugin name + fresh nonce; answer the
       // requested plugin's raw scramble

@@ -94,7 +94,11 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
 
   private def handle(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
-    val io = new PacketIo(new java.io.BufferedInputStream(sock.getInputStream),
+    // handshake phase reads the RAW input stream (no read-ahead): an
+    // SSLRequest upgrade hands the very next socket bytes (ClientHello)
+    // to the TLS layer, so nothing may sit in a buffer; the session
+    // PacketIo re-wraps buffered after auth completes
+    var io = new PacketIo(sock.getInputStream,
       new java.io.BufferedOutputStream(sock.getOutputStream))
     var session = new Commands(spark, catalog, warehouse, serverJobs)
     val stmtIds = new AtomicLong(0)
@@ -105,8 +109,9 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
     // with new_params_bound_flag=0 sends values only (protocol contract)
     val stmtTypes = mutable.Map.empty[Long, Array[Int]]
     try {
-      val clientCharset = handshake(io)
+      val (clientCharset, io2) = handshake(sock, io)
       if (clientCharset < 0) return
+      io = io2
       // charset negotiation: the HandshakeResponse41 charset byte drives
       // the session's character_set_* triple, same as a SET NAMES issued
       // by the client (connectors read @@character_set_client back)
@@ -201,11 +206,12 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
     * (reference default config); with a configured password the
     * mysql_native_password scramble (or plaintext) is verified —
     * mysql_proxy.py:141-285 + middleware.py check_auth. */
-  private def handshake(io: PacketIo): Int = {
+  private def handshake(sock: Socket, io0: PacketIo): (Int, PacketIo) = {
+    var io = io0
     val salt = new Array[Byte](20)
     new java.util.Random().nextBytes(salt) // per-connection nonce
     salt.indices.foreach(i => if (salt(i) == 0) salt(i) = 1) // no NULs in auth data
-    val caps = ServerCapabilities
+    val caps = ServerCapabilities | CLIENT_SSL
     val greeting = new ByteWriter()
       .u8(0x0a).nulTerminated("8.0.17-graft")
       .u32(connCounter.get().toLong)
@@ -220,16 +226,33 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
       .result()
     io.write(greeting)
     io.flush()
-    val resp = io.read()
-    if (resp == null || resp.isEmpty) { io.write(okPacket()); io.flush(); return -1 }
-    val r = new ByteReader(resp)
-    val clientCaps = r.u32()
+    var resp = io.read()
+    if (resp == null || resp.isEmpty) { io.write(okPacket()); io.flush(); return (-1, io) }
+    var r = new ByteReader(resp)
+    var clientCaps = r.u32()
+    var isSsl = false
     if ((clientCaps & CLIENT_SSL) != 0 && resp.length < 36) {
-      // bare SSLRequest: TLS is not terminated here (reference requires a
-      // cert_path config for it; out of scope for the loopback server)
-      io.write(errPacket(1045, "28000", "SSL connections are not supported"))
-      io.flush()
-      return -1
+      // bare SSLRequest (mysql_proxy.py:184-195): upgrade the accepted
+      // socket to a server-mode TLS session over the self-signed
+      // service cert (make_ssl_cert analog), then read the REAL
+      // HandshakeResponse over the secured channel. The pre-upgrade
+      // PacketIo read the raw stream, so the ClientHello that follows
+      // is still on the socket for the TLS layer.
+      val expectSeq = io.seq
+      val f = MysqlServer.tlsContext.getSocketFactory
+        .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+      val ssl = f.createSocket(sock, null, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(false)
+      ssl.startHandshake()
+      io = new PacketIo(new java.io.BufferedInputStream(ssl.getInputStream),
+        new java.io.BufferedOutputStream(ssl.getOutputStream))
+      io.seq = expectSeq
+      isSsl = true
+      resp = io.read()
+      if (resp == null || resp.isEmpty) { io.write(okPacket()); io.flush(); return (-1, io) }
+      r = new ByteReader(resp)
+      clientCaps = r.u32()
     }
     // parse username + auth response; with no configured password the
     // parse stays best-effort and auth always succeeds
@@ -249,11 +272,31 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
       if ((clientCaps & CLIENT_CONNECT_WITH_DB) != 0) r.nulTerminated() // database
       if ((clientCaps & CLIENT_PLUGIN_AUTH) != 0) clientPlugin = r.nulTerminated()
     } catch { case _: Throwable => }
+    // caching_sha2_password FULL AUTH over the secured channel
+    // (mysql_proxy.py get_fast_auth_password / FastAuthFail packet):
+    // under TLS the server answers 0x04 ("perform full authentication")
+    // and the client sends its plaintext password — safe only because
+    // the channel is encrypted, which is exactly the reference's gate
+    // ("cant switch to caching_sha2_password without SSL").
+    var plaintextAuth = false
+    if (authPassword.nonEmpty && isSsl && clientPlugin == "caching_sha2_password") {
+      io.write(Array[Byte](0x04))
+      io.flush()
+      val ans = try io.read() catch { case _: Throwable => Array.emptyByteArray }
+      // PasswordAnswer: NUL-terminated plaintext (password_answer.py)
+      authResponse =
+        if (ans == null) Array.emptyByteArray
+        else if (ans.nonEmpty && ans.last == 0) ans.dropRight(1)
+        else ans
+      plaintextAuth = true
+    }
     // client speaks a different auth plugin (MySQL 8 connectors default
     // to caching_sha2_password): AuthSwitchRequest redirects it to
     // mysql_native_password with the same nonce — mysql_proxy.py
-    // switch_auth; the client re-scrambles and answers raw bytes
-    if (authPassword.nonEmpty && clientPlugin != "mysql_native_password") {
+    // switch_auth; the client re-scrambles and answers raw bytes.
+    // Non-TLS connections always take this downgrade (the reference
+    // refuses caching_sha2 without SSL for the same reason).
+    else if (authPassword.nonEmpty && clientPlugin != "mysql_native_password") {
       io.write(new ByteWriter().u8(0xfe)
         .nulTerminated("mysql_native_password")
         .raw(salt).u8(0).result())
@@ -266,17 +309,22 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
     if (authPassword.nonEmpty) {
       val expected = MysqlServer.nativePasswordScramble(authPassword, salt)
       val okUser = username == authUser
-      val okPass = java.util.Arrays.equals(authResponse, expected) ||
-        java.util.Arrays.equals(authResponse, authPassword.getBytes("UTF-8"))
+      // full-auth answered PLAINTEXT over TLS; otherwise the native
+      // scramble (or the legacy plaintext fallback) verifies
+      val okPass =
+        if (plaintextAuth)
+          java.util.Arrays.equals(authResponse, authPassword.getBytes("UTF-8"))
+        else java.util.Arrays.equals(authResponse, expected) ||
+          java.util.Arrays.equals(authResponse, authPassword.getBytes("UTF-8"))
       if (!okUser || !okPass) {
         io.write(errPacket(1045, "28000", s"Access denied for user $username"))
         io.flush()
-        return -1
+        return (-1, io)
       }
     }
     io.write(okPacket())
     io.flush()
-    clientCharset
+    (clientCharset, io)
   }
 
   /** True when the frame is the router's DML/DDL acknowledge shape —
@@ -476,6 +524,38 @@ object MysqlServer {
     case 45 | 46 | 224 | 255 => Some("utf8mb4")
     case 63 => Some("binary")
     case _ => None
+  }
+
+  /** Process-wide TLS context over a self-signed service certificate —
+    * the reference generates one at startup when cert_path is absent
+    * (utilities/wizards.py make_ssl_cert: self-signed CN=mdb_autogen,
+    * 10-year validity). The JDK ships no X.509 builder API, so the
+    * keypair+cert come from the JDK's own `keytool` into a temp PKCS12
+    * store, loaded once lazily. */
+  lazy val tlsContext: javax.net.ssl.SSLContext = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mysql_tls")
+    dir.toFile.deleteOnExit()
+    val ksPath = dir.resolve("server.p12")
+    val pw = "graft-tls-store"
+    val keytool = new ProcessBuilder(
+      s"${System.getProperty("java.home")}/bin/keytool",
+      "-genkeypair", "-alias", "mdb_autogen", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "3650",
+      "-dname", "CN=mdb_autogen, C=US, ST=California, L=Berkeley, O=Graft",
+      "-storetype", "PKCS12", "-keystore", ksPath.toString, "-storepass", pw)
+      .redirectErrorStream(true).start()
+    val out = new String(keytool.getInputStream.readAllBytes(), "UTF-8")
+    require(keytool.waitFor() == 0, s"keytool failed: $out")
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(ksPath)
+    try store.load(in, pw.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(store, pw.toCharArray)
+    // TLSv1.2 minimum, the reference's ssl_context.minimum_version
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLSv1.2")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
   }
 
   /** mysql_native_password scramble (the public protocol algorithm,

@@ -313,6 +313,57 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last("content").asString.nonEmpty)
   }
 
+  test("a2a task lifecycle: send -> get (history trim) -> pushNotification set/get -> cancel -> errors") {
+    def rpc(method: String, params: Json.Value): Json.Value = {
+      val resp = post("/a2a", Json.write(Json.obj(
+        "jsonrpc" -> Json.str("2.0"), "id" -> Json.str("lc-1"),
+        "method" -> Json.str(method), "params" -> params)))
+      assert(resp.statusCode() === 200)
+      Json.parse(resp.body())
+    }
+    // send persists the task under its id
+    val sent = rpc("tasks/send", Json.obj(
+      "id" -> Json.str("task-lc"), "sessionId" -> Json.str("sess-1"),
+      "message" -> Json.obj(
+        "role" -> Json.str("user"),
+        "parts" -> Json.arr(Json.obj("type" -> Json.str("text"),
+          "text" -> Json.str("what is a broadcast"))),
+        "metadata" -> Json.obj("agentName" -> Json.str("a2a_agent")))))
+    assert(sent("result")("status")("state").asString === "completed")
+    // get: default historyLength omits history (append_task_history)
+    val got = rpc("tasks/get", Json.obj("id" -> Json.str("task-lc")))
+    assert(got("result")("id").asString === "task-lc")
+    assert(got("result")("sessionId").asString === "sess-1")
+    assert(got("result")("status")("state").asString === "completed")
+    assert(got("result")("history").asArray.isEmpty)
+    // historyLength > 0 returns the trailing messages
+    val got2 = rpc("tasks/get", Json.obj("id" -> Json.str("task-lc"),
+      "historyLength" -> Json.num(5L)))
+    assert(got2("result")("history").asArray.size === 1)
+    // push-notification config round-trip
+    val cfg = Json.obj("url" -> Json.str("http://127.0.0.1:9/cb"),
+      "token" -> Json.str("t0k"))
+    val setR = rpc("tasks/pushNotification/set", Json.obj(
+      "id" -> Json.str("task-lc"), "pushNotificationConfig" -> cfg))
+    assert(setR("result")("pushNotificationConfig")("token").asString === "t0k")
+    val getR = rpc("tasks/pushNotification/get", Json.obj("id" -> Json.str("task-lc")))
+    assert(getR("result")("pushNotificationConfig")("url").asString
+      === "http://127.0.0.1:9/cb")
+    // a completed task is not cancelable (TaskNotCancelableError)
+    val cancel = rpc("tasks/cancel", Json.obj("id" -> Json.str("task-lc")))
+    assert(cancel("error")("code") === Json.num(-32002L))
+    // unknown ids: TaskNotFoundError on get/cancel, InternalError on
+    // push-notification routes (the reference's exact envelopes)
+    assert(rpc("tasks/get", Json.obj("id" -> Json.str("nope")))("error")("code")
+      === Json.num(-32001L))
+    assert(rpc("tasks/cancel", Json.obj("id" -> Json.str("nope")))("error")("code")
+      === Json.num(-32001L))
+    assert(rpc("tasks/pushNotification/get", Json.obj("id" -> Json.str("nope")))(
+      "error")("code") === Json.num(-32603L))
+    assert(rpc("tasks/resubscribe", Json.obj("id" -> Json.str("task-lc")))(
+      "error")("code") === Json.num(-32004L))
+  }
+
   test("a2a without an agent name is a JSON-RPC param error") {
     val resp = post("/a2a", Json.write(Json.obj(
       "jsonrpc" -> Json.str("2.0"), "id" -> Json.num(9L),

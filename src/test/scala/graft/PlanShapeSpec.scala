@@ -479,7 +479,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // Window.partitionBy(q_id) pins one task per query holding the whole
   // corpus(-fraction) score list, the one shape AQE cannot split
   for (q <- Seq("s02_knn_batch", "s04_ann_lsh", "s05_ann_ivf",
-      "s09_hard_negatives", "s14_ivf_pq", "s15_pq_stored"))
+      "s09_hard_negatives", "s14_ivf_pq", "s15_pq_stored",
+      "s16_ivfpq_trained", "s18_pq16x8_topk"))
     test(s"$q ranks via sharded two-phase top-k, never one corpus window per query") {
       // structural check (plan STRINGS truncate wide projections, which
       // would hide the pmod shard key): the optimized logical plan must

@@ -300,6 +300,47 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally authed.stop()
   }
 
+  test("TLS: SSLRequest upgrades the socket and queries run encrypted") {
+    // the server advertises CLIENT_SSL and terminates TLS on its
+    // self-signed cert (mysql_proxy.py:184-195 + make_ssl_cert analog)
+    val c = new MysqlClient("127.0.0.1", server.boundPort, useTls = true)
+    val Right(rs) = c.query("SELECT 41 AS x"): @unchecked
+    assert(rs.rows.head.head === "41")
+    c.close()
+  }
+
+  test("TLS: caching_sha2 full auth sends the plaintext password over the encrypted channel") {
+    val authed = new MysqlServer(spark, dir,
+      authUser = "alice", authPassword = "s3cret").start()
+    try {
+      // correct password authenticates via the FastAuthFail(0x04) →
+      // plaintext-answer full-auth flow — allowed only because TLS is up
+      val good = new MysqlClient("127.0.0.1", authed.boundPort,
+        user = "alice", password = "s3cret",
+        authPlugin = "caching_sha2_password", useTls = true)
+      val Right(rs) = good.query("SELECT 3 AS three"): @unchecked
+      assert(rs.rows.head.head === "3")
+      good.close()
+      // wrong password over TLS → ERR 1045 Access denied
+      val bad = intercept[Exception] {
+        new MysqlClient("127.0.0.1", authed.boundPort,
+          user = "alice", password = "wrong",
+          authPlugin = "caching_sha2_password", useTls = true)
+      }
+      assert(bad.getMessage.contains("1045") &&
+        bad.getMessage.contains("Access denied"))
+      // WITHOUT TLS the same claim still downgrades to native password
+      // via AuthSwitchRequest (the reference refuses caching_sha2 off
+      // an unencrypted channel) — and still authenticates
+      val plain = new MysqlClient("127.0.0.1", authed.boundPort,
+        user = "alice", password = "s3cret",
+        authPlugin = "caching_sha2_password")
+      val Right(rs2) = plain.query("SELECT 4 AS four"): @unchecked
+      assert(rs2.rows.head.head === "4")
+      plain.close()
+    } finally authed.stop()
+  }
+
   test("charset negotiation: the handshake charset byte sets the session triple") {
     // utf8mb4 (id 45) client
     val c = new MysqlClient("127.0.0.1", server.boundPort, charset = 45)

@@ -474,6 +474,44 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       table.fold(columnStats.values.flatten.toSeq)(t => columnStats.getOrElse(t, Nil)))
       .orderBy("table_name", "ordinal_position")
 
+  /** information_schema.META_TABLES (system_tables.py:515 — the
+    * data-catalog add-on table): one row per ANALYZEd table, the
+    * reference's "tables with loaded data-catalog records" scope, with
+    * ROW_COUNT from the stored statistics. Metadata-sized at any corpus
+    * scale — reads only catalog state. */
+  def metaTables(wh: Option[Warehouse] = None): DataFrame =
+    frame(StructType(Seq(
+      StructField("TABLE_CATALOG", StringType, nullable = false),
+      StructField("TABLE_SCHEMA", StringType, nullable = false),
+      StructField("TABLE_NAME", StringType, nullable = false),
+      StructField("TABLE_TYPE", StringType, nullable = false),
+      StructField("TABLE_DESCRIPTION", StringType),
+      StructField("ROW_COUNT", LongType))),
+      columnStats.toSeq.map { case (t, rows) =>
+        val tpe = if (views.contains(t)) "VIEW" else "BASE TABLE"
+        Row("def", "graft", t, tpe, null,
+          rows.headOption.map(_.getAs[Long](3)).orNull)
+      }).orderBy("TABLE_NAME")
+
+  /** information_schema.META_COLUMNS (system_tables.py:543): per-column
+    * data-catalog records of the ANALYZEd tables — type + nullability
+    * from the live schema, reference column set. */
+  def metaColumns(wh: Option[Warehouse] = None): DataFrame =
+    frame(StructType(Seq(
+      StructField("TABLE_CATALOG", StringType, nullable = false),
+      StructField("TABLE_SCHEMA", StringType, nullable = false),
+      StructField("TABLE_NAME", StringType, nullable = false),
+      StructField("COLUMN_NAME", StringType, nullable = false),
+      StructField("DATA_TYPE", StringType, nullable = false),
+      StructField("COLUMN_DESCRIPTION", StringType),
+      StructField("COLUMN_DEFAULT", StringType),
+      StructField("IS_NULLABLE", StringType, nullable = false))),
+      columnStats.keys.toSeq.flatMap { t =>
+        resolve(t, wh).schema.fields.map(f =>
+          Row("def", "graft", t, f.name, f.dataType.sql, null, null,
+            if (f.nullable) "YES" else "NO"))
+      }).orderBy("TABLE_NAME", "COLUMN_NAME")
+
   /** Data-catalog metadata rendered as one string for LLM/agent context
     * (DataCatalogRetriever.retrieve_metadata_as_string,
     * data_catalog_retriever.py:46-72): per table a header plus one line

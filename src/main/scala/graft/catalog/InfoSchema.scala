@@ -63,6 +63,10 @@ object InfoSchema {
     providers("statistics") = () => cat.infoStatistics(Some(wh))
     providers("column_statistics") = () => cat.infoColumnStatistics()
     providers("key_column_usage") = () => cat.infoKeyColumnUsage(Some(wh))
+    // data-catalog add-on tables (system_tables.py:515,543): the
+    // ANALYZE-populated catalog state as SELECT-able tables
+    providers("meta_tables") = () => cat.metaTables(Some(wh))
+    providers("meta_columns") = () => cat.metaColumns(Some(wh))
 
     // ---- MySQL-compat catalog tables (system_tables.py:346-543): BI
     // tools introspect THESE as SQL tables, not just the SHOW verbs.

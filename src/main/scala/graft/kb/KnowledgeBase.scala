@@ -169,6 +169,39 @@ object Kb {
   def ingest(docs: DataFrame, contentCol: String = "text"): DataFrame =
     chunk(docs, contentCol).withColumn("emb", embed(col("content")))
 
+  /** Chunk embedding through the OUT-OF-PROCESS BYOM worker
+    * (`embedding_model = {'provider': 'byom'}` — the reference runs
+    * embedding providers behind exactly this process boundary,
+    * ml_exec_base.py learn/predict processes). Scale design: ONE worker
+    * process per PARTITION, spawned inside the task and closed at task
+    * end — on a 1000-executor cluster each task streams its slice
+    * through a local sidecar in 64-row batches, so no chunk text ever
+    * funnels through the driver and worker crashes respawn per the
+    * [[graft.ml.ByomProcessEngine]] retry contract. The shipped worker
+    * model is the deterministic md5 projection (numerically ≡ [[embed]],
+    * keeping the DuckDB oracle valid); a real LLM provider is a worker
+    * swap, not an architecture change. */
+  def embedThroughWorker(chunks: DataFrame): DataFrame = {
+    val spark = chunks.sparkSession
+    val schema = chunks.schema.add("emb",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    val rdd = chunks.rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val eng = new graft.ml.ByomProcessEngine
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => eng.close()))
+        it.grouped(64).flatMap { batch =>
+          val embs = eng.embedTexts(batch.map(_.getAs[String]("content")), Dim)
+          batch.lazyZip(embs).map((r, e) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Partitioned ingest (query_planner.py:918-978): the reference
     * auto-rewrites `INSERT INTO kb SELECT …` into a batched, resumable
     * fetch plan. Composes keyset pagination (each batch a bounded

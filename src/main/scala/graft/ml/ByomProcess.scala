@@ -60,6 +60,26 @@ object ByomWorker {
               })
               Json.obj("ok" -> Json.Bool(true),
                 "preds" -> Arr(xs.map(x => Json.num(slope * x + intercept))))
+            case "embed" =>
+              // deterministic embedding model: the md5 hash-projection
+              // (component j = first-32-bits-of-md5(s+":"+j) scaled to
+              // [-1,1)) — numerically IDENTICAL to the in-JVM stub
+              // graft.kb.Kb.embed, so a knowledge base whose chunks
+              // embed through this worker stays oracle-reproducible; a
+              // real provider replaces this block with its model call
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val dim = req.get("dim").collect { case Num(n, _) => n.toInt }.getOrElse(8)
+              def emb1(s: String): Seq[Value] = (0 until dim).map { j =>
+                md.reset()
+                val hex = md.digest(s"$s:$j".getBytes("UTF-8"))
+                  .map("%02x".format(_)).mkString.substring(0, 8)
+                Json.num(java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0)
+              }
+              val texts = req("texts").asArray.map {
+                case Str(s) => s; case v => sys.error(s"non-text $v")
+              }
+              Json.obj("ok" -> Json.Bool(true),
+                "embs" -> Arr(texts.map(t => Arr(emb1(t)))))
             case "crash" => sys.exit(42) // test hook: die hard mid-protocol
             case other =>
               Json.obj("ok" -> Json.Bool(false), "error" -> Str(s"unknown op $other"))
@@ -142,6 +162,19 @@ final class ByomProcessEngine {
     require(resp("ok") == Json.Bool(true),
       s"predict failed: ${resp.get("error").getOrElse(Json.Null)}")
     resp("preds").asArray.map { case Num(n, _) => n; case v => sys.error(s"$v") }
+  }
+
+  /** Embed a batch of texts through the worker — the KB embedding
+    * provider seam (`embedding_model = {'provider': 'byom'}`). */
+  def embedTexts(texts: Seq[String], dim: Int = 8): Seq[Seq[Double]] = {
+    val resp = call(Json.write(Json.obj("op" -> Str("embed"),
+      "dim" -> Json.num(dim.toLong),
+      "texts" -> Arr(texts.map(Str(_))))))
+    require(resp("ok") == Json.Bool(true),
+      s"embed failed: ${resp.get("error").getOrElse(Json.Null)}")
+    resp("embs").asArray.map(_.asArray.map {
+      case Num(n, _) => n; case v => sys.error(s"$v")
+    })
   }
 
   /** Ask the worker to hard-exit mid-protocol (test hook). */

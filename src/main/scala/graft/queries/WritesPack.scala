@@ -263,6 +263,25 @@ object WritesPack extends QueryPack {
         FROM information_schema.plugins ORDER BY plugin_name""")
     }),
 
+    // information_schema.META_TABLES / META_COLUMNS — the data-catalog
+    // add-on tables (system_tables.py:515,543): ANALYZE loads the
+    // catalog records, then both tables SELECT and JOIN against the
+    // base information_schema namespace (reference column sets,
+    // ROW_COUNT/type/nullability from the stored state + live schema)
+    "i10_meta_catalog" -> ((s, dir) => {
+      val c = new graft.sqlx.Commands(s, new Catalog(s, dir), Warehouse.temp(s))
+      c.execute("ANALYZE TABLE nation")
+      c.execute("ANALYZE TABLE region")
+      c.execute("""SELECT m.TABLE_NAME AS table_name, m.TABLE_TYPE AS table_type,
+          m.ROW_COUNT AS row_count, t.table_type AS info_type,
+          c.COLUMN_NAME AS column_name, c.DATA_TYPE AS data_type,
+          c.IS_NULLABLE AS is_nullable
+        FROM information_schema.meta_tables m
+        JOIN information_schema.tables t ON m.TABLE_NAME = t.table_name
+        JOIN information_schema.meta_columns c ON m.TABLE_NAME = c.TABLE_NAME
+        ORDER BY table_name, column_name""")
+    }),
+
     // dynamic partition overwrite (Hive partitionOverwriteMode=dynamic):
     // refresh exactly the partitions the query produces — the daily-drop
     // re-ingest shape. Every untouched partition keeps its files
@@ -849,6 +868,50 @@ object WritesPack extends QueryPack {
       } finally api.stop()
     }),
 
+    // /api/analysis/query end-to-end (namespaces/analysis.py:44-98):
+    // the per-column insight envelope computed by the endpoint over a
+    // posted query, reconstructed as rows and hash-matched against the
+    // oracle's own stats — nr_rows, missing, exact distinct, min/max
+    // all route through the live HTTP server
+    "c21_http_analysis" -> ((s, dir) => {
+      val api = new graft.server.HttpApi(s, dir).start()
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        val q = "SELECT l_quantity, l_discount, l_returnflag FROM lineitem"
+        val resp = http.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:${api.boundPort}/api/analysis/query"))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              graft.server.Json.write(graft.server.Json.obj(
+                "query" -> graft.server.Json.str(q))))).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"http ${resp.statusCode()}")
+        val env = graft.server.Json.parse(resp.body())
+        val analysis = env("analysis")
+        val nr = analysis("nr_rows").asInstanceOf[graft.server.Json.Num].n.toLong
+        require(env("tables").asArray.map(_.asString) == Seq("lineitem"))
+        val cols = analysis("columns")
+        val rows = Seq("l_quantity", "l_discount", "l_returnflag").map { cn =>
+          val c = cols(cn)
+          def numOf(v: graft.server.Json.Value): Double =
+            v.asInstanceOf[graft.server.Json.Num].n
+          val mnmx: Option[(Double, Double)] = c match {
+            case o: graft.server.Json.Obj if o.fields.contains("min") =>
+              Some((numOf(c("min")), numOf(c("max"))))
+            case _ => None
+          }
+          (cn, nr, numOf(c("missing")("count")).toLong,
+            numOf(c("distinct")).toLong,
+            mnmx.map(x => math.rint(x._1 * 10000) / 10000),
+            mnmx.map(x => math.rint(x._2 * 10000) / 10000))
+        }
+        val sp = s; import sp.implicits._
+        rows.toDF("column_name", "nr_rows", "n_missing", "n_distinct",
+          "min_v", "max_v").orderBy(col("column_name"))
+      } finally api.stop()
+    }),
+
     // OpenAI-compatible /v1/chat/completions end-to-end: the litellm
     // entry point (api/litellm/start.py: model = agent name) over a
     // text2sql-skilled agent — the completion's grounding aggregate
@@ -983,6 +1046,25 @@ object WritesPack extends QueryPack {
         ('routine', 'topk_pairs', 'array<struct<key:bigint,payload:bigint>>', 'YES')
       ) AS t(kind, name, detail, extra)
       ORDER BY kind, name""",
+
+    // row counts computed live from the same parquet; types/nullability
+    // are the fixed schema facts of the test tables
+    "i10_meta_catalog" -> """
+      WITH m AS (
+        SELECT 'nation' AS tn, CAST(COUNT(*) AS BIGINT) AS rc FROM nation
+        UNION ALL
+        SELECT 'region' AS tn, CAST(COUNT(*) AS BIGINT) AS rc FROM region),
+      cols(tn, column_name, data_type) AS (VALUES
+        ('nation', 'n_nationkey', 'INT'),
+        ('nation', 'n_name', 'STRING'),
+        ('nation', 'n_regionkey', 'INT'),
+        ('region', 'r_regionkey', 'INT'),
+        ('region', 'r_name', 'STRING'))
+      SELECT m.tn AS table_name, 'BASE TABLE' AS table_type, m.rc AS row_count,
+        'BASE TABLE' AS info_type, c.column_name, c.data_type,
+        'YES' AS is_nullable
+      FROM m JOIN cols c ON m.tn = c.tn
+      ORDER BY table_name, column_name""",
 
     "i09_plugins" -> """
       SELECT * FROM (VALUES
@@ -1236,6 +1318,28 @@ object WritesPack extends QueryPack {
         ('globex', 'conn_globex', 'mem'), ('globex', 'conn_shared', 'mem'))
         AS t(tenant, name, engine)
       ORDER BY tenant, name""",
+
+    // per-column stats of the posted query, computed directly — the
+    // endpoint's envelope must carry the identical numbers
+    "c21_http_analysis" -> """
+      SELECT * FROM (
+        SELECT 'l_quantity' AS column_name, CAST(COUNT(*) AS BIGINT) AS nr_rows,
+          CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_missing,
+          CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+          ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS min_v,
+          ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS max_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+          COUNT(DISTINCT l_discount),
+          ROUND(CAST(MIN(l_discount) AS DOUBLE), 4),
+          ROUND(CAST(MAX(l_discount) AS DOUBLE), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+          COUNT(DISTINCT l_returnflag), NULL, NULL
+        FROM lineitem)
+      ORDER BY column_name""",
 
     "c17_http_sql" -> """
       SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,

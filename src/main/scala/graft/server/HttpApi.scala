@@ -121,6 +121,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   // authentication
   route("/api/webhooks/chatbots", open = true)(handleChatbotWebhook)
   route("/mcp")(handleMcp)
+  route("/api/analysis")(handleAnalysis)
   route("/api/databases")(handleDatabases)
   route("/api/projects")(handleProjects)
   route("/a2a")(handleA2a)
@@ -150,6 +151,148 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()
+  }
+
+  // ------------------------------------------------------------------
+  // /api/analysis — per-column dataset insights (namespaces/analysis.py:
+  // QueryAnalysis posts a query, DataAnalysis posts raw rows; both
+  // return {"analysis": ..., "timestamp": ...} envelopes). The
+  // reference delegates to dataprep_ml's analyze_dataset over an
+  // in-memory pandas frame; here the insights compute as TWO combinable
+  // Spark aggregation passes (stats, then histograms over the measured
+  // ranges) — same numbers, but the scan distributes, so the endpoint
+  // also holds when the posted query covers a large table.
+  // ------------------------------------------------------------------
+
+  private def handleAnalysis(ex: HttpExchange): Unit =
+    try {
+      import org.apache.spark.sql.functions._
+      val parts = tail(ex, "/api/analysis")
+      def now(): Value = num(System.currentTimeMillis() / 1000.0)
+      (ex.getRequestMethod, parts) match {
+        case ("POST", Seq("query")) =>
+          val body = Json.parse(readBody(ex))
+          val query = body.get("query").collect { case Str(s) => s }
+          val limit = body.get("limit").collect { case Num(n, _) => n.toInt }
+          query.map(_.trim).filter(_.nonEmpty) match {
+            case None => crudError(ex, 400, "Need provide query to analyze")
+            case Some(q) =>
+              val df0 = session().execute(q)
+              val df = limit.fold(df0)(df0.limit)
+              // tables named in the query (get_query_tables analog)
+              val tabs = "(?i)\\b(?:from|join)\\s+([A-Za-z_][\\w.]*)".r
+                .findAllMatchIn(q).map(_.group(1)).toSeq.distinct
+              reply(ex, 200, write(obj(
+                "analysis" -> analyzeDf(df),
+                "column_names" -> Arr(df.schema.fieldNames.toSeq.map(str)),
+                "row_count" -> num(df.count()),
+                "timestamp" -> now(),
+                "tables" -> Arr(tabs.map(str)))))
+          }
+        case ("POST", Seq("data")) =>
+          val body = Json.parse(readBody(ex))
+          val names = body.get("column_names").map(_.asArray).getOrElse(Seq.empty)
+            .collect { case Str(s) => s }
+          val data = body.get("data").map(_.asArray).getOrElse(Seq.empty)
+          if (names.isEmpty) crudError(ex, 400, "column_names required")
+          else {
+            // column is numeric when every non-null value is a number
+            val colVals = names.indices.map(i => data.map(_.asArray.lift(i)))
+            val numeric = colVals.map(_.forall {
+              case Some(Num(_, _)) | Some(Null) | None => true; case _ => false
+            })
+            val schema = StructType(names.zipWithIndex.map { case (nm, i) =>
+              StructField(nm, if (numeric(i)) DoubleType else StringType)
+            })
+            val rows = data.map { r =>
+              Row.fromSeq(names.indices.map { i =>
+                r.asArray.lift(i) match {
+                  case Some(Num(n, _)) if numeric(i) => n
+                  case Some(Null) | None => null
+                  case Some(Str(s)) => s
+                  case Some(v) => Json.write(v)
+                }
+              })
+            }
+            val df = spark.createDataFrame(
+              spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+            reply(ex, 200, write(obj(
+              "analysis" -> analyzeDf(df), "timestamp" -> now())))
+          }
+        case _ => crudError(ex, 405,
+          s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable =>
+        // analysis errors surface in the envelope, not as HTTP failures
+        // (DataAnalysis.post swallows analysis exceptions the same way)
+        reply(ex, 200, write(obj("analysis" -> obj(),
+          "timestamp" -> num(System.currentTimeMillis() / 1000.0),
+          "error" -> str(Option(e.getMessage).getOrElse(e.toString)))))
+    }
+
+  /** Per-column insights: dtype, missing count/share, exact distinct
+    * count, and for numerics min/max/mean + a 10-bucket histogram. Pass
+    * 1 is ONE multi-aggregate (plans as a single scan); pass 2 buckets
+    * numerics against the measured ranges — both map-side combinable. */
+  private def analyzeDf(df: DataFrame): Value = {
+    import org.apache.spark.sql.functions._
+    val fields = df.schema.fields
+    if (fields.isEmpty) return obj()
+    def isNum(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      Seq(count(col(f.name)).as(s"__c$i"),
+        countDistinct(col(f.name)).as(s"__d$i")) ++
+        (if (isNum(f.dataType)) Seq(
+          min(col(f.name)).cast(DoubleType).as(s"__mn$i"),
+          max(col(f.name)).cast(DoubleType).as(s"__mx$i"),
+          avg(col(f.name).cast(DoubleType)).as(s"__av$i"))
+        else Nil)
+    } :+ count(lit(1)).as("__n")
+    val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    val n = r.getAs[Long]("__n")
+    // histogram pass: 10 equal-width buckets over [min, max] per
+    // numeric column with a non-degenerate range
+    val histCols = fields.zipWithIndex.filter { case (f, i) =>
+      isNum(f.dataType) && !r.isNullAt(r.fieldIndex(s"__mn$i")) &&
+        r.getAs[Double](s"__mn$i") < r.getAs[Double](s"__mx$i")
+    }
+    val histRow = if (histCols.isEmpty || n == 0) None else {
+      val hAggs = histCols.flatMap { case (f, i) =>
+        val mn = r.getAs[Double](s"__mn$i"); val mx = r.getAs[Double](s"__mx$i")
+        val bucket = least(lit(9), floor(
+          (col(f.name).cast(DoubleType) - lit(mn)) / lit(mx - mn) * 10))
+        (0 until 10).map(b => sum(when(bucket === b, 1L).otherwise(0L))
+          .as(s"__h${i}_$b"))
+      }
+      Some(df.agg(hAggs.head, hAggs.tail.toIndexedSeq: _*).head())
+    }
+    val colsJson = fields.zipWithIndex.map { case (f, i) =>
+      val nonNull = r.getAs[Long](s"__c$i")
+      val base = Seq[(String, Value)](
+        "dtype" -> str(f.dataType.sql),
+        "missing" -> obj("count" -> num(n - nonNull),
+          "share" -> (if (n == 0) num(0.0) else num((n - nonNull).toDouble / n))),
+        "distinct" -> num(r.getAs[Long](s"__d$i")))
+      val nums = if (isNum(f.dataType) && !r.isNullAt(r.fieldIndex(s"__mn$i")))
+        Seq[(String, Value)](
+          "min" -> num(r.getAs[Double](s"__mn$i")),
+          "max" -> num(r.getAs[Double](s"__mx$i")),
+          "mean" -> num(r.getAs[Double](s"__av$i")))
+      else Nil
+      val hist = histRow.flatMap { h =>
+        if (histCols.exists(_._2 == i)) {
+          val mn = r.getAs[Double](s"__mn$i"); val mx = r.getAs[Double](s"__mx$i")
+          val w = (mx - mn) / 10
+          Some("histogram" -> obj(
+            "x" -> Arr((0 until 10).map(b => num(mn + b * w))),
+            "y" -> Arr((0 until 10).map(b => num(h.getAs[Long](s"__h${i}_$b"))))))
+        } else None
+      }
+      f.name -> Obj((base ++ nums ++ hist).toMap)
+    }
+    obj("nr_rows" -> num(n), "columns" -> Obj(colsJson.toMap))
   }
 
   private def handleStatus(ex: HttpExchange): Unit =

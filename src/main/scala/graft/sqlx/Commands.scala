@@ -1376,13 +1376,18 @@ final class Commands(
           else (src1, cc0)
         // preprocessor selection (preprocessing_config — text chunking is
         // the default; contextual and JSON chunkers opt in per KB)
-        val chunks = k.params.get("preprocessor") match {
-          case Some("contextual") =>
-            Kb.contextualChunk(src, contentCol).withColumn("emb", Kb.embed(col("content")))
-          case Some("json") =>
-            Kb.chunkJson(src, contentCol).withColumn("emb", Kb.embed(col("content")))
-          case _ => Kb.ingest(src, contentCol)
+        val chunked = k.params.get("preprocessor") match {
+          case Some("contextual") => Kb.contextualChunk(src, contentCol)
+          case Some("json") => Kb.chunkJson(src, contentCol)
+          case _ => Kb.chunk(src, contentCol)
         }
+        // embedding provider: a byom embedding_model routes every chunk
+        // through the out-of-process worker (one sidecar per partition);
+        // anything else embeds with the in-JVM deterministic stand-in
+        val chunks =
+          if (k.params.get("embedding_model").exists(_.toLowerCase.contains("byom")))
+            Kb.embedThroughWorker(chunked)
+          else chunked.withColumn("emb", Kb.embed(col("content")))
         val toWrite =
           if (warehouse.exists(k.storage) &&
               k.params.get("kb_skip_existing").exists(_.toBoolean))

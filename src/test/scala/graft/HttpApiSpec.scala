@@ -276,6 +276,44 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delete("/api/files/cities.csv").statusCode() === 404)
   }
 
+  test("/api/analysis/query returns per-column insights with histograms; /data analyzes raw rows") {
+    val resp = post("/api/analysis/query", Json.write(Json.obj(
+      "query" -> Json.str("SELECT n_nationkey, n_name FROM nation"),
+      "limit" -> Json.num(20L))))
+    assert(resp.statusCode() === 200)
+    val env = Json.parse(resp.body())
+    assert(env("row_count") === Json.num(20L))
+    assert(env("tables").asArray.map(_.asString) === Seq("nation"))
+    val cols = env("analysis")("columns")
+    val nk = cols("n_nationkey")
+    assert(nk("distinct") === Json.num(20L))
+    assert(nk("missing")("count") === Json.num(0L))
+    // numeric column carries min/max/mean + a 10-bucket histogram whose
+    // counts sum to the row count
+    assert(nk("min") === Json.num(0.0) && nk("max") === Json.num(19.0))
+    val ys = nk("histogram")("y").asArray.map {
+      case Json.Num(n, _) => n.toLong; case v => fail(s"bad bucket $v")
+    }
+    assert(ys.size === 10 && ys.sum === 20L)
+    // string column: stats but no histogram
+    val nn = cols("n_name")
+    assert(nn("distinct") === Json.num(20L))
+    assert(!nn.asObject.contains("histogram"))
+    // /data route over raw rows
+    val dresp = post("/api/analysis/data", Json.write(Json.obj(
+      "column_names" -> Json.arr(Json.str("x"), Json.str("s")),
+      "data" -> Json.arr(
+        Json.arr(Json.num(1L), Json.str("a")),
+        Json.arr(Json.num(2L), Json.str("b")),
+        Json.arr(Json.Null, Json.str("a"))))))
+    val denv = Json.parse(dresp.body())
+    assert(denv("analysis")("nr_rows") === Json.num(3L))
+    assert(denv("analysis")("columns")("x")("missing")("count") === Json.num(1L))
+    assert(denv("analysis")("columns")("s")("distinct") === Json.num(2L))
+    // missing query → 400 envelope (http_error "Missed query")
+    assert(post("/api/analysis/query", "{}").statusCode() === 400)
+  }
+
   // ------------------------------------------------- A2A
 
   test("a2a tasks/send answers through an agent") {

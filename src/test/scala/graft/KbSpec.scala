@@ -162,6 +162,46 @@ class KbSpec extends AnyFunSuite {
     assert(byOp("insert") === nDoc30to60)    // not stored
   }
 
+  test("byom embedding provider: KB ingest routes chunks through the worker process, search works") {
+    val wh = graft.catalog.Warehouse.temp(spark)
+    val c = new graft.sqlx.Commands(spark,
+      new graft.catalog.Catalog(spark, dir), wh)
+    c.execute("""CREATE KNOWLEDGE BASE kb_byom USING
+      embedding_model = {'provider': 'byom', 'model_name': 'md5-projection'}""")
+    c.execute("""INSERT INTO kb_byom
+      SELECT doc_id AS id, text AS content FROM documents WHERE doc_id < 12""")
+    // the worker's deterministic model is numerically identical to the
+    // in-JVM stub, so worker-embedded chunks must equal Kb.embed of the
+    // same content — proving every chunk actually crossed the process
+    // boundary AND that the oracle contract is preserved
+    val stored = wh.table("__kb_kb_byom")
+      .withColumn("expected", Kb.embed(col("content")))
+    assert(stored.count() > 0)
+    val mismatched = stored.filter(
+      expr("exists(zip_with(emb, expected, (a, b) -> abs(a - b) > 1e-12), x -> x)"))
+    assert(mismatched.count() === 0)
+    // search over the worker-embedded store behaves like any other KB
+    val hits = c.execute("SELECT * FROM kb_byom WHERE content = 'data' LIMIT 5")
+    assert(hits.count() > 0)
+  }
+
+  test("byom embedding worker: crash mid-batch respawns and finishes the embedding") {
+    val eng = new graft.ml.ByomProcessEngine
+    try {
+      val e1 = eng.embedTexts(Seq("alpha", "beta"))
+      assert(e1.length === 2 && e1.head.length === Kb.Dim)
+      // kill the worker between batches — the next call must respawn
+      eng.injectCrash()
+      val e2 = eng.embedTexts(Seq("alpha"))
+      assert(eng.respawnCount === 1)
+      assert(e2.head === e1.head) // deterministic across respawns
+      // and the numbers match the in-JVM stub exactly
+      val viaStub = spark.range(1).select(
+        Kb.embed(lit("alpha")).as("e")).head().getSeq[Double](0)
+      assert(e2.head === viaStub)
+    } finally eng.close()
+  }
+
   test("OR is a union (dedup on chunk_id); AND with meta is a filtered search") {
     val a = Kb.search(chunks, ContentIs("table scan"), 20)
     val b = Kb.search(chunks, Meta(col("lang") === "en"))

@@ -487,11 +487,15 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       StructField("TABLE_TYPE", StringType, nullable = false),
       StructField("TABLE_DESCRIPTION", StringType),
       StructField("ROW_COUNT", LongType))),
-      columnStats.toSeq.map { case (t, rows) =>
-        val tpe = if (views.contains(t)) "VIEW" else "BASE TABLE"
-        Row("def", "graft", t, tpe, null,
-          rows.headOption.map(_.getAs[Long](3)).orNull)
-      }).orderBy("TABLE_NAME")
+      columnStats.toSeq
+        // stale catalog records of since-dropped tables are skipped, not
+        // thrown: one DROP TABLE must never break the whole listing
+        .filter { case (t, _) => scala.util.Try(resolve(t, wh)).isSuccess }
+        .map { case (t, rows) =>
+          val tpe = if (views.contains(t)) "VIEW" else "BASE TABLE"
+          Row("def", "graft", t, tpe, null,
+            rows.headOption.map(_.getAs[Long](3)).orNull)
+        }).orderBy("TABLE_NAME")
 
   /** information_schema.META_COLUMNS (system_tables.py:543): per-column
     * data-catalog records of the ANALYZEd tables — type + nullability
@@ -507,9 +511,11 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       StructField("COLUMN_DEFAULT", StringType),
       StructField("IS_NULLABLE", StringType, nullable = false))),
       columnStats.keys.toSeq.flatMap { t =>
-        resolve(t, wh).schema.fields.map(f =>
-          Row("def", "graft", t, f.name, f.dataType.sql, null, null,
-            if (f.nullable) "YES" else "NO"))
+        // skip since-dropped tables (see metaTables)
+        scala.util.Try(resolve(t, wh)).toOption.toSeq.flatMap(
+          _.schema.fields.map(f =>
+            Row("def", "graft", t, f.name, f.dataType.sql, null, null,
+              if (f.nullable) "YES" else "NO")))
       }).orderBy("TABLE_NAME", "COLUMN_NAME")
 
   /** Data-catalog metadata rendered as one string for LLM/agent context

@@ -76,6 +76,13 @@ final class Jobs {
     * without bound — the reference stores runs in a DB table, this
     * in-memory store keeps the newest runs per job. */
   private val maxRunsPerJob = 200
+  /** hard cap on TOTAL retained runs (many short-lived distinct job
+    * names would otherwise dodge the per-name cap). */
+  private val maxTotalRuns = 10000
+  /** compaction floor: re-compact only after history doubles past the
+    * last compacted size — amortized O(1), never an every-tick rebuild
+    * when the per-name cap has nothing left to evict. */
+  private var compactFloor = 0
 
   def create(job: Job): Unit = synchronized {
     parseSchedule(job.schedule) // validate eagerly, like CREATE JOB does
@@ -138,12 +145,17 @@ final class Jobs {
     }
     synchronized {
       history ++= ran.filter(r => r.error.forall(_ != "expired"))
-      // amortized compaction: only when past 2× the budget, keep the
-      // newest maxRunsPerJob runs per job (order otherwise preserved)
-      if (history.length > 2 * maxRunsPerJob * math.max(1, jobs.size)) {
+      // amortized compaction: trigger only past BOTH the size budget
+      // and 2× the last compacted size, keep the newest maxRunsPerJob
+      // runs per job name then the newest maxTotalRuns overall (order
+      // otherwise preserved)
+      if (history.length > math.max(2 * maxRunsPerJob * math.max(1, jobs.size),
+          2 * compactFloor)) {
         val keep = history.zipWithIndex.groupBy(_._1.job).valuesIterator
           .flatMap(_.takeRight(maxRunsPerJob)).toArray.sortBy(_._2).map(_._1)
+          .takeRight(maxTotalRuns)
         history.clear(); history ++= keep
+        compactFloor = history.length
       }
     }
     ran

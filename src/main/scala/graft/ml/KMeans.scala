@@ -34,7 +34,11 @@ object KMeans {
   def quantize(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast(DoubleType) * 1e7 + 0.5).cast(LongType))
 
-  private def dist2(a: Column, c: Column): Column =
+  /** integer squared L2 over array<long> columns (exact 64-bit fold) —
+    * THE one spelling shared by k-means, PQ training, and the trained-PQ
+    * query pack: the DuckDB oracles' bit-for-bit contract depends on
+    * every site folding identically. */
+  def dist2(a: Column, c: Column): Column =
     aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   /** nearest-centroid assignment: (vec_id, v, cell). `cents` must be

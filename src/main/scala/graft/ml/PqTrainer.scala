@@ -26,16 +26,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object PqTrainer {
 
-  private def dist2(a: Column, c: Column): Column =
-    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
-
   /** nearest sub-centroid per (vec_id, sub): adds (scell, d2). `cb` must
     * be m×ks rows of (sub, scell, cv) — broadcast by construction. */
   def assign(subs: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2"), col("scell"))
     subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", dist2(col("rv"), col("cv")))
+      .withColumn("d2", KMeans.dist2(col("rv"), col("cv")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("sub"), col("rv"), col("scell"), col("d2"))
   }

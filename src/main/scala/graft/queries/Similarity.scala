@@ -598,9 +598,10 @@ object Similarity extends QueryPack {
     (codes, lutOf)
   }
 
-  /** integer squared L2 over array<long> columns (exact 64-bit fold). */
-  private def d2l(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+  /** integer squared L2 over array<long> columns — the ONE shared fold
+    * ([[graft.ml.KMeans.dist2]]); oracle bit-exactness depends on every
+    * site using it. */
+  private def d2l(a: Column, b: Column): Column = graft.ml.KMeans.dist2(a, b)
 
   /** Trained residual IVF-PQ index pieces on the 1e-7 integer grid:
     * (vq(vec_id, v), coarse(vec_id, cell, d2), cents(cell, cv),

@@ -178,16 +178,26 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
             case None => crudError(ex, 400, "Need provide query to analyze")
             case Some(q) =>
               val df0 = session().execute(q)
+              // persist for the duration of the request: the stats and
+              // histogram passes must see the SAME rows (LIMIT without
+              // ORDER BY is not deterministic across executions), and a
+              // heavy posted query must not re-execute per pass
               val df = limit.fold(df0)(df0.limit)
-              // tables named in the query (get_query_tables analog)
-              val tabs = "(?i)\\b(?:from|join)\\s+([A-Za-z_][\\w.]*)".r
-                .findAllMatchIn(q).map(_.group(1)).toSeq.distinct
-              reply(ex, 200, write(obj(
-                "analysis" -> analyzeDf(df),
-                "column_names" -> Arr(df.schema.fieldNames.toSeq.map(str)),
-                "row_count" -> num(df.count()),
-                "timestamp" -> now(),
-                "tables" -> Arr(tabs.map(str)))))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                // tables named in the query (get_query_tables analog)
+                val tabs = "(?i)\\b(?:from|join)\\s+([A-Za-z_][\\w.]*)".r
+                  .findAllMatchIn(q).map(_.group(1)).toSeq.distinct
+                val analysis = analyzeDf(df)
+                // row_count IS the analysis's nr_rows — never a third pass
+                val rowCount = analysis.get("nr_rows").getOrElse(num(0L))
+                reply(ex, 200, write(obj(
+                  "analysis" -> analysis,
+                  "column_names" -> Arr(df.schema.fieldNames.toSeq.map(str)),
+                  "row_count" -> rowCount,
+                  "timestamp" -> now(),
+                  "tables" -> Arr(tabs.map(str)))))
+              } finally df.unpersist()
           }
         case ("POST", Seq("data")) =>
           val body = Json.parse(readBody(ex))
@@ -1361,8 +1371,19 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   // A2A task store (reference InMemoryTaskManager, common/server/
   // task_manager.py:84-88): tasks persist from tasks/send so tasks/get,
   // tasks/cancel, and the push-notification config routes can serve the
-  // lifecycle; process-scoped like the reference's in-memory manager
-  private val a2aTasks = new java.util.concurrent.ConcurrentHashMap[String, Obj]()
+  // lifecycle; process-scoped like the reference's in-memory manager,
+  // but BOUNDED (insertion-order eviction at 1000 entries — the
+  // reference's dict grows forever, the same leak this repo capped for
+  // job history): evicting a task also drops its push config
+  private val a2aTasks = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Obj]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Obj]): Boolean = {
+        val evict = size() > 1000
+        if (evict) a2aPush.remove(e.getKey)
+        evict
+      }
+    })
   private val a2aPush = new java.util.concurrent.ConcurrentHashMap[String, Value]()
 
   private def handleA2a(ex: HttpExchange): Unit =
@@ -1398,8 +1419,10 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
                 "type" -> str("text"), "text" -> str(answer))))),
               "history" -> arr(msg)))
             if (m == "tasks/send") {
+              // the result echoes the STORED task id (a generated id
+              // must reach the caller or the stored task is orphaned)
               reply(ex, 200, rpc(obj(
-                "id" -> params.get("id").getOrElse(Null),
+                "id" -> str(taskId),
                 "status" -> obj("state" -> str("completed")),
                 "artifacts" -> arr(obj("parts" -> arr(obj(
                   "type" -> str("text"), "text" -> str(answer))))))))
@@ -1412,6 +1435,44 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
               reply(ex, 200, lines.map(l => s"data: $l\n\n").mkString,
                 "text/event-stream")
             }
+          }
+        // message/stream (task_manager.py:531-570): one SSE event — a
+        // SendStreamingMessageSuccessResponse carrying the FINAL
+        // TaskStatusUpdateEvent whose status.message is the completed
+        // agent answer, with the reference's exact id spellings
+        case Some("message/stream") =>
+          if (agent.isEmpty || text.isEmpty) {
+            reply(ex, 200, rpcError(id, -32602,
+              "message.metadata.agentName and a text part are required"))
+          } else {
+            val answer = askAgent(agent.get, text.get)
+            val sessionId = params.get("sessionId")
+              .collect { case Str(s) => s }.getOrElse("default")
+            val reqId = id match {
+              case Str(s) => s; case Num(_, raw) => raw; case _ => "0"
+            }
+            val taskId = s"msg_stream_${sessionId}_$reqId"
+            // streaming sends upsert their task too (task_manager.py
+            // upsert_task runs for every send variant) — the advertised
+            // taskId must answer tasks/get afterwards
+            a2aTasks.put(taskId, obj(
+              "id" -> str(taskId),
+              "sessionId" -> str(sessionId),
+              "status" -> obj("state" -> str("completed")),
+              "artifacts" -> arr(obj("parts" -> arr(obj(
+                "type" -> str("text"), "text" -> str(answer))))),
+              "history" -> arr(msg)))
+            val event = obj(
+              "id" -> str(taskId), "taskId" -> str(taskId),
+              "contextId" -> str(s"ctx_$sessionId"),
+              "final" -> Bool(true),
+              "metadata" -> obj("message_stream" -> Bool(true)),
+              "status" -> obj("state" -> str("completed"),
+                "message" -> obj("role" -> str("agent"),
+                  "messageId" -> str(s"msg_$reqId"),
+                  "parts" -> arr(obj("type" -> str("text"), "text" -> str(answer))),
+                  "metadata" -> obj())))
+            reply(ex, 200, s"data: ${rpc(event)}\n\n", "text/event-stream")
           }
         // ---- task lifecycle (task_manager.py:43-67, 94-105) ----
         case Some("tasks/get") =>

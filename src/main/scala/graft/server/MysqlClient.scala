@@ -107,10 +107,14 @@ final class MysqlClient(host: String, port: Int,
     io.write(resp)
     io.flush()
     var answer = io.read()
-    if (answer.length == 1 && (answer(0) & 0xff) == 0x04) {
-      // caching_sha2 full authentication (server FastAuthFail over
-      // TLS): answer the PLAINTEXT password, NUL-terminated — only
-      // ever sent on an encrypted channel
+    if ((answer.length == 2 && (answer(0) & 0xff) == 0x01 &&
+         (answer(1) & 0xff) == 0x04) ||
+        (answer.length == 1 && (answer(0) & 0xff) == 0x04)) {
+      // caching_sha2 full authentication — AuthMoreData(0x01) + 0x04
+      // "perform full authentication" (bare 0x04 accepted for the
+      // reference's FastAuthFail spelling): answer the PLAINTEXT
+      // password, NUL-terminated — only ever sent on an encrypted
+      // channel
       io.write(new ByteWriter().nulTerminated(password).result())
       io.flush()
       answer = io.read()

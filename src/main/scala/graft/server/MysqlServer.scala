@@ -280,7 +280,9 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
     // ("cant switch to caching_sha2_password without SSL").
     var plaintextAuth = false
     if (authPassword.nonEmpty && isSsl && clientPlugin == "caching_sha2_password") {
-      io.write(Array[Byte](0x04))
+      // AuthMoreData packet (0x01 tag) carrying 0x04 "perform full
+      // authentication" — the framing real MySQL 8 connectors parse
+      io.write(Array[Byte](0x01, 0x04))
       io.flush()
       val ans = try io.read() catch { case _: Throwable => Array.emptyByteArray }
       // PasswordAnswer: NUL-terminated plaintext (password_answer.py)
@@ -324,7 +326,16 @@ final class MysqlServer(spark: SparkSession, sfDir: String, port: Int = 0,
     }
     io.write(okPacket())
     io.flush()
-    (clientCharset, io)
+    // non-TLS sessions re-wrap BUFFERED for the command loop (the raw
+    // stream was only needed while an SSLRequest upgrade was possible;
+    // nothing is read ahead before this point, so no bytes are lost) —
+    // the TLS branch already built a buffered PacketIo over the SSL
+    // streams
+    val sessionIo =
+      if (isSsl) io
+      else new PacketIo(new java.io.BufferedInputStream(sock.getInputStream),
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+    (clientCharset, sessionIo)
   }
 
   /** True when the frame is the router's DML/DDL acknowledge shape —

@@ -402,6 +402,30 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "error")("code") === Json.num(-32004L))
   }
 
+  test("a2a message/stream answers one final TaskStatusUpdateEvent over SSE") {
+    val resp = post("/a2a", Json.write(Json.obj(
+      "jsonrpc" -> Json.str("2.0"), "id" -> Json.str("ms-1"),
+      "method" -> Json.str("message/stream"),
+      "params" -> Json.obj(
+        "sessionId" -> Json.str("sess-ms"),
+        "message" -> Json.obj(
+          "role" -> Json.str("user"),
+          "parts" -> Json.arr(Json.obj("type" -> Json.str("text"),
+            "text" -> Json.str("what is a partition"))),
+          "metadata" -> Json.obj("agent_name" -> Json.str("a2a_agent")))))))
+    assert(resp.headers().firstValue("Content-Type").orElse("")
+      .contains("text/event-stream"))
+    val events = resp.body().trim.linesIterator
+      .filter(_.startsWith("data: ")).toSeq
+    assert(events.size === 1)
+    val ev = Json.parse(events.head.stripPrefix("data: "))("result")
+    assert(ev("final") === Json.Bool(true))
+    assert(ev("taskId").asString === "msg_stream_sess-ms_ms-1")
+    assert(ev("contextId").asString === "ctx_sess-ms")
+    assert(ev("status")("state").asString === "completed")
+    assert(ev("status")("message")("parts").asArray.head("text").asString.nonEmpty)
+  }
+
   test("a2a without an agent name is a JSON-RPC param error") {
     val resp = post("/a2a", Json.write(Json.obj(
       "jsonrpc" -> Json.str("2.0"), "id" -> Json.num(9L),

@@ -122,6 +122,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   route("/api/webhooks/chatbots", open = true)(handleChatbotWebhook)
   route("/mcp")(handleMcp)
   route("/api/analysis")(handleAnalysis)
+  route("/api/util")(handleUtil)
   route("/api/databases")(handleDatabases)
   route("/api/projects")(handleProjects)
   route("/a2a")(handleA2a)
@@ -304,6 +305,48 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
     }
     obj("nr_rows" -> num(n), "columns" -> Obj(colsJson.toMap))
   }
+
+  // /api/util — the deployment health-probe namespace (namespaces/
+  // util.py): ping, readiness (503 while a learn/analyse task runs),
+  // ping_native (the active-task map), ml_task_queue (404 — this build
+  // runs ML in-process, no separate consumer), update-gui (no-op 200).
+  private def handleUtil(ex: HttpExchange): Unit =
+    try {
+      import org.apache.spark.sql.functions.col
+      def activeTasks(): Map[String, Boolean] = {
+        // derived from the live processlist (the reference reads
+        // process-mark files of its forked learn/analyse workers; this
+        // build's equivalent evidence is the running-statement log)
+        val running = session().execute("SHOW PROCESSLIST")
+          .filter(col("State") === "running")
+          .select(col("Info")).collect().map(_.getString(0).toUpperCase).toSeq
+        Map(
+          "learn" -> running.exists(s => s.startsWith("CREATE MODEL") ||
+            s.startsWith("RETRAIN") || s.startsWith("FINETUNE")),
+          "predict" -> false,
+          "analyse" -> running.exists(_.startsWith("ANALYZE")))
+      }
+      (ex.getRequestMethod, tail(ex, "/api/util")) match {
+        case ("GET", Seq("ping")) =>
+          reply(ex, 200, write(obj("status" -> str("ok"))))
+        case ("GET", Seq("ping", "ml_task_queue")) => reply(ex, 404, "")
+        case ("GET", Seq("readiness")) =>
+          if (activeTasks().values.exists(identity))
+            crudError(ex, 503, "not ready")
+          else reply(ex, 200, "")
+        case ("GET", Seq("ping_native")) =>
+          reply(ex, 200, write(Obj(activeTasks().map {
+            case (k, v) => k -> Bool(v)
+          })))
+        case ("GET", Seq("update-gui")) => reply(ex, 200, "")
+        case _ => crudError(ex, 405,
+          s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
+      }
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable =>
+        crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
 
   private def handleStatus(ex: HttpExchange): Unit =
     reply(ex, 200, write(obj(

@@ -314,6 +314,21 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("/api/analysis/query", "{}").statusCode() === 400)
   }
 
+  test("/api/util health probes: ping, readiness, ping_native, ml_task_queue, update-gui") {
+    val ping = get("/api/util/ping")
+    assert(ping.statusCode() === 200)
+    assert(Json.parse(ping.body())("status").asString === "ok")
+    // idle server is ready; active-task map reports all-false
+    assert(get("/api/util/readiness").statusCode() === 200)
+    val tasks = Json.parse(get("/api/util/ping_native").body())
+    assert(tasks("learn") === Json.Bool(false))
+    assert(tasks("analyse") === Json.Bool(false))
+    // no separate ML task-queue consumer in this build → 404 (reference
+    // answers 404 when the consumer process mark is absent)
+    assert(get("/api/util/ping/ml_task_queue").statusCode() === 404)
+    assert(get("/api/util/update-gui").statusCode() === 200)
+  }
+
   // ------------------------------------------------- A2A
 
   test("a2a tasks/send answers through an agent") {

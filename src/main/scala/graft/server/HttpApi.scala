@@ -423,7 +423,7 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
         case "PUT" =>
           val data = Json.parse(readBody(ex)).asObject
           val allowed = Set("auth", "default_llm", "default_embedding_model",
-            "default_reranking_model", "knowledge_bases")
+            "default_reranking_model", "knowledge_bases", "url_file_upload")
           val unknown = data.keys.filterNot(allowed)
           if (unknown.nonEmpty)
             crudError(ex, 400, s"Unknown arguments: ${unknown.mkString(", ")}")
@@ -1225,6 +1225,54 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
             }
           reply(ex, 200, write(Arr(names.map(n =>
             obj("name" -> str(n.replaceAll("\\.[^.]+$", "")), "file" -> str(n))))))
+        // URL source (namespaces/file.py:153-231): JSON body
+        // {source_type:'url', source:<url>} fetches the file server-side,
+        // gated by the url_file_upload config (enabled + allowed/
+        // disallowed origins through Security.validateUrls)
+        case ("PUT", Seq(name)) if Option(ex.getRequestHeaders
+            .getFirst("Content-Type")).exists(_.startsWith("application/json")) =>
+          require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"), s"bad file name: $name")
+          val body = Json.parse(readBody(ex))
+          val sourceType = body.get("source_type")
+            .collect { case Str(s) => s }.getOrElse("file")
+          if (sourceType != "url")
+            crudError(ex, 400, s"""Only "url" supported as JSON file source, got "$sourceType"""")
+          else body.get("source").collect { case Str(s) => s } match {
+            case None => crudError(ex, 400,
+              """If the file's source type is URL, the "source" field should be specified.""")
+            case Some(url) =>
+              val cfg = Option(mutableConfig.get("url_file_upload"))
+              def strsOf(k: String): Seq[String] = cfg.toSeq.flatMap(
+                _.get(k).map(_.asArray).getOrElse(Seq.empty)
+                  .collect { case Str(s) => s })
+              val enabled = cfg.flatMap(_.get("enabled"))
+                .forall(_ == Bool(true))
+              if (!enabled) crudError(ex, 400, "URL file upload is disabled.")
+              else if (scala.util.Try(Security.splitUrl(url)).isFailure)
+                crudError(ex, 400, s"The URL is not valid: $url")
+              else if (!Security.validateUrls(Seq(url),
+                  strsOf("allowed_origins"), strsOf("disallowed_origins")))
+                crudError(ex, 400,
+                  "URL is not allowed for security reasons. Allowed hosts are: " +
+                    (if (strsOf("allowed_origins").nonEmpty)
+                      strsOf("allowed_origins").mkString(", ")
+                    else "not specified") + ".")
+              else {
+                val http = java.net.http.HttpClient.newHttpClient()
+                val resp = http.send(
+                  java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+                    .timeout(java.time.Duration.ofSeconds(30)).build(),
+                  java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+                if (resp.statusCode() != 200)
+                  crudError(ex, 400, s"Error getting file: got status code: ${resp.statusCode()}")
+                else {
+                  java.nio.file.Files.createDirectories(filesDir)
+                  java.nio.file.Files.write(
+                    filesDir.resolve(Security.clearFilename(name)), resp.body())
+                  reply(ex, 201, write(obj("name" -> str(name))))
+                }
+              }
+          }
         case ("PUT", Seq(name)) =>
           require(name.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"), s"bad file name: $name")
           java.nio.file.Files.createDirectories(filesDir)

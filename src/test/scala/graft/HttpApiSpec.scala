@@ -329,6 +329,50 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/api/util/update-gui").statusCode() === 200)
   }
 
+  test("file upload by URL: origin-validated fetch lands in files.* (namespaces/file.py url source)") {
+    // a local origin server stands in for the remote host (loopback —
+    // real sockets, no egress)
+    val origin = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    origin.createContext("/data.csv", (x: com.sun.net.httpserver.HttpExchange) => {
+      val b = "town,n\nghent,7\nbruges,3\n".getBytes("UTF-8")
+      x.sendResponseHeaders(200, b.length.toLong)
+      x.getResponseBody.write(b); x.close()
+    })
+    origin.start()
+    def put(path: String, body: String,
+        contentType: String = "application/json"): HttpResponse[String] =
+      http.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+          .header("Content-Type", contentType)
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val base = s"http://127.0.0.1:${origin.getAddress.getPort}"
+      // allow only the local origin
+      assert(put("/api/config", Json.write(Json.obj("url_file_upload" -> Json.obj(
+        "enabled" -> Json.Bool(true),
+        "allowed_origins" -> Json.arr(Json.str(base)),
+        "disallowed_origins" -> Json.arr())))).statusCode() === 200)
+      val up = put("/api/files/towns.csv", Json.write(Json.obj(
+        "source_type" -> Json.str("url"),
+        "source" -> Json.str(s"$base/data.csv"))))
+      assert(up.statusCode() === 201, up.body())
+      val env = sqlQuery("SELECT town, n FROM files.towns ORDER BY n DESC")
+      assert(env("data").asArray.head.asArray.head.asString === "ghent")
+      // a non-allowed origin is refused with the security envelope
+      val bad = put("/api/files/evil.csv", Json.write(Json.obj(
+        "source_type" -> Json.str("url"),
+        "source" -> Json.str("http://93.184.216.34/x.csv"))))
+      assert(bad.statusCode() === 400)
+      assert(bad.body().contains("not allowed for security reasons"))
+      // malformed URL is an error, not a fetch
+      val malformed = put("/api/files/m.csv", Json.write(Json.obj(
+        "source_type" -> Json.str("url"), "source" -> Json.str("site.com/x"))))
+      assert(malformed.statusCode() === 400)
+    } finally origin.stop(0)
+  }
+
   // ------------------------------------------------- A2A
 
   test("a2a tasks/send answers through an agent") {

@@ -122,6 +122,40 @@ class IncrementalSpec extends AnyFunSuite {
     assert(jobs.history.count(_.error.contains("skipped-if")) === 1)
   }
 
+  test("scheduler daemon ticks EVERY tenant's jobs store, including ones created after start") {
+    // the reference scheduler checks all companies' jobs each pass — a
+    // job created under a company-id must execute, not merely list
+    val tenants = new graft.catalog.Tenants(spark, dir,
+      graft.catalog.Tenants.State(
+        new graft.catalog.Catalog(spark, dir),
+        graft.catalog.Warehouse.temp(spark), new graft.incremental.Jobs))
+    val clock = new java.util.concurrent.atomic.AtomicReference(
+      Instant.parse("2026-02-01T00:00:00Z"))
+    val daemon = new graft.incremental.JobsDaemon(
+      () => tenants.allStates().map(_.jobs), () => clock.get(),
+      periodMillis = 3600000L)
+    daemon.start()
+    try {
+      var ranDefault = 0
+      var ranTenant = 0
+      tenants.default.jobs.create(graft.incremental.Jobs.Job(
+        "defjob", "EVERY 1 day", () => ranDefault += 1))
+      daemon.kick()
+      assert(ranDefault === 1)
+      // the tenant store materializes AFTER the daemon started — the
+      // stores() thunk must see it on the next tick
+      val t = tenants.of("acme")
+      t.jobs.create(graft.incremental.Jobs.Job(
+        "acmejob", "EVERY 1 day", () => ranTenant += 1))
+      clock.set(Instant.parse("2026-02-03T00:00:00Z"))
+      daemon.kick()
+      assert(ranTenant === 1)
+      assert(t.jobs.historyOf("acmejob").nonEmpty)
+      // isolation: the default store never saw the tenant job
+      assert(tenants.default.jobs.get("acmejob").isEmpty)
+    } finally daemon.stop()
+  }
+
   test("scheduler daemon: injected clock, a LAST job runs twice with advancing state, no sleeps") {
     // the reference runs a ~30 s polling daemon (interfaces/jobs/
     // scheduler.py); here the clock is injected and kick() forces a tick

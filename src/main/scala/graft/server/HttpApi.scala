@@ -775,7 +775,8 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
           reply(ex, 200, rpcResult(obj(
             "protocolVersion" -> str("2024-11-05"),
             "serverInfo" -> obj("name" -> str("graft"), "version" -> str("0.1")),
-            "capabilities" -> obj("tools" -> obj()))))
+            "capabilities" -> obj("tools" -> obj(),
+              "resources" -> obj(), "prompts" -> obj()))))
         case Some("tools/list") =>
           reply(ex, 200, rpcResult(obj("tools" -> arr(obj(
             "name" -> str("query"),
@@ -802,6 +803,102 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
                     "text" -> str(write(env)))),
                   "isError" -> Bool(isError))))
             }
+          }
+        // ---- MCP resources (api/mcp/resources/schema.py): cached
+        // schema snapshots a client can read without the query tool
+        case Some("resources/list") =>
+          reply(ex, 200, rpcResult(obj("resources" -> arr(
+            obj("uri" -> str("schema://databases"),
+              "name" -> str("databases"),
+              "mimeType" -> str("application/json"),
+              "description" -> str(
+                "Initial list of connected data source names available for querying")),
+            obj("uri" -> str("schema://knowledge_bases"),
+              "name" -> str("knowledge_bases"),
+              "mimeType" -> str("application/json"),
+              "description" -> str(
+                "Initial list of knowledge bases with their column configuration"))))))
+        case Some("resources/templates/list") =>
+          reply(ex, 200, rpcResult(obj("resourceTemplates" -> arr(
+            obj("uriTemplate" -> str("schema://databases/{database_name}/tables"),
+              "name" -> str("db_tables"),
+              "mimeType" -> str("application/json"),
+              "description" -> str("Initial list of tables in the specified database")),
+            obj("uriTemplate" -> str(
+              "schema://databases/{database_name}/tables/{table_name}/columns"),
+              "name" -> str("db_table_columns"),
+              "mimeType" -> str("application/json"),
+              "description" -> str("Initial column names and types for a table"))))))
+        case Some("resources/read") =>
+          val uri = req.get("params").flatMap(_.get("uri"))
+            .collect { case Str(u) => u }.getOrElse("")
+          def contents(v: Value): String = rpcResult(obj("contents" -> arr(obj(
+            "uri" -> str(uri), "mimeType" -> str("application/json"),
+            "text" -> str(write(v))))))
+          val TablesUri = "schema://databases/([\\w.]+)/tables".r
+          val ColumnsUri = "schema://databases/([\\w.]+)/tables/([\\w.]+)/columns".r
+          uri match {
+            case "schema://databases" =>
+              val names = session().execute("SHOW DATABASES")
+                .collect().map(_.getString(0)).toSeq
+              reply(ex, 200, contents(Arr(names.map(str))))
+            case "schema://knowledge_bases" =>
+              val st = tenantState()
+              reply(ex, 200, contents(Arr(st.catalog.listKbs().map { n =>
+                val p = st.catalog.kb(n).map(_.params).getOrElse(Map.empty)
+                obj("name" -> str(n), "project" -> str("graft"),
+                  "metadata_columns" -> Arr(p.get("metadata_columns").toSeq
+                    .flatMap(_.split(",")).map(s => str(s.trim))),
+                  "content_columns" -> Arr(p.get("content_columns").toSeq
+                    .flatMap(_.split(",")).map(s => str(s.trim))),
+                  "id_column" -> p.get("id_column").map(str).getOrElse(Null))
+              })))
+            case TablesUri(db) =>
+              val rows = session().execute(
+                s"SELECT table_name, table_type FROM information_schema.tables")
+                .collect().toSeq
+              reply(ex, 200, contents(Arr(rows.map(r => obj(
+                "TABLE_NAME" -> str(r.getString(0)),
+                "TABLE_TYPE" -> str(r.getString(1)),
+                "TABLE_SCHEMA" -> str(db))))))
+            case ColumnsUri(_, table) =>
+              val rows = session().execute(
+                s"""SELECT column_name, data_type FROM information_schema.columns
+                    WHERE table_name = '${sqlStr(table)}'""").collect().toSeq
+              if (rows.isEmpty)
+                reply(ex, 200, rpcError(-32602, s"unknown table: $table"))
+              else reply(ex, 200, contents(Arr(rows.map(r => obj(
+                "COLUMN_NAME" -> str(r.getString(0)),
+                "MYSQL_DATA_TYPE" -> str(r.getString(1)))))))
+            case other0 =>
+              reply(ex, 200, rpcError(-32602, s"unknown resource: $other0"))
+          }
+        // ---- MCP prompts (api/mcp/prompts/sample_table.py)
+        case Some("prompts/list") =>
+          reply(ex, 200, rpcResult(obj("prompts" -> arr(obj(
+            "name" -> str("sample_table"),
+            "description" -> str(
+              "Fetch 5 sample rows from a table and describe its structure."),
+            "arguments" -> arr(
+              obj("name" -> str("database_name"), "required" -> Bool(true)),
+              obj("name" -> str("table_name"), "required" -> Bool(true))))))))
+        case Some("prompts/get") =>
+          val params = req.get("params").getOrElse(obj())
+          val name = params.get("name").collect { case Str(n) => n }
+          if (!name.contains("sample_table"))
+            reply(ex, 200, rpcError(-32602, s"unknown prompt: ${name.getOrElse("?")}"))
+          else {
+            val args = params.get("arguments").getOrElse(obj())
+            val db = args.get("database_name").collect { case Str(s) => s }.getOrElse("graft")
+            val table = args.get("table_name").collect { case Str(s) => s }.getOrElse("")
+            val text =
+              s"Use the `query` tool to fetch 5 sample rows from the table `$table` " +
+                s"in database `$db`:\n\n```sql\nSELECT * FROM `$db`.`$table` LIMIT 5;\n```\n\n" +
+                "After getting the results, briefly describe the table structure " +
+                "and what kind of data it contains."
+            reply(ex, 200, rpcResult(obj("messages" -> arr(obj(
+              "role" -> str("user"),
+              "content" -> obj("type" -> str("text"), "text" -> str(text)))))))
           }
         case other =>
           reply(ex, 200, rpcError(-32601, s"method not found: ${other.getOrElse("?")}"))

@@ -165,8 +165,43 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("MCP unknown method returns a JSON-RPC error") {
-    val res = rpc("prompts/list")
+    val res = rpc("sampling/createMessage")
     assert(res("error")("code") === Json.num(-32601L))
+  }
+
+  test("MCP resources: list, templates, and schema:// reads (api/mcp/resources/schema.py)") {
+    val listed = rpc("resources/list")("result")("resources").asArray
+    assert(listed.map(_("uri").asString) ===
+      Seq("schema://databases", "schema://knowledge_bases"))
+    val templates = rpc("resources/templates/list")("result")(
+      "resourceTemplates").asArray
+    assert(templates.exists(_("uriTemplate").asString
+      == "schema://databases/{database_name}/tables"))
+    // databases resource carries the live catalog list as JSON text
+    val dbs = rpc("resources/read", Json.obj(
+      "uri" -> Json.str("schema://databases")))("result")("contents").asArray.head
+    assert(dbs("mimeType").asString === "application/json")
+    assert(Json.parse(dbs("text").asString).asArray.map(_.asString).contains("graft"))
+    // table columns resource resolves through information_schema
+    val cols = rpc("resources/read", Json.obj("uri" ->
+      Json.str("schema://databases/graft/tables/region/columns")))(
+      "result")("contents").asArray.head
+    val parsed = Json.parse(cols("text").asString).asArray
+    assert(parsed.map(_("COLUMN_NAME").asString).contains("r_name"))
+    // unknown resource → invalid-params error
+    assert(rpc("resources/read", Json.obj("uri" -> Json.str("schema://nope")))(
+      "error")("code") === Json.num(-32602L))
+  }
+
+  test("MCP prompts: sample_table lists and renders with its arguments") {
+    val prompts = rpc("prompts/list")("result")("prompts").asArray
+    assert(prompts.map(_("name").asString) === Seq("sample_table"))
+    val got = rpc("prompts/get", Json.obj(
+      "name" -> Json.str("sample_table"),
+      "arguments" -> Json.obj("database_name" -> Json.str("graft"),
+        "table_name" -> Json.str("region"))))
+    val text = got("result")("messages").asArray.head("content")("text").asString
+    assert(text.contains("SELECT * FROM `graft`.`region` LIMIT 5;"))
   }
 
   // ------------------------------------------------- CRUD namespaces

@@ -873,6 +873,32 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
             case other0 =>
               reply(ex, 200, rpcError(-32602, s"unknown resource: $other0"))
           }
+        // protocol ping (MCP spec utility method)
+        case Some("ping") => reply(ex, 200, rpcResult(obj()))
+        // argument autocompletion for prompt/resource-template args
+        // (api/mcp/completions.py): database_name completes from the
+        // live catalog, table_name from information_schema, both
+        // prefix-filtered on the typed value
+        case Some("completion/complete") =>
+          val params = req.get("params").getOrElse(obj())
+          val argName = params.get("argument").flatMap(_.get("name"))
+            .collect { case Str(s) => s }.getOrElse("")
+          val argValue = params.get("argument").flatMap(_.get("value"))
+            .collect { case Str(s) => s }.getOrElse("")
+          val values: Seq[String] = argName match {
+            case "database_name" =>
+              session().execute("SHOW DATABASES").collect()
+                .map(_.getString(0)).toSeq.filter(_.startsWith(argValue))
+            case "table_name" =>
+              session().execute(
+                "SELECT table_name FROM information_schema.tables").collect()
+                .map(_.getString(0)).toSeq.filter(_.startsWith(argValue))
+            case _ => Seq.empty
+          }
+          reply(ex, 200, rpcResult(obj("completion" -> obj(
+            "values" -> Arr(values.map(str)),
+            "total" -> num(values.size.toLong),
+            "hasMore" -> Bool(false)))))
         // ---- MCP prompts (api/mcp/prompts/sample_table.py)
         case Some("prompts/list") =>
           reply(ex, 200, rpcResult(obj("prompts" -> arr(obj(

@@ -193,6 +193,21 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "error")("code") === Json.num(-32602L))
   }
 
+  test("MCP ping and completion/complete (api/mcp/completions.py)") {
+    assert(rpc("ping")("result") === Json.obj())
+    val comp = rpc("completion/complete", Json.obj(
+      "ref" -> Json.obj("type" -> Json.str("ref/prompt"),
+        "name" -> Json.str("sample_table")),
+      "argument" -> Json.obj("name" -> Json.str("table_name"),
+        "value" -> Json.str("reg"))))("result")("completion")
+    assert(comp("values").asArray.map(_.asString).contains("region"))
+    assert(comp("hasMore") === Json.Bool(false))
+    val dbc = rpc("completion/complete", Json.obj(
+      "argument" -> Json.obj("name" -> Json.str("database_name"),
+        "value" -> Json.str("gra"))))("result")("completion")
+    assert(dbc("values").asArray.map(_.asString).contains("graft"))
+  }
+
   test("MCP prompts: sample_table lists and renders with its arguments") {
     val prompts = rpc("prompts/list")("result")("prompts").asArray
     assert(prompts.map(_("name").asString) === Seq("sample_table"))

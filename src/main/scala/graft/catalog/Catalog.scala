@@ -740,6 +740,42 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
 
   /** SHOW TABLES / DESCRIBE surface (command_executor.py:1577-1953, :882). */
   def showTables(wh: Option[Warehouse] = None): DataFrame = infoTables(wh)
+
+  /** `SHOW TABLES FROM <db>` scoped to ONE registered database: listed
+    * live from its DSv2 catalog across its namespaces (engine-system
+    * schemas filtered), so a federated source answers its own current
+    * content — never the global catalog (MySQL semantics; the reference
+    * routes through the named datanode's get_tables). */
+  def showDbTables(db: String): DataFrame = {
+    require(databases.contains(db.toLowerCase),
+      s"database $db does not exist")
+    import org.apache.spark.sql.connector.catalog.{SupportsNamespaces, TableCatalog}
+    val cat =
+      try spark.sessionState.catalogManager.catalog(db)
+      catch { case _: Exception => null }
+    val names: Seq[String] = cat match {
+      case t: TableCatalog =>
+        val nss: Seq[Array[String]] = cat match {
+          case s: SupportsNamespaces =>
+            val l = try s.listNamespaces().toSeq catch { case _: Exception => Seq.empty }
+            // engine system schemas (Derby SYS*/SQLJ/NULLID) are not
+            // user content
+            val user = l.filterNot(ns => ns.headOption.exists(h =>
+              h.toUpperCase.startsWith("SYS") ||
+                Set("SQLJ", "NULLID").contains(h.toUpperCase)))
+            if (user.isEmpty) Seq(Array.empty[String]) else user
+          case _ => Seq(Array.empty[String])
+        }
+        nss.flatMap(ns =>
+          try t.listTables(ns).toSeq.map(_.name)
+          catch { case _: Exception => Seq.empty })
+      case _ => Seq.empty
+    }
+    frame(StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("table_type", StringType, nullable = false))),
+      names.distinct.sorted.map(n => Row(n, "BASE TABLE")))
+  }
   def describe(name: String, wh: Option[Warehouse] = None): DataFrame =
     infoColumns(Seq(name), wh)
 }

@@ -1057,12 +1057,83 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
           if (!known) crudError(ex, 404, s"Database name $db does not exist")
           else reply(ex, 200,
             write(records(session().execute(s"SHOW TABLES FROM ${sqlIdent(db)}"))))
+        // table CRUD under a database (databases.py:257-380 + the
+        // tables_test.py status-code matrix: 201/400/404/409)
+        case ("GET", Seq(db, "tables", t)) =>
+          if (!dbTables(db).exists(_.equalsIgnoreCase(t)))
+            crudError(ex, 404, s"Table with name $t not found")
+          else reply(ex, 200, write(obj("name" -> str(t), "type" -> str("data"))))
+        case ("POST", Seq(db, "tables")) =>
+          val body = Json.parse(readBody(ex))
+          body.get("table") match {
+            case None => crudError(ex, 400,
+              """Must provide "table" parameter in POST body""")
+            case Some(table) =>
+              val name = table.get("name").collect { case Str(s) => s }
+              val select = table.get("select").collect { case Str(s) => s }
+              val replace = table.get("replace").contains(Bool(true))
+              if (name.isEmpty) crudError(ex, 400, """Missing "name" field for table""")
+              else if (select.isEmpty)
+                crudError(ex, 400, """Missing "select" field for table""")
+              else if (isProject(db)) crudError(ex, 400,
+                s"Database $db is a project. Use the projects/$db/models or " +
+                  s"projects/$db/views endpoints instead.")
+              else if (!session().execute("SHOW DATABASES").collect()
+                  .exists(_.getString(0).equalsIgnoreCase(db)))
+                crudError(ex, 404, s"Database with name $db does not exist")
+              else if (dbTables(db).exists(_.equalsIgnoreCase(name.get)) && !replace)
+                crudError(ex, 409, s"Table with name ${name.get} already exists")
+              else {
+                // replace = drop-then-create (REPLACE TABLE needs a
+                // staging catalog, which JDBC sources don't offer)
+                if (replace) session().execute(
+                  s"DROP TABLE IF EXISTS ${qualifiedTable(db, name.get)}")
+                session().execute(
+                  s"CREATE TABLE ${qualifiedTable(db, name.get)} AS (${select.get})")
+                reply(ex, 201, write(obj(
+                  "name" -> str(name.get), "type" -> str("data"))))
+              }
+          }
+        case ("DELETE", Seq(db, "tables", t)) =>
+          if (isProject(db)) crudError(ex, 400,
+            s"Database $db is a project. Use the projects/$db/models or " +
+              s"projects/$db/views endpoints instead.")
+          else if (!session().execute("SHOW DATABASES").collect()
+              .exists(_.getString(0).equalsIgnoreCase(db)))
+            crudError(ex, 404, s"Database with name $db not found")
+          else if (!dbTables(db).exists(_.equalsIgnoreCase(t)))
+            crudError(ex, 404, s"Table with name $t not found")
+          else {
+            session().execute(s"DROP TABLE ${qualifiedTable(db, t)}")
+            reply(ex, 204, "")
+          }
         case _ => crudError(ex, 405, s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
       }
     } catch {
       case e: scala.util.control.ControlThrowable => throw e // non-local return after reply
       case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
     }
+
+  /** table names of one database, via the scoped SHOW listing. */
+  private def dbTables(db: String): Seq[String] =
+    session().execute(s"SHOW TABLES FROM ${sqlIdent(db)}")
+      .collect().map(_.getString(0)).toSeq
+
+  /** true when `db` names a PROJECT (table CRUD must refuse those —
+    * models/views live under /api/projects). */
+  private def isProject(db: String): Boolean =
+    session().execute("SHOW PROJECTS").collect()
+      .exists(_.getString(0).equalsIgnoreCase(db))
+
+  /** qualified table name inside a data database; JDBC engines address
+    * their user schema (Derby: APP) explicitly. */
+  private def qualifiedTable(db: String, t: String): String = {
+    val engine = session().execute("SHOW DATABASES").collect()
+      .find(_.getString(0).equalsIgnoreCase(db)).map(_.getString(1)).getOrElse("")
+    if (Set("derby", "jdbc").contains(engine.toLowerCase))
+      s"${sqlIdent(db)}.APP.${sqlIdent(t)}"
+    else s"${sqlIdent(db)}.${sqlIdent(t)}"
+  }
 
   private def handleProjects(ex: HttpExchange): Unit =
     try {

@@ -158,7 +158,7 @@ final class Commands(
   // STATUS, and a WHERE tail filtering the meta frame (show models where
   // name = '...')
   private val ShowStmt =
-    """(?is)\s*SHOW\s+(?:FULL\s+)?(?:SESSION\s+|GLOBAL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|SCHEMAS|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|SKILLS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|FUNCTION\s+STATUS|PROCEDURE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS|PROCESSLIST)\s*(?:(?:FROM|IN)\s+\w+)?\s*(?:LIKE\s+'([^']*)')?\s*(?:WHERE\s+(.+?))?\s*""".r
+    """(?is)\s*SHOW\s+(?:FULL\s+)?(?:SESSION\s+|GLOBAL\s+)?(TABLES|VIEWS|MODELS|JOBS|DATABASES|SCHEMAS|PROJECTS|KNOWLEDGE[_ ]BASES|AGENTS|SKILLS|TRIGGERS|CHATBOTS|ML[_ ]ENGINES|HANDLERS|VARIABLES|TABLE\s+STATUS|FUNCTION\s+STATUS|PROCEDURE\s+STATUS|STATUS|ENGINES|CHARACTER\s+SET|CHARSET|COLLATION|WARNINGS|MATERIALIZED\s+VIEWS|PROCESSLIST)\s*(?:(?:FROM|IN)\s+(\w+))?\s*(?:LIKE\s+'([^']*)')?\s*(?:WHERE\s+(.+?))?\s*""".r
   private val ShowColumns =
     """(?is)\s*SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+(\w+)\s*""".r
   private val ShowCreate = """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
@@ -1434,7 +1434,7 @@ final class Commands(
         ok(s"inserted into $name", tableRows(name) - before)
     }
 
-    case ShowStmt(what, like, whereTail) =>
+    case ShowStmt(what, fromDb, like, whereTail) =>
       val likeFilter: DataFrame => DataFrame = df => {
         val liked = Option(like).fold(df)(p => df.filter(
           col(df.columns.head).rlike(likeToRegex(p))))
@@ -1443,6 +1443,16 @@ final class Commands(
       // each SHOW returns its meta-table schema (mindsdb_tables.py:42-430),
       // not an ad-hoc one-column list
       likeFilter(what.toUpperCase.replace('_', ' ').replaceAll("\\s+", " ") match {
+        // SHOW TABLES FROM <db> scopes to THAT database's tables (MySQL
+        // semantics; the reference routes through the named datanode's
+        // get_tables) — listed from the registered DSv2 catalog across
+        // its namespaces, so federated sources answer their own content.
+        // Virtual namespaces (files, log) and the default project keep
+        // the global listing, which is where their tables appear.
+        case "TABLES" if Option(fromDb).exists(d =>
+            catalog.listDatabases().contains(d.toLowerCase) &&
+              !d.equalsIgnoreCase("graft") && !d.equalsIgnoreCase("mindsdb")) =>
+          catalog.showDbTables(fromDb)
         case "TABLES" => catalog.showTables(Some(warehouse))
         case "VIEWS" => catalog.metaViews()
         case "MATERIALIZED VIEWS" => kv("name", "type",

@@ -557,6 +557,49 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sqlQuery("DROP DATABASE scoped_db")
   }
 
+  test("per-db table CRUD: create-from-select, get-one, conflict, replace, delete (tables_test.py matrix)") {
+    graft.federation.JdbcDb.seedFromParquet(spark, dir, "region")
+    sqlQuery("CREATE DATABASE tcrud_db WITH ENGINE='derby', " +
+      s"PARAMETERS = database='${graft.federation.JdbcDb.dbName(dir)}'")
+    def postTable(body: Json.Value): HttpResponse[String] =
+      post("/api/databases/tcrud_db/tables", Json.write(body))
+    def tbl(name: String, select: String, replace: Boolean) = Json.obj(
+      "table" -> Json.obj("name" -> Json.str(name),
+        "select" -> Json.str(select), "replace" -> Json.Bool(replace)))
+    try {
+      // create lands IN the database and answers 201 {name, type}
+      val created = postTable(tbl("HTTP_T", "SELECT r_regionkey, r_name FROM region", replace = false))
+      assert(created.statusCode() === 201, created.body())
+      assert(Json.parse(created.body())("type").asString === "data")
+      // the scoped listing and GET-one see it
+      val listed = Json.parse(get("/api/databases/tcrud_db/tables").body()).asArray
+      assert(listed.exists(_("table_name").asString == "HTTP_T"))
+      assert(get("/api/databases/tcrud_db/tables/HTTP_T").statusCode() === 200)
+      assert(get("/api/databases/tcrud_db/tables/NOPE_T").statusCode() === 404)
+      // and the data is queryable through the federated name
+      val env = sqlQuery("SELECT COUNT(*) AS n FROM tcrud_db.APP.HTTP_T")
+      assert(env("data").asArray.head.asArray.head === Json.num(5L))
+      // duplicate without replace → 409; with replace → 201
+      assert(postTable(tbl("HTTP_T", "SELECT r_name FROM region", replace = false))
+        .statusCode() === 409)
+      assert(postTable(tbl("HTTP_T", "SELECT r_name FROM region", replace = true))
+        .statusCode() === 201)
+      // validation envelope: missing table/name/select → 400; a project
+      // database refuses table CRUD → 400
+      assert(post("/api/databases/tcrud_db/tables",
+        """{"name": "x", "select": "SELECT 1"}""").statusCode() === 400)
+      assert(postTable(Json.obj("table" -> Json.obj(
+        "select" -> Json.str("SELECT 1")))).statusCode() === 400)
+      assert(postTable(Json.obj("table" -> Json.obj(
+        "name" -> Json.str("x")))).statusCode() === 400)
+      assert(post("/api/databases/graft/tables", Json.write(
+        tbl("x", "SELECT 1", replace = false))).statusCode() === 400)
+      // delete: 204 then 404
+      assert(delete("/api/databases/tcrud_db/tables/HTTP_T").statusCode() === 204)
+      assert(delete("/api/databases/tcrud_db/tables/HTTP_T").statusCode() === 404)
+    } finally sqlQuery("DROP DATABASE tcrud_db")
+  }
+
   test("table envelope refuses results past the row cap, steering to streaming") {
     val small = new HttpApi(spark, dir, maxTableRows = 10).start()
     try {

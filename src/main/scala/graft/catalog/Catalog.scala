@@ -236,8 +236,9 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
   }
 
   /** `{'provider': 'x', 'api_key': 'y'}` → Map — the USING-dict shape the
-    * reference passes for KB model params. */
-  private def parseModelDict(s: String): Map[String, String] = {
+    * reference passes for KB model params. Public: the SQL router reads
+    * the provider key to select the embedding path. */
+  def parseModelDict(s: String): Map[String, String] = {
     def unq(x: String) = x.trim.stripPrefix("'").stripSuffix("'")
       .stripPrefix("\"").stripSuffix("\"")
     // quote/nesting-aware tokenizer shared with the SQL router: a naive
@@ -334,6 +335,20 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
     if (mlEngines.remove(name).isEmpty)
       throw new NoSuchElementException(s"ML engine $name does not exist")
   def listMlEngines(): Seq[String] = mlEngines.keys.toSeq
+  def mlEngine(name: String): Option[MlEngineEntity] = mlEngines.get(name)
+  /** BYOM REST upload (namespaces/handlers.py:252-290 POST = new engine
+    * VERSION): merge params and append the version number. */
+  def updateMlEngine(name: String, params: Map[String, String]): MlEngineEntity = {
+    val cur = mlEngines.get(name).getOrElse(
+      throw new NoSuchElementException(s"ML engine $name does not exist"))
+    val versions = cur.params.get("versions").map(_.split(",").toSeq)
+      .getOrElse(Seq("1"))
+    val next = versions.map(_.trim.toInt).max + 1
+    val out = cur.copy(params = cur.params ++ params +
+      ("versions" -> (versions :+ next.toString).mkString(",")))
+    mlEngines.update(name, out)
+    out
+  }
 
   /** CREATE DATABASE = integration registration (command_executor.py:
     * 1260-1307). engine 'mem' wires the DSv2 MemCatalog under the given
@@ -648,7 +663,12 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       StructField("engine", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
       StructField("connection_data", StringType, nullable = false))),
+      // the reference's always-present databases (database.py:54-63):
+      // information_schema + log are system, files is the builtin
+      // upload-storage integration
       Seq(Row("information_schema", "information_schema", "system", ""),
+        Row("log", "log", "system", ""),
+        Row("files", "files", "data", ""),
         Row("graft", "graft", "project", "")) ++
         databases.values.map(d => Row(d.name, d.engine,
           if (d.engine == "mindsdb") "project" else "data",

@@ -195,3 +195,62 @@ final class ByomProcessEngine {
     }
   }
 }
+
+/** A model owned by an UPLOADED BYOM engine (`PUT /api/handlers/byom/
+  * <name>` → CREATE MODEL … USING engine='<name>';
+  * api/http/namespaces/handlers.py:292-330 + ml_exec_base.py learn/
+  * predict dispatch): training and every prediction run in forked
+  * worker processes, never in the server JVM — user engine code cannot
+  * take the session down.
+  *
+  * Scale shape: inference is a per-partition sidecar (one forked worker
+  * per partition, the [[graft.kb.Kb.embedThroughWorker]] pattern) that
+  * replays the retained training payload into each fresh worker and
+  * then predicts in batches — the apply distributes with the data and
+  * nothing funnels through the driver. The TRAINING payload itself is
+  * driver-collected by contract (the reference ships the whole training
+  * frame to its learn process the same way), so it is capped: a BYOM
+  * model is a user-code seam, not a big-data trainer.
+  */
+final case class ByomModel(
+    name: String,
+    featureCols: Seq[String],
+    scoreCol: String,
+    training: Seq[(Double, Double)]) extends FrameModel {
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+  def outputSchema: StructType = StructType(Seq(StructField(scoreCol, DoubleType)))
+
+  def transform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val feat = featureCols.head
+    val withF = df.withColumn("__byom_x",
+      org.apache.spark.sql.functions.col(feat).cast(DoubleType))
+    val idx = withF.schema.fieldIndex("__byom_x")
+    val train = training // bounded payload, serialized into the closure
+    val rdd = withF.rdd.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val eng = new ByomProcessEngine
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => eng.close()))
+        eng.create(train)
+        it.grouped(512).flatMap { batch =>
+          val preds = eng.predict(batch.map(r =>
+            if (r.isNullAt(idx)) Double.NaN else r.getDouble(idx)))
+          batch.lazyZip(preds).map((r, p) =>
+            Row.fromSeq(r.toSeq.dropRight(1) :+ p))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, df.schema.add(scoreCol, DoubleType))
+  }
+}
+
+object ByomModel {
+  /** Training-payload cap — fail loudly rather than silently hauling an
+    * unbounded frame through the driver (the honest version of the
+    * reference's implicit "learn process gets the whole df"). */
+  val MaxTrainingRows = 500000
+}

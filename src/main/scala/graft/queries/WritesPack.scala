@@ -1402,7 +1402,8 @@ object WritesPack extends QueryPack {
     "c03_show_objects" -> """
       SELECT * FROM (VALUES
         ('agents','ag_c03'),
-        ('databases','extdb_c03'),('databases','graft'),('databases','information_schema'),
+        ('databases','extdb_c03'),('databases','files'),('databases','graft'),
+        ('databases','information_schema'),('databases','log'),
         ('engines','graft-spark'),
         ('jobs','j_c03'),
         ('knowledge_bases','kb_c03'),
@@ -1456,8 +1457,9 @@ object WritesPack extends QueryPack {
     "c07_projects" -> """
       SELECT * FROM (VALUES
         ('after_drop','graft'),
-        ('database','extdb_c07|data'),('database','graft|project'),
-        ('database','information_schema|system'),('database','proj_c07|project'),
+        ('database','extdb_c07|data'),('database','files|data'),
+        ('database','graft|project'),('database','information_schema|system'),
+        ('database','log|system'),('database','proj_c07|project'),
         ('project','graft'),('project','proj_c07')) AS t(kind, name)
       ORDER BY kind, name""",
 

@@ -854,13 +854,22 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
                   "id_column" -> p.get("id_column").map(str).getOrElse(Null))
               })))
             case TablesUri(db) =>
-              val rows = session().execute(
-                s"SELECT table_name, table_type FROM information_schema.tables")
-                .collect().toSeq
-              reply(ex, 200, contents(Arr(rows.map(r => obj(
-                "TABLE_NAME" -> str(r.getString(0)),
-                "TABLE_TYPE" -> str(r.getString(1)),
-                "TABLE_SCHEMA" -> str(db))))))
+              // honor the {database_name} segment: the SCOPED listing
+              // (like the REST per-db route), -32602 for an unknown db —
+              // never the global list stamped with the requested name
+              val known = session().execute("SHOW DATABASES").collect()
+                .exists(_.getString(0).equalsIgnoreCase(db))
+              if (!known)
+                reply(ex, 200, rpcError(-32602, s"unknown database: $db"))
+              else {
+                val rows = session().execute(
+                  s"SHOW TABLES FROM ${sqlIdent(db)}").collect().toSeq
+                reply(ex, 200, contents(Arr(rows.map(r => obj(
+                  "TABLE_NAME" -> str(r.getString(0)),
+                  "TABLE_TYPE" -> str(if (r.length > 1) r.getString(1)
+                                      else "BASE TABLE"),
+                  "TABLE_SCHEMA" -> str(db))))))
+              }
             case ColumnsUri(_, table) =>
               val rows = session().execute(
                 s"""SELECT column_name, data_type FROM information_schema.columns
@@ -1060,7 +1069,12 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
         // table CRUD under a database (databases.py:257-380 + the
         // tables_test.py status-code matrix: 201/400/404/409)
         case ("GET", Seq(db, "tables", t)) =>
-          if (!dbTables(db).exists(_.equalsIgnoreCase(t)))
+          // database existence first (tables_test.py matrix: unknown db
+          // is a 404 even when t matches some globally-visible table)
+          if (!session().execute("SHOW DATABASES").collect()
+              .exists(_.getString(0).equalsIgnoreCase(db)))
+            crudError(ex, 404, s"Database with name $db not found")
+          else if (!dbTables(db).exists(_.equalsIgnoreCase(t)))
             crudError(ex, 404, s"Table with name $t not found")
           else reply(ex, 200, write(obj("name" -> str(t), "type" -> str("data"))))
         case ("POST", Seq(db, "tables")) =>

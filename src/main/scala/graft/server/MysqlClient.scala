@@ -113,8 +113,12 @@ final class MysqlClient(host: String, port: Int,
       // caching_sha2 full authentication — AuthMoreData(0x01) + 0x04
       // "perform full authentication" (bare 0x04 accepted for the
       // reference's FastAuthFail spelling): answer the PLAINTEXT
-      // password, NUL-terminated — only ever sent on an encrypted
-      // channel
+      // password, NUL-terminated — ONLY over TLS. A server eliciting it
+      // on cleartext would be extracting the plaintext password (real
+      // connectors refuse; so do we).
+      require(useTls,
+        "server requested caching_sha2 full auth over an unencrypted " +
+          "channel; refusing to send the plaintext password without TLS")
       io.write(new ByteWriter().nulTerminated(password).result())
       io.flush()
       answer = io.read()

@@ -845,6 +845,38 @@ final class Commands(
           val (m, st) = trainer()
           catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
+        case Some(engName) if catalog.mlEngine(engName)
+            .exists(_.handler == "byom") =>
+          // an engine uploaded over REST (PUT /api/handlers/byom/<name>;
+          // namespaces/handlers.py:292-330): training and inference run
+          // in forked BYOM worker processes — the out-of-process seam,
+          // never user code in the server JVM. Single-feature OLS is the
+          // shipped worker's model; the uploaded code rides along as
+          // engine params (env-blocked from actually exec'ing python).
+          val feat = p.getOrElse("features",
+            throw new IllegalArgumentException(
+              s"engine='$engName' needs features='<column>'"))
+            .split(",").head.trim
+          val scoreCol = p.getOrElse("score_column", "score")
+          val trainer = () => {
+            val rows = run(trainSql)
+              .select(col(feat).cast("double"), col(target).cast("double"))
+              .na.drop()
+              .limit(graft.ml.ByomModel.MaxTrainingRows + 1).collect()
+            require(rows.length <= graft.ml.ByomModel.MaxTrainingRows,
+              s"BYOM training set exceeds ${graft.ml.ByomModel.MaxTrainingRows} rows")
+            val training = rows.toSeq.map(r => (r.getDouble(0), r.getDouble(1)))
+            // train once through a worker NOW so bad engine code fails the
+            // CREATE (the reference's learn process), then retain the
+            // payload for per-partition replay at predict time
+            val probe = new graft.ml.ByomProcessEngine
+            try probe.create(training) finally probe.close()
+            val m = graft.ml.ByomModel(name, Seq(feat), scoreCol, training)
+            (m: graft.ml.Model, Option.empty[Fit.Stats])
+          }
+          val (m, st) = trainer()
+          catalog.createModel(m, st, Some(trainer), None, using = p)
+          ok(s"model $name trained (version 1)")
         case Some("naive_bayes") =>
           // classification engine: CREATE MODEL … PREDICT <label> USING
           // engine='naive_bayes', features='<text column>' — the
@@ -1381,11 +1413,16 @@ final class Commands(
           case Some("json") => Kb.chunkJson(src, contentCol)
           case _ => Kb.chunk(src, contentCol)
         }
-        // embedding provider: a byom embedding_model routes every chunk
-        // through the out-of-process worker (one sidecar per partition);
-        // anything else embeds with the in-JVM deterministic stand-in
+        // embedding provider: `embedding_model = {'provider': 'byom'}`
+        // routes every chunk through the out-of-process worker (one
+        // sidecar per partition); anything else embeds with the in-JVM
+        // deterministic stand-in. The PROVIDER key decides — a model
+        // NAME merely containing "byom" under another provider must not
+        // fork workers.
         val chunks =
-          if (k.params.get("embedding_model").exists(_.toLowerCase.contains("byom")))
+          if (k.params.get("embedding_model").exists(m =>
+              catalog.parseModelDict(m).get("provider")
+                .exists(_.equalsIgnoreCase("byom"))))
             Kb.embedThroughWorker(chunked)
           else chunked.withColumn("emb", Kb.embed(col("content")))
         val toWrite =
@@ -1447,12 +1484,34 @@ final class Commands(
         // semantics; the reference routes through the named datanode's
         // get_tables) — listed from the registered DSv2 catalog across
         // its namespaces, so federated sources answer their own content.
-        // Virtual namespaces (files, log) and the default project keep
-        // the global listing, which is where their tables appear.
-        case "TABLES" if Option(fromDb).exists(d =>
-            catalog.listDatabases().contains(d.toLowerCase) &&
-              !d.equalsIgnoreCase("graft") && !d.equalsIgnoreCase("mindsdb")) =>
-          catalog.showDbTables(fromDb)
+        // The virtual namespaces answer their OWN content (files = the
+        // uploaded-file storage area; log = the reference's two log
+        // tables, interfaces/database/log.py:85,148); an unregistered
+        // name errors like MySQL/the reference datanode route — it must
+        // never fall through to the global listing.
+        case "TABLES" if fromDb != null =>
+          val d = fromDb.toLowerCase
+          if (d == "graft" || d == "mindsdb") catalog.showTables(Some(warehouse))
+          else if (d == "files") {
+            val dirPath = java.nio.file.Paths.get(s"${warehouse.dir}/.files")
+            val names =
+              if (!java.nio.file.Files.isDirectory(dirPath)) Seq.empty[String]
+              else {
+                val s = java.nio.file.Files.list(dirPath)
+                try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]
+                  .getFileName.toString)
+                  .map(fn => fn.stripSuffix(
+                    fn.split('.').lastOption.fold("")("." + _)))
+                finally s.close()
+              }
+            kv("table_name", "table_type",
+              names.distinct.sorted.map(_ -> "BASE TABLE"))
+          } else if (d == "log")
+            kv("table_name", "table_type",
+              Seq("jobs_history" -> "BASE TABLE", "llm_log" -> "BASE TABLE"))
+          else if (catalog.listDatabases().contains(d))
+            catalog.showDbTables(fromDb)
+          else throw new NoSuchElementException(s"Unknown database $fromDb")
         case "TABLES" => catalog.showTables(Some(warehouse))
         case "VIEWS" => catalog.metaViews()
         case "MATERIALIZED VIEWS" => kv("name", "type",

@@ -547,6 +547,46 @@ class CommandsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { c.execute("DROP AGENT ag") }
   }
 
+  test("uploaded byom engine: CREATE MODEL trains and predicts through forked workers") {
+    val c = fresh()
+    // the engine an HTTP upload registers (handler byom, code as params)
+    c.execute("CREATE ML_ENGINE up_eng FROM byom USING code='def predict...', modules='numpy'")
+    c.execute("""CREATE MODEL bm FROM (SELECT l_quantity, l_extendedprice FROM lineitem)
+      PREDICT l_extendedprice USING engine='up_eng', features='l_quantity', score_column='p'""")
+    val r = c.execute("""SELECT l_quantity, p FROM
+      (SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3) t JOIN bm m""")
+      .collect()
+    assert(r.length === 3)
+    // OLS through the worker returns finite predictions on real features
+    assert(r.forall(row => !row.isNullAt(1) && !row.getDouble(1).isNaN))
+    // RETRAIN re-runs the stored worker trainer
+    c.execute("RETRAIN bm")
+    c.execute("DROP MODEL bm")
+    c.execute("DROP ML_ENGINE up_eng")
+  }
+
+  test("SHOW TABLES FROM scopes virtual namespaces and errors on unknown dbs") {
+    val c = fresh()
+    // unknown database: MySQL/the reference datanode route both error —
+    // never the global listing
+    val e = intercept[Exception](
+      c.execute("SHOW TABLES FROM no_such_db_xyz").collect())
+    assert(e.getMessage.toLowerCase.contains("unknown database"))
+    // log: the reference's two system log tables (log.py:85,148)
+    assert(c.execute("SHOW TABLES FROM log").collect().map(_.getString(0)).toSeq
+      === Seq("jobs_history", "llm_log"))
+    // files: the upload-storage area, empty on a fresh warehouse —
+    // crucially NOT the global table list
+    assert(c.execute("SHOW TABLES FROM files").collect().isEmpty)
+    // the default project keeps the global listing
+    assert(c.execute("SHOW TABLES FROM graft").collect().nonEmpty)
+    // log/files surface in SHOW DATABASES like the reference's
+    // always-present entries (database.py:54-63)
+    val dbs = c.execute("SHOW DATABASES").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(dbs("log") === "system" && dbs("files") === "data")
+  }
+
   test("DATABASE DDL round-trip; SHOW DATABASES uses the meta schema") {
     val c = fresh()
     c.execute("CREATE DATABASE pgx WITH ENGINE 'pg', PARAMETERS = host='h', port='5432'")

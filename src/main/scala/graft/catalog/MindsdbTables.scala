@@ -75,8 +75,8 @@ object MindsdbTables {
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(
-          Row("fit", "ml", true), Row("files", "data", true),
-          Row("mem", "data", true)), 1),
+          Row("byom", "ml", true), Row("fit", "ml", true),
+          Row("files", "data", true), Row("mem", "data", true)), 1),
         StructType(Seq(
           StructField("name", StringType, nullable = false),
           StructField("type", StringType, nullable = false),

@@ -1415,6 +1415,7 @@ object WritesPack extends QueryPack {
     "c05_chatbot_mlengine" -> """
       SELECT * FROM (VALUES
         ('chatbot','cb_c05','chatdb_c05|m2|ag_c05|true'),
+        ('handler','byom','ml'),
         ('handler','files','data'),
         ('handler','fit','ml'),
         ('handler','mem','data'),

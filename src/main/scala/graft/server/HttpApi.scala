@@ -125,7 +125,14 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
   route("/api/util")(handleUtil)
   route("/api/databases")(handleDatabases)
   route("/api/projects")(handleProjects)
+  route("/api/integrations")(handleIntegrations)
   route("/a2a")(handleA2a)
+  // agent-card discovery is OPEN by protocol: an A2A client fetches the
+  // card to learn the endpoint and capabilities BEFORE it can present
+  // credentials (a2a/common/server/server.py:46-48 serves both names
+  // plus /status unauthenticated)
+  route("/a2a/.well-known", open = true)(handleA2aCard)
+  route("/a2a/status", open = true)(handleA2aStatus)
   route("/api/files")(handleFiles)
   // OpenAI-compatible chat endpoint over an agent (the reference's
   // litellm server, api/litellm/start.py: model = agent name)
@@ -423,7 +430,8 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
         case "PUT" =>
           val data = Json.parse(readBody(ex)).asObject
           val allowed = Set("auth", "default_llm", "default_embedding_model",
-            "default_reranking_model", "knowledge_bases", "url_file_upload")
+            "default_reranking_model", "knowledge_bases", "url_file_upload",
+            "byom")
           val unknown = data.keys.filterNot(allowed)
           if (unknown.nonEmpty)
             crudError(ex, 400, s"Unknown arguments: ${unknown.mkString(", ")}")
@@ -624,16 +632,160 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
       case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
     }
 
-  /** GET /api/handlers: the installed engine handlers
-    * (namespaces/handlers.py GET /; rows from the same registry the
-    * mindsdb.handlers meta-table serves). */
+  /** Per-handler metadata the icon/readme/info routes serve
+    * (namespaces/handlers.py:68-127 reads them from each handler
+    * package's folder; this build ships them inline — same shapes, no
+    * filesystem walk). */
+  private val handlerMeta: Map[String, (String, String)] = Map(
+    "fit" -> ("ml", "Built-in least-squares trainer: CREATE MODEL ... PREDICT <target> USING features='...'."),
+    "files" -> ("data", "Uploaded-file storage: PUT /api/files/<name>, query as files.<name> (csv/json/parquet/xlsx/pdf/txt sniffed)."),
+    "mem" -> ("data", "In-memory DSv2 datasource used to exercise the federated pushdown contract (filters/prune/limit/topN/agg)."),
+    "byom" -> ("ml", "Bring-your-own-model: upload code via PUT /api/handlers/byom/<name>, then CREATE MODEL ... USING engine='<name>'. Models train and predict in forked worker processes."))
+
+  /** Handlers namespace (namespaces/handlers.py): the installed engine
+    * handlers plus per-handler info/icon/readme and the BYOM
+    * code-upload routes. */
   private def handleHandlers(ex: HttpExchange): Unit =
     try {
-      if (ex.getRequestMethod != "GET") {
-        crudError(ex, 405, s"unsupported ${ex.getRequestMethod} /api/handlers"); return
+      val parts = tail(ex, "/api/handlers")
+      def byomEnabled: Boolean = Option(mutableConfig.get("byom"))
+        .flatMap(_.get("enabled")).contains(Bool(true))
+      def byomDisabledError(): Unit =
+        // the reference's 403 envelope (handlers.py:257-267), including
+        // the remediation hint
+        reply(ex, 403, write(obj("title" -> str("BYOM is disabled"),
+          "detail" -> str("BYOM is disabled on this server. To enable " +
+            "this feature, set the environment variable " +
+            "MINDSDB_BYOM_ENABLED=true, or change the value in the " +
+            "configuration file config['byom']['enabled'] = True"))))
+      (ex.getRequestMethod, parts) match {
+        case ("GET", Seq()) =>
+          reply(ex, 200, write(records(
+            session().execute("SELECT name, type, import_success FROM mindsdb.handlers"))))
+        case ("GET", Seq(name)) =>
+          handlerMeta.get(name) match {
+            case Some((tpe, _)) => reply(ex, 200, write(obj(
+              "name" -> str(name), "type" -> str(tpe),
+              "import_success" -> Bool(true))))
+            case None => crudError(ex, 404, s"Handler '$name' not found")
+          }
+        case ("GET", Seq(name, "icon")) =>
+          // send_file analog: a deterministic per-handler SVG
+          if (!handlerMeta.contains(name))
+            crudError(ex, 404, s"Icon for '$name' not found")
+          else reply(ex, 200,
+            s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 24 24">""" +
+              s"""<title>$name</title><rect width="24" height="24" rx="4"/>""" +
+              s"""<text x="12" y="16" text-anchor="middle" fill="#fff">""" +
+              s"""${name.take(2).toUpperCase}</text></svg>""",
+            contentType = "image/svg+xml")
+        case ("GET", Seq(name, "readme")) =>
+          // handlers.py:115-160 answers the envelope even for unknown
+          // names (error_message set, HTTP 200)
+          handlerMeta.get(name) match {
+            case Some((_, readme)) => reply(ex, 200, write(obj(
+              "name" -> str(name), "readme" -> str(s"# $name\n\n$readme"),
+              "error_message" -> Null)))
+            case None => reply(ex, 200, write(obj(
+              "name" -> str(name), "readme" -> Null,
+              "error_message" -> str(s"Handler '$name' not found"))))
+          }
+        // BYOM code upload (handlers.py:252-341): PUT registers a new
+        // engine from the posted code, POST uploads a new VERSION of an
+        // existing engine. The reference takes multipart form-data
+        // (code/modules files); this server takes the same fields as a
+        // JSON body — storage contract and engine lifecycle identical.
+        case ("PUT", Seq("byom", name)) =>
+          if (!byomEnabled) { byomDisabledError(); return }
+          val body = Json.parse(readBody(ex))
+          val code = body.get("code").collect { case Str(s) => s }.getOrElse(
+            throw new IllegalArgumentException("""missing "code" field"""))
+          val modules = body.get("modules").collect { case Str(s) => s }.getOrElse("")
+          val tpe = body.get("type").collect { case Str(s) => s }
+          val st = tenantState()
+          if (st.catalog.mlEngine(name).isDefined)
+            reply(ex, 409, write(obj("title" -> str("Engine already exists"),
+              "detail" -> str(s"""Engine "$name" already exists"""))))
+          else {
+            st.catalog.createMlEngine(name, "byom",
+              Map("code" -> code, "modules" -> modules, "versions" -> "1") ++
+                tpe.map("type" -> _))
+            reply(ex, 200, "\"\"")
+          }
+        case ("POST", Seq("byom", name)) =>
+          if (!byomEnabled) { byomDisabledError(); return }
+          val body = Json.parse(readBody(ex))
+          val code = body.get("code").collect { case Str(s) => s }.getOrElse(
+            throw new IllegalArgumentException("""missing "code" field"""))
+          val modules = body.get("modules").collect { case Str(s) => s }.getOrElse("")
+          val st = tenantState()
+          if (st.catalog.mlEngine(name).isEmpty)
+            crudError(ex, 404, s"ML engine $name does not exist")
+          else {
+            val updated = st.catalog.updateMlEngine(name,
+              Map("code" -> code, "modules" -> modules))
+            val versions = updated.params("versions").split(",").map(_.trim.toInt).toSeq
+            reply(ex, 200, write(obj(
+              "last_engine_version" -> num(versions.max.toLong),
+              "engine_versions" -> Arr(versions.map(v => num(v.toLong))))))
+          }
+        case _ => crudError(ex, 405,
+          s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
       }
-      reply(ex, 200, write(records(
-        session().execute("SELECT name, type, import_success FROM mindsdb.handlers"))))
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** Integrations namespace (namespaces/integrations.py): REST
+    * passthrough to a datasource's upstream API with stored-credential
+    * injection, plus the capabilities listing. */
+  private def handleIntegrations(ex: HttpExchange): Unit =
+    try {
+      val parts = tail(ex, "/api/integrations")
+      def passthroughError(e: Passthrough.PassthroughException): Unit =
+        reply(ex, e.httpStatus, write(obj(
+          "error_code" -> str(e.errorCode), "message" -> str(e.getMessage))))
+      def dbParams(name: String): Map[String, String] = {
+        val st = tenantState()
+        st.catalog.database(name) match {
+          case Some(d) =>
+            if (!Passthrough.supports(d.params))
+              throw Passthrough.notSupported(
+                s"datasource '$name' does not support REST passthrough")
+            d.params
+          case None => throw Passthrough.notSupported(
+            s"datasource '$name' does not support REST passthrough")
+        }
+      }
+      (ex.getRequestMethod, parts) match {
+        case ("POST", Seq(name, "passthrough")) =>
+          try {
+            val req = Passthrough.parseRequest(Json.parse(readBody(ex)))
+            val resp = Passthrough.call(dbParams(name), req)
+            reply(ex, 200, write(Passthrough.serialize(resp)))
+          } catch {
+            case e: Passthrough.PassthroughException => passthroughError(e)
+          }
+        case ("POST", Seq(name, "passthrough", "test")) =>
+          try reply(ex, 200, write(Passthrough.test(dbParams(name))))
+          catch { case e: Passthrough.PassthroughException => passthroughError(e) }
+        case ("GET", Seq("capabilities")) =>
+          // integrations.py:137-185: structured per-handler passthrough
+          // capabilities + the legacy flat bearer list
+          val st = tenantState()
+          val capable = st.catalog.listDatabases()
+            .flatMap(n => st.catalog.database(n))
+            .filter(d => Passthrough.supports(d.params))
+            .map(_.engine).distinct.sorted
+          reply(ex, 200, write(obj(
+            "handlers" -> Obj(capable.map(e => e -> (obj(
+              "auth_modes" -> arr(str("bearer")),
+              "operations" -> arr(str("passthrough"))): Value)).toMap),
+            "bearer_passthrough" -> Arr(capable.map(str)))))
+        case _ => crudError(ex, 405,
+          s"unsupported ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
+      }
     } catch {
       case e: scala.util.control.ControlThrowable => throw e
       case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
@@ -1684,6 +1836,74 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
       }
     })
   private val a2aPush = new java.util.concurrent.ConcurrentHashMap[String, Value]()
+
+  private val a2aStartNanos = System.nanoTime()
+
+  /** The A2A agent card (api/a2a/__init__.py:33-49 assembles name/url/
+    * capabilities/skills; common/server/server.py:46-47 serves it under
+    * both well-known names). The static query skill is the reference's
+    * `mindsdb_query`; every agent registered in the live catalog is
+    * additionally advertised as its own skill, so a spec-compliant A2A
+    * client can discover WHICH agents this server fronts, not just that
+    * agents exist. */
+  private def agentCard(ex: HttpExchange): Obj = {
+    val contentTypes = arr(str("text"), str("text/plain"), str("application/json"))
+    val st = tenantState()
+    val agentSkills = st.catalog.listAgents().sorted.map { a =>
+      obj("id" -> str(s"agent_$a"), "name" -> str(a),
+        "description" -> str(s"Routes messages to agent '$a' (set message.metadata.agentName)"),
+        "tags" -> arr(str("agent")),
+        "inputModes" -> contentTypes, "outputModes" -> contentTypes): Value
+    }
+    val host = Option(ex.getRequestHeaders.getFirst("Host"))
+      .getOrElse(s"127.0.0.1:$boundPort")
+    obj(
+      "name" -> str("Graft Agent Connector"),
+      "description" -> str(
+        "A2A connector that proxies requests to agents in project 'graft'."),
+      "url" -> str(s"http://$host/a2a/"),
+      "version" -> str("1.0.0"),
+      "defaultInputModes" -> contentTypes,
+      "defaultOutputModes" -> contentTypes,
+      "capabilities" -> obj("streaming" -> Bool(true)),
+      "skills" -> Arr(
+        (obj("id" -> str("mindsdb_query"), "name" -> str("MindsDB Query"),
+          "description" -> str("Executes natural-language queries via agents."),
+          "tags" -> arr(str("database"), str("mindsdb"), str("query"), str("analytics")),
+          "examples" -> arr(
+            str("What trends exist in my sales data?"),
+            str("Generate insights from the support tickets dataset.")),
+          "inputModes" -> contentTypes,
+          "outputModes" -> contentTypes): Value) +: agentSkills))
+  }
+
+  private def handleA2aCard(ex: HttpExchange): Unit =
+    try {
+      val p = ex.getRequestURI.getPath
+      if (ex.getRequestMethod == "GET" &&
+          (p.endsWith("/agent.json") || p.endsWith("/agent-card.json")))
+        reply(ex, 200, write(agentCard(ex)))
+      else crudError(ex, 404, s"unknown resource $p")
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  /** GET /a2a/status (server.py:64-80): liveness probe the UI polls. */
+  private def handleA2aStatus(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "GET") {
+        crudError(ex, 405, s"unsupported ${ex.getRequestMethod} /a2a/status"); return
+      }
+      reply(ex, 200, write(obj(
+        "status" -> str("ok"), "service" -> str("mindsdb-a2a"),
+        "uptime_seconds" -> num((System.nanoTime() - a2aStartNanos) / 1e9),
+        "agent_name" -> str("Graft Agent Connector"),
+        "version" -> str("1.0.0"))))
+    } catch {
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable => crudError(ex, 400, Option(e.getMessage).getOrElse(e.toString))
+    }
 
   private def handleA2a(ex: HttpExchange): Unit =
     try {

@@ -1541,7 +1541,8 @@ final class Commands(
         case "CHATBOTS" => catalog.metaChatbots()
         case "ML ENGINES" => catalog.metaMlEngines()
         case "HANDLERS" => kv("name", "type",
-          Seq("fit" -> "ml", "files" -> "data", "mem" -> "data"))
+          Seq("byom" -> "ml", "fit" -> "ml", "files" -> "data",
+            "mem" -> "data"))
         case "TABLE STATUS" => kv("name", "engine",
           catalog.showTables(Some(warehouse)).collect()
             .map(r => r.getString(0) -> "parquet").toSeq)

@@ -1068,7 +1068,7 @@ class CommandsSpec extends AnyFunSuite {
     assert(c.execute("SHOW COLLATION").collect().map(_.getString(0)).toSeq
       === Seq("binary", "utf8mb4_general_ci"))
     assert(c.execute("SHOW HANDLERS").collect().map(_.getString(0)).toSeq
-      === Seq("fit", "files", "mem"))
+      === Seq("byom", "fit", "files", "mem"))
     c.execute("CREATE TABLE st_t AS SELECT * FROM region")
     val st = c.execute("SHOW TABLE STATUS LIKE 'st%'").collect()
     assert(st.map(_.getString(0)).toSeq === Seq("st_t") && st.head.getString(1) === "parquet")

@@ -921,7 +921,7 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.statusCode() === 400)
     // handlers listing mirrors the mindsdb.handlers meta-table
     val handlers = Json.parse(get("/api/handlers").body()).asArray
-    assert(handlers.map(_("name").asString).toSet === Set("fit", "files", "mem"))
+    assert(handlers.map(_("name").asString).toSet === Set("byom", "fit", "files", "mem"))
     assert(handlers.forall(_("import_success") === Json.Bool(true)))
   }
 
@@ -1045,5 +1045,166 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing.statusCode() === 404)
     assert(Json.parse(missing.body())("error")("type").asString === "invalid_request_error")
     assert(post("/v1/chat/completions", """{"model": "x"}""").statusCode() === 400)
+  }
+
+  private def put(path: String, body: String): HttpResponse[String] =
+    http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("BYOM upload round-trip: disabled 403, upload, model trains+predicts, versioning") {
+    // disabled by default like the reference (config.py:286 enabled=False)
+    val blocked = put("/api/handlers/byom/rest_eng", """{"code": "def predict(): ..."}""")
+    assert(blocked.statusCode() === 403)
+    assert(Json.parse(blocked.body())("title").asString === "BYOM is disabled")
+    // enable over the config surface (MINDSDB_BYOM_ENABLED analog)
+    assert(put("/api/config", """{"byom": {"enabled": true}}""").statusCode() === 200)
+    try {
+      val up = put("/api/handlers/byom/rest_eng",
+        """{"code": "def predict(df): return df", "modules": "pandas"}""")
+      assert(up.statusCode() === 200)
+      // duplicate name is a 409 (EntityExistsError envelope)
+      val dup = put("/api/handlers/byom/rest_eng", """{"code": "x"}""")
+      assert(dup.statusCode() === 409)
+      assert(Json.parse(dup.body())("title").asString === "Engine already exists")
+      // the uploaded engine trains a model that predicts through workers
+      sqlQuery("""CREATE MODEL rest_bm FROM
+        (SELECT l_quantity, l_extendedprice FROM lineitem)
+        PREDICT l_extendedprice USING engine='rest_eng', features='l_quantity',
+        score_column='p'""")
+      val env = sqlQuery("""SELECT l_quantity, p FROM
+        (SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 4) t
+        JOIN rest_bm m""")
+      assert(env("type").asString === "table")
+      assert(env("data").asArray.size === 4)
+      // POST = new engine version (handlers.py:252-290)
+      val v2 = post("/api/handlers/byom/rest_eng",
+        """{"code": "def predict(df): return df * 2"}""")
+      assert(v2.statusCode() === 200)
+      val vResp = Json.parse(v2.body())
+      assert(vResp("last_engine_version") === Json.num(2L))
+      assert(vResp("engine_versions").asArray.size === 2)
+      sqlQuery("DROP MODEL rest_bm")
+      sqlQuery("DROP ML_ENGINE rest_eng")
+    } finally put("/api/config", """{"byom": {"enabled": false}}""")
+  }
+
+  test("A2A agent-card discovery: well-known card, live skills, advertised endpoint works") {
+    sqlQuery("CREATE MODEL card_m PREDICT score USING features='x', weights='2.0', bias=0.0")
+    sqlQuery("CREATE AGENT card_agent USING model='card_m'")
+    try {
+      for (name <- Seq("agent.json", "agent-card.json")) {
+        val card = Json.parse(get(s"/a2a/.well-known/$name").body())
+        assert(card("name").asString === "Graft Agent Connector")
+        assert(card("capabilities")("streaming") === Json.Bool(true))
+        assert(card("url").asString.endsWith("/a2a/"))
+        val skills = card("skills").asArray
+        assert(skills.exists(_("id").asString == "mindsdb_query"))
+        // the live registry surfaces each agent as a skill
+        assert(skills.exists(_("id").asString == "agent_card_agent"))
+      }
+      // status probe
+      val st = Json.parse(get("/a2a/status").body())
+      assert(st("status").asString === "ok" && st("service").asString === "mindsdb-a2a")
+      // the card's advertised endpoint answers tasks/send for the
+      // advertised agent skill
+      val sent = post("/a2a", Json.write(Json.obj(
+        "jsonrpc" -> Json.str("2.0"), "id" -> Json.num(7L),
+        "method" -> Json.str("tasks/send"),
+        "params" -> Json.obj("message" -> Json.obj(
+          "metadata" -> Json.obj("agentName" -> Json.str("card_agent")),
+          "parts" -> Json.arr(Json.obj("text" -> Json.str("hello"))))))))
+      assert(sent.statusCode() === 200)
+      assert(Json.parse(sent.body())("result")("status")("state").asString === "completed")
+    } finally {
+      sqlQuery("DROP AGENT card_agent"); sqlQuery("DROP MODEL card_m")
+    }
+  }
+
+  test("integrations passthrough: guarded forward with credential injection") {
+    // a passthrough-capable datasource whose upstream is THIS server —
+    // a real HTTP round-trip without egress
+    sqlQuery(s"""CREATE DATABASE pt_db WITH ENGINE 'rest', PARAMETERS =
+      base_url='http://127.0.0.1:${api.boundPort}', api_key='sk-passthru-secret-1234',
+      allowed_hosts='*', test_path='/api/status'""")
+    try {
+      // plain GET forwarded; envelope carries upstream status + parsed body
+      val ok = post("/api/integrations/pt_db/passthrough",
+        """{"method": "GET", "path": "/api/status"}""")
+      assert(ok.statusCode() === 200)
+      val env = Json.parse(ok.body())
+      assert(env("status_code") === Json.num(200L))
+      assert(env("content_type").asString === "application/json")
+      assert(env("body")("mindsdb_version").asString.nonEmpty)
+      // forbidden caller header is rejected before any network call
+      val badHeader = post("/api/integrations/pt_db/passthrough",
+        """{"method": "GET", "path": "/api/status", "headers": {"Cookie": "x=1"}}""")
+      assert(badHeader.statusCode() === 400)
+      assert(Json.parse(badHeader.body())("error_code").asString === "invalid_request")
+      // bad method is a validation error
+      val badMethod = post("/api/integrations/pt_db/passthrough",
+        """{"method": "TRACE", "path": "/x"}""")
+      assert(badMethod.statusCode() === 400)
+      // per-datasource allowed_methods narrows to 405
+      sqlQuery("ALTER DATABASE pt_db PARAMETERS = allowed_methods='GET'")
+      val narrowed = post("/api/integrations/pt_db/passthrough",
+        """{"method": "POST", "path": "/api/status", "body": {"a": 1}}""")
+      assert(narrowed.statusCode() === 405)
+      assert(Json.parse(narrowed.body())("error_code").asString === "method_not_allowed")
+      // test endpoint classifies the canonical probe as ok
+      val probe = post("/api/integrations/pt_db/passthrough/test", "{}")
+      assert(probe.statusCode() === 200)
+      val pr = Json.parse(probe.body())
+      assert(pr("ok") === Json.Bool(true))
+      assert(pr("status_code") === Json.num(200L))
+      assert(pr("host").asString === "127.0.0.1")
+      // capabilities lists the passthrough-capable engine
+      val caps = Json.parse(get("/api/integrations/capabilities").body())
+      assert(caps("bearer_passthrough").asArray.map(_.asString).contains("rest"))
+      assert(caps("handlers")("rest")("operations").asArray.map(_.asString) === Seq("passthrough"))
+    } finally sqlQuery("DROP DATABASE pt_db")
+  }
+
+  test("integrations passthrough: SSRF and support guards") {
+    // a datasource without the passthrough connection shape → 501
+    sqlQuery("CREATE DATABASE pt_nosup WITH ENGINE 'pg', PARAMETERS = host='h'")
+    // loopback upstream WITHOUT the explicit '*' bypass → host_not_allowed
+    sqlQuery(s"""CREATE DATABASE pt_priv WITH ENGINE 'rest', PARAMETERS =
+      base_url='http://127.0.0.1:${api.boundPort}', api_key='k-very-secret-123'""")
+    try {
+      val unsupported = post("/api/integrations/pt_nosup/passthrough",
+        """{"method": "GET", "path": "/x"}""")
+      assert(unsupported.statusCode() === 501)
+      assert(Json.parse(unsupported.body())("error_code").asString === "passthrough_not_supported")
+      val unknown = post("/api/integrations/no_such_db/passthrough",
+        """{"method": "GET", "path": "/x"}""")
+      assert(unknown.statusCode() === 501)
+      val priv = post("/api/integrations/pt_priv/passthrough",
+        """{"method": "GET", "path": "/api/status"}""")
+      assert(priv.statusCode() === 400)
+      assert(Json.parse(priv.body())("error_code").asString === "host_not_allowed")
+    } finally {
+      sqlQuery("DROP DATABASE pt_nosup"); sqlQuery("DROP DATABASE pt_priv")
+    }
+  }
+
+  test("handler metadata routes: info, icon, readme envelopes") {
+    val info = Json.parse(get("/api/handlers/byom").body())
+    assert(info("name").asString === "byom" && info("type").asString === "ml")
+    assert(get("/api/handlers/no_such").statusCode() === 404)
+    val icon = get("/api/handlers/fit/icon")
+    assert(icon.statusCode() === 200)
+    assert(icon.headers().firstValue("Content-Type").orElse("").startsWith("image/svg"))
+    assert(icon.body().contains("<svg"))
+    assert(get("/api/handlers/no_such/icon").statusCode() === 404)
+    val readme = Json.parse(get("/api/handlers/files/readme").body())
+    assert(readme("readme").asString.startsWith("# files"))
+    assert(readme("error_message") === Json.Null)
+    // unknown name keeps the 200 envelope with error_message set
+    val missing = Json.parse(get("/api/handlers/nope/readme").body())
+    assert(missing("readme") === Json.Null)
+    assert(missing("error_message").asString.contains("not found"))
   }
 }

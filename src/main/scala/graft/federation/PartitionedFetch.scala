@@ -71,4 +71,96 @@ object PartitionedFetch {
     compact()
     segments.reduceOption(_ unionByName _).getOrElse(src().limit(0))
   }
+
+  /** Threaded partitioned fetch+process — the reference's optional
+    * `threads=N` USING param (fetch_dataframe_partition.py:77-98,
+    * 216-264 fetch_threads): the keyset WALK stays serial (batch k+1's
+    * predicate window starts at batch k's max key, a real data
+    * dependency), while each fetched batch's PROCESSING (the
+    * reference's exec_sub_steps) runs on a worker pool, overlapping
+    * with the next fetch.
+    *
+    * The resume contract is preserved by an in-order commit:
+    * `state.lastKey` advances to a batch's max key only once that batch
+    * AND every earlier batch processed successfully — a failure leaves
+    * the state pointing at the last fully-committed batch, so calling
+    * again with the same state refetches exactly the uncommitted
+    * window (the reference's RunningQuery progress tracking). With
+    * `onError = "skip"` a failed batch logs, drops out of the result,
+    * and commits anyway, like the reference's error='skip'.
+    *
+    * Returns the processed batches unioned in keyset order. */
+  def fetchThreads(
+      src: () => DataFrame,
+      trackCol: String,
+      batchSize: Int,
+      process: DataFrame => DataFrame,
+      threads: Int,
+      state: FetchState = new FetchState,
+      maxBatches: Int = Int.MaxValue,
+      onError: String = "raise"): DataFrame = {
+    require(batchSize > 0 && threads >= 1)
+    require(onError == "raise" || onError == "skip",
+      s"error param must be raise|skip, got $onError")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads,
+      (r: Runnable) => {
+        val t = new Thread(r, "partitioned-fetch"); t.setDaemon(true); t
+      })
+    // (future of processed+checkpointed batch, that batch's max key)
+    val inFlight = scala.collection.mutable.Queue
+      .empty[(java.util.concurrent.Future[DataFrame], Long)]
+    val doneSegs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var failure: Option[Throwable] = None
+
+    def commitOne(): Unit = {
+      val (fut, maxKey) = inFlight.dequeue()
+      try {
+        val seg = fut.get()
+        // a batch AFTER a raise-mode failure materialized fine but must
+        // not commit — the resume window starts at the failed batch
+        if (failure.isEmpty) {
+          doneSegs += seg
+          state.lastKey = Some(maxKey); state.batches += 1
+        } else seg.unpersist()
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          if (onError == "skip" && failure.isEmpty) {
+            state.lastKey = Some(maxKey); state.batches += 1
+          } else if (failure.isEmpty) failure = Some(e.getCause)
+      }
+    }
+
+    try {
+      var walkKey = state.lastKey // the serial keyset cursor (fetch side)
+      var exhausted = false
+      var n = 0
+      while (!exhausted && n < maxBatches && failure.isEmpty) {
+        val pred: Column = walkKey.map(k => col(trackCol) > k).getOrElse(lit(true))
+        val batch = src().filter(pred).orderBy(col(trackCol)).limit(batchSize).cache()
+        val stats = batch.agg(count(lit(1)), max(col(trackCol))).first()
+        val got = stats.getLong(0)
+        if (got == 0) { exhausted = true; batch.unpersist() }
+        else {
+          walkKey = Some(stats.getLong(1))
+          n += 1
+          if (got < batchSize) exhausted = true
+          // hand the batch to a worker: process + eager localCheckpoint
+          // materializes OFF the fetch thread, so the next window's
+          // fetch overlaps with this batch's processing
+          inFlight.enqueue((pool.submit(() =>
+            try process(batch).localCheckpoint(true)
+            finally batch.unpersist()), stats.getLong(1)))
+          // bound the pipeline: never more than `threads` uncommitted
+          // batches in flight (backpressure = the reference's bounded
+          // worker pool)
+          while (inFlight.size > threads) commitOne()
+        }
+      }
+      while (inFlight.nonEmpty) commitOne()
+      if (exhausted && failure.isEmpty) state.done = true
+      failure.foreach(throw _)
+      doneSegs.reduceOption(_ unionByName _)
+        .getOrElse(process(src().limit(0)))
+    } finally pool.shutdown()
+  }
 }

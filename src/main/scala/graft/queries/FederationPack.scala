@@ -73,6 +73,19 @@ object FederationPack extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // threaded partitioned fetch (fetch_dataframe_partition.py:77-98
+    // `threads` USING param): the keyset walk stays serial, each batch's
+    // processing runs on a worker pool overlapping the next fetch;
+    // in-order commit preserves the resume contract
+    "f25_threaded_fetch" -> ((s, dir) => {
+      val fetched = PartitionedFetch.fetchThreads(
+        () => t(s, dir, "orders"), "o_orderkey", batchSize = 8000,
+        process = df => df.filter(col("o_totalprice") > 1000.0), threads = 4)
+      fetched.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // whole-join pushdown: both dims live in ONE mem catalog, so their
     // join evaluates source-side (SingleSourceJoinPushdown) — the Spark
     // plan joins orders against a LocalRelation, not against two remote
@@ -451,6 +464,11 @@ object FederationPack extends QueryPack {
     "f02_partitioned_fetch" -> s"""
       SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "f25_threaded_fetch" -> s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+      FROM orders WHERE o_totalprice > 1000.0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "f04_whole_join_pushdown" -> s"""
       WITH lab AS (SELECT * FROM (VALUES

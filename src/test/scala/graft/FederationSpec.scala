@@ -327,6 +327,70 @@ class FederationSpec extends AnyFunSuite {
     assert(part1.join(part2, Seq("o_orderkey"), "left_semi").count() === 0)
   }
 
+  test("threaded fetch overlaps batch processing with the next fetch; result identical") {
+    val orders = Tables.table(spark, dir, "orders")
+    import org.apache.spark.sql.functions.{col => fcol}
+    val proc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.select(fcol("o_orderkey"), fcol("o_totalprice"))
+    // sequential reference result
+    val seqSt = new FetchState
+    val seqOut = PartitionedFetch.keysetFetch(() => orders, "o_orderkey", 400, seqSt)
+    val expected = proc(seqOut).collect().map(_.getLong(0)).sorted.toSeq
+    // injectable latency: every batch's processing sleeps, and each
+    // call logs its (start, end) wall-clock window
+    val windows = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    val slowProc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => {
+      val s = System.nanoTime(); Thread.sleep(120)
+      val out = proc(df); windows.add((s, System.nanoTime())); out
+    }
+    val st = new FetchState
+    val out = PartitionedFetch.fetchThreads(
+      () => orders, "o_orderkey", 400, slowProc, threads = 4, st)
+    assert(st.done)
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq === expected)
+    // overlap proof: at least two processing windows intersect in time
+    val ws = windows.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(ws.size >= 3)
+    val overlapping = ws.combinations(2).exists {
+      case Seq((s1, e1), (s2, e2)) => s1 < e2 && s2 < e1
+      case _ => false
+    }
+    assert(overlapping, "batch processing never overlapped — pipeline is serial")
+  }
+
+  test("threaded fetch resume contract: failure commits nothing past the failed batch") {
+    val orders = Tables.table(spark, dir, "orders")
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failing: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => {
+      if (calls.incrementAndGet() == 3) sys.error("batch 3 exploded")
+      df
+    }
+    val st = new FetchState
+    val e = intercept[RuntimeException](
+      PartitionedFetch.fetchThreads(
+        () => orders, "o_orderkey", 500, failing, threads = 2, st))
+    assert(e.getMessage.contains("exploded"))
+    // in-order commit: batches 1-2 are committed, nothing at or past 3
+    assert(st.batches === 2 && !st.done)
+    // resuming with the SAME state refetches exactly the uncommitted
+    // window and completes with nothing lost
+    val rest = PartitionedFetch.fetchThreads(
+      () => orders, "o_orderkey", 500, df => df, threads = 2, st)
+    assert(st.done)
+    assert(1000L + rest.count() === orders.count())
+    // skip mode: a failed batch drops out but the walk continues
+    val st2 = new FetchState
+    val calls2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val skip = PartitionedFetch.fetchThreads(
+      () => orders, "o_orderkey", 500, df => {
+        if (calls2.incrementAndGet() == 2) sys.error("skipped")
+        df
+      }, threads = 2, st2, onError = "skip")
+    assert(st2.done)
+    assert(skip.count() === orders.count() - 500)
+  }
+
   test("keyset fetch over many batches keeps a flat plan and releases consumed caches") {
     val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val orders = Tables.table(spark, dir, "orders").limit(1200)

@@ -479,8 +479,80 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
       Row(name, f.name, i + 1, n, n - r.getAs[Long](s"__c$i"),
         r.getAs[Long](s"__d$i"), r.getAs[String](s"__mn$i"), r.getAs[String](s"__mx$i"))
     }
+    // the SAME exact numbers, in the shape Catalyst's cost-based
+    // optimizer consumes (CatalogStatistics → toPlanStats):
+    // registerBase attaches them to the relation on the next statement,
+    // so CostBasedJoinReorder and broadcast decisions see real
+    // rowCount/NDV/min-max instead of file-size guesses
+    cboStatistics(name) = buildCboStats(n, fields.zipWithIndex.toSeq.map {
+      case (f, i) => (f, n - r.getAs[Long](s"__c$i"), r.getAs[Long](s"__d$i"),
+        Option(r.getAs[String](s"__mn$i")), Option(r.getAs[String](s"__mx$i")))
+    })
     infoColumnStatistics(Some(name))
   }
+
+  private val cboStatistics =
+    new Registry[org.apache.spark.sql.catalyst.catalog.CatalogStatistics]()
+
+  private def buildCboStats(rowCount: Long,
+      cols: Seq[(StructField, Long, Long, Option[String], Option[String])])
+      : org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    import org.apache.spark.sql.types._
+    val colStats = cols.map { case (f, nulls, ndv, mn, mx) =>
+      // min/max only for types whose external-string form Catalyst
+      // parses back losslessly; strings/binary/nested keep NDV+nulls
+      val comparable = f.dataType match {
+        case _: NumericType | BooleanType | DateType => true
+        case _ => false
+      }
+      val len = f.dataType match {
+        case StringType => 20L // Spark's own default string width
+        case BinaryType => 100L
+        case dt => dt.defaultSize.toLong
+      }
+      f.name -> CatalogColumnStat(
+        distinctCount = Some(BigInt(ndv)),
+        min = if (comparable) mn else None,
+        max = if (comparable) mx else None,
+        nullCount = Some(BigInt(nulls)),
+        avgLen = Some(len), maxLen = Some(len))
+    }.toMap
+    val rowWidth = cols.map { case (f, _, _, _, _) => f.dataType match {
+      case StringType => 20L + 8L
+      case dt => dt.defaultSize.toLong
+    }}.sum.max(8L)
+    CatalogStatistics(
+      sizeInBytes = BigInt(rowCount) * rowWidth,
+      rowCount = Some(BigInt(rowCount)),
+      colStats = colStats)
+  }
+
+  /** Attach this table's ANALYZE statistics to a DataFrame's scan
+    * relation, if it has been ANALYZEd — a no-op otherwise. Catalyst's
+    * `LogicalRelation.computeStats` prefers `catalogTable.stats` when
+    * CBO is on, so wrapping the relation in a minimal CatalogTable is
+    * the plan-level seam that feeds the exact engine-computed
+    * statistics into join reordering and broadcast thresholds. */
+  def attachCboStats(name: String, df: DataFrame): DataFrame =
+    cboStatistics.get(name) match {
+      case None => df
+      case Some(stats) =>
+        import org.apache.spark.sql.catalyst.TableIdentifier
+        import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+        import org.apache.spark.sql.execution.datasources.LogicalRelation
+        val plan = df.queryExecution.analyzed.transform {
+          case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+            lr.copy(catalogTable = Some(CatalogTable(
+              identifier = TableIdentifier(name),
+              tableType = CatalogTableType.EXTERNAL,
+              storage = CatalogStorageFormat.empty,
+              schema = lr.schema,
+              provider = Some("parquet"),
+              stats = Some(stats))))
+        }
+        org.apache.spark.sql.GraftColumnBridge.ofRows(spark, plan)
+    }
 
   /** information_schema.column_statistics: every ANALYZEd table's stats
     * (optionally one table's). */

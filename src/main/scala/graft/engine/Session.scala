@@ -27,6 +27,14 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // cost-based optimization ON: relations carrying ANALYZE-produced
+      // catalog statistics (Catalog.attachCboStats) feed
+      // CostBasedJoinReorder and broadcast-threshold decisions exact
+      // rowCount/NDV/min-max instead of file-size guesses. Without
+      // attached stats Catalyst falls back to the size-only estimates,
+      // so un-ANALYZEd plans are unchanged.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.federation.SingleSourceJoinPushdown.ensure(spark)

@@ -294,13 +294,20 @@ object ModelPack extends QueryPack {
       def resid(df: org.apache.spark.sql.DataFrame) =
         df.crossJoin(broadcast(fit))
           .withColumn("r", round(abs(col("y") - (col("a") + col("b") * col("x"))), 4))
+      // calibration quantile WITHOUT a global ranking window: the
+      // residual is exact in ten-thousandths (r is round(...,4)), so the
+      // k-th smallest resolves through q61's histogram walk — ≤4
+      // map-side-combinable scans, never a one-task global sort, which
+      // keeps the path safe even if the calibration set ever scales
+      // with the corpus instead of staying a fixed sample
       val cal = resid(li.filter(col("l_orderkey") > 3000 && col("l_orderkey") <= 4500))
-      val nCal = cal.agg(count(lit(1)).as("n_cal"))
-      val w = Window.orderBy(col("r"))
-      val q = cal.crossJoin(broadcast(nCal))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === ceil(lit(0.9) * col("n_cal")))
-        .select(col("n_cal"), col("r").as("q_hat"))
+        .persist()
+      val nCal = cal.count()
+      val k = math.ceil(0.9 * nCal).toLong
+      val qHat = Relational.kthSmallest(
+        cal.select(round(col("r") * 10000).cast("long").as("r_tt")), "r_tt", k) / 10000.0
+      cal.unpersist()
+      val q = s.range(1).select(lit(nCal).as("n_cal"), lit(qHat).as("q_hat"))
       val test = resid(li.filter(col("l_orderkey") > 4500 && col("l_orderkey") <= 6000))
       test.crossJoin(broadcast(q))
         .agg(first(col("n_cal")).as("n_cal"), first(col("q_hat")).as("q_hat"),

@@ -34,7 +34,7 @@ object Relational extends QueryPack {
     * group in one aggregation buffer; fine per-group, not corpus-wide).
     * This is the scale path for EXACT corpus-level quantiles at 100 TB.
     */
-  private def kthSmallest(df: DataFrame, c: String, k0: Long): Long = {
+  private[queries] def kthSmallest(df: DataFrame, c: String, k0: Long): Long = {
     val mm = df.agg(min(col(c)), max(col(c))).head()
     var lo = mm.getLong(0); var hi = mm.getLong(1)
     var k = k0

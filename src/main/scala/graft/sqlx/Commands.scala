@@ -2714,7 +2714,11 @@ final class Commands(
     // which checks views first — a view shadowing a base table would
     // recurse through its own registration)
     graft.engine.Tables.names.foreach { n =>
-      graft.engine.Tables.table(spark, catalog.sfDir, n).createOrReplaceTempView(n)
+      // ANALYZEd tables register with their exact statistics attached,
+      // so CBO join reorder / broadcast decisions see them
+      catalog.attachCboStats(n,
+        graft.engine.Tables.table(spark, catalog.sfDir, n))
+        .createOrReplaceTempView(n)
     }
     warehouse.listTables().filterNot(_.startsWith("__kb_")).foreach { n =>
       // a bucketed table lives in the session catalog (bucket metadata
@@ -2726,7 +2730,7 @@ final class Commands(
       // sharing the SparkSession must not shadow this warehouse's table
       if (!spark.catalog.tableExists("default", n) ||
           !warehouse.catalogLocationUnderDir(n))
-        warehouse.table(n).createOrReplaceTempView(n)
+        catalog.attachCboStats(n, warehouse.table(n)).createOrReplaceTempView(n)
     }
     catalog.listKbs().foreach { n =>
       catalog.kb(n).filter(k => warehouse.exists(k.storage)).foreach { k =>

@@ -595,6 +595,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LTV window not partitioned by cohort:\n$plan")
   }
 
+  test("ANALYZE feeds CBO: the 3-table star reorders its joins once stats exist") {
+    import graft.catalog.{Catalog, Warehouse}
+    // fresh Commands = fresh Catalog = no statistics yet
+    val c = new graft.sqlx.Commands(spark,
+      new Catalog(spark, dir), Warehouse.temp(spark))
+    val star = """
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment"""
+    // order of leaf relations in the optimized join tree, left to right
+    def leafOrder(): Seq[String] = {
+      val plan = c.execute(star).queryExecution.optimizedPlan
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      plan.collect { case lr: LogicalRelation =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.head.getName.stripSuffix(".parquet")
+      }
+    }
+    val before = leafOrder()
+    // without statistics the syntactic order survives: lineitem first
+    assert(before.head === "lineitem", s"unexpected pre-stats order: $before")
+    // exact stats for all three relations (CostBasedJoinReorder requires
+    // rowCount on EVERY join input before it will touch the tree)
+    Seq("lineitem", "orders", "customer").foreach(t =>
+      c.execute(s"ANALYZE TABLE $t"))
+    val after = leafOrder()
+    assert(after !== before,
+      s"stats did not change the join order: $after")
+    // the cost-based order starts from the SMALL end of the star
+    // (orders x customer ~ |orders| rows, vs lineitem x orders ~
+    // |lineitem| rows), so lineitem must no longer lead the tree
+    assert(after.head !== "lineitem",
+      s"CBO still joins the fact table first: $after")
+    // same values either way — the reorder is plan-only
+    val vals = c.execute(star).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vals.values.sum === c.execute("SELECT COUNT(*) AS n FROM lineitem")
+      .collect().head.getLong(0))
+  }
+
   test("no main-path query plans a CartesianProduct except deliberate broadcast scalars") {
     val allowed = Set("q23_scalar_subquery", "q33_cross_join", "s01_knn_brute",
       "k02_kb_semantic_search", "k03_kb_meta_threshold", "k04_kb_bool_algebra",

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   *    deterministic) with a replica suffix — trigram shingle survival
   *    drops to ~27%, far below the tau=0.5 dedup thresholds, while
   *    within-replica text is untouched;
-  *  - embeddings: replica i rotates the vector dimensions by i — norms
-  *    and value distributions are preserved, cross-replica cosine decorrelates.
+  *  - embeddings: replica i applies a deterministic per-replica sign
+  *    pattern (a Rademacher diagonal, hash-selected per dimension) — an
+  *    orthogonal transform, so norms and every WITHIN-replica inner
+  *    product are preserved exactly, while cross-replica cosine
+  *    decorrelates for ANY factor (the earlier dimension-rotation only
+  *    worked for factor < dim: slice length went negative past it, and
+  *    replica i and i+dim would have been identical copies).
   *
   * Usage: ScaleUp <srcSfDir> <outDir> <factor>
   */
@@ -47,10 +52,10 @@ object ScaleUp {
     emb.select(col("*"), rep)
       .withColumn("vec_id", col("vec_id") + col("rep") * maxVec)
       .withColumn("embedding",
-        when(col("rep") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), (col("rep") + 1).cast("int"),
-            size(col("embedding")) - col("rep").cast("int")),
-          slice(col("embedding"), lit(1), col("rep").cast("int")))))
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, j) =>
+            when(pmod(xxhash64(col("rep"), j), lit(2)) === 1,
+              (x * lit(-1.0f)).cast("float")).otherwise(x))))
       .drop("rep")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")

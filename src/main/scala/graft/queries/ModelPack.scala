@@ -304,8 +304,13 @@ object ModelPack extends QueryPack {
         .persist()
       val nCal = cal.count()
       val k = math.ceil(0.9 * nCal).toLong
-      val qHat = Relational.kthSmallest(
-        cal.select(round(col("r") * 10000).cast("long").as("r_tt")), "r_tt", k) / 10000.0
+      // tiny SFs can leave the calibration key-slice empty (sf0.001 has
+      // no orderkey in (3000,4500]); an empty calibration set means an
+      // interval of width 0, not a crash
+      val qHat =
+        if (nCal == 0) 0.0
+        else Relational.kthSmallest(
+          cal.select(round(col("r") * 10000).cast("long").as("r_tt")), "r_tt", k) / 10000.0
       cal.unpersist()
       val q = s.range(1).select(lit(nCal).as("n_cal"), lit(qHat).as("q_hat"))
       val test = resid(li.filter(col("l_orderkey") > 4500 && col("l_orderkey") <= 6000))

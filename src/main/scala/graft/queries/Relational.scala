@@ -36,6 +36,9 @@ object Relational extends QueryPack {
     */
   private[queries] def kthSmallest(df: DataFrame, c: String, k0: Long): Long = {
     val mm = df.agg(min(col(c)), max(col(c))).head()
+    // empty input (min/max NULL): no rank exists — callers treat 0 as
+    // "no calibration data" rather than crashing on getLong(NULL)
+    if (mm.isNullAt(0)) return 0L
     var lo = mm.getLong(0); var hi = mm.getLong(1)
     var k = k0
     var cur = df

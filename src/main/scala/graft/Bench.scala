@@ -83,7 +83,14 @@ object Bench {
       spark.catalog.clearCache()
       ts(1)
     }
-    val results = queries.map { case (name, fn) => name -> median3(fn) }
+    // stream each median to stderr as it lands: long rehearsal runs
+    // (sf1/sf10) are otherwise a multi-hour silent gap, and a killed run
+    // loses nothing — stdout stays reserved for the final JSON lines
+    val results = queries.map { case (name, fn) =>
+      val m = median3(fn)
+      System.err.println(f"[bench] $name $m%.3f s")
+      name -> m
+    }
     // Re-measure pass: isolate suspected regressions after the suite so a
     // transient load spike during their slot doesn't masquerade as a plan
     // regression. Only queries >1.5x their recorded baseline re-run.

@@ -11,10 +11,23 @@ import org.apache.spark.sql.functions._
   * exploding pairwise dedup output quadratically in the factor, which no
   * real 10x corpus does. Instead each replica keeps the ORIGINAL
   * internal duplicate structure while decorrelating across replicas:
-  *  - documents: replica i tags ~35% of token positions (hash-selected,
-  *    deterministic) with a replica suffix — trigram shingle survival
-  *    drops to ~27%, far below the tau=0.5 dedup thresholds, while
-  *    within-replica text is untouched;
+  *  - documents: replica i REPLACES ~50% of token positions
+  *    (hash-selected, deterministic per (token, position, replica)) with
+  *    a replica-hashed token. Replacement, not suffix-tagging: the round-6
+  *    tagging decorrelated SHINGLES (trigram survival ~27%, MinHash-safe)
+  *    but not SIMHASH — a tagged token still hashes near its original's
+  *    feature set, hamming stayed ≤16/64, and every doc sat in a
+  *    factor-sized cross-replica band cluster, so band-proposed candidate
+  *    pairs grew quadratically in the factor (measured: d11's verify
+  *    went from 4.8 s at sf0.1 to >20 min per pass at factor 100 — a
+  *    corpus artifact; no real 100x corpus multiplies per-doc duplicate
+  *    cardinality by the growth factor). Replacing the token with an
+  *    unrelated hash word flips the feature itself: expected simhash
+  *    hamming rises to ~24-32/64, P(any 16-bit band unchanged) collapses,
+  *    and shingle survival drops below tagging's (0.5^3 = 12.5%).
+  *    Within-replica dup structure is preserved: the replacement is a
+  *    pure function of (token, position, replica), so two documents that
+  *    were duplicates inside a replica stay duplicates;
   *  - embeddings: replica i applies a deterministic per-replica sign
   *    pattern (a Rademacher diagonal, hash-selected per dimension) — an
   *    orthogonal transform, so norms and every WITHIN-replica inner
@@ -23,30 +36,40 @@ import org.apache.spark.sql.functions._
   *    worked for factor < dim: slice length went negative past it, and
   *    replica i and i+dim would have been identical copies).
   *
-  * Usage: ScaleUp <srcSfDir> <outDir> <factor>
+  * Usage: ScaleUp <srcSfDir> <outDir> <factor> [tables]
+  * `tables` (optional, comma-separated) rebuilds only the named tables —
+  * corpus-definition iterations shouldn't pay for re-replicating the
+  * 60M-row fact tables they don't touch.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args
+    val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val factor = factorS.toInt
     val spark = graft.engine.Session.build("graft-scaleup")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
 
     val rep = explode(sequence(lit(0L), lit(factor - 1L))).as("rep")
 
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
-    docs.select(col("*"), rep)
-      .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
-      .withColumn("text",
-        when(col("rep") === 0, col("text")).otherwise(concat_ws(" ",
-          transform(split(col("text"), "\\s+"), (t, i) =>
-            when(pmod(xxhash64(t, i, col("rep")), lit(100)) < 35,
-              concat(t, lit("~"), col("rep"))).otherwise(t)))))
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (wanted("documents")) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+      docs.select(col("*"), rep)
+        .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
+        .withColumn("text",
+          when(col("rep") === 0, col("text")).otherwise(concat_ws(" ",
+            transform(split(col("text"), "\\s+"), (t, i) =>
+              when(pmod(xxhash64(t, i, col("rep")), lit(100)) < 50,
+                lower(substring(hex(xxhash64(t, i, col("rep"), lit(7))), 1, 6)))
+                .otherwise(t)))))
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
 
+    if (wanted("embeddings")) {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
     emb.select(col("*"), rep)
@@ -59,6 +82,7 @@ object ScaleUp {
       .drop("rep")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
 
     // events: replica-decorrelated — NEW user ids per replica (sessions,
     // funnels, cohorts scale linearly in users, as a real 10x product
@@ -67,15 +91,17 @@ object ScaleUp {
     // unchanged (the temporal span of the rehearsal window is a property
     // of the window, not the scale). Read through the schema-aware
     // loader so a TIMESTAMP(NANOS) source normalizes once here.
-    val ev = graft.engine.Tables.table(spark, srcDir, "events")
-    val maxEv = ev.agg(max("event_id")).head.getLong(0) + 1
-    val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
-    ev.select(col("*"), rep)
-      .withColumn("event_id", col("event_id") + col("rep") * maxEv)
-      .withColumn("user_id", col("user_id") + col("rep") * maxUser)
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (wanted("events")) {
+      val ev = graft.engine.Tables.table(spark, srcDir, "events")
+      val maxEv = ev.agg(max("event_id")).head.getLong(0) + 1
+      val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
+      ev.select(col("*"), rep)
+        .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+        .withColumn("user_id", col("user_id") + col("rep") * maxUser)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
 
     // TPC-H fact+dim tables: replica-disjoint key offsets, preserving
     // every foreign key (order→lineitem, lineitem→part/supplier,
@@ -99,13 +125,13 @@ object ScaleUp {
     val maxSupp = spark.read.parquet(s"$srcDir/supplier.parquet")
       .agg(max("s_suppkey")).head.getLong(0) + 1
 
-    ord.select(col("*"), rep)
+    if (wanted("orders")) ord.select(col("*"), rep)
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOrder)
       .withColumn("o_custkey", col("o_custkey") + col("rep") * maxCust)
       .drop("rep").repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
-    li.select(col("*"), rep)
+    if (wanted("lineitem")) li.select(col("*"), rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOrder)
       .withColumn("l_partkey", col("l_partkey") + col("rep") * maxPart)
       .withColumn("l_suppkey", col("l_suppkey") + col("rep") * maxSupp)
@@ -121,6 +147,7 @@ object ScaleUp {
     // OFFSET key, same format.
     def scaleDim(name: String, key: String, maxKey: Long,
         nameCol: Option[(String, String)] = None): Unit = {
+      if (!wanted(name)) return
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
         .select(col("*"), rep)
         .withColumn(key, col(key) + col("rep") * maxKey)
@@ -135,7 +162,7 @@ object ScaleUp {
     scaleDim("part", "p_partkey", maxPart)
 
     // region/nation are constant-size reference tables at every SF
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(wanted).foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$srcDir/$t.parquet"),
         java.nio.file.Paths.get(s"$outDir/$t.parquet"),

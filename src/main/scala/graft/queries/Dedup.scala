@@ -642,9 +642,19 @@ object Dedup extends QueryPack {
         .withColumn("rk", row_number().over(wA))
         .filter(col("rk") === 1)
         .select(col("cent_id").as("cell"), col("vec_id"), col("v"))
+      // pair-block decomposition: the cell key has only 8 distinct
+      // values, so a plain self-join on `cell` runs ≤8 reducer tasks no
+      // matter the cluster — at 100x data that is the whole wall-clock.
+      // Salting the A side into 16 hash blocks and replicating the B
+      // side across them turns the same all-pairs product into
+      // 8·16 = 128 independent tasks with identical per-pair arithmetic
+      // (results bit-for-bit unchanged; only the partitioning changes).
+      val nBlk = 16
       val a = assigned.select(col("cell"), col("vec_id").as("ai"), col("v").as("va"))
+        .withColumn("blk", pmod(hash(col("ai")), lit(nBlk)))
       val b = assigned.select(col("cell"), col("vec_id").as("bi"), col("v").as("vb"))
-      a.join(b, Seq("cell"))
+        .withColumn("blk", explode(array((0 until nBlk).map(lit(_)): _*)))
+      a.join(b, Seq("cell", "blk"))
         .filter(col("ai") < col("bi"))
         .withColumn("c", cosineSim(col("va"), col("vb")))
         .filter(col("c") >= 0.35)

@@ -666,6 +666,46 @@ object Dedup extends QueryPack {
         .orderBy(col("cell"), col("removed_id"))
     }),
 
+    // ---- semdedup, the SCALE path ------------------------------------
+    // d05's fixed 8-cell codebook is cluster-size-quadratic by
+    // construction: cell population grows with the corpus, so within-cell
+    // all-pairs work grows as n²/8 (measured 222x wall at 100x data —
+    // the honest cost of the baseline tier, like s03 for ANN). The
+    // production shape (SemDeDup, Abbas et al. 2023 §3: k-means with k
+    // chosen so clusters stay small) sizes the codebook WITH the corpus:
+    // k = ⌈n/250⌉ cells keeps expected cell size ~250 constant, so pair
+    // work is n·250 — linear. The remaining n·k assignment term is the
+    // standard k-means assignment cost; at cluster scale it shortlists
+    // through a coarse quantizer first (s14's IVF two-level shape) —
+    // here it is one broadcast-join scan. Same verdict schema as d05.
+    "d27_semdedup_scaled" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.cosineSim
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val k = (e.count() + 249) / 250
+      val cents = broadcast(e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+      val assigned = e.crossJoin(cents)
+        .withColumn("cc", round(cosineSim(col("v"), col("cv")), 4))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("cent_id").as("cell"), col("vec_id"), col("v"))
+      // k cells = k-way join parallelism; no pair-block salt needed
+      val a = assigned.select(col("cell"), col("vec_id").as("ai"), col("v").as("va"))
+      val b = assigned.select(col("cell"), col("vec_id").as("bi"), col("v").as("vb"))
+      a.join(b, Seq("cell"))
+        .filter(col("ai") < col("bi"))
+        .withColumn("c", cosineSim(col("va"), col("vb")))
+        .filter(col("c") >= 0.35)
+        .groupBy(col("cell"), col("bi"))
+        .agg(min(col("ai")).as("kept_id"), count(lit(1)).as("n_near"),
+          round(max(col("c")), 4).as("max_sim"))
+        .select(col("cell").cast(LongType).as("cell"), col("bi").as("removed_id"),
+          col("kept_id"), col("n_near"), col("max_sim"))
+        .orderBy(col("cell"), col("removed_id"))
+    }),
+
     // ---- count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
     // The frequency companion to d08's cardinality sketch: 4 salted hash
     // rows × 512 buckets; a value's estimate is the MIN of its 4 cell
@@ -1616,6 +1656,32 @@ object Dedup extends QueryPack {
     "d05_semdedup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+      assigned AS (SELECT cell, vec_id, v FROM (
+          SELECT c.cent_id AS cell, e.vec_id, e.v,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ROUND(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*c.cv[i])) /
+                (sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i]))) *
+                 sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i])))), 4)
+              DESC, c.cent_id) AS rk
+          FROM e CROSS JOIN cents c)
+        WHERE rk = 1),
+      sims AS (
+        SELECT a.cell, a.vec_id AS ai, b.vec_id AS bi,
+          list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) /
+            (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))) *
+             sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) AS c
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT CAST(cell AS BIGINT) AS cell, bi AS removed_id,
+        CAST(MIN(ai) AS BIGINT) AS kept_id, COUNT(*) AS n_near,
+        ROUND(MAX(c), 4) AS max_sim
+      FROM sims WHERE c >= 0.35
+      GROUP BY cell, bi ORDER BY cell, removed_id""",
+
+    // d05 with a corpus-proportional codebook: k = ceil(n/250) cells
+    "d27_semdedup_scaled" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        WHERE vec_id < (SELECT CAST(CEIL(COUNT(*) / 250.0) AS BIGINT) FROM e)),
       assigned AS (SELECT cell, vec_id, v FROM (
           SELECT c.cent_id AS cell, e.vec_id, e.v,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY

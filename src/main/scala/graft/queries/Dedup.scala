@@ -674,19 +674,58 @@ object Dedup extends QueryPack {
     // production shape (SemDeDup, Abbas et al. 2023 §3: k-means with k
     // chosen so clusters stay small) sizes the codebook WITH the corpus:
     // k = ⌈n/250⌉ cells keeps expected cell size ~250 constant, so pair
-    // work is n·250 — linear. The remaining n·k assignment term is the
-    // standard k-means assignment cost; at cluster scale it shortlists
-    // through a coarse quantizer first (s14's IVF two-level shape) —
-    // here it is one broadcast-join scan. Same verdict schema as d05.
+    // work is n·250 — linear. The n·k assignment term is killed by the
+    // IVF two-level shape (s14): a coarse codebook of ⌈√k⌉ centers is
+    // the only broadcast that touches every row (sub-linear: √(n/250)),
+    // each centroid registers under its nearest coarse center with a
+    // per-cell covering radius, and a query scans only the coarse cells
+    // the triangle inequality cannot rule out. The bound is EXACT, not
+    // approximate: for unit-normalized vectors d² = 2−2·cos, so any
+    // centroid in coarse cell j has distance ≥ d(q,co_j) − rad_j; cells
+    // whose best possible cosine is below the guaranteed-achievable
+    // best (min over cells of d(q,co_j)+rad_j, i.e. Elkan/Hamerly-style
+    // k-means bounds) minus the 1e-4 rounding granularity can never
+    // hold the (round(cos,4) desc, cent_id) winner — output is
+    // bit-identical to the full argmax. Work: n·√k coarse distances +
+    // n·E[shortlist] exact ones instead of n·k; the centroid join is a
+    // shuffle join on the coarse-cell key, never a linear-size
+    // broadcast. Same verdict schema as d05.
     "d27_semdedup_scaled" -> ((s, dir) => {
       import graft.functions.VectorFunctions.cosineSim
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val k = (e.count() + 249) / 250
-      val cents = broadcast(e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+      val kc = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      val coarse = broadcast(e.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("co_id"), col("v").as("cov")))
+      // normalized-space distance d(u,v) = sqrt(2 − 2·cos(u,v))
+      def nDist(a: Column, b: Column): Column =
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cosineSim(a, b)))
+      // level 1: each centroid registers under its nearest coarse
+      // center (k·√k work — sub-quadratic), cells carry a covering radius
+      val wCo = Window.partitionBy(col("cent_id")).orderBy(col("cd").asc, col("co_id"))
+      val centIdx = cents.crossJoin(coarse)
+        .withColumn("cd", nDist(col("cv"), col("cov")))
+        .withColumn("rk", row_number().over(wCo))
+        .filter(col("rk") === 1)
+        .select(col("co_id"), col("cent_id"), col("cv"), col("cd"))
+      val rads = centIdx.groupBy(col("co_id")).agg(max(col("cd")).as("rad"))
+      // level 2: per query, keep a coarse cell only if its best possible
+      // cosine (1 − lb²/2) can still reach the guaranteed-achievable
+      // best (1 − ub²/2) within the 4-dp rounding granularity
+      val wQ = Window.partitionBy(col("vec_id"))
+      val shortlist = e.crossJoin(coarse)
+        .withColumn("qd", nDist(col("v"), col("cov")))
+        .join(broadcast(rads), Seq("co_id"))
+        .withColumn("ub", min(col("qd") + col("rad")).over(wQ))
+        .filter(lit(1.0) - pow(greatest(lit(0.0), col("qd") - col("rad")), 2) / 2.0 >=
+          lit(1.0) - col("ub") * col("ub") / 2.0 - lit(2.0e-4))
+        .select(col("co_id"), col("vec_id"), col("v"))
       val wA = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
-      val assigned = e.crossJoin(cents)
+      val assigned = shortlist
+        .join(centIdx.select(col("co_id"), col("cent_id"), col("cv")), Seq("co_id"))
         .withColumn("cc", round(cosineSim(col("v"), col("cv")), 4))
         .withColumn("rk", row_number().over(wA))
         .filter(col("rk") === 1)

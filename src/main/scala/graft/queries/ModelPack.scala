@@ -281,7 +281,11 @@ object ModelPack extends QueryPack {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity").as("x"), col("l_extendedprice").as("y"))
       val train = li.filter(col("l_orderkey") <= 3000)
-      val fit = train.agg(
+      // the fit is two scalars — collect them ONCE instead of
+      // re-materializing the fit subquery inside both the calibration
+      // and test plans (the r14 bench showed the duplicated broadcast
+      // subquery dominating this query's constant factor)
+      val fitRow = train.agg(
           count(lit(1)).cast("double").as("n"),
           sum(col("x").cast(DecimalType(18, 4))).cast("double").as("sx"),
           sum(col("y").cast(DecimalType(18, 4))).cast("double").as("sy"),
@@ -290,35 +294,42 @@ object ModelPack extends QueryPack {
         .withColumn("b", (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")))
         .withColumn("a", (col("sy") - col("b") * col("sx")) / col("n"))
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")).head()
+      val aFit = if (fitRow.isNullAt(0)) Double.NaN else fitRow.getDouble(0)
+      val bFit = if (fitRow.isNullAt(1)) Double.NaN else fitRow.getDouble(1)
       def resid(df: org.apache.spark.sql.DataFrame) =
-        df.crossJoin(broadcast(fit))
-          .withColumn("r", round(abs(col("y") - (col("a") + col("b") * col("x"))), 4))
-      // calibration quantile WITHOUT a global ranking window: the
-      // residual is exact in ten-thousandths (r is round(...,4)), so the
-      // k-th smallest resolves through q61's histogram walk — ≤4
-      // map-side-combinable scans, never a one-task global sort, which
-      // keeps the path safe even if the calibration set ever scales
-      // with the corpus instead of staying a fixed sample
+        df.withColumn("r",
+          round(abs(col("y") - (lit(aFit) + lit(bFit) * col("x"))), 4))
       val cal = resid(li.filter(col("l_orderkey") > 3000 && col("l_orderkey") <= 4500))
         .persist()
       val nCal = cal.count()
       val k = math.ceil(0.9 * nCal).toLong
       // tiny SFs can leave the calibration key-slice empty (sf0.001 has
       // no orderkey in (3000,4500]); an empty calibration set means an
-      // interval of width 0, not a crash
+      // interval of width 0, not a crash. Below 10^6 calibration rows
+      // the k-th smallest is ONE top-(n−k+1) heap (TakeOrdered on the
+      // 10%-of-cal tail — never a global sort); only a calibration set
+      // that outgrows a single heap falls back to q61's histogram walk
+      // (≤4 map-side-combinable scans), so the path stays safe even if
+      // the calibration set ever scales with the corpus instead of
+      // staying a fixed sample
+      val rtt = cal.select(round(col("r") * 10000).cast("long").as("r_tt"))
       val qHat =
         if (nCal == 0) 0.0
-        else Relational.kthSmallest(
-          cal.select(round(col("r") * 10000).cast("long").as("r_tt")), "r_tt", k) / 10000.0
+        else if (nCal <= 1000000L)
+          rtt.orderBy(col("r_tt").desc).limit((nCal - k + 1).toInt)
+            .agg(min(col("r_tt"))).head().getLong(0) / 10000.0
+        else Relational.kthSmallest(rtt, "r_tt", k) / 10000.0
       cal.unpersist()
-      val q = s.range(1).select(lit(nCal).as("n_cal"), lit(qHat).as("q_hat"))
       val test = resid(li.filter(col("l_orderkey") > 4500 && col("l_orderkey") <= 6000))
-      test.crossJoin(broadcast(q))
-        .agg(first(col("n_cal")).as("n_cal"), first(col("q_hat")).as("q_hat"),
-          count(lit(1)).as("n_test"),
-          sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("covered"))
-        .select(col("n_cal"), round(col("q_hat"), 4).as("q_hat"), col("n_test"),
+      // grouped (not global) agg: an empty test slice yields zero rows,
+      // matching the oracle's GROUP BY — the constants group to one row
+      // whenever any test data exists
+      test.withColumn("n_cal", lit(nCal)).withColumn("qh", lit(qHat))
+        .groupBy(col("n_cal"), col("qh"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("qh"), 1L).otherwise(0L)).as("covered"))
+        .select(col("n_cal"), round(col("qh"), 4).as("q_hat"), col("n_test"),
           col("covered"),
           round(col("covered").cast("double") / col("n_test"), 4).as("coverage"))
     }),
@@ -1232,7 +1243,10 @@ object ModelPack extends QueryPack {
         FROM li, fit WHERE l_orderkey > 3000 AND l_orderkey <= 4500),
       ncal AS (SELECT COUNT(*) AS n_cal FROM cal),
       ranked AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM cal),
-      q AS (SELECT n_cal, r AS q_hat FROM ranked, ncal WHERE rn = CEIL(0.9 * n_cal)),
+      -- mirror the engine's empty-calibration branch: zero calibration
+      -- rows mean one q row (n_cal=0, q_hat=0.0), not zero rows
+      q AS (SELECT (SELECT n_cal FROM ncal) AS n_cal,
+        COALESCE((SELECT r FROM ranked, ncal WHERE rn = CEIL(0.9 * n_cal)), 0.0) AS q_hat),
       test AS (SELECT ROUND(ABS(y - (a + b*x)), 4) AS r
         FROM li, fit WHERE l_orderkey > 4500 AND l_orderkey <= 6000)
       SELECT CAST(q.n_cal AS BIGINT) AS n_cal, ROUND(q.q_hat, 4) AS q_hat,

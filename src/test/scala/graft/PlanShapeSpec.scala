@@ -234,6 +234,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus band index must not shuffle against the delta:\n$plan")
   }
 
+  test("d27 semdedup scale tier: only sub-linear frames broadcast; centroid join shuffles") {
+    // AQE + auto-broadcast off so the static plan shows exactly the
+    // broadcasts the QUERY asks for (hints), not what the test-SF data
+    // size happens to permit — that is the 100 TB shape under test
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("d27_semdedup_scaled")(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, s"coarse codebook should broadcast:\n$plan")
+      // every broadcast subtree must be one of the two sub-linear frames:
+      // the √k coarse codebook (scan with the vec_id < kc pushed filter)
+      // or the per-cell radius rollup (max(cd) aggregate) — a broadcast
+      // of the full corpus or of the k-centroid table (both linear in n
+      // at fixed cell size) is the scale bug this test pins down
+      bcasts.foreach { b =>
+        val sub = b.toString
+        assert(sub.contains("LessThan(vec_id") || sub.contains("max(cd"),
+          s"a linear-size frame is broadcast:\n$sub")
+      }
+      // the shortlist -> centroid join on the coarse-cell key must be a
+      // shuffle join (repartition-based; both sides grow with the corpus)
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledJoin => j }
+      assert(smj.exists(_.leftKeys.exists(_.toString.contains("co_id"))),
+        s"centroid assignment join must shuffle on co_id, not broadcast:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("g06 doulion: sampling filters the edge list before any join; equi-joins only") {
     val plan = executedPlan("g06_triangle_doulion")
     assert(!plan.contains("CartesianProduct"),

@@ -109,20 +109,22 @@ object ScaleUp {
     // edge counts scale linearly while per-order basket density stays
     // fixed, which is exactly the g-pack's declared scaling model (part
     // count grows with the data; the co-purchase graph stays sparse).
-    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
-    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
     // each offset comes from the DIMENSION's own key space, not the
     // fact side's: TPC-H leaves ~1/3 of customers orderless, so the
     // fact-side max can undershoot the dimension max and overlapping
     // replica ranges would mint duplicate dimension keys (fan-out in
     // every join). Fact FKs are a subset of the dimension range, so the
     // dimension-derived offset preserves every FK too.
-    val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
-    val maxCust = spark.read.parquet(s"$srcDir/customer.parquet")
+    // All lazy: a selective `tables` rebuild must not scan (or require
+    // the presence of) the TPC-H files it was told to skip.
+    lazy val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    lazy val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    lazy val maxOrder = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    lazy val maxCust = spark.read.parquet(s"$srcDir/customer.parquet")
       .agg(max("c_custkey")).head.getLong(0) + 1
-    val maxPart = spark.read.parquet(s"$srcDir/part.parquet")
+    lazy val maxPart = spark.read.parquet(s"$srcDir/part.parquet")
       .agg(max("p_partkey")).head.getLong(0) + 1
-    val maxSupp = spark.read.parquet(s"$srcDir/supplier.parquet")
+    lazy val maxSupp = spark.read.parquet(s"$srcDir/supplier.parquet")
       .agg(max("s_suppkey")).head.getLong(0) + 1
 
     if (wanted("orders")) ord.select(col("*"), rep)
@@ -145,7 +147,7 @@ object ScaleUp {
     // neighborhood join, any name groupBy) then measure replica-count
     // fan-out instead of data scaling. Rewrite the name from the
     // OFFSET key, same format.
-    def scaleDim(name: String, key: String, maxKey: Long,
+    def scaleDim(name: String, key: String, maxKey: => Long,
         nameCol: Option[(String, String)] = None): Unit = {
       if (!wanted(name)) return
       val base = spark.read.parquet(s"$srcDir/$name.parquet")

@@ -554,6 +554,28 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
         org.apache.spark.sql.GraftColumnBridge.ofRows(spark, plan)
     }
 
+  /** DML staleness guard (wired to Warehouse.addMutationListener by the
+    * session layer): after a write, ANALYZE-time column statistics no
+    * longer describe the data — a table can double under INSERT/MERGE
+    * while CBO still plans on the old rowCount, holding a broadcast
+    * past its real size. Keep the cheap exact cardinality (parquet
+    * footer count — a driver-side metadata walk) so join reorder and
+    * broadcast selection still see real sizes, but drop NDV/min-max
+    * until the next ANALYZE. Only refreshes tables that HAVE statistics:
+    * un-ANALYZEd tables keep Catalyst's size-based estimates. */
+  def refreshCboStatsAfterWrite(name: String, exactRows: => Long): Unit =
+    cboStatistics.get(name).foreach { st =>
+      val n = exactRows
+      if (n <= 0L) { cboStatistics.remove(name); columnStats.remove(name) }
+      else {
+        val perRow = st.rowCount.filter(_ > 0)
+          .map(r => (st.sizeInBytes / r).max(BigInt(8))).getOrElse(BigInt(8))
+        cboStatistics(name) = org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          sizeInBytes = BigInt(n) * perRow,
+          rowCount = Some(BigInt(n)), colStats = Map.empty)
+      }
+    }
+
   /** information_schema.column_statistics: every ANALYZEd table's stats
     * (optionally one table's). */
   def infoColumnStatistics(table: Option[String] = None): DataFrame =

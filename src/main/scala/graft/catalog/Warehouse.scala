@@ -25,6 +25,25 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
 
   def exists(name: String): Boolean = Files.exists(Paths.get(path(name)))
 
+  /** Post-mutation hook, called with the (lowercased) table name after
+    * any verb that changes a table's data or schema commits. The session
+    * layer wires this to keep derived planner state honest — without it,
+    * ANALYZE-produced CBO statistics survive DML unchanged and a stale
+    * rowCount can hold a broadcast decision far past the table's real
+    * size. Listener failures are swallowed: statistics upkeep must never
+    * fail the write that triggered it. */
+  @volatile private var mutationListeners: List[String => Unit] = Nil
+  private val mutationListenerKeys = scala.collection.mutable.Set[String]()
+  /** Keyed registration so layers constructed repeatedly over one
+    * warehouse (per-connection Commands) wire each listener once. */
+  def addMutationListener(key: String)(f: String => Unit): Unit = synchronized {
+    if (mutationListenerKeys.add(key)) mutationListeners ::= f
+  }
+  private def mutated(name: String): Unit = {
+    val n = name.toLowerCase
+    mutationListeners.foreach(f => try f(n) catch { case _: Exception => () })
+  }
+
   /** directory listing with the stream CLOSED (Files.list leaks the
     * underlying DirectoryStream otherwise — called per statement by the
     * SQL router, so the handles add up). */
@@ -129,6 +148,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     require(!table(name).columns.map(_.toLowerCase).contains(column.toLowerCase),
       s"column $column already exists in $name")
     evoAppend(name, "add", column, sqlType, default.getOrElse(""))
+    mutated(name)
   }
 
   /** ALTER TABLE … RENAME COLUMN old TO new (metadata-only). */
@@ -143,6 +163,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     require(!partitionColumn(name).exists(_.equalsIgnoreCase(from)),
       "cannot rename the partition column")
     evoAppend(name, "rename", from, to)
+    mutated(name)
   }
 
   /** ALTER TABLE … DROP COLUMN c (metadata-only projection). */
@@ -156,6 +177,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     require(!partitionColumn(name).exists(_.equalsIgnoreCase(column)),
       "cannot drop the partition column")
     evoAppend(name, "drop", column)
+    mutated(name)
   }
 
   // ---- time travel --------------------------------------------------
@@ -278,6 +300,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       rm(Paths.get(path(name)))
       linkTree(src, Paths.get(path(name)))
     } finally txnTouched = wasOpen
+    mutated(name)
   }
 
   /** The live version rides in a hidden marker file at the warehouse
@@ -318,6 +341,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     else txnTouch(name) // creation inside a transaction → rollback drops
     val w = df.write.mode(if (overwrite) "overwrite" else "errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
+    mutated(name)
   }
 
   /** Bucketed CTAS: hash-bucket the table on `bucketCol` into `n`
@@ -337,6 +361,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       .option("path", path(name))
       .bucketBy(n, bucketCol).sortBy(bucketCol)
       .saveAsTable(name)
+    mutated(name)
   }
 
   def bucketedTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
@@ -372,6 +397,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     txnTouch(name)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .repartition(1).write.mode("errorifexists").parquet(path(name))
+    mutated(name)
   }
 
   /** INSERT INTO (InsertToTable): append by column name when the incoming
@@ -394,6 +420,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     // a partitioned table must append INTO the partition layout — plain
     // root-level part files would corrupt partition discovery
     partitionColumn(name).fold(w)(pc => w.partitionBy(pc)).parquet(path(name))
+    mutated(name)
   }
 
   /** TRUNCATE TABLE: remove every row, keep the schema. A snapshot-logged
@@ -422,6 +449,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
         rm(pcolPath(name))
         rewriteDir(Paths.get(path(name)), empty.repartition(1))
     }
+    mutated(name)
   }
 
   /** Sidecar carrying a truncated partitioned table's layout
@@ -489,6 +517,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
         rm(old)
       }
     rm(tmp)
+    mutated(name)
   }
 
   /** UPDATE name SET assignments WHERE cond (UpdateToTable). On a
@@ -511,6 +540,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
         rewrite(name, updated(table(name)), partitionBy = Seq(pc))
       case None => rewrite(name, updated(table(name)))
     }
+    mutated(name)
   }
 
   /** UPDATE name SET col = expr-over-source FROM source WHERE on — the
@@ -593,6 +623,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     rewrite(name,
       table(name).join(keys.select(keyCol).distinct(), Seq(keyCol), "left_anti"),
       partitionBy = partitionColumn(name).toSeq)
+    mutated(name)
   }
 
   /** DELETE FROM name WHERE cond (DeleteStep); partition-pruned like
@@ -603,6 +634,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
       case Some(pc) => rewritePartitions(name, pc, where, _.filter(!where))
       case None => rewrite(name, table(name).filter(!where))
     }
+    mutated(name)
   }
 
   /** Rewrite ONLY the partitions holding rows that match `where`;
@@ -643,6 +675,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     rm(markerPath(name))
     rm(evoPath(name))
     rm(pcolPath(name))
+    mutated(name)
   }
 
   /** True when the session-catalog table `name` is stored under this
@@ -785,6 +818,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
     // the clone keeps the source's evolved schema (log copied, not shared)
     if (Files.exists(evoPath(src)))
       Files.copy(evoPath(src), evoPath(dst))
+    mutated(dst)
   }
 
   /** Atomically replace a table's contents (same crash-safe swap as
@@ -794,6 +828,7 @@ final class Warehouse(val spark: SparkSession, val dir: String) {
   def replace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     snapshot(name)
     rewrite(name, df, partitionBy)
+    mutated(name)
   }
 
   /** copy-on-write swap: write to a temp sibling, rename the live dir

@@ -38,6 +38,10 @@ object Session {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.federation.SingleSourceJoinPushdown.ensure(spark)
+    // ANALYZEd remote JDBC tables report their real cardinality to
+    // build-side/broadcast selection (GraftJdbcStats.Attach rewraps the
+    // pushed scan with SupportsReportStatistics). No-op without ANALYZE.
+    org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats.ensure(spark)
     spark
   }
 

@@ -156,6 +156,9 @@ object JdbcDb {
   def ensureCatalog(s: SparkSession, db: String,
       catalog: String = CatalogName): Unit = {
     ensureDialect()
+    // foreign sessions (driver-owned) get the stats rule the first time
+    // the JDBC path is used, same late binding as the join-pushdown rule
+    org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats.ensure(s)
     s.conf.set(s"spark.sql.catalog.$catalog",
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
     s.conf.set(s"spark.sql.catalog.$catalog.url", url(db))

@@ -93,6 +93,13 @@ final class Commands(
   // cosine_sim / dot_product / vec_l2 in spark.sql — the targets of the
   // pgvector operator rewrite (idempotent temp-function registration)
   graft.functions.VectorFunctions.register(spark)
+  // CBO staleness guard: every warehouse write refreshes that table's
+  // planner statistics to the exact parquet-footer row count (column
+  // stats drop until re-ANALYZE) — Catalog.refreshCboStatsAfterWrite
+  warehouse.addMutationListener("cbo-stats") { n =>
+    catalog.refreshCboStatsAfterWrite(n,
+      if (warehouse.exists(n)) warehouse.rowCount(n) else 0L)
+  }
 
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)""".r
@@ -165,7 +172,7 @@ final class Commands(
   private val ShowKeys =
     """(?is)\s*SHOW\s+(?:KEYS|INDEX|INDEXES)\s+(?:FROM|IN)\s+`?(?:\w+`?\.`?)?(\w+)`?\s*""".r
   private val AnalyzeStmt =
-    """(?is)\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*""".r
+    """(?is)\s*ANALYZE\s+TABLE\s+([\w.]+)(?:\s+COMPUTE\s+STATISTICS)?\s*""".r
   private val ExplainStmt = """(?is)\s*EXPLAIN\s+(.+)""".r
   private val SetStmt = """(?is)\s*SET\s+(?:SESSION\s+)?(@?@?)([\w.]+)\s*=\s*(.+?)\s*""".r
   private val SetNames =
@@ -1712,6 +1719,18 @@ final class Commands(
         Seq("name" -> a.name, "model" -> a.model) ++ a.params.toSeq.sortBy(_._1))
 
     case DescribeStmt(name) => catalog.describe(name, Some(warehouse))
+    case AnalyzeStmt(name) if name.contains(".") =>
+      // qualified name = remote table behind a registered JDBC catalog
+      // (`rdb.APP.SUPPLIER`): one pushed COUNT records rowCount/size in
+      // the DSv2 stats registry so CostBasedJoinReorder and broadcast
+      // selection see the remote table's real cardinality instead of
+      // defaultSizeInBytes (GraftJdbcStats.Attach, the PreCBO rule)
+      val df = spark.table(name)
+      val n = org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats
+        .analyze(df)
+        .getOrElse(throw new IllegalArgumentException(
+          s"ANALYZE TABLE $name: not a JDBC-backed relation"))
+      kv("param", "value", Seq("table" -> name, "row_count" -> n.toString))
     case AnalyzeStmt(name) =>
       // data-catalog statistics (interfaces/data_catalog/, base.py:178-341):
       // one exact aggregation pass, stored on the catalog, queryable via

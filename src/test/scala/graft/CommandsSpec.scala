@@ -475,6 +475,9 @@ class CommandsSpec extends AnyFunSuite {
     assert(ex.getString(0).contains("Aggregate") && ex.getString(1).nonEmpty)
     c.execute("SET spark.sql.cbo.enabled = 'false'")
     assert(spark.conf.get("spark.sql.cbo.enabled") === "false")
+    // restore: later tests assert rowCount-bearing plan statistics,
+    // which LogicalRelation only reports while CBO is on
+    c.execute("SET spark.sql.cbo.enabled = 'true'")
     assert(c.execute("USE graft").first().getString(0) === "ok")
   }
 
@@ -728,6 +731,40 @@ class CommandsSpec extends AnyFunSuite {
     val st2 = c.execute("ANALYZE TABLE at_t").collect()
       .map(r => r.getString(1) -> r).toMap
     assert(st2("x").getLong(3) === 4L && st2("x").getString(7) === "9")
+  }
+
+  test("CBO staleness: DML refreshes ANALYZE stats so a grown table stops broadcasting") {
+    val c = fresh()
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val cbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      c.execute("CREATE TABLE stale_t AS SELECT o_orderkey FROM orders WHERE o_orderkey <= 40")
+      c.execute("ANALYZE TABLE stale_t")
+      def q = c.execute(
+        "SELECT count(*) AS n FROM lineitem JOIN stale_t ON l_orderkey = o_orderkey")
+      val small = c.execute("SELECT * FROM stale_t").queryExecution.optimizedPlan.stats
+      assert(small.rowCount.exists(_ <= 50), s"ANALYZE rowCount missing: $small")
+      assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "tiny ANALYZEd table should broadcast")
+      // the table grows ~600x under INSERT — withOUT re-ANALYZE the old
+      // rowCount would keep the broadcast; the mutation listener refreshes
+      // it to the exact footer count and drops the stale column stats
+      c.execute("INSERT INTO stale_t SELECT o_orderkey FROM orders")
+      val grown = c.execute("SELECT * FROM stale_t").queryExecution.optimizedPlan.stats
+      val realN = c.execute("SELECT count(*) AS n FROM stale_t").first().getLong(0)
+      assert(grown.rowCount.contains(BigInt(realN)),
+        s"stats not refreshed after INSERT: $grown (real $realN)")
+      assert(!q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "grown table must no longer broadcast on stale stats")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      spark.conf.set("spark.sql.cbo.enabled", cbo)
+    }
   }
 
   test("CTAS into warehouse + SHOW TABLES + DESCRIBE + DROP TABLE") {

@@ -271,6 +271,47 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("f17 remote stats: ANALYZEd JDBC table flips the join to broadcast-build") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats
+    val db = graft.federation.JdbcDb.seedFromParquet(spark, dir, "supplier")
+    graft.federation.JdbcDb.ensureCatalog(spark, db)
+    GraftJdbcStats.clear()
+    // static-plan decision under test (AQE would also fix it at runtime,
+    // but only AFTER materializing the shuffle — the point of remote
+    // stats is to never shuffle the fact side in the first place);
+    // threshold sized between the remote dim's true size and the
+    // parquet fact's file size
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    try {
+      def joinPlan: String = {
+        val li = graft.engine.Tables.table(spark, dir, "lineitem")
+        li.join(spark.table("rdb.APP.SUPPLIER"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("n"))
+          .queryExecution.executedPlan.toString
+      }
+      // un-ANALYZEd: the remote scan reports defaultSizeInBytes
+      // ("infinite") — the fact table must shuffle
+      assert(joinPlan.contains("SortMergeJoin"),
+        s"remote join without stats should sort-merge:\n$joinPlan")
+      // one pushed COUNT records the remote cardinality...
+      val n = GraftJdbcStats.analyze(spark.table("rdb.APP.SUPPLIER"))
+      assert(n.exists(_ > 0), s"analyze found no JDBC relation: $n")
+      // ...and the same join now builds a broadcast from the remote dim
+      val after = joinPlan
+      assert(after.contains("BroadcastHashJoin") && after.contains("BuildRight"),
+        s"ANALYZEd remote dim should be the broadcast build side:\n$after")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      GraftJdbcStats.clear()
+    }
+  }
+
   test("g06 doulion: sampling filters the edge list before any join; equi-joins only") {
     val plan = executedPlan("g06_triangle_doulion")
     assert(!plan.contains("CartesianProduct"),

@@ -733,6 +733,12 @@ final class Catalog(val spark: SparkSession, val sfDir: String) {
   private def renderParams(params: Map[String, String]): String =
     params.toSeq.sorted.map { case (a, b) => s"$a=${maskVal(a, b)}" }.mkString(",")
 
+  /** Param map with secrets masked under the session flag — the same
+    * rule the meta-tables apply, for verbs that surface params as rows
+    * (DESCRIBE DATABASE). */
+  def maskedParams(params: Map[String, String]): Seq[(String, String)] =
+    params.toSeq.sortBy(_._1).map { case (k, v) => k -> maskVal(k, v) }
+
   def metaModels(): DataFrame =
     frame(StructType(Seq(
       StructField("name", StringType, nullable = false),

@@ -39,6 +39,7 @@ object Passthrough {
   val MaxRequestBytes: Int = 1 * 1024 * 1024
   val MaxResponseBytes: Int = 10 * 1024 * 1024
   val TimeoutSeconds: Int = 30
+  val MaxRedirects: Int = 5
 
   final case class Request(method: String, path: String,
       query: Map[String, String], headers: Map[String, String],
@@ -220,29 +221,85 @@ object Passthrough {
           java.net.URLEncoder.encode(v, "UTF-8")
       }.mkString(if (url0.contains("?")) "&" else "?", "&", "")
 
-    val builder = java.net.http.HttpRequest
-      .newBuilder(java.net.URI.create(url0 + qs))
-      .timeout(java.time.Duration.ofSeconds(TimeoutSeconds.toLong))
-    outHeaders.foreach { case (k, v) =>
-      try builder.header(k, v)
-      catch { case _: IllegalArgumentException =>
-        throw validationError(s"header '$k' is not allowed in passthrough requests") }
+    val jsonBody = req.body.exists(v => v != Null && !v.isInstanceOf[Str])
+    def buildReq(uri: String, method: String, withBody: Boolean)
+        : java.net.http.HttpRequest = {
+      val builder = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(uri))
+        .timeout(java.time.Duration.ofSeconds(TimeoutSeconds.toLong))
+      outHeaders.foreach { case (k, v) =>
+        try builder.header(k, v)
+        catch { case _: IllegalArgumentException =>
+          throw validationError(s"header '$k' is not allowed in passthrough requests") }
+      }
+      val publisher = bodyStr.filter(_ => withBody) match {
+        case Some(b) => java.net.http.HttpRequest.BodyPublishers.ofString(b)
+        case None => java.net.http.HttpRequest.BodyPublishers.noBody()
+      }
+      if (jsonBody && withBody &&
+          !outHeaders.keys.exists(_.equalsIgnoreCase("content-type")))
+        builder.header("Content-Type", "application/json")
+      builder.method(method, publisher).build()
     }
-    val publisher = bodyStr match {
-      case Some(b) => java.net.http.HttpRequest.BodyPublishers.ofString(b)
-      case None => java.net.http.HttpRequest.BodyPublishers.noBody()
-    }
-    if (req.body.exists(v => v != Null && !v.isInstanceOf[Str]) &&
-        !outHeaders.keys.exists(_.equalsIgnoreCase("content-type")))
-      builder.header("Content-Type", "application/json")
+    // redirects are followed MANUALLY (client policy NEVER): an
+    // allowlisted upstream 302ing to another host (the classic
+    // SSRF-via-redirect hole — e.g. a metadata service) must not
+    // receive the injected bearer token. Same-host redirects follow up
+    // to MaxRedirects; 303 downgrades to a body-less GET per RFC 9110.
     val http = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
       .connectTimeout(java.time.Duration.ofSeconds(TimeoutSeconds.toLong)).build()
-    val resp = http.send(builder.method(req.method, publisher).build(),
-      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    val redirectCodes = Set(301, 302, 303, 307, 308)
+    var curUri = url0 + qs
+    var curMethod = req.method
+    var withBody = bodyStr.isDefined
+    var resp = http.send(buildReq(curUri, curMethod, withBody),
+      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    var hops = 0
+    var following = true
+    while (following && redirectCodes.contains(resp.statusCode())) {
+      val loc = resp.headers().firstValue("Location")
+      if (!loc.isPresent) following = false // no target: hand the 3xx back
+      else {
+        try resp.body().close() catch { case _: Exception => () }
+        if (hops >= MaxRedirects)
+          throw validationError(s"upstream exceeded $MaxRedirects redirects")
+        val target = java.net.URI.create(curUri).resolve(loc.get)
+        val tScheme = Option(target.getScheme).map(_.toLowerCase)
+        if (!tScheme.contains("http") && !tScheme.contains("https"))
+          throw hostNotAllowed(s"upstream redirected to non-HTTP URL '$target'")
+        val tHost = Option(target.getHost).getOrElse(
+          throw hostNotAllowed(s"upstream redirect target is not resolvable: '$target'"))
+        if (!tHost.equalsIgnoreCase(host))
+          throw hostNotAllowed(s"upstream redirected to '$tHost' — " +
+            "cross-host redirects are not followed")
+        if (resp.statusCode() == 303) { curMethod = "GET"; withBody = false }
+        curUri = target.toString
+        hops += 1
+        resp = http.send(buildReq(curUri, curMethod, withBody),
+          java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+      }
+    }
 
-    val raw = resp.body()
-    if (raw.length > MaxResponseBytes)
-      throw validationError(s"response body exceeded $MaxResponseBytes bytes")
+    // streamed, capped read (the reference's _read_capped_body, 64 KiB
+    // chunks): the cap aborts the TRANSFER, never buffers an oversized
+    // body first — ofByteArray() would OOM on a hostile upstream before
+    // any length check ran
+    val raw = {
+      val in = resp.body()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (out.size() + n > MaxResponseBytes)
+            throw validationError(s"response body exceeded $MaxResponseBytes bytes")
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally in.close()
+      out.toByteArray
+    }
     val secrets = secretsToScrub(params)
     val contentType = Option(resp.headers().firstValue("Content-Type").orElse(""))
       .filter(_.nonEmpty)

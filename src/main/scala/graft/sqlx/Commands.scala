@@ -205,6 +205,7 @@ final class Commands(
   private val DescribeKb =
     """(?is)\s*DESCRIBE\s+KNOWLEDGE[_ ]BASE\s+(\w+)\s*""".r
   private val DescribeAgent = """(?is)\s*DESCRIBE\s+AGENT\s+(\w+)\s*""".r
+  private val DescribeDatabase = """(?is)\s*DESCRIBE\s+DATABASE\s+(\w+)\s*""".r
   private val DescribeStmt = """(?is)\s*DESCRIBE\s+(\w+)\s*""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val ExportStmt =
@@ -1717,6 +1718,24 @@ final class Commands(
         throw new NoSuchElementException(s"agent $name does not exist"))
       kv("param", "value",
         Seq("name" -> a.name, "model" -> a.model) ++ a.params.toSeq.sortBy(_._1))
+
+    case DescribeDatabase(name) =>
+      // connection card (params masked like every meta-table) + for a
+      // passthrough-capable datasource, the canonical live probe outcome
+      // (passthrough.py test_passthrough surfaced through DESCRIBE)
+      val db = catalog.database(name).getOrElse(
+        throw new NoSuchElementException(s"database $name does not exist"))
+      val pt =
+        if (!graft.server.Passthrough.supports(db.params)) Nil
+        else {
+          val t = graft.server.Passthrough.test(db.params)
+          Seq("passthrough_ok" ->
+              t.fields.get("ok").map(graft.server.Json.write).getOrElse("false"),
+            "passthrough_test" -> graft.server.Json.write(t))
+        }
+      kv("param", "value",
+        Seq("name" -> db.name, "engine" -> db.engine) ++
+          catalog.maskedParams(db.params) ++ pt)
 
     case DescribeStmt(name) => catalog.describe(name, Some(warehouse))
     case AnalyzeStmt(name) if name.contains(".") =>

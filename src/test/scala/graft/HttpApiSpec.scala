@@ -1164,6 +1164,14 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       val caps = Json.parse(get("/api/integrations/capabilities").body())
       assert(caps("bearer_passthrough").asArray.map(_.asString).contains("rest"))
       assert(caps("handlers")("rest")("operations").asArray.map(_.asString) === Seq("passthrough"))
+      // DESCRIBE DATABASE surfaces the live probe outcome + masked params
+      val desc = sqlQuery("DESCRIBE DATABASE pt_db")
+      val dRows = desc("data").asArray.map(_.asArray.map(_.asString))
+        .map(r => r(0) -> r(1)).toMap
+      assert(dRows("engine") === "rest")
+      assert(dRows("api_key") === "******", "api_key must be masked in DESCRIBE")
+      assert(dRows("passthrough_ok") === "true", s"probe not ok: $dRows")
+      assert(dRows("passthrough_test").contains("\"status_code\""))
     } finally sqlQuery("DROP DATABASE pt_db")
   }
 

@@ -58,4 +58,85 @@ class SecuritySpec extends AnyFunSuite {
     assert(Security.isPrivateUrl("http://localhost/x"))
     assert(Security.isPrivateUrl("not a url"))
   }
+
+  // ---- passthrough transport guards (redirects + response cap) -------
+  // A minimal JDK HttpServer stands in for the upstream: the guards
+  // under test are transport-level, so they need a REAL HTTP exchange,
+  // not a mock of the client.
+
+  private def withStub(routes: Map[String, com.sun.net.httpserver.HttpExchange => Unit])
+      (body: Int => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, h) =>
+      srv.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) =>
+        try h(ex) finally ex.close())
+    }
+    srv.start()
+    try body(srv.getAddress.getPort) finally srv.stop(0)
+  }
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+      body: Array[Byte], headers: (String, String)* ): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) { ex.getResponseBody.write(body); ex.getResponseBody.flush() }
+  }
+
+  private def ptParams(port: Int): Map[String, String] = Map(
+    "base_url" -> s"http://127.0.0.1:$port",
+    "api_key" -> "sk-redirect-test-secret", "allowed_hosts" -> "*")
+
+  private def ptGet(port: Int, path: String) =
+    graft.server.Passthrough.call(ptParams(port),
+      graft.server.Passthrough.Request("GET", path, Map.empty, Map.empty, None))
+
+  test("passthrough follows same-host redirects, refuses cross-host ones") {
+    import graft.server.Passthrough.PassthroughException
+    withStub(Map(
+      "/hop" -> (ex => respond(ex, 302, Array.emptyByteArray,
+        "Location" -> "/target")),
+      "/target" -> (ex => respond(ex, 200, "landed".getBytes("UTF-8"))),
+      "/cross" -> (ex => respond(ex, 302, Array.emptyByteArray,
+        // the SSRF-via-redirect shape: allowlisted upstream bounces the
+        // credentialed request toward a link-local metadata address
+        "Location" -> "http://169.254.169.254/latest/meta-data")),
+      "/loop" -> (ex => respond(ex, 302, Array.emptyByteArray,
+        "Location" -> "/loop")),
+      "/bare" -> (ex => respond(ex, 302, Array.emptyByteArray))
+    )) { port =>
+      // same-host redirect is followed transparently
+      val ok = ptGet(port, "/hop")
+      assert(ok.statusCode === 200 && ok.body === graft.server.Json.Str("landed"))
+      // cross-host redirect refused BEFORE any second request is sent
+      val e = intercept[PassthroughException](ptGet(port, "/cross"))
+      assert(e.errorCode === "host_not_allowed")
+      assert(e.getMessage.contains("cross-host"))
+      // redirect cycles bound at MaxRedirects
+      val loop = intercept[PassthroughException](ptGet(port, "/loop"))
+      assert(loop.getMessage.contains("redirects"))
+      // a 3xx without Location is a legitimate upstream answer, returned
+      val bare = ptGet(port, "/bare")
+      assert(bare.statusCode === 302)
+    }
+  }
+
+  test("passthrough response cap: exactly 10 MiB passes, one byte more aborts") {
+    import graft.server.Passthrough.{MaxResponseBytes, PassthroughException}
+    val atCap = new Array[Byte](MaxResponseBytes)
+    java.util.Arrays.fill(atCap, 'x'.toByte)
+    val overCap = new Array[Byte](MaxResponseBytes + 1)
+    java.util.Arrays.fill(overCap, 'x'.toByte)
+    withStub(Map(
+      "/at" -> (ex => respond(ex, 200, atCap)),
+      "/over" -> (ex => respond(ex, 200, overCap))
+    )) { port =>
+      val ok = ptGet(port, "/at")
+      assert(ok.statusCode === 200)
+      assert(ok.body.asInstanceOf[graft.server.Json.Str].s.length === MaxResponseBytes)
+      val e = intercept[PassthroughException](ptGet(port, "/over"))
+      assert(e.errorCode === "invalid_request")
+      assert(e.getMessage.contains(s"$MaxResponseBytes"))
+    }
+  }
 }

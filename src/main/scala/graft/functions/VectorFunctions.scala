@@ -143,6 +143,17 @@ object Md5TokenHash {
     while (i < 8) { out = (out << 8) | (h(i) & 0xFFL); i += 1 }
     out
   }
+  /** digest bytes 8-15 — the second independent 64-bit hash hiding in
+    * the same md5 (DuckDB: `('0x' || substr(md5(s), 17, 16))::UBIGINT`);
+    * one digest yields a 128-bit fingerprint's worth of token hash. */
+  def second64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = digests.get(); d.reset()
+    val h = d.digest(s.getBytes)
+    var out = 0L
+    var i = 8
+    while (i < 16) { out = (out << 8) | (h(i) & 0xFFL); i += 1 }
+    out
+  }
 }
 
 /** 64-bit SimHash over an array of string tokens: per-token hash, ±1
@@ -151,7 +162,8 @@ object Md5TokenHash {
   * only: the hash + vote loop is string-dominated, not a codegen
   * bottleneck. `md5Hash = true` swaps xxhash64 for the oracle-matchable
   * [[Md5TokenHash.first64]]. */
-case class SimHash64(child: Expression, md5Hash: Boolean = false)
+case class SimHash64(child: Expression, md5Hash: Boolean = false,
+    md5Second: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
@@ -162,7 +174,8 @@ case class SimHash64(child: Expression, md5Hash: Boolean = false)
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val h =
-          if (md5Hash) Md5TokenHash.first64(arr.getUTF8String(i))
+          if (md5Hash && md5Second) Md5TokenHash.second64(arr.getUTF8String(i))
+          else if (md5Hash) Md5TokenHash.first64(arr.getUTF8String(i))
           else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
         var j = 0
         while (j < 64) {
@@ -424,8 +437,9 @@ object VectorFunctions {
   private def ex(c: Column) = GraftColumnBridge.expression(c)
   def cosineSim(a: Column, b: Column): Column = GraftColumnBridge.column(CosineSimilarity(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = GraftColumnBridge.column(DotProduct(ex(a), ex(b)))
-  def simhash64(c: Column, md5Hash: Boolean = false): Column =
-    GraftColumnBridge.column(SimHash64(ex(c), md5Hash))
+  def simhash64(c: Column, md5Hash: Boolean = false,
+      md5Second: Boolean = false): Column =
+    GraftColumnBridge.column(SimHash64(ex(c), md5Hash, md5Second))
   def hyperplaneSig(c: Column, planes: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(HyperplaneSig(ex(c), planes))
   def minhashSig(c: Column, a: Seq[Long], b: Seq[Long], prime: Long,

@@ -176,6 +176,54 @@ object Dedup extends QueryPack {
       simhashPairs(t(s, dir, "documents"), maxHamming = 8, md5Hash = true)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- simhash near-dup, the SCALE banding tier ---------------------
+    // d03's 4×16 banding has a birthday floor: ANY two of n docs share a
+    // given 16-bit band with p = 2^-16, so random (non-near) band pairs
+    // grow as 4·n²/2^17 — 7.6M at n=500k, all popcount-checked before
+    // the hamming filter kills them (measured: 112M band-join rows at
+    // factor 100, §BASELINE round-15). Naively widening the bands
+    // (2×32) collapses recall: P(one fixed half untouched by 8 spread
+    // flips) ≈ 2·2⁻⁸ (measured 11 of 193 oracle pairs). The production
+    // geometry is Manku et al. 2007 §3's COMBINATION banding on a wider
+    // fingerprint: a 128-bit simhash (md5 bytes 0-7 and 8-15 give two
+    // independent 64-bit prints from the one digest), split into eight
+    // 16-bit chunks, banded on all C(8,2)=28 ordered chunk PAIRS — each
+    // key is 32 bits, so the random floor drops to 28·n²/2^33 (~10⁴×
+    // below d03's), while recall at the same relative threshold
+    // (16/128 = 8/64) holds: a near-dup pair needs only SOME two of its
+    // eight chunks clean, P ≈ 1−(1−(1−δ)^32)^28 ≈ 0.32 at the threshold
+    // edge and ≳0.98 for the hamming≲4-equivalent mass real dup
+    // clusters sit in. Work per doc is 28 band rows — constant — and
+    // the verify stays one popcount pair. Output contract as d03 with
+    // hamming on the 128-bit print.
+    "d28_simhash_banded_scaled" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.simhash64
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"),
+          simhash64(col("tk"), md5Hash = true).as("f1"),
+          simhash64(col("tk"), md5Hash = true, md5Second = true).as("f2"))
+      def chunk(k: Int): Column =
+        if (k < 4) shiftrightunsigned(col("f1"), k * 16).bitwiseAND(lit(0xFFFFL))
+        else shiftrightunsigned(col("f2"), (k - 4) * 16).bitwiseAND(lit(0xFFFFL))
+      val pairKeys = for { i <- 0 until 8; j <- (i + 1) until 8 }
+        yield chunk(i) * lit(65536L) + chunk(j)
+      val bands = fp.select(col("doc_id"), col("f1"), col("f2"),
+        posexplode(array(pairKeys: _*)).as(Seq("band", "bkey")))
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (bit_count(col("x.f1").bitwiseXOR(col("y.f1"))) +
+            bit_count(col("x.f2").bitwiseXOR(col("y.f2")))).as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
+        .filter(col("hamming") <= 16)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- duplicate GROUPS: connected components over the near-dup pair
     // graph (the canonicalization step after any pairwise dedup — LSH
     // emits pairs, the pipeline needs one keep-doc per transitive
@@ -1526,6 +1574,42 @@ object Dedup extends QueryPack {
           ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
       SELECT doc_a, doc_b, hamming FROM cands
       WHERE hamming <= 8 ORDER BY doc_a, doc_b""",
+
+    // 128-bit fingerprint (md5 bytes 0-7 / 8-15), Manku combination
+    // banding on all C(8,2)=28 chunk pairs, hamming over both halves
+    "d28_simhash_banded_scaled" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+        FROM documents),
+      hs AS (SELECT doc_id,
+        ('0x' || substr(md5(tok), 1, 16))::UBIGINT hv1,
+        ('0x' || substr(md5(tok), 17, 16))::UBIGINT hv2 FROM toks),
+      votes AS (
+        SELECT doc_id, j,
+          sum(CASE WHEN (hv1 >> j) & 1 = 1 THEN 1 ELSE -1 END) v1,
+          sum(CASE WHEN (hv2 >> j) & 1 = 1 THEN 1 ELSE -1 END) v2
+        FROM hs CROSS JOIN range(0, 64) t(j) GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+          bit_or(CASE WHEN v1 > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f1,
+          bit_or(CASE WHEN v2 > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) f2
+        FROM votes GROUP BY 1),
+      chunks AS (
+        SELECT doc_id, f1, f2, k,
+          CASE WHEN k < 4 THEN (f1 >> (k*16)) & 65535
+               ELSE (f2 >> ((k-4)*16)) & 65535 END ck
+        FROM fp CROSS JOIN range(0, 8) t(k)),
+      bands AS (
+        SELECT a.doc_id, a.f1, a.f2, a.k * 8 + b.k AS band,
+          a.ck * 65536 + b.ck AS bkey
+        FROM chunks a JOIN chunks b ON a.doc_id = b.doc_id AND a.k < b.k),
+      cands AS (
+        SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
+          CAST(bit_count(xor(x.f1, y.f1)) + bit_count(xor(x.f2, y.f2)) AS INTEGER) hamming
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, hamming FROM cands
+      WHERE hamming <= 16 ORDER BY doc_a, doc_b""",
 
     // Connected components over the d03 pair graph: transitive closure by
     // recursive CTE (UNION dedups, so it terminates), min reachable id =

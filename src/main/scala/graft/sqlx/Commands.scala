@@ -34,6 +34,22 @@ object Commands {
   private[sqlx] val managedRelations =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Shared ML task-queue runtimes, one per transport mode
+    * (ml_exec_base.py:73 builds ONE producer per executor process;
+    * consumers are JVM-wide here too). */
+  private val queueRuntimes =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ml.TaskQueue.Runtime]
+  private[graft] def queueRuntime(mode: String): graft.ml.TaskQueue.Runtime =
+    queueRuntimes.getOrElseUpdate(mode, mode match {
+      case "memory" =>
+        new graft.ml.TaskQueue.Runtime(new graft.ml.TaskQueue.InMemoryTransport)
+      case "spool" =>
+        new graft.ml.TaskQueue.Runtime(new graft.ml.TaskQueue.SpoolTransport(
+          java.nio.file.Files.createTempDirectory("graft_mlq").toString))
+      case other => throw new IllegalArgumentException(
+        s"ml_task_queue must be 'memory', 'spool', or 'off' (got '$other')")
+    })
+
   /** Serializes register-relations + analysis: the temp-view namespace
     * is shared across sessions, so the registration of THIS statement's
     * world and its (eager, ms-scale) analysis form one atomic window —
@@ -342,6 +358,31 @@ final class Commands(
     "auto_increment_increment" -> "1",
     "version" -> "8.0.17-graft",
     "version_comment" -> "graft spark-native engine")
+
+  /** `SET ml_task_queue = 'memory'|'spool'` — the reference's executor
+    * swap (ml_exec_base.py:73: process_cache → MLTaskProducer when the
+    * queue is configured). Training then routes: producer enqueues a
+    * learn task carrying the full descriptor (fetch_data_query + USING
+    * params), a consumer claims and executes it with a PROCESSING
+    * heartbeat, and this caller blocks on the Future-like Task — same
+    * synchronous CREATE MODEL semantics, queue-mediated execution. */
+  private def runTrainer(name: String, trainSql: String,
+      using: Map[String, String],
+      trainer: () => (graft.ml.Model, Option[Fit.Stats]))
+      : (graft.ml.Model, Option[Fit.Stats]) =
+    vars.getOrElse("ml_task_queue", "off") match {
+      case "off" => trainer()
+      case mode =>
+        val box = new java.util.concurrent.atomic.AtomicReference[
+          (graft.ml.Model, Option[Fit.Stats])]()
+        val task = Commands.queueRuntime(mode).submit("learn", "",
+          Map("model" -> name, "fetch_data_query" -> trainSql) ++ using) {
+          box.set(trainer())
+        }
+        task.result()
+        box.get()
+    }
+
 
   /** One statement's lifecycle row — the reference's QUERIES meta table
     * / processlist entry (mindsdb_tables.py:430). Registered at START
@@ -816,7 +857,7 @@ final class Commands(
             val m = graft.ml.KMeans.trained(name, run(trainSql), idCol, vecCol, k, iters)
             (m: graft.ml.Model, Option.empty[Fit.Stats])
           }
-          val (m, st) = trainer()
+          val (m, st) = runTrainer(name, trainSql, p, trainer)
           catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case Some("anomaly") =>
@@ -831,7 +872,7 @@ final class Commands(
             val m = graft.ml.Anomaly.trained(name, run(trainSql), featCol, gCol, thr)
             (m: graft.ml.Model, Option.empty[Fit.Stats])
           }
-          val (m, st) = trainer()
+          val (m, st) = runTrainer(name, trainSql, p, trainer)
           catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case Some("ridge") =>
@@ -850,7 +891,7 @@ final class Commands(
             val (m, st) = Fit.fitRidge(name, run(trainSql), spec, lambda)
             (m: graft.ml.Model, Option(st))
           }
-          val (m, st) = trainer()
+          val (m, st) = runTrainer(name, trainSql, p, trainer)
           catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case Some(engName) if catalog.mlEngine(engName)
@@ -882,7 +923,7 @@ final class Commands(
             val m = graft.ml.ByomModel(name, Seq(feat), scoreCol, training)
             (m: graft.ml.Model, Option.empty[Fit.Stats])
           }
-          val (m, st) = trainer()
+          val (m, st) = runTrainer(name, trainSql, p, trainer)
           catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case Some("naive_bayes") =>
@@ -895,7 +936,7 @@ final class Commands(
             val m = graft.ml.NaiveBayes.trained(name, run(trainSql), textCol, target)
             (m: graft.ml.Model, Option.empty[Fit.Stats])
           }
-          val (m, st) = trainer()
+          val (m, st) = runTrainer(name, trainSql, p, trainer)
           catalog.createModel(m, st, Some(trainer), None, using = p)
           ok(s"model $name trained (version 1)")
         case _ =>
@@ -907,7 +948,7 @@ final class Commands(
             val (m, st) = Fit.fit(name, run(trainSql), spec)
             (m: graft.ml.Model, Option(st))
           }
-          val (m, st) = trainer()
+          val (m, st) = runTrainer(name, trainSql, p, trainer)
           catalog.createModel(m, st, Some(trainer), Some(spec), using = p)
           ok(s"model $name trained (version 1)")
       }

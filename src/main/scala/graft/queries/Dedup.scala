@@ -196,33 +196,9 @@ object Dedup extends QueryPack {
     // clusters sit in. Work per doc is 28 band rows — constant — and
     // the verify stays one popcount pair. Output contract as d03 with
     // hamming on the 128-bit print.
-    "d28_simhash_banded_scaled" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.simhash64
-      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val fp = t(s, dir, "documents")
-        .select(col("doc_id"), toks.as("tk"))
-        .filter(size(col("tk")) >= 1)
-        .select(col("doc_id"),
-          simhash64(col("tk"), md5Hash = true).as("f1"),
-          simhash64(col("tk"), md5Hash = true, md5Second = true).as("f2"))
-      def chunk(k: Int): Column =
-        if (k < 4) shiftrightunsigned(col("f1"), k * 16).bitwiseAND(lit(0xFFFFL))
-        else shiftrightunsigned(col("f2"), (k - 4) * 16).bitwiseAND(lit(0xFFFFL))
-      val pairKeys = for { i <- 0 until 8; j <- (i + 1) until 8 }
-        yield chunk(i) * lit(65536L) + chunk(j)
-      val bands = fp.select(col("doc_id"), col("f1"), col("f2"),
-        posexplode(array(pairKeys: _*)).as(Seq("band", "bkey")))
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          (bit_count(col("x.f1").bitwiseXOR(col("y.f1"))) +
-            bit_count(col("x.f2").bitwiseXOR(col("y.f2")))).as("hamming"))
-        .dropDuplicates("doc_a", "doc_b")
-        .filter(col("hamming") <= 16)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "d28_simhash_banded_scaled" -> ((s, dir) =>
+      combinationBandedPairs(t(s, dir, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // ---- duplicate GROUPS: connected components over the near-dup pair
     // graph (the canonicalization step after any pairwise dedup — LSH
@@ -1070,6 +1046,39 @@ object Dedup extends QueryPack {
     * candidates. Docs with zero tokens are excluded (no signal; also
     * keeps the oracle's unnest-based formulation aligned). Recall on
     * planted near-dups asserted in DedupSpec. */
+  /** d28's engine: 128-bit simhash (md5 digest bytes 0-7 / 8-15 per
+    * token), eight 16-bit chunks banded on all C(8,2)=28 chunk pairs
+    * (32-bit keys), hamming over the full 128 bits, threshold 16 — the
+    * Manku et al. 2007 combination-banding geometry (see the d28 entry
+    * for the floor/recall math). Exposed for the DedupSpec invariants
+    * (planted exact duplicates share all 28 bands by construction). */
+  def combinationBandedPairs(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.simhash64
+    val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+    val fp = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"),
+        simhash64(col("tk"), md5Hash = true).as("f1"),
+        simhash64(col("tk"), md5Hash = true, md5Second = true).as("f2"))
+    def chunk(k: Int): Column =
+      if (k < 4) shiftrightunsigned(col("f1"), k * 16).bitwiseAND(lit(0xFFFFL))
+      else shiftrightunsigned(col("f2"), (k - 4) * 16).bitwiseAND(lit(0xFFFFL))
+    val pairKeys = for { i <- 0 until 8; j <- (i + 1) until 8 }
+      yield chunk(i) * lit(65536L) + chunk(j)
+    val bands = fp.select(col("doc_id"), col("f1"), col("f2"),
+      posexplode(array(pairKeys: _*)).as(Seq("band", "bkey")))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (bit_count(col("x.f1").bitwiseXOR(col("y.f1"))) +
+          bit_count(col("x.f2").bitwiseXOR(col("y.f2")))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 16)
+  }
+
   def simhashPairs(docs: DataFrame, maxHamming: Int, md5Hash: Boolean = false): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
     val fp = docs.select(col("doc_id"), toks.as("tk"))

@@ -679,6 +679,17 @@ final class HttpApi(spark: SparkSession, sfDir: String, port: Int = 0,
               s"""<text x="12" y="16" text-anchor="middle" fill="#fff">""" +
               s"""${name.take(2).toUpperCase}</text></svg>""",
             contentType = "image/svg+xml")
+        case ("POST", Seq(name, "install")) =>
+          // handlers.py:165-195 InstallDependencies: unknown handler →
+          // 400; an already-imported handler (or one with no
+          // dependencies) answers "Installed" 200 without touching pip.
+          // Every handler in this engine is JVM-native and always
+          // import-successful, so the short-circuit branch IS the
+          // complete behavior — the pip path is unreachable by
+          // construction, not stubbed
+          if (!handlerMeta.contains(name))
+            reply(ex, 400, write(str(s"Unknown handler: $name")))
+          else reply(ex, 200, write(str("Installed")))
         case ("GET", Seq(name, "readme")) =>
           // handlers.py:115-160 answers the envelope even for unknown
           // names (error_message set, HTTP 200)

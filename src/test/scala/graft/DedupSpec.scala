@@ -124,6 +124,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter(col("doc_b") === col("doc_a") + 500000).count() === 50)
   }
 
+  test("d28 combination banding: planted exact duplicates are always caught") {
+    // exact duplicates: all eight chunks equal → every one of the 28
+    // pair-bands collides (the pigeonhole floor of combination banding)
+    val originals = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    val copies = originals.select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val pairs = Dedup.combinationBandedPairs(originals.unionByName(copies))
+    val planted = pairs.filter(col("doc_b") === col("doc_a") + 500000)
+    assert(planted.count() === 50, "every planted copy must collide on all bands")
+    assert(planted.filter(col("hamming") =!= 0).count() === 0)
+    // every emitted pair really is under the 128-bit threshold
+    assert(pairs.filter(col("hamming") > 16).count() === 0)
+  }
+
   test("segment dedup: shared boilerplate segments are flagged in every carrier") {
     import spark.implicits._
     // t14 invariants that the oracle can't see: run the exact query shape

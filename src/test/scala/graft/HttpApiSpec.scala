@@ -1214,5 +1214,10 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val missing = Json.parse(get("/api/handlers/nope/readme").body())
     assert(missing("readme") === Json.Null)
     assert(missing("error_message").asString.contains("not found"))
+    // install (handlers.py:165): JVM-native handlers are always
+    // import-successful → "Installed" 200; unknown handler → 400
+    val inst = post("/api/handlers/fit/install", "")
+    assert(inst.statusCode() === 200 && inst.body().contains("Installed"))
+    assert(post("/api/handlers/no_such/install", "").statusCode() === 400)
   }
 }

@@ -836,15 +836,42 @@ object Events extends QueryPack {
     // — no corpus window, no per-day rescan; the ratio is one rounded
     // division of two exact counts.
     "e32_stickiness" -> ((s, dir) => {
+      // DAU / 30-day-MAU stickiness. The r14 plan exploded 30 offsets
+      // per user-day into a corpus-sized countDistinct — 30·|user-days|
+      // shuffled rows, the e-pack's worst factor-100 ratio (85.9x).
+      // The production shape is a SWEEP-LINE: each user's active days
+      // merge into disjoint coverage intervals [day, day+29] (one
+      // windowed pass over |user-days|, partitioned by user), intervals
+      // become ±1 boundary deltas, and a CALENDAR-sized running sum
+      // yields the exact 30-day active-user count per day — a user
+      // covers a day iff it falls in one of their merged intervals, so
+      // the values are identical while nothing corpus-sized is
+      // exploded or distinct-aggregated. The single-partition final
+      // window runs over span+30 calendar days, invariant in the
+      // corpus.
       val du = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       val days = du.select(col("day")).distinct()
-      val contrib = du
-        .select(col("user_id"), explode(sequence(lit(0), lit(29))).as("off"), col("day"))
-        .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
-      val mau = contrib.join(days, Seq("day"), "left_semi")
-        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau30"))
-      val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val seg = du
+        .withColumn("pend", max(date_add(col("day"), 29))
+          .over(wU.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("newseg",
+          (col("pend").isNull || col("day") > col("pend")).cast("int"))
+        .withColumn("seg", sum(col("newseg")).over(wU))
+        .groupBy(col("user_id"), col("seg"))
+        .agg(min(col("day")).as("s"), max(date_add(col("day"), 29)).as("e"))
+      val deltas = seg.select(col("s").as("day"), lit(1L).as("d"))
+        .unionAll(seg.select(date_add(col("e"), 1).as("day"), lit(-1L).as("d")))
+        .unionAll(days.select(col("day"), lit(0L).as("d")))
+        .groupBy(col("day")).agg(sum(col("d")).as("d"))
+      val wCal = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val mau = deltas.withColumn("mau30", sum(col("d")).over(wCal))
+        .join(days, Seq("day"), "left_semi")
+        .select(col("day"), col("mau30"))
+      // du is already (user, day)-distinct: DAU is a plain count
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       dau.join(mau, Seq("day"))
         .select(col("day").cast("timestamp").as("day"), col("dau"), col("mau30"),
           round(col("dau").cast(DoubleType) / col("mau30"), 6).as("stickiness"))

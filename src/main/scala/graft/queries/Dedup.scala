@@ -700,20 +700,26 @@ object Dedup extends QueryPack {
     // k = ⌈n/250⌉ cells keeps expected cell size ~250 constant, so pair
     // work is n·250 — linear. The n·k assignment term is killed by the
     // IVF two-level shape (s14): a coarse codebook of ⌈√k⌉ centers is
-    // the only broadcast that touches every row (sub-linear: √(n/250)),
-    // each centroid registers under its nearest coarse center with a
-    // per-cell covering radius, and a query scans only the coarse cells
-    // the triangle inequality cannot rule out. The bound is EXACT, not
-    // approximate: for unit-normalized vectors d² = 2−2·cos, so any
-    // centroid in coarse cell j has distance ≥ d(q,co_j) − rad_j; cells
-    // whose best possible cosine is below the guaranteed-achievable
-    // best (min over cells of d(q,co_j)+rad_j, i.e. Elkan/Hamerly-style
-    // k-means bounds) minus the 1e-4 rounding granularity can never
+    // the only frame that touches every row, shipped as ONE broadcast
+    // row carrying an array<struct<co_id,cov,rad>> (sub-linear:
+    // √(n/250) entries), so the per-query coarse scan, the
+    // Elkan/Hamerly bound, and the shortlist filter are all computed
+    // INLINE with transform/array_min/filter — the expanded n·√k frame
+    // never exists as rows and never hits an Exchange (the r15 shape
+    // computed the bound with a whole-partition Window over n·√k
+    // materialized rows: an n^1.5·d shuffle, ~1000× more bytes at 100×
+    // data). The bound is EXACT, not approximate: for unit-normalized
+    // vectors d² = 2−2·cos, so any centroid in coarse cell j has
+    // distance ≥ d(q,co_j) − rad_j; cells whose best possible cosine is
+    // below the guaranteed-achievable best (min over cells of
+    // d(q,co_j)+rad_j) minus the 1e-4 rounding granularity can never
     // hold the (round(cos,4) desc, cent_id) winner — output is
     // bit-identical to the full argmax. Work: n·√k coarse distances +
     // n·E[shortlist] exact ones instead of n·k; the centroid join is a
     // shuffle join on the coarse-cell key, never a linear-size
-    // broadcast. Same verdict schema as d05.
+    // broadcast, and the final argmax is a map-side-combinable max_by
+    // (n narrow final-shuffle rows, not a window over the scan frame).
+    // Same verdict schema as d05.
     "d27_semdedup_scaled" -> ((s, dir) => {
       import graft.functions.VectorFunctions.cosineSim
       val e = t(s, dir, "embeddings")
@@ -722,38 +728,60 @@ object Dedup extends QueryPack {
       val kc = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
       val cents = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      val coarse = broadcast(e.filter(col("vec_id") < kc)
-        .select(col("vec_id").as("co_id"), col("v").as("cov")))
+      val coarseRaw = e.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("co_id"), col("v").as("cov"))
       // normalized-space distance d(u,v) = sqrt(2 − 2·cos(u,v))
       def nDist(a: Column, b: Column): Column =
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cosineSim(a, b)))
-      // level 1: each centroid registers under its nearest coarse
-      // center (k·√k work — sub-quadratic), cells carry a covering radius
-      val wCo = Window.partitionBy(col("cent_id")).orderBy(col("cd").asc, col("co_id"))
-      val centIdx = cents.crossJoin(coarse)
-        .withColumn("cd", nDist(col("cv"), col("cov")))
-        .withColumn("rk", row_number().over(wCo))
-        .filter(col("rk") === 1)
-        .select(col("co_id"), col("cent_id"), col("cv"), col("cd"))
+      // the √k coarse codebook as ONE row holding a sorted struct array —
+      // crossJoin(broadcast(·)) of a 1-row frame is a map-side column
+      // append, after which every coarse computation is a row-local
+      // higher-order function over the array
+      val coA0 = broadcast(coarseRaw.agg(array_sort(collect_list(
+        struct(col("co_id"), col("cov")))).as("co")))
+      // level 1: each centroid registers under its nearest coarse center
+      // (k·√k distance FLOPs, zero shuffle — argmin is the lexicographic
+      // array_min over struct(cd, co_id), same (cd asc, co_id asc)
+      // tie-break the r15 row_number computed), cells carry a covering
+      // radius (√k-row rollup)
+      val centIdx = cents.crossJoin(coA0)
+        .withColumn("best", array_min(transform(col("co"), c =>
+          struct(nDist(col("cv"), c.getField("cov")).as("cd"),
+            c.getField("co_id").as("co_id")))))
+        .select(col("best.co_id").as("co_id"), col("cent_id"), col("cv"),
+          col("best.cd").as("cd"))
       val rads = centIdx.groupBy(col("co_id")).agg(max(col("cd")).as("rad"))
+      val coA = broadcast(coarseRaw.join(rads, Seq("co_id"))
+        .agg(array_sort(collect_list(
+          struct(col("co_id"), col("cov"), col("rad")))).as("co")))
       // level 2: per query, keep a coarse cell only if its best possible
       // cosine (1 − lb²/2) can still reach the guaranteed-achievable
-      // best (1 − ub²/2) within the 4-dp rounding granularity
-      val wQ = Window.partitionBy(col("vec_id"))
-      val shortlist = e.crossJoin(coarse)
-        .withColumn("qd", nDist(col("v"), col("cov")))
-        .join(broadcast(rads), Seq("co_id"))
-        .withColumn("ub", min(col("qd") + col("rad")).over(wQ))
-        .filter(lit(1.0) - pow(greatest(lit(0.0), col("qd") - col("rad")), 2) / 2.0 >=
-          lit(1.0) - col("ub") * col("ub") / 2.0 - lit(2.0e-4))
-        .select(col("co_id"), col("vec_id"), col("v"))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
+      // best (1 − ub²/2) within the 4-dp rounding granularity — qd, ub
+      // and the filter are all computed inline over the broadcast array,
+      // so nothing between the corpus scan and the shortlist shuffles
+      val shortlist = e.crossJoin(coA)
+        .withColumn("qds", transform(col("co"), c =>
+          struct(c.getField("co_id").as("co_id"),
+            nDist(col("v"), c.getField("cov")).as("qd"),
+            c.getField("rad").as("rad"))))
+        .withColumn("ub", array_min(transform(col("qds"), x =>
+          x.getField("qd") + x.getField("rad"))))
+        .withColumn("sl", explode(filter(col("qds"), x =>
+          lit(1.0) - pow(greatest(lit(0.0),
+            x.getField("qd") - x.getField("rad")), 2) / 2.0 >=
+            lit(1.0) - col("ub") * col("ub") / 2.0 - lit(2.0e-4))))
+        .select(col("sl.co_id").as("co_id"), col("vec_id"), col("v"))
+      // exact argmax over the shortlisted cells' centroids: shuffle join
+      // on the coarse-cell key, then a declarative max_by — partial
+      // aggregation combines map-side, so the final exchange carries n
+      // narrow winner rows instead of windowing the n·E[scan] frame
       val assigned = shortlist
         .join(centIdx.select(col("co_id"), col("cent_id"), col("cv")), Seq("co_id"))
         .withColumn("cc", round(cosineSim(col("v"), col("cv")), 4))
-        .withColumn("rk", row_number().over(wA))
-        .filter(col("rk") === 1)
-        .select(col("cent_id").as("cell"), col("vec_id"), col("v"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"), struct(col("cc"), negate(col("cent_id")))).as("cell"),
+          first(col("v")).as("v"))
+        .select(col("cell"), col("vec_id"), col("v"))
       // k cells = k-way join parallelism; no pair-block salt needed
       val a = assigned.select(col("cell"), col("vec_id").as("ai"), col("v").as("va"))
       val b = assigned.select(col("cell"), col("vec_id").as("bi"), col("v").as("vb"))

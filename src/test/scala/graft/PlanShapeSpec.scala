@@ -249,9 +249,9 @@ class PlanShapeSpec extends AnyFunSuite {
       val bcasts = plan.collect {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b }
       assert(bcasts.nonEmpty, s"coarse codebook should broadcast:\n$plan")
-      // every broadcast subtree must be one of the two sub-linear frames:
-      // the √k coarse codebook (scan with the vec_id < kc pushed filter)
-      // or the per-cell radius rollup (max(cd) aggregate) — a broadcast
+      // every broadcast subtree must be built from the sub-linear √k
+      // coarse frame (scan with the vec_id < kc pushed filter; the coA
+      // variant also folds in the max(cd) radius rollup) — a broadcast
       // of the full corpus or of the k-centroid table (both linear in n
       // at fixed cell size) is the scale bug this test pins down
       bcasts.foreach { b =>
@@ -265,6 +265,24 @@ class PlanShapeSpec extends AnyFunSuite {
         case j: org.apache.spark.sql.execution.joins.ShuffledJoin => j }
       assert(smj.exists(_.leftKeys.exists(_.toString.contains("co_id"))),
         s"centroid assignment join must shuffle on co_id, not broadcast:\n$plan")
+      // the r15 defect under test: the coarse expansion must never
+      // materialize as rows that hit an Exchange. The shortlist explode
+      // (Generate) must sit directly on the corpus scan — every shuffle
+      // below it may live only inside a broadcast branch (the √k
+      // codebook's own 1-row rollup), never on the streamed side
+      import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      def streamedShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BroadcastExchangeExec => Nil
+        case s: ShuffleExchangeExec => Seq(s)
+        case other => other.children.flatMap(streamedShuffles)
+      }
+      val gens = plan.collect { case g: GenerateExec => g }
+      assert(gens.nonEmpty, s"shortlist explode missing:\n$plan")
+      gens.foreach { g =>
+        assert(streamedShuffles(g).isEmpty,
+          s"coarse expansion shuffles on the streamed side below the shortlist explode:\n$g")
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)

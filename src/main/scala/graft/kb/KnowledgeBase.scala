@@ -407,14 +407,19 @@ object Kb {
     * ingests into an indexed KB, so new chunks land in the same cell
     * layout without a full re-index. */
   def ivfAssign(chunks: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("chunk_id"))
-      .orderBy(col("cc").desc, col("cent_id"))
-    chunks.crossJoin(broadcast(cents))
-      .withColumn("cc", round(cosineSim(col("emb"), col("cv")), 4))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .withColumn("cell", col("cent_id"))
-      .drop("cent_id", "cv", "cc", "crk")
+    // argmax INLINE over the centroid table shipped as ONE broadcast row
+    // of array<struct<cent_id,cv>> (the d27 pattern): array_min over
+    // struct(-cc, cent_id) is the same (cc desc, cent_id asc) winner the
+    // previous per-chunk_id window produced — with ZERO shuffle, where
+    // the window exchanged the chunks×nCent expansion with every row
+    // still carrying its embedding AND content.
+    val ca = broadcast(cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("__ca")))
+    chunks.crossJoin(ca)
+      .withColumn("cell", array_min(transform(col("__ca"), c =>
+        struct(negate(round(cosineSim(col("emb"), c.getField("cv")), 4)).as("ncc"),
+          c.getField("cent_id").as("cent_id")))).getField("cent_id"))
+      .drop("__ca")
   }
 
   /** ANN semantic search over an [[ivfIndex]]ed chunk store: rank the
@@ -539,22 +544,18 @@ object Kb {
     val toks: Column => Column = c => array_distinct(regexp_extract_all(lower(c), lit("\\S+"), lit(0)))
     val qn = queryText.trim.toLowerCase.split("\\s+").distinct.length
     val base = chunks.filter(metaFilter)
-    val vec = base
-      .withColumn("arm_distance",
-        round((lit(1.0) - cosineSim(col("emb"), embed(lit(queryText)))) * (1.0 - alpha), 4))
-      .withColumn("_arm", lit(0))
-    val kw = base
-      .withColumn("arm_distance",
-        round((lit(1.0) - size(array_intersect(toks(col("content")), toks(lit(queryText))))
-          .cast("double") / qn) * alpha, 4))
-      .withColumn("_arm", lit(1))
-    val w = Window.partitionBy(col("chunk_id")).orderBy(col("arm_distance"), col("_arm"))
-    vec.unionByName(kw)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .withColumn("distance", col("arm_distance"))
+    // both arms score the SAME chunk row, so the union + per-chunk_id
+    // window the previous shape used (which shuffled 2× the corpus with
+    // full content+embedding payloads just to take the per-chunk min)
+    // collapses to ONE map-side least(): min((vd,0),(kd,1)) lexicographic
+    // = least(vd, kd) — ties pick the same distance value either way, so
+    // results are identical and nothing shuffles before the final top-k.
+    val vd = round((lit(1.0) - cosineSim(col("emb"), embed(lit(queryText)))) * (1.0 - alpha), 4)
+    val kd = round((lit(1.0) - size(array_intersect(toks(col("content")), toks(lit(queryText))))
+      .cast("double") / qn) * alpha, 4)
+    base
+      .withColumn("distance", least(vd, kd))
       .withColumn("relevance", relevanceOf(col("distance")))
-      .drop("_rn", "_arm", "arm_distance")
       .orderBy(col("relevance").desc, col("chunk_id"))
       .limit(math.min(limit, MaxLimit))
   }

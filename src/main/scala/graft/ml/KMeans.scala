@@ -42,7 +42,17 @@ object KMeans {
     aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   /** nearest-centroid assignment: (vec_id, v, cell). `cents` must be
-    * k rows of (cell, cv) — broadcast by construction. */
+    * k rows of (cell, cv) — broadcast by construction.
+    *
+    * LEFT ALONE after a measured three-way comparison (r16): (a) this
+    * window argmin; (b) fully-inline array_min over the codebook as a
+    * broadcast struct array (zero shuffle, but dist2's fold runs through
+    * the interpreted higher-order-function path per codebook entry —
+    * s07 measured 1.6× of (a)); (c) map-side-combinable min(struct) +
+    * first(v) groupBy (flat expansion, but min-over-struct/first-array
+    * fall back to ObjectHashAggregate carrying the vector payload — s07
+    * 1.19× of (a)). The window's exchange is bounded by k (a constant
+    * 8) × corpus; at larger k revisit (c), whose shuffle is k-free. */
   def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
     vecs.crossJoin(broadcast(cents))

@@ -68,6 +68,13 @@ object NaiveBayes {
         sum((col("cnt") * coalesce(col("ll"), col("floor")))
           .cast(DecimalType(28, 10))).as("s"))
       .withColumn("score", col("prior") + col("s"))
+    // argmax kept as a window AFTER a measured r16 comparison: the
+    // map-side-combinable min_by(struct, struct(-score, label)) variant
+    // is plan-identical in values but runs through ObjectHashAggregate
+    // (struct-typed buffers) — m13/m14/m29 measured 1.1-1.3× of this
+    // shape. The window frame is (id, label, score) — |classes| narrow
+    // rows per doc, no text payload — so its exchange is bounded by
+    // |classes| × ids, not the corpus width.
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col(idCol) +: carryCols.map(col) :+

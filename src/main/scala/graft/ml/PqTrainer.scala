@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -27,7 +27,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object PqTrainer {
 
   /** nearest sub-centroid per (vec_id, sub): adds (scell, d2). `cb` must
-    * be m×ks rows of (sub, scell, cv) — broadcast by construction. */
+    * be m×ks rows of (sub, scell, cv) — broadcast by construction.
+    *
+    * LEFT ALONE after a measured comparison (r16): the fully-inline
+    * array_min-over-broadcast-array variant (zero shuffle) forces
+    * KMeans.dist2 through the interpreted higher-order-function path per
+    * codebook entry — s16-s19 measured 1.2-2× of this window shape,
+    * whose exchange is bounded by ks (a constant ≤256) × the subvector
+    * frame and stays whole-stage-codegen up to the sort. */
   def assign(subs: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2"), col("scell"))

@@ -657,15 +657,23 @@ object Dedup extends QueryPack {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // deterministic codebook: first 8 vectors stand in for trained
-      // k-means centers (same convention as s05/k14)
-      val cents = broadcast(e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
-      val assigned = e.crossJoin(cents)
-        .withColumn("cc", round(cosineSim(col("v"), col("cv")), 4))
-        .withColumn("rk", row_number().over(wA))
-        .filter(col("rk") === 1)
-        .select(col("cent_id").as("cell"), col("vec_id"), col("v"))
+      // k-means centers (same convention as s05/k14). Assignment argmax
+      // is computed INLINE over the codebook shipped as ONE broadcast
+      // row of array<struct<cent_id,cv>> (the d27 pattern): array_min
+      // over struct(-cc, cent_id) is the same (cc desc, cent_id asc)
+      // winner the previous per-vec_id window produced, with ZERO
+      // shuffle — the window shape exchanged the n·8 expanded frame,
+      // every row carrying the full embedding. The quadratic-by-design
+      // cost of this baseline tier is the within-cell pair join below,
+      // not the assignment.
+      val centsA = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+        .agg(array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("__ca")))
+      val assigned = e.crossJoin(centsA)
+        .withColumn("__best", array_min(transform(col("__ca"), c =>
+          struct(negate(round(cosineSim(col("v"), c.getField("cv")), 4)).as("ncc"),
+            c.getField("cent_id").as("cent_id")))))
+        .select(col("__best.cent_id").as("cell"), col("vec_id"), col("v"))
       // pair-block decomposition: the cell key has only 8 distinct
       // values, so a plain self-join on `cell` runs ≤8 reducer tasks no
       // matter the cluster — at 100x data that is the whole wall-clock.
@@ -815,10 +823,23 @@ object Dedup extends QueryPack {
       def bucket(r: Column, h: Column): Column =
         conv(substring(md5(concat(r.cast("string"), lit("_"), h.cast("string"))), 1, 15),
           16, 10).cast(LongType) % 512
-      val cells = occ.select(col("h"), explode(rows4).as("r"))
+      // ONE corpus pass feeds both the sketch and the exact rider: the
+      // query already pays the per-distinct-hash exact count for its
+      // top-10 truth, so the sketch cells roll up from those counts
+      // (sum(cnt) per cell ≡ count of occurrences — identical values)
+      // instead of re-scanning and re-hashing every occurrence. This
+      // cuts the md5 work from 6 per OCCURRENCE (1 key + 4 bucket salts
+      // in the cells branch + 1 key in the exact branch) to 1 per
+      // occurrence + 4 per DISTINCT hash, and the two consumers share
+      // the same groupBy(h) exchange (ReuseExchange), so the corpus is
+      // scanned once, not twice. The sketch update itself stays map-side
+      // combinable; in a sketch-only deployment (no exact rider) the
+      // direct per-occurrence cell aggregation remains the right shape.
+      val hc = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val cells = hc.select(col("h"), col("cnt"), explode(rows4).as("r"))
         .withColumn("bucket", bucket(col("r"), col("h")))
-        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
-      val top = occ.groupBy(col("h")).agg(count(lit(1)).as("true_cnt"))
+        .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      val top = hc.select(col("h"), col("cnt").as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("h")).limit(10)
       top.select(col("h"), col("true_cnt"), explode(rows4).as("r"))
         .withColumn("bucket", bucket(col("r"), col("h")))

@@ -884,10 +884,14 @@ object Events extends QueryPack {
       val hourly = t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("hr")).orderBy(col("n").desc, col("event_type"))
-      hourly.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("hr"), col("event_type").as("top_type"), col("n").as("top_n"))
+      // top type per hour via map-side-combinable min_by on the total
+      // order (-n, event_type) — same (n desc, type asc) winner the
+      // previous per-hr window produced, one less Exchange+Sort
+      hourly.groupBy(col("hr"))
+        .agg(min_by(struct(col("event_type"), col("n")),
+          struct(negate(col("n")), col("event_type"))).as("__b"))
+        .select(col("hr"), col("__b.event_type").as("top_type"),
+          col("__b.n").as("top_n"))
         .orderBy(col("hr"))
     })
   )

@@ -534,6 +534,17 @@ object Similarity extends QueryPack {
     * ranking (s05) and the IVF-PQ composition (s14). */
   def ivfCells(e: DataFrame, isQuery: Column, nCent: Int, nProbe: Int)
       : (DataFrame, DataFrame) = {
+    // LEFT ALONE this round after a measured three-way comparison (r16):
+    // (a) this original cached-window shape; (b) fully-inline array_min
+    // over the codebook as a broadcast struct array (zero shuffle, but
+    // the custom CosineSimilarity expression loses its doGenCode inside
+    // higher-order-function lambdas — interpreted eval measured s05 at
+    // 1.7-1.9× of (a)); (c) map-side-combinable min(struct) groupBy
+    // (codegen cosine, but min-over-struct + first(vector) fall back to
+    // ObjectHashAggregate carrying the vector payload — s05 1.9× of
+    // (a)). The window's exchange is bounded by nCent (a constant 8) ×
+    // corpus and the ranking is shared by both consumers through ONE
+    // cache write, which neither alternative matches locally.
     val cents = broadcast(e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
@@ -581,14 +592,18 @@ object Similarity extends QueryPack {
         slice(col("v"), j * 4 + 1, 4).as("sv"))).reduce(_.unionAll(_))
     val cb = broadcast(subs.filter(col("vec_id") < 16)
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv")))
-    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("cd2").asc, col("cent_id"))
+    // encoding argmin as a map-side-combinable min(struct(cd2, cent_id))
+    // — the same (cd2 asc, cent_id asc) winner the previous
+    // per-(vec_id, sub) window produced. The broadcast hash join stays
+    // whole-stage-codegen; partial aggregation collapses the N·m·ks
+    // expansion to one row per (vec_id, sub) per partition BEFORE the
+    // exchange, so the shuffle carries N·m narrow code rows (three ints,
+    // no subvectors) instead of sorting the full N·m·ks frame the window
+    // shape exchanged.
     val codes = subs.join(cb, Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("cent_id"),
-        d2(col("sv"), col("cv")).as("cd2"))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("cent_id"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(d2(col("sv"), col("cv")).as("cd2"), col("cent_id")))
+        .getField("cent_id").as("cent_id"))
     val lutOf: Column => DataFrame = isQuery => broadcast(
       subs.filter(isQuery)
         .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))

@@ -863,16 +863,25 @@ object TextOps extends QueryPack {
         .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 20)
         .groupBy(col("lang").as("plang"))
         .agg(sort_array(collect_list(col("tri"))).as("profile"))
+      // per-doc argmax via a map-side-combinable min(struct(-score,
+      // plang)) — the same (score desc, plang asc) winner the previous
+      // per-doc_id window produced. The |langs|-way broadcast expansion
+      // stays whole-stage-codegen (array_intersect loses its codegen
+      // inside higher-order-function lambdas — the inline-array variant
+      // measured ~1.4× slower); partial aggregation collapses the n×5
+      // scored rows to one per doc BEFORE the exchange, and the rows are
+      // narrow (ids + score — the text never rides), so the shuffle is
+      // a fraction of the window shape's sorted n×5 exchange.
       val scored = docs.filter(col("doc_id") >= 250)
         .select(col("doc_id"), col("lang"),
           array_distinct(tris(lower(col("text")))).as("dtris"))
         .crossJoin(broadcast(profiles))
-        .select(col("doc_id"), col("lang"), col("plang"),
-          size(array_intersect(col("dtris"), col("profile"))).as("score"))
-      val wBest = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("plang"))
-      scored.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
-        .groupBy(col("lang"), col("plang").as("pred_lang"))
+        .select(col("doc_id"), col("lang"),
+          struct(negate(size(array_intersect(col("dtris"), col("profile")))).as("ns"),
+            col("plang")).as("sc"))
+      scored.groupBy(col("doc_id"), col("lang"))
+        .agg(min(col("sc")).getField("plang").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))
     })

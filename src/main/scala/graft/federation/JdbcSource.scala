@@ -58,10 +58,15 @@ object JdbcDb {
 
   /** Server-side statement execution with no result — DDL/DML passthrough
     * (reference: native_query's OkResponse arm :306-335). */
-  def executeUpdate(db: String, sql: String): Unit =
+  def executeUpdate(db: String, sql: String): Unit = {
     Using.resource(connection(db)) { c =>
       Using.resource(c.createStatement())(_.executeUpdate(sql))
     }
+    // raw DML may have grown/shrunk any table behind this connection —
+    // drop its ANALYZE stats so joins never plan on a pre-write COUNT
+    org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats
+      .invalidateUrl(url(db))
+  }
 
   /** get_tables (reference :489) via JDBC metadata — the APP schema is
     * Derby's default user schema. */
@@ -112,6 +117,11 @@ object JdbcDb {
     ensureDialect()
     df.write.format("jdbc").option("url", url(db))
       .option("dbtable", table).mode("append").save()
+    // the remote table grew: its ANALYZE rowCount is stale — drop it so
+    // broadcast decisions fall back to the conservative default until
+    // the next ANALYZE (mirror of Catalog.refreshCboStatsAfterWrite)
+    org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats
+      .invalidate(url(db), table)
   }
 
   /** CREATE TABLE + load from a DataFrame. String columns map to
@@ -128,6 +138,8 @@ object JdbcDb {
     val w = df.write.format("jdbc").option("url", url(db))
       .option("dbtable", table).mode("overwrite")
     (if (varchars.nonEmpty) w.option("createTableColumnTypes", varchars) else w).save()
+    org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats
+      .invalidate(url(db), table)
   }
 
   /** (db, table, sourceDir) already seeded in this JVM */

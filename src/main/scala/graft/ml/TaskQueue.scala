@@ -150,12 +150,31 @@ object TaskQueue {
       }
       files.iterator.flatMap { f =>
         val dst = mine.resolve(f.getFileName.toString)
-        try {
-          Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+        // ONLY the rename race is a silent miss. A failure AFTER the
+        // ATOMIC_MOVE succeeded (read/parse) must not be swallowed —
+        // that stranded the claimed file in the claim dir and wedged the
+        // waiter until heartbeat timeout. Publish ERROR for the key
+        // (recovered from the "<seq20>-<key>" filename) so the producer
+        // fails fast instead.
+        val moved =
+          try { Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: Exception => false } // lost the race — next file
+        if (!moved) None
+        else try {
           val m = parse(Files.readString(dst, UTF_8))
           Files.delete(dst) // ack+delete (consumer.py:166-167)
           Some(m)
-        } catch { case _: Exception => None } // lost the race — next file
+        } catch {
+          case e: Exception =>
+            val key = f.getFileName.toString.drop(21)
+            try {
+              putError(key, "claimed message unreadable: " +
+                Option(e.getMessage).getOrElse(e.getClass.getName))
+              setStatus(key, Status.Error)
+              Files.deleteIfExists(dst)
+            } catch { case _: Exception => () }
+            None
+        }
       }.take(1).toSeq.headOption
     }
 
@@ -257,7 +276,10 @@ object TaskQueue {
     def runningTasks: Long = running.get()
 
     private def executeOne(msg: Message): Unit = {
-      running.incrementAndGet()
+      // `running` is already reserved by the LISTENER thread before this
+      // worker spawns — incrementing here instead raced the gate check:
+      // a backlog could spawn unbounded workers before any increment
+      // became visible (the wait_free_resources analog was unenforced).
       transport.setStatus(msg.key, Status.Processing)
       // the heartbeat is stopped AND joined before the terminal status
       // is written — otherwise a sleeping beat could wake after COMPLETE
@@ -292,8 +314,14 @@ object TaskQueue {
           if (running.get() < maxConcurrent) {
             transport.claim(name) match {
               case Some(msg) =>
-                val w = new Thread(() => executeOne(msg), s"taskqueue-$name-exec")
-                w.setDaemon(true); w.start()
+                // reserve the slot ON THIS THREAD before spawning, so the
+                // gate check and the reservation are not separated by a
+                // scheduling gap (decrement on spawn failure)
+                running.incrementAndGet()
+                try {
+                  val w = new Thread(() => executeOne(msg), s"taskqueue-$name-exec")
+                  w.setDaemon(true); w.start()
+                } catch { case e: Throwable => running.decrementAndGet(); throw e }
               case None => Thread.sleep(20L)
             }
           } else Thread.sleep(20L)

@@ -708,15 +708,16 @@ object Dedup extends QueryPack {
     // k = ⌈n/250⌉ cells keeps expected cell size ~250 constant, so pair
     // work is n·250 — linear. The n·k assignment term is killed by the
     // IVF two-level shape (s14): a coarse codebook of ⌈√k⌉ centers is
-    // the only frame that touches every row, shipped as ONE broadcast
-    // row carrying an array<struct<co_id,cov,rad>> (sub-linear:
-    // √(n/250) entries), so the per-query coarse scan, the
-    // Elkan/Hamerly bound, and the shortlist filter are all computed
-    // INLINE with transform/array_min/filter — the expanded n·√k frame
-    // never exists as rows and never hits an Exchange (the r15 shape
-    // computed the bound with a whole-partition Window over n·√k
-    // materialized rows: an n^1.5·d shuffle, ~1000× more bytes at 100×
-    // data). The bound is EXACT, not approximate: for unit-normalized
+    // the only frame that touches every row, broadcast as kc rows
+    // (sub-linear: √(n/250) entries) whose nested-loop expansion
+    // computes every coarse distance in WHOLE-STAGE CODEGEN — twice:
+    // once projected NARROW (vec_id, qd+rad) to reduce the scalar
+    // Elkan/Hamerly bound ub = min_j(qd_j + rad_j) with a map-side-
+    // combining HashAggregate, once after rejoining ub to evaluate the
+    // shortlist filter. The expanded n·√k frame NEVER hits an Exchange
+    // (the r15 shape windowed it: an n^1.5·d shuffle, ~1000× more bytes
+    // at 100× data); every exchange here is linear — n 16-byte ub rows
+    // plus one plain n·d corpus repartition for the rejoin. The bound is EXACT, not approximate: for unit-normalized
     // vectors d² = 2−2·cos, so any centroid in coarse cell j has
     // distance ≥ d(q,co_j) − rad_j; cells whose best possible cosine is
     // below the guaranteed-achievable best (min over cells of
@@ -759,26 +760,40 @@ object Dedup extends QueryPack {
         .select(col("best.co_id").as("co_id"), col("cent_id"), col("cv"),
           col("best.cd").as("cd"))
       val rads = centIdx.groupBy(col("co_id")).agg(max(col("cd")).as("rad"))
-      val coA = broadcast(coarseRaw.join(rads, Seq("co_id"))
-        .agg(array_sort(collect_list(
-          struct(col("co_id"), col("cov"), col("rad")))).as("co")))
       // level 2: per query, keep a coarse cell only if its best possible
       // cosine (1 − lb²/2) can still reach the guaranteed-achievable
-      // best (1 − ub²/2) within the 4-dp rounding granularity — qd, ub
-      // and the filter are all computed inline over the broadcast array,
-      // so nothing between the corpus scan and the shortlist shuffles
-      val shortlist = e.crossJoin(coA)
-        .withColumn("qds", transform(col("co"), c =>
-          struct(c.getField("co_id").as("co_id"),
-            nDist(col("v"), c.getField("cov")).as("qd"),
-            c.getField("rad").as("rad"))))
-        .withColumn("ub", array_min(transform(col("qds"), x =>
-          x.getField("qd") + x.getField("rad"))))
-        .withColumn("sl", explode(filter(col("qds"), x =>
-          lit(1.0) - pow(greatest(lit(0.0),
-            x.getField("qd") - x.getField("rad")), 2) / 2.0 >=
-            lit(1.0) - col("ub") * col("ub") / 2.0 - lit(2.0e-4))))
-        .select(col("sl.co_id").as("co_id"), col("vec_id"), col("v"))
+      // best (1 − ub²/2) within the 4-dp rounding granularity — in the
+      // ALL-CODEGEN r16 shape: every distance runs on the broadcast ROW
+      // expansion of the kc-row coarse frame (never through an
+      // interpreted higher-order lambda — the first r16 cut computed
+      // ub/qd/filter inline over a broadcast struct array and measured
+      // 58-86× at factor 100 against the r15 window shape's 20.9×,
+      // because the custom cosine expression loses whole-stage codegen
+      // inside lambdas and Catalyst re-evaluates it in inferred join
+      // conditions). No shuffle anywhere is super-linear: the ub
+      // reduction exchanges n 16-byte rows after map-side combine, the
+      // ub rejoin exchanges the corpus ONCE (n·d — a plain linear
+      // repartition), and the expanded n·√k frame itself NEVER hits an
+      // Exchange (the r15 defect: it was windowed, an n^1.5·d shuffle).
+      // ub and the filter are the same expressions as r15, so the
+      // shortlist set — and the final argmax — are bit-identical.
+      val coarseRows = broadcast(coarseRaw.join(rads, Seq("co_id")))
+      // ub from a NARROW codegen expansion: (vec_id, qd+rad) only — the
+      // vector never rides — reduced by a hash-aggregable min that
+      // partial-combines map-side, so its exchange carries n 16-byte
+      // rows. min over plain doubles (not struct) keeps HashAggregate.
+      val ubF = e.crossJoin(coarseRows)
+        .select(col("vec_id"), (nDist(col("v"), col("cov")) + col("rad")).as("qdr"))
+        .groupBy(col("vec_id")).agg(min(col("qdr")).as("ub"))
+      // attach ub back to the corpus (one LINEAR n·d shuffle — the only
+      // corpus-volume exchange in the whole shortlist structure), then
+      // re-expand and filter in whole-stage codegen
+      val shortlist = e.join(ubF, Seq("vec_id"))
+        .crossJoin(coarseRows)
+        .withColumn("qd", nDist(col("v"), col("cov")))
+        .filter(lit(1.0) - pow(greatest(lit(0.0), col("qd") - col("rad")), 2) / 2.0 >=
+          lit(1.0) - col("ub") * col("ub") / 2.0 - lit(2.0e-4))
+        .select(col("co_id"), col("vec_id"), col("v"))
       // exact argmax over the shortlisted cells' centroids: shuffle join
       // on the coarse-cell key, then a declarative max_by — partial
       // aggregation combines map-side, so the final exchange carries n

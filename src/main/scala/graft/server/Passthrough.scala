@@ -273,6 +273,25 @@ object Passthrough {
         if (!tHost.equalsIgnoreCase(host))
           throw hostNotAllowed(s"upstream redirected to '$tHost' — " +
             "cross-host redirects are not followed")
+        // scheme + effective port must ALSO match: a same-host
+        // https→http (or cross-port) redirect would re-send the injected
+        // bearer token over cleartext / to a different service — the
+        // CVE-2018-18074 class the reference transport guards by
+        // stripping auth on downgrade; here the credentialed request is
+        // simply not followed.
+        val cur = java.net.URI.create(curUri)
+        def effPort(u: java.net.URI): Int =
+          if (u.getPort >= 0) u.getPort
+          else if (Option(u.getScheme).exists(_.equalsIgnoreCase("https"))) 443
+          else 80
+        if (!tScheme.exists(s0 => Option(cur.getScheme).exists(_.equalsIgnoreCase(s0))))
+          throw hostNotAllowed(s"upstream redirected across schemes " +
+            s"('${cur.getScheme}' → '${tScheme.getOrElse("")}') — credentialed " +
+            "redirects must stay on the original scheme")
+        if (effPort(target) != effPort(cur))
+          throw hostNotAllowed(s"upstream redirected across ports " +
+            s"(${effPort(cur)} → ${effPort(target)}) — credentialed " +
+            "redirects must stay on the original port")
         if (resp.statusCode() == 303) { curMethod = "GET"; withBody = false }
         curUri = target.toString
         hops += 1

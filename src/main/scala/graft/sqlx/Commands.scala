@@ -1780,17 +1780,23 @@ final class Commands(
 
     case DescribeStmt(name) => catalog.describe(name, Some(warehouse))
     case AnalyzeStmt(name) if name.contains(".") =>
-      // qualified name = remote table behind a registered JDBC catalog
-      // (`rdb.APP.SUPPLIER`): one pushed COUNT records rowCount/size in
-      // the DSv2 stats registry so CostBasedJoinReorder and broadcast
-      // selection see the remote table's real cardinality instead of
-      // defaultSizeInBytes (GraftJdbcStats.Attach, the PreCBO rule)
-      val df = spark.table(name)
-      val n = org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats
-        .analyze(df)
-        .getOrElse(throw new IllegalArgumentException(
-          s"ANALYZE TABLE $name: not a JDBC-backed relation"))
-      kv("param", "value", Seq("table" -> name, "row_count" -> n.toString))
+      // qualified name = usually a remote table behind a registered JDBC
+      // catalog (`rdb.APP.SUPPLIER`): one pushed COUNT records
+      // rowCount/size in the DSv2 stats registry so broadcast/build-side
+      // selection sees the remote table's real cardinality instead of
+      // defaultSizeInBytes (GraftJdbcStats.Attach). A qualified name
+      // that is NOT JDBC-backed (or not resolvable as a Spark table at
+      // all) falls back to the data-catalog ANALYZE path instead of
+      // erroring — dotted names are legal for warehouse tables too.
+      val remote =
+        try org.apache.spark.sql.execution.datasources.v2.jdbc.GraftJdbcStats
+          .analyze(spark.table(name))
+        catch { case _: Exception => None }
+      remote match {
+        case Some(n) =>
+          kv("param", "value", Seq("table" -> name, "row_count" -> n.toString))
+        case None => catalog.analyzeTable(name, Some(warehouse))
+      }
     case AnalyzeStmt(name) =>
       // data-catalog statistics (interfaces/data_catalog/, base.py:178-341):
       // one exact aggregation pass, stored on the catalog, queryable via

@@ -26,15 +26,19 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * integrations/utilities handlers) and plans with them; here the same
   * numbers flow into the standard Spark channel instead:
   *
-  *  - [[GraftJdbcStats.analyze]] runs one COUNT (pushed to the remote
-  *    engine as an aggregate) and records (url, table) → rowCount/size.
-  *  - [[GraftJdbcStats.Attach]] — a PreCBO rule (the batch that runs
-  *    after scan pushdown and right before CostBasedJoinReorder) —
-  *    rewraps the scan in a [[GraftJdbcStats.StatsScan]], a
-  *    `V1ScanWrapper` that additionally implements
-  *    `SupportsReportStatistics`, so `DataSourceV2ScanRelation
-  *    .computeStats` reports the recorded cardinality to join
-  *    reordering and broadcast selection.
+  *  - [[GraftJdbcStats.analyze]] runs one COUNT per underlying relation
+  *    (pushed to the remote engine as an aggregate) and records
+  *    (url, table) → rowCount/size.
+  *  - [[GraftJdbcStats.Attach]] — registered in
+  *    `experimental.extraOptimizations` ("User Provided Optimizers",
+  *    the LAST optimizer batch, after Join Reorder) — rewraps the scan
+  *    in a [[GraftJdbcStats.StatsScan]], a `V1ScanWrapper` that
+  *    additionally implements `SupportsReportStatistics`, so
+  *    `DataSourceV2ScanRelation.computeStats` reports the recorded
+  *    cardinality to PHYSICAL planning — build-side and broadcast
+  *    selection. (CostBasedJoinReorder runs earlier and does not see
+  *    these numbers; multi-way remote join ORDER is unchanged by
+  *    ANALYZE — only the join STRATEGY benefits.)
   *
   * Lives in Spark's package because `JDBCScan`/`V1ScanWrapper` are
   * `private[sql]`; contains no Spark code, only delegation.
@@ -55,6 +59,20 @@ object GraftJdbcStats {
   def get(url: String, table: String): Option[(Long, Long)] =
     registry.get(key(url, table))
 
+  /** Drop the recorded stats for one remote table — called by every
+    * write-back / remote-DML path so broadcast and build-side decisions
+    * never plan on a pre-write COUNT (the same staleness class
+    * Catalog.refreshCboStatsAfterWrite closes for warehouse tables).
+    * The next ANALYZE re-establishes the number; until then the scan
+    * reports the conservative default estimate again. */
+  def invalidate(url: String, table: String): Unit =
+    registry.remove(key(url, table))
+
+  /** Raw remote DML (native_query) names its table inside opaque SQL —
+    * drop every entry for that connection rather than parse it. */
+  def invalidateUrl(url: String): Unit =
+    registry.keys.filter(_._1 == url).foreach(registry.remove)
+
   def clear(): Unit = registry.clear()
 
   /** Same row-width convention as the engine catalog's buildCboStats:
@@ -70,31 +88,45 @@ object GraftJdbcStats {
 
   /** ANALYZE a frame that scans remote JDBC tables: ONE COUNT(*) per
     * underlying relation (pushed to the remote engine as a complete
-    * aggregate — metadata-sized traffic at any table size), recorded
-    * for every JDBC relation found under the plan. Returns the row
-    * count of the last relation seen, None if the frame has no JDBC
-    * scan. */
+    * aggregate — metadata-sized traffic at any table size). Each
+    * relation is counted SEPARATELY through a fresh single-table read —
+    * counting the composite frame once and recording that number for
+    * every relation would stamp a join's output cardinality onto each
+    * input table. Returns the single-relation count when the frame is
+    * one table (the common ANALYZE TABLE path), the last relation's
+    * count otherwise; None if the frame has no JDBC scan. */
   def analyze(df: DataFrame): Option[Long] = {
-    val rels: Seq[(String, String, StructType)] =
+    val rels: Seq[(String, Map[String, String], String, StructType)] =
       df.queryExecution.analyzed.collect {
         case r: DataSourceV2Relation => r.table match {
           case t: JDBCTable =>
-            Seq((t.jdbcOptions.url, t.jdbcOptions.tableOrQuery, t.schema))
+            Seq((t.jdbcOptions.url, t.jdbcOptions.parameters.toMap,
+              t.jdbcOptions.tableOrQuery, t.schema))
           case _ => Nil
         }
         case lr: LogicalRelation => lr.relation match {
           case j: JDBCRelation =>
-            Seq((j.jdbcOptions.url, j.jdbcOptions.tableOrQuery, j.schema))
+            Seq((j.jdbcOptions.url, j.jdbcOptions.parameters.toMap,
+              j.jdbcOptions.tableOrQuery, j.schema))
           case _ => Nil
         }
       }.flatten
     if (rels.isEmpty) None
-    else {
+    else if (rels.size == 1) {
+      // one relation: the frame IS the table (modulo pushable filters) —
+      // count it directly, no second connection needed
+      val (url, _, table, schema) = rels.head
       val n = df.count()
-      rels.foreach { case (url, table, schema) =>
-        put(url, table, n, n * rowWidth(schema))
-      }
+      put(url, table, n, n * rowWidth(schema))
       Some(n)
+    } else {
+      var last: Option[Long] = None
+      rels.foreach { case (url, params, table, schema) =>
+        val n = df.sparkSession.read.format("jdbc").options(params).load().count()
+        put(url, table, n, n * rowWidth(schema))
+        last = Some(n)
+      }
+      last
     }
   }
 

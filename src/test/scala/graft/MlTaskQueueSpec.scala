@@ -46,6 +46,22 @@ class MlTaskQueueSpec extends AnyFunSuite {
     assert(got.payload === payload && got.tenant === "t1" && got.modelId === 7L)
   }
 
+  test("a corrupt spool message surfaces as ERROR, not a silent loss") {
+    val dir = java.nio.file.Files.createTempDirectory("mlq_spec")
+    val tr = new TaskQueue.SpoolTransport(dir.toString)
+    // a message the parser cannot read (truncated field list), named in
+    // the stream's "<seq20>-<key>" convention so the key is recoverable
+    java.nio.file.Files.writeString(
+      dir.resolve("stream").resolve("0" * 20 + "-poison"), "garbage")
+    tr.add(msg("kok", Map("engine" -> "ridge")))
+    // claim skips the poison file but must publish its failure…
+    val got = tr.claim("c1")
+    assert(got.exists(_.key == "kok"), "healthy message must still be claimable")
+    assert(tr.status("poison").exists(_._1 == TaskQueue.Status.Error),
+      "poison message must land in ERROR status for its waiter")
+    assert(tr.takeError("poison").exists(_.contains("unreadable")))
+  }
+
   test("status lifecycle + TTL'd result, error channel, heartbeat timestamps") {
     for ((name, tr) <- transports()) {
       tr.setStatus("s1", Status.Waiting)

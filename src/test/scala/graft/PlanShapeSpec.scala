@@ -265,23 +265,35 @@ class PlanShapeSpec extends AnyFunSuite {
         case j: org.apache.spark.sql.execution.joins.ShuffledJoin => j }
       assert(smj.exists(_.leftKeys.exists(_.toString.contains("co_id"))),
         s"centroid assignment join must shuffle on co_id, not broadcast:\n$plan")
-      // the r15 defect under test: the coarse expansion must never
-      // materialize as rows that hit an Exchange. The shortlist explode
-      // (Generate) must sit directly on the corpus scan — every shuffle
-      // below it may live only inside a broadcast branch (the √k
-      // codebook's own 1-row rollup), never on the streamed side
-      import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+      // the r15 defect under test: the kc-EXPANDED frame (rows carrying
+      // a coarse cell per corpus vector — recognizable by cov/qd/rad
+      // attributes in flight) must never hit an Exchange. Linear
+      // shuffles are allowed: the ub reduction exchanges n aggregated
+      // 16-byte rows and the ub rejoin repartitions the corpus once —
+      // neither carries expansion columns. Walk every streamed-side
+      // shuffle below the co_id join and assert none ships the
+      // expansion.
+      import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-      def streamedShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+      def streamedShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
         case _: BroadcastExchangeExec => Nil
-        case s: ShuffleExchangeExec => Seq(s)
+        case s: ShuffleExchangeExec => Seq(s) ++ s.children.flatMap(streamedShuffles)
         case other => other.children.flatMap(streamedShuffles)
       }
-      val gens = plan.collect { case g: GenerateExec => g }
-      assert(gens.nonEmpty, s"shortlist explode missing:\n$plan")
-      gens.foreach { g =>
-        assert(streamedShuffles(g).isEmpty,
-          s"coarse expansion shuffles on the streamed side below the shortlist explode:\n$g")
+      // only the shortlist⋈centIdx join (its output carries vec_id) —
+      // the kc×kc coarse⋈radius rollup inside the broadcast branch also
+      // shuffles on co_id, legitimately (sub-linear frame)
+      val coJoins = smj.filter(j => j.leftKeys.exists(_.toString.contains("co_id")) &&
+        j.output.exists(_.name == "vec_id"))
+      assert(coJoins.nonEmpty, s"co_id shortlist join missing:\n$plan")
+      coJoins.foreach { j =>
+        val offenders = j.children.flatMap {
+          case ex: ShuffleExchangeExec => streamedShuffles(ex.child)
+          case other => streamedShuffles(other)
+        }.filter(ex => ex.output.exists(a =>
+          a.name == "cov" || a.name == "qd" || a.name == "rad" || a.name == "qdr"))
+        assert(offenders.isEmpty,
+          s"the kc-expanded frame hit an Exchange below the shortlist join:\n${offenders.mkString("\n")}")
       }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
@@ -323,6 +335,21 @@ class PlanShapeSpec extends AnyFunSuite {
       val after = joinPlan
       assert(after.contains("BroadcastHashJoin") && after.contains("BuildRight"),
         s"ANALYZEd remote dim should be the broadcast build side:\n$after")
+      // write-back staleness (the warehouse analyze→grow→no-broadcast
+      // guarantee, mirrored for remote tables): growing the remote table
+      // drops its recorded stats, so the join stops planning on the
+      // pre-write COUNT and falls back to the conservative sort-merge.
+      // Negative keys so the seeded table restores exactly afterwards
+      // (the Derby db is shared across suites in this JVM).
+      graft.federation.JdbcDb.insert(
+        spark.table("rdb.APP.SUPPLIER").limit(5)
+          .withColumn("s_suppkey", -col("s_suppkey") - 1), db, "SUPPLIER")
+      try {
+        val grown = joinPlan
+        assert(grown.contains("SortMergeJoin"),
+          s"stale remote stats must not survive a write-back:\n$grown")
+      } finally graft.federation.JdbcDb.executeUpdate(db,
+        "DELETE FROM SUPPLIER WHERE \"s_suppkey\" < 0")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
@@ -744,5 +771,57 @@ class PlanShapeSpec extends AnyFunSuite {
         plan.contains("CartesianProduct")
       }
     assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
+  }
+
+  // ---- round-16 optimization shapes ---------------------------------
+
+  test("g02 triangles: Bloom pre-filter drops wedges BEFORE the closing join") {
+    val plan = executedPlan("g02_triangle_count")
+    // the wedge side must carry the mightContainLong probe (a UDF over
+    // xxhash64(x, y)) so ~95% of wedges die map-side, not in the join
+    assert(plan.contains("UDF(xxhash64("),
+      s"bloom pre-filter missing from the wedge side:\n$plan")
+  }
+
+  test("d12 CMS: sketch and exact rider share ONE corpus scan (ReusedExchange)") {
+    val plan = executedPlan("d12_cms_heavy_hitters")
+    assert(plan.contains("ReusedExchange"),
+      s"the per-hash count exchange must be computed once and reused:\n$plan")
+  }
+
+  test("k05/k12 hybrid search: single-pass least(), zero exchanges") {
+    for (name <- Seq("k05_kb_hybrid", "k12_kb_hybrid_sql")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("Exchange"),
+        s"$name: hybrid blend must not shuffle (both arms score the same row):\n$plan")
+      assert(!plan.contains("Window"),
+        s"$name: no per-chunk window after the single-pass rewrite:\n$plan")
+    }
+  }
+
+  test("s12 PQ encoding: argmin is a combinable partial aggregate, not a window") {
+    val plan = executedPlan("s12_pq_topk")
+    assert(plan.contains("partial_min"),
+      s"codes argmin must partial-aggregate map-side:\n$plan")
+  }
+
+  test("t06 lang-id: per-doc argmax partial-aggregates; text never shuffles") {
+    val plan = executedPlan("t06_lang_id")
+    assert(plan.contains("partial_min"),
+      s"per-doc argmax must partial-aggregate map-side:\n$plan")
+  }
+
+  test("e05 hourly top type: min_by aggregate, no per-hour window") {
+    val plan = executedPlan("e05_hourly_active")
+    assert(plan.contains("min_by") && !plan.contains("Window"),
+      s"top-type-per-hour must be a combinable min_by:\n$plan")
+  }
+
+  test("d05 semdedup: assignment is inline over the broadcast codebook (no argmax exchange)") {
+    val plan = executedPlan("d05_semdedup")
+    assert(plan.contains("array_min"),
+      s"assignment must be the inline array_min over the codebook array:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no corpus window may survive in d05:\n$plan")
   }
 }

@@ -121,6 +121,28 @@ class SecuritySpec extends AnyFunSuite {
     }
   }
 
+  test("passthrough refuses same-host cross-port and cross-scheme redirects") {
+    import graft.server.Passthrough.PassthroughException
+    withStub(Map(
+      "/port" -> (ex => respond(ex, 302, Array.emptyByteArray,
+        // same host, DIFFERENT port: the bearer token must not be
+        // re-sent to a different service that happens to share the host
+        "Location" -> s"http://127.0.0.1:${ex.getLocalAddress.getPort + 1}/x")),
+      "/scheme" -> (ex => respond(ex, 302, Array.emptyByteArray,
+        // https target from an http origin is a scheme change too — the
+        // guard is symmetric, covering the https→http downgrade class
+        // (CVE-2018-18074) without needing a TLS stub
+        "Location" -> s"https://127.0.0.1:${ex.getLocalAddress.getPort}/x"))
+    )) { port =>
+      val ep = intercept[PassthroughException](ptGet(port, "/port"))
+      assert(ep.errorCode === "host_not_allowed")
+      assert(ep.getMessage.contains("ports"))
+      val es = intercept[PassthroughException](ptGet(port, "/scheme"))
+      assert(es.errorCode === "host_not_allowed")
+      assert(es.getMessage.contains("schemes"))
+    }
+  }
+
   test("passthrough response cap: exactly 10 MiB passes, one byte more aborts") {
     import graft.server.Passthrough.{MaxResponseBytes, PassthroughException}
     val atCap = new Array[Byte](MaxResponseBytes)

@@ -408,17 +408,19 @@ object Kb {
     * layout without a full re-index. */
   def ivfAssign(chunks: DataFrame, cents: DataFrame): DataFrame = {
     // argmax INLINE over the centroid table shipped as ONE broadcast row
-    // of array<struct<cent_id,cv>> (the d27 pattern): array_min over
-    // struct(-cc, cent_id) is the same (cc desc, cent_id asc) winner the
-    // previous per-chunk_id window produced — with ZERO shuffle, where
-    // the window exchanged the chunks×nCent expansion with every row
-    // still carrying its embedding AND content.
+    // of array<struct<cent_id,cv>>: same (round(cc,4) desc, cent_id asc)
+    // winner the previous per-chunk_id window produced — with ZERO
+    // shuffle, and (r17) the per-entry loop in whole-stage codegen via
+    // ArgMinCentroids.topCosineCells instead of the interpreted
+    // array_min/transform lambda. The isNotNull filter keeps the old
+    // empty-centroid-table behavior (zero rows ingested, not null cells
+    // — agg-on-empty yields one empty-array row).
     val ca = broadcast(cents.agg(
-      array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("__ca")))
+      collect_list(struct(col("cent_id"), col("cv"))).as("__ca")))
     chunks.crossJoin(ca)
-      .withColumn("cell", array_min(transform(col("__ca"), c =>
-        struct(negate(round(cosineSim(col("emb"), c.getField("cv")), 4)).as("ncc"),
-          c.getField("cent_id").as("cent_id")))).getField("cent_id"))
+      .withColumn("cell", element_at(
+        graft.functions.ArgMinCentroids.topCosineCells(col("emb"), col("__ca"), 1), 1))
+      .filter(col("cell").isNotNull)
       .drop("__ca")
   }
 

@@ -44,21 +44,23 @@ object KMeans {
   /** nearest-centroid assignment: (vec_id, v, cell). `cents` must be
     * k rows of (cell, cv) — broadcast by construction.
     *
-    * LEFT ALONE after a measured three-way comparison (r16): (a) this
-    * window argmin; (b) fully-inline array_min over the codebook as a
-    * broadcast struct array (zero shuffle, but dist2's fold runs through
-    * the interpreted higher-order-function path per codebook entry —
-    * s07 measured 1.6× of (a)); (c) map-side-combinable min(struct) +
-    * first(v) groupBy (flat expansion, but min-over-struct/first-array
-    * fall back to ObjectHashAggregate carrying the vector payload — s07
-    * 1.19× of (a)). The window's exchange is bounded by k (a constant
-    * 8) × corpus; at larger k revisit (c), whose shuffle is k-free. */
+    * r17: the r16 three-way comparison (window / inline HOF argmin /
+    * min(struct) groupBy) kept the window only because the inline shape
+    * ran dist2 through interpreted higher-order-function eval. The
+    * codegen [[graft.functions.ArgMinCentroids.argMinDist2]] loop makes
+    * the zero-shuffle inline shape also the fastest one: the codebook
+    * ships as ONE broadcast row of array<struct<cell,cv>> and the
+    * (d2 asc, cell asc) winner — the exact integer fold and tie-break
+    * the window ordered by — is computed per row in whole-stage codegen.
+    * No Exchange touches the corpus. */
   def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cell"), col("d2"))
+    val ca = broadcast(cents.agg(
+      collect_list(struct(col("cell"), col("cv"))).as("__cb")))
+    vecs.crossJoin(ca)
+      .withColumn("__best",
+        graft.functions.ArgMinCentroids.argMinDist2(col("v"), col("__cb")))
+      .select(col("vec_id"), col("v"),
+        col("__best.cell").as("cell"), col("__best.d2").as("d2"))
   }
 
   /** Lloyd update: per-(cell, dim) integer mean, reassembled in dim

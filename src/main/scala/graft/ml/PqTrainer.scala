@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -29,19 +28,23 @@ object PqTrainer {
   /** nearest sub-centroid per (vec_id, sub): adds (scell, d2). `cb` must
     * be m×ks rows of (sub, scell, cv) — broadcast by construction.
     *
-    * LEFT ALONE after a measured comparison (r16): the fully-inline
-    * array_min-over-broadcast-array variant (zero shuffle) forces
-    * KMeans.dist2 through the interpreted higher-order-function path per
-    * codebook entry — s16-s19 measured 1.2-2× of this window shape,
-    * whose exchange is bounded by ks (a constant ≤256) × the subvector
-    * frame and stays whole-stage-codegen up to the sort. */
+    * r17: the r16 comparison kept a window shape only because the inline
+    * argmin ran KMeans.dist2 through interpreted higher-order-function
+    * eval. With the codegen [[graft.functions.ArgMinCentroids.argMinDist2]]
+    * loop the zero-shuffle shape wins: the codebook pre-groups to m rows
+    * of (sub, array<struct<scell,cv>>) — a build-side-only aggregation of
+    * a 256-row frame — and the broadcast hash join on `sub` appends each
+    * row's ks-entry array, argmin'd per row in whole-stage codegen with
+    * the window's exact (d2 asc, scell asc) winner. The subvector frame
+    * never hits an Exchange. */
   def assign(subs: DataFrame, cb: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("scell"))
-    subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", KMeans.dist2(col("rv"), col("cv")))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("rv"), col("scell"), col("d2"))
+    val cbBySub = broadcast(cb.groupBy(col("sub"))
+      .agg(collect_list(struct(col("scell"), col("cv"))).as("__cb")))
+    subs.join(cbBySub, Seq("sub"))
+      .withColumn("__best",
+        graft.functions.ArgMinCentroids.argMinDist2(col("rv"), col("__cb")))
+      .select(col("vec_id"), col("sub"), col("rv"),
+        col("__best.cell").as("scell"), col("__best.d2").as("d2"))
   }
 
   /** grouped Lloyd update: per-(sub, scell, dim) integer mean,

@@ -659,21 +659,19 @@ object Dedup extends QueryPack {
       // deterministic codebook: first 8 vectors stand in for trained
       // k-means centers (same convention as s05/k14). Assignment argmax
       // is computed INLINE over the codebook shipped as ONE broadcast
-      // row of array<struct<cent_id,cv>> (the d27 pattern): array_min
-      // over struct(-cc, cent_id) is the same (cc desc, cent_id asc)
-      // winner the previous per-vec_id window produced, with ZERO
-      // shuffle — the window shape exchanged the n·8 expanded frame,
-      // every row carrying the full embedding. The quadratic-by-design
-      // cost of this baseline tier is the within-cell pair join below,
-      // not the assignment.
+      // row of array<struct<cent_id,cv>> with ZERO shuffle; r17 moves
+      // the per-entry loop from the interpreted array_min/transform
+      // lambda into the codegen ArgMinCentroids.topCosineCells loop —
+      // same (round(cc,4) desc, cent_id asc) winner, whole-stage
+      // codegen. The quadratic-by-design cost of this baseline tier is
+      // the within-cell pair join below, not the assignment.
       val centsA = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        .agg(array_sort(collect_list(struct(col("cent_id"), col("cv")))).as("__ca")))
+        .agg(collect_list(struct(col("cent_id"), col("cv"))).as("__ca")))
       val assigned = e.crossJoin(centsA)
-        .withColumn("__best", array_min(transform(col("__ca"), c =>
-          struct(negate(round(cosineSim(col("v"), c.getField("cv")), 4)).as("ncc"),
-            c.getField("cent_id").as("cent_id")))))
-        .select(col("__best.cent_id").as("cell"), col("vec_id"), col("v"))
+        .withColumn("cell", element_at(
+          graft.functions.ArgMinCentroids.topCosineCells(col("v"), col("__ca"), 1), 1))
+        .select(col("cell"), col("vec_id"), col("v"))
       // pair-block decomposition: the cell key has only 8 distinct
       // values, so a plain self-join on `cell` runs ≤8 reducer tasks no
       // matter the cluster — at 100x data that is the whole wall-clock.
@@ -739,61 +737,46 @@ object Dedup extends QueryPack {
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       val coarseRaw = e.filter(col("vec_id") < kc)
         .select(col("vec_id").as("co_id"), col("v").as("cov"))
-      // normalized-space distance d(u,v) = sqrt(2 − 2·cos(u,v))
-      def nDist(a: Column, b: Column): Column =
-        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cosineSim(a, b)))
-      // the √k coarse codebook as ONE row holding a sorted struct array —
+      // normalized-space distance d(u,v) = sqrt(2 − 2·cos(u,v)) — now
+      // computed inside the ArgMinCentroids codegen loops below
+      // the √k coarse codebook as ONE row holding a struct array —
       // crossJoin(broadcast(·)) of a 1-row frame is a map-side column
       // append, after which every coarse computation is a row-local
-      // higher-order function over the array
-      val coA0 = broadcast(coarseRaw.agg(array_sort(collect_list(
-        struct(col("co_id"), col("cov")))).as("co")))
+      // codegen loop over the array
+      val coA0 = broadcast(coarseRaw.agg(
+        collect_list(struct(col("co_id"), col("cov"))).as("co")))
       // level 1: each centroid registers under its nearest coarse center
-      // (k·√k distance FLOPs, zero shuffle — argmin is the lexicographic
-      // array_min over struct(cd, co_id), same (cd asc, co_id asc)
-      // tie-break the r15 row_number computed), cells carry a covering
-      // radius (√k-row rollup)
+      // (k·√k distance FLOPs, zero shuffle) — r17 moves the argmin from
+      // the interpreted array_min/transform lambda into the codegen
+      // ArgMinCentroids.nearestNDist loop, same (cd asc, co_id asc)
+      // tie-break; cells carry a covering radius (√k-row rollup)
       val centIdx = cents.crossJoin(coA0)
-        .withColumn("best", array_min(transform(col("co"), c =>
-          struct(nDist(col("cv"), c.getField("cov")).as("cd"),
-            c.getField("co_id").as("co_id")))))
-        .select(col("best.co_id").as("co_id"), col("cent_id"), col("cv"),
+        .withColumn("best",
+          graft.functions.ArgMinCentroids.nearestNDist(col("cv"), col("co")))
+        .select(col("best.id").as("co_id"), col("cent_id"), col("cv"),
           col("best.cd").as("cd"))
       val rads = centIdx.groupBy(col("co_id")).agg(max(col("cd")).as("rad"))
       // level 2: per query, keep a coarse cell only if its best possible
       // cosine (1 − lb²/2) can still reach the guaranteed-achievable
-      // best (1 − ub²/2) within the 4-dp rounding granularity — in the
-      // ALL-CODEGEN r16 shape: every distance runs on the broadcast ROW
-      // expansion of the kc-row coarse frame (never through an
-      // interpreted higher-order lambda — the first r16 cut computed
-      // ub/qd/filter inline over a broadcast struct array and measured
-      // 58-86× at factor 100 against the r15 window shape's 20.9×,
-      // because the custom cosine expression loses whole-stage codegen
-      // inside lambdas and Catalyst re-evaluates it in inferred join
-      // conditions). No shuffle anywhere is super-linear: the ub
-      // reduction exchanges n 16-byte rows after map-side combine, the
-      // ub rejoin exchanges the corpus ONCE (n·d — a plain linear
-      // repartition), and the expanded n·√k frame itself NEVER hits an
-      // Exchange (the r15 defect: it was windowed, an n^1.5·d shuffle).
-      // ub and the filter are the same expressions as r15, so the
-      // shortlist set — and the final argmax — are bit-identical.
-      val coarseRows = broadcast(coarseRaw.join(rads, Seq("co_id")))
-      // ub from a NARROW codegen expansion: (vec_id, qd+rad) only — the
-      // vector never rides — reduced by a hash-aggregable min that
-      // partial-combines map-side, so its exchange carries n 16-byte
-      // rows. min over plain doubles (not struct) keeps HashAggregate.
-      val ubF = e.crossJoin(coarseRows)
-        .select(col("vec_id"), (nDist(col("v"), col("cov")) + col("rad")).as("qdr"))
-        .groupBy(col("vec_id")).agg(min(col("qdr")).as("ub"))
-      // attach ub back to the corpus (one LINEAR n·d shuffle — the only
-      // corpus-volume exchange in the whole shortlist structure), then
-      // re-expand and filter in whole-stage codegen
-      val shortlist = e.join(ubF, Seq("vec_id"))
-        .crossJoin(coarseRows)
-        .withColumn("qd", nDist(col("v"), col("cov")))
-        .filter(lit(1.0) - pow(greatest(lit(0.0), col("qd") - col("rad")), 2) / 2.0 >=
-          lit(1.0) - col("ub") * col("ub") / 2.0 - lit(2.0e-4))
-        .select(col("co_id"), col("vec_id"), col("v"))
+      // best (1 − ub²/2) within the 4-dp rounding granularity. r17: the
+      // whole Elkan/Hamerly reduction runs in ONE codegen pass per row
+      // (ArgMinCentroids.coarseShortlist): qd_j over the broadcast
+      // struct-array codebook, ub = min(qd_j + rad_j), and the filter —
+      // the exact expressions of the r16 two-pass shape, which needed a
+      // second expansion plus TWO corpus-scale exchanges (the n 16-byte
+      // ub HashAggregate reduction and an n·d rejoin repartition) only
+      // because the r16-era inline shape would have run the custom
+      // cosine through interpreted HOF-lambda eval. With the loop
+      // codegen'd, the inline shape is both zero-shuffle AND
+      // locally-fastest: the n·√k frame never materializes anywhere —
+      // each row scans the codebook once and explodes only its
+      // surviving co_ids. The shortlist set is bit-identical (same
+      // arithmetic, same 2e-4 guard band).
+      val coA = broadcast(coarseRaw.join(rads, Seq("co_id")).agg(
+        collect_list(struct(col("co_id"), col("cov"), col("rad"))).as("__co")))
+      val shortlist = e.crossJoin(coA)
+        .select(explode(graft.functions.ArgMinCentroids.coarseShortlist(
+          col("v"), col("__co"))).as("co_id"), col("vec_id"), col("v"))
       // exact argmax over the shortlisted cells' centroids: shuffle join
       // on the coarse-cell key, then a declarative max_by — partial
       // aggregation combines map-side, so the final exchange carries n

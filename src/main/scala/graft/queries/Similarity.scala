@@ -534,31 +534,31 @@ object Similarity extends QueryPack {
     * ranking (s05) and the IVF-PQ composition (s14). */
   def ivfCells(e: DataFrame, isQuery: Column, nCent: Int, nProbe: Int)
       : (DataFrame, DataFrame) = {
-    // LEFT ALONE this round after a measured three-way comparison (r16):
-    // (a) this original cached-window shape; (b) fully-inline array_min
-    // over the codebook as a broadcast struct array (zero shuffle, but
-    // the custom CosineSimilarity expression loses its doGenCode inside
-    // higher-order-function lambdas — interpreted eval measured s05 at
-    // 1.7-1.9× of (a)); (c) map-side-combinable min(struct) groupBy
-    // (codegen cosine, but min-over-struct + first(vector) fall back to
-    // ObjectHashAggregate carrying the vector payload — s05 1.9× of
-    // (a)). The window's exchange is bounded by nCent (a constant 8) ×
-    // corpus and the ranking is shared by both consumers through ONE
-    // cache write, which neither alternative matches locally.
-    val cents = broadcast(e.filter(col("vec_id") < nCent)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cent_id"))
-    // cached: both the inverted lists (crk=1) and the query probes
-    // (crk<=nProbe) read this ranking — one codebook pass, not two
-    val ranked = e.crossJoin(cents)
-      .select(col("vec_id"), col("v"), isQuery.as("is_q"), col("cent_id"),
-        round(cosineSim(col("v"), col("cv")), 4).as("cc"))
-      .withColumn("crk", row_number().over(wAssign))
+    // r17: the r16 three-way comparison kept a cached window shape only
+    // because the inline argmin ran CosineSimilarity through interpreted
+    // higher-order-function eval (1.7-1.9×) and the groupBy alternative
+    // fell into ObjectHashAggregate. The codegen
+    // ArgMinCentroids.topCosineCells loop computes the full (round(cc,4)
+    // desc, cent_id asc) ranking per row in whole-stage codegen over the
+    // codebook shipped as ONE broadcast row — zero Exchange. The cache
+    // stays (both the inverted lists and the probes read the ranking,
+    // and the consumers join them — uncached, each side re-scans the
+    // corpus; measured s05 0.35→0.72 s without it), but it now holds ONE
+    // narrow row per vector (vec_id, v, is_q, top-nProbe ids) instead of
+    // the nCent-expanded frame the r16 window shape cached.
+    val ca = broadcast(e.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .agg(collect_list(struct(col("cent_id"), col("cv"))).as("__ca")))
+    val ranked = e.crossJoin(ca)
+      .select(col("vec_id"), col("v"), isQuery.as("is_q"),
+        graft.functions.ArgMinCentroids.topCosineCells(col("v"), col("__ca"), nProbe)
+          .as("__top"))
       .cache()
-    val assigned = ranked.filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val probes = ranked.filter(col("is_q") && col("crk") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id").as("cell"))
+    val assigned = ranked
+      .select(col("vec_id"), col("v"), element_at(col("__top"), 1).as("cell"))
+    val probes = ranked.filter(col("is_q"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(col("__top")).as("cell"))
     (assigned, probes)
   }
 
@@ -587,23 +587,28 @@ object Similarity extends QueryPack {
     def d2(a: Column, b: Column): Column =
       round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x), 4)
-    val subs = (0 until 16).map(j =>
-      e.select(col("vec_id"), lit(j).as("sub"),
-        slice(col("v"), j * 4 + 1, 4).as("sv"))).reduce(_.unionAll(_))
+    // ONE corpus scan explodes all m subvectors per row (the previous
+    // 16-way unionAll re-scanned the embeddings once per subspace —
+    // guide §6: the scan count is part of the I/O bill)
+    val subs = e.select(col("vec_id"), explode(array((0 until 16).map(j =>
+        struct(lit(j).as("sub"), slice(col("v"), j * 4 + 1, 4).as("sv"))): _*)).as("__s"))
+      .select(col("vec_id"), col("__s.sub").as("sub"), col("__s.sv").as("sv"))
     val cb = broadcast(subs.filter(col("vec_id") < 16)
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cv")))
-    // encoding argmin as a map-side-combinable min(struct(cd2, cent_id))
-    // — the same (cd2 asc, cent_id asc) winner the previous
-    // per-(vec_id, sub) window produced. The broadcast hash join stays
-    // whole-stage-codegen; partial aggregation collapses the N·m·ks
-    // expansion to one row per (vec_id, sub) per partition BEFORE the
-    // exchange, so the shuffle carries N·m narrow code rows (three ints,
-    // no subvectors) instead of sorting the full N·m·ks frame the window
-    // shape exchanged.
-    val codes = subs.join(cb, Seq("sub"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(d2(col("sv"), col("cv")).as("cd2"), col("cent_id")))
-        .getField("cent_id").as("cent_id"))
+    // r17 encoding argmin: the r16 min(struct) groupBy collapsed the
+    // N·m·ks expansion map-side but still exchanged N·m code rows. The
+    // codegen ArgMinCentroids.argMinRoundedDist2 loop computes the same
+    // (round(d2,4) asc, cent_id asc) winner per (vec_id, sub) row over
+    // the per-sub codebook array — ZERO exchange, no expansion at all:
+    // the ks entries are scanned inside one generated loop.
+    val cbBySub = broadcast(subs.filter(col("vec_id") < 16)
+      .groupBy(col("sub"))
+      .agg(collect_list(struct(col("vec_id").as("cent_id"), col("sv").as("cv")))
+        .as("__cb")))
+    val codes = subs.join(cbBySub, Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        graft.functions.ArgMinCentroids.argMinRoundedDist2(col("sv"), col("__cb"))
+          .getField("cell").as("cent_id"))
     val lutOf: Column => DataFrame = isQuery => broadcast(
       subs.filter(isQuery)
         .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
@@ -646,8 +651,11 @@ object Similarity extends QueryPack {
       val resid = vq.join(coarse.select(col("vec_id"), col("cell")), "vec_id")
         .join(broadcast(cents), "cell")
         .select(col("vec_id"), zip_with(col("v"), col("cv"), _ - _).as("rv"))
-      (0 until 16).map(j => resid.select(col("vec_id"), lit(j).as("sub"),
-        slice(col("rv"), j * 4 + 1, 4).as("rv"))).reduce(_.unionAll(_))
+      // one residual pass explodes all m subvectors (the previous 16-way
+      // unionAll recomputed the residual join per subspace)
+      resid.select(col("vec_id"), explode(array((0 until 16).map(j =>
+          struct(lit(j).as("sub"), slice(col("rv"), j * 4 + 1, 4).as("rv"))): _*)).as("__s"))
+        .select(col("vec_id"), col("__s.sub").as("sub"), col("__s.rv").as("rv"))
     }
     val cb = SharedFrames.shared("pqt_cb", s, dir, in) {
       graft.ml.PqTrainer.train(subs, ks = 16, iters = 2)

@@ -799,10 +799,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("s12 PQ encoding: argmin is a combinable partial aggregate, not a window") {
+  test("s12 PQ encoding: argmin is an inline codegen loop, no window, no code exchange") {
     val plan = executedPlan("s12_pq_topk")
-    assert(plan.contains("partial_min"),
-      s"codes argmin must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("argminroundeddist2cells"),
+      s"codes argmin must be the codegen codebook loop:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window may rank the PQ codes:\n$plan")
   }
 
   test("t06 lang-id: per-doc argmax partial-aggregates; text never shuffles") {
@@ -819,8 +821,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("d05 semdedup: assignment is inline over the broadcast codebook (no argmax exchange)") {
     val plan = executedPlan("d05_semdedup")
-    assert(plan.contains("array_min"),
-      s"assignment must be the inline array_min over the codebook array:\n$plan")
+    assert(plan.contains("topcosinecells"),
+      s"assignment must be the inline codegen argmax over the codebook array:\n$plan")
     assert(!plan.contains("Window"),
       s"no corpus window may survive in d05:\n$plan")
   }
